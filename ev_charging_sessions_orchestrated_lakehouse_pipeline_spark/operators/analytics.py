@@ -1,0 +1,619 @@
+"""General analytics operator surface (SURVEY.md §2.2-§2.6).
+
+Every public ``q_*`` function takes ``(spark, sf_dir)`` and returns a
+DataFrame over the driver fixtures (TESTDATA.md); the module-level
+``ORACLE`` dict holds the DuckDB-SQL twin keyed by the same name.
+These are the operator-level correctness probes for the reference's
+capability surface: projections/filters (P1-P9), scalar functions
+(F1-F12), aggregations (A1-A10), joins (§2.5), windows/sorts/limits/
+set ops (§2.6).
+
+Scale notes baked into each query:
+- dimension joins use ``F.broadcast`` explicitly (region/nation/
+  supplier are tiny at any SF — never shuffle the fact side for them);
+- aggregates are expressed as single groupBy/agg passes (map-side
+  partial aggregation, one shuffle on the group keys);
+- double sums go through DECIMAL (functions/oracle.py) so results are
+  reproducible at any partition count — see that module's docstring;
+- top-k is ``orderBy().limit()`` (Spark runs TakeOrderedAndProject —
+  per-partition heaps, no global sort) with a unique tiebreak column
+  so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.oracle import davg, davg_sql, dsum, dsum_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, name)
+
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (groupBy + 8 aggregates).
+# Exercises P4 (date filter), F12 (casts), A-family aggregation.
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2/P4/P6-P8: projection + conjunctive filter (pushdown showcase).
+# ---------------------------------------------------------------------------
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 10)
+        & (F.col("l_discount") >= 0.05)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+ORACLE["filter_project"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE l_quantity < 10 AND l_discount >= 0.05 AND l_returnflag IN ('A', 'R')
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1/F8: conditional decode of a categorical (the reference's
+# facilityType/weekday literal-map pattern, on o_orderpriority).
+# ---------------------------------------------------------------------------
+def q_conditional_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import decode_map
+
+    mapping = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "unspecified",
+        "5-LOW": "low",
+    }
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("priority_name", decode_map("o_orderpriority", mapping))
+        .groupBy("priority_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+ORACLE["conditional_decode"] = f"""
+SELECT CASE o_orderpriority
+         WHEN '1-URGENT' THEN 'urgent'
+         WHEN '2-HIGH' THEN 'high'
+         WHEN '3-MEDIUM' THEN 'medium'
+         WHEN '4-NOT SPECIFIED' THEN 'unspecified'
+         WHEN '5-LOW' THEN 'low'
+         ELSE o_orderpriority
+       END AS priority_name,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F4-F6: date/time functions (to_date, hour, epoch arithmetic).
+# ---------------------------------------------------------------------------
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").alias("event_hour"),
+        F.dayofweek("ts").alias("dow"),
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("epoch_minute"),
+    )
+
+
+ORACLE["date_functions"] = """
+SELECT event_id,
+       CAST(ts AS DATE) AS event_date,
+       CAST(hour(ts) AS INT) AS event_hour,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS epoch_minute
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# F7: guarded division (reference avg_cost_per_kwh semantics).
+# ---------------------------------------------------------------------------
+def q_guarded_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import safe_div
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        safe_div("l_extendedprice", "l_quantity").alias("unit_price"),
+        safe_div("l_discount", "l_tax").alias("disc_per_tax"),
+    )
+
+
+ORACLE["guarded_division"] = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity END AS unit_price,
+       CASE WHEN l_tax > 0 THEN l_discount / l_tax END AS disc_per_tax
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# F9-F11: array construction + higher-order filter + size (the
+# reference's quarantine_reason pipeline shape, on orders).
+# ---------------------------------------------------------------------------
+def q_array_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rules = F.array(
+        F.when(F.col("o_totalprice") > 300000, F.lit("big_ticket")),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent")),
+        F.when(F.col("o_orderstatus") == "F", F.lit("finished")),
+    )
+    reasons = F.filter(rules, lambda x: x.isNotNull())
+    return o.select(
+        "o_orderkey",
+        F.size(reasons).alias("n_flags"),
+        F.array_join(reasons, ",").alias("flags"),
+    )
+
+
+ORACLE["array_rules"] = """
+SELECT o_orderkey,
+       CAST(len(flags_list) AS INT) AS n_flags,
+       COALESCE(array_to_string(flags_list, ','), '') AS flags
+FROM (
+  SELECT o_orderkey,
+         list_filter([
+           CASE WHEN o_totalprice > 300000 THEN 'big_ticket' END,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished' END
+         ], x -> x IS NOT NULL) AS flags_list
+  FROM orders
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 analog: avg metric per group (avg session duration per site).
+# ---------------------------------------------------------------------------
+def q_avg_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            davg("value").alias("avg_value"),
+            dsum("value").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["avg_value_per_type"] = f"""
+SELECT event_type,
+       {davg_sql('value')} AS avg_value,
+       {dsum_sql('value')} AS sum_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9: peak hours — hourly histogram + rank (window over a 24-row agg;
+# the window input is already tiny so the single-partition window is
+# fine at any scale).
+# ---------------------------------------------------------------------------
+def q_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.hour("ts").alias("event_hour")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.orderBy(F.col("n_events").desc(), F.col("event_hour"))
+    return hourly.withColumn("hour_rank", F.rank().over(w)).orderBy("hour_rank", "event_hour")
+
+
+ORACLE["peak_hours"] = """
+SELECT CAST(event_hour AS INT) AS event_hour, n_events,
+       CAST(rank() OVER (ORDER BY n_events DESC, event_hour) AS INT) AS hour_rank
+FROM (SELECT hour(ts) AS event_hour, COUNT(*) AS n_events FROM events GROUP BY 1)
+ORDER BY hour_rank, event_hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# A10: usage distribution — share-of-total via window over the agg.
+# ---------------------------------------------------------------------------
+def q_usage_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    total = W.partitionBy()
+    return counts.select(
+        "event_type",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(total)).alias("share"),
+    ).orderBy("event_type")
+
+
+ORACLE["usage_share"] = """
+SELECT event_type, n_events,
+       CAST(n_events AS DOUBLE) / SUM(n_events) OVER () AS share
+FROM (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1)
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.5): snowflake dim chain, broadcast both dims.
+# ---------------------------------------------------------------------------
+def q_join_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE["join_customer_geo"] = f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       {dsum_sql('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS).
+# ---------------------------------------------------------------------------
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE["join_semi"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+ORACLE["join_anti"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-join star query (TPC-H Q5 shape): fact x 2 facts x 3 dims.
+# lineitem->orders co-partitioned shuffle join; dims broadcast.
+# ---------------------------------------------------------------------------
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+ORACLE["revenue_by_nation"] = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1: top-k per group via row_number with unique tiebreak.
+# ---------------------------------------------------------------------------
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE["topk_orders_per_segment"] = """
+SELECT c_mktsegment, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) aggregate per key — decimal-routed for
+# order-stable doubles.
+# ---------------------------------------------------------------------------
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(25,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+ORACLE["running_total"] = """
+SELECT user_id, event_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,10)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+       AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2/W3: global sort + top-k (TakeOrderedAndProject, no full sort).
+# ---------------------------------------------------------------------------
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE["top_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4: set operations.
+# ---------------------------------------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    part_c = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
+    only_open = open_c.exceptAll(done_c).withColumn("bucket", F.lit("open_only"))
+    both = open_c.intersect(done_c).withColumn("bucket", F.lit("open_and_done"))
+    union_p = part_c.union(done_c).distinct().withColumn("bucket", F.lit("partial_or_done"))
+    return only_open.union(both).union(union_p).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_custkeys")
+    )
+
+
+ORACLE["set_ops"] = """
+WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     done_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     part_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+     buckets AS (
+       SELECT 'open_only' AS bucket, o_custkey FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM done_c)
+       UNION ALL
+       SELECT 'open_and_done', o_custkey FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM done_c)
+       UNION ALL
+       SELECT 'partial_or_done', o_custkey FROM (SELECT o_custkey FROM part_c UNION SELECT o_custkey FROM done_c)
+     )
+SELECT bucket, COUNT(*) AS n_custkeys FROM buckets GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct + exact distinct counts (A6 family).
+# ---------------------------------------------------------------------------
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE["distinct_counts"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube (SURVEY.md §2.4 note: single-call Spark built-ins).
+# NULL group markers coalesced identically on both sides.
+# ---------------------------------------------------------------------------
+def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORACLE["rollup_status_priority"] = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE["cube_flag_status"] = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation) — column names fixed on both sides.
+# ---------------------------------------------------------------------------
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["pivot_status"] = f"""
+SELECT l_returnflag,
+       {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+       {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_finished
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# String functions over documents (F-family on text).
+# ---------------------------------------------------------------------------
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.when(F.col("text").contains("spark"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "mentions_spark"
+        ),
+    )
+
+
+ORACLE["string_functions"] = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS text_len,
+       upper(substr(text, 1, 10)) AS head_upper,
+       concat_ws('|', lang, source) AS lang_source,
+       CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS mentions_spark
+FROM documents
+"""

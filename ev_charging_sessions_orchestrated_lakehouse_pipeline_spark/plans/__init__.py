@@ -1,0 +1,5 @@
+"""Query registry + plan inspection helpers."""
+
+from .registry import QUERIES, ORACLES, get_queries, get_oracles
+
+__all__ = ["QUERIES", "ORACLES", "get_queries", "get_oracles"]

@@ -1,0 +1,74 @@
+"""Central registry of named queries and their DuckDB oracle twins.
+
+Each operator family module (operators/analytics.py, operators/dedup.py,
+operators/text.py, operators/similarity.py, operators/quality.py, ...)
+exposes ``q_<name>(spark, sf_dir) -> DataFrame`` functions plus an
+``ORACLE: dict[name, sql]`` for the SQL-expressible ones. This module
+collects them into the single registry consumed by
+``__spark_entry__.py`` (the driver contract) and ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import inspect
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _collect(module) -> None:
+    for name, fn in inspect.getmembers(module, inspect.isfunction):
+        if name.startswith("q_") and fn.__module__ == module.__name__:
+            QUERIES[name[2:]] = fn
+    oracle = getattr(module, "ORACLE", None)
+    if oracle:
+        ORACLES.update(oracle)
+
+
+def _build() -> None:
+    from ..operators import analytics
+
+    modules = [analytics]
+    for optional in ("dedup", "text", "similarity", "quality", "gold_queries"):
+        try:
+            mod = __import__(
+                f"{__package__.rsplit('.', 1)[0]}.operators.{optional}",
+                fromlist=[optional],
+            )
+            modules.append(mod)
+        except ImportError:
+            continue
+    for mod in modules:
+        _collect(mod)
+
+    # Every oracle key must correspond to a registered query.
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle entries without queries: {missing}"
+
+
+_build()
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+def explain_all(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Formatted physical plan per query — the scale-review tool
+    (checks for pushed filters, broadcast joins, codegen spans)."""
+    out = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        out[name] = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        )
+    return out

@@ -1,0 +1,89 @@
+"""Scan operators (reference S1, S2 — SURVEY.md §2.1).
+
+Scale notes: at 100 TB, schema inference is a full extra pass, so the
+production CSV reader takes an explicit ``StructType``; Parquet scans
+rely on Catalyst column pruning + predicate pushdown (verify with
+``df.explain`` — the scan node must show ``PushedFilters``/pruned
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_bronze_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan with header (reference S1,
+    jobs/ev_sessions_silver_etl_clean.py:57).
+
+    ``infer=True`` reproduces the reference's ``inferSchema`` behavior
+    (extra sampling pass — fine for samples, wrong at scale); the
+    default takes an explicit schema.
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet_table(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Parquet scan with optional explicit projection (reference S2,
+    jobs/ev_sessions_gold_etl.py:83-87). Catalyst prunes columns from
+    the physical scan either way; the explicit ``select`` is kept as
+    documentation of intent."""
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table (TESTDATA.md).
+
+    ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS), which
+    the vectorized Parquet reader rejects; we read nanos as long
+    (legacy conf, runtime-settable) and truncate to microseconds with
+    integer division — exactly what DuckDB does when it narrows ns to
+    its native us timestamps, so oracle comparisons agree. Plain
+    ``/ 1000`` would round-trip through double and lose precision on
+    ~1e18 nano values; ``div`` stays in long arithmetic.
+    """
+    # Self-defend when running under a caller-provided session (the
+    # driver's): timestamp semantics must be UTC + non-ANSI for
+    # oracle parity regardless of who built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet fixtures (TESTDATA.md) as DataFrames."""
+    from ..schemas import TESTDATA_TABLES
+
+    names = tables or TESTDATA_TABLES
+    return {t: read_fixture(spark, sf_dir, t) for t in names}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture table as a temp view for the SQL surface
+    (reference S12 — Athena-style SQL-on-lake, README.md:41)."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

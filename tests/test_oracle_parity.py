@@ -1,0 +1,32 @@
+"""Every registered (query, oracle) pair must hash-match at sf0.001 —
+the local twin of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+    ORACLES,
+    QUERIES,
+)
+
+from .oracle_compare import duckdb_conn, run_and_compare
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, con, sf_dir, name):
+    run_and_compare(spark, con, QUERIES[name], ORACLES[name], name, sf_dir)
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+        assert len(df.columns) > 0, name
