@@ -1,0 +1,87 @@
+"""CLI runner — the engine's orchestration entry point (reference S13:
+Glue job arguments, infra/glue-jobs.tf:21-41, re-expressed as argparse
+subcommands over a local/S3 lake root).
+
+    python -m ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli \
+        silver --input data.csv --lake /tmp/lake
+    python -m ... gold --lake /tmp/lake --event-date 2015-03-01
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="evlake")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("silver", help="bronze CSV -> clean silver parquet")
+    ps.add_argument("--input", required=True, help="bronze CSV path")
+    ps.add_argument("--lake", required=True, help="lake root directory")
+    ps.add_argument("--silver-prefix", default="silver/ev_sessions_clean")
+    ps.add_argument("--quarantine-prefix", default="bronze/quarantine/ev_sessions_bad")
+    ps.add_argument(
+        "--secondary-partition",
+        default=None,
+        help="optional secondary partition column (reference default: stationId; "
+        "off here — small-file guard)",
+    )
+    ps.add_argument("--fail-mode", choices=["quarantine", "fail_job"], default="quarantine")
+    ps.add_argument("--precise-timestamps", action="store_true")
+
+    pg = sub.add_parser("gold", help="silver parquet -> gold fact table")
+    pg.add_argument("--lake", required=True)
+    pg.add_argument("--silver-prefix", default="silver/ev_sessions_clean")
+    pg.add_argument("--gold-prefix", default="gold/fact_ev_session")
+    pg.add_argument("--event-date", default=None, help="YYYY-MM-DD partition re-run")
+    pg.add_argument("--database", default=None, help="register fact table in this DB")
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"evlake-{args.cmd}")
+    try:
+        if args.cmd == "silver":
+            from .operators.silver import run_silver
+
+            res = run_silver(
+                spark,
+                input_path=args.input,
+                silver_path=f"{args.lake}/{args.silver_prefix}",
+                quarantine_path=f"{args.lake}/{args.quarantine_prefix}",
+                secondary_partition=args.secondary_partition,
+                fail_mode=args.fail_mode,
+                precise_timestamps=args.precise_timestamps,
+            )
+            print(
+                json.dumps(
+                    {
+                        "good": res.good_count,
+                        "quarantined": res.bad_count,
+                        "verification": res.verification.status.value,
+                        "constraints": res.verification.to_dict(),
+                    }
+                )
+            )
+        else:
+            from .operators.gold import run_gold
+
+            n = run_gold(
+                spark,
+                silver_path=f"{args.lake}/{args.silver_prefix}",
+                gold_path=f"{args.lake}/{args.gold_prefix}",
+                event_date=args.event_date,
+                database=args.database,
+            )
+            print(json.dumps({"rows_written": n}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Gold layer: silver Parquet -> curated fact table with derived
+metrics and idempotent partition-level overwrite (reference job
+`jobs/ev_sessions_gold_etl.py`).
+
+The reference writes to an Iceberg v2 table via
+``writeTo(...).overwritePartitions()`` (:156). Spark-native
+equivalent used here: a path-backed Parquet table written with
+dynamic partition overwrite — only the ``event_date`` partitions
+present in the batch are replaced, so re-running a day converges to
+the same state. When Delta is importable (session.HAS_DELTA) the same
+writer switches to ``format("delta")`` and gains ACID/time-travel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import safe_div
+from ..schemas import EV_GOLD_SELECT_COLS
+from ..session import HAS_DELTA
+
+
+def build_gold(df: DataFrame) -> DataFrame:
+    """Derived metrics (reference :106-118): session duration in
+    minutes from epoch arithmetic, guarded cost-per-kWh."""
+    return df.withColumn(
+        "session_duration_minutes",
+        (F.unix_timestamp("ended") - F.unix_timestamp("created")) / F.lit(60.0),
+    ).withColumn("avg_cost_per_kwh", safe_div("dollars", "kwhTotal"))
+
+
+FACT_TABLE_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+  sessionId STRING, userId STRING, stationId STRING, locationId STRING,
+  kwhTotal DOUBLE, dollars DOUBLE, distance DOUBLE, chargeTimeHrs DOUBLE,
+  facilityType STRING, platform STRING, weekday STRING,
+  created TIMESTAMP, ended TIMESTAMP, event_date DATE,
+  session_duration_minutes DOUBLE, avg_cost_per_kwh DOUBLE
+)
+USING {fmt}
+PARTITIONED BY (event_date)
+LOCATION '{location}'
+"""
+
+
+def ensure_fact_table(
+    spark: SparkSession, database: str, table: str, location: str
+) -> str:
+    """Idempotent namespace + fact-table DDL (reference S7/S8,
+    :125-150). Returns the qualified table name."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    fqn = f"{database}.{table}"
+    fmt = "DELTA" if HAS_DELTA else "PARQUET"
+    spark.sql(FACT_TABLE_DDL.format(table=fqn, fmt=fmt, location=location))
+    return fqn
+
+
+def run_gold(
+    spark: SparkSession,
+    silver_path: str,
+    gold_path: str,
+    event_date: str | None = None,
+    database: str | None = None,
+    table: str = "fact_ev_session",
+) -> int:
+    """End-to-end gold job (reference :83-160): projected silver scan
+    (column pruning) -> optional partition-pruned date filter ->
+    derived metrics -> dynamic partition overwrite. Returns rows
+    written (0 = early exit on empty input, reference C6)."""
+    from ..sources.writers import overwrite_partitions
+
+    df = spark.read.parquet(silver_path).select(*EV_GOLD_SELECT_COLS)
+    if event_date:
+        df = df.filter(F.col("event_date") == F.to_date(F.lit(event_date)))
+
+    row_count = df.count()
+    if row_count == 0:
+        return 0
+
+    df_gold = build_gold(df)
+    overwrite_partitions(df_gold, gold_path, ["event_date"])
+
+    if database:
+        fqn = ensure_fact_table(spark, database, table, gold_path)
+        spark.sql(f"MSCK REPAIR TABLE {fqn}")
+        # post-write verification (reference A2, :159-160)
+        spark.sql(f"SELECT COUNT(*) AS cnt FROM {fqn}").collect()
+    return row_count

@@ -1,0 +1,143 @@
+"""Golden-output tests on the reference sample dataset (SURVEY.md §5):
+3,395 rows in -> 2,330 good / 1,065 quarantined; years repaired;
+minute-granular timestamps; gold derived fields; partition-overwrite
+idempotency."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.gold import (
+    build_gold,
+    run_gold,
+)
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.silver import (
+    clean_sessions,
+    run_silver,
+    silver_check,
+    silver_row_rules,
+)
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.quality import (
+    CheckStatus,
+    VerificationSuite,
+    annotate_rows,
+    split_good_bad,
+)
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+    read_bronze_csv,
+)
+
+SAMPLE_CSV = "/root/reference/data-samples/station_data_dataverse.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SAMPLE_CSV), reason="reference sample not available"
+)
+
+
+@pytest.fixture(scope="module")
+def silver_df(spark):
+    bronze = read_bronze_csv(spark, SAMPLE_CSV, infer=True)
+    return clean_sessions(bronze).cache()
+
+
+def test_bronze_row_count(spark):
+    assert read_bronze_csv(spark, SAMPLE_CSV, infer=True).count() == 3395
+
+
+def test_year_repair_and_minute_granularity(silver_df):
+    years = silver_df.select(F.year("created").alias("y")).distinct().collect()
+    assert {r.y for r in years} == {2014, 2015}
+    secs = silver_df.select(F.second("created").alias("s")).distinct().collect()
+    assert {r.s for r in secs} == {0}  # fix_year drops seconds (reference quirk)
+
+
+def test_precise_timestamps_keep_seconds(spark):
+    bronze = read_bronze_csv(spark, SAMPLE_CSV, infer=True)
+    precise = clean_sessions(bronze, precise_timestamps=True)
+    secs = precise.select(F.second("created").alias("s")).distinct().count()
+    assert secs > 1
+
+
+def test_event_date_span(silver_df):
+    row = silver_df.agg(
+        F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+    ).collect()[0]
+    assert str(row.lo) == "2014-11-18" and str(row.hi) == "2015-10-04"
+
+
+def test_categorical_decodes(silver_df):
+    fts = {r[0] for r in silver_df.select("facilityType").distinct().collect()}
+    assert fts == {"Manufacturing", "Office", "Research and Development", "Other"}
+    wds = {r[0] for r in silver_df.select("weekday").distinct().collect()}
+    assert wds <= {
+        "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday",
+    }
+
+
+def test_golden_split(silver_df):
+    annotated = annotate_rows(silver_df, silver_row_rules())
+    good, bad = split_good_bad(annotated, persist=False)
+    assert good.count() == 2330
+    assert bad.count() == 1065
+    # every quarantined row carries a machine-readable reason
+    reasons = (
+        bad.select(F.explode("quarantine_reason").alias("r"))
+        .groupBy("r")
+        .count()
+        .collect()
+    )
+    by_reason = {r.r: r["count"] for r in reasons}
+    assert by_reason["distance_negative_or_zero"] == 1065  # all "NA" distances
+    assert by_reason["kwhTotal_non_positive"] == 55
+
+
+def test_dataset_verification_passes(silver_df):
+    vr = VerificationSuite().on_data(silver_df).add_check(silver_check()).run()
+    assert vr.status == CheckStatus.SUCCESS, vr.to_dict()
+    d = vr.to_dict()
+    assert d["uniqueness(sessionId)"]["metric"] == 1.0
+    assert d["completeness(sessionId)"]["metric"] == 1.0
+    # distance has nulls but isNonNegative passes them (Deequ semantics)
+    assert d["non_negative(distance)"]["passed"]
+
+
+def test_gold_derived_fields(silver_df):
+    gold = build_gold(silver_df.limit(100))
+    row = gold.filter(
+        F.col("kwhTotal") > 0
+    ).select("session_duration_minutes", "avg_cost_per_kwh", "chargeTimeHrs").first()
+    assert row.session_duration_minutes is not None
+    assert row.avg_cost_per_kwh is not None
+
+
+def test_end_to_end_pipeline_and_idempotency(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    res = run_silver(
+        spark,
+        input_path=SAMPLE_CSV,
+        silver_path=f"{lake}/silver",
+        quarantine_path=f"{lake}/quarantine",
+    )
+    assert (res.good_count, res.bad_count) == (2330, 1065)
+    assert res.verification.status == CheckStatus.SUCCESS
+
+    n1 = run_gold(spark, f"{lake}/silver", f"{lake}/gold")
+    assert n1 == 2330
+    total1 = spark.read.parquet(f"{lake}/gold").count()
+
+    # partition re-run: same day twice -> same table state (reference S9)
+    some_date = str(
+        spark.read.parquet(f"{lake}/silver").groupBy("event_date").count()
+        .orderBy(F.col("count").desc()).first().event_date
+    )
+    n2 = run_gold(spark, f"{lake}/silver", f"{lake}/gold", event_date=some_date)
+    assert n2 > 0
+    total2 = spark.read.parquet(f"{lake}/gold").count()
+    assert total1 == total2 == 2330
+
+    # empty-input early exit (reference C6)
+    n3 = run_gold(spark, f"{lake}/silver", f"{lake}/gold", event_date="1999-01-01")
+    assert n3 == 0
