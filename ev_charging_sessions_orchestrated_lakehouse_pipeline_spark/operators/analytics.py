@@ -617,3 +617,138 @@ SELECT doc_id,
        CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS mentions_spark
 FROM documents
 """
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + running
+# conditional count — the batch twin of streaming session_window).
+# Epoch arithmetic in integer microseconds so both engines agree.
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessioned = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value").alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE["sessionize"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       {dsum_sql('value')} AS session_value
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of lookup: each event joined to the user's most recent prior (or
+# concurrent) purchase — the window formulation of an as-of join (no
+# range-join explosion; one shuffle on user_id).
+# ---------------------------------------------------------------------------
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        last_purchase.alias("last_purchase_ts"),
+        F.when(
+            last_purchase.isNotNull(),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(last_purchase)) / 1_000_000.0,
+        ).alias("secs_since_purchase"),
+    )
+
+
+ORACLE["asof_last_purchase"] = """
+SELECT user_id, event_id, event_type,
+       last_purchase_ts,
+       CASE WHEN last_purchase_ts IS NOT NULL
+            THEN (epoch_us(ts) - epoch_us(last_purchase_ts)) / 1000000.0 END
+         AS secs_since_purchase
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL endpoint (reference S12 — Athena-style SQL-on-lake): the same
+# engine surface exercised through spark.sql over registered views.
+# ---------------------------------------------------------------------------
+def q_sql_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH seg AS (
+          SELECT c_mktsegment, c_custkey FROM customer
+        )
+        SELECT s.c_mktsegment AS mktsegment,
+               COUNT(DISTINCT o.o_custkey) AS active_customers,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,10))) AS STRING) AS DOUBLE)
+                 AS segment_revenue
+        FROM orders o
+        JOIN seg s ON o.o_custkey = s.c_custkey
+        WHERE o.o_orderstatus <> 'F'
+        GROUP BY s.c_mktsegment
+        ORDER BY mktsegment
+        """
+    )
+
+
+ORACLE["sql_endpoint"] = """
+SELECT c_mktsegment AS mktsegment,
+       COUNT(DISTINCT o_custkey) AS active_customers,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+         AS segment_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus <> 'F'
+GROUP BY c_mktsegment
+ORDER BY mktsegment
+"""

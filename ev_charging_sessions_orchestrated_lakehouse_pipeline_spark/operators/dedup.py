@@ -1,0 +1,326 @@
+"""Deduplication operators over ``documents`` — exact, fuzzy
+(MinHash+LSH, n-gram Jaccard), and SimHash fingerprints
+(BASELINE.json north star; SURVEY.md §7.2 step 6).
+
+Scale design (the part that matters at 100 TB):
+
+- **Exact dedup** hashes the normalized text and groupBys the digest —
+  one shuffle on a 16-byte key, map-side combinable. Never
+  ``dropDuplicates`` on the full text column: shuffling multi-KB
+  payloads when a digest suffices is wasted network.
+- **n-gram Jaccard** uses an inverted-index self-join (explode
+  distinct shingles -> join on shingle -> count per pair). This is
+  the classic candidate-generation shape: cost scales with
+  sum(docs-per-shingle²), NOT docs² — no crossJoin anywhere.
+- **MinHash+LSH**: signatures via explode -> k seeded hashes ->
+  groupBy min (one shuffle of small rows); docs then meet only in
+  band buckets, and only surviving candidate PAIRS (ids, no payloads)
+  fetch their shingle sets for the exact-Jaccard verify. Collision
+  probability per band = s^r, so b=8 bands x r=4 rows puts the
+  S-curve midpoint near s = (1/8)^(1/4) ≈ 0.59.
+- **SimHash** hashes each distinct token ONCE into an integer array,
+  then takes 16 bit-vote aggregates over that array — one projection,
+  no shuffle.
+
+Expression-level rule learned from profiling: Spark does NOT
+common-subexpression-eliminate inside higher-order-function lambdas,
+so token/shingle/hash arrays are always materialized as columns
+before a transform/aggregate consumes them (10-30x difference at
+sf0.1).
+
+MinHash/SimHash use the md5-based :func:`hash60` family so signature
+values are reproducible in the DuckDB oracle where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60_sql, word_shingles_expr, word_shingles_sql
+from .text import NORMALIZE_EXPR, NORMALIZE_SQL
+
+ORACLE: dict[str, str] = {}
+
+N_MINHASH = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # N_MINHASH = LSH_BANDS * LSH_ROWS
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+
+_TOKENS_SQL = "string_split(text, ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, "documents")
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) with distinct word n-grams;
+    tokens materialized first (see module docstring)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles_expr("toks", SHINGLE_N)).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: digest of raw text, keep lowest doc_id per group.
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+ORACLE["dedup_exact"] = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY keep_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalized exact dedup: case/whitespace-insensitive digest.
+# ---------------------------------------------------------------------------
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.expr(NORMALIZE_EXPR)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_docs"),
+            F.sum(F.col("n_copies") - 1).alias("n_duplicates_removed"),
+        )
+    )
+
+
+ORACLE["dedup_normalized"] = f"""
+SELECT COUNT(*) AS n_unique_docs,
+       SUM(n_copies - 1) AS n_duplicates_removed
+FROM (
+  SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+  FROM documents
+  GROUP BY md5({NORMALIZE_SQL})
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via inverted-index join.
+# ---------------------------------------------------------------------------
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir)
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
+    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE["dedup_ngram_jaccard"] = f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)}) AS shingles
+  FROM documents
+  WHERE len({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)}) > 0
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures: explode -> seeded hashes -> groupBy min.
+# One shuffle of (doc_id, 32 longs); md5 computed once per
+# (shingle, seed), never per signature column re-expansion.
+# ---------------------------------------------------------------------------
+def minhash_signatures(shingled: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    inv = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = inv.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CAST(conv(substring(md5(concat('s{i}|', s)), 1, 15), 16, 10) AS LONG)"
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 of the 32 minhash components per doc (all 32 feed the
+    LSH query below; 8 keep the oracle result compact)."""
+    sigs = minhash_signatures(_shingled(spark, sf_dir), k=8)
+    return sigs.select("doc_id", *[f"mh{i}" for i in range(8)])
+
+
+def _minhash_sql_exprs(k: int) -> list[str]:
+    shingle_arr = f"list_distinct({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)})"
+    return [
+        f"list_min(list_transform({shingle_arr}, s -> {hash60_sql('s', seed=i)})) AS mh{i}"
+        for i in range(k)
+    ]
+
+
+ORACLE["dedup_minhash_signatures"] = f"""
+SELECT doc_id, {', '.join(_minhash_sql_exprs(8))}
+FROM documents
+WHERE len({_TOKENS_SQL}) >= {SHINGLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs with exact-Jaccard verification.
+# Non-SQL-expressible end to end -> rows-only driver check
+# (tests/test_llm_ops.py pins LSH ⊆ exact-Jaccard instead).
+# ---------------------------------------------------------------------------
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir).persist()
+    sigs = minhash_signatures(shingled)
+
+    # band hash = digest of r consecutive signature components;
+    # banded rows carry ONLY (doc_id, band) — no payloads.
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                )
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verify: only candidate pairs fetch their shingle sets
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (oracled): 16-bit bit-vote over distinct tokens.
+# Tokens hashed once into an int array; 16 aggregates over that array.
+# ---------------------------------------------------------------------------
+N_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr("array_distinct(split(text, ' '))"))
+        .withColumn(
+            "th",
+            F.expr(
+                "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS LONG))"
+            ),
+        )
+    )
+    bit_votes = [
+        F.expr(
+            f"aggregate(th, 0L, (acc, h) -> acc + CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"vote{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    voted = docs.select("doc_id", *bit_votes)
+    simhash = None
+    for b in range(N_SIMHASH_BITS):
+        bit = F.when(F.col(f"vote{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return voted.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    h = f"{hash60_sql('t')}"
+    votes = ", ".join(
+        f"list_sum(list_transform(list_distinct(string_split(text, ' ')), "
+        f"t -> CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) AS vote{b}"
+        for b in range(N_SIMHASH_BITS)
+    )
+    total = " + ".join(
+        f"(CASE WHEN vote{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(N_SIMHASH_BITS)
+    )
+    return f"""
+WITH votes AS (SELECT doc_id, {votes} FROM documents)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLE["dedup_simhash"] = _simhash_oracle()

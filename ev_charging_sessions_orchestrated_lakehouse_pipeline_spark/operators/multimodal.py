@@ -1,0 +1,140 @@
+"""Multimodal columns: images/audio/video as opaque ``binary``
+payloads with typed metadata, processed through Arrow-batched
+``mapInPandas`` (BASELINE.json north star).
+
+The container has no image/audio codecs, so the actual decode is
+STUBBED (``decode_stub``) behind a deterministic fake — but the
+Spark-side plumbing is real and tested: binary column construction,
+metadata struct schema, Arrow batch shape through mapInPandas, and
+partition-preserving feature extraction.
+
+Scale design: media payloads are the columns that break naive plans.
+Rules encoded here:
+- metadata lives in a separate (cheap) struct column so filters and
+  joins NEVER deserialize payload bytes (column pruning drops the
+  binary column when unreferenced — check ReadSchema in the plan);
+- per-batch Python work happens in ``mapInPandas`` (one Arrow
+  round-trip per ~10k-row batch), never a row-at-a-time UDF;
+- feature extraction emits fixed-width numeric columns so downstream
+  aggregation stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ORACLE: dict[str, str] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, "documents")
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic fake media payload to each document:
+    ``payload`` = md5 bytes of the text (stands in for image bytes),
+    ``media_meta`` = typed struct (format, width, height, n_bytes)
+    derived from the digest — the schema shape a real ingest would
+    produce."""
+    digest = F.md5("text")
+    width = (F.conv(F.substring(digest, 1, 2), 16, 10).cast("int") % 64 + 1).alias("width")
+    height = (F.conv(F.substring(digest, 3, 2), 16, 10).cast("int") % 64 + 1).alias("height")
+    return docs.select(
+        "doc_id",
+        F.unhex(digest).alias("payload"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            width,
+            height,
+            F.length(F.unhex(digest)).alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_stub(payload: bytes, fmt: str) -> bytes:
+    """Where a real decoder (PIL/ffmpeg) would run. The container has
+    no codecs; callers must use ``fake=True`` paths."""
+    raise NotImplementedError(
+        "media codecs not available in this environment; "
+        "use extract_media_features(fake=True)"
+    )
+
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, mean_byte double, max_byte int, width int, height int"
+)
+
+
+def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    With ``fake=True`` (the only mode that works here) features are
+    computed directly from the payload bytes — deterministic, so
+    tests can assert exact values. ``fake=False`` routes through
+    :func:`decode_stub` and raises until codecs exist.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:  # pragma: no cover - codec path
+                pdf["payload"].map(lambda b: decode_stub(b, "fake/rgb8"))
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "mean_byte": payloads.map(lambda b: sum(b) / len(b)),
+                    "max_byte": payloads.map(max).astype("int32"),
+                    "width": pdf["meta_width"].astype("int32"),
+                    "height": pdf["meta_height"].astype("int32"),
+                }
+            )
+
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("media_meta.width").alias("meta_width"),
+        F.col("media_meta.height").alias("meta_height"),
+    )
+    return flat.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only query (oracled): proves payload-free pruning works and
+# the metadata derivation is engine-exact.
+# ---------------------------------------------------------------------------
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+ORACLE["multimodal_meta"] = """
+SELECT doc_id,
+       'fake/rgb8' AS format,
+       CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 + 1 AS INT) AS width,
+       CAST(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 + 1 AS INT) AS height,
+       CAST(octet_length(unhex(md5(text))) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Feature-extraction query (mapInPandas path; rows-only check — the
+# Python batch boundary has no SQL twin, exact values are pinned by
+# tests/test_multimodal.py instead).
+# ---------------------------------------------------------------------------
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(_docs(spark, sf_dir))
+    return extract_media_features(media, fake=True)

@@ -1,0 +1,218 @@
+"""Similarity search over the ``embeddings`` table (array<float>,
+64-dim): brute-force cosine top-k as the exact baseline, plus a
+random-hyperplane LSH bucketed variant as the scale path
+(BASELINE.json north star).
+
+Scale design:
+
+- **Brute force** broadcasts the (tiny) query set and computes dot
+  products inside one codegen projection — ``zip_with`` +
+  ``aggregate`` fold, all JVM-side, no Python. Cost is
+  O(corpus x queries x dim) FLOPs streamed map-side; top-k uses
+  TakeOrderedAndProject (per-partition heaps), never a full sort.
+  This is the right plan when the query set is small; the corpus is
+  never shuffled.
+- **LSH** computes a 16-bit random-hyperplane signature per vector in
+  one projection (hyperplane components derived deterministically
+  from md5 — reproducible across runs and engines), then joins
+  corpus to queries on the signature bucket so only colliding pairs
+  pay the exact-cosine verification. At 100 TB the bucket join
+  shuffles 8-byte signatures, not 256-byte vectors.
+
+Float math note: element products are computed in double via a
+sequential left fold, which both Spark and DuckDB evaluate in the
+same order -> bit-identical cosines (verified), so the brute-force
+query is fully oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+ORACLE: dict[str, str] = {}
+
+TOP_K = 10
+N_PLANES = 16
+COSINE_THRESHOLD = 0.2
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, "embeddings")
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Sequential-fold double dot product of two float arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k for one query vector (vec_id = 0).
+# ---------------------------------------------------------------------------
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cosine = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE["similarity_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       {_dot_sql('embedding', 'qv')} /
+       (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qv', 'qv')})) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-NN join: top-k neighbors for each of several query vectors
+# (vec_id < 5), ranked per query via window.
+# ---------------------------------------------------------------------------
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cosine = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+ORACLE["knn_join"] = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, vec_id,
+         {_dot_sql('embedding', 'qv')} /
+         (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM embeddings, queries
+  WHERE vec_id <> query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; rows-only driver check).
+# ---------------------------------------------------------------------------
+EMB_DIM = 64
+
+
+def _plane_weights(plane: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane weights in [-1000, 1000],
+    derived from md5(plane, dim-index) ON THE DRIVER — the weights
+    depend only on (plane, d), so they are embedded as literal arrays
+    instead of re-hashing per row (1024 md5 calls/vector otherwise)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"p{plane}|{d}".encode()).hexdigest()[:15], 16)
+        out.append(float(h % 2001 - 1000))
+    return out
+
+
+def _hyperplane_sign(plane: int) -> F.Column:
+    """Sign bit of <v, h_plane>: fold of the embedding against the
+    literal weight array — one projection, no shuffle, no per-row
+    hashing."""
+    weights = ", ".join(f"CAST({w} AS DOUBLE)" for w in _plane_weights(plane))
+    return F.expr(
+        f"CASE WHEN aggregate(zip_with(embedding, array({weights}), "
+        f"(x, w) -> CAST(x AS DOUBLE) * w), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN {2**plane} ELSE 0 END"
+    )
+
+
+LSH_PLANE_BANDS = 4  # bands of 4 hyperplanes each (16 planes total)
+LSH_PLANES_PER_BAND = 4
+
+
+def lsh_band_signatures(emb: DataFrame) -> DataFrame:
+    """Banded hyperplane signatures: one row per (vector, band) with a
+    4-bit band value. A pair is a candidate if ANY band matches —
+    the OR-of-ANDs S-curve that trades bucket selectivity for recall
+    (single 16-bit buckets have near-zero collision rates even for
+    similar vectors)."""
+    bands = []
+    for b in range(LSH_PLANE_BANDS):
+        val = None
+        for r in range(LSH_PLANES_PER_BAND):
+            term = _hyperplane_sign(b * LSH_PLANES_PER_BAND + r)
+            val = term if val is None else val + term
+        bands.append(val.cast("long"))
+    return emb.select(
+        "*", F.posexplode(F.array(*bands)).alias("band_id", "band_val")
+    )
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via band-bucket collision + exact cosine verify. Returns
+    (query_id, vec_id, cosine) for colliding pairs above the
+    threshold — a recall-bounded subset of the brute-force result."""
+    emb = _emb(spark, sf_dir)
+    banded = lsh_band_signatures(emb)
+    queries = banded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("band_id").alias("q_band_id"),
+        F.col("band_val").alias("q_band_val"),
+    )
+    cosine = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    return (
+        banded.join(
+            F.broadcast(queries),
+            (F.col("band_id") == F.col("q_band_id"))
+            & (F.col("band_val") == F.col("q_band_val")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qv", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("query_id", "vec_id")
+    )

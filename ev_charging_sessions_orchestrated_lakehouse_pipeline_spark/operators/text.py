@@ -1,0 +1,221 @@
+"""Text-analysis operators over the ``documents`` table — the
+language-ID / quality-scoring / token-counting / fingerprinting layer
+a large-scale training-data pipeline needs (BASELINE.json north star;
+beyond the reference's own surface).
+
+Everything here is built-in-expression work (split / transform /
+filter / aggregate higher-order functions) — zero Python UDFs, so the
+whole module rides WholeStageCodegen and scales linearly with input
+splits: no shuffle in any per-document metric, making these safe at
+100 TB (pure map-side).
+
+Every query has a DuckDB oracle twin (md5-based hashing from
+functions/hashing.py keeps fingerprints engine-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+
+ORACLE: dict[str, str] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, "documents")
+
+
+# Stopword sets for the n-gram/stopword language heuristic. Tiny on
+# purpose: they broadcast inside the expression tree as literals.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "en"],
+}
+
+
+def _in_list_expr(var: str, values: list[str]) -> str:
+    quoted = ", ".join(f"'{v}'" for v in values)
+    return f"{var} IN ({quoted})"
+
+
+# ---------------------------------------------------------------------------
+# Per-document statistics: lengths, token counts, ratios.
+# ---------------------------------------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_observed"),
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct_tokens"),
+        (F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.length("text")).alias("alpha_ratio"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> "
+            + _in_list_expr("t", STOPWORDS["en"])
+            + "))"
+        ).alias("n_stopwords"),
+    )
+
+
+ORACLE["text_stats"] = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_observed,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       CAST(len(list_filter(string_split(text, ' '), t -> {_in_list_expr('t', STOPWORDS['en'])})) AS INT) AS n_stopwords
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID: argmax of per-language stopword hit ratios (n-gram
+# heuristic). Deterministic tie-break by fixed language order.
+# ---------------------------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = docs
+    langs = list(STOPWORDS)
+    for lang in langs:
+        out = out.withColumn(
+            f"score_{lang}",
+            F.expr(
+                "size(filter(split(text, ' '), t -> "
+                + _in_list_expr("t", STOPWORDS[lang])
+                + "))"
+            ),
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        *[F.col(f"score_{lang}") for lang in langs],
+    )
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: f"CAST(len(list_filter(string_split(text, ' '), t -> {_in_list_expr('t', words)})) AS INT)"
+        for lang, words in STOPWORDS.items()
+    }
+    scores_sql = ",\n       ".join(f"{expr} AS score_{lang}" for lang, expr in score.items())
+    langs = list(STOPWORDS)
+    greatest = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {scores_sql}
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS predicted_lang,
+       {', '.join('score_' + lang for lang in langs)}
+FROM scored
+"""
+
+
+ORACLE["lang_id"] = _lang_id_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Token counting, BPE-ish: regex token classes (letter runs, digit
+# runs, single punctuation) — the pre-tokenizer shape real BPE uses.
+# ---------------------------------------------------------------------------
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))").alias("n_bpe_tokens"),
+        F.expr("size(split(text, ' '))").alias("n_ws_tokens"),
+    )
+
+
+ORACLE["token_count"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: whole-text digest + 60-bit integer
+# fingerprint of the normalized text (lower, trim, collapse spaces).
+# ---------------------------------------------------------------------------
+NORMALIZE_EXPR = "trim(regexp_replace(lower(text), ' +', ' '))"
+NORMALIZE_SQL = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = F.expr(NORMALIZE_EXPR)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("digest"),
+        hash60(norm).alias("fingerprint"),
+    )
+
+
+ORACLE["fingerprint"] = f"""
+SELECT doc_id,
+       md5({NORMALIZE_SQL}) AS digest,
+       {hash60_sql(NORMALIZE_SQL)} AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: composite of length, alpha ratio, stopword density
+# (the heuristics used to filter web-scraped training data).
+# ---------------------------------------------------------------------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.expr("size(split(text, ' '))").cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.length("text")
+    stop_ratio = (
+        F.expr(
+            "size(filter(split(text, ' '), t -> "
+            + _in_list_expr("t", STOPWORDS["en"])
+            + "))"
+        ).cast("double")
+        / n_tokens
+    )
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score + F.lit(0.4) * alpha + F.lit(0.2) * stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.35).alias("keep"),
+    )
+
+
+ORACLE["quality_score"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
+         CAST(len(list_filter(string_split(text, ' '), t -> {_in_list_expr('t', STOPWORDS['en'])})) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * alpha + 0.2 * (n_stop / n_tokens) AS quality_score,
+       (0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * alpha + 0.2 * (n_stop / n_tokens)) >= 0.35 AS keep
+FROM feats
+"""

@@ -34,7 +34,13 @@ def _build() -> None:
     from ..operators import analytics
 
     modules = [analytics]
-    for optional in ("dedup", "text", "similarity", "quality", "gold_queries"):
+    for optional in (
+        "dedup",
+        "text",
+        "similarity",
+        "multimodal",
+        "quality_queries",
+    ):
         try:
             mod = __import__(
                 f"{__package__.rsplit('.', 1)[0]}.operators.{optional}",

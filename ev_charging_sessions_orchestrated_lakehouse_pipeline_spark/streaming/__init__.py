@@ -1,0 +1,12 @@
+"""Structured Streaming surface (SURVEY.md §7.2 step 7 stretch goal).
+
+The reference is batch-only; its incremental unit is the partition
+re-run (§2.7). This package adds the streaming twin: file-source
+ingest through the SAME silver transform/quality chain via
+``foreachBatch``, and watermarked windowed aggregation for the
+events stream.
+"""
+
+from .ingest import silver_stream, windowed_event_counts, session_windows
+
+__all__ = ["silver_stream", "windowed_event_counts", "session_windows"]

