@@ -135,6 +135,148 @@ WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (dedup family): a probe
+# sample scanned against the full corpus. The corpus side never
+# shuffles — probes broadcast, dot products fold map-side, and the
+# threshold filter runs inside the same projection. At 100 TB the
+# probe set is whatever dedup batch arrived; cost is
+# O(|probes| x corpus x dim) FLOPs streamed, no pair materialization.
+# ---------------------------------------------------------------------------
+NEAR_DUP_COSINE = 0.4  # fixtures are random vectors (max pair ~0.51)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
+    )
+    cosine = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .orderBy("probe_id", "vec_id")
+    )
+
+
+ORACLE["dedup_embedding_cosine"] = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT probe_id, vec_id,
+       {_dot_sql('embedding', 'qv')} /
+       (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qv', 'qv')})) AS cosine
+FROM embeddings, probes
+WHERE vec_id <> probe_id
+  AND {_dot_sql('embedding', 'qv')} /
+      (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qv', 'qv')})) >= {NEAR_DUP_COSINE}
+ORDER BY probe_id, vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the other classic scale path next to LSH.
+# Cells are defined by a small centroid set; every vector is assigned
+# to its max-cosine centroid map-side (centroids broadcast, argmax
+# via one max(struct) aggregation — map-side combinable); queries
+# then search ONLY their own cell. Fully deterministic, so unlike
+# most ANN this one is exactly oracled in SQL.
+# At scale: assignment is one broadcast + one combinable agg, the
+# cell join shuffles only (vec_id, cell) pairs, and recall/cost is
+# tuned by n_centroids (and n_probe cells, here 1).
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 16
+IVF_TOP_K = 3
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell) — max-cosine centroid per vector.
+    Ties break toward the larger cent_id (max over (cos, cent_id)
+    structs), mirrored in the oracle's ORDER BY ... DESC."""
+    cos = _dot("embedding", "cv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("cv", "cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "embedding", F.struct(cos.alias("c"), F.col("cent_id")).alias("sc")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max("sc").alias("best"), F.first("embedding").alias("embedding"))
+        .select("vec_id", "embedding", F.col("best.cent_id").alias("cell"))
+    )
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    assigned = ivf_assign(emb, centroids)
+    queries = assigned.filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < N_CENTROIDS + 5)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    cos = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+_IVF_COS = (
+    f"{_dot_sql('e.embedding', 'c.cv')} / "
+    f"(sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('c.cv', 'c.cv')}))"
+)
+ORACLE["similarity_ivf"] = f"""
+WITH centroids AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS} DESC, c.cent_id DESC) AS rn
+    FROM embeddings e, centroids c
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+  FROM assigned
+  WHERE vec_id >= {N_CENTROIDS} AND vec_id < {N_CENTROIDS + 5}
+),
+scored AS (
+  SELECT query_id, a.vec_id,
+         {_dot_sql('a.embedding', 'qv')} /
+         (sqrt({_dot_sql('a.embedding', 'a.embedding')}) * sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM assigned a JOIN queries q ON a.cell = q.qcell
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= {IVF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path; rows-only driver check).
 # ---------------------------------------------------------------------------
 EMB_DIM = 64

@@ -72,6 +72,42 @@ def test_lsh_ann_subset_of_bruteforce(spark, sf_dir):
     assert brute.count() == 15  # 5 queries x top-3
 
 
+def test_ivf_results_match_in_cell_bruteforce(spark, sf_dir):
+    """IVF returns the exact top-k WITHIN each query's cell: every
+    returned neighbor must live in the query's cell and be ranked by
+    true cosine — i.e. IVF trades recall only through cell routing,
+    never through scoring."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.similarity import (
+        N_CENTROIDS,
+        ivf_assign,
+        q_similarity_ivf,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    cells = {r.vec_id: r.cell for r in ivf_assign(emb, centroids).collect()}
+    rows = q_similarity_ivf(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 queries x top-3
+    for r in rows:
+        assert cells[r.vec_id] == cells[r.query_id]
+
+
+def test_embedding_near_dup_symmetric_sane(spark, sf_dir):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.similarity import (
+        NEAR_DUP_COSINE,
+        q_dedup_embedding_cosine,
+    )
+
+    rows = q_dedup_embedding_cosine(spark, sf_dir).collect()
+    assert all(r.cosine >= NEAR_DUP_COSINE for r in rows)
+    assert all(r.vec_id != r.probe_id for r in rows)
+
+
 def test_similarity_topk_sane(spark, sf_dir):
     rows = q_similarity_topk(spark, sf_dir).collect()
     assert len(rows) == 10
