@@ -8,5 +8,11 @@ events stream.
 """
 
 from .ingest import silver_stream, windowed_event_counts, session_windows
+from .stateful import stateful_user_totals
 
-__all__ = ["silver_stream", "windowed_event_counts", "session_windows"]
+__all__ = [
+    "silver_stream",
+    "windowed_event_counts",
+    "session_windows",
+    "stateful_user_totals",
+]

@@ -72,6 +72,58 @@ def test_windowed_counts_stream_vs_batch(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in stream_rows] == [tuple(r) for r in batch_rows]
 
 
+def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: replay the events fixture in multiple
+    micro-batches; the final emitted state per user must equal the
+    batch groupBy totals (state accumulates across batches)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        stateful_user_totals,
+    )
+
+    events = read_fixture(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+    src = str(tmp_path / "events_src")
+    # several files -> maxFilesPerTrigger=1 forces multiple batches
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # update mode appends one row per (user, batch); the row with the
+    # max n_events per user is the final state
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) rn
+                 FROM user_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, total) in expected.items():
+        fn, ftotal = final[uid]
+        assert fn == n, uid
+        assert abs(ftotal - total) < 1e-6, uid
+
+
 def test_session_windows_batch(spark, sf_dir):
     sess = session_windows(read_fixture(spark, sf_dir, "events"), gap="30 minutes")
     rows = sess.collect()
