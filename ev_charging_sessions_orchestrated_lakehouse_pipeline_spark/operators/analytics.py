@@ -752,3 +752,92 @@ WHERE o_orderstatus <> 'F'
 GROUP BY c_mktsegment
 ORDER BY mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# A8 (README.md:47): avg session duration per site — sessions built by
+# the sessionize operator, duration averaged per user_id (the
+# fixtures' site analog). Durations are exact micro-second integers
+# scaled to seconds, so the davg decimal route keeps the mean
+# engine-exact.
+# ---------------------------------------------------------------------------
+def q_avg_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = q_sessionize(spark, sf_dir)
+    duration_sec = (
+        F.unix_micros("session_end") - F.unix_micros("session_start")
+    ).cast("double") / 1e6
+    return (
+        sessions.withColumn("dur", duration_sec)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            davg("dur").alias("avg_duration_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["avg_session_duration"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 AS dur
+  FROM sessioned GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       {davg_sql('dur')} AS avg_duration_sec
+FROM sessions GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9 (README.md:48): utilization ratio — distinct active hours over
+# the user's observed hour span. Integer hour-bucket arithmetic end
+# to end; the final ratio is one exact int/int double division.
+# ---------------------------------------------------------------------------
+def q_utilization_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour_bucket = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    return (
+        ev.withColumn("hb", hour_bucket)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("hb").alias("active_hours"),
+            ((F.max("hb") - F.min("hb")) / 3600 + 1).cast("long").alias("span_hours"),
+        )
+        .select(
+            "user_id",
+            "active_hours",
+            "span_hours",
+            (F.col("active_hours").cast("double") / F.col("span_hours")).alias(
+                "utilization"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["utilization_ratio"] = """
+WITH g AS (
+  SELECT user_id,
+         COUNT(DISTINCT epoch(date_trunc('hour', ts))) AS active_hours,
+         CAST((MAX(epoch(date_trunc('hour', ts))) -
+               MIN(epoch(date_trunc('hour', ts)))) / 3600 + 1 AS BIGINT) AS span_hours
+  FROM events GROUP BY user_id
+)
+SELECT user_id, active_hours, span_hours,
+       CAST(active_hours AS DOUBLE) / span_hours AS utilization
+FROM g ORDER BY user_id
+"""
