@@ -841,3 +841,127 @@ SELECT user_id, active_hours, span_hours,
        CAST(active_hours AS DOUBLE) / span_hours AS utilization
 FROM g ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Range join, time-window variant: click -> purchase attribution
+# within a 10-minute window per user. Spark has no native range-join
+# operator; the naive plan is a nested-loop inequality join (O(n*m)).
+# The scale-path composition used here: EQUI-join on
+# (user_id, time_bucket) with each left row fanned out to the 2
+# buckets its window can reach, then refine with the exact inequality
+# — candidate pairs drop from n*m to pairs sharing a coarse bucket,
+# and the join is hash-partitioned, shuffle-friendly, AQE-skew-
+# splittable. Bucket width == window width, so the fan-out factor is
+# exactly 2 regardless of scale.
+# ---------------------------------------------------------------------------
+ATTRIBUTION_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    w = ATTRIBUTION_WINDOW_US
+    # purchase sits in its own bucket; each click probes its bucket
+    # and the next one (window can span at most one boundary)
+    clicks_fan = clicks.withColumn(
+        "bucket", F.explode(F.array((F.col("cus") / w).cast("long"),
+                                    (F.col("cus") / w).cast("long") + 1))
+    )
+    purchases_b = purchases.withColumn("bucket", (F.col("pus") / w).cast("long"))
+    return (
+        clicks_fan.join(
+            purchases_b,
+            (F.col("cu") == F.col("pu")) & (clicks_fan.bucket == purchases_b.bucket),
+        )
+        .filter((F.col("pus") > F.col("cus")) & (F.col("pus") - F.col("cus") <= w))
+        .select(
+            F.col("cu").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            ((F.col("pus") - F.col("cus")) / F.lit(1e6)).alias("lag_sec"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+ORACLE["range_join_attribution"] = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) / 1e6 AS lag_sec
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) > epoch_us(c.ts)
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= {ATTRIBUTION_WINDOW_US}
+ORDER BY c.user_id, click_id, purchase_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join, band variant: price-band dimension lookup
+# (lo <= value < hi). Tiny band tables broadcast; the inequality
+# pushes into a BroadcastNestedLoop probe that never shuffles the
+# fact side — the right Spark plan when the range table is small.
+# ---------------------------------------------------------------------------
+PRICE_BANDS = [
+    ("budget", 0.0, 20000.0),
+    ("mid", 20000.0, 45000.0),
+    ("premium", 45000.0, 1e18),
+]
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("band_revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+_BAND_ROWS = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+ORACLE["range_join_bands"] = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BAND_ROWS})
+SELECT band, COUNT(*) AS n_items, {dsum_sql('l_extendedprice')} AS band_revenue
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct counting (HyperLogLog++) next to the exact
+# count — the sketch every 100 TB pipeline uses when exact
+# countDistinct's shuffle is too expensive. Approximate values are
+# engine-specific, so no SQL oracle (rows-only driver check);
+# tests pin the <2% relative-error contract instead.
+# ---------------------------------------------------------------------------
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
