@@ -219,3 +219,76 @@ SELECT doc_id,
        (0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * alpha + 0.2 * (n_stop / n_tokens)) >= 0.35 AS keep
 FROM feats
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (Rabin-Karp polynomial over the
+# token stream — ORDER-SENSITIVE, unlike the digest fingerprint
+# above: reordering tokens changes it). One aggregate fold over a
+# materialized hash array, pure map-side. Arithmetic is carried
+# mod 2^40 so the identical formula is exact in both engines
+# (Spark wraps int64 silently; DuckDB raises on overflow).
+# ---------------------------------------------------------------------------
+_RH_MOD = 1 << 40
+
+
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "th",
+        F.expr(
+            "transform(split(text, ' '), t -> "
+            "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS LONG))"
+        ),
+    )
+    rolling = F.expr(
+        f"aggregate(th, 0L, (acc, h) -> (acc * 31 + h % {_RH_MOD}) % {_RH_MOD})"
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash"))
+
+
+ORACLE["fingerprint_rolling"] = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> {hash60_sql('t')})),
+         (acc, h) -> (acc * 31 + h % {_RH_MOD}) % {_RH_MOD}
+       ) AS rolling_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar functions over events.props (SURVEY.md §7.2 step 5's
+# json family): per-row extraction stays in codegen
+# (get_json_object), aggregated per event type. At scale, parse JSON
+# ONCE into a materialized column before multiple extractions —
+# from_json per field re-parses the document each time.
+# ---------------------------------------------------------------------------
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["json_functions"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
