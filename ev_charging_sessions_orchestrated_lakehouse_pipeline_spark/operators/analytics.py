@@ -965,3 +965,42 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted aggregation (functions/skew.py): l_returnflag has
+# only 3 values over 600k rows at sf0.1 — exactly the hot-key shape
+# that straggles a direct groupBy at 100 TB. The two-phase plan's
+# result is IDENTICAL to the plain GROUP BY, which is the oracle.
+# Decimal-sum via the partial/merge decomposition of dsum: partials
+# sum to decimal, the merge sums the exact decimals, one final
+# string->double conversion.
+# ---------------------------------------------------------------------------
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": (F.count(F.lit(1)), F.sum("n_rows")),
+            "qty_dec": (
+                F.sum(F.col("l_quantity").cast("decimal(25,10)")),
+                F.sum("qty_dec"),
+            ),
+        },
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("qty_dec").cast("string").cast("double").alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE["skew_salted_agg"] = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows, {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
