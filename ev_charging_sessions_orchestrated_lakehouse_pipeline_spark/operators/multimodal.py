@@ -138,3 +138,46 @@ FROM documents
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(_docs(spark, sf_dir))
     return extract_media_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling ("video" payloads): the 1 -> N mapInPandas shape a
+# real frame sampler has. The fake decoder treats the 16-byte payload
+# as 4 frames of 4 bytes; ``stride`` picks every k-th frame. The
+# Spark-side contract being exercised: an output batch with MORE rows
+# than the input batch, stable (doc_id, frame_idx) keys, and binary
+# frame payloads that downstream ops treat as opaque.
+# ---------------------------------------------------------------------------
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_mean double"
+FAKE_FRAME_BYTES = 4
+
+
+def sample_frames(media: DataFrame, stride: int = 2, fake: bool = True) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:  # pragma: no cover - codec path
+                pdf["payload"].map(lambda b: decode_stub(b, "fake/video"))
+            ids, idxs, frames, means = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // FAKE_FRAME_BYTES
+                for i in range(0, n_frames, stride):
+                    frame = payload[i * FAKE_FRAME_BYTES : (i + 1) * FAKE_FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame)
+                    means.append(sum(frame) / len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_mean": means,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(_docs(spark, sf_dir))
+    return sample_frames(media, stride=2, fake=True)

@@ -7,10 +7,16 @@ ingest through the SAME silver transform/quality chain via
 events stream.
 """
 
-from .ingest import silver_stream, windowed_event_counts, session_windows
+from .ingest import (
+    silver_stream,
+    stream_stream_attribution,
+    session_windows,
+    windowed_event_counts,
+)
 from .stateful import stateful_user_totals
 
 __all__ = [
+    "stream_stream_attribution",
     "silver_stream",
     "windowed_event_counts",
     "session_windows",

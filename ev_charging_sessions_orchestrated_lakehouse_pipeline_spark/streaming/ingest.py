@@ -97,3 +97,46 @@ def session_windows(
         F.col("sess.end").alias("session_end"),
         "n_events",
     )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase joins
+    the clicks of the same user in the preceding ``window`` — the
+    streaming twin of the batch bucket+refine range join
+    (analytics.q_range_join_attribution).
+
+    The watermarks bound BOTH sides' state: a click older than
+    (watermark + window) can never match a future purchase, so the
+    state store evicts it — without the time-interval condition the
+    join would buffer both streams forever. Works identically on
+    batch frames (Catalyst drops the stateful operator)."""
+    c = clicks.select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("cts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("pts", watermark)
+    return c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr(f"INTERVAL {window}")),
+    ).select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        ((F.unix_micros("pts") - F.unix_micros("cts")) / F.lit(1e6)).alias("lag_sec"),
+    )

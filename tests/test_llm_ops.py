@@ -155,6 +155,33 @@ def test_multimodal_features_exact(spark, sf_dir):
         assert 1 <= f.width <= 64 and 1 <= f.height <= 64
 
 
+def test_frame_sampling_shape_and_values(spark, sf_dir):
+    """1 -> N mapInPandas: every doc yields frames 0 and 2 of its
+    16-byte payload (4 frames of 4 bytes, stride 2), byte-exact."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").limit(10)
+    media = synthesize_media(docs)
+    frames = sample_frames(media, stride=2).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = (bytes(r.frame), r.frame_mean)
+    for row in docs.select("doc_id", "text").collect():
+        payload = hashlib.md5(row.text.encode()).digest()
+        got = by_doc[row.doc_id]
+        assert set(got) == {0, 2}
+        for i in (0, 2):
+            expect = payload[i * 4 : (i + 1) * 4]
+            fb, fmean = got[i]
+            assert fb == expect
+            assert abs(fmean - sum(expect) / 4) < 1e-12
+
+
 def test_multimodal_query_runs(spark, sf_dir):
     df = q_multimodal_features(spark, sf_dir)
     assert df.count() > 0

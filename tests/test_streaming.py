@@ -124,6 +124,46 @@ def test_stateful_user_totals_across_batches(spark, sf_dir, tmp_path):
         assert abs(ftotal - total) < 1e-6, uid
 
 
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join must produce
+    exactly the batch range-join result when the whole fixture is
+    replayed (append mode; watermark wide enough that nothing is
+    dropped within the replay)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.analytics import (
+        q_range_join_attribution,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        stream_stream_attribution,
+    )
+
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in q_range_join_attribution(spark, sf_dir).collect()
+    }
+
+    events = read_fixture(spark, sf_dir, "events")
+    src = str(tmp_path / "events_ss")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_attribution(clicks, purchases, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("ss_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_attr").collect()
+    }
+    assert got == expected
+    assert expected  # non-vacuous
+
+
 def test_session_windows_batch(spark, sf_dir):
     sess = session_windows(read_fixture(spark, sf_dir, "events"), gap="30 minutes")
     rows = sess.collect()
