@@ -1004,3 +1004,50 @@ SELECT l_returnflag, COUNT(*) AS n_rows, {dsum_sql('l_quantity')} AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style promo revenue share per brand (lineitem x part).
+# part is a classic broadcast dim: the fact side streams through one
+# BroadcastHashJoin, the conditional promo sum rides the same
+# single-shuffle groupBy. share = exact-decimal double / exact-decimal
+# double -> deterministic at any partition count.
+# ---------------------------------------------------------------------------
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(revenue).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            "promo_revenue",
+            "total_revenue",
+            "n_items",
+            (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE["promo_revenue_share"] = f"""
+WITH g AS (
+  SELECT p_brand,
+         {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+           AS promo_revenue,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+         COUNT(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, promo_revenue, total_revenue, n_items,
+       promo_revenue / total_revenue AS promo_share
+FROM g ORDER BY p_brand
+"""
