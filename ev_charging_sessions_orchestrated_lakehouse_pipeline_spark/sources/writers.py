@@ -62,3 +62,47 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    cluster_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction — the local-Parquet stand-in for Delta
+    ``OPTIMIZE [ZORDER BY]`` (SURVEY.md §4's small-file hazard: the
+    reference's event_date x stationId layout makes ~25k tiny files).
+
+    Rewrites the dataset so each Hive partition holds
+    ``files_per_partition`` files; ``cluster_by`` additionally sorts
+    rows within each output file so Parquet min/max page stats become
+    selective for those columns (the data-skipping benefit of
+    Z-ORDER for the single-column / prefix case).
+
+    Reads the whole dataset once, shuffles once on the partition
+    columns, writes once — at cluster scale run it per-partition-
+    range instead of whole-table. Returns the row count written
+    (sanity handle for callers/tests)."""
+    df = spark.read.parquet(path)
+    out = df.repartition(files_per_partition, *[df[c] for c in partition_cols])
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+
+    # atomic-ish local swap (object stores would write to a new
+    # table-version prefix instead — this mirrors Delta's rewrite)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n

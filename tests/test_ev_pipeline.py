@@ -141,3 +141,36 @@ def test_end_to_end_pipeline_and_idempotency(spark, tmp_path):
     # empty-input early exit (reference C6)
     n3 = run_gold(spark, f"{lake}/silver", f"{lake}/gold", event_date="1999-01-01")
     assert n3 == 0
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """compact_dataset: same rows, bounded file count per partition,
+    clustered rows inside each file."""
+    import glob
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+        compact_dataset,
+        write_partitioned_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_fixture(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    path = str(tmp_path / "events_part")
+    # deliberately fragmented: many files per partition
+    write_partitioned_parquet(ev.repartition(8), path, ["event_date"])
+    before = len(glob.glob(f"{path}/event_date=*/*.parquet"))
+    n_before = spark.read.parquet(path).count()
+
+    n = compact_dataset(spark, path, ["event_date"], cluster_by=["user_id"])
+    after = len(glob.glob(f"{path}/event_date=*/*.parquet"))
+    n_parts = len(glob.glob(f"{path}/event_date=*"))
+
+    assert n == n_before
+    assert spark.read.parquet(path).count() == n_before
+    assert after == n_parts  # exactly one file per partition
+    assert after < before
