@@ -54,22 +54,35 @@ def tokens(c: Column | str) -> Column:
 TOKENS_SQL = "string_split({expr}, ' ')"
 
 
+def let_sql(binding: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``binding`` ONCE per row and expose
+    it to ``body`` as the lambda variable ``var``.
+
+    Spark neither CSEs inside higher-order-function lambdas nor keeps
+    intermediate columns materialized — CollapseProject inlines a
+    ``withColumn`` straight into every use site, so an expression
+    referenced per array element re-executes per element (measured
+    12x slowdown on shingling at sf0.1, where the inlined
+    ``split(text)`` re-tokenized the doc ~130x per row). Wrapping the
+    value in a single-element array and binding it as a transform
+    lambda variable forces one evaluation: lambda variables hold
+    values, not expressions."""
+    return f"transform(array({binding}), {var} -> {body})[0]"
+
+
 def word_shingles_expr(tokens_expr: str, n: int = 3) -> Column:
     """Word n-gram shingles from a token-array SQL expression, joined
-    by spaces. Pure array expression — no explode, no shuffle; one
-    codegen projection. Empty array when the doc has < n tokens.
-
-    PERFORMANCE: pass a materialized COLUMN NAME (``withColumn("toks",
-    split(...))`` first), not a computed expression — Spark does not
-    CSE inside higher-order-function lambdas, so an inline
-    ``split(text, ' ')`` here would re-tokenize the document once per
-    array element (measured 10x slowdown at sf0.1)."""
-    return F.expr(
-        f"CASE WHEN size({tokens_expr}) >= {n} THEN "
-        f"transform(sequence(0, size({tokens_expr}) - {n}), "
-        f"i -> concat_ws(' ', {', '.join(f'{tokens_expr}[i + {k}]' for k in range(n))})) "
-        f"ELSE array() END"
-    ).cast("array<string>")
+    by spaces. Pure array expression — no explode, no shuffle; the
+    token array is let-bound (see :func:`let_sql`) so callers can
+    pass ``split(text, ' ')`` inline without per-element
+    re-tokenization. Empty array when the doc has < n tokens."""
+    picks = ", ".join(f"t[i + {k}]" for k in range(n))
+    body = (
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {picks})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return F.expr(let_sql(tokens_expr, "t", body))
 
 
 def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:

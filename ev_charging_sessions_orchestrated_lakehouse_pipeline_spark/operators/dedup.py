@@ -22,11 +22,12 @@ Scale design (the part that matters at 100 TB):
   then takes 16 bit-vote aggregates over that array — one projection,
   no shuffle.
 
-Expression-level rule learned from profiling: Spark does NOT
-common-subexpression-eliminate inside higher-order-function lambdas,
-so token/shingle/hash arrays are always materialized as columns
-before a transform/aggregate consumes them (10-30x difference at
-sf0.1).
+Expression-level rule learned from profiling: Spark neither CSEs
+inside higher-order-function lambdas nor preserves intermediate
+columns (CollapseProject inlines them into every use site), so
+token/shingle/hash arrays consumed by multiple lambda sites are
+LET-BOUND via ``functions.hashing.let_sql`` — one evaluation per
+row, measured 12x at sf0.1 on shingling alone.
 
 MinHash/SimHash use the md5-based :func:`hash60` family so signature
 values are reproducible in the DuckDB oracle where one exists.
@@ -58,14 +59,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles: array<string>) with distinct word n-grams;
-    tokens materialized first (see module docstring)."""
+    """(doc_id, shingles: array<string>) with distinct word n-grams.
+    The tokenization is let-bound inside the shingle expression
+    (functions/hashing.let_sql) — one split per row, one projection,
+    no shuffle."""
     return (
         _docs(spark, sf_dir)
-        .withColumn("toks", F.split("text", " "))
         .select(
             "doc_id",
-            F.array_distinct(word_shingles_expr("toks", SHINGLE_N)).alias("shingles"),
+            F.array_distinct(
+                word_shingles_expr("split(text, ' ')", SHINGLE_N)
+            ).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
     )
@@ -142,20 +146,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _shingled(spark, sf_dir)
     sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
     inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    hot = (
+    # ONE shuffle (groupBy shingle), then pairs generate map-side from
+    # each posting list via higher-order functions — strictly better
+    # than the self-join formulation, which shuffles the inverted
+    # index twice and hash-joins 1M+ string keys. The frequency cap
+    # drops posting lists longer than MAX_SHINGLE_DF right where
+    # they're built; sort_array gives doc_a < doc_b for free.
+    buckets = (
         inv.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
     )
-    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -230,16 +241,20 @@ def minhash_signatures(shingled: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """(doc_id, sig: array<long>[k]) — one nested higher-order
     expression instead of k separate column expressions: codegen size
     (and first-run JIT compile time) stays O(1) in k."""
+    from ..functions.hashing import let_sql
+
     coeffs = _mh_coeffs(k)
     a_arr = "array(" + ", ".join(f"{a}L" for a, _ in coeffs) + ")"
     b_arr = "array(" + ", ".join(f"{b}L" for _, b in coeffs) + ")"
-    base = shingled.withColumn("hs", F.expr("transform(shingles, s -> xxhash64(s))"))
-    # zip_with over the coefficient arrays: the literals materialize
-    # once per ROW (Spark does not CSE inside lambdas — an
-    # element_at(array(...), i) formulation would rebuild the array
-    # per signature element per shingle).
-    sig = f"zip_with({a_arr}, {b_arr}, (a, b) -> array_min(transform(hs, h -> h * a + b)))"
-    return base.select("doc_id", F.expr(sig).alias("sig"))
+    # let-bind the base-hash array: without it, CollapseProject
+    # inlines the xxhash64 transform into the zip_with lambda and the
+    # corpus is re-hashed once per signature component (k times).
+    sig = let_sql(
+        "transform(shingles, s -> xxhash64(s))",
+        "hs",
+        f"zip_with({a_arr}, {b_arr}, (a, b) -> array_min(transform(hs, h -> h * a + b)))",
+    )
+    return shingled.select("doc_id", F.expr(sig).alias("sig"))
 
 
 def minhash_signatures_md5(shingled: DataFrame, k: int) -> DataFrame:
@@ -340,28 +355,27 @@ N_SIMHASH_BITS = 16
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        _docs(spark, sf_dir)
-        .withColumn("toks", F.expr("array_distinct(split(text, ' '))"))
-        .withColumn(
-            "th",
-            F.expr(
-                "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS LONG))"
-            ),
-        )
+    """All 16 bit-votes fold inside ONE let-bound expression: the
+    distinct-token hash array materializes once per row (a 16-column
+    formulation would re-hash every token 16x after CollapseProject
+    inlines the intermediate column)."""
+    from ..functions.hashing import let_sql
+
+    th = (
+        "transform(array_distinct(split(text, ' ')), "
+        "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS LONG))"
     )
-    bit_votes = [
-        F.expr(
-            f"aggregate(th, 0L, (acc, h) -> acc + CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
-        ).alias(f"vote{b}")
-        for b in range(N_SIMHASH_BITS)
-    ]
-    voted = docs.select("doc_id", *bit_votes)
-    simhash = None
-    for b in range(N_SIMHASH_BITS):
-        bit = F.when(F.col(f"vote{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    return voted.select("doc_id", simhash.cast("long").alias("simhash"))
+    simhash = let_sql(
+        th,
+        "th",
+        f"aggregate(sequence(0, {N_SIMHASH_BITS - 1}), 0L, (acc, b) -> acc + "
+        "CASE WHEN aggregate(th, 0L, (vacc, h) -> vacc + "
+        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) >= 0 "
+        "THEN shiftleft(1L, b) ELSE 0L END)",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(simhash).cast("long").alias("simhash")
+    )
 
 
 def _simhash_oracle() -> str:
