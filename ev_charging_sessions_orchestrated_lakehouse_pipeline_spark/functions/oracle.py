@@ -68,3 +68,8 @@ def davg_sql(expr: str) -> str:
         f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT({expr})"
     )
+
+
+def dsum_spark_sql(expr: str) -> str:
+    """Spark-SQL-string twin of ``dsum`` for ``spark.sql`` queries."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,10))) AS STRING) AS DOUBLE)"

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.oracle import davg, davg_sql, dsum, dsum_sql
+from ..functions.oracle import davg, davg_sql, dsum, dsum_spark_sql, dsum_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1050,4 +1050,145 @@ WITH g AS (
 SELECT p_brand, promo_revenue, total_revenue, n_items,
        promo_revenue / total_revenue AS promo_share
 FROM g ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per group (quantile surface of the query layer).
+#
+# Scale note: exact percentile buffers each group's values on the
+# reducer — fine for low-cardinality group keys (3 return flags) at
+# any SF because the shuffle partitions by l_returnflag and each
+# group streams through one sort-based aggregate. For
+# high-cardinality keys or when one group exceeds executor memory,
+# the scale path is ``approx_percentile`` (t-digest sketch, map-side
+# combinable, bounded memory) — exposed by the same Spark function
+# family; the exact form is kept here because it is oracle-checkable
+# bit-for-bit (Spark and DuckDB both linear-interpolate at
+# p*(n-1), verified identical on the fixtures).
+# ---------------------------------------------------------------------------
+_PCTS = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)]
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.expr(f"percentile({col}, {p}D)").alias(f"{tag}_{short}")
+        for col, short in [("l_quantity", "qty"), ("l_extendedprice", "price")]
+        for tag, p in _PCTS
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+
+
+ORACLE["percentiles"] = f"""
+SELECT l_returnflag,
+       {', '.join(f'quantile_cont({col}, {p}) AS {tag}_{short}'
+                  for col, short in [('l_quantity', 'qty'), ('l_extendedprice', 'price')]
+                  for tag, p in _PCTS)}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping-id disambiguation (generalizes the
+# cube/rollup pair: caller-chosen lattice points, one shuffle —
+# Spark expands the sets map-side and aggregates all of them in a
+# single pass, same as cube).
+# ---------------------------------------------------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+               o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {dsum_spark_sql('o_totalprice')} AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE["grouping_sets"] = f"""
+SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+       o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-shaped correlated-EXISTS aggregate: orders with at least
+# one line shipped >90 days after the order date, counted per
+# priority. The EXISTS compiles to a LEFT SEMI join on the order key
+# with the date comparison as a residual join predicate — one
+# shuffle on l_orderkey/o_orderkey, no duplicate-elimination pass
+# (semi join short-circuits on first match, so a 7-line order costs
+# the same as a 1-line order).
+# ---------------------------------------------------------------------------
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["late_shipment_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS late_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-shift windows: lag/lead plus a 3-row moving average per user
+# timeline. The frame aggregate routes through DECIMAL (see
+# functions/oracle.py) so the moving average is order-stable;
+# lag/lead copy values exactly. One shuffle on user_id; all four
+# window expressions share the same Window spec, so Spark evaluates
+# them in a single Window physical operator over one sort.
+# ---------------------------------------------------------------------------
+def q_window_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, W.currentRow)
+    mov_sum = (
+        F.sum(F.col("value").cast("decimal(25,10)"))
+        .over(wf)
+        .cast("string")
+        .cast("double")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (mov_sum / F.count("value").over(wf)).alias("mov_avg3"),
+    )
+
+
+ORACLE["window_shift"] = """
+SELECT user_id, event_id,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER wf AS VARCHAR) AS DOUBLE)
+         / COUNT(value) OVER wf AS mov_avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """

@@ -395,3 +395,103 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
 
 
 ORACLE["dedup_simhash"] = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERING: connected components over the Jaccard pair
+# graph, each doc labeled with the min doc_id of its component (the
+# canonical representative a dedup pass would keep).
+#
+# Spark-first design: iterative min-label propagation entirely in
+# DataFrame ops — per round, push each vertex's current label to its
+# neighbors (one shuffle join on vertex id) and take the min of
+# (own label, neighbor labels) (one map-side-combinable groupBy).
+# Rounds needed = graph diameter; near-dup components are tiny dense
+# clusters (diameter 1-3), so 3-5 rounds close the fixpoint. Each
+# round ends in localCheckpoint() — without it the plan doubles per
+# iteration and Catalyst analysis time, not the data, becomes the
+# bottleneck. For adversarial long-chain graphs at 100 TB the
+# upgrade path is the alternating large-star/small-star algorithm
+# (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+# which converges in O(log^2 n) rounds with the same two-primitive
+# round body; the fixpoint loop below is the right trade for dedup
+# workloads where components are near-cliques by construction.
+#
+# The result is a deterministic fixpoint (min is idempotent,
+# commutative, associative), so parity with the DuckDB
+# recursive-CTE oracle holds no matter how many rounds ran.
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(id, cluster_id) for every vertex of the undirected edge list;
+    cluster_id = min vertex id reachable. Raises if the fixpoint is
+    not reached within ``max_iter`` rounds (diameter bound)."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.repartition("u").localCheckpoint()
+
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.u == labels.id).select(
+            F.col("v").alias("id"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup clusters: docs that share a >=0.5-Jaccard edge,
+    grouped into components, labeled by min doc_id."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs, "doc_a", "doc_b")
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    """Same component semantics as a recursive reachability CTE: from
+    every vertex, walk the (symmetrized) pair graph to closure and
+    take the min reached id. UNION (not UNION ALL) dedups the
+    frontier, which is what terminates the recursion."""
+    pairs_body = ORACLE["dedup_ngram_jaccard"].strip().rstrip()
+    # reuse the pair query verbatim as a CTE
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_body}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(src, node) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+ORACLE["dedup_clusters"] = _clusters_oracle()

@@ -197,3 +197,26 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"xx", "image/png")
+
+
+def test_connected_components_multihop(spark):
+    """A 5-node chain needs >1 propagation round (diameter 4) — pins
+    that the fixpoint loop actually iterates; plus an isolated pair
+    and a triangle merged via two edges."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == (
+        {(i, 1) for i in (1, 2, 3, 4, 5)}
+        | {(10, 10), (11, 10)}
+        | {(i, 20) for i in (20, 21, 22)}
+    )
