@@ -106,3 +106,34 @@ def compact_dataset(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (optionally sorted) managed
+    Parquet table — the pay-the-shuffle-once primitive for 100 TB
+    co-located joins.
+
+    Bucketing hash-partitions rows into ``n_buckets`` files per
+    partition by ``bucket_cols`` AT WRITE TIME and records the layout
+    in the catalog. Every later equi-join or aggregation on the
+    bucket columns between tables with matching bucket specs reads
+    co-located buckets directly: Catalyst drops both Exchange nodes
+    (verified by the plan audit in tests/test_plans.py), and when
+    ``sort_cols`` match the join key the per-bucket Sort disappears
+    too — a 100 TB fact-fact join becomes a streaming zip of
+    pre-sorted files with zero network traffic. Size ``n_buckets``
+    so one bucket ≈ 100-200 MB at the target scale (the same
+    guidance as shuffle partitions), and keep specs identical on
+    both sides — mismatched bucket counts shuffle the smaller side.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

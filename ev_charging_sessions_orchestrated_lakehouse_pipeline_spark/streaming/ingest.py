@@ -140,3 +140,24 @@ def stream_stream_attribution(
         "purchase_id",
         ((F.unix_micros("pts") - F.unix_micros("cts")) / F.lit(1e6)).alias("lag_sec"),
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first event per key wins, duplicates
+    arriving within ``delay`` of the watermark are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the key's last-seen event time + delay, so
+    state is bounded by (keys per delay window), not by total stream
+    history — the property that makes streaming dedup viable on an
+    unbounded 100 TB/day feed. The batch twin (same semantics on a
+    bounded frame) is ``dropDuplicates(key_cols)``; equivalence is
+    pinned in tests/test_streaming.py."""
+    return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

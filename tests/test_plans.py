@@ -7,6 +7,7 @@ join condition bug degenerating into a cartesian product.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
     QUERIES,
@@ -63,3 +64,48 @@ def test_filter_pushes_down(spark, sf_dir):
     plan = _formatted_plan(spark, QUERIES["filter_project"](spark, sf_dir))
     assert "PushedFilters: [" in plan
     assert "IsNotNull" in plan or "LessThan" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed+sorted on the join key must join with no
+    Exchange and no extra Sort — the co-location contract that makes
+    repeated fact-fact joins affordable at scale."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    lineitem = read_fixture(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], 4, ["o_orderkey"])
+    write_bucketed(lineitem, "bkt_lineitem", ["l_orderkey"], 4, ["l_orderkey"])
+    try:
+        joined = (
+            spark.table("bkt_lineitem")
+            .join(
+                spark.table("bkt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _formatted_plan(spark, joined)
+        join_part = plan.split("HashAggregate")[0]
+        assert "Exchange" not in join_part, "bucketed join still shuffles"
+        # row parity with a plain (shuffling) join
+        expect = {
+            (r.o_orderpriority, r.n)
+            for r in lineitem.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {(r.o_orderpriority, r.n) for r in joined.collect()}
+        assert got == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")

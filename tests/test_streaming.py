@@ -177,3 +177,37 @@ def test_session_windows_batch(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert s2 >= e1
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """events with injected exact duplicates: the streaming dedup
+    (watermark-bounded state) must keep exactly the distinct
+    event_ids, same as batch dropDuplicates."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.ingest import (
+        dedup_stream,
+    )
+
+    events = read_fixture(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dup = events.orderBy("event_id").limit(200)
+    with_dups = events.union(dup).union(dup)
+    src = str(tmp_path / "events_dup")
+    with_dups.write.parquet(src)
+
+    stream = spark.readStream.schema(with_dups.schema).parquet(src)
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect()}
+    expect = {r.event_id for r in events.select("event_id").distinct().collect()}
+    assert got == expect
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+    assert n == len(expect), "duplicates survived the streaming dedup"
