@@ -1192,3 +1192,173 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
        wf AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery (per-group average used as
+# a per-row predicate). Spark-first decorrelation: broadcast-semi-join
+# the tiny brand slice into lineitem FIRST (prunes ~96% of the fact scan
+# before any shuffle), aggregate per part, broadcast the per-part
+# averages back. At 100 TB the only shuffle is the per-partkey agg over
+# the brand slice; everything else is broadcast.
+# ---------------------------------------------------------------------------
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to small orders for one brand (TPC-H Q17 pattern).
+
+    Capability: correlated scalar subquery via decorrelation into an
+    aggregate + self-join — the reference has no subquery surface, but
+    its Athena/SQL endpoint (SURVEY.md S12) implies it.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    brand_li = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_limit")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        brand_li.join(F.broadcast(avg_qty), brand_li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+ORACLE["small_quantity_revenue"] = f"""
+SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < 0.2 * (
+        SELECT {davg_sql('l2.l_quantity')}
+        FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: left outer join + count, including the zero group.
+# Scale-first formulation: pre-aggregate orders to (custkey, n) BEFORE
+# joining customer — the join input shrinks from |orders| rows to
+# |customers-with-orders| rows, and both sides shuffle once on custkey.
+# COALESCE resurrects the customers with no (qualifying) orders.
+# ---------------------------------------------------------------------------
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, ... non-urgent orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE["customer_order_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a grouped sum feeding a multi-way join.
+# The groupBy(l_orderkey) is the one unavoidable big shuffle; the
+# HAVING filter then drops ~99% of groups, so AQE sees a tiny build
+# side for the subsequent joins and switches them to broadcast at
+# runtime — exactly the adaptive behavior we want at 100 TB.
+# ---------------------------------------------------------------------------
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders whose total quantity exceeds 250."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLE["big_order_customers"] = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > 250
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: uncorrelated scalar subquery (global average) used as
+# a filter, combined with an anti join. The 1-row aggregate is
+# broadcast via crossJoin — zero-cost at any scale — and the anti join
+# shuffles only the pre-filtered (above-average) customer slice.
+# ---------------------------------------------------------------------------
+def q_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no urgent orders, per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["idle_high_balance"] = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {dsum_sql('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

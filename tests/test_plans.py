@@ -22,6 +22,8 @@ BNLJ_ALLOWED = {
     "similarity_ivf",
     "dedup_embedding_cosine",
     "range_join_bands",
+    # 1-row scalar-subquery aggregate broadcast into the filter side
+    "idle_high_balance",
 }
 
 
