@@ -1,0 +1,320 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines.
+
+A 100 TB pretraining corpus needs reproducible answers to four
+questions — which rows are train/val/test, how much of each source
+goes into the mix, how documents pack into fixed-size context
+windows, and what a fixed-size per-stratum sample looks like. All
+four are implemented here as pure expression-level operators on top
+of the cross-engine ``hash60`` (functions/hashing.py), so every
+decision is a deterministic function of the row key: re-running the
+pipeline, adding executors, or changing partition counts never moves
+a document between splits.
+
+Scale properties:
+- ``split_assign`` and ``mixture_sample`` are map-side only (a hash
+  and a comparison per row — no shuffle, no state, no sampling RNG
+  whose draw order depends on partitioning, which is exactly the flaw
+  of ``df.sample``/``randomSplit`` for reproducible corpus curation).
+- ``pack_sequences`` is the concat-then-chunk packing used by LLM
+  pretraining loaders: one window cumsum per source partition (one
+  shuffle on the partition column; at scale each source streams
+  independently).
+- ``stratified_sample_k`` is one window rank per stratum (one
+  shuffle on the stratum key), deterministic because the order is a
+  hash, not an RNG.
+
+The reference pipeline has no sampling surface (SURVEY.md §2 —
+batch-ETL only); these operators are part of the LLM-pipeline
+extension tier (BASELINE.json north star), same as dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# Library surface
+# ---------------------------------------------------------------------------
+def split_assign(
+    key: Column | str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    buckets: int = 10_000,
+) -> Column:
+    """Split-label expression: assigns each row to a named split with
+    probability ``fractions[name]``, deterministically by key hash.
+
+    ``hash60(key, seed) % buckets`` is uniform over [0, buckets); the
+    cumulative fraction boundaries carve it into contiguous ranges.
+    Changing ``seed`` re-rolls the assignment; changing nothing keeps
+    every row in its split forever (the property that keeps eval sets
+    uncontaminated across pipeline re-runs).
+    """
+    bucket = hash60(_as_str(key), seed=seed) % buckets
+    acc = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1]
+    return (F.lit(last) if expr is None else expr.otherwise(last)).alias("split")
+
+
+def split_assign_sql(
+    key_expr: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    buckets: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`split_assign`."""
+    bucket = f"({hash60_sql(key_expr, seed=seed)} % {buckets})"
+    acc = 0.0
+    cases = []
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cases.append(f"WHEN {bucket} < {int(round(acc * buckets))} THEN '{name}'")
+    if not cases:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def mixture_keep(
+    key: Column | str,
+    source: Column | str,
+    weights: dict[str, float],
+    seed: int = 1,
+    buckets: int = 10_000,
+) -> Column:
+    """Boolean keep-expression for weighted dataset mixing: a row from
+    source ``s`` survives with probability ``weights[s]`` (sources
+    absent from ``weights`` are dropped). Deterministic per key, so
+    the mixture is stable across runs and cluster layouts."""
+    bucket = hash60(_as_str(key), seed=seed) % buckets
+    src = F.col(source) if isinstance(source, str) else source
+    expr = F.lit(False)
+    for name, w in weights.items():
+        expr = F.when(src == name, bucket < int(round(w * buckets))).otherwise(expr)
+    return expr
+
+
+def mixture_keep_sql(
+    key_expr: str,
+    source_expr: str,
+    weights: dict[str, float],
+    seed: int = 1,
+    buckets: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`mixture_keep`."""
+    bucket = f"({hash60_sql(key_expr, seed=seed)} % {buckets})"
+    cases = " ".join(
+        f"WHEN {source_expr} = '{name}' THEN {bucket} < {int(round(w * buckets))}"
+        for name, w in weights.items()
+    )
+    return f"CASE {cases} ELSE FALSE END"
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column,
+    capacity: int,
+    part_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard pretraining
+    loader layout): per ``part_col`` stream, documents are laid out in
+    ``order_cols`` order into one contiguous token stream, and each
+    document is assigned to the ``capacity``-sized chunk where it
+    STARTS. Adds ``start_offset`` and ``chunk_id``.
+
+    One window cumsum per partition — a single shuffle on
+    ``part_col``; no Python, no state. (True first-fit bin packing is
+    inherently sequential per bin; concat-then-chunk is what training
+    loaders actually do, and it wastes no tokens.)"""
+    w = W.partitionBy(part_col).orderBy(*order_cols)
+    start = (F.sum(token_col).over(w) - token_col).alias("start_offset")
+    out = df.withColumn("start_offset", start)
+    return out.withColumn(
+        "chunk_id", (F.col("start_offset") / capacity).cast("long")
+    )
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    stratum: str,
+    key: Column | str,
+    k: int,
+    seed: int = 2,
+) -> DataFrame:
+    """Deterministic fixed-size sample: the ``k`` rows with the
+    smallest key-hash per stratum. Hash order is uniform, so this is
+    a uniform without-replacement sample that is stable across runs —
+    unlike ``sampleBy`` whose output depends on row order. Ties are
+    impossible while keys are unique (60-bit hash, collision odds
+    ~n²/2⁶¹)."""
+    h = hash60(_as_str(key), seed=seed)
+    w = W.partitionBy(stratum).orderBy(h.asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def _as_str(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("string")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries over the documents fixture
+# ---------------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, "documents")
+
+
+_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_WEIGHTS = {"web": 0.5, "books": 1.0, "code": 0.25}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split document and char counts for a 90/5/5 split."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            split_assign("doc_id", _FRACTIONS),
+            F.col("n_chars"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE["train_split"] = f"""
+SELECT {split_assign_sql('doc_id', _FRACTIONS)} AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY split
+ORDER BY split
+"""
+
+
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source kept/total counts under a weighted mixture policy."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "source",
+            mixture_keep("doc_id", "source", _WEIGHTS).alias("keep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["dataset_mixture"] = f"""
+SELECT source,
+       COUNT(*) AS n_total,
+       SUM(CAST({mixture_keep_sql('doc_id', 'source', _WEIGHTS)} AS BIGINT)) AS n_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+_CAPACITY = 1024
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-layout summary: per source, how many 1024-token context
+    windows the corpus packs into, and the document count."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    packed = pack_sequences(
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens")),
+        F.col("n_tokens"),
+        _CAPACITY,
+        "source",
+        ["doc_id"],
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["sequence_packing"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT source,
+         CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tokens) / {_CAPACITY} AS BIGINT) AS chunk_id,
+         n_tokens
+  FROM toks
+)
+SELECT source,
+       COUNT(DISTINCT chunk_id) AS n_chunks,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM laid
+GROUP BY source
+ORDER BY source
+"""
+
+
+_SAMPLE_K = 25
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 25-doc-per-language sample (doc ids)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        stratified_sample_k(
+            docs.select("doc_id", "lang"), "lang", "doc_id", _SAMPLE_K
+        )
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+ORACLE["stratified_sample"] = f"""
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)", seed=2)}
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {_SAMPLE_K}
+ORDER BY lang, doc_id
+"""

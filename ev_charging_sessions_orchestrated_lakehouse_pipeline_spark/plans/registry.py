@@ -40,6 +40,7 @@ def _build() -> None:
         "similarity",
         "multimodal",
         "quality_queries",
+        "sampling",
     ):
         try:
             mod = __import__(
