@@ -1,0 +1,207 @@
+"""Lakehouse mutation semantics as pure DataFrame transforms: MERGE
+upsert, CDC changelog compaction, and SCD Type-2 history.
+
+The reference's only mutation primitive is partition-level overwrite
+(``writeTo(...).overwritePartitions()``, ``jobs/ev_sessions_gold_etl
+.py:156`` — our ``sources/writers.py`` twin). Row-level MERGE is the
+other half of a lakehouse table surface; on Delta it's ``MERGE INTO``,
+but the SEMANTICS are engine-independent and expressible as joins, so
+we implement them as DataFrame transforms that (a) run anywhere
+Parquet runs, and (b) compile to exactly the join plans a Delta MERGE
+executes underneath (anti-join + union ≙ the rewrite-matched-files
+path). The functions compose with ``writers.overwrite_partitions`` /
+``write_bucketed`` for persistence; when HAS_DELTA, callers can swap
+in native ``DeltaTable.merge`` without changing call sites.
+
+Scale notes:
+- ``merge_upsert`` is one shuffle on the merge keys for the anti join
+  (or zero if the source is broadcast-small, the common CDC-batch
+  case — hint with ``broadcast_source=True``); the union is free.
+- ``compact_changelog`` (latest-row-per-key) is the canonical
+  max-by-timestamp window — one shuffle on the key; at 100 TB this is
+  the standard CDC-read path and benefits from AQE skew splitting on
+  hot keys.
+- ``scd2`` is two window passes over the same (key, ts) ordering —
+  Catalyst plans ONE Exchange+Sort reused by both windows (verified
+  in tests/test_merge.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.oracle import dsum, dsum_sql
+
+ORACLE: dict[str, str] = {}
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """MERGE INTO semantics: source rows replace matched target rows
+    (whole-row update), unmatched source rows are inserted, unmatched
+    target rows survive. If ``delete_col`` names a boolean column in
+    ``source``, rows where it is true delete their match instead
+    (and are not inserted) — the full upsert/delete CDC contract.
+
+    Idempotent by construction: applying the same source twice leaves
+    the same table (pinned in tests/test_merge.py)."""
+    src = F.broadcast(source) if broadcast_source else source
+    kept = target.join(src.select(*keys), keys, "left_anti")
+    if delete_col is not None:
+        incoming = source.filter(~F.col(delete_col)).drop(delete_col)
+    else:
+        incoming = source
+    return kept.unionByName(incoming)
+
+
+def compact_changelog(
+    changes: DataFrame, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Latest row per key from an append-only changelog (CDC
+    compaction / snapshot read). ``order_cols`` must make the order
+    total (include a unique id as tiebreak) or the winner is
+    nondeterministic."""
+    w = W.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2(
+    changes: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a change log:
+    one row per (key, run of equal ``attr``), with ``valid_from`` /
+    ``valid_to`` (null = current) / ``is_current``.
+
+    Change detection is lag-compare (null-safe: ``<=>``), interval
+    closing is lead over the change rows only — both windows share
+    the (key, ts) sort so Catalyst shuffles and sorts once."""
+    w = W.partitionBy(key).orderBy(ts_col, tiebreak)
+    changed = changes.withColumn("_prev", F.lag(attr).over(w)).filter(
+        ~F.col(attr).eqNullSafe(F.col("_prev"))
+    )
+    w2 = W.partitionBy(key).orderBy(ts_col, tiebreak)
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries over the fixtures
+# ---------------------------------------------------------------------------
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, name)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a synthetic CDC batch into an events snapshot, then
+    summarize. Target = events with event_id % 5 != 0; source =
+    events with event_id % 3 == 0, value doubled (updates the
+    overlap, inserts the rest)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    target = ev.filter(F.col("event_id") % 5 != 0)
+    source = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    merged = merge_upsert(target, source, ["event_id"])
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["merge_upsert"] = f"""
+WITH target AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 5 <> 0
+), source AS (
+  SELECT event_id, event_type, value * 2 AS value FROM events
+  WHERE event_id % 3 = 0
+), merged AS (
+  SELECT * FROM target WHERE event_id NOT IN (SELECT event_id FROM source)
+  UNION ALL
+  SELECT * FROM source
+)
+SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current snapshot of each user's state from the events
+    changelog: the latest event row per user_id."""
+    ev = _t(spark, sf_dir, "events")
+    return compact_changelog(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+    ).orderBy("user_id")
+
+
+ORACLE["changelog_compaction"] = """
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history of each user's event_type runs."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return scd2(ev, "user_id", "event_type", "ts", "event_id").orderBy(
+        "user_id", "valid_from"
+    )
+
+
+ORACLE["scd2_history"] = """
+WITH marked AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changed AS (
+  SELECT user_id, event_type, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM marked
+  WHERE prev IS DISTINCT FROM event_type
+)
+SELECT a.user_id, a.event_type,
+       a.ts AS valid_from,
+       b.ts AS valid_to,
+       b.ts IS NULL AS is_current
+FROM changed a
+LEFT JOIN changed b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+ORDER BY a.user_id, valid_from
+"""

@@ -41,6 +41,7 @@ def _build() -> None:
         "multimodal",
         "quality_queries",
         "sampling",
+        "merge",
     ):
         try:
             mod = __import__(

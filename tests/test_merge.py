@@ -1,0 +1,99 @@
+"""Semantics of the lakehouse mutation operators: MERGE contract
+(update/insert/delete, idempotency), CDC compaction winner rule, and
+the SCD2 invariants + its one-shuffle plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.merge import (
+    compact_changelog,
+    merge_upsert,
+    scd2,
+)
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_merge_update_insert_keep(spark):
+    target = _df(spark, [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    source = _df(spark, [(2, "B"), (4, "D")], ["k", "v"])
+    got = {tuple(r) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+
+def test_merge_is_idempotent(spark):
+    target = _df(spark, [(1, "a"), (2, "b")], ["k", "v"])
+    source = _df(spark, [(2, "B"), (3, "C")], ["k", "v"])
+    once = merge_upsert(target, source, ["k"])
+    twice = merge_upsert(once, source, ["k"])
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_merge_deletes(spark):
+    target = _df(spark, [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    source = _df(
+        spark, [(2, "B", False), (3, "ignored", True), (4, "D", False)],
+        ["k", "v", "is_delete"],
+    )
+    got = {
+        tuple(r)
+        for r in merge_upsert(target, source, ["k"], delete_col="is_delete").collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (4, "D")}
+
+
+def test_compaction_latest_wins_with_tiebreak(spark):
+    log = _df(
+        spark,
+        [(1, 10, 100, "x"), (1, 20, 101, "y"), (1, 20, 102, "z"), (2, 5, 103, "w")],
+        ["k", "ts", "seq", "v"],
+    )
+    got = {
+        (r.k, r.v)
+        for r in compact_changelog(log, ["k"], ["ts", "seq"]).collect()
+    }
+    assert got == {(1, "z"), (2, "w")}
+
+
+def test_scd2_invariants(spark, sf_dir):
+    """Per key: exactly one current row, intervals non-overlapping
+    and chained (valid_to == next valid_from), runs collapse."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    ev = (
+        read_fixture(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("user_id") < 10)
+    )
+    hist = scd2(ev, "user_id", "event_type", "ts", "event_id").collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.user_id, []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type  # runs collapsed
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 windows share one (key, ts) sort: the physical plan
+    must contain exactly one Exchange."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    ev = read_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    df = scd2(ev, "user_id", "event_type", "ts", "event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"SCD2 shuffles {n_exchange}x, expected 1"
