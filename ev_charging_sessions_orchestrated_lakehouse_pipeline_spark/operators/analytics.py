@@ -1362,3 +1362,111 @@ WHERE c_acctbal > (
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel (view -> click -> purchase). Each stage's
+# entry time is a conditional window-min that references the previous
+# stage's time, so the stages are strictly sequential per user. All
+# three window passes share the same user_id partitioning — Catalyst
+# plans ONE Exchange, the final global count is a single-row agg.
+# ---------------------------------------------------------------------------
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users reaching each stage of view->click->purchase,
+    in strict timestamp order."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return s3.agg(
+        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias(
+            "n_view"
+        ),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias(
+            "n_click"
+        ),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase"
+        ),
+    )
+
+
+ORACLE["funnel"] = """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2
+)
+SELECT COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+       COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click,
+       COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase
+FROM w3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by first-seen week, counted
+# per week offset. First-seen is a window-min (shuffle on user_id),
+# the cohort matrix is one more groupBy — two shuffles total, both
+# map-side combinable.
+# ---------------------------------------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_offset, n_users) retention matrix."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    return (
+        ev.withColumn("cohort_week", F.to_date(F.date_trunc("week", first_ts)))
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE["cohort_retention"] = """
+WITH firsts AS (
+  SELECT user_id, ts,
+         CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS DATE)
+           AS cohort_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(FLOOR(date_diff('day', cohort_week, CAST(ts AS DATE)) / 7.0) AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM firsts
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""

@@ -276,7 +276,7 @@ WITH toks AS (
 ), laid AS (
   SELECT source,
          CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
-               - n_tokens) / {_CAPACITY} AS BIGINT) AS chunk_id,
+               - n_tokens) // {_CAPACITY} AS BIGINT) AS chunk_id,
          n_tokens
   FROM toks
 )

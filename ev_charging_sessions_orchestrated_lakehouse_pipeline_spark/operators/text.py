@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, hash60_sql
+from ..functions.hashing import hash60, hash60_sql, tokens
 
 ORACLE: dict[str, str] = {}
 
@@ -291,4 +291,78 @@ SELECT event_type,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (tokenizer-training input): document
+# frequency and collection frequency per term. One explode + one
+# groupBy — the groupBy is map-side combinable so the shuffle carries
+# (term, partial df, partial tf) not raw tokens; at 100 TB add a
+# frequency floor (HAVING) before any driver-side consumption. Counts
+# are integers — bit-exact across engines, no float hazard.
+# ---------------------------------------------------------------------------
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 terms by document frequency (ties broken by term)."""
+    docs = _docs(spark, sf_dir)
+    term = F.explode(tokens(F.col("text"))).alias("term")
+    return (
+        docs.select("doc_id", term)
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "term")
+        .limit(100)
+    )
+
+
+ORACLE["vocabulary"] = """
+SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+WHERE term <> ''
+GROUP BY term
+ORDER BY df DESC, tf DESC, term
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Adjacent-bigram counts (language-model corpus statistics). The
+# bigram array is built with a zip of the token array against its own
+# tail — pure array expressions, no self-join, no second explode.
+# ---------------------------------------------------------------------------
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent word bigrams across the corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+ORACLE["top_bigrams"] = """
+SELECT t[i] || ' ' || t[i + 1] AS bigram, COUNT(*) AS n
+FROM (
+  SELECT string_split(text, ' ') AS t,
+         unnest(range(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
 """
