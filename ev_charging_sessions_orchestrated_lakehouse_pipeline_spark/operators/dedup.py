@@ -437,23 +437,31 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence probe: min-propagation only ever DECREASES labels,
+    # so the (exact, decimal — no int64 overflow at any vertex count)
+    # label sum strictly decreases while anything changes and is
+    # stable exactly at the fixpoint. Comparing sums costs one scan
+    # of new_labels — no join against the previous round — and that
+    # same action materializes the lazy checkpoint, so each round is
+    # ONE Spark job instead of three (checkpoint + join-count).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = None
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.u == labels.id).select(
             F.col("v").alias("id"), "label"
         )
         new_labels = (
             labels.union(msgs).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        ).localCheckpoint(eager=False)
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels.select("id", F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 
