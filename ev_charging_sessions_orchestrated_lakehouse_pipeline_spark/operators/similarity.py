@@ -358,3 +358,52 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("query_id", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group centroids: dimension-wise mean vector per label — the
+# k-means "M step" / IVF codebook-training primitive. posexplode
+# turns (label, vec[64]) into (label, dim, val) rows; the groupBy on
+# (label, dim) is ONE map-side-combinable shuffle carrying 64
+# partial sums per label per partition, not raw vectors. At 100 TB
+# with d dims and k labels the shuffle payload is k*d*partitions
+# longs — independent of row count, which is what makes distributed
+# k-means iterations cheap.
+#
+# Components are accumulated in FIXED POINT (floor(x*1000) milli
+# units): float sums are order-dependent and decimal quantization of
+# arbitrary doubles is engine-dependent (Spark rounds the shortest
+# string repr, DuckDB the binary value — they disagree at the last
+# decimal digit), but integer accumulation is exact, associative,
+# and layout-invariant, so the centroid is a pure function of the
+# data on any cluster and matches the oracle bit-for-bit. The final
+# mean = (sum/count)/1000 is two IEEE double ops on exact integers.
+# ---------------------------------------------------------------------------
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point dimension-wise mean embedding per label."""
+    emb = _emb(spark, sf_dir)
+    q = F.floor(F.col("val").cast("double") * 1000)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum(q).cast("double") / F.count(q) / 1000).alias("mean_val"),
+            F.count(q).alias("n"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE["embedding_centroids"] = """
+SELECT label, dim,
+       CAST(SUM(q) AS DOUBLE) / COUNT(q) / 1000 AS mean_val,
+       COUNT(q) AS n
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
