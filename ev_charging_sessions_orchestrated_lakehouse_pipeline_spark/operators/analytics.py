@@ -1470,3 +1470,44 @@ FROM firsts
 GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional layout for stats
+# skipping). The query ranks events by the Morton interleave of
+# (user_id, hour-of-day) — exactly the sort a compaction pass would
+# apply before writing, so file k holds a tight 2-D tile and
+# predicates on EITHER column prune files. Pure shift/and/or
+# expressions, fully codegen, exactly oracled.
+# ---------------------------------------------------------------------------
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.hour("ts").alias("hr"),
+            zorder_key(["user_id", F.hour("ts")], bits=8),
+        )
+        .orderBy("zkey", "event_id")
+        .limit(200)
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..functions.zorder import zorder_key_sql
+
+    zkey = zorder_key_sql(["user_id", "EXTRACT(hour FROM ts)"], bits=8)
+    return f"""
+SELECT event_id, user_id,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+       {zkey} AS zkey
+FROM events
+ORDER BY zkey, event_id
+LIMIT 200
+"""
+
+
+ORACLE["zorder_layout"] = _zorder_oracle()

@@ -87,3 +87,25 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     (reference S12 — Athena-style SQL-on-lake, README.md:41)."""
     for name, df in load_testdata(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Newline-delimited JSON scan. Same schema policy as the CSV
+    reader: explicit ``StructType`` in production (JSON inference
+    samples the whole input — a full extra pass at 100 TB and a
+    schema that drifts with the data); inference only when no schema
+    is given. Corrupt lines land in ``_corrupt_record`` instead of
+    failing the job (PERMISSIVE mode), mirroring the quarantine-not-
+    crash stance of the silver pipeline."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema)
+    return reader.json(path)

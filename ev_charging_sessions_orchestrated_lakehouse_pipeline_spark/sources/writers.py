@@ -137,3 +137,21 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Newline-delimited JSON sink (interchange format for
+    training-data handoff — every tokenizer/loader reads JSONL).
+    Compressed per-file; gzip by default because it's the codec every
+    downstream JSONL consumer can read. Same partitioned-layout
+    contract as the Parquet sinks."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

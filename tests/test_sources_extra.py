@@ -1,0 +1,93 @@
+"""JSONL source/sink round-trip and z-order clustering properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.functions.zorder import (
+    zorder_key,
+)
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+    read_fixture,
+    read_jsonl,
+)
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+    write_jsonl,
+)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = read_fixture(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema).drop("_corrupt_record")
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.select(*docs.columns).collect()}
+    assert a == b
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"a": 1}\nnot json at all\n{"a": 3}\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].a is None
+    assert sorted(r.a for r in rows if r.a is not None) == [1, 3]
+
+
+def test_zorder_interleave_known_values(spark):
+    # (a=0b11, b=0b01, 2 bits) -> bits: a0->pos0, b0->pos1, a1->pos2, b1->pos3
+    # a=3 (11), b=1 (01): pos0=1, pos1=1, pos2=1, pos3=0 -> 0b0111 = 7
+    df = spark.createDataFrame([(3, 1)], ["a", "b"])
+    got = df.select(zorder_key(["a", "b"], bits=2)).collect()[0].zkey
+    assert got == 7
+    # negative and overflow clamp
+    df2 = spark.createDataFrame([(-5, 999)], ["a", "b"])
+    got2 = df2.select(zorder_key(["a", "b"], bits=2)).collect()[0].zkey
+    # a->0, b->3 (11): pos1=1, pos3=1 -> 0b1010 = 10
+    assert got2 == 10
+
+
+def test_zorder_clusters_files_for_skipping(spark, sf_dir, tmp_path):
+    """After sorting by zkey into ranged files, a point predicate on
+    EITHER dimension must touch a strict subset of files (the
+    stats-skipping property the layout exists for)."""
+    ev = read_fixture(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.hour("ts").alias("hr")
+    )
+    n_files = 8
+    ranged = (
+        ev.select("*", zorder_key(["user_id", "hr"], bits=8))
+        .repartitionByRange(n_files, "zkey")
+    )
+    # per-partition min/max of each dim = the file stats a reader would see
+    stats = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+            F.min("hr").alias("h_lo"), F.max("hr").alias("h_hi"),
+        )
+        .collect()
+    )
+    assert len(stats) == n_files
+    u_probe, h_probe = 3, 12
+    u_files = sum(1 for s in stats if s.u_lo <= u_probe <= s.u_hi)
+    h_files = sum(1 for s in stats if s.h_lo <= h_probe <= s.h_hi)
+    assert u_files < n_files, "user_id predicate cannot skip any file"
+    assert h_files < n_files, "hour predicate cannot skip any file"
