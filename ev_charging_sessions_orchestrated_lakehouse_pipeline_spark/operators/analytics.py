@@ -1511,3 +1511,165 @@ LIMIT 200
 
 
 ORACLE["zorder_layout"] = _zorder_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar functions (extract / replace / match). Patterns kept
+# to the POSIX-classes subset where Java regex (Spark) and RE2
+# (DuckDB) agree. Pure projection — codegen, no shuffle.
+# ---------------------------------------------------------------------------
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_str"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.col("event_type").rlike("^(click|view)$").alias("is_interaction"),
+    )
+
+
+ORACLE["regex_functions"] = """
+SELECT event_id,
+       COALESCE(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS k_str,
+       regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled,
+       regexp_matches(event_type, '^(click|view)$') AS is_interaction
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching by edit distance: all nation-name pairs
+# within Levenshtein distance 5. The dim is tiny so the pair space is
+# a broadcast nested loop by design; at scale the same operator runs
+# after an LSH/blocking stage (see dedup) so only candidate pairs pay
+# the O(len^2) distance.
+# ---------------------------------------------------------------------------
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE["fuzzy_name_match"] = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 5
+ORDER BY name_a, name_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window family completion: ntile / percent_rank / cume_dist
+# / first_value / last_value / nth_value over one shared (priority,
+# totalprice) ordering — one Exchange + one Sort serves all six.
+# ---------------------------------------------------------------------------
+def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value("o_orderkey").over(wfull).alias("cheapest"),
+        F.last_value("o_orderkey").over(wfull).alias("priciest"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest"),
+    )
+
+
+ORACLE["window_family"] = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER wf AS cheapest,
+       last_value(o_orderkey) OVER wf AS priciest,
+       nth_value(o_orderkey, 2) OVER wf AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear regression (trend detection) from EXACT integer
+# sums: x = whole seconds since 2024-01-01 (long arithmetic), y =
+# value in floor-cents; Sx/Sy/Sxy/Sxx accumulate in DECIMAL(38,0)
+# (exact, associative, layout-invariant), and only the final
+# slope/intercept are IEEE double ops on those exact operands — so a
+# FLOAT REGRESSION is bit-reproducible at any cluster size, and
+# exactly oracled. One map-side-combinable groupBy; no second pass.
+# ---------------------------------------------------------------------------
+_EPOCH_2024_US = 1_704_067_200_000_000
+
+
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = F.floor((F.unix_micros("ts") - F.lit(_EPOCH_2024_US)) / 1_000_000)
+    y = F.floor(F.col("value") * 100)
+    d = ev.select(
+        "event_type", x.cast("decimal(38,0)").alias("x"), y.cast("decimal(38,0)").alias("y")
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    to_d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    slope = (F.col("n") * to_d("sxy") - to_d("sx") * to_d("sy")) / (
+        F.col("n") * to_d("sxx") - to_d("sx") * to_d("sx")
+    )
+    return (
+        agg.withColumn("slope_cents_per_sec", slope)
+        .withColumn(
+            "intercept_cents",
+            (to_d("sy") - F.col("slope_cents_per_sec") * to_d("sx")) / F.col("n"),
+        )
+        .select("event_type", "n", "slope_cents_per_sec", "intercept_cents")
+        .orderBy("event_type")
+    )
+
+
+ORACLE["linear_trend"] = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - {_EPOCH_2024_US}) // 1000000 AS DECIMAL(38,0)) AS x,
+         CAST(FLOOR(value * 100) AS DECIMAL(38,0)) AS y
+  FROM events
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+       / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+         AS slope_cents_per_sec,
+       (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+          - ((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+            * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n
+         AS intercept_cents
+FROM agg
+ORDER BY event_type
+"""

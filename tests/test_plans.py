@@ -24,6 +24,8 @@ BNLJ_ALLOWED = {
     "range_join_bands",
     # 1-row scalar-subquery aggregate broadcast into the filter side
     "idle_high_balance",
+    # tiny-dim inequality self-join (edit-distance pair space)
+    "fuzzy_name_match",
 }
 
 
