@@ -1,0 +1,116 @@
+"""Distributed k-means over the embeddings table — the iterative
+sibling of the one-shot centroid/IVF primitives in similarity.py.
+
+Classic Lloyd's algorithm in Spark's model-parallel form (the same
+shape as MLlib KMeans): centroids are MODEL state (k x d doubles —
+kilobytes), so each round broadcasts them into a map-side
+assignment expression and reduces new centroids with ONE
+map-side-combinable shuffle of (cluster, dim, partial sums). The
+corpus is never collected and never shuffled by vector payload; per
+round the shuffle carries k*d*partitions longs, independent of row
+count — the property that makes the loop viable at 100 TB.
+
+Determinism: distances are sequential double folds (same IEEE op
+order everywhere), ties break to the lowest cluster id via struct
+ordering, and centroid updates accumulate FIXED-POINT milli-units
+(see similarity.q_embedding_centroids for why float/decimal sums are
+not layout- or engine-invariant). The whole fit is therefore a pure
+function of the data: re-running on 1 or 1000 partitions yields
+bit-identical centroids (pinned in tests/test_clustering.py). Most
+k-means implementations cannot promise this; a training-data
+pipeline that wants reproducible cluster assignments needs it.
+
+Init is the first k vectors by vec_id — deterministic; k-means++
+would need a sequential sampling pass and buys little on
+well-separated corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ORACLE: dict[str, str] = {}
+
+K = 8
+MAX_ITER = 10
+
+
+def _sqdist(vec_col: str, centroid: list[float]) -> F.Column:
+    """Sequential-fold double squared distance to a literal centroid."""
+    lit = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in centroid) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {lit}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Adds ``cluster``: argmin squared distance (ties -> lowest id).
+    Pure projection — centroids are literals, nothing shuffles."""
+    choices = F.array(
+        *[
+            F.struct(
+                _sqdist("embedding", c).alias("d"), F.lit(i).alias("cid")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cluster", F.array_min(choices)["cid"])
+
+
+def update_centroids(
+    assigned: DataFrame, k: int, dim: int, quant: int = 1000
+) -> list[list[float]]:
+    """New centroids as fixed-point dimension means; one combinable
+    shuffle of (cluster, dim) partial integer sums. Empty clusters
+    keep a zero vector (they stay empty — acceptable for dedup-style
+    corpora; reseeding would break determinism)."""
+    sums = (
+        assigned.select(
+            "cluster", F.posexplode("embedding").alias("d", "v")
+        )
+        .groupBy("cluster", "d")
+        .agg(
+            F.sum(F.floor(F.col("v").cast("double") * quant)).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    out = [[0.0] * dim for _ in range(k)]
+    for r in sums:
+        out[r.cluster][r.d] = (r.q / r.n) / quant
+    return out
+
+
+def kmeans(
+    emb: DataFrame, k: int = K, max_iter: int = MAX_ITER, dim: int = 64
+) -> tuple[DataFrame, list[list[float]], int]:
+    """(assigned_df, centroids, iterations_run). Stops when the
+    (exact, fixed-point) centroids repeat — a true fixpoint, not a
+    float-tolerance heuristic."""
+    first = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    centroids = [[float(x) for x in r.embedding] for r in first]
+    for it in range(1, max_iter + 1):
+        assigned = assign_clusters(emb, centroids)
+        new = update_centroids(assigned, k, dim)
+        if new == centroids:
+            return assigned, centroids, it
+        centroids = new
+    return assign_clusters(emb, centroids), centroids, max_iter
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes of the converged k-means fit (rows-only check:
+    the fit is iterative/model-carrying — not SQL-expressible; its
+    determinism and convergence are pinned by property tests)."""
+    from ..sources.readers import read_fixture
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans(emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )

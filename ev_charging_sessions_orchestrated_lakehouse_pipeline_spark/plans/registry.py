@@ -42,6 +42,7 @@ def _build() -> None:
         "quality_queries",
         "sampling",
         "merge",
+        "clustering",
     ):
         try:
             mod = __import__(
