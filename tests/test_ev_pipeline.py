@@ -174,3 +174,47 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(path).count() == n_before
     assert after == n_parts  # exactly one file per partition
     assert after < before
+
+
+def test_gold_catalog_registration_and_partition_pruning(spark, tmp_path):
+    """Reference S7/S8/S11: CREATE DATABASE + external fact-table DDL
+    + MSCK partition discovery must leave a catalog table whose
+    date-filtered scans prune partitions (the Athena-style SQL
+    endpoint over the gold layer)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.silver import (
+        run_silver,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_silver(
+        spark,
+        input_path=SAMPLE_CSV,
+        silver_path=f"{lake}/silver",
+        quarantine_path=f"{lake}/quarantine",
+    )
+    n = run_gold(
+        spark, f"{lake}/silver", f"{lake}/gold", database="evcat", table="fact_test"
+    )
+    assert n == 2330
+    try:
+        total = spark.sql("SELECT COUNT(*) AS c FROM evcat.fact_test").collect()[0].c
+        assert total == 2330
+        # partition pruning: a one-day filter must reach the scan as
+        # a partition filter, not a post-scan row filter
+        some_date = spark.sql(
+            "SELECT CAST(event_date AS STRING) AS d FROM evcat.fact_test "
+            "GROUP BY 1 ORDER BY COUNT(*) DESC LIMIT 1"
+        ).collect()[0].d
+        df = spark.sql(
+            f"SELECT * FROM evcat.fact_test WHERE event_date = DATE'{some_date}'"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "isnotnull(event_date" in plan or "event_date" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        day = df.count()
+        assert 0 < day < 2330
+    finally:
+        spark.sql("DROP TABLE IF EXISTS evcat.fact_test")
+        spark.sql("DROP DATABASE IF EXISTS evcat")
