@@ -41,10 +41,57 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _dtypes_compatible(spark_s: pd.Series, oracle_s: pd.Series) -> bool:
+    """Strict dtype check mirroring the driver's type-sensitive value hash.
+
+    Exact dtype equality, except pairs the driver demonstrably accepts
+    (proven by green rows in CORRECTNESS_r01.json):
+      - datetime64 of any unit/tz on both sides (ns vs us narrowing);
+      - Spark date as object-of-datetime.date vs DuckDB datetime64;
+      - object columns whose elements are the same Python type
+        (str/Decimal/list payloads).
+    This catches DuckDB HUGEINT (-> float64) vs Spark BIGINT (-> int64),
+    the class of bug behind the round-1 ``sessionize`` hash mismatch.
+    """
+    import datetime
+
+    sd, od = spark_s.dtype, oracle_s.dtype
+    if sd == od and sd != object:
+        return True
+    s_dt = str(sd).startswith("datetime64") or isinstance(sd, pd.DatetimeTZDtype)
+    o_dt = str(od).startswith("datetime64") or isinstance(od, pd.DatetimeTZDtype)
+    if s_dt and o_dt:
+        return True
+
+    def first_non_null(s: pd.Series):
+        nn = s.dropna()
+        return nn.iloc[0] if len(nn) else None
+
+    sv, ov = first_non_null(spark_s), first_non_null(oracle_s)
+    if sd == object and isinstance(sv, datetime.date) and o_dt:
+        return True
+    if sd == object and od == object:
+        if sv is None or ov is None:
+            return True  # all-null column: nothing to distinguish
+        # numpy scalar vs plain-python of the same kind counts as same type
+        return np.asarray([sv]).dtype.kind == np.asarray([ov]).dtype.kind
+    return False
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    )
+    for c in spark_pdf.columns:
+        assert _dtypes_compatible(spark_pdf[c], oracle_pdf[c]), (
+            f"{name}.{c}: spark dtype {spark_pdf[c].dtype} incompatible with "
+            f"oracle dtype {oracle_pdf[c].dtype} — the driver's value hash "
+            f"distinguishes these (cast the oracle, e.g. DuckDB SUM(int) is "
+            f"HUGEINT -> float64; wrap in CAST(... AS BIGINT))"
+        )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns {list(a.columns)} != {list(b.columns)}"
