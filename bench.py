@@ -5,10 +5,17 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect-count via a
-cheap ``count()`` over the result, so sink cost is excluded but full
-compute is paid). A warmup run of the flagship query amortizes JVM/
-codegen startup out of the per-query numbers.
+Methodology (canonical since round 3 — BASELINE.md records numbers
+from this exact loop):
+- Each query is timed end-to-end with a ``noop``-format write, which
+  materializes EVERY output column.  A bare ``count()`` lets Catalyst
+  prune the projection list, so expression-heavy queries (hashing,
+  HOF pipelines) would be under-timed.
+- ``spark.catalog.clearCache()`` runs between queries so one query's
+  persist (e.g. the LSH shingle cache) can never subsidize or crowd
+  out another — every number is a cold-cache, independent measurement.
+- A warmup run of the flagship query amortizes JVM/codegen startup
+  out of the per-query numbers.
 """
 
 from __future__ import annotations
@@ -26,6 +33,15 @@ from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry i
 from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.session import get_spark
 
 
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -34,14 +50,11 @@ def main() -> None:
     qs = get_queries()
 
     # warmup: JVM, codegen, parquet footer caches
-    qs["pricing_summary"](spark, sf_dir).count()
+    run_query(spark, qs["pricing_summary"], sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = round(run_query(spark, qs[name], sf_dir), 4)
 
     total = round(sum(timings.values()), 4)
     print(

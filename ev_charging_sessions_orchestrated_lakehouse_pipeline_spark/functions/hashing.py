@@ -34,7 +34,12 @@ def hash60(c: Column | str, seed: int | None = None, spark_native: bool = False)
     if seed is not None:
         col = F.concat(F.lit(f"s{seed}|"), col)
     if spark_native:
-        return F.abs(F.xxhash64(col))
+        # Mask to 60 bits rather than abs(): abs(Long.MIN_VALUE) is
+        # Long.MIN_VALUE (two's complement has no positive twin), so
+        # abs(xxhash64(..)) goes negative ~once per 2^64 rows and
+        # poisons downstream modulo bucketing. The mask is branch-free
+        # and keeps the documented [0, 2^60) range.
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 

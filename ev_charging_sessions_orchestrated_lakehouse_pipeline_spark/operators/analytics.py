@@ -955,20 +955,53 @@ GROUP BY band ORDER BY band
 # ---------------------------------------------------------------------------
 # Approximate distinct counting (HyperLogLog++) next to the exact
 # count — the sketch every 100 TB pipeline uses when exact
-# countDistinct's shuffle is too expensive. Approximate values are
-# engine-specific, so no SQL oracle (rows-only driver check);
-# tests pin the <2% relative-error contract instead.
+# countDistinct's shuffle is too expensive. Raw sketch estimates are
+# engine-specific, so the oracled surface is the exact count plus a
+# ±5% bounds check on the estimate (the sketch is configured at
+# rsd=1%, so 5% is a hard contract, not a flaky tolerance); tests
+# additionally pin <2% relative error.
 # ---------------------------------------------------------------------------
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # Two separate aggregation passes, NOT one agg with both: mixing
+    # countDistinct with approx_count_distinct plans an Expand whose
+    # partial stage keeps one HLL++ sketch (16 KB at rsd=1%) per
+    # (l_returnflag, l_orderkey) group — ~150k sketches at sf0.1,
+    # gigabytes of agg state, sort-based fallback + spill (OOMs a
+    # default-memory driver; measured 235 s vs <2 s split). Separated,
+    # the sketch pass holds one sketch per coarse group and the exact
+    # pass is a map-combinable distinct — both scale linearly.
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
+    )
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col(
+        "exact_orders"
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (err <= 0.05).alias("within_5pct_of_exact"),
         )
         .orderBy("l_returnflag")
     )
+
+
+ORACLE["approx_distinct"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_5pct_of_exact
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------

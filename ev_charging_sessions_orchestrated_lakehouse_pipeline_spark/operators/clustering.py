@@ -46,9 +46,29 @@ def _sqdist(vec_col: str, centroid: list[float]) -> F.Column:
     )
 
 
+# The literal-expression path codegens one distance fold PER centroid
+# (k copies of the zip_with/aggregate body), which is fast while the
+# generated method stays small but grows the compiled class linearly
+# in k*d — beyond ~64 centroids it risks the JIT's 8 KB inlining
+# cliff and, eventually, the 64 KB JVM method limit. Past this
+# threshold assignment switches to a single array-of-arrays literal
+# with ONE transform-lambda fold: codegen size O(1) in k, same
+# double-fold arithmetic, same lowest-id tie-break, so the two paths
+# are bit-identical (pinned by test_kmeans_assign_paths_agree).
+LITERAL_K_MAX = 16
+
+
 def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Adds ``cluster``: argmin squared distance (ties -> lowest id).
     Pure projection — centroids are literals, nothing shuffles."""
+    if len(centroids) > LITERAL_K_MAX:
+        return _assign_clusters_array(emb, centroids)
+    return _assign_clusters_literal(emb, centroids)
+
+
+def _assign_clusters_literal(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
     choices = F.array(
         *[
             F.struct(
@@ -57,6 +77,32 @@ def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
             for i, c in enumerate(centroids)
         ]
     )
+    return emb.withColumn("cluster", F.array_min(choices)["cid"])
+
+
+def _assign_clusters_array(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Large-k assignment: centroids as one array<array<double>>
+    literal, distances via a single transform lambda (codegen does
+    not grow with k)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+    def dist_to(c: F.Column, i: F.Column) -> F.Column:
+        d = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(d.alias("d"), i.cast("int").alias("cid"))
+
+    choices = F.transform(cents, dist_to)
     return emb.withColumn("cluster", F.array_min(choices)["cid"])
 
 

@@ -119,7 +119,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["dedup_normalized"] = f"""
 SELECT COUNT(*) AS n_unique_docs,
-       SUM(n_copies - 1) AS n_duplicates_removed
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_duplicates_removed
 FROM (
   SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
   FROM documents
@@ -301,6 +301,13 @@ WHERE len({_TOKENS_SQL}) >= {SHINGLE_N}
 # (tests/test_llm_ops.py pins LSH ⊆ exact-Jaccard instead).
 # ---------------------------------------------------------------------------
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The persist is load-bearing (shingles feed band-gen once and the
+    # exact-verify join twice; recomputing re-tokenizes the corpus 3x)
+    # but it cannot be unpersisted here — the frame must stay cached
+    # until the CALLER's action runs. Query-suite runners are
+    # responsible for spark.catalog.clearCache() between queries
+    # (bench.py and tests/oracle_compare.py both do) so the cache
+    # never outlives the query that built it.
     shingled = _shingled(spark, sf_dir).persist()
     sigs = minhash_signatures(shingled)
 

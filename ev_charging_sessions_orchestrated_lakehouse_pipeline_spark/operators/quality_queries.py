@@ -57,11 +57,12 @@ def q_dq_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dq_verification"] = """
 WITH m AS (
   SELECT COUNT(*) AS n_rows,
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_custkey,
-         SUM(CASE WHEN NOT (COALESCE(o_totalprice, 0) >= 0) THEN 1 ELSE 0 END)
-           AS n_negative_totalprice,
-         SUM(CASE WHEN NOT (o_orderstatus IS NULL OR o_orderstatus IN ('O','F','P'))
-                  THEN 1 ELSE 0 END) AS n_bad_status
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_custkey,
+         CAST(SUM(CASE WHEN NOT (COALESCE(o_totalprice, 0) >= 0) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_negative_totalprice,
+         CAST(SUM(CASE WHEN NOT (o_orderstatus IS NULL OR o_orderstatus IN ('O','F','P'))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status
   FROM orders
 )
 SELECT n_rows, n_null_custkey, n_negative_totalprice, n_bad_status,
@@ -89,8 +90,9 @@ def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["dq_uniqueness"] = """
 WITH g AS (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
-SELECT SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_unique_values,
-       SUM(cnt) AS n_rows,
+SELECT CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_values,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
        SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) = SUM(cnt) AS is_unique
 FROM g
 """

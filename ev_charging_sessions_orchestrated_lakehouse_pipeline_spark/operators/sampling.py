@@ -209,7 +209,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["train_split"] = f"""
 SELECT {split_assign_sql('doc_id', _FRACTIONS)} AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY split
 ORDER BY split
@@ -236,7 +236,8 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dataset_mixture"] = f"""
 SELECT source,
        COUNT(*) AS n_total,
-       SUM(CAST({mixture_keep_sql('doc_id', 'source', _WEIGHTS)} AS BIGINT)) AS n_kept
+       CAST(SUM(CAST({mixture_keep_sql('doc_id', 'source', _WEIGHTS)} AS BIGINT))
+            AS BIGINT) AS n_kept
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -283,7 +284,7 @@ WITH toks AS (
 SELECT source,
        COUNT(DISTINCT chunk_id) AS n_chunks,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM laid
 GROUP BY source
 ORDER BY source

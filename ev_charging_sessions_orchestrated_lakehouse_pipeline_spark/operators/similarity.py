@@ -400,7 +400,7 @@ SELECT label, dim,
        COUNT(q) AS n
 FROM (
   SELECT label,
-         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings
 )

@@ -85,12 +85,29 @@ def compact_dataset(
     Reads the whole dataset once, shuffles once on the partition
     columns, writes once — at cluster scale run it per-partition-
     range instead of whole-table. Returns the row count written
-    (sanity handle for callers/tests)."""
+    (sanity handle for callers/tests).
+
+    Crash safety (local filesystem): the swap is write-new →
+    rename(old, trash) → rename(new, old) → delete(trash). Renames
+    are atomic on POSIX, and at every intermediate point BOTH copies
+    of the data exist on disk — a kill anywhere loses nothing, and
+    :func:`recover_compaction` restores ``path`` from whichever side
+    prefix survived. On an object store / real lakehouse this whole
+    dance is replaced by a metadata commit to a new table-version
+    prefix (Delta/Iceberg snapshot), which is the design this
+    mirrors; the rename swap is the local-FS stand-in only."""
     df = spark.read.parquet(path)
     out = df.repartition(files_per_partition, *[df[c] for c in partition_cols])
     if cluster_by:
         out = out.sortWithinPartitions(*cluster_by)
-    tmp = path.rstrip("/") + "__compacting"
+    base = path.rstrip("/")
+    tmp, trash = base + COMPACT_NEW_SUFFIX, base + COMPACT_TRASH_SUFFIX
+    import os
+    import shutil
+
+    for leftover in (tmp, trash):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     (
         out.write.mode("overwrite")
         .option("compression", compression)
@@ -98,14 +115,48 @@ def compact_dataset(
         .parquet(tmp)
     )
     n = spark.read.parquet(tmp).count()
+    if n != df.count():
+        raise RuntimeError(f"compaction row-count mismatch at {path}; aborting swap")
+    os.rename(base, trash)
+    os.rename(tmp, base)
+    shutil.rmtree(trash)
+    return n
 
-    # atomic-ish local swap (object stores would write to a new
-    # table-version prefix instead — this mirrors Delta's rewrite)
+
+COMPACT_NEW_SUFFIX = "__compact_new"
+COMPACT_TRASH_SUFFIX = "__compact_trash"
+
+
+def recover_compaction(path: str) -> str:
+    """Restore a dataset whose :func:`compact_dataset` run was killed
+    mid-swap. Idempotent. Returns which state was found:
+
+    - ``"clean"``     — ``path`` exists; stray side prefixes removed.
+    - ``"rolled_forward"`` — crash landed between the two renames
+      (old data at the trash prefix, new at the new prefix): the new,
+      verified copy is promoted and the old removed.
+    - ``"rolled_back"`` — only the trash copy exists (crash after the
+      first rename with an incomplete new copy): old data restored.
+    """
+    import os
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
-    return n
+    base = path.rstrip("/")
+    tmp, trash = base + COMPACT_NEW_SUFFIX, base + COMPACT_TRASH_SUFFIX
+    if os.path.exists(base):
+        for leftover in (tmp, trash):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        return "clean"
+    if os.path.exists(tmp):
+        os.rename(tmp, base)
+        if os.path.exists(trash):
+            shutil.rmtree(trash)
+        return "rolled_forward"
+    if os.path.exists(trash):
+        os.rename(trash, base)
+        return "rolled_back"
+    raise FileNotFoundError(f"no dataset or compaction remnant at {path}")
 
 
 def write_bucketed(

@@ -68,13 +68,23 @@ def _dtypes_compatible(spark_s: pd.Series, oracle_s: pd.Series) -> bool:
         return nn.iloc[0] if len(nn) else None
 
     sv, ov = first_non_null(spark_s), first_non_null(oracle_s)
+    if sv is None or ov is None:
+        return True  # an all-null side: no values to distinguish
     if sd == object and isinstance(sv, datetime.date) and o_dt:
         return True
     if sd == object and od == object:
-        if sv is None or ov is None:
-            return True  # all-null column: nothing to distinguish
+        # list/array payloads are their own kind — asarray on ragged
+        # nested lists raises, and a flat int list would masquerade as
+        # kind 'i' against a scalar-int column
+        s_seq = isinstance(sv, (list, tuple, np.ndarray))
+        o_seq = isinstance(ov, (list, tuple, np.ndarray))
+        if s_seq or o_seq:
+            return s_seq == o_seq
         # numpy scalar vs plain-python of the same kind counts as same type
-        return np.asarray([sv]).dtype.kind == np.asarray([ov]).dtype.kind
+        try:
+            return np.asarray([sv]).dtype.kind == np.asarray([ov]).dtype.kind
+        except (ValueError, TypeError):
+            return type(sv).__name__ == type(ov).__name__
     return False
 
 
@@ -121,5 +131,8 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
 
 def run_and_compare(spark, con, query_fn, oracle: str, name: str, sf_dir: str) -> None:
     spark_pdf = query_fn(spark, sf_dir).toPandas()
+    # queries that persist intermediates (e.g. the LSH shingle cache)
+    # must not leak executor memory into the next comparison
+    spark.catalog.clearCache()
     oracle_pdf = con.execute(oracle).df()
     compare_frames(spark_pdf, oracle_pdf, name)

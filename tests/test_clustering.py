@@ -76,3 +76,38 @@ def test_kmeans_partitions_all_rows(spark, sf_dir):
     assert assigned.count() == emb.count()
     assert assigned.filter(F.col("cluster").isNull()).count() == 0
     assert assigned.select("cluster").distinct().count() <= 4
+
+
+def test_kmeans_assign_paths_agree_k32(spark, sf_dir):
+    """k=32 exercises the large-k array-literal assignment path; it
+    must be bit-identical to the per-centroid literal codegen path
+    (same double fold, same lowest-id tie-break)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.clustering import (
+        LITERAL_K_MAX,
+        _assign_clusters_array,
+        _assign_clusters_literal,
+    )
+
+    emb = _emb(spark, sf_dir)
+    seeds = emb.orderBy("vec_id").limit(32).select("embedding").collect()
+    centroids = [[float(x) for x in r.embedding] for r in seeds]
+    assert len(centroids) == 32 > LITERAL_K_MAX
+
+    lit_map = {
+        r.vec_id: r.cluster
+        for r in _assign_clusters_literal(emb, centroids)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    arr_map = {
+        r.vec_id: r.cluster
+        for r in _assign_clusters_array(emb, centroids)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert lit_map == arr_map
+    assert set(arr_map.values()) <= set(range(32))
+
+    # and the public entry point routes k=32 through the array path
+    assigned, _, _ = kmeans(emb, k=32, max_iter=2)
+    assert assigned.filter(F.col("cluster").isNull()).count() == 0

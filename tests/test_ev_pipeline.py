@@ -218,3 +218,47 @@ def test_gold_catalog_registration_and_partition_pruning(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS evcat.fact_test")
         spark.sql("DROP DATABASE IF EXISTS evcat")
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Kill-between-steps safety: at every intermediate state of the
+    compaction swap, both copies exist on disk and recover_compaction
+    restores a readable dataset at the original path."""
+    import shutil
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+        COMPACT_NEW_SUFFIX,
+        COMPACT_TRASH_SUFFIX,
+        recover_compaction,
+        write_partitioned_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_fixture(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    path = str(tmp_path / "events_part")
+    write_partitioned_parquet(ev, path, ["event_date"])
+    n = spark.read.parquet(path).count()
+
+    # crash after writing the new copy, before any rename
+    shutil.copytree(path, path + COMPACT_NEW_SUFFIX)
+    assert recover_compaction(path) == "clean"
+    assert spark.read.parquet(path).count() == n
+
+    # crash between rename(old, trash) and rename(new, old)
+    shutil.copytree(path, path + COMPACT_NEW_SUFFIX)
+    shutil.move(path, path + COMPACT_TRASH_SUFFIX)
+    assert recover_compaction(path) == "rolled_forward"
+    assert spark.read.parquet(path).count() == n
+
+    # crash after rename(old, trash) with the new copy lost/incomplete
+    shutil.move(path, path + COMPACT_TRASH_SUFFIX)
+    assert recover_compaction(path) == "rolled_back"
+    assert spark.read.parquet(path).count() == n
+
+    # idempotent on a healthy dataset
+    assert recover_compaction(path) == "clean"

@@ -26,13 +26,35 @@ def test_oracle_parity(spark, con, sf_dir, name):
 
 
 def test_approx_distinct_error_contract(spark, sf_dir):
-    """HLL++ at rsd=0.01 must stay within 2% of the exact count
-    (rows-only query — this pins its accuracy contract instead of an
-    oracle)."""
-    rows = QUERIES["approx_distinct"](spark, sf_dir).collect()
-    assert rows
-    for r in rows:
-        assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.02
+    """HLL++ at rsd=0.01 must stay within 2% of the exact count —
+    tighter than the 5% bound the oracled query surface exposes."""
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    li = read_fixture(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r.a
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.e
+        for r in li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("e"))
+        .collect()
+    }
+    assert approx and set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.02
+
+    surfaced = QUERIES["approx_distinct"](spark, sf_dir).collect()
+    assert surfaced and all(r.within_5pct_of_exact for r in surfaced)
 
 
 def test_all_queries_return_rows(spark, sf_dir):

@@ -97,3 +97,30 @@ def test_stratified_sample_size_and_stability(spark, sf_dir):
     # stable across physical layout
     s2 = stratified_sample_k(docs.repartition(7), "lang", "doc_id", 10)
     assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+
+
+def test_hash60_native_nonnegative_60bit(spark):
+    """hash60(spark_native=True) must stay in [0, 2^60) — the old
+    abs(xxhash64) impl returned values up to 2^63 and went NEGATIVE on
+    a Long.MIN_VALUE hash, which would put ~1-per-2^64 rows on the
+    wrong side of every downstream modulo bucket at 100 TB scale."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.functions.hashing import (
+        hash60,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("s"))
+    stats = df.select(hash60("s", spark_native=True).alias("h")).agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    ).collect()[0]
+    assert stats.lo >= 0
+    assert stats.hi < 1 << 60
+    # xxhash64 is negative for ~half of inputs; 20k rows guarantee the
+    # mask handled negative hashes (abs() would have left hi >= 2^60
+    # with probability 1 - (1/8)^20000)
+
+    # the mask maps the adversarial Long.MIN_VALUE correctly too
+    row = spark.range(1).select(
+        F.lit(-(2**63)).cast("long").bitwiseAND(F.lit((1 << 60) - 1)).alias("m")
+    ).collect()[0]
+    assert row.m == 0
