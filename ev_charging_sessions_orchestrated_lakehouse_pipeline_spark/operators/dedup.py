@@ -510,3 +510,95 @@ FROM reach GROUP BY src ORDER BY doc_id
 
 
 ORACLE["dedup_clusters"] = _clusters_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Alternating large-star/small-star connected components — the
+# documented scale-path upgrade for the label-propagation loop above
+# (Kiveris et al., "Connected Components in MapReduce and Beyond").
+# Min-label propagation needs diameter-many rounds, which is the
+# wrong bound for adversarial long-chain graphs at 100 TB; the star
+# operations contract every component to a star in O(log^2 n) rounds
+# regardless of diameter.
+#
+# Round body (all DataFrame ops, same primitives as one propagation
+# round — one groupBy min + one join per star op):
+#   large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+#   small-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) ∪ {u}, v ≤ u
+# Self-loops drop; convergence = edge-set fixpoint, probed by a
+# (count, xxhash64-sum) set fingerprint — one scan, no join against
+# the previous round. At the fixpoint every edge is (node, root).
+# ---------------------------------------------------------------------------
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    adj = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = adj.groupBy("a").agg(F.min("b").alias("mb")).select(
+        "a", F.least("mb", F.col("a")).alias("m")
+    )
+    joined = adj.join(mins, "a")
+    if large:
+        out = joined.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = joined.filter(F.col("b") <= F.col("a")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        ).union(mins.select(F.col("a"), F.col("m").alias("b")))
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(id, cluster_id) for every vertex of the undirected edge list,
+    cluster_id = min vertex id of the component. Same contract as
+    :func:`connected_components`, diameter-independent round bound."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.least("a", "b"), F.greatest("a", "b")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+        ).collect()[0]
+        return (r.n, r.h)
+
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _star_round(e, large=True)
+        e = _star_round(e, large=False).localCheckpoint(eager=False)
+        cur = _fingerprint(e)  # materializes the lazy checkpoint
+        if cur == prev:
+            labels = e.select(F.col("a").alias("id"), F.col("b").alias("label"))
+            roots = e.select(F.col("b").alias("id"), F.col("b").alias("label"))
+            return (
+                labels.union(roots)
+                .groupBy("id")
+                .agg(F.min("label").alias("cluster_id"))
+            )
+        prev = cur
+    raise RuntimeError(f"connected_components_star: no fixpoint in {max_iter} rounds")
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as q_dedup_clusters, computed by the star
+    algorithm — both are exact CC, so they share the recursive-CTE
+    oracle; a driver-green row here certifies the scale-path variant."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components_star(pairs, "doc_a", "doc_b")
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["dedup_clusters_star"] = _clusters_oracle()

@@ -407,3 +407,86 @@ FROM (
 GROUP BY label, dim
 ORDER BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization quality report — the storage-side op of
+# an embedding pipeline (int8 cuts a 100 TB float corpus 4x before
+# ANN indexing; the question is always "how much error").
+#
+# Per vector: symmetric scale = max|x|/127, q_i = floor(x_i/scale +
+# 0.5) in [-127, 127], reconstruction x̂_i = q_i * scale. The whole
+# quantize/dequantize/error pass is ONE let-bound higher-order
+# expression per row — no explode, no shuffle; the per-label rollup
+# shuffles only (label, partial-sum, partial-max) longs.
+#
+# Engine parity: errors are folded in FIXED POINT (floor(|err|*1e7)
+# as int64 — same rationale as the centroid op above: integer
+# accumulation is exact and layout-invariant, float sums are not).
+# floor/abs/division evaluate identically under IEEE on both engines.
+# ---------------------------------------------------------------------------
+_Q_ERR_BODY = (
+    "aggregate(embedding, 0L, (acc, x) -> acc + floor(abs("
+    "CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / s + 0.5D) * s"
+    ") * 10000000.0D))"
+)
+_Q_MAX_BODY = (
+    "aggregate(embedding, 0L, (acc, x) -> greatest(acc, floor(abs("
+    "CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / s + 0.5D) * s"
+    ") * 10000000.0D)))"
+)
+_SCALE_EXPR = (
+    "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"
+)
+
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label int8 reconstruction-error rollup (fixed-point 1e-7
+    units). Vectors with all-zero norm (scale 0) are skipped — there
+    is nothing to quantize."""
+    from ..functions.hashing import let_sql
+
+    emb = _emb(spark, sf_dir)
+    per_vec = emb.select(
+        "label",
+        F.expr(let_sql(_SCALE_EXPR, "s", _Q_ERR_BODY)).alias("err_e7"),
+        F.expr(let_sql(_SCALE_EXPR, "s", _Q_MAX_BODY)).alias("max_e7"),
+        F.expr(f"({_SCALE_EXPR}) > 0.0D").alias("nonzero"),
+    ).filter("nonzero")
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err_e7").alias("total_abs_err_e7"),
+            F.max("max_e7").alias("max_dim_err_e7"),
+        )
+        .orderBy("label")
+    )
+
+
+def _quant_oracle() -> str:
+    scale = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+    err_list = (
+        "list_transform(embedding, x -> CAST(floor(abs("
+        "CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / s + 0.5) * s"
+        ") * 10000000.0) AS BIGINT))"
+    )
+    return f"""
+WITH scaled AS (
+  SELECT label, embedding, {scale} AS s FROM embeddings
+), per_vec AS (
+  SELECT label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), {err_list}),
+                     (acc, e) -> acc + e) AS err_e7,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), {err_list}),
+                     (acc, e) -> greatest(acc, e)) AS max_e7
+  FROM scaled WHERE s > 0.0
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(err_e7) AS BIGINT) AS total_abs_err_e7,
+       CAST(MAX(max_e7) AS BIGINT) AS max_dim_err_e7
+FROM per_vec GROUP BY label ORDER BY label
+"""
+
+
+ORACLE["embedding_quantization"] = _quant_oracle()

@@ -367,3 +367,115 @@ GROUP BY bigram
 ORDER BY n DESC, bigram
 LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring against a fixed query — the retrieval-side
+# primitive of a data-curation pipeline (rank a 100 TB corpus by
+# relevance to a probe query, e.g. for domain up-sampling).
+#
+# Scale design: term frequencies for a FIXED small query need no
+# explode and no inverted index — tf per term is one higher-order
+# ``size(filter(tokens, t -> t = term))`` expression, so the whole
+# scoring pass is map-side codegen over the corpus. The global
+# scalars (N, df per term, avgdl) are ONE aggregate job whose
+# single-row result broadcast-joins back (Spark picks
+# BroadcastNestedLoopJoin for the 1-row cross join). Top-k is
+# TakeOrderedAndProject — no full sort materializes.
+#
+# Engine-parity note: the idf uses the RATIONAL form
+# (N - df + 0.5)/(df + 0.5) WITHOUT the usual log() — Math.log and
+# libm log may differ in the last ulp across engines, which would
+# break the bit-exact oracle hash. The rational idf is a monotone
+# transform of the log form, so rankings are preserved; every
+# remaining operation is IEEE +,*,/ evaluated in identical textual
+# order on both engines.
+# ---------------------------------------------------------------------------
+BM25_QUERY_TERMS = ["spark", "query", "filter"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 100
+
+
+def _bm25_score_sql(dialect: str) -> tuple[list[str], str]:
+    """(per-doc tf column exprs, score expr over tf/dl/scalar cols).
+    The score text is IDENTICAL for both engines so IEEE evaluation
+    order matches; only the tf extraction differs per dialect."""
+    tf_fn = (
+        "size(filter(split(text, ' '), t -> t = '{w}'))"
+        if dialect == "spark"
+        else "len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
+    )
+    tfs = [tf_fn.format(w=w) for w in BM25_QUERY_TERMS]
+    parts = []
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = (
+            f"((CAST(n_docs - df{i} AS DOUBLE) + 0.5) / "
+            f"(CAST(df{i} AS DOUBLE) + 0.5))"
+        )
+        norm = (
+            f"(CAST(tf{i} AS DOUBLE) + {BM25_K1} * "
+            f"(1.0 - {BM25_B} + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+        )
+        parts.append(
+            f"({idf} * (CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1}) / {norm})"
+        )
+    return tfs, " + ".join(parts)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tfs, score = _bm25_score_sql("spark")
+    base = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("dl"),
+        *[F.expr(t).alias(f"tf{i}") for i, t in enumerate(tfs)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(tfs))
+        ],
+    ).withColumn("avgdl", F.expr("CAST(sum_dl AS DOUBLE) / n_docs"))
+    return (
+        base.join(F.broadcast(stats))
+        .select("doc_id", F.expr(score).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_oracle() -> str:
+    tfs, score = _bm25_score_sql("duckdb")
+    tf_cols = ", ".join(
+        f"CAST({t} AS BIGINT) AS tf{i}" for i, t in enumerate(tfs)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(tfs))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+), stats2 AS (
+  SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM stats
+)
+SELECT doc_id, {score} AS bm25
+FROM base, stats2
+WHERE {score} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+ORACLE["bm25_topk"] = _bm25_oracle()

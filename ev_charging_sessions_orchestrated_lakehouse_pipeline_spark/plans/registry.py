@@ -44,6 +44,7 @@ def _build() -> None:
     modules = []
     for optional in (
         "dedup",
+        "decontam",
         "text",
         "similarity",
         "multimodal",

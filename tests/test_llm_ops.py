@@ -220,3 +220,44 @@ def test_connected_components_multihop(spark):
         | {(10, 10), (11, 10)}
         | {(i, 20) for i in (20, 21, 22)}
     )
+
+
+def test_star_cc_matches_label_propagation_random(spark):
+    """Star CC and min-label propagation are both exact CC — identical
+    labels on a random graph (including singleton-free node set)."""
+    import random
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lp = {
+        r.id: r.cluster_id
+        for r in connected_components(df).collect()
+    }
+    star = {
+        r.id: r.cluster_id
+        for r in connected_components_star(df).collect()
+    }
+    assert lp == star
+
+
+def test_star_cc_long_chain_few_rounds(spark):
+    """A 200-node path has diameter 199 — label propagation would need
+    ~200 rounds, the star algorithm must finish within its default 20
+    (the O(log^2 n) bound this variant exists for) and label every
+    node with the chain head."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    out = connected_components_star(df).collect()
+    assert len(out) == 201
+    assert all(r.cluster_id == 0 for r in out)
