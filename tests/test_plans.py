@@ -24,6 +24,9 @@ BNLJ_ALLOWED = {
     "range_join_bands",
     # 1-row scalar-subquery aggregate broadcast into the filter side
     "idle_high_balance",
+    # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
+    # the per-doc scoring projection
+    "bm25_topk",
     # tiny-dim inequality self-join (edit-distance pair space)
     "fuzzy_name_match",
 }
@@ -113,3 +116,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_decontam_broadcasts_eval_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast (BroadcastHashJoin):
+    at 100 TB the corpus side may never shuffle for this join."""
+    plan = _formatted_plan(spark, QUERIES["decontam_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_cc_round_has_single_shuffle_per_star_op(spark):
+    """One star round = groupBy min (one Exchange) + broadcast-able
+    join back; the adjacency payload is (long, long) only."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        _star_round,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 9)], "a long, b long"
+    )
+    plan = _formatted_plan(spark, _star_round(edges, large=True))
+    assert "CartesianProduct" not in plan
