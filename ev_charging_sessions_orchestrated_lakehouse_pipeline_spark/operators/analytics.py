@@ -1710,3 +1710,113 @@ SELECT event_type, n,
 FROM agg
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles via ORDER STATISTICS — the scale path next to
+# q_percentiles above. Spark's exact `percentile` aggregate buffers a
+# value->count map per aggregation buffer; on a high-cardinality
+# double column (l_extendedprice: ~every value distinct) the partial
+# maps grow with the data and the merge is memory-bound — wrong shape
+# at 100 TB. The order-statistics formulation replaces the map with
+# ONE sort shuffle per (group, measure): rank every value with a
+# window, keep only the <= 2 rows straddling each target rank, and
+# linearly interpolate. Sorts spill gracefully; nothing is
+# proportional to cardinality in memory.
+#
+# Engine parity: the interpolation `v_lo + (v_hi - v_lo) * frac` and
+# the rank arithmetic `1 + p*(n-1)` are written with identical text
+# on both sides (the oracle intentionally does NOT use DuckDB's
+# quantile_cont, whose internal formula isn't contractually
+# identical) — so the doubles are bit-exact by construction.
+# ---------------------------------------------------------------------------
+def q_percentiles_ordstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.lit("qty").alias("measure"),
+        F.col("l_quantity").cast("double").alias("v"),
+    ).union(
+        li.select(
+            "l_returnflag",
+            F.lit("price").alias("measure"),
+            F.col("l_extendedprice").cast("double").alias("v"),
+        )
+    )
+    wp = W.partitionBy("l_returnflag", "measure")
+    ranked = base.select(
+        "l_returnflag",
+        "measure",
+        "v",
+        F.row_number().over(wp.orderBy("v", "l_returnflag")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def r_expr(p: float) -> str:
+        return f"(1.0D + {p}D * (CAST(n AS DOUBLE) - 1.0D))"
+
+    keep = " OR ".join(
+        f"rn = floor({r_expr(p)}) OR rn = ceil({r_expr(p)})" for _, p in _PCTS
+    )
+    aggs = [F.max("n").alias("n")]
+    for tag, p in _PCTS:
+        r = r_expr(p)
+        aggs.append(
+            F.expr(f"max(CASE WHEN rn = floor({r}) THEN v END)").alias(f"lo_{tag}")
+        )
+        aggs.append(
+            F.expr(f"max(CASE WHEN rn = ceil({r}) THEN v END)").alias(f"hi_{tag}")
+        )
+    grouped = ranked.filter(F.expr(keep)).groupBy("l_returnflag", "measure").agg(*aggs)
+    outs = [
+        F.expr(
+            f"lo_{tag} + (hi_{tag} - lo_{tag}) * "
+            f"({r_expr(p)} - floor({r_expr(p)}))"
+        ).alias(tag)
+        for tag, p in _PCTS
+    ]
+    return grouped.select("l_returnflag", "measure", "n", *outs).orderBy(
+        "l_returnflag", "measure"
+    )
+
+
+def _ordstat_oracle() -> str:
+    def r_expr(p: float) -> str:
+        return f"(1.0 + {p} * (CAST(n AS DOUBLE) - 1.0))"
+
+    keep = " OR ".join(
+        f"rn = floor({r_expr(p)}) OR rn = ceil({r_expr(p)})" for _, p in _PCTS
+    )
+    lo_hi = ", ".join(
+        f"max(CASE WHEN rn = floor({r_expr(p)}) THEN v END) AS lo_{tag}, "
+        f"max(CASE WHEN rn = ceil({r_expr(p)}) THEN v END) AS hi_{tag}"
+        for tag, p in _PCTS
+    )
+    outs = ", ".join(
+        f"lo_{tag} + (hi_{tag} - lo_{tag}) * ({r_expr(p)} - floor({r_expr(p)})) AS {tag}"
+        for tag, p in _PCTS
+    )
+    return f"""
+WITH base AS (
+  SELECT l_returnflag, 'qty' AS measure, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price' AS measure, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, measure, v,
+         row_number() OVER (PARTITION BY l_returnflag, measure
+                            ORDER BY v, l_returnflag) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag, measure) AS n
+  FROM base
+), grouped AS (
+  SELECT l_returnflag, measure, CAST(MAX(n) AS BIGINT) AS n, {lo_hi}
+  FROM ranked WHERE {keep}
+  GROUP BY l_returnflag, measure
+)
+SELECT l_returnflag, measure, n, {outs}
+FROM grouped ORDER BY l_returnflag, measure
+"""
+
+
+ORACLE["percentiles_ordstat"] = _ordstat_oracle()

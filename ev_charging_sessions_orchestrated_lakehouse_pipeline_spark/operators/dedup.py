@@ -602,3 +602,88 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["dedup_clusters_star"] = _clusters_oracle()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup KEEP LIST — the artifact a curation pipeline
+# actually emits: one (doc_id, keep, reason) row per document,
+# combining exact-digest dedup and near-dup clustering with a fixed
+# precedence (exact_dup > near_dup > keep; the canonical survivor of
+# any group/component is its min doc_id).
+#
+# Plan shape at scale: the exact pass shuffles 16-byte digests once;
+# the near-dup component labels come from the bounded candidate
+# pipeline above; both join back to the corpus on doc_id. The corpus
+# text never shuffles — only (doc_id, digest-min) and
+# (doc_id, cluster_id) pairs move.
+# ---------------------------------------------------------------------------
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dig = docs.select("doc_id", F.md5("text").alias("digest"))
+    dig_min = dig.groupBy("digest").agg(F.min("doc_id").alias("exact_keep_id"))
+    exact = dig.join(dig_min, "digest").select("doc_id", "exact_keep_id")
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_keep_id"), "exact_dup")
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("doc_id") != F.col("cluster_id")),
+            "near_dup",
+        )
+        .otherwise("keep")
+    )
+    return (
+        exact.join(clusters, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .select("doc_id", "reason", (F.col("reason") == "keep").alias("keep"))
+        .orderBy("doc_id")
+    )
+
+
+def _keep_list_oracle() -> str:
+    pairs_body = ORACLE["dedup_ngram_jaccard"].strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_body}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(src, node) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+),
+dig AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+),
+exact AS (
+  SELECT d.doc_id, m.exact_keep_id
+  FROM dig d JOIN (
+    SELECT digest, MIN(doc_id) AS exact_keep_id FROM dig GROUP BY digest
+  ) m USING (digest)
+),
+labeled AS (
+  SELECT e.doc_id,
+         CASE WHEN e.doc_id <> e.exact_keep_id THEN 'exact_dup'
+              WHEN c.cluster_id IS NOT NULL AND e.doc_id <> c.cluster_id
+                THEN 'near_dup'
+              ELSE 'keep' END AS reason
+  FROM exact e LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, reason, reason = 'keep' AS keep
+FROM labeled ORDER BY doc_id
+"""
+
+
+ORACLE["dedup_keep_list"] = _keep_list_oracle()

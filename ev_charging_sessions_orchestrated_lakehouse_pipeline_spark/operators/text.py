@@ -479,3 +479,129 @@ LIMIT {BM25_TOPK}
 
 
 ORACLE["bm25_topk"] = _bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition scoring — the Gopher/MassiveText-family
+# quality filter (high duplicate-n-gram fraction marks boilerplate /
+# spam / generation loops). Pure array-expression work: token and
+# n-gram arrays are built once per row (let-bound), sizes compared —
+# zero shuffle, the filter is map-side at any corpus size.
+# Counts are exact ints; the two fractions are single divisions of
+# those ints, bit-identical across engines.
+# ---------------------------------------------------------------------------
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import let_sql, word_shingles_expr
+
+    docs = _docs(spark, sf_dir)
+    tri = word_shingles_expr("split(text, ' ')", 3)
+    base = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(
+            let_sql("split(text, ' ')", "t", "size(array_distinct(t))")
+        ).alias("n_distinct_tokens"),
+        F.size(tri).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_distinct_trigrams"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_trigrams",
+        "n_distinct_trigrams",
+        (
+            (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_token_frac"),
+        F.when(
+            F.col("n_trigrams") > 0,
+            (F.col("n_trigrams") - F.col("n_distinct_trigrams")).cast("double")
+            / F.col("n_trigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    ).orderBy("doc_id")
+
+
+def _repetition_oracle() -> str:
+    from ..functions.hashing import word_shingles_sql
+
+    tri = word_shingles_sql("string_split(text, ' ')", 3)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+           AS n_distinct_tokens,
+         CAST(len({tri}) AS INTEGER) AS n_trigrams,
+         CAST(len(list_distinct({tri})) AS INTEGER) AS n_distinct_trigrams
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, n_trigrams, n_distinct_trigrams,
+       CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens
+         AS dup_token_frac,
+       CASE WHEN n_trigrams > 0
+            THEN CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
+            ELSE 0.0 END AS dup_trigram_frac
+FROM base ORDER BY doc_id
+"""
+
+
+ORACLE["repetition_scores"] = _repetition_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PII-style masking audit over the events.props JSON payloads — the
+# scrubbing pass a training pipeline runs before text ever reaches a
+# tokenizer. Masks digit runs (the stand-in detectable class in this
+# synthetic fixture; production adds email/phone/ID regexes to the
+# same plan) and reports per-event-type masking volume. regexp work
+# is JVM codegen; the rollup shuffles 3 small aggregate columns.
+# DuckDB needs the 'g' flag for global replacement to match Spark's
+# replace-all regexp_replace semantics.
+# ---------------------------------------------------------------------------
+PII_DIGIT_RUN = "[0-9]+"
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+
+def q_pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events")
+    masked = F.regexp_replace("props", PII_DIGIT_RUN, "#")
+    n_digit_chars = F.length("props") - F.length(
+        F.regexp_replace("props", "[0-9]", "")
+    )
+    has_email = F.col("props").rlike(PII_EMAIL)
+    return (
+        ev.select(
+            "event_type",
+            n_digit_chars.alias("n_digit_chars"),
+            F.length(masked).alias("masked_len"),
+            has_email.cast("long").alias("has_email"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_digit_chars").alias("total_digit_chars"),
+            F.sum("masked_len").alias("total_masked_len"),
+            F.sum("has_email").alias("n_email_like"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["pii_masking"] = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(length(props) -
+                length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT)
+         AS total_digit_chars,
+       CAST(SUM(length(regexp_replace(props, '{PII_DIGIT_RUN}', '#', 'g')))
+         AS BIGINT) AS total_masked_len,
+       CAST(SUM(CASE WHEN regexp_matches(props,
+                '{PII_EMAIL}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_like
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
