@@ -687,3 +687,54 @@ FROM labeled ORDER BY doc_id
 
 
 ORACLE["dedup_keep_list"] = _keep_list_oracle()
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL exact dedup — the daily-ingest shape: dedup a new batch
+# against the historical corpus without re-reading (or re-shuffling)
+# history payloads. Only digests move: the historical side reduces to
+# (digest, first_seen_doc_id) — at 100 TB this is a bucketed digest
+# INDEX table maintained across runs (write_bucketed on digest), so
+# the per-batch join is shuffle-free on the history side and the new
+# batch (small by definition) shuffles 16-byte keys only.
+# The batch here is carved deterministically (doc_id % 10 = 9) so the
+# query is self-contained and oracled.
+# ---------------------------------------------------------------------------
+BATCH_MOD = 10  # doc_id % BATCH_MOD == BATCH_MOD-1 -> "today's batch"
+
+
+def incremental_dedup(batch: DataFrame, history_index: DataFrame) -> DataFrame:
+    """Rows of ``batch`` (doc_id, digest) whose digest already exists
+    in ``history_index`` (digest, first_seen_doc_id). Inner join on
+    the digest — the survivors (anti join) are what a pipeline would
+    append to the corpus and to the index."""
+    return batch.join(history_index, "digest").select(
+        "doc_id", "first_seen_doc_id"
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dig = docs.select("doc_id", F.md5("text").alias("digest"))
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1
+    history = (
+        dig.filter(~is_batch)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("first_seen_doc_id"))
+    )
+    batch = dig.filter(is_batch)
+    return incremental_dedup(batch, history).orderBy("doc_id", "first_seen_doc_id")
+
+
+ORACLE["dedup_incremental"] = f"""
+WITH dig AS (SELECT doc_id, md5(text) AS digest FROM documents),
+history AS (
+  SELECT digest, MIN(doc_id) AS first_seen_doc_id
+  FROM dig WHERE doc_id % {BATCH_MOD} <> {BATCH_MOD - 1}
+  GROUP BY digest
+)
+SELECT d.doc_id, h.first_seen_doc_id
+FROM dig d JOIN history h USING (digest)
+WHERE d.doc_id % {BATCH_MOD} = {BATCH_MOD - 1}
+ORDER BY d.doc_id, h.first_seen_doc_id
+"""

@@ -605,3 +605,115 @@ SELECT event_type,
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus report card — the "dataset card" rollup every training run
+# records: per (source, lang) document/char/token volumes and mean
+# lengths. One map-side-combinable groupBy; integer totals are exact,
+# the two means are single divisions of those exact ints.
+# ---------------------------------------------------------------------------
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.col("n_chars"),
+            F.expr("size(split(text, ' '))").alias("n_tokens"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "*",
+            (F.col("total_chars").cast("double") / F.col("n_docs")).alias(
+                "mean_chars"
+            ),
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+                "mean_tokens"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE["corpus_report"] = """
+WITH base AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), agg AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM base GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_chars, total_tokens,
+       CAST(total_chars AS DOUBLE) / n_docs AS mean_chars,
+       CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens
+FROM agg ORDER BY source, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — the 1->N window transform feeding embedding /
+# retrieval indexes: fixed-size token windows with overlap
+# (size 50, stride 40 => 10-token overlap). The chunk list is built
+# in ONE let-bound array expression and exploded — no shuffle, the
+# output is chunk METADATA + digest (chunk text re-materializes
+# downstream only where needed; shipping md5 instead of text keeps
+# the explode output narrow at 100 TB).
+# Chunk starts are 0, stride, 2*stride, ... while start < n_tokens
+# (ceil(n/stride) chunks; the tail chunk may be short) — the rule is
+# mirrored exactly in the oracle.
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import let_sql
+
+    docs = _docs(spark, sf_dir)
+    chunks = let_sql(
+        "split(text, ' ')",
+        "t",
+        f"transform(sequence(0, CAST(ceil(size(t) / {CHUNK_STRIDE}.0D) AS INT) - 1), "
+        f"i -> struct(i AS chunk_idx, "
+        f"size(slice(t, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS n_chunk_tokens, "
+        f"md5(concat_ws(' ', slice(t, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))) "
+        f"AS chunk_digest))",
+    )
+    return (
+        docs.select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.n_chunk_tokens", "c.chunk_digest")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE["doc_chunking"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+                CAST(ceil(n / {CHUNK_STRIDE}.0) AS INTEGER) - 1)) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                           least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)))
+            AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                           least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)),
+                           ' ')) AS chunk_digest
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""
