@@ -261,3 +261,93 @@ def test_star_cc_long_chain_few_rounds(spark):
     out = connected_components_star(df).collect()
     assert len(out) == 201
     assert all(r.cluster_id == 0 for r in out)
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunk windows must tile each document: first chunk starts at
+    token 1, consecutive starts differ by the stride, the last chunk
+    reaches the final token, and sizes are full except the tail."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_doc_chunking,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    n_tokens = {
+        r.doc_id: r.n
+        for r in read_fixture(spark, sf_dir, "documents")
+        .select("doc_id", F.expr("size(split(text, ' '))").alias("n"))
+        .collect()
+    }
+    rows = q_doc_chunking(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = n_tokens[doc_id]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        covered = 0
+        for c in chunks:
+            start = c.chunk_idx * CHUNK_STRIDE
+            assert c.n_chunk_tokens == min(CHUNK_SIZE, n - start)
+            covered = max(covered, start + c.n_chunk_tokens)
+        assert covered == n  # last token reached
+        # one more chunk would start past the end
+        assert len(chunks) * CHUNK_STRIDE >= n
+
+
+def test_incremental_dedup_bucketed_index_is_shuffle_free_on_history(spark, sf_dir):
+    """The 100 TB contract of incremental dedup: with the history
+    digest index bucketed on digest, the index side of the join reads
+    co-located buckets with NO Exchange — only the (small) daily
+    batch shuffles."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        BATCH_MOD,
+        incremental_dedup,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    dig = docs.select("doc_id", F.md5("text").alias("digest"))
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1
+    history = (
+        dig.filter(~is_batch)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("first_seen_doc_id"))
+    )
+    write_bucketed(history, "digest_index", ["digest"], 4, ["digest"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = incremental_dedup(dig.filter(is_batch), spark.table("digest_index"))
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # exactly one Exchange (the batch side); the bucketed index
+        # side must contribute none
+        assert plan.count("(Exchange") + plan.count("+- Exchange") >= 1
+        import re
+
+        n_exchanges = len(re.findall(r"\bExchange\b", plan.split("== Physical Plan ==")[-1].split("(1) ")[0]))
+        assert n_exchanges <= 1, f"history side shuffled:\n{plan}"
+        # and results match the unbucketed computation
+        expect = {
+            (r.doc_id, r.first_seen_doc_id)
+            for r in incremental_dedup(dig.filter(is_batch), history).collect()
+        }
+        got = {(r.doc_id, r.first_seen_doc_id) for r in out.collect()}
+        assert got == expect
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS digest_index")
