@@ -319,3 +319,35 @@ FROM (
 WHERE rk <= {_SAMPLE_K}
 ORDER BY lang, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training order — the corpus "shuffle" a training run
+# needs: an ordering that is uniform-random-like but a pure function
+# of the key (re-runs, resumes, and re-partitions see the SAME order;
+# df.orderBy(rand()) cannot promise that). At 100 TB the order is
+# materialized by repartitionByRange(hash) + sortWithinPartitions —
+# globally ordered files, no single-point sort; the query surfaces
+# the head of that order via TakeOrderedAndProject (per-partition
+# heaps, no full sort).
+# ---------------------------------------------------------------------------
+_ORDER_N = 200
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", hash60(_as_str("doc_id"), seed=3).alias("order_key")
+        )
+        .orderBy("order_key", "doc_id")
+        .limit(_ORDER_N)
+    )
+
+
+ORACLE["training_order"] = f"""
+SELECT doc_id, {hash60_sql("CAST(doc_id AS VARCHAR)", seed=3)} AS order_key
+FROM documents
+ORDER BY order_key, doc_id
+LIMIT {_ORDER_N}
+"""
