@@ -1,0 +1,300 @@
+"""Corpus-level quality filtering for LLM training data: Gopher-style
+per-document heuristic gates, boilerplate (high document-frequency
+n-gram) flagging, and the token-length histogram that drives packing
+and bucketing decisions.
+
+These are the filtering passes a pretraining pipeline runs between raw
+ingest and dedup (reference has no equivalent — it is a batch-ETL
+pipeline; this module is part of the training-data extension tier,
+alongside operators/dedup.py and operators/text.py). The rule set
+follows the publicly documented MassiveText/Gopher filters (word-count
+bounds, mean-word-length bounds, alphabetic-word ratio, stopword
+presence) re-expressed as Spark built-in expressions.
+
+Scale design (100 TB):
+
+- **Gopher rules** are a single map-side projection — every metric is
+  a higher-order fold over the token array (let-bound, one
+  tokenization per row), zero Python, zero shuffle. Filtering 100 TB
+  is embarrassingly parallel scan work.
+- **Boilerplate flagging** is the textbook heavy-hitters shape: the
+  document-frequency aggregation shuffles 8-byte shingle hashes
+  (map-side combinable counts), and only the tiny high-DF survivor
+  set (boilerplate is, by definition, the extreme tail) is broadcast
+  back against the corpus — the corpus itself is never shuffled. At
+  petabyte scale the DF pass can be replaced by a sketch
+  (count-min / approx heavy hitters) without changing the join shape.
+- **Length histogram** is one map-side-combinable groupBy on a
+  derived bucket key (tiny cardinality) plus a window over the
+  bucket dimension (rows = number of buckets, not documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql, let_sql
+from .dedup import SHINGLE_N, _shingled
+from .text import STOPWORDS, _in_list_expr
+
+ORACLE: dict[str, str] = {}
+
+# Gopher-style gate bounds, adapted to the fixture corpus scale (the
+# published bounds are 50..100k words for web pages; the fixture docs
+# are 10..99 words, so the lower bound is scaled to keep both branches
+# of every gate populated).
+MIN_WORDS = 20
+MAX_WORDS = 1000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_ALPHA_WORD_RATIO = 0.8
+MIN_STOPWORD_HITS = 2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gates: one projection, all folds over a single
+# let-bound token array.
+# ---------------------------------------------------------------------------
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_words = F.expr(let_sql("split(text, ' ')", "w", "size(w)")).alias("n_words")
+    char_sum = F.expr(
+        let_sql(
+            "split(text, ' ')",
+            "w",
+            "aggregate(w, 0L, (acc, t) -> acc + length(t))",
+        )
+    )
+    alpha_words = F.expr(
+        let_sql(
+            "split(text, ' ')",
+            "w",
+            "size(filter(w, t -> t rlike '[a-z]'))",
+        )
+    )
+    stopword_hits = F.expr(
+        let_sql(
+            "split(text, ' ')",
+            "w",
+            "size(filter(w, t -> " + _in_list_expr("t", STOPWORDS["en"]) + "))",
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        n_words,
+        char_sum.alias("char_sum"),
+        alpha_words.alias("n_alpha_words"),
+        stopword_hits.alias("n_stopword_hits"),
+    ).select(
+        "doc_id",
+        "n_words",
+        (F.col("char_sum").cast("double") / F.col("n_words")).alias("mean_word_len"),
+        (F.col("n_alpha_words").cast("double") / F.col("n_words")).alias(
+            "alpha_word_ratio"
+        ),
+        "n_stopword_hits",
+    )
+    pass_words = (F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS)
+    pass_len = (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN) & (
+        F.col("mean_word_len") <= MAX_MEAN_WORD_LEN
+    )
+    pass_alpha = F.col("alpha_word_ratio") >= MIN_ALPHA_WORD_RATIO
+    pass_stop = F.col("n_stopword_hits") >= MIN_STOPWORD_HITS
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "n_stopword_hits",
+        pass_words.alias("pass_word_count"),
+        pass_len.alias("pass_mean_word_len"),
+        pass_alpha.alias("pass_alpha_ratio"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_words & pass_len & pass_alpha & pass_stop).alias("keep"),
+    )
+
+
+def _gopher_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    stop_pred = _in_list_expr("t", STOPWORDS["en"])
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS INT) AS n_words,
+         CAST(list_sum(list_transform({toks}, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+           / len({toks}) AS mean_word_len,
+         CAST(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           / len({toks}) AS alpha_word_ratio,
+         CAST(len(list_filter({toks}, t -> {stop_pred})) AS INT) AS n_stopword_hits
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_stopword_hits,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS pass_word_count,
+       (mean_word_len >= {MIN_MEAN_WORD_LEN} AND mean_word_len <= {MAX_MEAN_WORD_LEN}) AS pass_mean_word_len,
+       (alpha_word_ratio >= {MIN_ALPHA_WORD_RATIO}) AS pass_alpha_ratio,
+       (n_stopword_hits >= {MIN_STOPWORD_HITS}) AS pass_stopwords,
+       ((n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS})
+        AND (mean_word_len >= {MIN_MEAN_WORD_LEN} AND mean_word_len <= {MAX_MEAN_WORD_LEN})
+        AND (alpha_word_ratio >= {MIN_ALPHA_WORD_RATIO})
+        AND (n_stopword_hits >= {MIN_STOPWORD_HITS})) AS keep
+FROM scored
+"""
+
+
+ORACLE["gopher_rules"] = _gopher_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram flagging: shingles that occur in many documents
+# (navigation chrome, license headers, templated spans) are corpus
+# boilerplate; documents dominated by them are flagged.
+# ---------------------------------------------------------------------------
+BOILERPLATE_MIN_DF = 5  # shingle present in >= this many docs
+BOILERPLATE_RATIO = 0.10  # doc flagged when this share of its shingles is hot
+
+
+def boilerplate_shingles(shingled: DataFrame) -> DataFrame:
+    """(h) 60-bit hashes of shingles whose document frequency is >=
+    BOILERPLATE_MIN_DF. The aggregation shuffles hashed keys with
+    map-side partial counts; the survivor set is the broadcastable
+    heavy-hitter tail."""
+    return (
+        shingled.select(F.explode("shingles").alias("s"))
+        .select(hash60("s").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .select("h")
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    hot = boilerplate_shingles(sh)
+    per_doc = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    hits = (
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", hash60("s").alias("h"))
+        .join(F.broadcast(hot), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    ratio = F.col("n_boilerplate").cast("double") / F.col("n_shingles")
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boilerplate",
+            ratio.alias("boilerplate_ratio"),
+            (ratio >= BOILERPLATE_RATIO).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from ..functions.hashing import word_shingles_sql
+
+    sh_sql = word_shingles_sql("string_split(text, ' ')", SHINGLE_N)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({sh_sql}) AS shingles FROM documents
+), shf AS (
+  SELECT * FROM sh WHERE len(shingles) > 0
+), ex AS (
+  SELECT doc_id, {hash60_sql('s')} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM shf)
+), hot AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
+  WHERE df >= {BOILERPLATE_MIN_DF}
+), hits AS (
+  SELECT ex.doc_id, COUNT(*) AS n_boilerplate
+  FROM ex JOIN hot ON ex.h = hot.h
+  GROUP BY ex.doc_id
+)
+SELECT shf.doc_id,
+       CAST(len(shf.shingles) AS INT) AS n_shingles,
+       CAST(COALESCE(hits.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       CAST(COALESCE(hits.n_boilerplate, 0) AS DOUBLE) / len(shf.shingles)
+         AS boilerplate_ratio,
+       (CAST(COALESCE(hits.n_boilerplate, 0) AS DOUBLE) / len(shf.shingles)
+         >= {BOILERPLATE_RATIO}) AS flagged
+FROM shf LEFT JOIN hits ON shf.doc_id = hits.doc_id
+ORDER BY shf.doc_id
+"""
+
+
+ORACLE["boilerplate_ngrams"] = _boilerplate_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram: the distribution that sizes sequence-packing
+# bins and length-bucketed batching.
+# ---------------------------------------------------------------------------
+LENGTH_BUCKET = 16  # tokens per histogram bucket
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucketed = docs.select(
+        (
+            F.floor(F.expr("size(split(text, ' '))") / F.lit(LENGTH_BUCKET))
+            * LENGTH_BUCKET
+        )
+        .cast("long")
+        .alias("bucket_start"),
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+    )
+    per_bucket = bucketed.groupBy("bucket_start").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    w = W.orderBy("bucket_start").rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        per_bucket.withColumn("cum_docs", F.sum("n_docs").over(w))
+        .withColumn(
+            "cum_doc_share",
+            F.col("cum_docs").cast("double") / F.sum("n_docs").over(total),
+        )
+        .select(
+            "bucket_start", "n_docs", "total_tokens", "cum_docs", "cum_doc_share"
+        )
+        .orderBy("bucket_start")
+    )
+
+
+ORACLE["length_histogram"] = f"""
+WITH bucketed AS (
+  SELECT CAST(FLOOR(len(string_split(text, ' ')) / {LENGTH_BUCKET})
+           * {LENGTH_BUCKET} AS BIGINT) AS bucket_start,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), per_bucket AS (
+  SELECT bucket_start, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM bucketed GROUP BY bucket_start
+)
+SELECT bucket_start, n_docs, total_tokens,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket_start
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket_start
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / SUM(n_docs) OVER () AS cum_doc_share
+FROM per_bucket
+ORDER BY bucket_start
+"""

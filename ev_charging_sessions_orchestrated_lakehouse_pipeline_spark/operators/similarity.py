@@ -490,3 +490,94 @@ FROM per_vec GROUP BY label ORDER BY label
 
 
 ORACLE["embedding_quantization"] = _quant_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): prune embedding-level near-
+# duplicates inside deterministic hyperplane buckets. The published
+# recipe clusters the corpus (k-means), then drops all-but-one of
+# every intra-cluster group whose pairwise cosine exceeds a
+# threshold. Here the bucketing stage is a 4-bit deterministic
+# hyperplane signature (md5-derived literal weights — same family as
+# the LSH above) so the whole query is exactly reproducible in the
+# SQL oracle; swapping the bucket column for an IVF/k-means cell
+# (ivf_assign / operators.clustering) changes no other line.
+#
+# Scale design: the signature is one map-side projection; the
+# self-join meets rows only within a bucket (shuffle key = 8-byte
+# bucket id; with k buckets the pair count is sum(bucket²), not n²);
+# the keep/remove verdict is a groupBy over surviving pairs only.
+# At 100 TB, bucket count scales with corpus size (more planes or
+# k-means cells), holding per-bucket pair generation bounded.
+# ---------------------------------------------------------------------------
+SEMANTIC_PLANES = 4
+SEMANTIC_TAU = 0.3
+
+
+def semantic_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, bucket): 4-bit hyperplane signature."""
+    sig = None
+    for p in range(SEMANTIC_PLANES):
+        term = _hyperplane_sign(p)
+        sig = term if sig is None else sig + term
+    return emb.select("vec_id", "embedding", sig.cast("long").alias("bucket"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(removed_vec_id, keep_vec_id, best_cosine) — every vector with
+    an intra-bucket neighbor of smaller id at cosine >= SEMANTIC_TAU
+    is removed; keep_vec_id is its smallest such neighbor and
+    best_cosine the strongest one."""
+    b = semantic_buckets(_emb(spark, sf_dir))
+    left = b.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_TAU)
+    )
+    return (
+        pairs.groupBy("ib")
+        .agg(F.min("ia").alias("keep_vec_id"), F.max("cosine").alias("best_cosine"))
+        .select(
+            F.col("ib").alias("removed_vec_id"), "keep_vec_id", "best_cosine"
+        )
+        .orderBy("removed_vec_id")
+    )
+
+
+def _semantic_oracle() -> str:
+    terms = []
+    for p in range(SEMANTIC_PLANES):
+        w = ", ".join(f"CAST({x} AS DOUBLE)" for x in _plane_weights(p))
+        terms.append(
+            f"CASE WHEN {_dot_sql('embedding', f'[{w}]')} >= 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+        )
+    sig = " + ".join(terms)
+    cos = (
+        f"{_dot_sql('a.embedding', 'b.embedding')} / "
+        f"(sqrt({_dot_sql('a.embedding', 'a.embedding')}) * "
+        f"sqrt({_dot_sql('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos} AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT ib AS removed_vec_id, MIN(ia) AS keep_vec_id, MAX(cosine) AS best_cosine
+FROM pairs WHERE cosine >= {SEMANTIC_TAU}
+GROUP BY ib
+ORDER BY removed_vec_id
+"""
+
+
+ORACLE["semantic_dedup"] = _semantic_oracle()

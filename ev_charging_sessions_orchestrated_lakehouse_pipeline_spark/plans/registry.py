@@ -45,6 +45,7 @@ def _build() -> None:
     for optional in (
         "dedup",
         "decontam",
+        "corpus_filter",
         "text",
         "similarity",
         "multimodal",
