@@ -1820,3 +1820,266 @@ FROM grouped ORDER BY l_returnflag, measure
 
 
 ORACLE["percentiles_ordstat"] = _ordstat_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: the same gap-merge semantics as
+# ``sessionize`` but through Spark's built-in ``session_window``
+# operator (the one the streaming path uses — streaming/ingest.py
+# session_windows shares this exact plan shape, so a green driver row
+# here certifies the streaming operator's aggregation semantics too).
+#
+# Semantics note (and the difference from the lag/cumsum formulation
+# above): Spark merges two per-event windows [t, t+gap) when they
+# OVERLAP, so an event landing exactly gap after its predecessor
+# starts a NEW session — the oracle's lag test is therefore ``>=``
+# where sessionize's is ``>``. window.end = last event ts + gap.
+#
+# Scale: one shuffle on user_id (the session assignment is a
+# sort-merge within partitions), map-side combinable partial aggs; no
+# window-function full-partition materialization.
+# ---------------------------------------------------------------------------
+SESSION_WINDOW_GAP = "30 minutes"
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", SESSION_WINDOW_GAP).alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE["session_window_agg"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS session_value
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 flavor — cheapest supplier per part: a correlated-MIN
+# subquery decorrelated into a per-part window minimum. One shuffle
+# on (part, supplier) for the cost rollup, one window over part (the
+# rollup output — tiny vs lineitem), no re-join against the fact.
+# ---------------------------------------------------------------------------
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(davg(F.expr("l_extendedprice * (1 - l_discount)")).alias("avg_cost"))
+    )
+    w = W.partitionBy("l_partkey")
+    best = (
+        cost.withColumn("min_cost", F.min("avg_cost").over(w))
+        .filter(F.col("avg_cost") == F.col("min_cost"))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy("l_suppkey")),
+        )
+        .filter(F.col("rn") == 1)  # deterministic on cost ties
+    )
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("avg_cost").alias("best_avg_cost"),
+        )
+        .orderBy("partkey")
+        .limit(100)
+    )
+
+
+ORACLE["min_cost_supplier"] = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         {davg_sql('l_extendedprice * (1 - l_discount)')} AS avg_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), mins AS (
+  SELECT *, MIN(avg_cost) OVER (PARTITION BY l_partkey) AS min_cost FROM cost
+), best AS (
+  SELECT l_partkey, l_suppkey, avg_cost FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY l_suppkey) AS rn
+    FROM mins WHERE avg_cost = min_cost
+  ) WHERE rn = 1
+)
+SELECT l_partkey AS partkey, s_name AS supplier_name,
+       avg_cost AS best_avg_cost
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 flavor — parts whose revenue share exceeds a global
+# threshold: scalar aggregate broadcast against a grouped aggregate.
+# The global total is ONE row (broadcast nested-loop is correct and
+# free); no second scan thanks to a shared shuffle output under AQE.
+# ---------------------------------------------------------------------------
+SHARE_THRESHOLD = 0.0005
+
+
+def q_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("part_revenue")
+    )
+    total = per_part.agg(
+        dsum("part_revenue").alias("total_revenue")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_revenue") > F.col("total_revenue") * SHARE_THRESHOLD
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "part_revenue",
+            (F.col("part_revenue") / F.col("total_revenue")).alias("revenue_share"),
+        )
+        .orderBy(F.col("part_revenue").desc(), "partkey")
+    )
+
+
+ORACLE["part_revenue_share"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS part_revenue
+  FROM lineitem GROUP BY l_partkey
+), total AS (
+  SELECT {dsum_sql('part_revenue')} AS total_revenue FROM per_part
+)
+SELECT l_partkey AS partkey, part_revenue,
+       part_revenue / total_revenue AS revenue_share
+FROM per_part, total
+WHERE part_revenue > total_revenue * {SHARE_THRESHOLD}
+ORDER BY part_revenue DESC, partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 flavor — supplier diversity per part attribute, with a
+# NOT-IN exclusion subquery: distinct-supplier counts per
+# (brand, size) over parts outside one brand, excluding suppliers in
+# debt. The exclusion set is tiny -> broadcast anti join; the
+# distinct count is one shuffle on the (brand, size) group key.
+# ---------------------------------------------------------------------------
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    excluded = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "Brand#1")
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .select("p_brand", "p_size", "l_suppkey")
+    )
+    return (
+        pairs.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+ORACLE["supplier_diversity"] = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 flavor — the EXISTS / NOT-EXISTS double correlation:
+# suppliers whose line was the LAST to ship in a multi-supplier
+# finished order. Decorrelated Spark-side into per-order window aggs
+# (count distinct suppliers, max shipdate) — one shuffle on orderkey,
+# no correlated re-scans of lineitem.
+# ---------------------------------------------------------------------------
+def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    w = W.partitionBy("l_orderkey")
+    annotated = (
+        li.join(finished, li.l_orderkey == finished.o_orderkey)
+        .withColumn("n_suppliers", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+    )
+    blockers = (
+        annotated.filter(
+            (F.col("n_suppliers") > 1) & (F.col("l_shipdate") == F.col("max_ship"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blockers.join(F.broadcast(sup), blockers.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE["blocking_suppliers"] = """
+WITH fin AS (
+  SELECT l.* FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), ann AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+         MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+  FROM fin
+), blockers AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM ann WHERE n_suppliers > 1 AND l_shipdate = max_ship
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM blockers JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""

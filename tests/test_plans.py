@@ -24,6 +24,8 @@ BNLJ_ALLOWED = {
     "range_join_bands",
     # 1-row scalar-subquery aggregate broadcast into the filter side
     "idle_high_balance",
+    # 1-row global-revenue-total aggregate broadcast into the share filter
+    "part_revenue_share",
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk",
