@@ -109,3 +109,11 @@ def read_jsonl(
             schema = schema.add("_corrupt_record", T.StringType())
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Column pruning and predicate pushdown work exactly as
+    for Parquet (the scan node reports PushedFilters/ReadSchema); the
+    vectorized ORC reader is on by default
+    (spark.sql.orc.enableVectorizedReader)."""
+    return spark.read.orc(path)

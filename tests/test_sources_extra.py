@@ -91,3 +91,37 @@ def test_zorder_clusters_files_for_skipping(spark, sf_dir, tmp_path):
     h_files = sum(1 for s in stats if s.h_lo <= h_probe <= s.h_hi)
     assert u_files < n_files, "user_id predicate cannot skip any file"
     assert h_files < n_files, "hour predicate cannot skip any file"
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """ORC sink/scan: partitioned write round-trips values, and the
+    scan still receives pushed filters + pruned columns."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+        read_orc,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+        write_orc,
+    )
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_cols=["o_orderstatus"])
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    src = {(r.o_orderkey, r.o_totalprice) for r in orders.collect()}
+    rt = {(r.o_orderkey, r.o_totalprice) for r in back.collect()}
+    assert rt == src
+
+    # partition pruning + filter/projection pushdown reach the ORC scan
+    q = back.filter(F.col("o_orderstatus") == "F").filter(
+        F.col("o_totalprice") > 1000.0
+    ).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Scan orc" in plan
+    assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderkey" in read_schema and "o_custkey" not in read_schema
