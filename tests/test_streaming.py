@@ -211,3 +211,46 @@ def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == expect
     n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
     assert n == len(expect), "duplicates survived the streaming dedup"
+
+
+def test_session_windows_stream_vs_batch(spark, sf_dir, tmp_path):
+    """session_window in a real stream (watermark + append mode,
+    multiple micro-batches) must converge to the batch result once
+    all input is consumed: gap-merge is order-sensitive state, so
+    this exercises session-state merge across micro-batches. The
+    watermark is set beyond the fixture's time span: the file split
+    is random, not time-ordered, so a realistic watermark would
+    legitimately drop most of batches 2-3 as late data — here we
+    test the merge semantics, not eviction."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        session_windows,
+    )
+
+    events = read_fixture(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_windows(events).collect()
+    }
+
+    src = str(tmp_path / "events_sess")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = session_windows(stream, watermark="365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    assert got == batch
