@@ -2083,3 +2083,267 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Statistical outlier detection: per-event-type z-scores from
+# exact-decimal moments. Mean and variance come from decimal sums
+# (order-independent -> engine-identical doubles), so the z-score
+# arithmetic is the same IEEE expression on both sides. Two shuffles
+# total: one tiny moments agg (broadcast back), one none — the score
+# is a map-side projection against broadcast moments.
+# ---------------------------------------------------------------------------
+OUTLIER_Z = 2.0
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.expr("value * value")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    stats = moments.select(
+        "event_type", mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > OUTLIER_Z)
+        .orderBy("event_id")
+    )
+
+
+ORACLE["value_outliers"] = f"""
+WITH moments AS (
+  SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS s1,
+         {dsum_sql('value * value')} AS s2
+  FROM events GROUP BY event_type
+), stats AS (
+  SELECT event_type, s1 / n AS mean_v,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v
+  FROM moments
+)
+SELECT event_id, e.event_type, value, (value - mean_v) / std_v AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((value - mean_v) / std_v) > {OUTLIER_Z}
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day revenue per customer: a RANGE window frame over epoch
+# seconds (time-based frames are the one window shape rows-frames
+# can't emulate). Decimal accumulation inside the frame keeps the
+# rolling sums order-independent. One shuffle on o_custkey.
+# ---------------------------------------------------------------------------
+ROLLING_WINDOW_S = 7 * 24 * 3600
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-ROLLING_WINDOW_S, 0)
+    )
+    rolling = (
+        F.sum(F.col("o_totalprice").cast("decimal(25,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            rolling.alias("revenue_7d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+ORACLE["rolling_revenue"] = f"""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN {ROLLING_WINDOW_S} PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS revenue_7d
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling: generate the full calendar between the
+# corpus min/max order date, left-join daily revenue onto it, fill
+# gaps with zero, and carry a cumulative total. The spine is a
+# sequence-explode of ONE row (min/max scalar agg broadcast) — no
+# driver-side date loop; the cumulative sum is decimal (exact), over
+# a frame of days, not raw orders.
+# ---------------------------------------------------------------------------
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # The daily sum STAYS decimal until final output: re-quantizing a
+    # double back to decimal is engine-dependent at the last digit
+    # (Spark casts via the shortest string repr, DuckDB via the
+    # binary value), so the cumulative sum must chain exact decimals.
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,10)")).alias("day_rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    zero_dec = F.lit(0).cast("decimal(25,10)")
+    cum = (
+        F.sum(F.coalesce("day_rev_dec", zero_dec))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("day_rev_dec", zero_dec)
+            .cast("string")
+            .cast("double")
+            .alias("day_revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            cum.alias("cum_revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["daily_gapfill"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS day_rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+         MAX(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT spine.day,
+       CAST(CAST(COALESCE(day_rev_dec, 0) AS VARCHAR) AS DOUBLE) AS day_revenue,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(COALESCE(day_rev_dec, CAST(0 AS DECIMAL(25,10)))) OVER (
+         ORDER BY spine.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS cum_revenue
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY spine.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate-percentile sketch with a bounds contract (same pattern
+# as approx_distinct): the KLL/GK-style sketch behind
+# approx_percentile is engine-specific, so the oracle checks the
+# CONTRACT — the approximation must land within 1% RANK tolerance of
+# the exact order statistics — rather than the sketch values.
+# ---------------------------------------------------------------------------
+def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+        ).alias("ap")
+    )
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    # exact rank of each approximate answer: count of values <= it
+    joined = ranked.join(F.broadcast(approx), "l_returnflag")
+    rank_of = [
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("ap")[i], 1).otherwise(0)
+        ).alias(f"rank_q{i}")
+        for i in range(2)
+    ]
+    checked = (
+        joined.groupBy("l_returnflag")
+        .agg(F.max("n").alias("n"), *rank_of)
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n_rows"),
+            (
+                (F.abs(F.col("rank_q0") / F.col("n") - 0.5) <= 0.01)
+                & (F.abs(F.col("rank_q1") / F.col("n") - 0.9) <= 0.01)
+            ).alias("within_1pct_rank"),
+        )
+    )
+    return checked.orderBy("l_returnflag")
+
+
+ORACLE["approx_percentile_bounds"] = """
+SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS within_1pct_rank
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decile segmentation: ntile(10) over a deterministic total order
+# (price, key tiebreak), rolled up to per-decile stats — the
+# "quality calibration" shape used to pick corpus filtering
+# thresholds from score distributions.
+#
+# Scale note: a global ntile needs a total order (one partition for
+# the window). That is fine up to ~10^8 rows on one executor; beyond
+# that, compute decile BOUNDARIES with approx_percentile (see
+# q_approx_percentile_bounds for the sketch's rank-error contract)
+# and assign buckets map-side with a broadcast threshold array — the
+# same report without the global sort.
+# ---------------------------------------------------------------------------
+def q_totalprice_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    tiled = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice").alias("decile_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["totalprice_deciles"] = f"""
+SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       {dsum_sql('o_totalprice')} AS decile_revenue
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+ORDER BY decile
+"""
