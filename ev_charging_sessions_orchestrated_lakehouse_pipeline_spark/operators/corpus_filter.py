@@ -298,3 +298,72 @@ SELECT bucket_start, n_docs, total_tokens,
 FROM per_bucket
 ORDER BY bucket_start
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: for every source pair, how many
+# distinct shingles they share — the corpus-level contamination /
+# diversity diagnostic (mirrors the doc-level decontam op one level
+# up). Plan shape: distinct (source, shingle-hash) pairs, inverted
+# self-join on the hash, pair-count aggregation. The same
+# sum(df²)-not-n² bound as n-gram dedup applies, and ultra-hot
+# shingles are capped out (they carry no signal about SPECIFIC
+# source affinity — every source has them).
+# ---------------------------------------------------------------------------
+OVERLAP_MAX_SOURCES = 15  # drop shingles present in more sources than this
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    from ..functions.hashing import word_shingles_expr
+
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                word_shingles_expr("split(text, ' ')", SHINGLE_N)
+            )
+        ).alias("s"),
+    ).select("source", hash60("s").alias("h")).distinct()
+    capped = (
+        sh.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.collect_set("source").alias("sources"),
+        )
+        .filter(F.col("n_sources") <= OVERLAP_MAX_SOURCES)
+    )
+    pairs = capped.select(
+        F.explode("sources").alias("s1"), F.col("sources").alias("rest")
+    ).select("s1", F.explode("rest").alias("s2")).filter(F.col("s1") < F.col("s2"))
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .orderBy(F.col("shared_shingles").desc(), "s1", "s2")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from ..functions.hashing import word_shingles_sql
+
+    sh_sql = word_shingles_sql("string_split(text, ' ')", SHINGLE_N)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, {hash60_sql('s')} AS h
+  FROM (
+    SELECT source, unnest(list_distinct({sh_sql})) AS s FROM documents
+  )
+), capped AS (
+  SELECT h FROM (SELECT h, COUNT(*) AS n_sources FROM sh GROUP BY h)
+  WHERE n_sources <= {OVERLAP_MAX_SOURCES}
+)
+SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared_shingles
+FROM sh a
+JOIN capped USING (h)
+JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY shared_shingles DESC, s1, s2
+"""
+
+
+ORACLE["source_overlap"] = _source_overlap_oracle()
