@@ -2266,15 +2266,10 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
         ).alias("ap")
     )
-    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"),
-    )
-    # exact rank of each approximate answer: count of values <= it
-    joined = ranked.join(F.broadcast(approx), "l_returnflag")
+    # exact rank of each approximate answer = count of values <= it:
+    # one broadcast of the (3-row) sketch output + one map-side
+    # combinable conditional agg — no sort, no window.
+    joined = li.join(F.broadcast(approx), "l_returnflag")
     rank_of = [
         F.sum(
             F.when(F.col("l_extendedprice") <= F.col("ap")[i], 1).otherwise(0)
@@ -2283,7 +2278,7 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     checked = (
         joined.groupBy("l_returnflag")
-        .agg(F.max("n").alias("n"), *rank_of)
+        .agg(F.count(F.lit(1)).alias("n"), *rank_of)
         .select(
             "l_returnflag",
             F.col("n").cast("long").alias("n_rows"),

@@ -177,6 +177,13 @@ def boilerplate_shingles(shingled: DataFrame) -> DataFrame:
 
 
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The shingle projection is computed TWICE (once under the DF agg,
+    # once under the hit join) — deliberate: recomputing a map-side
+    # projection costs CPU only, while materializing the exploded
+    # (doc_id, hash) frame to reuse it would either persist corpus-
+    # scale state or shuffle it. At 100 TB, re-scan beats re-shuffle;
+    # pipelines that already maintain a shingle table can pass it in
+    # via boilerplate_shingles() directly.
     sh = _shingled(spark, sf_dir)
     hot = boilerplate_shingles(sh)
     per_doc = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
