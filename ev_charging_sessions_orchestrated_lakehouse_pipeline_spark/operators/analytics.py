@@ -2342,3 +2342,95 @@ FROM (
 GROUP BY decile
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: first-order Markov transitions of
+# event_type per user (lag pairs -> counts -> row-normalized
+# probabilities). One shuffle on user_id for the lag, one tiny agg;
+# the normalization window runs over the (n_types²)-row matrix.
+# ---------------------------------------------------------------------------
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = W.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(total),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE["event_transitions"] = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY prev_type) AS p
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frequent-items sketch with a membership contract (the freqItems
+# counterpart of the approx_distinct/approx_percentile bounds
+# pattern): Spark's stat.freqItems implements Karp-Papadimitriou-
+# Shenker — its guarantee is NO FALSE NEGATIVES above the support
+# threshold, so the oracle checks exactly that: every event_type
+# whose true frequency exceeds support must be in the sketch output.
+# ---------------------------------------------------------------------------
+FREQ_SUPPORT = 0.15
+
+
+def q_frequent_items_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    freq = ev.stat.freqItems(["event_type"], FREQ_SUPPORT).select(
+        F.col("event_type_freqItems").alias("sketch_items")
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("total") * FREQ_SUPPORT)
+        .crossJoin(F.broadcast(freq))
+        .select(
+            "event_type",
+            "n",
+            F.array_contains("sketch_items", F.col("event_type")).alias(
+                "in_sketch"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["frequent_items_bounds"] = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+), total AS (
+  SELECT SUM(n) AS total FROM counts
+)
+SELECT event_type, n, TRUE AS in_sketch
+FROM counts, total
+WHERE n > total * {FREQ_SUPPORT}
+ORDER BY event_type
+"""

@@ -738,3 +738,84 @@ FROM dig d JOIN history h USING (digest)
 WHERE d.doc_id % {BATCH_MOD} = {BATCH_MOD - 1}
 ORDER BY d.doc_id, h.first_seen_doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Best-representative selection: real pipelines don't keep the
+# MIN-id member of a dup cluster — they keep the best one. Reuses
+# the connected-components clustering and ranks members by a quality
+# key (here word count, id tiebreak); the representative is a
+# row_number over the (tiny) cluster-membership table, not the
+# corpus.
+# ---------------------------------------------------------------------------
+def q_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    from pyspark.sql import Window as W  # local: dedup module has no W import
+
+    scored = clusters.join(
+        docs.select("doc_id", F.expr("size(split(text, ' '))").alias("n_words")),
+        "doc_id",
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), F.col("doc_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    reps = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_words").alias("rep_n_words"),
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        reps.join(sizes, "cluster_id")
+        .select("cluster_id", "rep_doc_id", "rep_n_words", "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+def _best_rep_oracle() -> str:
+    pairs_body = ORACLE["dedup_ngram_jaccard"].strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_body}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(src, node) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+),
+scored AS (
+  SELECT c.doc_id, c.cluster_id,
+         CAST(len(string_split(d.text, ' ')) AS INT) AS n_words
+  FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_words DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT r.cluster_id, r.doc_id AS rep_doc_id, r.n_words AS rep_n_words,
+       s.n_members
+FROM ranked r
+JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)
+WHERE r.rn = 1
+ORDER BY r.cluster_id
+"""
+
+
+ORACLE["dedup_best_rep"] = _best_rep_oracle()

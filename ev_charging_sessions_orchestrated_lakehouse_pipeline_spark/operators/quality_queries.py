@@ -132,3 +132,108 @@ SELECT reason, COUNT(*) AS n_rows FROM (
   FROM lineitem
 ) GROUP BY reason ORDER BY reason
 """
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (the Deequ ColumnProfilerRunner analog): one row of
+# statistics PER PROFILED COLUMN — completeness, distinct count,
+# min/max, exact-decimal mean for numerics — computed in ONE
+# aggregation scan plus one combiner-reduced distinct pass per
+# column. The unpivoted one-row-per-column layout is what a DQ
+# dashboard or schema-drift monitor consumes.
+# ---------------------------------------------------------------------------
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.oracle import davg
+
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # l_quantity
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("q_nulls"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+        davg("l_quantity").alias("q_mean"),
+        # l_extendedprice
+        F.sum(F.col("l_extendedprice").isNull().cast("long")).alias("p_nulls"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+        davg("l_extendedprice").alias("p_mean"),
+        # l_returnflag (categorical: no mean, min/max lexicographic)
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("r_nulls"),
+    )
+    distincts = li.agg(
+        F.countDistinct("l_quantity").alias("q_distinct"),
+        F.countDistinct("l_extendedprice").alias("p_distinct"),
+        F.countDistinct("l_returnflag").alias("r_distinct"),
+    )
+    s = stats.crossJoin(F.broadcast(distincts))
+    rows = [
+        s.select(
+            F.lit("l_quantity").alias("column"),
+            "n_rows",
+            F.col("q_nulls").alias("n_nulls"),
+            F.col("q_distinct").alias("n_distinct"),
+            F.col("q_min").cast("double").alias("min_val"),
+            F.col("q_max").cast("double").alias("max_val"),
+            F.col("q_mean").alias("mean_val"),
+        ),
+        s.select(
+            F.lit("l_extendedprice").alias("column"),
+            "n_rows",
+            F.col("p_nulls").alias("n_nulls"),
+            F.col("p_distinct").alias("n_distinct"),
+            F.col("p_min").cast("double").alias("min_val"),
+            F.col("p_max").cast("double").alias("max_val"),
+            F.col("p_mean").alias("mean_val"),
+        ),
+        s.select(
+            F.lit("l_returnflag").alias("column"),
+            "n_rows",
+            F.col("r_nulls").alias("n_nulls"),
+            F.col("r_distinct").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_val"),
+            F.lit(None).cast("double").alias("max_val"),
+            F.lit(None).cast("double").alias("mean_val"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column")
+
+
+def _profile_oracle() -> str:
+    from ..functions.oracle import davg_sql
+
+    return f"""
+WITH stats AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+         COUNT(DISTINCT l_quantity) AS q_distinct,
+         CAST(MIN(l_quantity) AS DOUBLE) AS q_min,
+         CAST(MAX(l_quantity) AS DOUBLE) AS q_max,
+         {davg_sql('l_quantity')} AS q_mean,
+         CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+         COUNT(DISTINCT l_extendedprice) AS p_distinct,
+         CAST(MIN(l_extendedprice) AS DOUBLE) AS p_min,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS p_max,
+         {davg_sql('l_extendedprice')} AS p_mean,
+         CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_nulls,
+         COUNT(DISTINCT l_returnflag) AS r_distinct
+  FROM lineitem
+)
+SELECT 'l_extendedprice' AS "column", n_rows, p_nulls AS n_nulls,
+       p_distinct AS n_distinct, p_min AS min_val, p_max AS max_val,
+       p_mean AS mean_val
+FROM stats
+UNION ALL
+SELECT 'l_quantity', n_rows, q_nulls, q_distinct, q_min, q_max, q_mean
+FROM stats
+UNION ALL
+SELECT 'l_returnflag', n_rows, r_nulls, r_distinct, NULL, NULL, NULL
+FROM stats
+ORDER BY "column"
+"""
+
+
+ORACLE["dq_profile"] = _profile_oracle()
