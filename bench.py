@@ -43,18 +43,45 @@ def run_query(spark, fn, sf_dir: str) -> float:
 
 
 def main() -> None:
+    import argparse
+
+    # Optional local-iteration flags; the driver invokes with no args
+    # and gets the canonical single-pass-over-everything behavior.
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--queries",
+        help="comma-separated subset of query names to time",
+    )
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="time each query N times and report the MIN — the box's "
+        "periodic external harness can inflate a single pass up to "
+        "25x, so minima are the reproducible floor",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="evlake-bench", driver_memory="48g")
 
     qs = get_queries()
+    if args.queries:
+        wanted = args.queries.split(",")
+        unknown = [w for w in wanted if w not in qs]
+        assert not unknown, f"unknown queries: {unknown}"
+        qs = {k: qs[k] for k in wanted}
 
     # warmup: JVM, codegen, parquet footer caches
-    run_query(spark, qs["pricing_summary"], sf_dir)
+    run_query(spark, get_queries()["pricing_summary"], sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        timings[name] = round(run_query(spark, qs[name], sf_dir), 4)
+        timings[name] = round(
+            min(run_query(spark, qs[name], sf_dir) for _ in range(args.repeat)),
+            4,
+        )
 
     total = round(sum(timings.values()), 4)
     print(

@@ -819,3 +819,74 @@ ORDER BY r.cluster_id
 
 
 ORACLE["dedup_best_rep"] = _best_rep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: estimated vs exact Jaccard for the verified
+# near-dup pairs. E[matching components / k] = J, so this query IS
+# the sketch-quality dashboard — with k=8 the estimator is coarse
+# (multiples of 1/8), and the abs_err column shows exactly how
+# coarse. Fully oracled (md5 signature family on both engines).
+# Cost: the candidate pairs are few (post-threshold), so the
+# signature joins are broadcast; signatures themselves are map-side.
+# ---------------------------------------------------------------------------
+CALIBRATION_K = 8
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    sigs = minhash_signatures_md5(_shingled(spark, sf_dir), k=CALIBRATION_K)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(CALIBRATION_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(CALIBRATION_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(CALIBRATION_K)
+    )
+    est = matches.cast("double") / CALIBRATION_K
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("jaccard_exact"),
+            est.alias("jaccard_est"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _calibration_oracle() -> str:
+    pairs_body = ORACLE["dedup_ngram_jaccard"].strip()
+    sig_exprs = ", ".join(_minhash_sql_exprs(CALIBRATION_K))
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(CALIBRATION_K)
+    )
+    return f"""
+WITH pairs AS (
+{pairs_body}
+),
+sigs AS (
+  SELECT doc_id, {sig_exprs}
+  FROM documents
+  WHERE len({_TOKENS_SQL}) >= {SHINGLE_N}
+)
+SELECT doc_a, doc_b, jaccard AS jaccard_exact,
+       CAST(({match_sum}) AS DOUBLE) / {CALIBRATION_K} AS jaccard_est,
+       abs(CAST(({match_sum}) AS DOUBLE) / {CALIBRATION_K} - jaccard) AS abs_err
+FROM pairs
+JOIN sigs sa ON pairs.doc_a = sa.doc_id
+JOIN sigs sb ON pairs.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE["minhash_calibration"] = _calibration_oracle()

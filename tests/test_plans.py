@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "idle_high_balance",
     # 1-row global-revenue-total aggregate broadcast into the share filter
     "part_revenue_share",
+    # 1-row distinct-counts aggregate broadcast against the 1-row stats agg
+    "dq_profile",
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk",
