@@ -8,6 +8,7 @@ events stream.
 """
 
 from .ingest import (
+    gold_stream,
     silver_stream,
     stream_stream_attribution,
     session_windows,
@@ -17,6 +18,7 @@ from .stateful import stateful_user_totals
 
 __all__ = [
     "stream_stream_attribution",
+    "gold_stream",
     "silver_stream",
     "windowed_event_counts",
     "session_windows",

@@ -161,3 +161,50 @@ def dedup_stream(
     return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def gold_stream(
+    spark: SparkSession,
+    silver_path: str,
+    gold_path: str,
+    checkpoint: str,
+    silver_schema,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Silver parquet file stream -> gold fact increments: the
+    streaming completion of the medallion (bronze->silver is
+    :func:`silver_stream`; this is silver->gold). Each micro-batch
+    runs the SAME ``build_gold`` derivation as the batch job and
+    lands via dynamic partition overwrite, so a partition is rewritten
+    whole whenever any of its rows arrive in a batch — the streaming
+    equivalent of the reference's idempotent ``overwritePartitions``
+    rerun unit. Exactly-once per epoch: checkpoint + idempotent
+    partition overwrite (a replayed epoch rewrites the same
+    partitions to the same state).
+
+    Caveat the caller owns: dynamic overwrite per batch means a
+    partition's rows must arrive within one batch to be complete —
+    with date-partitioned silver and date-ordered arrival (the
+    production layout) that holds; for arbitrary arrival use
+    mode="append" plus downstream compaction instead.
+    """
+    from ..operators.gold import build_gold
+    from ..sources.writers import overwrite_partitions
+
+    silver = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(silver_schema)
+        .parquet(silver_path)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        overwrite_partitions(build_gold(batch_df), gold_path, ["event_date"])
+
+    return (
+        silver.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "part_revenue_share",
     # 1-row distinct-counts aggregate broadcast against the 1-row stats agg
     "dq_profile",
+    # 1-row total + 1-row freqItems sketch output broadcast into the check
+    "frequent_items_bounds",
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk",

@@ -254,3 +254,51 @@ def test_session_windows_stream_vs_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM sess_win").collect()
     }
     assert got == batch
+
+
+def test_gold_stream_matches_batch_gold(spark, tmp_path):
+    """Full streaming medallion: silver_stream(CSV) -> gold_stream
+    (silver parquet file stream) must land the same gold fact rows
+    as the batch run_gold over the same silver data."""
+    import shutil as _sh
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.gold import (
+        build_gold,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        gold_stream,
+        silver_stream,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _sh.copy(SAMPLE_CSV, indir / "batch1.csv")
+    silver_path = str(tmp_path / "silver")
+    q = silver_stream(
+        spark,
+        str(indir),
+        silver_path,
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt_silver"),
+    )
+    q.awaitTermination(120)
+
+    silver_batch = spark.read.parquet(silver_path)
+    gold_path = str(tmp_path / "gold")
+    q2 = gold_stream(
+        spark,
+        silver_path,
+        gold_path,
+        str(tmp_path / "ckpt_gold"),
+        silver_schema=silver_batch.schema,
+        max_files_per_trigger=4,
+    )
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(gold_path)
+    expected = build_gold(silver_batch)
+    assert got.count() == 2330 == expected.count()
+    key = lambda r: (r.sessionId, r.event_date)
+    g = {key(r): (r.session_duration_minutes, r.avg_cost_per_kwh) for r in got.collect()}
+    e = {key(r): (r.session_duration_minutes, r.avg_cost_per_kwh) for r in expected.collect()}
+    assert g == e
