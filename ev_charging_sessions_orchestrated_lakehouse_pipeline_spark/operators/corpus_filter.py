@@ -374,3 +374,97 @@ ORDER BY shared_shingles DESC, s1, s2
 
 
 ORACLE["source_overlap"] = _source_overlap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: predicted vs labeled language counts
+# plus per-cell share of the label's row count — the eval view of
+# the lang_id heuristic (operators/text.py). Composition: the
+# classifier projection is map-side; the matrix agg shuffles
+# (label, prediction) pairs — at most n_langs² groups.
+# ---------------------------------------------------------------------------
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q_lang_id
+
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
+    counts = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_label = W.partitionBy("lang")
+    return (
+        counts.withColumn(
+            "label_share",
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(per_label),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from .text import ORACLE as TEXT_ORACLE
+
+    lang_id_body = TEXT_ORACLE["lang_id"].strip()
+    return f"""
+WITH pred AS (
+{lang_id_body}
+), counts AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_docs,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang)
+         AS label_share
+FROM counts
+ORDER BY lang, predicted_lang
+"""
+
+
+ORACLE["lang_confusion"] = _lang_confusion_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality summary: the corpus-curation dashboard — for
+# each source, how many docs pass each Gopher gate and overall.
+# Composition of q_gopher_rules; one tiny shuffle on source.
+# ---------------------------------------------------------------------------
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    gates = q_gopher_rules(spark, sf_dir)
+    joined = gates.join(docs, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pass_word_count").cast("long")).alias("n_pass_words"),
+            F.sum(F.col("pass_mean_word_len").cast("long")).alias("n_pass_len"),
+            F.sum(F.col("pass_alpha_ratio").cast("long")).alias("n_pass_alpha"),
+            F.sum(F.col("pass_stopwords").cast("long")).alias("n_pass_stop"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .withColumn(
+            "keep_rate", F.col("n_keep").cast("double") / F.col("n_docs")
+        )
+        .orderBy("source")
+    )
+
+
+def _source_quality_oracle() -> str:
+    gopher_body = ORACLE["gopher_rules"].strip()
+    return f"""
+WITH gates AS (
+{gopher_body}
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pass_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_words,
+       CAST(SUM(CASE WHEN pass_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+       CAST(SUM(CASE WHEN pass_alpha_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_alpha,
+       CAST(SUM(CASE WHEN pass_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+FROM gates JOIN documents USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE["source_quality"] = _source_quality_oracle()
