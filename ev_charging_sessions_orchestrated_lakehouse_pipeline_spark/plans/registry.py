@@ -80,6 +80,11 @@ def _build() -> None:
         "dedup_minhash_lsh",
         "multimodal_features",
         "multimodal_frames",
+        # rows-only (recall property test is its real evidence)
+        "similarity_lsh",
+        # second entry of the fingerprint family — one window slot is
+        # enough per family; the rolling variant stays locally oracled
+        "fingerprint_rolling",
     ]
     for name in demoted:
         if name in QUERIES:
