@@ -581,3 +581,36 @@ ORDER BY removed_vec_id
 
 
 ORACLE["semantic_dedup"] = _semantic_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized Pandas-UDF cosine — the Python-tier twin of the
+# JVM fold in _dot. The JVM expression is the default hot path (no
+# serialization); this exists for pipelines whose scoring function
+# genuinely needs numpy/Python (learned rerankers, custom metrics),
+# and demonstrates the correct Python tier: Arrow-batched columnar
+# transfer + numpy vectorization, never row-at-a-time Python UDFs.
+# tests/test_llm_ops.py pins it equal to the JVM fold.
+# ---------------------------------------------------------------------------
+def cosine_pandas_udf(query_vec: list[float]):
+    """Returns a pandas_udf computing cosine(embedding, query_vec)
+    per row, vectorized over Arrow batches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    # no type hints: `from __future__ import annotations` turns them
+    # into strings that pandas_udf's hint resolver can't evaluate
+    # against the closure's local imports
+    @pandas_udf("double")
+    def _cos(emb):
+        m = np.stack(emb.to_numpy())  # (batch, dim) float32
+        m = m.astype(np.float64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return _cos

@@ -436,3 +436,48 @@ def test_source_overlap_symmetric_bounds(spark, sf_dir):
         assert (r.s1, r.s2) not in seen
         seen.add((r.s1, r.s2))
         assert r.shared_shingles <= min(per_source[r.s1], per_source[r.s2])
+
+
+def test_pandas_udf_cosine_matches_jvm_fold(spark, sf_dir):
+    """The Arrow-vectorized Pandas-UDF cosine must agree with the JVM
+    higher-order-fold cosine to float64 tolerance (numpy sums in a
+    different association order than the sequential fold, so exact
+    bit-equality is not the contract — 1e-9 relative is)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.similarity import (
+        _dot,
+        cosine_pandas_udf,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    qvec = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    jvm = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id") == 0).select(
+                    F.col("embedding").alias("qv")
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            (
+                _dot("embedding", "qv")
+                / (
+                    F.sqrt(_dot("embedding", "embedding"))
+                    * F.sqrt(_dot("qv", "qv"))
+                )
+            ).alias("cos_jvm"),
+        )
+    )
+    udf_cos = cosine_pandas_udf([float(x) for x in qvec])
+    py = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", udf_cos("embedding").alias("cos_py")
+    )
+    joined = {r.vec_id: (r.cos_jvm,) for r in jvm.collect()}
+    for r in py.collect():
+        (cj,) = joined[r.vec_id]
+        assert abs(r.cos_py - cj) <= 1e-9 * max(1.0, abs(cj)), r.vec_id
