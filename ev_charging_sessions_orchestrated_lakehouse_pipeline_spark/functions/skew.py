@@ -48,3 +48,37 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[merge.alias(name) for name, (_, merge) in aggs.items()]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof shuffled equi-join by dim replication.
+
+    For the case AQE can't fix and broadcast can't reach: the dim
+    side is too large to broadcast, the fact side is skewed on the
+    join key, and the join must shuffle (shuffled-hash/sort-merge —
+    e.g. under static planning or in Structured Streaming where AQE
+    is unavailable). Each dim row is replicated across ``n_salts``
+    salt values; fact rows take a deterministic salt from
+    ``salt_on`` (a row-distinguishing fact column, same contract as
+    :func:`salted_agg`), so a hot key's rows spread over ``n_salts``
+    shuffle partitions instead of one straggler task. Join result is
+    EXACTLY the plain inner join — the dim side carries every salt
+    value, so no pair is lost or duplicated.
+
+    Cost: the dim shuffle volume multiplies by ``n_salts`` — worth
+    it only when the hot key dominates task time; keep n_salts small
+    (4-16).
+    """
+    replicated = dim.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    salted_fact = fact.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
+    )
+    return salted_fact.join(replicated, on=[key, _SALT], how="inner").drop(_SALT)

@@ -2434,3 +2434,37 @@ FROM counts, total
 WHERE n > total * {FREQ_SUPPORT}
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Salted shuffled join (functions/skew.salted_join): dim replicated
+# across salts, fact salted on a row-distinguishing column — the
+# skew recipe for joins that must shuffle (no AQE, dim too big to
+# broadcast). The oracle is the PLAIN join: salting must be
+# invisible in the result.
+# ---------------------------------------------------------------------------
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, orders, key="l_orderkey", salt_on="l_linenumber")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["skew_salted_join"] = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

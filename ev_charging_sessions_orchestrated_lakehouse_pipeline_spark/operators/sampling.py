@@ -351,3 +351,62 @@ FROM documents
 ORDER BY order_key, doc_id
 LIMIT {_ORDER_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture planning: the multilingual/multi-source
+# sampling recipe — target share ∝ tokens^(1/τ) with τ=2 (sqrt)
+# flattens the natural distribution so small sources aren't drowned.
+# epochs_needed = target_share / natural_share is how many passes
+# over a source one training run makes under the reweighted mixture.
+# Engine parity: the sqrt weights are floored to integer milli-units
+# before summing (IEEE sqrt is correctly rounded -> identical
+# doubles; integer sums are order-independent), the shares divide
+# those exact integers.
+# ---------------------------------------------------------------------------
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.expr("size(split(text, ' '))")).alias("n_tokens")
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000).cast("long")
+    weighted = per_source.select("source", "n_tokens", w.alias("w_e3"))
+    totals = weighted.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("w_e3").alias("total_w")
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    tgt = F.col("w_e3").cast("double") / F.col("total_w")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            nat.alias("natural_share"),
+            tgt.alias("target_share"),
+            (tgt / nat).alias("epochs_needed"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["mixture_epochs"] = """
+WITH per_source AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w_e3
+  FROM per_source
+), totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(w_e3) AS BIGINT) AS total_w
+  FROM weighted
+)
+SELECT source, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS natural_share,
+       CAST(w_e3 AS DOUBLE) / total_w AS target_share,
+       (CAST(w_e3 AS DOUBLE) / total_w)
+         / (CAST(n_tokens AS DOUBLE) / total_tokens) AS epochs_needed
+FROM weighted, totals
+ORDER BY source
+"""

@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "dq_profile",
     # 1-row total + 1-row freqItems sketch output broadcast into the check
     "frequent_items_bounds",
+    # 1-row corpus-totals aggregate broadcast into the share projection
+    "mixture_epochs",
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk",
