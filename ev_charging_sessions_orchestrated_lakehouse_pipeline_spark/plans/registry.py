@@ -85,6 +85,9 @@ def _build() -> None:
         # second entry of the fingerprint family — one window slot is
         # enough per family; the rolling variant stays locally oracled
         "fingerprint_rolling",
+        # proven transitively: minhash_calibration (in-window) joins
+        # these signatures into its oracled output
+        "dedup_minhash_signatures",
     ]
     for name in demoted:
         if name in QUERIES:
