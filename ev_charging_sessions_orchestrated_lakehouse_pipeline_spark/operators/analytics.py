@@ -2483,3 +2483,47 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide measure columns -> long (measure, value) rows
+# via stack() — the inverse of q_pivot_status, completing the
+# reshape pair. Map-side expansion (no shuffle for the melt itself);
+# the rollup after it is one combinable agg.
+# ---------------------------------------------------------------------------
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (measure, value)"
+        ),
+    )
+    return (
+        melted.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+ORACLE["unpivot_measures"] = f"""
+WITH melted AS (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure, COUNT(*) AS n,
+       {dsum_sql('value')} AS total,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM melted
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
