@@ -2527,3 +2527,42 @@ FROM melted
 GROUP BY l_returnflag, measure
 ORDER BY l_returnflag, measure
 """
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of: each purchase matched to the user's NEXT click (the
+# mirror of q_asof_last_purchase's backward lookup) via a FOLLOWING-
+# frame conditional min — still one shuffle on user_id, no range-join
+# explosion, and the frame direction is the only change.
+# ---------------------------------------------------------------------------
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    next_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("next_click_ts", next_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "next_click_ts")
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE["asof_next_click"] = """
+SELECT user_id, event_id, ts, next_click_ts
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_click_ts
+  FROM events
+)
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
