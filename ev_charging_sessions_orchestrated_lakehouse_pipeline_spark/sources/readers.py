@@ -50,13 +50,15 @@ def read_parquet_table(
 def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table (TESTDATA.md).
 
-    ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS), which
-    the vectorized Parquet reader rejects; we read nanos as long
-    (legacy conf, runtime-settable) and truncate to microseconds with
-    integer division — exactly what DuckDB does when it narrows ns to
-    its native us timestamps, so oracle comparisons agree. Plain
-    ``/ 1000`` would round-trip through double and lose precision on
-    ~1e18 nano values; ``div`` stays in long arithmetic.
+    ``events.parquet`` has shipped ``ts`` in two physical layouts
+    across driver generations: INT64 TIMESTAMP(NANOS) (which the
+    vectorized Parquet reader rejects — read nanos as long via the
+    legacy conf and truncate to microseconds with integer ``div``,
+    exactly DuckDB's ns→us narrowing, so oracle comparisons agree)
+    and plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ). Both are
+    normalized to session-zone TIMESTAMP under UTC so downstream
+    ``unix_timestamp``/``hour`` arithmetic and oracle hashing see
+    identical values either way.
     """
     # Self-defend when running under a caller-provided session (the
     # driver's): timestamp semantics must be UTC + non-ANSI for
@@ -68,7 +70,10 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
