@@ -131,13 +131,31 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# Feature-extraction query (mapInPandas path; rows-only check — the
-# Python batch boundary has no SQL twin, exact values are pinned by
-# tests/test_multimodal.py instead).
+# Feature-extraction query (mapInPandas path). Fully oracled: the fake
+# decoder's features are pure functions of the md5 payload bytes, which
+# DuckDB can reconstruct from hex substrings — so even the Python batch
+# boundary gets a value-exact SQL twin (mean_byte divides by 16, a
+# power of two, so the double is bit-exact on both engines).
 # ---------------------------------------------------------------------------
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(_docs(spark, sf_dir))
     return extract_media_features(media, fake=True)
+
+
+ORACLE["multimodal_features"] = """
+WITH bytes AS (
+  SELECT doc_id, md5(text) AS h, unnest(generate_series(1, 16)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS n_bytes,
+       AVG(CAST(('0x' || substr(h, 2*i - 1, 2)) AS INT)) AS mean_byte,
+       CAST(MAX(CAST(('0x' || substr(h, 2*i - 1, 2)) AS INT)) AS INT) AS max_byte,
+       CAST(CAST(('0x' || substr(h, 1, 2)) AS INT) % 64 + 1 AS INT) AS width,
+       CAST(CAST(('0x' || substr(h, 3, 2)) AS INT) % 64 + 1 AS INT) AS height
+FROM bytes
+GROUP BY doc_id, h
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -179,5 +197,30 @@ def sample_frames(media: DataFrame, stride: int = 2, fake: bool = True) -> DataF
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered projection of :func:`sample_frames`: the binary
+    ``frame`` column is hex-encoded for the comparator (binary
+    round-trips through Arrow as bytearray vs bytes across engines —
+    hex sidesteps the representation mismatch without weakening the
+    check: the hex string pins every payload byte). Fully oracled —
+    the fake 4-byte frames are md5 substrings DuckDB can recompute."""
     media = synthesize_media(_docs(spark, sf_dir))
-    return sample_frames(media, stride=2, fake=True)
+    frames = sample_frames(media, stride=2, fake=True)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex"), "frame_mean"
+    )
+
+
+ORACLE["multimodal_frames"] = """
+WITH f AS (
+  SELECT doc_id, md5(text) AS h, unnest([0, 2]) AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       upper(substr(h, frame_idx*8 + 1, 8)) AS frame_hex,
+       (CAST(('0x' || substr(h, frame_idx*8 + 1, 2)) AS INT)
+      + CAST(('0x' || substr(h, frame_idx*8 + 3, 2)) AS INT)
+      + CAST(('0x' || substr(h, frame_idx*8 + 5, 2)) AS INT)
+      + CAST(('0x' || substr(h, frame_idx*8 + 7, 2)) AS INT)) / 4.0 AS frame_mean
+FROM f
+"""
