@@ -147,16 +147,41 @@ def kmeans(
     return assign_clusters(emb, centroids), centroids, max_iter
 
 
-def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster sizes of the converged k-means fit (rows-only check:
-    the fit is iterative/model-carrying — not SQL-expressible; its
-    determinism and convergence are pinned by property tests)."""
-    from ..sources.readers import read_fixture
-
-    emb = read_fixture(spark, sf_dir, "embeddings")
-    assigned, _, _ = kmeans(emb)
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """Per-cluster membership counts of a fitted assignment."""
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster")
     )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant audit of the converged k-means fit. The fit itself is
+    iterative/model-carrying — no SQL engine can replay it — but its
+    CONTRACT is oracle-checkable (the approx_distinct treatment):
+    every point assigned exactly once (n_points matches the table
+    count computed engine-independently), cluster ids within [0, k),
+    iteration count within budget. The data-dependent details
+    (per-cluster sizes, bit-exact determinism across partition
+    layouts, fixpoint convergence) are pinned by
+    tests/test_clustering.py property tests."""
+    from ..sources.readers import read_fixture
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    assigned, _, iters = kmeans(emb)
+    return cluster_sizes(assigned).agg(
+        F.sum("n_members").cast("bigint").alias("n_points"),
+        F.lit(K).cast("int").alias("k"),
+        ((F.min("cluster") >= 0) & (F.max("cluster") < K)).alias("ids_in_range"),
+        F.lit(iters <= MAX_ITER).alias("iters_within_budget"),
+    )
+
+
+ORACLE["kmeans_clusters"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(8 AS INT) AS k,
+       TRUE AS ids_in_range,
+       TRUE AS iters_within_budget
+FROM embeddings
+"""

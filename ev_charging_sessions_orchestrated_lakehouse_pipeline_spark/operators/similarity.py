@@ -360,6 +360,59 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_sql(plane: int) -> str:
+    """DuckDB twin of :func:`_plane_weights`: regenerates the literal
+    hyperplane from md5('p{plane}|{d}') — the same driver-side recipe,
+    so the oracle derives identical weights without embedding 1024
+    literals in the SQL string."""
+    return (
+        "list_transform(range(0, 64), d -> "
+        f"CAST(CAST(('0x' || substr(md5('p{plane}|' || CAST(d AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 2001 - 1000 AS DOUBLE))"
+    )
+
+
+def _band_val_sql(band: int) -> str:
+    terms = []
+    for r in range(LSH_PLANES_PER_BAND):
+        plane = band * LSH_PLANES_PER_BAND + r
+        terms.append(
+            f"(CASE WHEN {_dot_sql('embedding', _plane_sql(plane))} >= 0 "
+            f"THEN {2 ** plane} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLE["similarity_lsh"] = f"""
+WITH banded AS (
+  SELECT vec_id, embedding,
+         unnest([0, 1, 2, 3]) AS band_id,
+         unnest([{_band_val_sql(0)},
+                 {_band_val_sql(1)},
+                 {_band_val_sql(2)},
+                 {_band_val_sql(3)}]) AS band_val
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         band_id AS q_band_id, band_val AS q_band_val
+  FROM banded WHERE vec_id < 5
+), pairs AS (
+  SELECT DISTINCT b.vec_id AS vec_id, q.query_id AS query_id,
+                  b.embedding AS embedding, q.qv AS qv
+  FROM banded b
+  JOIN q ON b.band_id = q.q_band_id AND b.band_val = q.q_band_val
+  WHERE b.vec_id <> q.query_id
+), scored AS (
+  SELECT query_id, vec_id,
+         {_dot_sql('embedding', 'qv')} /
+         (sqrt({_dot_sql('embedding', 'embedding')}) *
+          sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine FROM scored WHERE cosine >= {COSINE_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-group centroids: dimension-wise mean vector per label — the
 # k-means "M step" / IVF codebook-training primitive. posexplode

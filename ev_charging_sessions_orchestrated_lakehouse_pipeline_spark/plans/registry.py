@@ -86,8 +86,9 @@ def _build() -> None:
         # second entry of the frame family — one window slot per
         # family; stays locally oracle-tested (full value parity)
         "multimodal_frames",
-        # rows-only (recall property test is its real evidence)
-        "similarity_lsh",
+        # aggregation of lang_id's per-doc output (in-window, strictly
+        # more granular) — the confusion matrix stays locally oracled
+        "lang_confusion",
         # second entry of the fingerprint family — one window slot is
         # enough per family; the rolling variant stays locally oracled
         "fingerprint_rolling",
