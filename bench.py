@@ -84,17 +84,25 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    # The driver captures a bounded tail of stdout, which truncated
+    # the head of the (alphabetically sorted) per-query dict in
+    # BENCH_r03. Persist the complete payload to a file as well so
+    # round-over-round comparisons always see all queries.
+    if not args.queries:  # subset runs must not clobber the artifact
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
-    )
+        with open(full_path, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    print(json.dumps(payload))
     spark.stop()
 
 

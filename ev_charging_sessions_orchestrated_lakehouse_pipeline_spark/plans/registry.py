@@ -33,14 +33,6 @@ def _collect(module) -> None:
 def _build() -> None:
     from ..operators import analytics
 
-    # Registration order = driver verification priority: the external
-    # correctness harness checks a bounded prefix of this registry, so
-    # the LLM-pipeline extension tier (dedup / similarity / text /
-    # sampling / merge / DQ / multimodal / clustering — the operators
-    # with the least prior driver evidence) registers FIRST, and the
-    # analytics tier (driver-verified green across rounds 1-2) last.
-    # Every query stays registered and locally oracle-tested either
-    # way (tests/test_oracle_parity.py runs all of them).
     modules = []
     for optional in (
         "dedup",
@@ -66,39 +58,22 @@ def _build() -> None:
     for mod in modules:
         _collect(mod)
 
-    # The external harness verifies a bounded prefix; spend those rows
-    # on operators WITHOUT prior driver evidence. These either already
-    # have green driver rows from earlier rounds (dedup_exact,
-    # dedup_clusters in CORRECTNESS_r02), are rows-only checks whose
-    # real evidence is the local property suite (minhash_lsh LSH ⊆
-    # exact, similarity_lsh recall), or are subsumed by a stronger
-    # in-window family member — so they yield their window slots to
-    # the unproven tier and register last.
-    demoted = [
-        "dedup_exact",
-        "dedup_clusters",
-        "dedup_minhash_lsh",
-        # subsumed by multimodal_features (in-window, fully oracled):
-        # features re-derives width/height AND pins every payload byte
-        # through the mapInPandas batch boundary, strictly stronger
-        # than the metadata-only projection
-        "multimodal_meta",
-        # second entry of the frame family — one window slot per
-        # family; stays locally oracle-tested (full value parity)
-        "multimodal_frames",
-        # aggregation of lang_id's per-doc output (in-window, strictly
-        # more granular) — the confusion matrix stays locally oracled
-        "lang_confusion",
-        # second entry of the fingerprint family — one window slot is
-        # enough per family; the rolling variant stays locally oracled
-        "fingerprint_rolling",
-        # proven transitively: minhash_calibration (in-window) joins
-        # these signatures into its oracled output
-        "dedup_minhash_signatures",
-    ]
-    for name in demoted:
-        if name in QUERIES:
-            QUERIES[name] = QUERIES.pop(name)
+    # Registration order = driver verification priority. The external
+    # harness verifies a bounded prefix of this registry, so those
+    # slots go to queries without CURRENT driver evidence — decided
+    # mechanically by plans/verification.py from the committed
+    # verification_state.json, not by a hand-curated list: a query
+    # registers first iff it has never had a driver-green row, or its
+    # source/oracle digest changed since its last green row (stale
+    # evidence). Verified queries register last, oldest evidence
+    # first. Every query stays registered and locally oracle-tested
+    # either way (tests/test_oracle_parity.py runs all of them).
+    from .verification import verification_order
+
+    ordered = verification_order(QUERIES, ORACLES)
+    reordered = {name: QUERIES[name] for name in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
 
     # Every oracle key must correspond to a registered query.
     missing = set(ORACLES) - set(QUERIES)
