@@ -27,16 +27,49 @@ from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry i
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Session-conf contract: every callable returned by ``queries()`` (and
+# ``entry``) pins these two confs on the session it is handed, and
+# deliberately LEAVES them set. They govern execution-time semantics
+# (timestamp rendering under UTC, non-ANSI cast behavior) that the
+# DuckDB oracle comparison depends on — and because DataFrame
+# execution is lazy, restoring them before the driver collects the
+# result would silently change the values it hashes. Nothing else in
+# the package mutates caller-session confs (fixture reads save/
+# restore the one read-time conf they need; see
+# sources/readers.py:read_fixture).
+_EXECUTION_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def _pin_execution_confs(spark: SparkSession) -> None:
+    for k, v in _EXECUTION_CONFS.items():
+        spark.conf.set(k, v)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    qs = get_queries()
+    qs = queries()
     return qs["pricing_summary"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return get_queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable pins the documented execution confs (module
+    docstring above) before delegating to the registry."""
+
+    def _wrap(fn):
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_execution_confs(spark)
+            return fn(spark, sf_dir)
+
+        pinned.__name__ = getattr(fn, "__name__", "query")
+        pinned.__doc__ = fn.__doc__
+        return pinned
+
+    return {name: _wrap(fn) for name, fn in get_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -59,15 +59,31 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized to session-zone TIMESTAMP under UTC so downstream
     ``unix_timestamp``/``hour`` arithmetic and oracle hashing see
     identical values either way.
+
+    This function leaves every session conf exactly as it found it
+    (tests/test_sources_extra.py asserts this): ``nanosAsLong`` is
+    needed only while the Parquet footer's schema is resolved — read
+    scheduling bakes the resolved schema into the plan, so restoring
+    the conf before execution is safe — and it is save/restored
+    around the eager ``spark.read`` call. Session-zone/ANSI pinning
+    is NOT done here: execution is lazy, so those confs must hold
+    when the caller *executes* the plan, long after this returns.
+    Sessions from :func:`..session.get_spark` pin them at build
+    time; the driver-contract adapter (``__spark_entry__.py``) pins
+    them per call as a documented contract.
     """
-    # Self-defend when running under a caller-provided session (the
-    # driver's): timestamp semantics must be UTC + non-ANSI for
-    # oracle parity regardless of who built the session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            # eager: the footer schema is resolved in this call
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         from pyspark.sql import functions as F
 
         ts_type = dict(df.dtypes)["ts"]

@@ -125,3 +125,54 @@ def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_orderkey" in read_schema and "o_custkey" not in read_schema
+
+
+def test_read_fixture_leaves_session_confs_untouched(spark, sf_dir):
+    """read_fixture must not leak conf changes into a caller-owned
+    session (round-3 VERDICT item 4). The nanosAsLong read conf is
+    save/restored; timeZone/ANSI pinning belongs to the session
+    factory and the __spark_entry__ contract, not the fixture reader."""
+    keys = [
+        "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    for name in ("events", "lineitem", "documents"):
+        df = read_fixture(spark, sf_dir, name)
+        df.limit(1).collect()  # execute too — lazy paths must also be clean
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert before == after
+
+
+def test_read_fixture_normalizes_both_ts_parquet_layouts(spark, tmp_path):
+    """Driver fixture generations have shipped events.ts as INT64
+    TIMESTAMP(NANOS) and as native TIMESTAMP(MICROS); both must read
+    to identical session-zone timestamps (ns truncated to us, exactly
+    DuckDB's narrowing). Writes both layouts with pyarrow so the
+    nanos dispatch branch stays exercised even when the shipped
+    fixtures are micros (ADVICE r3)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    wall = pd.to_datetime(
+        ["2024-01-01T12:34:56.789123456", "2024-06-30T23:59:59.000000999"]
+    )
+    ids = pa.array([1, 2], pa.int64())
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        vals = wall if unit == "ns" else wall.floor("us")
+        pq.write_table(
+            pa.table({"event_id": ids, "ts": pa.array(vals, pa.timestamp(unit))}),
+            str(d / "events.parquet"),
+        )
+    got = {}
+    for unit in ("ns", "us"):
+        df = read_fixture(spark, str(tmp_path / unit), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got[unit] = sorted((r.event_id, r.ts) for r in df.collect())
+    assert got["ns"] == got["us"]
+    # micros truncation, not rounding: ...789123456 ns -> ...789123 us
+    assert got["ns"][0][1].microsecond == 789123
