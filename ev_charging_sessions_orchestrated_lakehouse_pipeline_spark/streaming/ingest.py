@@ -28,14 +28,33 @@ def silver_stream(
     checkpoint: str,
     schema=None,
     max_files_per_trigger: int = 16,
+    fault_injector=None,
 ) -> StreamingQuery:
     """CSV file-source stream -> silver/quarantine sinks via
-    foreachBatch (exactly-once per epoch thanks to the checkpoint +
-    idempotent dynamic partition overwrite)."""
+    foreachBatch.
+
+    Exactly-once across crashes: foreachBatch alone is at-least-once
+    (a crash after the sink write but before the epoch commit replays
+    the epoch), so the sink must make replay idempotent. A plain
+    ``mode("append")`` write is NOT — a replayed epoch would append
+    its rows twice. Each batch therefore lands via dynamic partition
+    overwrite keyed by (event_date, ``_epoch`` = the foreachBatch
+    epoch id): a replayed epoch rewrites exactly the partitions its
+    first attempt wrote (the file-source offset log pins the same
+    input files to the epoch, so the partition set is deterministic),
+    and distinct epochs can never clobber each other even when they
+    share an event_date. Crash-and-restart behavior is pinned by
+    tests/test_streaming.py::test_silver_stream_kill_and_restart_exactly_once.
+
+    ``fault_injector``: optional ``(epoch_id) -> None`` called after
+    the sink writes but before the epoch commits — the test seam for
+    simulating a mid-batch crash at the worst possible point. Raising
+    from it fails the query with the epoch uncommitted.
+    """
     from ..operators.silver import clean_sessions, silver_row_rules
     from ..operators.quality import annotate_rows, split_good_bad
     from ..schemas import EV_BRONZE_SCHEMA
-    from ..sources.writers import write_partitioned_parquet
+    from ..sources.writers import overwrite_partitions
 
     bronze = (
         spark.readStream.option("header", True)
@@ -48,8 +67,15 @@ def silver_stream(
         silver = clean_sessions(batch_df)
         annotated = annotate_rows(silver, silver_row_rules())
         good, bad = split_good_bad(annotated)
-        write_partitioned_parquet(good, silver_path, ["event_date"], mode="append")
-        write_partitioned_parquet(bad, quarantine_path, ["event_date"], mode="append")
+        epoch = F.lit(epoch_id).cast("bigint")
+        overwrite_partitions(
+            good.withColumn("_epoch", epoch), silver_path, ["event_date", "_epoch"]
+        )
+        overwrite_partitions(
+            bad.withColumn("_epoch", epoch), quarantine_path, ["event_date", "_epoch"]
+        )
+        if fault_injector is not None:
+            fault_injector(epoch_id)
 
     return (
         bronze.writeStream.foreachBatch(process_batch)

@@ -302,3 +302,72 @@ def test_gold_stream_matches_batch_gold(spark, tmp_path):
     g = {key(r): (r.session_duration_minutes, r.avg_cost_per_kwh) for r in got.collect()}
     e = {key(r): (r.session_duration_minutes, r.avg_cost_per_kwh) for r in expected.collect()}
     assert g == e
+
+
+def test_silver_stream_kill_and_restart_exactly_once(spark, tmp_path):
+    """Kill the silver stream AFTER a batch's sink writes but BEFORE
+    its epoch commit (the worst-case crash point for foreachBatch),
+    restart it, and assert the final silver/quarantine state has no
+    duplicated and no lost rows (round-3 VERDICT item 8).
+
+    The input CSV is split into 3 files processed one per epoch:
+    epoch 0 commits cleanly, the injected fault crashes the query at
+    the post-write/pre-commit point of epoch 1, and the restart must
+    replay epoch 1 idempotently (its partitions get rewritten, not
+    re-appended) then process epoch 2."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    lines = open(SAMPLE_CSV).read().splitlines()
+    header, rows = lines[0], lines[1:]
+    assert len(rows) == 3395
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i, chunk in enumerate((rows[:1200], rows[1200:2400], rows[2400:])):
+        (indir / f"part{i}.csv").write_text("\n".join([header, *chunk]) + "\n")
+
+    silver_path = str(tmp_path / "silver")
+    quarantine_path = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    state = {"epochs_seen": []}
+
+    def crash_after_write_of_second_epoch(epoch_id: int) -> None:
+        state["epochs_seen"].append(epoch_id)
+        if len(state["epochs_seen"]) == 2:
+            raise RuntimeError("injected crash: writes done, epoch uncommitted")
+
+    q = silver_stream(
+        spark,
+        str(indir),
+        silver_path,
+        quarantine_path,
+        ckpt,
+        max_files_per_trigger=1,
+        fault_injector=crash_after_write_of_second_epoch,
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    assert len(state["epochs_seen"]) == 2  # crash really was mid-stream
+
+    # Restart against the same checkpoint, no fault: the uncommitted
+    # epoch replays (idempotently), the remaining file then processes.
+    q2 = silver_stream(
+        spark,
+        str(indir),
+        silver_path,
+        quarantine_path,
+        ckpt,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+
+    good = spark.read.parquet(silver_path)
+    bad = spark.read.parquet(quarantine_path)
+    # exactly-once: golden split totals, nothing lost, nothing doubled
+    assert good.count() == 2330
+    assert bad.count() == 1065
+    assert good.select("sessionId").distinct().count() == 2330
+    assert bad.select("sessionId").distinct().count() == 1065
+    # the replayed epoch's rows live under their epoch partition once
+    assert good.select("_epoch").distinct().count() >= 2
