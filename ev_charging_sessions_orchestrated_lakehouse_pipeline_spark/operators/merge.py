@@ -205,3 +205,66 @@ FROM changed a
 LEFT JOIN changed b ON a.user_id = b.user_id AND b.rn = a.rn + 1
 ORDER BY a.user_id, valid_from
 """
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID snapshot table + time travel over plain Parquet
+    (sources/snaptable.py) — the in-engine twin of the reference's
+    Iceberg v2 fact table (jobs/ev_sessions_gold_etl.py:69-75,
+    147-150: snapshot commits, overwritePartitions, format-version 2
+    time travel).
+
+    Builds a two-version table from ``orders`` (v1 = full table
+    partitioned by o_orderstatus; v2 = dynamic partition overwrite
+    replacing the 'F' partition with only its high-value rows), then
+    audits BOTH snapshots via time travel. The oracle replays the
+    visible row set of each version in SQL, so the manifest logic —
+    which files carry over, which are replaced — is what's being
+    hash-checked. The per-version aggregate is collected driver-side
+    (2 rows, bounded) because the table lives in a run-scoped temp
+    dir that must not outlive the call."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_tt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    st.overwrite_partitions(
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        ),
+        table,
+    )
+    rows = []
+    for v in (1, 2):
+        snap = st.read_snapshot(spark, table, version=v)
+        r = snap.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        ).collect()[0]
+        rows.append((v, r.n_orders, float(r.sum_totalprice)))
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_orders bigint, sum_totalprice double"
+    ).orderBy("version")
+
+
+ORACLE["snapshot_time_travel"] = f"""
+SELECT 1 AS version, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+UNION ALL
+SELECT 2, COUNT(*), {dsum_sql('o_totalprice')}
+FROM orders
+WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
+ORDER BY version
+"""

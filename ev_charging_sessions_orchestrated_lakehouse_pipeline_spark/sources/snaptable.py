@@ -1,0 +1,339 @@
+"""Snapshot table format: ACID-ish versioned tables over plain
+Parquet via atomic manifest commits — the in-engine equivalent of the
+reference's Iceberg v2 gold table (``jobs/ev_sessions_gold_etl.py:
+69-75,147-150``: snapshots, time travel, ``overwritePartitions``),
+built because neither Iceberg nor delta-spark is importable in this
+image (README "Delta Lake status").
+
+Log-structured design (the same shape as the Delta/Iceberg logs):
+
+```
+<table>/
+  _snapshots/v00000001.json   one manifest per committed version
+  data/<hive partition dirs>/part-*.parquet
+```
+
+- **Data files are immutable and written first** (Spark append into
+  the shared ``data/`` tree — part-file names embed task UUIDs, so
+  concurrent or crashed writes can never collide). A writer that dies
+  here leaves orphan files no manifest references: readers are
+  unaffected, :func:`vacuum` reclaims them.
+- **The manifest IS the commit.** It lists every data file (relative
+  path) visible in that version plus the operation, parent version,
+  schema, and partition columns. It is published with
+  write-temp → ``os.link`` → unlink, which is atomic on POSIX and
+  FAILS with ``FileExistsError`` if the version was concurrently
+  committed — optimistic concurrency, surfaced as
+  :class:`ConcurrentCommit` (caller re-reads and retries, the
+  Delta/Iceberg protocol).
+- **Readers never list directories for state**: they read the highest
+  committed manifest (or an explicit ``version=`` for time travel)
+  and scan exactly the files it names, with ``basePath`` set so the
+  Hive partition columns resolve identically for files from different
+  commits. Snapshot isolation falls out: a reader holding version N's
+  file list is immune to later commits, and VACUUM retains every file
+  any kept manifest references.
+
+At 100 TB the manifests stay tiny (file paths + counts, not data) and
+the read plan is exactly the same partition-pruned Parquet scan as a
+static table — Catalyst sees a normal file source; the format adds no
+per-row overhead anywhere. On a real object store the ``os.link``
+publish becomes a conditional PUT, which is precisely how Delta
+commits on S3 — the semantics here mirror that contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAPSHOT_DIR = "_snapshots"
+DATA_DIR = "data"
+
+
+class ConcurrentCommit(RuntimeError):
+    """Another writer published this version first; re-read and retry."""
+
+
+def _snap_dir(table: str) -> str:
+    return os.path.join(table, SNAPSHOT_DIR)
+
+
+def _data_dir(table: str) -> str:
+    return os.path.join(table, DATA_DIR)
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(_snap_dir(table), f"v{version:08d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    d = _snap_dir(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as fh:
+        return json.load(fh)
+
+
+def _list_data_files(table: str) -> set[str]:
+    """All parquet files under data/, as table-relative paths."""
+    root = _data_dir(table)
+    found = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                found.add(os.path.relpath(os.path.join(dirpath, f), table))
+    return found
+
+
+def _partition_values(rel_path: str, partition_cols: list[str]) -> dict:
+    """Hive partition values encoded in a file's directory path."""
+    vals = {}
+    for seg in rel_path.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_cols:
+                vals[k] = v
+    return vals
+
+
+def _publish(table: str, version: int, manifest: dict) -> None:
+    """Atomic, collision-detecting manifest publish (write-temp +
+    hard-link). A lost race raises :class:`ConcurrentCommit` and
+    leaves no partial state."""
+    os.makedirs(_snap_dir(table), exist_ok=True)
+    final = _manifest_path(table, version)
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommit(
+            f"version {version} of {table} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _write_data(df: DataFrame, table: str, partition_cols: list[str]) -> list[str]:
+    """Write a commit's data files into the shared data/ tree and
+    return the relative paths of exactly the files this write
+    produced (before/after listing diff — safe because part-file
+    names embed per-task UUIDs and files are immutable)."""
+    os.makedirs(_data_dir(table), exist_ok=True)
+    before = _list_data_files(table)
+    writer = df.write.mode("append").option("compression", "zstd")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(_data_dir(table))
+    return sorted(_list_data_files(table) - before)
+
+
+def _commit(
+    table: str,
+    operation: str,
+    files: list[str],
+    partition_cols: list[str],
+    schema_json: str,
+    parent: int | None,
+) -> int:
+    version = (parent or 0) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": operation,
+        "committed_at": time.time(),
+        "partition_cols": partition_cols,
+        "schema": schema_json,
+        "files": files,
+    }
+    _publish(table, version, manifest)
+    return version
+
+
+def current_version(table: str) -> int | None:
+    versions = _list_versions(table)
+    return versions[-1] if versions else None
+
+
+def create_table(
+    df: DataFrame, table: str, partition_cols: list[str] | None = None
+) -> int:
+    """Create version 1 of a new snapshot table from ``df``."""
+    partition_cols = partition_cols or []
+    if current_version(table) is not None:
+        raise ValueError(f"{table} already exists; use overwrite_table")
+    files = _write_data(df, table, partition_cols)
+    return _commit(
+        table, "create", files, partition_cols, df.schema.json(), current_version(table)
+    )
+
+
+def append(df: DataFrame, table: str) -> int:
+    """Append-only commit: previous snapshot's files plus the new ones."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist; use create_table")
+    prev = _read_manifest(table, head)
+    new = _write_data(df, table, prev["partition_cols"])
+    return _commit(
+        table,
+        "append",
+        sorted(prev["files"] + new),
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+    )
+
+
+def overwrite_table(df: DataFrame, table: str) -> int:
+    """Full-table replace: the new snapshot references only the new
+    files; history (and time travel to it) is preserved."""
+    head = current_version(table)
+    if head is None:
+        return create_table(df, table)
+    prev = _read_manifest(table, head)
+    new = _write_data(df, table, prev["partition_cols"])
+    return _commit(
+        table, "overwrite", new, prev["partition_cols"], df.schema.json(), head
+    )
+
+
+def overwrite_partitions(df: DataFrame, table: str) -> int:
+    """Dynamic partition overwrite — the reference's
+    ``writeTo(...).overwritePartitions()`` (gold_etl.py:156): only
+    partitions present in ``df`` are replaced; files of untouched
+    partitions carry over from the parent snapshot. Replaying the
+    same batch converges to the same visible state (the rerun
+    idempotency the reference relies on), with each replay a new
+    auditable version."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist; use create_table")
+    prev = _read_manifest(table, head)
+    pcols = prev["partition_cols"]
+    if not pcols:
+        raise ValueError(f"{table} is unpartitioned; use overwrite_table")
+    new = _write_data(df, table, pcols)
+    touched = {tuple(sorted(_partition_values(f, pcols).items())) for f in new}
+    kept = [
+        f
+        for f in prev["files"]
+        if tuple(sorted(_partition_values(f, pcols).items())) not in touched
+    ]
+    return _commit(
+        table, "overwrite_partitions", sorted(kept + new), pcols, prev["schema"], head
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (latest, or ``version=`` for time
+    travel). Plans exactly the manifest's file list — snapshot
+    isolation against concurrent commits, normal Catalyst partition
+    pruning / filter pushdown on top."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    manifest = _read_manifest(table, v)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table, f) for f in manifest["files"]]
+    return spark.read.option("basePath", _data_dir(table)).parquet(*paths)
+
+
+def history(table: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, operation, file and
+    partition counts, commit time — the DESCRIBE HISTORY surface."""
+    out = []
+    for v in _list_versions(table):
+        m = _read_manifest(table, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "committed_at": m["committed_at"],
+                "n_files": len(m["files"]),
+                "n_partitions": len(
+                    {
+                        tuple(sorted(_partition_values(f, m["partition_cols"]).items()))
+                        for f in m["files"]
+                    }
+                ),
+            }
+        )
+    return out
+
+
+def rollback(table: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION: publish a new head whose file
+    list duplicates ``version``'s. Nothing is rewritten or deleted —
+    the bad head stays in history (auditable) and time travel to it
+    still works until vacuumed."""
+    head = current_version(table)
+    if head is None or version not in _list_versions(table):
+        raise ValueError(f"version {version} of {table} does not exist")
+    target = _read_manifest(table, version)
+    return _commit(
+        table,
+        f"rollback_to_v{version}",
+        target["files"],
+        target["partition_cols"],
+        target["schema"],
+        head,
+    )
+
+
+def vacuum(table: str, retain_last: int = 0) -> dict:
+    """Reclaim space: delete data files referenced by NO retained
+    manifest (covers orphans from crashed writes) and, when
+    ``retain_last`` > 0, expire all but the last N manifests first
+    (bounding time travel, like Delta's retention window). Never
+    touches a file any kept manifest references. Returns counts."""
+    versions = _list_versions(table)
+    if not versions:
+        return {"expired_versions": 0, "deleted_files": 0}
+    expired = 0
+    if retain_last > 0 and len(versions) > retain_last:
+        for v in versions[:-retain_last]:
+            os.unlink(_manifest_path(table, v))
+            expired += 1
+        versions = versions[-retain_last:]
+    referenced: set[str] = set()
+    for v in versions:
+        referenced.update(_read_manifest(table, v)["files"])
+    deleted = 0
+    for f in _list_data_files(table) - referenced:
+        os.unlink(os.path.join(table, f))
+        deleted += 1
+    # prune now-empty partition dirs so listings stay clean
+    for dirpath, dirs, files in os.walk(_data_dir(table), topdown=False):
+        if not dirs and not files and dirpath != _data_dir(table):
+            os.rmdir(dirpath)
+    return {"expired_versions": expired, "deleted_files": deleted}
