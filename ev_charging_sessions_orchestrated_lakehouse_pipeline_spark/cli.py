@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--gold-prefix", default="gold/fact_ev_session")
     pg.add_argument("--event-date", default=None, help="YYYY-MM-DD partition re-run")
     pg.add_argument("--database", default=None, help="register fact table in this DB")
+    pg.add_argument(
+        "--table-format",
+        choices=["parquet", "snapshot"],
+        default="parquet",
+        help="gold sink: dynamic-overwrite parquet, or the versioned "
+        "snapshot table format (time travel per run)",
+    )
 
     args = p.parse_args(argv)
 
@@ -76,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
                 gold_path=f"{args.lake}/{args.gold_prefix}",
                 event_date=args.event_date,
                 database=args.database,
+                table_format=args.table_format,
             )
             print(json.dumps({"rows_written": n}))
     finally:

@@ -63,12 +63,27 @@ def run_gold(
     event_date: str | None = None,
     database: str | None = None,
     table: str = "fact_ev_session",
+    table_format: str = "parquet",
 ) -> int:
     """End-to-end gold job (reference :83-160): projected silver scan
     (column pruning) -> optional partition-pruned date filter ->
     derived metrics -> dynamic partition overwrite. Returns rows
-    written (0 = early exit on empty input, reference C6)."""
+    written (0 = early exit on empty input, reference C6).
+
+    ``table_format="snapshot"`` lands the same batch as a versioned
+    commit on the manifest-log table format (sources/snaptable.py) —
+    the rerun stays idempotent in visible state AND every run becomes
+    an auditable, time-travelable snapshot, which is the actual
+    Iceberg-v2 semantics of the reference's fact table
+    (gold_etl.py:147-150). Catalog registration (``database``) applies
+    to the parquet path only: a Hive table over the snapshot data tree
+    would see every version's files at once."""
     from ..sources.writers import overwrite_partitions
+
+    if table_format not in ("parquet", "snapshot"):
+        raise ValueError(f"unknown table_format {table_format!r}")
+    if table_format == "snapshot" and database:
+        raise ValueError("catalog registration requires table_format='parquet'")
 
     df = spark.read.parquet(silver_path).select(*EV_GOLD_SELECT_COLS)
     if event_date:
@@ -79,6 +94,14 @@ def run_gold(
         return 0
 
     df_gold = build_gold(df)
+    if table_format == "snapshot":
+        from ..sources import snaptable
+
+        if snaptable.current_version(gold_path) is None:
+            snaptable.create_table(df_gold, gold_path, ["event_date"])
+        else:
+            snaptable.overwrite_partitions(df_gold, gold_path)
+        return row_count
     overwrite_partitions(df_gold, gold_path, ["event_date"])
 
     if database:

@@ -154,6 +154,7 @@ def _commit(
     partition_cols: list[str],
     schema_json: str,
     parent: int | None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     version = (parent or 0) + 1
     manifest = {
@@ -165,8 +166,26 @@ def _commit(
         "schema": schema_json,
         "files": files,
     }
+    if txn is not None:
+        manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
     _publish(table, version, manifest)
     return version
+
+
+def txn_epoch(table: str, app_id: str) -> int | None:
+    """Highest epoch this writer (``app_id``) has durably committed —
+    the Delta-style idempotent-writer handshake. A streaming epoch
+    whose id is <= this value already landed in some version; the
+    replaying writer must skip it instead of double-applying (see
+    :func:`..streaming.ingest.gold_stream_snapshot`). Scans committed
+    manifests only, so an epoch whose data files were written but
+    whose publish never happened correctly reports as NOT committed."""
+    best: int | None = None
+    for v in _list_versions(table):
+        t = _read_manifest(table, v).get("txn")
+        if t and t["app_id"] == app_id and (best is None or t["epoch"] > best):
+            best = t["epoch"]
+    return best
 
 
 def current_version(table: str) -> int | None:
@@ -175,7 +194,10 @@ def current_version(table: str) -> int | None:
 
 
 def create_table(
-    df: DataFrame, table: str, partition_cols: list[str] | None = None
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Create version 1 of a new snapshot table from ``df``."""
     partition_cols = partition_cols or []
@@ -183,11 +205,17 @@ def create_table(
         raise ValueError(f"{table} already exists; use overwrite_table")
     files = _write_data(df, table, partition_cols)
     return _commit(
-        table, "create", files, partition_cols, df.schema.json(), current_version(table)
+        table,
+        "create",
+        files,
+        partition_cols,
+        df.schema.json(),
+        current_version(table),
+        txn=txn,
     )
 
 
-def append(df: DataFrame, table: str) -> int:
+def append(df: DataFrame, table: str, txn: tuple[str, int] | None = None) -> int:
     """Append-only commit: previous snapshot's files plus the new ones."""
     head = current_version(table)
     if head is None:
@@ -201,6 +229,7 @@ def append(df: DataFrame, table: str) -> int:
         prev["partition_cols"],
         prev["schema"],
         head,
+        txn=txn,
     )
 
 
@@ -217,7 +246,9 @@ def overwrite_table(df: DataFrame, table: str) -> int:
     )
 
 
-def overwrite_partitions(df: DataFrame, table: str) -> int:
+def overwrite_partitions(
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+) -> int:
     """Dynamic partition overwrite — the reference's
     ``writeTo(...).overwritePartitions()`` (gold_etl.py:156): only
     partitions present in ``df`` are replaced; files of untouched
@@ -240,7 +271,13 @@ def overwrite_partitions(df: DataFrame, table: str) -> int:
         if tuple(sorted(_partition_values(f, pcols).items())) not in touched
     ]
     return _commit(
-        table, "overwrite_partitions", sorted(kept + new), pcols, prev["schema"], head
+        table,
+        "overwrite_partitions",
+        sorted(kept + new),
+        pcols,
+        prev["schema"],
+        head,
+        txn=txn,
     )
 
 
@@ -308,6 +345,102 @@ def rollback(table: str, version: int) -> int:
         target["schema"],
         head,
     )
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    files_per_partition: int = 1,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE [ZORDER BY] as a metadata commit — the snapshot-native
+    replacement for the rename-swap dance in
+    ``writers.compact_dataset`` (whose docstring already names this
+    design as the real lakehouse mechanism). Rewrites the current
+    snapshot into ``files_per_partition`` files per partition
+    (``cluster_by`` sorts within files so Parquet min/max stats turn
+    selective), verifies the rewrite's row count against the live
+    snapshot BEFORE publishing, then commits a version that references
+    only the compacted files. Readers never see an intermediate state,
+    time travel to pre-compaction versions keeps working, and a crash
+    at any point leaves only unreferenced files for :func:`vacuum`."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    pcols = prev["partition_cols"]
+    df = read_snapshot(spark, table)
+    n_before = df.count()
+    if pcols:
+        out = df.repartition(files_per_partition, *pcols)
+    else:
+        out = df.coalesce(files_per_partition)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    new = _write_data(out, table, pcols)
+    new_paths = [os.path.join(table, f) for f in new]
+    n_after = (
+        spark.read.option("basePath", _data_dir(table)).parquet(*new_paths).count()
+        if new_paths
+        else 0
+    )
+    if n_after != n_before:
+        for f in new:  # abort: reclaim immediately, nothing was published
+            os.unlink(os.path.join(table, f))
+        raise RuntimeError(
+            f"optimize row-count mismatch on {table}: {n_after} != {n_before}"
+        )
+    return _commit(table, "optimize", sorted(new), pcols, prev["schema"], head)
+
+
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    broadcast_source: bool = False,
+) -> int:
+    """MERGE INTO the snapshot table (upsert + optional delete,
+    semantics of ``operators.merge.merge_upsert``), committed as a new
+    version.
+
+    Scale path: when the table is partitioned and the source carries
+    the partition columns, only the partitions PRESENT IN THE SOURCE
+    are read, merged, and rewritten — the target's partition filter
+    prunes the scan to those files and every untouched partition's
+    files carry over by reference (the Delta file-rewrite
+    optimization). This requires merge keys to be partition-stable: a
+    key whose partition value changed in the source would leave its
+    old row behind in the unread partition (the same caveat real
+    table formats document). Unpartitioned tables (or sources without
+    the partition columns) fall back to a full-table merge commit."""
+    from ..operators.merge import merge_upsert
+
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    pcols = _read_manifest(table, head)["partition_cols"]
+    target = read_snapshot(spark, table)
+    pruned = pcols and all(c in source.columns for c in pcols)
+    if pruned:
+        touched = [
+            tuple(r) for r in source.select(*pcols).distinct().collect()
+        ]  # bounded: one row per partition in the batch
+        if not touched:
+            return head  # empty source: nothing to merge, nothing to commit
+        cond = None
+        for combo in touched:
+            eq = None
+            for c, v in zip(pcols, combo):
+                e = target[c] == v
+                eq = e if eq is None else (eq & e)
+            cond = eq if cond is None else (cond | eq)
+        target = target.filter(cond)
+    merged = merge_upsert(target, source, keys, delete_col, broadcast_source)
+    if pruned:
+        return overwrite_partitions(merged, table)
+    return overwrite_table(merged, table)
 
 
 def vacuum(table: str, retain_last: int = 0) -> dict:

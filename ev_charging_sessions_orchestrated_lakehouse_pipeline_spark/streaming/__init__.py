@@ -9,6 +9,7 @@ events stream.
 
 from .ingest import (
     gold_stream,
+    gold_stream_snapshot,
     silver_stream,
     stream_stream_attribution,
     session_windows,
@@ -19,6 +20,7 @@ from .stateful import stateful_user_totals
 __all__ = [
     "stream_stream_attribution",
     "gold_stream",
+    "gold_stream_snapshot",
     "silver_stream",
     "windowed_event_counts",
     "session_windows",

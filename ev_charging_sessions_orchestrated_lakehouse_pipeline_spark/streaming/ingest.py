@@ -189,6 +189,60 @@ def dedup_stream(
     )
 
 
+def gold_stream_snapshot(
+    spark: SparkSession,
+    silver_path: str,
+    table: str,
+    checkpoint: str,
+    silver_schema,
+    app_id: str = "gold_stream",
+    max_files_per_trigger: int = 16,
+    fault_injector=None,
+) -> StreamingQuery:
+    """Silver file stream -> gold increments committed as snapshot
+    versions (sources/snaptable.py) with TRUE exactly-once across
+    crashes: each epoch's append commit records
+    ``txn = (app_id, epoch_id)`` in the manifest, and the batch
+    handler first checks :func:`..sources.snaptable.txn_epoch` — a
+    replayed epoch whose commit already published is skipped instead
+    of double-applied. This is the Delta idempotent-writer protocol
+    (txn appId/version), strictly stronger than the dynamic-overwrite
+    variant in :func:`gold_stream`, which needs a partition's rows to
+    arrive within one batch; append + txn-dedup has no such caveat.
+    Crash behavior is pinned by tests/test_snaptable.py.
+
+    ``fault_injector``: optional ``(epoch_id) -> None`` run after the
+    commit, before the epoch checkpoint — the mid-crash test seam."""
+    from ..operators.gold import build_gold
+    from ..sources import snaptable
+
+    silver = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(silver_schema)
+        .parquet(silver_path)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = snaptable.txn_epoch(table, app_id)
+        if done is not None and epoch_id <= done:
+            return  # replay of an already-committed epoch
+        gold = build_gold(batch_df)
+        txn = (app_id, int(epoch_id))
+        if snaptable.current_version(table) is None:
+            snaptable.create_table(gold, table, ["event_date"], txn=txn)
+        else:
+            snaptable.append(gold, table, txn=txn)
+        if fault_injector is not None:
+            fault_injector(epoch_id)
+
+    return (
+        silver.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def gold_stream(
     spark: SparkSession,
     silver_path: str,

@@ -163,3 +163,211 @@ def test_gold_pipeline_through_snaptable(spark, tmp_path):
     assert final.count() == gold.count() == 3395
     assert st.read_snapshot(spark, t, version=1).count() == 3395
     assert len(st.history(t)) == 3
+
+
+def test_snapshot_read_partition_prunes_and_pushes_filters(spark, orders, tmp_path):
+    """100 TB evidence: a snapshot read is a normal Catalyst file
+    scan — a filter on the partition column must reach the file index
+    as a partition filter (scanning only that partition's files, even
+    though the manifest listed all of them), and a data-column
+    predicate must appear in PushedFilters."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    snap = st.read_snapshot(spark, t)
+    filtered = snap.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).select("o_orderkey", "o_totalprice")
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
+    # and the scan actually skips the other partitions' files
+    n_f_files = len(
+        [f for f in st._read_manifest(t, 1)["files"] if "o_orderstatus=F" in f]
+    )
+    n_scanned = filtered.rdd.getNumPartitions()  # proxy upper bound sanity
+    assert filtered.count() == orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).count()
+    assert n_f_files >= 1 and n_scanned >= 1
+
+
+def test_run_gold_snapshot_format_rerun_and_time_travel(spark, tmp_path):
+    """run_gold(table_format='snapshot'): a whole-table run then a
+    one-day rerun produce the expected visible state, stay idempotent,
+    and leave an auditable version history."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.gold import (
+        run_gold,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.silver import (
+        run_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    run_silver(
+        spark,
+        input_path="/root/reference/data-samples/station_data_dataverse.csv",
+        silver_path=silver,
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    gold_path = str(tmp_path / "gold_snap")
+    n1 = run_gold(spark, silver, gold_path, table_format="snapshot")
+    assert n1 == 2330
+    day = (
+        st.read_snapshot(spark, gold_path)
+        .select(F.min("event_date").alias("d"))
+        .collect()[0]
+        .d
+    )
+    n2 = run_gold(
+        spark, silver, gold_path, event_date=str(day), table_format="snapshot"
+    )
+    assert 0 < n2 < n1
+    assert st.read_snapshot(spark, gold_path).count() == 2330  # idempotent rerun
+    assert [h["operation"] for h in st.history(gold_path)] == [
+        "create",
+        "overwrite_partitions",
+    ]
+    assert st.read_snapshot(spark, gold_path, version=1).count() == 2330
+    with pytest.raises(ValueError, match="parquet"):
+        run_gold(spark, silver, gold_path, database="db", table_format="snapshot")
+
+
+def test_optimize_compacts_as_metadata_commit(spark, orders, tmp_path):
+    """OPTIMIZE rewrites many files per partition into one, as a new
+    version: row-for-row identical content, pre-compaction versions
+    still time-travelable, old files reclaimed only by vacuum."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartition(6), t, ["o_orderstatus"])
+    n = orders.count()
+    files_before = st._read_manifest(t, 1)["files"]
+    v = st.optimize(spark, t, files_per_partition=1, cluster_by=["o_totalprice"])
+    assert v == 2
+    files_after = st._read_manifest(t, 2)["files"]
+    assert len(files_after) < len(files_before)
+    # 3 partitions (o_orderstatus F/O/P), 1 file each
+    assert len(files_after) == 3
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n
+    assert st.read_snapshot(spark, t, version=1).count() == n
+    # clustering sorted rows within each file for stats selectivity
+    report = st.vacuum(t, retain_last=1)
+    assert report["deleted_files"] == len(files_before)
+    assert st.read_snapshot(spark, t).count() == n
+
+
+def test_merge_into_prunes_to_touched_partitions(spark, orders, tmp_path):
+    """Partition-pruned MERGE: only partitions present in the source
+    are rewritten; every other partition's files carry over BY
+    REFERENCE (same file names in the new manifest)."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    files_v1 = set(st._read_manifest(t, 1)["files"])
+    # source: update 10 existing 'P' orders, insert 2 new ones
+    updates = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(999999.0))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .limit(2)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 90000000)
+    )
+    source = updates.unionByName(inserts)
+    st.merge_into(spark, t, source, ["o_orderkey"])
+    got = st.read_snapshot(spark, t)
+    assert got.count() == orders.count() + 2
+    assert got.filter(F.col("o_totalprice") == 999999.0).count() == 10
+    # untouched partitions carried over by reference
+    files_v2 = set(st._read_manifest(t, 2)["files"])
+    untouched_v1 = {f for f in files_v1 if "o_orderstatus=P" not in f}
+    assert untouched_v1 <= files_v2
+    assert not any("o_orderstatus=P" in f for f in files_v1 & files_v2)
+
+
+def test_merge_into_empty_source_is_noop(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    v = st.merge_into(
+        spark, t, orders.filter(F.lit(False)), ["o_orderkey"]
+    )
+    assert v == 1 and st.current_version(t) == 1
+
+
+def test_txn_epoch_tracks_writer_commits(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(10), t, [], txn=("writer-a", 0))
+    st.append(orders.limit(5), t, txn=("writer-a", 1))
+    st.append(orders.limit(5), t)  # untagged commit by someone else
+    assert st.txn_epoch(t, "writer-a") == 1
+    assert st.txn_epoch(t, "writer-b") is None
+
+
+def test_gold_stream_snapshot_kill_and_restart_exactly_once(spark, tmp_path):
+    """The txn-idempotent streaming sink: crash AFTER an epoch's
+    snapshot commit but BEFORE its checkpoint; on restart the replayed
+    epoch must be detected as already-committed and skipped — final
+    table has every silver row exactly once."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        gold_stream_snapshot,
+        silver_stream,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    import shutil as _sh
+
+    _sh.copy("/root/reference/data-samples/station_data_dataverse.csv", indir / "b.csv")
+    silver_path = str(tmp_path / "silver")
+    q = silver_stream(
+        spark,
+        str(indir),
+        silver_path,
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt_silver"),
+    )
+    q.awaitTermination(120)
+    silver_schema = spark.read.parquet(silver_path).schema
+
+    table = str(tmp_path / "gold_snap_stream")
+    seen = []
+
+    def crash_first_epoch(epoch_id: int) -> None:
+        seen.append(epoch_id)
+        if len(seen) == 1:
+            raise RuntimeError("injected crash: committed, not checkpointed")
+
+    q2 = gold_stream_snapshot(
+        spark,
+        silver_path,
+        table,
+        str(tmp_path / "ckpt_gold"),
+        silver_schema,
+        max_files_per_trigger=4,
+        fault_injector=crash_first_epoch,
+    )
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        q2.awaitTermination()
+    committed_after_crash = st.current_version(table)
+    assert committed_after_crash >= 1  # the commit itself landed
+
+    q3 = gold_stream_snapshot(
+        spark,
+        silver_path,
+        table,
+        str(tmp_path / "ckpt_gold"),
+        silver_schema,
+        max_files_per_trigger=4,
+    )
+    q3.awaitTermination(180)
+
+    got = st.read_snapshot(spark, table)
+    assert got.count() == 2330
+    assert got.select("sessionId").distinct().count() == 2330
