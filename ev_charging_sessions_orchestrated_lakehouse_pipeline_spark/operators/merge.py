@@ -268,3 +268,84 @@ FROM orders
 WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
 ORDER BY version
 """
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE INTO on the snapshot table format
+    (sources/snaptable.merge_into — upsert with the Delta
+    file-rewrite optimization: only the partition present in the
+    source batch is rewritten, the rest carry over by file
+    reference). Builds a customer table partitioned by c_mktsegment,
+    merges a deterministic batch into ONE segment (updates:
+    custkey%10=0 get +1000 balance; inserts: custkey%100=7 cloned to
+    key+9000000), and audits the committed snapshot per segment. The
+    oracle replays the merged row set in SQL, so what's hash-checked
+    is the manifest carry-over + rewrite logic itself. Per-segment
+    aggregate is collected driver-side (5 rows, bounded) because the
+    table lives in a run-scoped temp dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    cust = read_fixture(spark, sf_dir, "customer")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_merge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(cust, table, ["c_mktsegment"])
+    seg = F.col("c_mktsegment") == "BUILDING"
+    updates = cust.filter(seg & (F.col("c_custkey") % 10 == 0)).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    inserts = cust.filter(seg & (F.col("c_custkey") % 100 == 7)).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(9000000)
+    )
+    st.merge_into(spark, table, updates.unionByName(inserts), ["c_custkey"])
+    audit = (
+        st.read_snapshot(spark, table)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.c_mktsegment, r.n_customers, float(r.total_acctbal)) for r in audit],
+        "c_mktsegment string, n_customers bigint, total_acctbal double",
+    ).orderBy("c_mktsegment")
+
+
+ORACLE["snapshot_merge"] = f"""
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+), inserts AS (
+  SELECT c_custkey + 9000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 100 = 7
+), merged AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer
+  WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0)
+  UNION ALL
+  SELECT * FROM updates
+  UNION ALL
+  SELECT * FROM inserts
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {dsum_sql('c_acctbal')} AS total_acctbal
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

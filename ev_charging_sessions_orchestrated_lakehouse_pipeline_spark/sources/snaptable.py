@@ -215,19 +215,60 @@ def create_table(
     )
 
 
-def append(df: DataFrame, table: str, txn: tuple[str, int] | None = None) -> int:
-    """Append-only commit: previous snapshot's files plus the new ones."""
+def _evolve_schema(prev_schema_json: str, df: DataFrame, merge_schema: bool) -> str:
+    """The manifest owns the schema (schema-on-read, like the Delta
+    log). New columns in ``df`` evolve the table schema when
+    ``merge_schema`` is set (old files null-fill them on read);
+    same-name type changes are always rejected — silent widening is
+    how lakehouse tables rot."""
+    from pyspark.sql.types import StructType
+
+    old = StructType.fromJson(json.loads(prev_schema_json))
+    old_by_name = {f.name: f for f in old.fields}
+    extra = []
+    for f in df.schema.fields:
+        if f.name not in old_by_name:
+            extra.append(f)
+        elif f.dataType != old_by_name[f.name].dataType:
+            raise ValueError(
+                f"type conflict on column {f.name!r}: table has "
+                f"{old_by_name[f.name].dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()}"
+            )
+    if not extra:
+        return prev_schema_json
+    if not merge_schema:
+        raise ValueError(
+            f"batch adds columns {[f.name for f in extra]}; pass "
+            "merge_schema=True to evolve the table schema"
+        )
+    return StructType(old.fields + extra).json()
+
+
+def append(
+    df: DataFrame,
+    table: str,
+    txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
+) -> int:
+    """Append-only commit: previous snapshot's files plus the new
+    ones. ``merge_schema=True`` lets the batch add columns (schema
+    evolution — the in-engine twin of the reference crawler's
+    UPDATE_IN_DATABASE policy, infra/glue-crawlers.tf:47-50, and of
+    Delta's mergeSchema): the manifest schema gains the new fields
+    and earlier files read as null for them."""
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist; use create_table")
     prev = _read_manifest(table, head)
+    schema_json = _evolve_schema(prev["schema"], df, merge_schema)
     new = _write_data(df, table, prev["partition_cols"])
     return _commit(
         table,
         "append",
         sorted(prev["files"] + new),
         prev["partition_cols"],
-        prev["schema"],
+        schema_json,
         head,
         txn=txn,
     )
@@ -301,7 +342,15 @@ def read_snapshot(
     if not manifest["files"]:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, f) for f in manifest["files"]]
-    return spark.read.option("basePath", _data_dir(table)).parquet(*paths)
+    # schema-on-read from the manifest (not file-footer sampling):
+    # files predating a schema evolution null-fill the newer columns,
+    # and partition columns resolve from the directory values at the
+    # manifest-declared types.
+    return (
+        spark.read.schema(schema)
+        .option("basePath", _data_dir(table))
+        .parquet(*paths)
+    )
 
 
 def history(table: str) -> list[dict]:

@@ -371,3 +371,29 @@ def test_gold_stream_snapshot_kill_and_restart_exactly_once(spark, tmp_path):
     got = st.read_snapshot(spark, table)
     assert got.count() == 2330
     assert got.select("sessionId").distinct().count() == 2330
+
+
+def test_schema_evolution_merge_schema(spark, orders, tmp_path):
+    """Appending a batch with a new column evolves the manifest schema
+    when merge_schema=True: pre-evolution files null-fill the column,
+    pre-evolution VERSIONS keep their original schema; without the
+    flag the append is rejected, and same-name type changes always
+    are."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    n = orders.count()
+    evolved_batch = orders.limit(10).withColumn("o_priority_score", F.lit(1.5))
+    with pytest.raises(ValueError, match="merge_schema"):
+        st.append(evolved_batch, t)
+    st.append(evolved_batch, t, merge_schema=True)
+    snap = st.read_snapshot(spark, t)
+    assert "o_priority_score" in snap.columns
+    assert snap.count() == n + 10
+    assert snap.filter(F.col("o_priority_score").isNull()).count() == n
+    assert snap.filter(F.col("o_priority_score") == 1.5).count() == 10
+    # time travel to v1 shows the pre-evolution schema
+    assert "o_priority_score" not in st.read_snapshot(spark, t, version=1).columns
+    # type conflicts are rejected regardless of merge_schema
+    bad = orders.limit(1).withColumn("o_totalprice", F.lit("not a number"))
+    with pytest.raises(ValueError, match="type conflict"):
+        st.append(bad, t, merge_schema=True)
