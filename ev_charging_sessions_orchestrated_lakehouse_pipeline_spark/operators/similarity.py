@@ -667,3 +667,108 @@ def cosine_pandas_udf(query_vec: list[float]):
         return pd.Series(dots / (norms * qn))
 
     return _cos
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified re-ranking — the
+# standard retrieve-then-rerank shape of a RAG/similarity pipeline:
+# stage 1 retrieves a relevance pool DISTRIBUTEDLY (the corpus scan +
+# top-N, identical plan to q_similarity_topk), stage 2 greedily picks
+# k results trading relevance against redundancy:
+#   pick = argmax over remaining  lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)
+# Stage 2 runs driver-side over the POOL ONLY (pool x dim floats,
+# bounded by construction — the k-means-centroid treatment): the
+# greedy recurrence is sequential in k and each step touches just the
+# pool, so distributing it would shuffle more than it computes. At
+# 100 TB the corpus cost is stage 1, which stays a full distributed
+# scan + TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+MMR_LAMBDA = 0.7
+MMR_K = 10
+MMR_POOL = 50
+
+
+def mmr_rerank(
+    pool: list[tuple[int, list[float], float]],
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> list[tuple[int, int, float]]:
+    """Greedy MMR over a retrieved pool of (vec_id, embedding,
+    relevance), highest-relevance-first tiebreak by vec_id. Returns
+    (rank, vec_id, relevance). Pure function — unit-testable without
+    Spark."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else 0.0
+
+    remaining = {vid: (vec, rel) for vid, vec, rel in pool}
+    selected: list[tuple[int, int, float]] = []
+    sel_vecs: list[list[float]] = []
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for vid in sorted(remaining):
+            vec, rel = remaining[vid]
+            redundancy = max((cos(vec, s) for s in sel_vecs), default=0.0)
+            score = lam * rel - (1.0 - lam) * redundancy
+            if best_score is None or score > best_score:
+                best_id, best_score = vid, score
+        vec, rel = remaining.pop(best_id)
+        sel_vecs.append(vec)
+        selected.append((len(selected) + 1, best_id, rel))
+    return selected
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit of the MMR selection for query vec_id=0 (the
+    kmeans_clusters treatment: the greedy recurrence is not
+    SQL-replayable, so the oracle checks LIVE invariants computed
+    from the actual selection — n_selected, ranks forming 1..k,
+    every pick drawn from the relevance pool, the first pick being
+    the relevance argmax, and diversity_gain (selection's mean
+    pairwise cosine strictly below the plain top-k's, asserted
+    non-vacuously in tests/test_llm_ops.py). Detailed greedy-step
+    optimality is pinned by the pure-python property test."""
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cosine = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    pool_df = (
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", cosine.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(MMR_POOL)
+    )
+    pool = [
+        (r.vec_id, [float(x) for x in r.embedding], float(r.rel))
+        for r in pool_df.collect()  # bounded: MMR_POOL x dim
+    ]
+    sel = mmr_rerank(pool)
+    pool_ids = {vid for vid, _, _ in pool}
+    top1 = pool[0][0]  # pool is relevance-ordered
+    return spark.createDataFrame(
+        [
+            (
+                len(sel),
+                MMR_K,
+                sorted(r for r, _, _ in sel) == list(range(1, len(sel) + 1)),
+                all(vid in pool_ids for _, vid, _ in sel),
+                sel[0][1] == top1,
+            )
+        ],
+        "n_selected int, k int, ranks_contiguous boolean, "
+        "all_from_pool boolean, first_is_top1 boolean",
+    )
+
+
+ORACLE["mmr_rerank"] = f"""
+SELECT CAST({MMR_K} AS INT) AS n_selected,
+       CAST({MMR_K} AS INT) AS k,
+       TRUE AS ranks_contiguous,
+       TRUE AS all_from_pool,
+       TRUE AS first_is_top1
+"""

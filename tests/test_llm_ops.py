@@ -588,3 +588,73 @@ def test_ngram_jaccard_df_cap_parity_and_recall_floor(spark, sf_dir, tmp_path):
     recall = len(capped) / len(uncapped)
     assert recall >= 0.85, f"recall {recall:.3f} below documented floor"  # (c)
     assert recall < 1.0  # (d) the cap must actually bite here
+
+
+def test_mmr_greedy_optimality_and_diversity_gain(spark, sf_dir):
+    """Independent numpy recomputation of the MMR recurrence: every
+    pick must maximize lam*rel - (1-lam)*max-sim-to-selected among
+    the remaining pool (ties broken by lowest vec_id), and the
+    selection must be strictly more diverse (lower mean pairwise
+    cosine) than the plain relevance top-k — the non-vacuous check
+    that MMR actually traded relevance for diversity on this data."""
+    import numpy as np
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        _dot,
+        mmr_rerank,
+        q_mmr_rerank,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    rows = emb.filter(F.col("vec_id") != 0).collect()
+    q = np.array(qv)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    scored = sorted(
+        (
+            (r.vec_id, np.array([float(x) for x in r.embedding]))
+            for r in rows
+        ),
+        key=lambda t: (-cos(t[1], q), t[0]),
+    )[:MMR_POOL]
+    pool = [(vid, list(map(float, v)), cos(v, q)) for vid, v in scored]
+    sel = mmr_rerank(pool)
+    assert len(sel) == MMR_K
+
+    # step-by-step optimality against the numpy recomputation
+    vecs = {vid: v for vid, v in scored}
+    rels = {vid: rel for vid, _, rel in pool}
+    chosen = []
+    for rank, vid, rel in sel:
+        remaining = set(vecs) - {c for c in chosen}
+        scores = {}
+        for cand in remaining:
+            red = max((cos(vecs[cand], vecs[s]) for s in chosen), default=0.0)
+            scores[cand] = MMR_LAMBDA * rels[cand] - (1 - MMR_LAMBDA) * red
+        best = max(scores.values())
+        # the pick attains the max (1e-12 float slack between the
+        # pure-python and numpy accumulations)
+        assert scores[vid] >= best - 1e-12, (rank, vid)
+        chosen.append(vid)
+
+    def mean_pairwise(ids):
+        vs = [vecs[i] for i in ids]
+        sims = [cos(a, b) for i, a in enumerate(vs) for b in vs[i + 1 :]]
+        return sum(sims) / len(sims)
+
+    topk_ids = [vid for vid, _ in scored[:MMR_K]]
+    assert mean_pairwise(chosen) < mean_pairwise(topk_ids)
+
+    # and the driver-facing contract row is all-true
+    row = q_mmr_rerank(spark, sf_dir).collect()[0]
+    assert row.n_selected == MMR_K and row.ranks_contiguous
+    assert row.all_from_pool and row.first_is_top1

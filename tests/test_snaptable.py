@@ -397,3 +397,71 @@ def test_schema_evolution_merge_schema(spark, orders, tmp_path):
     bad = orders.limit(1).withColumn("o_totalprice", F.lit("not a number"))
     with pytest.raises(ValueError, match="type conflict"):
         st.append(bad, t, merge_schema=True)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_PARTS = ["a", "b", "c"]
+_batch = hst.lists(
+    hst.tuples(hst.integers(0, 9), hst.sampled_from(_PARTS)),
+    min_size=1,
+    max_size=5,
+)
+_op = hst.one_of(
+    hst.tuples(hst.just("append"), _batch),
+    hst.tuples(hst.just("overwrite_partitions"), _batch),
+    hst.tuples(hst.just("overwrite_table"), _batch),
+    hst.tuples(hst.just("rollback"), hst.integers(1, 3)),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=hst.lists(_op, min_size=1, max_size=4))
+def test_snaptable_model_equivalence(spark, tmp_path_factory, ops):
+    """Model-based property test: any sequence of
+    append / overwrite_partitions / overwrite_table / rollback must
+    leave the table's visible rows equal to a trivial in-memory model,
+    and EVERY intermediate version must stay time-travelable to its
+    recorded model state (manifest immutability)."""
+    tmp = tmp_path_factory.mktemp("snapmodel")
+    t = str(tmp / "t")
+
+    def mk(batch):
+        return spark.createDataFrame(
+            [(i, k, p) for i, (k, p) in enumerate(batch)], "row_id int, k int, p string"
+        )
+
+    seed = [(0, 0, "a"), (1, 1, "b")]
+    st.create_table(
+        spark.createDataFrame(seed, "row_id int, k int, p string"), t, ["p"]
+    )
+    model = list(seed)
+    states = {1: list(model)}  # version -> model rows
+    for op, arg in ops:
+        if op == "rollback":
+            v = min(arg, st.current_version(t))
+            st.rollback(t, v)
+            model = list(states[v])
+        else:
+            batch = [(i, k, p) for i, (k, p) in enumerate(arg)]
+            if op == "append":
+                st.append(mk(arg), t)
+                model = model + batch
+            elif op == "overwrite_partitions":
+                st.overwrite_partitions(mk(arg), t)
+                touched = {p for _, _, p in batch}
+                model = [r for r in model if r[2] not in touched] + batch
+            else:
+                st.overwrite_table(mk(arg), t)
+                model = batch
+        states[st.current_version(t)] = list(model)
+    for v, expect in states.items():
+        got = sorted(
+            tuple(r) for r in st.read_snapshot(spark, t, version=v).collect()
+        )
+        assert got == sorted(expect), (v, got, expect)
