@@ -349,3 +349,60 @@ FROM merged
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def q_snapshot_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit on the snapshot format
+    (sources/snaptable.scan): footer min/max stats must prune a
+    range-partitioned orders table's files for a selective
+    o_totalprice predicate, and the pruned scan must return exactly
+    the rows SQL computes over the full table. Live columns:
+    pruned_fewer_files (files planned < files in the manifest —
+    fails if stats stop pruning), n_rows + sum_totalprice
+    (hash-matched against the oracle's replay of the predicate)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_skip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders.repartitionByRange(8, "o_totalprice"), table, [])
+    manifest = st._read_manifest(table, 1)
+    filters = [("o_totalprice", ">", 400000.0)]
+    planned = st._prune_files(table, manifest, filters)
+    agg = (
+        st.scan(spark, table, filters)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .collect()[0]
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(planned) < len(manifest["files"]),
+                agg.n_rows,
+                float(agg.sum_totalprice) if agg.sum_totalprice is not None else None,
+            )
+        ],
+        "pruned_fewer_files boolean, n_rows bigint, sum_totalprice double",
+    )
+
+
+ORACLE["snapshot_scan_skipping"] = f"""
+SELECT TRUE AS pruned_fewer_files,
+       COUNT(*) AS n_rows,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+WHERE o_totalprice > 400000.0
+"""

@@ -147,6 +147,38 @@ def _write_data(df: DataFrame, table: str, partition_cols: list[str]) -> list[st
     return sorted(_list_data_files(table) - before)
 
 
+def _collect_stats(table: str, rel_paths: list[str]) -> dict:
+    """Per-file row counts and column min/max from the Parquet
+    footers (one metadata read per file, no data scan) — the
+    data-skipping index a Delta log keeps in addStats. Only
+    JSON-stable scalar types (bool/int/float/str) are kept; columns
+    with missing or exotic stats simply don't prune."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for rel in rel_paths:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                stats = col.statistics
+                if stats is None or not stats.has_min_max:
+                    continue
+                name = col.path_in_schema
+                lo, hi = stats.min, stats.max
+                if not isinstance(lo, (bool, int, float, str)) or not isinstance(
+                    hi, (bool, int, float, str)
+                ):
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        out[rel] = {"rows": md.num_rows, "min": mins, "max": maxs}
+    return out
+
+
 def _commit(
     table: str,
     operation: str,
@@ -155,6 +187,7 @@ def _commit(
     schema_json: str,
     parent: int | None,
     txn: tuple[str, int] | None = None,
+    file_stats: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1
     manifest = {
@@ -165,11 +198,21 @@ def _commit(
         "partition_cols": partition_cols,
         "schema": schema_json,
         "files": files,
+        "file_stats": file_stats or {},
     }
     if txn is not None:
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
     _publish(table, version, manifest)
     return version
+
+
+def _carry_stats(prev: dict, kept: list[str], new_stats: dict) -> dict:
+    """Stats for a child commit: carried-over files keep the parent's
+    entries, new files bring their freshly-collected ones."""
+    old = prev.get("file_stats", {})
+    out = {f: old[f] for f in kept if f in old}
+    out.update(new_stats)
+    return out
 
 
 def txn_epoch(table: str, app_id: str) -> int | None:
@@ -212,6 +255,7 @@ def create_table(
         df.schema.json(),
         current_version(table),
         txn=txn,
+        file_stats=_collect_stats(table, files),
     )
 
 
@@ -271,6 +315,7 @@ def append(
         schema_json,
         head,
         txn=txn,
+        file_stats=_carry_stats(prev, prev["files"], _collect_stats(table, new)),
     )
 
 
@@ -283,7 +328,13 @@ def overwrite_table(df: DataFrame, table: str) -> int:
     prev = _read_manifest(table, head)
     new = _write_data(df, table, prev["partition_cols"])
     return _commit(
-        table, "overwrite", new, prev["partition_cols"], df.schema.json(), head
+        table,
+        "overwrite",
+        new,
+        prev["partition_cols"],
+        df.schema.json(),
+        head,
+        file_stats=_collect_stats(table, new),
     )
 
 
@@ -319,6 +370,7 @@ def overwrite_partitions(
         prev["schema"],
         head,
         txn=txn,
+        file_stats=_carry_stats(prev, kept, _collect_stats(table, new)),
     )
 
 
@@ -351,6 +403,98 @@ def read_snapshot(
         .option("basePath", _data_dir(table))
         .parquet(*paths)
     )
+
+
+_OPS = {
+    "=": lambda lo, hi, v: not (v < lo or v > hi),
+    "==": lambda lo, hi, v: not (v < lo or v > hi),
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+}
+
+
+def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
+    """Files that MAY contain matching rows: a file is skipped only
+    when its footer min/max (or its partition-path value, for
+    equality on partition columns) PROVES no row satisfies a
+    conjunct. Missing stats never prune — skipping is an
+    optimization, correctness comes from re-applying the filter."""
+    stats = manifest.get("file_stats", {})
+    pcols = manifest["partition_cols"]
+    kept = []
+    for f in manifest["files"]:
+        fstat = stats.get(f, {})
+        mins, maxs = fstat.get("min", {}), fstat.get("max", {})
+        pvals = _partition_values(f, pcols)
+        alive = True
+        for col, op, val in filters:
+            if op not in _OPS:
+                raise ValueError(f"unsupported pruning op {op!r}")
+            if col in pvals and op in ("=", "=="):
+                if pvals[col] != str(val):
+                    alive = False
+                    break
+                continue
+            lo, hi = mins.get(col), maxs.get(col)
+            if lo is None or hi is None:
+                continue  # no stats: cannot prune this conjunct
+            try:
+                if not _OPS[op](lo, hi, val):
+                    alive = False
+                    break
+            except TypeError:
+                continue  # incomparable literal: don't prune
+        if alive:
+            kept.append(f)
+    return kept
+
+
+def scan(
+    spark: SparkSession,
+    table: str,
+    filters: list[tuple] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping read: prune the manifest's file list with the
+    footer min/max stats (and partition-path equality) BEFORE Spark
+    ever sees it, then re-apply the same predicates as real filters —
+    so results are exact whether or not a file had stats. This is the
+    Delta addStats / Iceberg manifest-metrics mechanism: at 100 TB a
+    selective predicate over a clustered column (write sorted, or run
+    :func:`optimize` with ``cluster_by``) turns a full-table scan
+    into a handful of files without any partition-layout help.
+    ``filters``: [(col, op, literal)] with op in <,<=,>,>=,=,==,
+    combined conjunctively."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    manifest = _read_manifest(table, v)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    files = _prune_files(table, manifest, filters or [])
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", _data_dir(table))
+            .parquet(*[os.path.join(table, f) for f in files])
+        )
+    from pyspark.sql import functions as F
+
+    for col, op, val in filters or []:
+        c = F.col(col)
+        df = df.filter(
+            {"=": c == val, "==": c == val, ">": c > val, ">=": c >= val,
+             "<": c < val, "<=": c <= val}[op]
+        )
+    return df
 
 
 def history(table: str) -> list[dict]:
@@ -393,6 +537,7 @@ def rollback(table: str, version: int) -> int:
         target["partition_cols"],
         target["schema"],
         head,
+        file_stats=target.get("file_stats", {}),
     )
 
 
@@ -439,7 +584,15 @@ def optimize(
         raise RuntimeError(
             f"optimize row-count mismatch on {table}: {n_after} != {n_before}"
         )
-    return _commit(table, "optimize", sorted(new), pcols, prev["schema"], head)
+    return _commit(
+        table,
+        "optimize",
+        sorted(new),
+        pcols,
+        prev["schema"],
+        head,
+        file_stats=_collect_stats(table, new),
+    )
 
 
 def merge_into(

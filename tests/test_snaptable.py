@@ -465,3 +465,53 @@ def test_snaptable_model_equivalence(spark, tmp_path_factory, ops):
             tuple(r) for r in st.read_snapshot(spark, t, version=v).collect()
         )
         assert got == sorted(expect), (v, got, expect)
+
+
+def test_data_skipping_scan_prunes_files_exactly(spark, orders, tmp_path):
+    """Footer min/max stats in the manifest must let scan() skip
+    files a selective predicate can't match — and return exactly the
+    rows a plain filter returns. Range-partitioned write gives files
+    disjoint o_totalprice ranges, so pruning is provable."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartitionByRange(8, "o_totalprice"), t, [])
+    m = st._read_manifest(t, 1)
+    assert len(m["files"]) == 8
+    assert all(f in m["file_stats"] for f in m["files"])
+    hi = orders.agg(F.max("o_totalprice")).collect()[0][0]
+    cutoff = float(hi) * 0.9
+    pruned = st._prune_files(t, m, [("o_totalprice", ">", cutoff)])
+    assert 1 <= len(pruned) < 8  # skipped most files, kept the tail
+    got = st.scan(spark, t, [("o_totalprice", ">", cutoff)])
+    expected = orders.filter(F.col("o_totalprice") > cutoff)
+    assert got.count() == expected.count() > 0
+    # equality on a partition column prunes by path, not stats
+    t2 = str(tmp_path / "snap_part")
+    st.create_table(orders, t2, ["o_orderstatus"])
+    m2 = st._read_manifest(t2, 1)
+    only_f = st._prune_files(t2, m2, [("o_orderstatus", "=", "F")])
+    assert only_f and all("o_orderstatus=F" in f for f in only_f)
+    assert st.scan(spark, t2, [("o_orderstatus", "=", "F")]).count() == (
+        orders.filter(F.col("o_orderstatus") == "F").count()
+    )
+
+
+def test_data_skipping_stats_survive_carryover_and_optimize(spark, orders, tmp_path):
+    """Carried-over files keep their stats through
+    overwrite_partitions; optimize with cluster_by re-establishes
+    tight per-file ranges (the ZORDER payoff measured as pruning)."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.overwrite_partitions(
+        orders.filter(F.col("o_orderstatus") == "P").limit(10), t
+    )
+    m = st._read_manifest(t, 2)
+    assert all(f in m["file_stats"] for f in m["files"])
+    # cluster by o_totalprice -> within each partition one file, but
+    # stats still allow pruning on the clustered column across files
+    st.optimize(spark, t, files_per_partition=2, cluster_by=["o_totalprice"])
+    m3 = st._read_manifest(t, 3)
+    assert all(f in m3["file_stats"] for f in m3["files"])
+    lo = orders.agg(F.min("o_totalprice")).collect()[0][0]
+    none_below = st._prune_files(t, m3, [("o_totalprice", "<", float(lo))])
+    assert none_below == []
+    assert st.scan(spark, t, [("o_totalprice", "<", float(lo))]).count() == 0
