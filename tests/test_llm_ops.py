@@ -658,3 +658,56 @@ def test_mmr_greedy_optimality_and_diversity_gain(spark, sf_dir):
     row = q_mmr_rerank(spark, sf_dir).collect()[0]
     assert row.n_selected == MMR_K and row.ranks_contiguous
     assert row.all_from_pool and row.first_is_top1
+
+
+def test_span_removal_surgical_semantics(spark, sf_dir, tmp_path):
+    """Crafted corpus: the contaminated window — and ONLY the
+    contaminated window — is removed. Eval doc_id=0 leaks the
+    sentence 'leaked eval answer'; a train doc embedding it in the
+    middle loses exactly the tokens covered by contaminated 3-gram
+    windows; a fully-leaked train doc becomes empty; an untouched
+    train doc does not appear in the output at all."""
+    import os
+
+    import pandas as pd
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.decontam import (
+        EVAL_MOD,
+        q_decontam_span_removal,
+    )
+
+    leak = "leaked eval answer"
+    docs = {
+        0: leak,  # doc_id % 97 == 0 -> the eval/benchmark doc
+        1: f"alpha beta gamma {leak} delta epsilon zeta",
+        2: leak,  # fully contaminated train doc
+        3: "totally clean text here",
+    }
+    fixture = tmp_path / "spancorpus"
+    fixture.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(t) for t in docs.values()],
+        }
+    ).to_parquet(fixture / "documents.parquet", index=False)
+    for t in os.listdir(sf_dir):
+        if t.endswith(".parquet") and t != "documents.parquet":
+            os.symlink(os.path.join(sf_dir, t), fixture / t)
+
+    out = {r.doc_id: r for r in q_decontam_span_removal(spark, str(fixture)).collect()}
+    assert set(out) == {1, 2}  # doc 3 clean, doc 0 is eval-side
+    # doc 1: tokens 4-6 (1-based) are the leak; contaminated windows
+    # starting at 2..6 ('gamma leaked eval' .. 'answer delta epsilon'
+    # only those matching eval shingles: exactly 'leaked eval answer'
+    # at position 4) cover tokens 4..6
+    r1 = out[1]
+    assert r1.n_tokens == 9
+    assert r1.clean_text == "alpha beta gamma delta epsilon zeta"
+    assert r1.n_removed_tokens == 3
+    r2 = out[2]
+    assert r2.n_tokens == 3 and r2.n_removed_tokens == 3 and r2.clean_text == ""
+    assert all(i % EVAL_MOD != 0 for i in out)
