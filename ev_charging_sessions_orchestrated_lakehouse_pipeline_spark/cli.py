@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot table format (time travel per run)",
     )
 
+    pl = sub.add_parser(
+        "llmprep",
+        help="documents table -> dedup/quality/decontam/mixture -> "
+        "versioned snapshot corpus",
+    )
+    pl.add_argument("--sf-dir", required=True, help="fixture dir with documents.parquet")
+    pl.add_argument("--table", required=True, help="snapshot table path for survivors")
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -74,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "llmprep":
+            from .operators.llm_prep import llm_prep
+
+            version, funnel = llm_prep(spark, args.sf_dir, args.table)
+            print(json.dumps({"version": version, "funnel": funnel}))
         else:
             from .operators.gold import run_gold
 

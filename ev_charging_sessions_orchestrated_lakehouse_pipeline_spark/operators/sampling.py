@@ -186,7 +186,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
-_WEIGHTS = {"web": 0.5, "books": 1.0, "code": 0.25}
+# Mixture weights over the fixture's actual sources (src0..src19),
+# cycling through four sampling rates so the mixture both keeps and
+# drops real rows. (The first cut used {"web","books","code"} — names
+# absent from the fixture — which made every mixture query vacuously
+# keep ZERO rows while still hash-matching its equally-vacuous
+# oracle. Weights must bite to test anything.)
+_WEIGHTS = {f"src{i}": (1.0, 0.75, 0.5, 0.25)[i % 4] for i in range(20)}
 
 
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:

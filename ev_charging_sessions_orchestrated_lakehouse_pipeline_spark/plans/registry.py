@@ -37,6 +37,7 @@ def _build() -> None:
     for optional in (
         "dedup",
         "decontam",
+        "llm_prep",
         "corpus_filter",
         "text",
         "similarity",

@@ -497,6 +497,33 @@ def scan(
     return df
 
 
+def commit_with_retry(fn, retries: int = 5):
+    """Optimistic-concurrency loop: run ``fn()`` (any closure ending
+    in a snapshot commit); on :class:`ConcurrentCommit`, re-invoke so
+    it re-reads the new head and recomputes its file set against it —
+    the standard Delta/Iceberg retry protocol. Data files written by
+    a losing attempt stay orphaned (invisible; vacuum reclaims), so
+    retrying never corrupts state. Returns ``fn``'s result."""
+    last: ConcurrentCommit | None = None
+    for _ in range(retries):
+        try:
+            return fn()
+        except ConcurrentCommit as exc:
+            last = exc
+    raise last  # type: ignore[misc]
+
+
+def register_snapshot(
+    spark: SparkSession, table: str, view_name: str, version: int | None = None
+) -> None:
+    """SQL-on-snapshot: expose a (possibly time-traveled) snapshot as
+    a temp view for ``spark.sql`` — the engine's Athena-equivalent
+    query surface (reference S11/S12) over versioned tables. The view
+    pins the manifest's file list at registration time, so later
+    commits don't shift results under a running query session."""
+    read_snapshot(spark, table, version).createOrReplaceTempView(view_name)
+
+
 def history(table: str) -> list[dict]:
     """Commit log, oldest first: version, parent, operation, file and
     partition counts, commit time — the DESCRIBE HISTORY surface."""

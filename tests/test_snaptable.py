@@ -515,3 +515,48 @@ def test_data_skipping_stats_survive_carryover_and_optimize(spark, orders, tmp_p
     none_below = st._prune_files(t, m3, [("o_totalprice", "<", float(lo))])
     assert none_below == []
     assert st.scan(spark, t, [("o_totalprice", "<", float(lo))]).count() == 0
+
+
+def test_commit_with_retry_wins_after_race(spark, orders, tmp_path):
+    """A writer losing the publish race must retry against the NEW
+    head and succeed — and the loser's first-attempt data files stay
+    invisible orphans."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(20), t, ["o_orderstatus"])
+
+    raced = {"done": False}
+    real_publish = st._publish
+
+    def racing_publish(table, version, manifest):
+        # a competing writer lands the version first, exactly once
+        if not raced["done"] and manifest["operation"] == "append":
+            raced["done"] = True
+            competing = dict(manifest, operation="append")
+            real_publish(table, version, competing)
+        real_publish(table, version, manifest)
+
+    st._publish = racing_publish
+    try:
+        v = st.commit_with_retry(lambda: st.append(orders.limit(5), t))
+    finally:
+        st._publish = real_publish
+    assert raced["done"] and v == 3  # competing commit took v2
+    # retry appended on top of the competing head: rows from both
+    assert st.read_snapshot(spark, t).count() == 20 + 5 + 5
+    with pytest.raises(st.ConcurrentCommit):
+        st.commit_with_retry(
+            lambda: (_ for _ in ()).throw(st.ConcurrentCommit("always")), retries=2
+        )
+
+
+def test_register_snapshot_sql_surface(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.overwrite_table(orders.limit(7), t)
+    st.register_snapshot(spark, t, "snap_now")
+    st.register_snapshot(spark, t, "snap_v1", version=1)
+    assert spark.sql("SELECT COUNT(*) AS n FROM snap_now").collect()[0].n == 7
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM snap_v1").collect()[0].n
+        == orders.count()
+    )
