@@ -6,14 +6,20 @@ medallion discipline (stage gates, quarantine-style funnel
 accounting, idempotent versioned sink) applied to training-data
 curation instead of EV sessions.
 
-Single-pass funnel design (the scale property that matters): every
-stage is a FLAG on the corpus row, not a materialized intermediate —
-one scan computes digest/quality/contamination/mixture flags, one
-map-side-combinable aggregation folds them into cumulative stage
-counts. The only shuffles are (a) the 16-byte digest groupBy for the
-dedup keep-rule and (b) nothing else: eval hashes and dup-keep maps
-ride broadcast joins. At 100 TB the corpus payload column crosses the
-network zero times.
+Funnel design: every stage is a FLAG on the corpus row, not a
+materialized intermediate, folded by one map-side-combinable
+aggregation into cumulative stage counts. The plan is four
+column-pruned scans of the corpus — (1) digest->min-doc_id keep map,
+(2) eval shingle hashes, (3) contaminated doc ids, (4) the flag
+pass — and the payload column is never shuffled: the only Exchanges
+carry 16-byte digests, 8-byte shingle hashes, and doc ids.
+
+Scale honesty (100 TB): the contaminated-id set is a vanishing
+fraction and always broadcastable; the dedup keep map is
+corpus-sized, so its join is NOT hinted — AQE broadcasts it at test
+scale and degrades to a shuffle join on the 16-byte digest at full
+scale (pair that with a corpus bucketed on the digest via
+sources/writers.write_bucketed to make the join exchange-free).
 
 Stage semantics (all deterministic, all SQL-replayable):
 1. corpus    — docs not in the eval carve-out (doc_id % 97 != 0).
@@ -51,10 +57,10 @@ def _flagged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
 
-    dig = corpus.select("doc_id", F.md5(F.expr(NORMALIZE_EXPR)).alias("digest"))
-    keep_ids = dig.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
-    dedup_flag = dig.join(keep_ids, "digest").select(
-        "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("is_kept_dedup")
+    keep_ids = (
+        corpus.select(F.md5(F.expr(NORMALIZE_EXPR)).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"))
     )
 
     ev_hashes = (
@@ -81,13 +87,16 @@ def _flagged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_ok = wc.between(WC_MIN, WC_MAX) & mwl.between(MWL_MIN, MWL_MAX)
 
     return (
-        corpus.join(F.broadcast(dedup_flag), "doc_id")
+        corpus.withColumn("digest", F.md5(F.expr(NORMALIZE_EXPR)))
+        # no broadcast hint: AQE broadcasts the keep map at test scale
+        # and falls back to a digest-key shuffle at corpus scale
+        .join(keep_ids, "digest")
         .join(F.broadcast(contaminated_ids), "doc_id", "left")
         .select(
             "doc_id",
             "text",
             "source",
-            "is_kept_dedup",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_kept_dedup"),
             quality_ok.alias("quality_ok"),
             F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
             mixture_keep("doc_id", "source", _WEIGHTS).alias("mixture_kept"),
