@@ -140,9 +140,10 @@ def llm_prep(
 
 def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative funnel of the full prep pipeline, one row: how many
-    docs survive each successive gate. Single scan + single agg (see
-    module docstring); every stage is SQL-replayed by the oracle, so
-    the driver hash-checks the composed pipeline end-to-end."""
+    docs survive each successive gate. Four column-pruned scans + one
+    agg (see module docstring); every stage is SQL-replayed by the
+    oracle, so the driver hash-checks the composed pipeline
+    end-to-end."""
     f = _flagged_corpus(spark, sf_dir)
     d = F.col("is_kept_dedup")
     q = d & F.col("quality_ok")
@@ -204,3 +205,62 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
          AS n_after_mixture
 FROM flags
 """
+
+
+def eval_hashes_for(eval_docs: DataFrame) -> DataFrame:
+    """Distinct 60-bit shingle hashes of a benchmark/eval corpus —
+    build once, reuse across batches (tiny; rides broadcast joins)."""
+    return (
+        eval_docs.select(
+            F.explode(F.array_distinct(_word_shingles_expr_cached())).alias("s")
+        )
+        .select(hash60("s").alias("h"))
+        .distinct()
+    )
+
+
+def prep_batch(
+    batch: DataFrame,
+    ev_hashes: DataFrame,
+    history_digests: DataFrame | None = None,
+) -> DataFrame:
+    """Prep ONE ingest batch: intra-batch normalized dedup (keep min
+    doc_id), quality gate, decontamination against ``ev_hashes``,
+    mixture sampling — then drop anything whose digest already exists
+    in ``history_digests`` (the incremental-dedup shape of
+    operators/dedup.q_dedup_incremental: only 16-byte digests of the
+    history move, never its payloads). Returns survivors carrying
+    their digest so the caller can append them to the history.
+
+    The batch side of every join is the small side (ingest batches
+    are bounded); the history side is a column-pruned digest scan —
+    at 100 TB keep the corpus snapshot bucketed on digest and the
+    anti join is exchange-free on the history side."""
+    dig = batch.withColumn("digest", F.md5(F.expr(NORMALIZE_EXPR)))
+    keep_ids = dig.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    contaminated_ids = (
+        batch.select(
+            "doc_id",
+            F.explode(F.array_distinct(_word_shingles_expr_cached())).alias("s"),
+        )
+        .select("doc_id", hash60("s").alias("h"))
+        .join(F.broadcast(ev_hashes), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    wc = F.size(F.split(F.col("text"), " "))
+    mwl = (F.length("text") - (wc - F.lit(1))) / wc
+    out = (
+        dig.join(keep_ids, "digest")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .join(contaminated_ids, "doc_id", "left_anti")
+        .filter(
+            wc.between(WC_MIN, WC_MAX)
+            & mwl.between(MWL_MIN, MWL_MAX)
+            & mixture_keep("doc_id", "source", _WEIGHTS)
+        )
+        .select("doc_id", "text", "source", "digest")
+    )
+    if history_digests is not None:
+        out = out.join(history_digests, "digest", "left_anti")
+    return out

@@ -8,6 +8,7 @@ events stream.
 """
 
 from .ingest import (
+    corpus_prep_stream,
     gold_stream,
     gold_stream_snapshot,
     silver_stream,
@@ -19,6 +20,7 @@ from .stateful import stateful_user_totals
 
 __all__ = [
     "stream_stream_attribution",
+    "corpus_prep_stream",
     "gold_stream",
     "gold_stream_snapshot",
     "silver_stream",

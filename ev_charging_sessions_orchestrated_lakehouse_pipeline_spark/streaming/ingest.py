@@ -243,6 +243,65 @@ def gold_stream_snapshot(
     )
 
 
+def corpus_prep_stream(
+    spark: SparkSession,
+    input_dir: str,
+    eval_dir: str,
+    table: str,
+    checkpoint: str,
+    doc_schema,
+    app_id: str = "corpus_prep",
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Incremental LLM corpus ingest — the streaming twin of
+    ``operators.llm_prep``: each micro-batch of new documents runs
+    intra-batch dedup + quality + decontamination + mixture
+    (``llm_prep.prep_batch``), is deduped AGAINST THE ACCUMULATED
+    CORPUS by digest (incremental-dedup shape: only 16-byte digests
+    of the history are read, never its payloads — the survivors
+    carry their digest precisely so the history check stays a
+    column-pruned scan), and appends to the snapshot table with a
+    txn-tagged commit, so crashed epochs replay exactly-once (same
+    protocol as :func:`gold_stream_snapshot`). The eval/benchmark
+    corpus is a static parquet dir; its shingle-hash set is built
+    once per batch and broadcast.
+
+    ``app_id`` names the logical (stream, checkpoint) pair: epoch ids
+    restart at 0 with a fresh checkpoint, so pointing a NEW checkpoint
+    at an existing table requires a new app_id or the txn-dedup would
+    skip the new epochs as replays. Same caveat applies to
+    :func:`gold_stream_snapshot`."""
+    from ..operators.llm_prep import eval_hashes_for, prep_batch
+    from ..sources import snaptable
+
+    docs = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(doc_schema)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = snaptable.txn_epoch(table, app_id)
+        if done is not None and epoch_id <= done:
+            return
+        ev = eval_hashes_for(spark.read.schema(doc_schema).parquet(eval_dir))
+        txn = (app_id, int(epoch_id))
+        if snaptable.current_version(table) is None:
+            out = prep_batch(batch_df, ev, history_digests=None)
+            snaptable.create_table(out, table, ["source"], txn=txn)
+        else:
+            history = snaptable.read_snapshot(spark, table).select("digest")
+            out = prep_batch(batch_df, ev, history_digests=history)
+            snaptable.append(out, table, txn=txn)
+
+    return (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def gold_stream(
     spark: SparkSession,
     silver_path: str,

@@ -371,3 +371,83 @@ def test_silver_stream_kill_and_restart_exactly_once(spark, tmp_path):
     assert bad.select("sessionId").distinct().count() == 1065
     # the replayed epoch's rows live under their epoch partition once
     assert good.select("_epoch").distinct().count() >= 2
+
+
+def test_corpus_prep_stream_incremental_dedup_exactly_once(spark, tmp_path):
+    """Streaming corpus ingest: two epochs of documents where the
+    second repeats texts from the first (different doc_ids) and one
+    doc embeds a leaked eval phrase. The accumulated snapshot corpus
+    must contain each unique clean text exactly once, drop the
+    contaminated doc, and a restart on the same checkpoint must be a
+    no-op (txn-tagged epochs)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        corpus_prep_stream,
+    )
+
+    def doc(i, text):
+        return (i, text, "en", "src0", len(text))
+
+    leak = "secret eval benchmark answer forty two"
+    base = [
+        doc(100 + j, f"unique clean document number {j} with plenty of words")
+        for j in range(8)
+    ]
+    base.append(doc(150, f"contaminated doc contains {leak} inside it"))
+    dupes = [
+        doc(200 + j, f"unique clean document number {j} with plenty of words")
+        for j in range(4)  # texts identical to batch 1's first four
+    ]
+    fresh = [doc(300 + j, f"second wave document {j} also has enough words") for j in range(5)]
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    evdir = tmp_path / "eval"
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(
+        str(indir / "batch1")
+    )
+    spark.createDataFrame(dupes + fresh, schema).coalesce(1).write.parquet(
+        str(indir / "batch2")
+    )
+    spark.createDataFrame([doc(1, leak)], schema).write.parquet(str(evdir))
+
+    doc_schema = spark.read.parquet(str(indir / "batch1")).schema
+    table = str(tmp_path / "corpus_snap")
+    ckpt = str(tmp_path / "ckpt")
+    q = corpus_prep_stream(
+        spark,
+        f"{indir}/*",
+        str(evdir),
+        table,
+        ckpt,
+        doc_schema,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = st.read_snapshot(spark, table)
+    texts = sorted(r.text for r in got.collect())
+    # 8 clean base + 5 fresh survive; the contaminated 9th base doc
+    # and the 4 cross-batch duplicate texts are gone
+    assert len(texts) == 8 + 5
+    assert len(set(texts)) == len(texts)
+    assert not any("secret eval benchmark" in t for t in texts)
+    assert got.select("digest").distinct().count() == len(texts)
+    head = st.current_version(table)
+
+    # restart on the same checkpoint: all epochs already committed
+    q2 = corpus_prep_stream(
+        spark,
+        f"{indir}/*",
+        str(evdir),
+        table,
+        ckpt,
+        doc_schema,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert st.current_version(table) == head
+    assert st.read_snapshot(spark, table).count() == len(texts)
