@@ -568,11 +568,57 @@ def rollback(table: str, version: int) -> int:
     )
 
 
+ZORDER_BITS = 8  # 256 buckets per column in the interleaved key
+
+
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Bit-interleaved Z-order key over ``cols``: each column maps to
+    a [0, 2^bits) bucket via width_bucket on its GLOBAL min/max (one
+    tiny agg, broadcast as literals), then the bucket bits interleave
+    round-robin so every column contributes equally to key locality.
+    Uniform buckets, not quantiles — heavy skew concentrates buckets
+    and weakens (never breaks) pruning; stats-based skipping stays
+    correct regardless."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n = 1 << bits
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None or mn == mx:
+            buckets.append(F.lit(0))
+            continue
+        # width_bucket yields 1..n inside the range; clamp to 0..n-1
+        buckets.append(
+            F.least(
+                F.lit(n - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n)
+                    )
+                    - 1,
+                ),
+            ).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, b in enumerate(buckets):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * len(cols) + i))
+    return key
+
+
 def optimize(
     spark: SparkSession,
     table: str,
     files_per_partition: int = 1,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> int:
     """OPTIMIZE [ZORDER BY] as a metadata commit — the snapshot-native
     replacement for the rename-swap dance in
@@ -584,7 +630,15 @@ def optimize(
     snapshot BEFORE publishing, then commits a version that references
     only the compacted files. Readers never see an intermediate state,
     time travel to pre-compaction versions keeps working, and a crash
-    at any point leaves only unreferenced files for :func:`vacuum`."""
+    at any point leaves only unreferenced files for :func:`vacuum`.
+
+    ``zorder=True`` clusters by the bit-interleaved
+    :func:`_zorder_key` over ``cluster_by`` instead of the linear
+    sort: files then cover compact hyper-rectangles of the combined
+    space, so footer-stats pruning (:func:`scan`) bites on EVERY
+    clustered column, not just the sort prefix — the real ZORDER BY
+    semantics. Files split by key range (repartitionByRange on the
+    key) so distinct files cover distinct key ranges."""
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist")
@@ -592,12 +646,34 @@ def optimize(
     pcols = prev["partition_cols"]
     df = read_snapshot(spark, table)
     n_before = df.count()
-    if pcols:
+    if zorder:
+        if not cluster_by or len(cluster_by) < 2:
+            raise ValueError("zorder=True needs >= 2 cluster_by columns")
+        keyed = df.withColumn("__zkey", _zorder_key(df, cluster_by))
+        # range-partition on (hive partition cols..., zkey): distinct
+        # output files cover distinct zkey ranges, and rows of one
+        # hive partition stay range-contiguous so the dir layout
+        # survives. files_per_partition counts TOTAL range splits
+        # in zorder mode.
+        range_cols = [*pcols, "__zkey"] if pcols else ["__zkey"]
+        out = (
+            keyed.repartitionByRange(files_per_partition, *range_cols)
+            .sortWithinPartitions(*range_cols)
+            .drop("__zkey")
+        )
+    elif pcols:
         out = df.repartition(files_per_partition, *pcols)
+        if cluster_by:
+            out = out.sortWithinPartitions(*cluster_by)
+    elif cluster_by:
+        # linear clustering: range-split on the cluster columns so
+        # distinct files cover distinct prefix ranges (file-level
+        # pruning on the prefix, not just row-group stats)
+        out = df.repartitionByRange(
+            files_per_partition, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     else:
         out = df.coalesce(files_per_partition)
-    if cluster_by:
-        out = out.sortWithinPartitions(*cluster_by)
     new = _write_data(out, table, pcols)
     new_paths = [os.path.join(table, f) for f in new]
     n_after = (

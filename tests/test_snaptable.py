@@ -560,3 +560,57 @@ def test_register_snapshot_sql_surface(spark, orders, tmp_path):
         spark.sql("SELECT COUNT(*) AS n FROM snap_v1").collect()[0].n
         == orders.count()
     )
+
+
+def test_zorder_optimize_prunes_on_every_clustered_column(spark, orders, tmp_path):
+    """ZORDER vs linear sort: after a linear sort on
+    (o_custkey, o_totalprice), footer stats prune on the sort PREFIX
+    only — a selective o_totalprice predicate skips ~nothing. After
+    Z-ORDER on the same columns, BOTH single-column predicates skip
+    files. Results stay exact either way."""
+    hi_price = orders.agg(F.max("o_totalprice")).collect()[0][0] * 0.9
+    hi_cust = orders.agg(F.max("o_custkey")).collect()[0][0] * 0.9
+
+    linear = str(tmp_path / "lin")
+    st.create_table(orders, linear, [])
+    st.optimize(
+        spark, linear, files_per_partition=8,
+        cluster_by=["o_custkey", "o_totalprice"],
+    )
+    m_lin = st._read_manifest(linear, 2)
+
+    zord = str(tmp_path / "zord")
+    st.create_table(orders, zord, [])
+    st.optimize(
+        spark, zord, files_per_partition=8,
+        cluster_by=["o_custkey", "o_totalprice"], zorder=True,
+    )
+    m_z = st._read_manifest(zord, 2)
+    assert len(m_z["files"]) == 8
+
+    f_price = [("o_totalprice", ">", float(hi_price))]
+    f_cust = [("o_custkey", ">", int(hi_cust))]
+    # linear: prefix column prunes, second column does not
+    assert len(st._prune_files(linear, m_lin, f_cust)) < 8
+    assert len(st._prune_files(linear, m_lin, f_price)) == 8
+    # zorder: BOTH prune
+    z_price = st._prune_files(zord, m_z, f_price)
+    z_cust = st._prune_files(zord, m_z, f_cust)
+    assert len(z_price) < 8, "zorder must prune on o_totalprice"
+    assert len(z_cust) < 8, "zorder must prune on o_custkey"
+    # exactness unchanged
+    for filt, col, val in [
+        (f_price, "o_totalprice", float(hi_price)),
+        (f_cust, "o_custkey", int(hi_cust)),
+    ]:
+        assert (
+            st.scan(spark, zord, filt).count()
+            == orders.filter(F.col(col) > val).count()
+        )
+
+
+def test_zorder_requires_two_columns(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, [])
+    with pytest.raises(ValueError, match="cluster_by"):
+        st.optimize(spark, t, cluster_by=["o_custkey"], zorder=True)
