@@ -406,3 +406,61 @@ SELECT TRUE AS pruned_fewer_files,
 FROM orders
 WHERE o_totalprice > 400000.0
 """
+
+
+def q_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER audit (sources/snaptable.optimize(zorder=True)): after
+    interleaved clustering on (o_custkey, o_totalprice), footer-stats
+    pruning must bite for a selective single-column predicate on EACH
+    clustered column (live booleans — fail if the interleave or the
+    stats collection breaks), and the pruned scans' aggregates must
+    hash-match a SQL replay of the same predicates over orders."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_z_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, [])
+    st.optimize(
+        spark,
+        table,
+        files_per_partition=8,
+        cluster_by=["o_custkey", "o_totalprice"],
+        zorder=True,
+    )
+    m = st._read_manifest(table, 2)
+    f_price = [("o_totalprice", ">", 400000.0)]
+    f_cust = [("o_custkey", ">", 14000)]
+    pruned_price = len(st._prune_files(table, m, f_price)) < len(m["files"])
+    pruned_cust = len(st._prune_files(table, m, f_cust)) < len(m["files"])
+    a = st.scan(spark, table, f_price).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).collect()[0].n
+    b = st.scan(spark, table, f_cust).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).collect()[0].n
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [(pruned_price, pruned_cust, a, b)],
+        "pruned_on_price boolean, pruned_on_custkey boolean, "
+        "n_high_price bigint, n_high_cust bigint",
+    )
+
+
+ORACLE["snapshot_zorder"] = """
+SELECT TRUE AS pruned_on_price,
+       TRUE AS pruned_on_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice > 400000.0)
+         AS n_high_price,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey > 14000)
+         AS n_high_cust
+"""
