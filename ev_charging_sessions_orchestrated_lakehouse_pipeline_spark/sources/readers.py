@@ -138,3 +138,29 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     vectorized ORC reader is on by default
     (spark.sql.orc.enableVectorizedReader)."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (built-in source since Spark 4; ``rowTag`` names the
+    repeated record element). Same schema policy as JSON: explicit
+    ``StructType`` in production — XML inference is a full extra
+    parse pass — and PERMISSIVE corrupt-record capture instead of
+    job failure. No filter pushdown exists for XML (the scan parses
+    every record): at scale, land XML ONCE into Parquet and query
+    that, using this reader only for the ingest hop."""
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema)
+    return reader.load(path)

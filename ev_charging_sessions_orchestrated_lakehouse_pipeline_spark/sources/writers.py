@@ -226,3 +226,10 @@ def write_orc(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.orc(path)
+
+
+def write_xml(df, path: str, row_tag: str, root_tag: str = "rows") -> None:
+    """XML sink (ingest-hop format only — see read_xml's scale note)."""
+    df.write.format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).mode("overwrite").save(path)

@@ -176,3 +176,43 @@ def test_read_fixture_normalizes_both_ts_parquet_layouts(spark, tmp_path):
     assert got["ns"] == got["us"]
     # micros truncation, not rounding: ...789123456 ns -> ...789123 us
     assert got["ns"][0][1].microsecond == 789123
+
+
+def test_xml_roundtrip_and_corrupt_capture(spark, sf_dir, tmp_path):
+    """Spark 4 built-in XML source: write/read roundtrip preserves
+    values; a malformed record lands in _corrupt_record under the
+    explicit-schema PERMISSIVE path instead of failing the read."""
+    from pyspark.sql import types as T
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+        read_xml,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+        write_xml,
+    )
+
+    region = read_fixture(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = str(tmp_path / "region_xml")
+    write_xml(region, out, row_tag="region")
+    back = read_xml(spark, out, row_tag="region")
+    got = sorted((r.r_regionkey, r.r_name) for r in back.collect())
+    want = sorted((r.r_regionkey, r.r_name) for r in region.collect())
+    assert got == want
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        "<rows><region><r_regionkey>1</r_regionkey><r_name>ok</r_name></region>"
+        "<region><r_regionkey>not_a_number</r_regionkey><r_name>x</r_name>"
+        "</region></rows>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    rows = read_xml(spark, str(bad), row_tag="region", schema=schema).collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0].r_regionkey is None
