@@ -146,3 +146,22 @@ def test_star_cc_round_has_single_shuffle_per_star_op(spark):
     )
     plan = _formatted_plan(spark, _star_round(edges, large=True))
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_prep_never_shuffles_payload(spark, sf_dir):
+    """The llm_prep module's core scale promise: no Exchange in the
+    funnel plan carries the text payload column — only digests,
+    shingle hashes, doc ids, and aggregation buffers move."""
+    import re
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.llm_prep import (
+        q_llm_corpus_prep,
+    )
+
+    plan = _formatted_plan(spark, q_llm_corpus_prep(spark, sf_dir))
+    exchanges = re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[[^\]]*\]: \[([^\]]*)\]", plan
+    )
+    assert exchanges, "expected Exchange nodes in the funnel plan"
+    for cols in exchanges:
+        assert "text#" not in cols, f"payload column shuffled: [{cols}]"
