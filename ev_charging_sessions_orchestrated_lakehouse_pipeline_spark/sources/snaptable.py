@@ -59,6 +59,11 @@ class ConcurrentCommit(RuntimeError):
     """Another writer published this version first; re-read and retry."""
 
 
+class ConstraintViolation(ValueError):
+    """An incoming batch broke a table CHECK constraint; nothing was
+    published (the batch's data files are invisible orphans)."""
+
+
 def _snap_dir(table: str) -> str:
     return os.path.join(table, SNAPSHOT_DIR)
 
@@ -188,6 +193,7 @@ def _commit(
     parent: int | None,
     txn: tuple[str, int] | None = None,
     file_stats: dict | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     version = (parent or 0) + 1
     manifest = {
@@ -199,6 +205,7 @@ def _commit(
         "schema": schema_json,
         "files": files,
         "file_stats": file_stats or {},
+        "constraints": constraints or {},
     }
     if txn is not None:
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
@@ -213,6 +220,28 @@ def _carry_stats(prev: dict, kept: list[str], new_stats: dict) -> dict:
     out = {f: old[f] for f in kept if f in old}
     out.update(new_stats)
     return out
+
+
+def _validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Enforce table CHECK constraints on an incoming batch in ONE
+    aggregation pass (the quality-module treatment). SQL CHECK
+    semantics: a row violates only when the expression is FALSE —
+    NULL/unknown passes, exactly as Delta constraints behave."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum((F.expr(expr) == False).cast("long")).alias(name)  # noqa: E712
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n]) for n in constraints if row[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n!r} ({constraints[n]}): {c} rows" for n, c in bad.items()
+        )
+        raise ConstraintViolation(f"batch violates CHECK constraints: {detail}")
 
 
 def txn_epoch(table: str, app_id: str) -> int | None:
@@ -241,11 +270,15 @@ def create_table(
     table: str,
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
-    """Create version 1 of a new snapshot table from ``df``."""
+    """Create version 1 of a new snapshot table from ``df``.
+    ``constraints``: {name: boolean SQL expr} CHECK constraints
+    enforced on this and every future commit."""
     partition_cols = partition_cols or []
     if current_version(table) is not None:
         raise ValueError(f"{table} already exists; use overwrite_table")
+    _validate_constraints(df, constraints or {})
     files = _write_data(df, table, partition_cols)
     return _commit(
         table,
@@ -256,6 +289,7 @@ def create_table(
         current_version(table),
         txn=txn,
         file_stats=_collect_stats(table, files),
+        constraints=constraints or {},
     )
 
 
@@ -306,6 +340,7 @@ def append(
         raise ValueError(f"{table} does not exist; use create_table")
     prev = _read_manifest(table, head)
     schema_json = _evolve_schema(prev["schema"], df, merge_schema)
+    _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, prev["partition_cols"])
     return _commit(
         table,
@@ -316,6 +351,7 @@ def append(
         head,
         txn=txn,
         file_stats=_carry_stats(prev, prev["files"], _collect_stats(table, new)),
+        constraints=prev.get("constraints", {}),
     )
 
 
@@ -326,6 +362,7 @@ def overwrite_table(df: DataFrame, table: str) -> int:
     if head is None:
         return create_table(df, table)
     prev = _read_manifest(table, head)
+    _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, prev["partition_cols"])
     return _commit(
         table,
@@ -335,6 +372,7 @@ def overwrite_table(df: DataFrame, table: str) -> int:
         df.schema.json(),
         head,
         file_stats=_collect_stats(table, new),
+        constraints=prev.get("constraints", {}),
     )
 
 
@@ -355,6 +393,7 @@ def overwrite_partitions(
     pcols = prev["partition_cols"]
     if not pcols:
         raise ValueError(f"{table} is unpartitioned; use overwrite_table")
+    _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, pcols)
     touched = {tuple(sorted(_partition_values(f, pcols).items())) for f in new}
     kept = [
@@ -371,6 +410,7 @@ def overwrite_partitions(
         head,
         txn=txn,
         file_stats=_carry_stats(prev, kept, _collect_stats(table, new)),
+        constraints=prev.get("constraints", {}),
     )
 
 
@@ -524,6 +564,33 @@ def register_snapshot(
     read_snapshot(spark, table, version).createOrReplaceTempView(view_name)
 
 
+def add_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validate the CURRENT snapshot
+    against ``expr`` first (existing data must already satisfy it —
+    Delta's behavior), then publish a metadata-only version whose
+    constraint set includes it. Every later commit enforces it."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    if name in prev.get("constraints", {}):
+        raise ValueError(f"constraint {name!r} already exists on {table}")
+    _validate_constraints(read_snapshot(spark, table), {name: expr})
+    cons = dict(prev.get("constraints", {}), **{name: expr})
+    return _commit(
+        table,
+        f"add_constraint_{name}",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=cons,
+    )
+
+
 def history(table: str) -> list[dict]:
     """Commit log, oldest first: version, parent, operation, file and
     partition counts, commit time — the DESCRIBE HISTORY surface."""
@@ -565,6 +632,7 @@ def rollback(table: str, version: int) -> int:
         target["schema"],
         head,
         file_stats=target.get("file_stats", {}),
+        constraints=target.get("constraints", {}),
     )
 
 
@@ -695,6 +763,7 @@ def optimize(
         prev["schema"],
         head,
         file_stats=_collect_stats(table, new),
+        constraints=prev.get("constraints", {}),
     )
 
 

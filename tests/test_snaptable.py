@@ -614,3 +614,48 @@ def test_zorder_requires_two_columns(spark, orders, tmp_path):
     st.create_table(orders, t, [])
     with pytest.raises(ValueError, match="cluster_by"):
         st.optimize(spark, t, cluster_by=["o_custkey"], zorder=True)
+
+
+def test_check_constraints_enforced_on_every_commit(spark, orders, tmp_path):
+    """Delta-style CHECK constraints: a violating batch is rejected
+    with NOTHING published (head unchanged, offending files are
+    orphans), valid batches pass, NULL evaluates as pass (SQL CHECK
+    semantics), add_constraint validates existing data first, and
+    the constraint survives carry-over commits."""
+    t = _tbl(tmp_path)
+    st.create_table(
+        orders,
+        t,
+        ["o_orderstatus"],
+        constraints={"price_positive": "o_totalprice > 0"},
+    )
+    # violating create is impossible; violating append rejected
+    bad = orders.limit(3).withColumn("o_totalprice", F.lit(-5.0))
+    with pytest.raises(st.ConstraintViolation, match="price_positive"):
+        st.append(bad, t)
+    assert st.current_version(t) == 1  # nothing published
+    st.vacuum(t)  # reclaims the rejected batch's orphans
+    assert st.read_snapshot(spark, t).count() == orders.count()
+
+    # NULL passes (SQL CHECK): a null price row is NOT a violation
+    nullish = orders.limit(2).withColumn(
+        "o_totalprice", F.lit(None).cast("double")
+    )
+    st.append(nullish, t)
+    assert st.current_version(t) == 2
+
+    # add_constraint rejects when current data violates it
+    with pytest.raises(st.ConstraintViolation):
+        st.add_constraint(spark, t, "impossible", "o_totalprice < 0")
+    # (the fixture legitimately contains o_orderkey = 0, so the
+    # non-negative form is the one existing data satisfies)
+    st.add_constraint(spark, t, "key_nonneg", "o_orderkey >= 0")
+    assert st.current_version(t) == 3
+    # enforced after carry-over through overwrite_partitions too
+    bad_key = orders.limit(1).withColumn("o_orderkey", F.lit(-1).cast("long"))
+    with pytest.raises(st.ConstraintViolation, match="key_nonneg"):
+        st.overwrite_partitions(bad_key, t)
+    assert sorted(st._read_manifest(t, 3)["constraints"]) == [
+        "key_nonneg",
+        "price_positive",
+    ]
