@@ -564,6 +564,98 @@ def register_snapshot(
     read_snapshot(spark, table, version).createOrReplaceTempView(view_name)
 
 
+def _filters_to_column(filters: list[tuple]):
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        cond = cond & {
+            "=": c == val, "==": c == val, ">": c > val,
+            ">=": c >= val, "<": c < val, "<=": c <= val,
+        }[op]
+    return cond
+
+
+def _rewrite_matching_files(
+    spark: SparkSession, table: str, filters: list[tuple], transform
+) -> int:
+    """Shared DELETE/UPDATE mechanics: data skipping picks the files
+    that MAY contain matching rows (:func:`_prune_files` over the
+    same conjunctive filters as :func:`scan`), ONLY those files are
+    read and rewritten through ``transform``, and every other file
+    carries over by reference — the Delta DELETE/UPDATE file-rewrite
+    model. With clustered data (see :func:`optimize`) a selective
+    predicate rewrites a handful of files out of thousands."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    pcols = prev["partition_cols"]
+    if not filters:
+        raise ValueError("refusing an unfiltered rewrite; pass filters")
+    candidates = _prune_files(table, prev, filters)
+    if not candidates:
+        return head  # stats prove nothing matches: metadata no-op
+    untouched = [f for f in prev["files"] if f not in set(candidates)]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    cand_df = (
+        spark.read.schema(schema)
+        .option("basePath", _data_dir(table))
+        .parquet(*[os.path.join(table, f) for f in candidates])
+    )
+    rewritten, operation = transform(cand_df)
+    _validate_constraints(rewritten, prev.get("constraints", {}))
+    new = _write_data(rewritten, table, pcols)
+    return _commit(
+        table,
+        operation,
+        sorted(untouched + new),
+        pcols,
+        prev["schema"],
+        head,
+        file_stats=_carry_stats(prev, untouched, _collect_stats(table, new)),
+        constraints=prev.get("constraints", {}),
+    )
+
+
+def delete_where(spark: SparkSession, table: str, filters: list[tuple]) -> int:
+    """Row-level DELETE: rewrite only the files whose footer stats
+    say they MAY hold matching rows, dropping those rows; all other
+    files carry over untouched. ``filters`` as in :func:`scan`."""
+    cond = _filters_to_column(filters)
+    return _rewrite_matching_files(
+        spark, table, filters, lambda df: (df.filter(~cond), "delete")
+    )
+
+
+def update_where(
+    spark: SparkSession, table: str, filters: list[tuple], set_exprs: dict[str, str]
+) -> int:
+    """Row-level UPDATE: ``set_exprs`` maps column -> SQL expression
+    applied to matching rows (non-matching rows in rewritten files
+    pass through unchanged). CHECK constraints re-validate the
+    rewritten files before anything publishes."""
+    from pyspark.sql import functions as F
+
+    cond = _filters_to_column(filters)
+
+    def transform(df: DataFrame):
+        # one select so every SET expression sees the OLD row (SQL
+        # UPDATE semantics), not earlier assignments
+        cols = [
+            F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(*cols), "update"
+
+    return _rewrite_matching_files(spark, table, filters, transform)
+
+
 def add_constraint(
     spark: SparkSession, table: str, name: str, expr: str
 ) -> int:

@@ -659,3 +659,72 @@ def test_check_constraints_enforced_on_every_commit(spark, orders, tmp_path):
         "key_nonneg",
         "price_positive",
     ]
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, orders, tmp_path):
+    """DELETE reads/rewrites only files whose stats may match; the
+    rest carry over by reference; time travel sees pre-delete rows."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, [])
+    st.optimize(spark, t, files_per_partition=8, cluster_by=["o_totalprice"])
+    m2 = st._read_manifest(t, 2)
+    hi = orders.agg(F.max("o_totalprice")).collect()[0][0] * 0.9
+    st.delete_where(spark, t, [("o_totalprice", ">", float(hi))])
+    m3 = st._read_manifest(t, 3)
+    carried = set(m2["files"]) & set(m3["files"])
+    assert len(carried) >= 5  # most range files untouched by reference
+    got = st.read_snapshot(spark, t)
+    assert got.count() == orders.filter(F.col("o_totalprice") <= hi).count()
+    assert got.filter(F.col("o_totalprice") > hi).count() == 0
+    assert st.read_snapshot(spark, t, version=2).count() == orders.count()
+    # stats prove nothing matches -> metadata no-op, no new version
+    v = st.delete_where(spark, t, [("o_totalprice", ">", float(hi) * 10)])
+    assert v == 3 and st.current_version(t) == 3
+
+
+def test_update_where_old_row_semantics_and_constraints(spark, orders, tmp_path):
+    """UPDATE applies SET expressions against the OLD row (swap test:
+    two columns exchanging values must not see each other's new
+    value), rewrites only candidate files, and re-validates CHECK
+    constraints on the rewritten files."""
+    t = _tbl(tmp_path)
+    st.create_table(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        t,
+        [],
+        constraints={"price_positive": "o_totalprice > 0"},
+    )
+    lo = (
+        orders.filter(F.col("o_custkey") > 0)
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+    )  # smallest POSITIVE key: the swap writes it into o_totalprice,
+    # which must keep satisfying the price_positive CHECK
+    filters = [("o_custkey", "=", int(lo))]
+    n_match = orders.filter(F.col("o_custkey") == lo).count()
+    before = {
+        r.o_orderkey: (r.o_custkey, r.o_totalprice)
+        for r in st.read_snapshot(spark, t).collect()
+    }
+    st.update_where(
+        spark, t, filters,
+        {"o_custkey": "CAST(o_totalprice AS BIGINT)", "o_totalprice": "CAST(o_custkey AS DOUBLE)"},
+    )
+    after = {
+        r.o_orderkey: (r.o_custkey, r.o_totalprice)
+        for r in st.read_snapshot(spark, t).collect()
+    }
+    swapped = 0
+    for k, (ck, tp) in before.items():
+        ck2, tp2 = after[k]
+        if ck == lo:
+            assert (ck2, tp2) == (int(tp), float(ck))  # true swap: old values
+            swapped += 1
+        else:
+            assert (ck2, tp2) == (ck, tp)
+    assert swapped == n_match > 0
+    # an update that would break the CHECK constraint is rejected whole
+    with pytest.raises(st.ConstraintViolation, match="price_positive"):
+        st.update_where(
+            spark, t, [("o_custkey", ">", -1)], {"o_totalprice": "-1.0"}
+        )
