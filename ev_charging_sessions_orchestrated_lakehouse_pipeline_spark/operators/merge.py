@@ -464,3 +464,75 @@ SELECT TRUE AS pruned_on_price,
        (SELECT COUNT(*) FROM orders WHERE o_custkey > 14000)
          AS n_high_cust
 """
+
+
+def q_snapshot_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML audit on the snapshot format: DELETE the
+    high-price tail then UPDATE a low-price band
+    (sources/snaptable.delete_where/update_where — stats-driven file
+    rewrite, untouched files carried by reference), and hash-check
+    the final per-status aggregate against a SQL replay of both
+    mutations. files_carried is a live boolean: it fails if the
+    rewrite stops carrying untouched files by reference."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_dml_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, [])
+    st.optimize(spark, table, files_per_partition=8, cluster_by=["o_totalprice"])
+    before = set(st._read_manifest(table, 2)["files"])
+    st.delete_where(spark, table, [("o_totalprice", ">", 400000.0)])
+    st.update_where(
+        spark,
+        table,
+        [("o_totalprice", "<", 10000.0)],
+        {"o_totalprice": "o_totalprice + 1.0"},
+    )
+    after = set(st._read_manifest(table, st.current_version(table))["files"])
+    carried = len(before & after) > 0
+    audit = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, r.n_orders, float(r.sum_totalprice), carried)
+            for r in audit
+        ],
+        "o_orderstatus string, n_orders bigint, sum_totalprice double, "
+        "files_carried boolean",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_dml"] = f"""
+WITH surviving AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_totalprice < 10000.0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_totalprice > 400000.0)
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice,
+       TRUE AS files_carried
+FROM surviving
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
