@@ -237,3 +237,120 @@ ORDER BY "column"
 
 
 ORACLE["dq_profile"] = _profile_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Metrics repository over snapshot-table versions + anomaly detection
+# — Deequ's MetricsRepository/anomaly-check feature re-expressed on
+# the in-engine table format: quality metrics computed per COMMITTED
+# VERSION (time travel makes history queryable), drift between
+# consecutive versions flagged against a relative threshold. This is
+# the production shape of "did today's load look like yesterday's":
+# metric history rides the manifest log, no side database.
+# ---------------------------------------------------------------------------
+DRIFT_THRESHOLD = 0.05  # |relative change| above this flags an anomaly
+
+
+def snapshot_metric_history(
+    spark: SparkSession, table: str, metrics: dict[str, str]
+) -> list[dict]:
+    """Per-version metric values for a snapshot table: ``metrics``
+    maps name -> aggregate SQL expression; each committed version is
+    time-traveled and measured with ONE agg pass (bounded driver
+    rows: versions x metrics)."""
+    from ..sources import snaptable as st
+
+    out = []
+    for h in st.history(table):
+        v = h["version"]
+        row = (
+            st.read_snapshot(spark, table, version=v)
+            .agg(*[F.expr(expr).alias(name) for name, expr in metrics.items()])
+            .collect()[0]
+        )
+        out.append({"version": v, **{m: row[m] for m in metrics}})
+    return out
+
+
+def q_snapshot_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-version orders table (create -> DELETE high tail ->
+    small append), with row-count and decimal-exact total-price
+    metrics per version and drift flags vs the previous version. The
+    oracle replays each version's visible rows in SQL, so the
+    version/metric/drift pipeline is hash-checked end-to-end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_drift_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, [])
+    st.delete_where(spark, table, [("o_totalprice", ">", 300000.0)])
+    st.append(orders.filter(F.col("o_custkey") % 500 == 1), table)
+    hist = snapshot_metric_history(
+        spark,
+        table,
+        {
+            "n_rows": "CAST(COUNT(*) AS BIGINT)",
+            "total_price": (
+                "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS STRING)"
+                " AS DOUBLE)"
+            ),
+        },
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    rows = []
+    prev = None
+    for h in hist:
+        if prev is None:
+            drift = False
+        else:
+            rel = abs(h["n_rows"] - prev["n_rows"]) / prev["n_rows"]
+            drift = rel > DRIFT_THRESHOLD
+        rows.append((h["version"], h["n_rows"], float(h["total_price"]), drift))
+        prev = h
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, total_price double, size_anomaly boolean",
+    ).orderBy("version")
+
+
+def _drift_oracle() -> str:
+    from ..functions.oracle import dsum_sql
+
+    return f"""
+WITH v1 AS (SELECT * FROM orders),
+v2 AS (SELECT * FROM orders WHERE NOT (o_totalprice > 300000.0)),
+v3 AS (
+  SELECT * FROM v2
+  UNION ALL
+  SELECT * FROM orders WHERE o_custkey % 500 = 1
+),
+m AS (
+  SELECT 1 AS version, COUNT(*) AS n_rows,
+         {dsum_sql('o_totalprice')} AS total_price FROM v1
+  UNION ALL
+  SELECT 2, COUNT(*), {dsum_sql('o_totalprice')} FROM v2
+  UNION ALL
+  SELECT 3, COUNT(*), {dsum_sql('o_totalprice')} FROM v3
+)
+SELECT version, n_rows, total_price,
+       COALESCE(
+         ABS(n_rows - LAG(n_rows) OVER (ORDER BY version))
+           / CAST(LAG(n_rows) OVER (ORDER BY version) AS DOUBLE)
+           > {DRIFT_THRESHOLD},
+         FALSE) AS size_anomaly
+FROM m
+ORDER BY version
+"""
+
+
+ORACLE["snapshot_metric_drift"] = _drift_oracle()
