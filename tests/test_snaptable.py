@@ -728,3 +728,69 @@ def test_update_where_old_row_semantics_and_constraints(spark, orders, tmp_path)
         st.update_where(
             spark, t, [("o_custkey", ">", -1)], {"o_totalprice": "-1.0"}
         )
+
+
+class TestScanPruningProperty:
+    """Property test for the data-skipping boundary logic: for ANY
+    conjunction of range/equality filters, scan() must return exactly
+    the same rows as an unpruned filter — a wrong bound in _OPS would
+    silently drop data, the worst failure class this format has. One
+    shared 8-file range-clustered table (plus an all-null-stats file
+    appended) keeps each example to a single comparison job."""
+
+    @pytest.fixture(scope="class")
+    def table(self, spark, sf_dir, tmp_path_factory):
+        orders = read_fixture(spark, sf_dir, "orders")
+        t = str(tmp_path_factory.mktemp("prune_prop") / "t")
+        st.create_table(orders, t, [])
+        st.optimize(
+            spark, t, files_per_partition=8,
+            cluster_by=["o_totalprice", "o_custkey"],
+        )
+        # a file whose o_totalprice is all-null: no stats -> must
+        # never be pruned away incorrectly
+        st.append(
+            orders.limit(7).withColumn(
+                "o_totalprice", F.lit(None).cast("double")
+            ),
+            t,
+        )
+        return t
+
+    from hypothesis import HealthCheck as _HC
+    from hypothesis import given as _given
+    from hypothesis import settings as _settings
+    from hypothesis import strategies as _st
+
+    @_settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[_HC.function_scoped_fixture],
+    )
+    @_given(
+        filters=_st.lists(
+            _st.tuples(
+                _st.sampled_from(["o_totalprice", "o_custkey"]),
+                _st.sampled_from(["<", "<=", ">", ">=", "="]),
+                _st.one_of(
+                    _st.floats(
+                        min_value=0, max_value=600000, allow_nan=False
+                    ),
+                    _st.integers(min_value=0, max_value=15000),
+                ),
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_scan_equals_unpruned_filter(self, spark, table, filters):
+        # normalize: o_custkey filters use int, o_totalprice float
+        filters = [
+            (c, op, float(v) if c == "o_totalprice" else int(v))
+            for c, op, v in filters
+        ]
+        got = st.scan(spark, table, filters).count()
+        full = st.read_snapshot(spark, table)
+        cond = st._filters_to_column(filters)
+        want = full.filter(cond).count()
+        assert got == want, (filters, got, want)
