@@ -46,6 +46,22 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot table format (time travel per run)",
     )
 
+    pp = sub.add_parser(
+        "pipeline",
+        help="bronze CSV -> silver -> gold in one run (the in-engine "
+        "equivalent of the reference's Step-Functions orchestration)",
+    )
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--lake", required=True)
+    pp.add_argument("--silver-prefix", default="silver/ev_sessions_clean")
+    pp.add_argument("--quarantine-prefix", default="bronze/quarantine/ev_sessions_bad")
+    pp.add_argument("--gold-prefix", default="gold/fact_ev_session")
+    pp.add_argument("--event-date", default=None)
+    pp.add_argument(
+        "--table-format", choices=["parquet", "snapshot"], default="parquet"
+    )
+    pp.add_argument("--fail-mode", choices=["quarantine", "fail_job"], default="quarantine")
+
     pl = sub.add_parser(
         "llmprep",
         help="documents table -> dedup/quality/decontam/mixture -> "
@@ -79,6 +95,36 @@ def main(argv: list[str] | None = None) -> int:
                         "quarantined": res.bad_count,
                         "verification": res.verification.status.value,
                         "constraints": res.verification.to_dict(),
+                    }
+                )
+            )
+        elif args.cmd == "pipeline":
+            from .operators.gold import run_gold
+            from .operators.silver import run_silver
+
+            res = run_silver(
+                spark,
+                input_path=args.input,
+                silver_path=f"{args.lake}/{args.silver_prefix}",
+                quarantine_path=f"{args.lake}/{args.quarantine_prefix}",
+                fail_mode=args.fail_mode,
+            )
+            n = run_gold(
+                spark,
+                silver_path=f"{args.lake}/{args.silver_prefix}",
+                gold_path=f"{args.lake}/{args.gold_prefix}",
+                event_date=args.event_date,
+                table_format=args.table_format,
+            )
+            print(
+                json.dumps(
+                    {
+                        "silver": {
+                            "good": res.good_count,
+                            "quarantined": res.bad_count,
+                            "verification": res.verification.status.value,
+                        },
+                        "gold": {"rows_written": n, "format": args.table_format},
                     }
                 )
             )

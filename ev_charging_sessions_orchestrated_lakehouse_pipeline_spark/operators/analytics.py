@@ -2566,3 +2566,57 @@ FROM (
 WHERE event_type = 'purchase'
 ORDER BY user_id, event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence mining: parts frequently ordered together. The
+# basket->pairs shape is the dedup posting-list pattern (one shuffle
+# to group baskets, pairs generated MAP-SIDE from each sorted basket
+# via higher-order slice/transform — never a self-join of the
+# exploded table, which would shuffle the order-part pairs twice and
+# hash-join millions of keys). TPC-H baskets are tiny (<=7 parts), so
+# per-basket pair fan-out is bounded; for corpora with huge baskets
+# apply the dedup module's frequency cap before pairing.
+# ---------------------------------------------------------------------------
+MIN_COOC = 2
+TOP_COOC = 100
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= MIN_COOC)
+        .orderBy(F.col("n_orders_together").desc(), "part_a", "part_b")
+        .limit(TOP_COOC)
+    )
+
+
+ORACLE["copurchase_pairs"] = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders_together
+FROM op a
+JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING COUNT(*) >= {MIN_COOC}
+ORDER BY n_orders_together DESC, part_a, part_b
+LIMIT {TOP_COOC}
+"""
