@@ -306,8 +306,10 @@ WHERE len({_TOKENS_SQL}) >= {SHINGLE_N}
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs with exact-Jaccard verification.
-# Non-SQL-expressible end to end -> rows-only driver check
-# (tests/test_llm_ops.py pins LSH ⊆ exact-Jaccard instead).
+# This xxhash64 k=32 variant is the SCALE path and stays rows-only
+# (xxhash64 has no DuckDB twin); tests/test_llm_ops.py pins
+# LSH ⊆ exact-Jaccard, and q_dedup_minhash_lsh_md5 below carries the
+# full value-hash driver check for the same pipeline shape.
 # ---------------------------------------------------------------------------
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The persist is load-bearing (shingles feed band-gen once and the
@@ -899,3 +901,104 @@ ORDER BY doc_a, doc_b
 
 
 ORACLE["minhash_calibration"] = _calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Driver-verifiable LSH twin: md5-seeded k=8 signatures (the DuckDB-
+# reproducible hash60 family) banded as b=4 x r=2, with the band key
+# being the TUPLE of r signature components rather than a polynomial
+# hash — tuple equality is exactly replayable cross-engine, where
+# Java long arithmetic wraps but DuckDB BIGINT errors on overflow.
+# S-curve midpoint (1/b)^(1/r) = 0.5 = JACCARD_THRESHOLD. The
+# xxhash64 k=32 variant above remains the scale path (md5 is ~5x the
+# per-shingle hashing cost); THIS one exists so the whole
+# signatures -> banding -> bucket-join -> exact-verify chain carries
+# a full value-hash driver check instead of a rows-only row.
+# ---------------------------------------------------------------------------
+LSH_MD5_BANDS = 4
+LSH_MD5_ROWS = 2
+
+
+def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir).persist()
+    k = LSH_MD5_BANDS * LSH_MD5_ROWS
+    sigs = minhash_signatures_md5(shingled, k=k)
+    band_structs = ", ".join(
+        f"struct({b} AS band_id, mh{b * LSH_MD5_ROWS} AS k1, "
+        f"mh{b * LSH_MD5_ROWS + 1} AS k2)"
+        for b in range(LSH_MD5_BANDS)
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _lsh_md5_oracle() -> str:
+    shingle_arr = f"list_distinct({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)})"
+    k = LSH_MD5_BANDS * LSH_MD5_ROWS
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> {hash60_sql('s', seed=i)})) AS mh{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh{b * LSH_MD5_ROWS} AS k1, "
+        f"mh{b * LSH_MD5_ROWS + 1} AS k2 FROM sigs"
+        for b in range(LSH_MD5_BANDS)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, {shingle_arr} AS shingles
+  FROM documents
+  WHERE len({_TOKENS_SQL}) >= {SHINGLE_N}
+), sigs AS (
+  SELECT doc_id, {mh} FROM shingled
+), banded AS (
+  {band_rows}
+), candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b
+    ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+FROM candidates c
+JOIN shingled sa ON sa.doc_id = c.doc_a
+JOIN shingled sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE["dedup_minhash_lsh_md5"] = _lsh_md5_oracle()
