@@ -536,3 +536,116 @@ FROM surviving
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_snapshot_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint contract on the snapshot format: a violating
+    append must be rejected atomically (head version unchanged, no
+    rows added), a valid append must land, and add_constraint must
+    refuse a rule the existing data violates. All booleans are live —
+    computed from what the table actually did — and row counts
+    hash-match a SQL replay."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_ck_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(
+        orders, table, [], constraints={"price_nonneg": "o_totalprice >= 0"}
+    )
+    bad = orders.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    rejected = False
+    try:
+        st.append(bad, table)
+    except st.ConstraintViolation:
+        rejected = True
+    head_unchanged = st.current_version(table) == 1
+    st.append(orders.filter(F.col("o_custkey") % 100 == 3), table)
+    valid_landed = st.current_version(table) == 2
+    add_refused = False
+    try:
+        st.add_constraint(spark, table, "impossible", "o_totalprice < 0")
+    except st.ConstraintViolation:
+        add_refused = True
+    n_rows = st.read_snapshot(spark, table).count()
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [(rejected, head_unchanged, valid_landed, add_refused, n_rows)],
+        "violating_append_rejected boolean, head_unchanged boolean, "
+        "valid_append_landed boolean, bad_add_constraint_refused boolean, "
+        "n_rows bigint",
+    )
+
+
+ORACLE["snapshot_constraints"] = """
+SELECT TRUE AS violating_append_rejected,
+       TRUE AS head_unchanged,
+       TRUE AS valid_append_landed,
+       TRUE AS bad_add_constraint_refused,
+       (SELECT COUNT(*) FROM orders)
+         + (SELECT COUNT(*) FROM orders WHERE o_custkey % 100 = 3) AS n_rows
+"""
+
+
+def q_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema contract: an evolved append adds a column, old
+    rows read as NULL for it, the pre-evolution version keeps its
+    original schema via time travel. Counts hash-match a SQL replay;
+    the schema booleans are live."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_evo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, [])
+    batch = orders.filter(F.col("o_custkey") % 100 == 7).withColumn(
+        "priority_score", F.lit(2.5)
+    )
+    rejected_without_flag = False
+    try:
+        st.append(batch, table)
+    except ValueError:
+        rejected_without_flag = True
+    st.append(batch, table, merge_schema=True)
+    head = st.read_snapshot(spark, table)
+    v1 = st.read_snapshot(spark, table, version=1)
+    out = (
+        rejected_without_flag,
+        "priority_score" in head.columns,
+        "priority_score" not in v1.columns,
+        head.filter(F.col("priority_score").isNull()).count(),
+        head.filter(F.col("priority_score") == 2.5).count(),
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [out],
+        "rejected_without_flag boolean, head_has_column boolean, "
+        "v1_lacks_column boolean, n_null_old_rows bigint, n_new_rows bigint",
+    )
+
+
+ORACLE["snapshot_evolution"] = """
+SELECT TRUE AS rejected_without_flag,
+       TRUE AS head_has_column,
+       TRUE AS v1_lacks_column,
+       (SELECT COUNT(*) FROM orders) AS n_null_old_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey % 100 = 7) AS n_new_rows
+"""
