@@ -46,6 +46,7 @@ def _build() -> None:
         "sampling",
         "merge",
         "clustering",
+        "tpch",
     ):
         try:
             mod = __import__(

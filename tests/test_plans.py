@@ -81,6 +81,21 @@ def test_filter_pushes_down(spark, sf_dir):
     assert "IsNotNull" in plan or "LessThan" in plan
 
 
+def test_q6_pushes_all_three_predicates(spark, sf_dir):
+    """TPC-H Q6 is the canonical pushdown probe: the date range,
+    discount band, and quantity cap must ALL reach the parquet scan
+    so row groups outside the window are skipped at the source."""
+    plan = _formatted_plan(spark, QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir))
+    scan = next(
+        block
+        for block in plan.split("\n\n")
+        if "Scan parquet" in block and "PushedFilters" in block
+    )
+    pushed = next(line for line in scan.splitlines() if "PushedFilters" in line)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed: {pushed}"
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Two tables bucketed+sorted on the join key must join with no
     Exchange and no extra Sort — the co-location contract that makes
