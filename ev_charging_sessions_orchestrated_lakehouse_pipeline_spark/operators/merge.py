@@ -649,3 +649,167 @@ SELECT TRUE AS rejected_without_flag,
        (SELECT COUNT(*) FROM orders) AS n_null_old_rows,
        (SELECT COUNT(*) FROM orders WHERE o_custkey % 100 = 7) AS n_new_rows
 """
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed on the snapshot table format
+    (sources/snaptable.changes — the Delta CDF equivalent, derived
+    from manifest file diffs so each commit's feed reads only the
+    files that commit touched).
+
+    Builds a four-version orders table (v1 create partitioned by
+    o_orderstatus; v2 dynamic partition overwrite shrinking the 'F'
+    partition to its high-value rows; v3 append of a cloned batch;
+    v4 OPTIMIZE compaction) and audits the feed SINCE v1 per
+    (commit, change_type). The oracle replays each commit's row-level
+    effect in SQL — v2 must surface as delete-all-F + insert-the-
+    survivors, v3 as pure inserts, and v4 (optimize) as NOTHING,
+    which is precisely the content-preservation contract the feed
+    guarantees. Driver-side collect is the bounded audit rollup
+    (<=3 rows); the table lives in a run-scoped temp dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_cdf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    st.overwrite_partitions(
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        ),
+        table,
+    )
+    st.append(
+        orders.filter(F.col("o_orderkey") % 97 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(5000000)
+        ),
+        table,
+    )
+    st.optimize(spark, table, files_per_partition=1)
+    audit = (
+        st.changes(spark, table, from_version=1)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .orderBy("_commit_version", "_change_type")
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r._commit_version, r._change_type, r.n_rows, float(r.sum_totalprice))
+            for r in audit
+        ],
+        "commit_version bigint, change_type string, n_rows bigint, "
+        "sum_totalprice double",
+    ).orderBy("commit_version", "change_type")
+
+
+ORACLE["snapshot_changes"] = f"""
+SELECT CAST(2 AS BIGINT) AS commit_version, 'delete' AS change_type, COUNT(*) AS n_rows,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 2, 'insert', COUNT(*), {dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+UNION ALL
+SELECT 3, 'insert', COUNT(*), {dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderkey % 97 = 3
+ORDER BY commit_version, change_type
+"""
+
+
+def q_snapshot_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the change feed
+    (sources/snaptable.maintain_count_sum): a per-status
+    COUNT/SUM aggregate materialized at v1 is rolled forward through
+    a partition overwrite and an append WITHOUT rescanning the table
+    — only the changed files feed the delta aggregation.
+
+    The oracle recomputes the aggregate from scratch over the final
+    visible row set, so the hash match IS the maintenance-equals-
+    recompute theorem (exact because counts and decimal sums are
+    invertible; see maintain_count_sum's docstring). Driver-side
+    collect is the bounded per-status rollup; the table lives in a
+    run-scoped temp dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.oracle import DEC
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_ivm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    base = (
+        st.read_snapshot(spark, table, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("s"),
+        )
+    )
+    st.overwrite_partitions(
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        ),
+        table,
+    )
+    st.append(
+        orders.filter(F.col("o_orderkey") % 97 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(5000000)
+        ),
+        table,
+    )
+    maintained = st.maintain_count_sum(
+        spark, table, base, ["o_orderstatus"], "o_totalprice", from_version=1
+    )
+    rows = (
+        maintained.select(
+            "o_orderstatus",
+            F.col("n").alias("n_orders"),
+            F.col("s").cast("string").cast("double").alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.o_orderstatus, r.n_orders, float(r.sum_totalprice)) for r in rows],
+        "o_orderstatus string, n_orders bigint, sum_totalprice double",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_incremental_agg"] = f"""
+WITH final_state AS (
+  SELECT * FROM orders
+  WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 3
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM final_state
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

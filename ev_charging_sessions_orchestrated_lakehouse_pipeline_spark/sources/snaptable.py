@@ -707,6 +707,147 @@ def history(table: str) -> list[dict]:
     return out
 
 
+def changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed (Delta CDF equivalent): every row-level change
+    committed AFTER ``from_version`` up to and including
+    ``to_version`` (default: head), tagged with ``_change_type``
+    ('insert' | 'delete') and ``_commit_version``.
+
+    File-diff CDF, no row tracking: for each commit, rows in files the
+    commit ADDED are inserts and rows in files it REMOVED are deletes.
+    UPDATE therefore surfaces as delete+insert (Delta without
+    ``update_pre/postimage``), and a row that merely moved files
+    (e.g. a ``delete_where`` rewriting the survivors of a touched
+    file) appears as a self-cancelling delete+insert pair — the NET
+    multiset effect is always exact:
+    ``state(to) == state(from) - deletes + inserts`` (property-tested
+    across every DML op in tests/test_snaptable.py).
+
+    ``optimize`` commits are skipped entirely: compaction/Z-ORDER
+    rewrites are content-identical by contract (optimize() verifies
+    the row count), so like Delta's OPTIMIZE they emit no CDF rows.
+
+    Scale: reads ONLY the files each commit touched — the whole point
+    of consuming a 100 TB table incrementally instead of diffing two
+    full snapshots. Manifest diffs are driver-side set ops on file
+    path lists (tiny); no data file is opened twice.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    versions = _list_versions(table)
+    if from_version not in versions:
+        raise ValueError(f"version {from_version} of {table} does not exist")
+    head = versions[-1]
+    to = head if to_version is None else to_version
+    if to not in versions:
+        raise ValueError(f"version {to} of {table} does not exist (head={head})")
+
+    parts: list[DataFrame] = []
+    prev = _read_manifest(table, from_version)
+    for v in versions:
+        if v <= from_version:
+            continue
+        if v > to:
+            break
+        cur = _read_manifest(table, v)
+        if cur["operation"] != "optimize":
+            before, after = set(prev["files"]), set(cur["files"])
+            for rel_paths, change, manifest in (
+                (sorted(after - before), "insert", cur),
+                (sorted(before - after), "delete", prev),
+            ):
+                if not rel_paths:
+                    continue
+                schema = StructType.fromJson(json.loads(manifest["schema"]))
+                batch = (
+                    spark.read.schema(schema)
+                    .option("basePath", _data_dir(table))
+                    .parquet(*[os.path.join(table, f) for f in rel_paths])
+                    .withColumn("_change_type", F.lit(change))
+                    .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                )
+                parts.append(batch)
+        prev = cur
+    if not parts:
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_version", F.lit(0).cast("bigint")
+        ).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        # allowMissingColumns: files predating a schema evolution
+        # null-fill the newer columns, same as read_snapshot
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def maintain_count_sum(
+    spark: SparkSession,
+    table: str,
+    base_agg: DataFrame,
+    keys: list[str],
+    sum_col: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental materialized-view maintenance for per-key
+    COUNT + SUM aggregates: roll ``base_agg`` (materialized at
+    ``from_version``; columns ``keys + [n, s]`` with ``s`` DECIMAL)
+    forward to ``to_version`` using only the change feed — never
+    rescanning the base table.
+
+    COUNT and decimal SUM are invertible, so the update is
+    ``n' = n + Σ(±1)``, ``s' = s + Σ(±value)`` with sign +1 for
+    inserts and -1 for deletes; groups whose count reaches zero are
+    dropped. Decimal addition is exact, so the maintained aggregate
+    is BIT-IDENTICAL to a full recompute at ``to_version`` — that
+    equivalence is what the ``snapshot_incremental_agg`` oracle
+    hash-checks, and it is why ``s`` must stay DECIMAL (a double
+    running sum would drift from the recompute by accumulation
+    order).
+
+    Scale: the delta aggregation shuffles only the CHANGED rows on
+    the group keys (map-side combined); ``base_agg`` joins by key. At
+    100 TB with a 0.1% daily churn this is a ~1000x cheaper refresh
+    than recompute, which is the entire point of a change feed.
+    """
+    from pyspark.sql import functions as F
+
+    feed = changes(spark, table, from_version, to_version)
+    is_insert = F.col("_change_type") == "insert"
+    val = F.col(sum_col).cast("decimal(25,10)")
+    # signed value via negation, NOT decimal multiply: a (25,10)x(25,10)
+    # product exceeds Spark's precision cap and would round — negation
+    # is exact, keeping the delta invertible to the bit
+    delta = feed.groupBy(*keys).agg(
+        F.sum(F.when(is_insert, F.lit(1)).otherwise(F.lit(-1)))
+        .cast("bigint")
+        .alias("_dn"),
+        F.sum(F.when(is_insert, val).otherwise(-val)).alias("_ds"),
+    )
+    merged = base_agg.join(delta, on=keys, how="full_outer")
+    zero_dec = F.lit(0).cast("decimal(25,10)")
+    return (
+        merged.select(
+            *keys,
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            (
+                F.coalesce(F.col("s"), zero_dec) + F.coalesce(F.col("_ds"), zero_dec)
+            ).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
 def rollback(table: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION: publish a new head whose file
     list duplicates ``version``'s. Nothing is rewritten or deleted —

@@ -794,3 +794,112 @@ class TestScanPruningProperty:
         cond = st._filters_to_column(filters)
         want = full.filter(cond).count()
         assert got == want, (filters, got, want)
+
+
+def _multiset(df):
+    rows = df.select(*sorted(df.columns)).collect()
+    from collections import Counter
+
+    return Counter(tuple(r) for r in rows)
+
+
+def test_changes_net_effect_across_all_dml(spark, orders, tmp_path):
+    """The CDF invariant: for ANY commit sequence,
+    state(from) - deletes + inserts == state(to) as MULTISETS —
+    including delete_where/update_where (whose file rewrites emit
+    self-cancelling move pairs), merge_into, and rollback."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.delete_where(spark, t, [("o_totalprice", "<", 50000.0)])
+    st.update_where(
+        spark,
+        t,
+        [("o_orderstatus", "=", "O")],
+        {"o_orderpriority": "'9-REWRITTEN'"},
+    )
+    src = orders.filter(F.col("o_orderkey") % 31 == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(7.0)
+    )
+    st.merge_into(spark, t, src, ["o_orderkey"])
+    st.rollback(t, 2)
+    head = st.current_version(t)
+    for frm in range(1, head):
+        feed = st.changes(spark, t, from_version=frm)
+        ins = _multiset(
+            feed.filter(F.col("_change_type") == "insert").drop(
+                "_change_type", "_commit_version"
+            )
+        )
+        dels = _multiset(
+            feed.filter(F.col("_change_type") == "delete").drop(
+                "_change_type", "_commit_version"
+            )
+        )
+        start = _multiset(st.read_snapshot(spark, t, version=frm))
+        end = _multiset(st.read_snapshot(spark, t))
+        # signed arithmetic, NOT Counter-minus (which clips at zero and
+        # breaks when a rollback re-inserts a row deleted earlier)
+        net = dict(start)
+        for k, c in ins.items():
+            net[k] = net.get(k, 0) + c
+        for k, c in dels.items():
+            net[k] = net.get(k, 0) - c
+        net = {k: c for k, c in net.items() if c != 0}
+        assert net == dict(end), f"net effect broken from v{frm}"
+
+
+def test_changes_skips_optimize_and_bounds_versions(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.append(orders.limit(50), t)
+    st.optimize(spark, t, files_per_partition=1)
+    # optimize emitted nothing: the feed since v2 is empty
+    assert st.changes(spark, t, from_version=2).count() == 0
+    # but state still flows THROUGH the optimize commit: a later
+    # append diffs against the compacted file list correctly
+    st.append(orders.limit(10), t)
+    feed = st.changes(spark, t, from_version=2)
+    assert feed.count() == 10
+    assert feed.select("_commit_version").distinct().collect()[0][0] == 4
+    # bounded feed: to_version caps the window
+    assert st.changes(spark, t, from_version=1, to_version=2).count() == 50
+    with pytest.raises(ValueError):
+        st.changes(spark, t, from_version=99)
+
+
+def test_maintain_count_sum_handles_group_birth_and_death(spark, orders, tmp_path):
+    """Groups created after materialization appear; groups whose
+    count reaches zero disappear."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    base = (
+        st.read_snapshot(spark, t, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,10)"))
+            .cast("decimal(25,10)")
+            .alias("s"),
+        )
+    )
+    # death: empty the F partition entirely
+    st.delete_where(spark, t, [("o_orderstatus", "=", "F")])
+    # birth: a brand-new status partition
+    st.append(
+        orders.limit(25).withColumn("o_orderstatus", F.lit("X")),
+        t,
+    )
+    maintained = st.maintain_count_sum(
+        spark, t, base, ["o_orderstatus"], "o_totalprice", from_version=1
+    )
+    got = {r.o_orderstatus: r.n for r in maintained.collect()}
+    assert "F" not in got
+    assert got.get("X") == 25
+    recomputed = {
+        r.o_orderstatus: r.n
+        for r in st.read_snapshot(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert {k: v for k, v in got.items()} == recomputed
