@@ -416,3 +416,83 @@ SELECT source, n_tokens,
 FROM weighted, totals
 ORDER BY source
 """
+
+
+def temperature_rates(
+    counts: DataFrame, source_col: str = "source", n_col: str = "n_s"
+) -> DataFrame:
+    """Per-source keep-rates for temperature-scaled mixing at
+    alpha = 0.5: sample source ``s`` at rate
+    ``sqrt(min_n / n_s)`` so post-sampling shares follow
+    ``n_s^alpha`` — the exponential-smoothing scheme multilingual
+    pretraining uses to stop head sources drowning tail sources
+    (mBERT/XLM-style; the smallest source keeps 100%).
+
+    alpha is pinned to 0.5 because ``sqrt`` is correctly rounded in
+    IEEE 754 — Spark's java.lang.Math.sqrt and DuckDB's libm produce
+    bit-identical doubles, so the rate (and every keep decision
+    derived from it) is exactly reproducible cross-engine. A general
+    ``pow(x, alpha)`` carries no such guarantee.
+
+    ``counts`` is the tiny per-source rollup (one row per source);
+    everything here is driver-free column algebra on it and the
+    result broadcasts into the corpus-side filter."""
+    mn = counts.agg(F.min(n_col).alias("_min_n"))
+    return counts.crossJoin(F.broadcast(mn)).select(
+        source_col,
+        F.col(n_col),
+        F.sqrt(F.col("_min_n").cast("double") / F.col(n_col)).alias("rate"),
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (alpha = 0.5): per-source
+    totals, the sqrt-smoothed keep-rate, and how many documents the
+    deterministic hash gate actually keeps at that rate.
+
+    Plan shape: one map-side-combined rollup for the counts (tiny),
+    rates broadcast back into the corpus scan, keep decision is a
+    per-row hash compare — the corpus is scanned once and never
+    shuffled. The oracle recomputes the identical algebra in DuckDB;
+    sqrt's IEEE exactness is what makes the rate (and the hash-gate
+    threshold) bit-comparable."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    rates = temperature_rates(counts)
+    bucket = hash60(_as_str(F.col("doc_id")), seed=7) % 10_000
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate") * 10_000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_s").alias("n_total"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            "rate",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["temperature_mixture"] = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), rates AS (
+  SELECT source, n_s,
+         SQRT(CAST((SELECT MIN(n_s) FROM counts) AS DOUBLE) / n_s) AS rate
+  FROM counts
+), kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE ({hash60_sql('CAST(doc_id AS VARCHAR)', seed=7)} % 10000) < r.rate * 10000
+  GROUP BY d.source
+)
+SELECT r.source, r.n_s AS n_total,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, r.rate
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+"""

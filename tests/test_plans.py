@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "bm25_topk",
     # tiny-dim inequality self-join (edit-distance pair space)
     "fuzzy_name_match",
+    # 1-row min-count aggregate broadcast into the per-source rates
+    "temperature_mixture",
 }
 
 
