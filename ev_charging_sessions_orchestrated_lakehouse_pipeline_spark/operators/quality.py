@@ -217,30 +217,17 @@ class VerificationSuite:
         self._checks.append(check)
         return self
 
-    def run(self) -> VerificationResult:
-        assert self._df is not None, "call on_data first"
-        df = self._df
-
+    def _split_constraints(self):
         scan: list[tuple[Check, Constraint]] = []
         grouping: list[tuple[Check, Constraint]] = []
         for check in self._checks:
             for c in check.constraints:
                 (grouping if c.group_column else scan).append((check, c))
+        return scan, grouping
 
-        values: dict[int, float | None] = {}
-
-        if scan:
-            row = df.agg(
-                *[
-                    c.metric.alias(f"m{i}")
-                    for i, (_, c) in enumerate(scan)
-                ]
-            ).collect()[0]
-            for i in range(len(scan)):
-                v = row[f"m{i}"]
-                values[id(scan[i][1])] = float(v) if v is not None else None
-
+    def _grouping_values(self, df: DataFrame, grouping) -> dict[int, float | None]:
         # Deequ Uniqueness(c): (#values occurring exactly once) / (#rows).
+        values: dict[int, float | None] = {}
         for _, c in grouping:
             col = c.group_column
             row = (
@@ -254,7 +241,9 @@ class VerificationSuite:
             )
             total = row["total"] or 0
             values[id(c)] = (row["uniq"] / total) if total else 1.0
+        return values
 
+    def _assemble(self, values: dict[int, float | None]) -> VerificationResult:
         results: list[ConstraintResult] = []
         status = CheckStatus.SUCCESS
         for check in self._checks:
@@ -268,6 +257,80 @@ class VerificationSuite:
                     elif status == CheckStatus.SUCCESS:
                         status = CheckStatus.WARNING
         return VerificationResult(status, results)
+
+    def run(self) -> VerificationResult:
+        assert self._df is not None, "call on_data first"
+        df = self._df
+        scan, grouping = self._split_constraints()
+        values: dict[int, float | None] = {}
+        if scan:
+            row = df.agg(
+                *[
+                    c.metric.alias(f"m{i}")
+                    for i, (_, c) in enumerate(scan)
+                ]
+            ).collect()[0]
+            for i in range(len(scan)):
+                v = row[f"m{i}"]
+                values[id(scan[i][1])] = float(v) if v is not None else None
+        values.update(self._grouping_values(df, grouping))
+        return self._assemble(values)
+
+    def attach(self, df: DataFrame) -> tuple[DataFrame, "ObservedVerification"]:
+        """Zero-extra-pass verification via Spark's Observation API:
+        the scan-level metrics of every check ride along with the
+        CALLER'S next action on the returned frame (a write, a count,
+        a streaming epoch) instead of running their own aggregation
+        job — at 100 TB that deletes a full table scan from every
+        verified pipeline run.
+
+        Contract differences from :meth:`run` (both deliberate):
+        - the verdict is POST-HOC: ``handle.result()`` blocks until
+          the caller's action finishes, so a fail_job-style gate
+          cannot stop the write it observed — use :meth:`run` when
+          the gate must precede the sink, ``attach`` for warn/audit
+          pipelines and streaming (Delta-expectations style);
+        - uniqueness constraints still need their own groupBy job
+          (observe() folds into ONE accumulator row per action; a
+          distinct-count cannot) — they run inside ``result()``.
+
+        The metric VALUES are identical to :meth:`run`'s: both
+        evaluate the same Column expressions over the same rows
+        (asserted in tests/test_quality.py)."""
+        from pyspark.sql import Observation
+
+        assert self._checks, "add_check first"
+        scan, grouping = self._split_constraints()
+        if not scan:
+            return df, ObservedVerification(self, None, scan, grouping, df)
+        observation = Observation()
+        observed = df.observe(
+            observation,
+            *[c.metric.alias(f"m{i}") for i, (_, c) in enumerate(scan)],
+        )
+        return observed, ObservedVerification(self, observation, scan, grouping, df)
+
+
+class ObservedVerification:
+    """Deferred verification handle from :meth:`VerificationSuite.
+    attach` — call :meth:`result` AFTER the caller's action ran."""
+
+    def __init__(self, suite: VerificationSuite, observation, scan, grouping, df):
+        self._suite = suite
+        self._observation = observation
+        self._scan = scan
+        self._grouping = grouping
+        self._df = df
+
+    def result(self) -> VerificationResult:
+        values: dict[int, float | None] = {}
+        if self._scan:
+            got = self._observation.get  # blocks until the action completes
+            for i, (_, c) in enumerate(self._scan):
+                v = got[f"m{i}"]
+                values[id(c)] = float(v) if v is not None else None
+        values.update(self._suite._grouping_values(self._df, self._grouping))
+        return self._suite._assemble(values)
 
 
 # ---------------------------------------------------------------------------

@@ -128,3 +128,62 @@ def test_fix_year_edges(spark, raw, fixed):
     df = spark.createDataFrame([(raw,)], "ts string")
     out = df.select(fix_year("ts").alias("f")).collect()[0].f
     assert out == fixed
+
+
+def test_attach_observes_metrics_with_no_extra_pass(spark, tmp_path):
+    """attach() rides the caller's write action: metric values and
+    verdict equal run()'s, no separate aggregation job over the data,
+    and uniqueness (which cannot be observed) still verifies."""
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -3.0, "b"), (3, None, "a"), (3, 1.0, None)],
+        "id bigint, val double, cat string",
+    )
+    check = (
+        Check(level=CheckLevel.WARNING)
+        .is_complete("cat")
+        .is_non_negative("val")
+        .has_size(lambda v: v == 4)
+        .is_unique("id")
+    )
+    baseline = VerificationSuite().on_data(df).add_check(check).run()
+
+    suite = VerificationSuite().add_check(check)
+    observed, handle = suite.attach(df)
+    # rows pass through unchanged; the ONLY action is the write
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = handle.result()
+
+    assert got.status == baseline.status
+    base_by_name = {r.constraint: r.metric_value for r in baseline.results}
+    for r in got.results:
+        assert r.metric_value == base_by_name[r.constraint], r.constraint
+    # and the written data is the full frame (observe is transparent)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_attach_on_golden_silver_matches_run(spark):
+    """The reference pipeline's own check, observed during a count
+    action over the cleaned golden CSV, reproduces run() exactly."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.silver import (
+        clean_sessions,
+        silver_check,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_bronze_csv,
+    )
+
+    bronze = read_bronze_csv(
+        spark, "/root/reference/data-samples/station_data_dataverse.csv"
+    )
+    silver = clean_sessions(bronze)
+    baseline = (
+        VerificationSuite().on_data(silver).add_check(silver_check()).run()
+    )
+    suite = VerificationSuite().add_check(silver_check())
+    observed, handle = suite.attach(silver)
+    observed.count()
+    got = handle.result()
+    assert got.status == baseline.status
+    assert {r.constraint: r.metric_value for r in got.results} == {
+        r.constraint: r.metric_value for r in baseline.results
+    }
