@@ -16,7 +16,7 @@ from .ingest import (
     session_windows,
     windowed_event_counts,
 )
-from .stateful import stateful_user_totals
+from .stateful import stateful_user_totals, streaming_topk_per_user
 
 __all__ = [
     "stream_stream_attribution",
@@ -27,4 +27,5 @@ __all__ = [
     "windowed_event_counts",
     "session_windows",
     "stateful_user_totals",
+    "streaming_topk_per_user",
 ]

@@ -54,3 +54,69 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x arbitrary-state API): typed state
+# variables (ValueState/ListState/MapState), optional TTL, timers —
+# the successor to applyInPandasWithState above. Demonstrated with a
+# streaming per-key top-k: bounded ListState (k values per user, not
+# the event history), a ValueState event counter, and an
+# ORDER-INSENSITIVE result — max-k is a commutative/associative fold,
+# so the final answer is independent of how events interleave across
+# micro-batches (which is also what makes it honestly testable).
+# ---------------------------------------------------------------------------
+TOPK_OUTPUT_SCHEMA = "user_id long, top_values array<double>, n_events long"
+
+
+def make_topk_processor(k: int):
+    """Build a StatefulProcessor keeping the k largest ``value``s and
+    an event count per grouping key. Imported lazily so the module
+    stays importable on Spark versions without the API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+            self._top = handle.getListState("top", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals: list[float] = []
+            n_new = 0
+            for pdf in rows:
+                n_new += len(pdf)
+                vals.extend(float(v) for v in pdf["value"])
+            prev = [t[0] for t in self._top.get()] if self._top.exists() else []
+            merged = sorted(prev + vals, reverse=True)[:k]
+            n = (self._n.get()[0] if self._n.exists() else 0) + n_new
+            self._top.put([(v,) for v in merged])
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "top_values": [merged],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TopKProcessor()
+
+
+def streaming_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming per-user top-k values over (user_id, value, ...)
+    via ``transformWithStateInPandas``. State is O(k) per key (the
+    state store holds the current top-k, never the event history);
+    each micro-batch touches only the keys it contains. Emits the
+    updated (top_values, n_events) row per key per batch."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_topk_processor(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
@@ -451,3 +452,91 @@ def test_corpus_prep_stream_incremental_dedup_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert st.current_version(table) == head
     assert st.read_snapshot(spark, table).count() == len(texts)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python<->JVM state protocol needs the "
+    "protobuf package, which this image does not ship (verified "
+    "2026-08-14: ModuleNotFoundError: google; installation prohibited). "
+    "The operator's arbitrary-state semantics are covered by the "
+    "applyInPandasWithState twin above; this test activates unchanged "
+    "in an image that carries protobuf.",
+)
+def test_transform_with_state_topk_across_batches(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4.x typed-state API):
+    replay events in multiple micro-batches; the final per-user top-3
+    and event count must equal the batch computation. Top-k is an
+    order-insensitive fold, so this holds for ANY interleaving of
+    events across micro-batches."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        streaming_topk_per_user,
+    )
+
+    events = read_fixture(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (tuple(r.top), r.n)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 3).alias(
+                "top"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+
+    # transformWithState requires the RocksDB state store provider
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    src = str(tmp_path / "events_topk_src")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_topk_per_user(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("user_topk")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    final = {
+        r.user_id: (tuple(r.top_values), r.n_events)
+        for r in spark.sql(
+            """SELECT user_id, top_values, n_events FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) rn
+                 FROM user_topk) WHERE rn = 1"""
+        ).collect()
+    }
+    assert final == expected
