@@ -813,3 +813,72 @@ FROM final_state
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_snapshot_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates on the snapshot format
+    (sources/snaptable.table_stats): COUNT(*)/MIN/MAX answered from
+    the manifest's committed file stats — zero data files opened, the
+    Delta 'answer COUNT(*) from the log' optimization. Audited across
+    a partition overwrite so carried-over files' stats (kept from the
+    parent commit) and fresh files' stats (collected at commit) both
+    feed the answer. The oracle recomputes the same aggregates with
+    real SQL over each version's replayed row set — the hash match
+    proves the metadata path equals the scan path. (That the answer
+    truly reads no data is pinned separately in tests/test_snaptable:
+    table_stats still answers after data/ is deleted.)"""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_stats_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    st.overwrite_partitions(
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+        ),
+        table,
+    )
+    rows = []
+    for v in (1, 2):
+        s = st.table_stats(table, version=v)
+        rows.append(
+            (
+                v,
+                s["rows"],
+                float(s["min"]["o_totalprice"]),
+                float(s["max"]["o_totalprice"]),
+                int(s["min"]["o_orderkey"]),
+                int(s["max"]["o_orderkey"]),
+            )
+        )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, min_totalprice double, "
+        "max_totalprice double, min_orderkey bigint, max_orderkey bigint",
+    ).orderBy("version")
+
+
+ORACLE["snapshot_stats_query"] = """
+SELECT CAST(1 AS INTEGER) AS version, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_totalprice,
+       MAX(o_totalprice) AS max_totalprice,
+       MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey
+FROM orders
+UNION ALL
+SELECT 2, COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM orders
+WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
+ORDER BY version
+"""

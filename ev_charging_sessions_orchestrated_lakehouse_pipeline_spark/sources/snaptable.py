@@ -788,6 +788,60 @@ def changes(
     return out
 
 
+def table_stats(table: str, version: int | None = None) -> dict:
+    """Metadata-only COUNT(*)/MIN/MAX — the Delta/Iceberg
+    "answer from the log" optimization: the manifest already holds
+    per-file row counts and column min/max (collected from Parquet
+    footers at commit time), so these aggregates fold driver-side
+    without opening a single data file. On a 100 TB table that turns
+    a full scan into a millisecond manifest read — the difference is
+    property-tested by answering AFTER the data directory is deleted.
+
+    Returns ``{"rows": int, "min": {col: v}, "max": {col: v}}``.
+    min/max cover only numeric/boolean columns for which EVERY live
+    file carries footer stats: Parquet writers may TRUNCATE string
+    statistics (they bound, not equal, the true min/max), so string
+    columns are deliberately excluded from exact answers — same
+    reason Delta's metadata-only path is limited. A column missing
+    stats in any file is simply absent from the result; ``rows`` is
+    always exact."""
+    from pyspark.sql.types import StructType
+
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    manifest = _read_manifest(table, v)
+    fs = manifest.get("file_stats", {})
+    files = manifest["files"]
+    missing = [f for f in files if f not in fs]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} files lack committed stats (pre-stats table?); "
+            "metadata-only answers would be wrong"
+        )
+    rows = sum(fs[f]["rows"] for f in files)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    numeric = {
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "boolean")
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    for col in numeric:
+        per_file_min = [fs[f]["min"].get(col) for f in files]
+        per_file_max = [fs[f]["max"].get(col) for f in files]
+        if files and all(v is not None for v in per_file_min):
+            mins[col] = min(per_file_min)
+        if files and all(v is not None for v in per_file_max):
+            maxs[col] = max(per_file_max)
+    return {"rows": rows, "min": mins, "max": maxs}
+
+
 def maintain_count_sum(
     spark: SparkSession,
     table: str,

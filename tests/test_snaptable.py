@@ -903,3 +903,24 @@ def test_maintain_count_sum_handles_group_birth_and_death(spark, orders, tmp_pat
         .collect()
     }
     assert {k: v for k, v in got.items()} == recomputed
+
+
+def test_table_stats_is_truly_metadata_only(spark, orders, tmp_path):
+    """table_stats answers COUNT/MIN/MAX with ZERO data reads —
+    proven by deleting the entire data directory first."""
+    import shutil
+
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    expected = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    ).collect()[0]
+    shutil.rmtree(os.path.join(t, "data"))
+    s = st.table_stats(t)
+    assert s["rows"] == expected.n
+    assert s["min"]["o_totalprice"] == expected.mn
+    assert s["max"]["o_totalprice"] == expected.mx
+    # strings are deliberately absent (parquet may truncate their stats)
+    assert "o_orderstatus" not in s["min"] and "o_orderpriority" not in s["max"]
