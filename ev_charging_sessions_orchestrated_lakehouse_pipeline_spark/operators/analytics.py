@@ -2620,3 +2620,61 @@ HAVING COUNT(*) >= {MIN_COOC}
 ORDER BY n_orders_together DESC, part_a, part_b
 LIMIT {TOP_COOC}
 """
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4.x WITH RECURSIVE): ancestor-chain flattening
+# over a deterministic binary hierarchy derived from customer keys
+# (parent = floor(key/2), root = 1). The classic org-chart/BOM
+# traversal SQL alone could not express before recursive CTEs landed;
+# the engine's iterative twin is dedup_clusters' checkpointed loop —
+# this is the declarative form, planned and executed by Catalyst.
+# Depth is logarithmic in the key space, so the recursion runs
+# ~log2(max_key) rounds; each round is a hash join against the
+# (tiny) frontier — the same shape at any scale.
+# ---------------------------------------------------------------------------
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("rh_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, ancestor, depth) AS (
+          SELECT c_custkey, CAST(FLOOR(c_custkey / 2) AS BIGINT), 1
+          FROM rh_customer WHERE c_custkey > 1
+          UNION ALL
+          SELECT custkey, CAST(FLOOR(ancestor / 2) AS BIGINT), depth + 1
+          FROM anc WHERE ancestor > 1
+        ),
+        chain AS (
+          SELECT custkey, MAX(depth) AS depth_to_root FROM anc GROUP BY custkey
+        )
+        SELECT CAST(depth_to_root AS BIGINT) AS depth_to_root,
+               COUNT(*) AS n_customers,
+               CAST(MIN(custkey) AS BIGINT) AS min_key,
+               CAST(MAX(custkey) AS BIGINT) AS max_key
+        FROM chain
+        GROUP BY depth_to_root
+        ORDER BY depth_to_root
+        """
+    )
+
+
+ORACLE["recursive_hierarchy"] = """
+WITH RECURSIVE anc(custkey, ancestor, depth) AS (
+  SELECT c_custkey, CAST(FLOOR(c_custkey / 2) AS BIGINT), 1
+  FROM customer WHERE c_custkey > 1
+  UNION ALL
+  SELECT custkey, CAST(FLOOR(ancestor / 2) AS BIGINT), depth + 1
+  FROM anc WHERE ancestor > 1
+),
+chain AS (
+  SELECT custkey, MAX(depth) AS depth_to_root FROM anc GROUP BY custkey
+)
+SELECT CAST(depth_to_root AS BIGINT) AS depth_to_root,
+       COUNT(*) AS n_customers,
+       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       CAST(MAX(custkey) AS BIGINT) AS max_key
+FROM chain
+GROUP BY depth_to_root
+ORDER BY depth_to_root
+"""
