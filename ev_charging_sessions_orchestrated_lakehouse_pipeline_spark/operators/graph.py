@@ -1,0 +1,335 @@
+"""Distributed graph analytics over a data-derived co-supply graph.
+
+The reference's gold layer is a SQL analytics endpoint over a star
+schema (`jobs/ev_sessions_gold_etl.py:69-92`, README metrics); graph
+shapes (influence ranking, community structure, co-occurrence
+networks) are the natural next tier of that endpoint, and they are
+also the classic *iterative* workload that separates an engine from
+a query runner. This module derives an undirected supplier graph
+from ``lineitem`` (two suppliers are linked when they ship the same
+parts; edge weight = number of distinct shared parts; the graph is
+the TOP_EDGES heaviest pairs so its size is bounded and
+deterministic at every scale factor) and runs three canonical
+algorithms over it, all DuckDB-oracled to exact value equality:
+
+* degree distribution (``q_graph_degrees``),
+* exact triangle counting (``q_triangle_count``),
+* fixed-iteration PageRank (``q_pagerank``).
+
+Scale design (the part that matters at 100 TB):
+
+- Edge derivation is the POSTING-LIST pattern from
+  operators/dedup.py:137 — group (part -> sorted supplier list),
+  CAP the list at COSUPPLY_CAP entries (a part supplied by thousands
+  of suppliers is a stop-word-like hub whose full clique would
+  dominate the pair count; the cap is mirrored exactly in the
+  oracle), and emit pairs MAP-SIDE with one HOF expansion. One
+  shuffle total for pair counting; supplier payloads never fan out
+  through a self-join.
+- Triangle counting joins the (bounded) edge list against itself on
+  the canonical a<b<c orientation. At unbounded edge scale the
+  standard degree-orientation trick (orient each edge toward the
+  higher-degree endpoint, join oriented wedges) bounds the wedge
+  fan-out by arboricity; with TOP_EDGES bounded the plain canonical
+  join is already the right plan (both joins broadcast).
+- PageRank is the model-parallel loop shape shared with
+  operators/clustering.py: per iteration ONE shuffle (contributions
+  groupBy dst), ranks re-derived as a pure function, lineage
+  truncated with ``localCheckpoint`` exactly like the
+  connected-components loop (operators/dedup.py:431). Cross-row
+  rank sums go through DECIMAL(25,10) (functions/oracle.py) so the
+  fixpoint is bit-identical at ANY partition count and engine —
+  floating sums would make the result depend on shuffle layout.
+- No transcendentals anywhere (engine libm parity, see
+  text.py:388-393): damping arithmetic is +,*,/ in identical textual
+  order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.oracle import dsum
+
+ORACLE: dict[str, str] = {}
+
+#: cap on the per-part supplier posting list (hub clipping; mirrored
+#: in the oracle — see the DF-cap recall bound discussion on
+#: operators/dedup.py:137).
+COSUPPLY_CAP = 64
+#: the graph is the TOP_EDGES heaviest supplier pairs (ties broken by
+#: key order) — bounded, deterministic at every scale factor.
+TOP_EDGES = 2000
+#: PageRank: fixed iteration count and damping factor.
+PR_ITERS = 5
+PR_DAMP = 0.85
+PR_TOPK = 25
+TRI_TOPK = 15
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Shared edge derivation
+# ---------------------------------------------------------------------------
+def cosupply_edges(li: DataFrame) -> DataFrame:
+    """Top-weight supplier co-supply edges ``(src, dst, weight)`` with
+    ``src < dst``; weight = distinct shared parts (after the per-part
+    COSUPPLY_CAP). Pairs are emitted map-side from each part's capped
+    sorted supplier list — the posting-list shape, one shuffle."""
+    posting = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("l_suppkey")), 1, COSUPPLY_CAP
+            ).alias("supps")
+        )
+        .filter(F.size("supps") >= 2)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(supps, (x, i) -> "
+                "transform(slice(supps, i + 2, size(supps) - i - 1), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.col("weight").desc(), "src", "dst")
+        .limit(TOP_EDGES)
+    )
+
+
+#: DuckDB twin of ``cosupply_edges`` as a CTE body (self-join pair
+#: form — same capped posting lists, same top-K tie-break).
+_EDGES_SQL = f"""
+posting AS (
+  SELECT l_partkey,
+         list_slice(list_sort(list(DISTINCT l_suppkey)), 1, {COSUPPLY_CAP})
+           AS supps
+  FROM lineitem
+  GROUP BY l_partkey
+  HAVING len(list_slice(list_sort(list(DISTINCT l_suppkey)), 1, {COSUPPLY_CAP})) >= 2
+),
+member AS (
+  SELECT l_partkey, UNNEST(supps) AS s FROM posting
+),
+edges AS (
+  SELECT a.s AS src, b.s AS dst, COUNT(*) AS weight
+  FROM member a JOIN member b
+    ON a.l_partkey = b.l_partkey AND a.s < b.s
+  GROUP BY a.s, b.s
+  ORDER BY weight DESC, src, dst
+  LIMIT {TOP_EDGES}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution
+# ---------------------------------------------------------------------------
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-supply graph: how many suppliers
+    have each degree. Verifies the full edge set transitively (any
+    divergence in pair generation, capping, or top-K tie-break moves
+    some node across degree buckets)."""
+    edges = cosupply_edges(_t(spark, sf_dir, "lineitem"))
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("degree")
+    )
+
+
+ORACLE["graph_degrees"] = f"""
+WITH {_EDGES_SQL},
+nodes AS (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM nodes GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle counting
+# ---------------------------------------------------------------------------
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation, top TRI_TOPK (ties -> lowest
+    key), plus the global triangle count on every row. Exact: each
+    triangle (a<b<c) is found once via the canonical-orientation
+    wedge join, then credited to all three corners."""
+    edges = cosupply_edges(_t(spark, sf_dir, "lineitem")).select("src", "dst")
+    edges = edges.localCheckpoint(eager=True)  # reuse 3x without re-derive
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(F.broadcast(e2), "b")
+        .join(F.broadcast(e3), ["a", "c"])
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
+    return (
+        corners.join(F.broadcast(total))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(TRI_TOPK)
+        .select("node", "n_triangles", "total_triangles")
+    )
+
+
+ORACLE["triangle_count"] = f"""
+WITH {_EDGES_SQL},
+e AS (SELECT src, dst FROM edges),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY node
+)
+SELECT node, n_triangles,
+       (SELECT COUNT(*) FROM tri) AS total_triangles
+FROM corners
+ORDER BY n_triangles DESC, node
+LIMIT {TRI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed PR_ITERS iterations, deterministic to the bit)
+# ---------------------------------------------------------------------------
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PR_TOPK suppliers by PageRank over the undirected co-supply
+    graph (each edge contributes both directions, so out-degree =
+    degree and there are no dangling nodes).
+
+    r_0(v) = 1/n;  r_{t+1}(v) = (1-d)/n + d * sum_{u~v} r_t(u)/deg(u)
+
+    Per iteration: one shuffle (contribution groupBy dst); the
+    contribution sum rides DECIMAL(25,10) so the result is invariant
+    to partitioning; lineage is truncated per round with
+    localCheckpoint (the dedup/CC loop discipline). The oracle
+    unrolls the same recurrence as PR_ITERS chained CTEs with
+    textually identical arithmetic.
+    """
+    edges = cosupply_edges(_t(spark, sf_dir, "lineitem")).select("src", "dst")
+    both = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = both.join(deg, "src").localCheckpoint(eager=True)
+
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.select("src")
+        .join(F.broadcast(n_nodes))
+        .select(
+            F.col("src").alias("node"),
+            (F.lit(1.0) / F.col("n").cast("double")).alias("rank"),
+            "n",
+        )
+    ).localCheckpoint(eager=True)
+
+    for _ in range(PR_ITERS):
+        contrib = (
+            adj.join(
+                ranks.select(F.col("node").alias("src"), "rank", "n"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+                "n",
+            )
+            .groupBy("node", "n")
+            .agg(dsum("c").alias("contrib"))
+        )
+        ranks = contrib.select(
+            "node",
+            (
+                (1.0 - PR_DAMP) / F.col("n").cast("double")
+                + PR_DAMP * F.col("contrib")
+            ).alias("rank"),
+            "n",
+        ).localCheckpoint(eager=True)
+
+    return (
+        ranks.select("node", "rank")
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(PR_TOPK)
+    )
+
+
+def _pagerank_oracle() -> str:
+    dsum_c = (
+        "CAST(CAST(SUM(CAST(r.rank / CAST(a.deg AS DOUBLE) "
+        "AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)"
+    )
+    step = f"""
+r{{t1}} AS (
+  SELECT a.dst AS node,
+         (1.0 - {PR_DAMP}) / CAST(nn.n AS DOUBLE)
+           + {PR_DAMP} * {dsum_c} AS rank
+  FROM adj a JOIN r{{t0}} r ON r.node = a.src, nn
+  GROUP BY a.dst, nn.n
+)"""
+    iters = ",".join(
+        step.format(t0=t, t1=t + 1) for t in range(PR_ITERS)
+    )
+    return f"""
+WITH {_EDGES_SQL},
+both_dir AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+degree AS (SELECT src, COUNT(*) AS deg FROM both_dir GROUP BY src),
+adj AS (SELECT b.src, b.dst, d.deg FROM both_dir b JOIN degree d ON d.src = b.src),
+nn AS (SELECT COUNT(*) AS n FROM degree),
+r0 AS (
+  SELECT d.src AS node, 1.0 / CAST(nn.n AS DOUBLE) AS rank
+  FROM degree d, nn
+),{iters}
+SELECT node, rank FROM r{PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT {PR_TOPK}
+"""
+
+
+ORACLE["pagerank"] = _pagerank_oracle()

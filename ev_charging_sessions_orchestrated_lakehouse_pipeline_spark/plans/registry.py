@@ -47,6 +47,7 @@ def _build() -> None:
         "merge",
         "clustering",
         "tpch",
+        "graph",
     ):
         try:
             mod = __import__(

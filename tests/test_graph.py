@@ -1,0 +1,86 @@
+"""Structural invariants of the graph operators, beyond the
+hash-match the parity suite (test_oracle_parity.py) already runs on
+graph_degrees / triangle_count / pagerank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators import (
+    graph as G,
+)
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+    read_fixture,
+)
+
+
+def _edges(spark, sf_dir):
+    return G.cosupply_edges(read_fixture(spark, sf_dir, "lineitem"))
+
+
+def test_edges_canonical_and_bounded(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    rows = e.collect()
+    assert 0 < len(rows) <= G.TOP_EDGES
+    for r in rows:
+        assert r.src < r.dst
+        assert r.weight >= 1
+    # no duplicate pairs
+    assert len({(r.src, r.dst) for r in rows}) == len(rows)
+
+
+def test_degree_histogram_accounts_every_endpoint(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    n_edges = e.count()
+    hist = G.q_graph_degrees(spark, sf_dir).collect()
+    # sum(degree * n_nodes) counts each edge endpoint once = 2|E|
+    assert sum(r.degree * r.n_nodes for r in hist) == 2 * n_edges
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """With no dangling nodes, total rank mass stays exactly 1 per
+    iteration (up to decimal quantization); the surfaced top-k must
+    therefore sum to <= 1 and every rank is positive."""
+    rows = G.q_pagerank(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.rank for r in rows)
+    assert 0 < total <= 1.0 + 1e-9
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank > 0 for r in rows)
+
+
+def test_pagerank_partition_invariant(spark, sf_dir):
+    """The decimal contribution sums make the fixpoint bit-identical
+    at any parallelism — rerun under a different shuffle-partition
+    count and require exact equality."""
+    before = [(r.node, r.rank) for r in G.q_pagerank(spark, sf_dir).collect()]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        after = [
+            (r.node, r.rank) for r in G.q_pagerank(spark, sf_dir).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert before == after
+
+
+def test_triangles_exist_in_known_clique(spark, sf_dir):
+    """Any part with >= 3 (capped) suppliers seeds a clique, so the
+    edge derivation guarantees triangles whenever such a part survives
+    the top-K cut; verify total_triangles matches a brute-force count
+    on the collected edge set."""
+    e = _edges(spark, sf_dir).select("src", "dst").collect()
+    adj = {(r.src, r.dst) for r in e}
+    nodes = sorted({x for r in e for x in (r.src, r.dst)})
+    brute = 0
+    neigh = {}
+    for a, b in adj:
+        neigh.setdefault(a, set()).add(b)
+    for a, b in sorted(adj):
+        brute += len(neigh.get(a, set()) & neigh.get(b, set()))
+    out = G.q_triangle_count(spark, sf_dir).collect()
+    assert out
+    assert all(r.total_triangles == brute for r in out)
+    assert sum(r.n_triangles for r in out) <= 3 * brute
