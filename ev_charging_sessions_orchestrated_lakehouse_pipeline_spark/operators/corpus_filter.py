@@ -36,6 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_sql, let_sql
+from ..functions.oracle import davg, davg_sql
 from .dedup import SHINGLE_N, _shingled
 from .text import STOPWORDS, _in_list_expr
 
@@ -468,3 +469,73 @@ ORDER BY source
 
 
 ORACLE["source_quality"] = _source_quality_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Rarity scoring — the engine-parity form of unigram-LM "perplexity"
+# quality filtering. A pretraining pipeline scores each document by
+# how surprising its tokens are under a corpus-wide unigram model and
+# drops the tails (gibberish scores high, boilerplate scores low).
+# The log-prob formulation needs ln(), whose last-ulp behavior is
+# libm-specific (see text.py BM25 note), so the surfaced score is the
+# MEAN INVERSE TOKEN FREQUENCY: for token t with corpus count c(t)
+# out of T total tokens, surprisal proxy = T / c(t) (the reciprocal
+# unigram probability; arithmetic mean over the doc instead of the
+# geometric mean the log form would give — same tails, pure +,*,/).
+#
+# Scale design: token counts are one map-side-combinable groupBy; the
+# per-occurrence join back to the count table is a shuffle join that
+# AQE converts to broadcast whenever the (post-cap) vocabulary fits —
+# vocab grows sublinearly in corpus size, so at 100 TB this is a
+# broadcast of a few hundred MB at worst; per-doc aggregation rides
+# the DECIMAL route (functions/oracle.py) so scores are
+# partition-count-invariant.
+# ---------------------------------------------------------------------------
+RARITY_BAR = 40.0  # vocab ~31 => typical score ~31; rare-term docs spike
+
+
+def q_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    per = (
+        tok.join(counts, "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.col("t").cast("double") / F.col("c").cast("double")).alias(
+                "inv"
+            ),
+        )
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            davg("inv").alias("rarity"),
+        )
+        .withColumn("is_rare", F.col("rarity") > RARITY_BAR)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["rarity_filter"] = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+total AS (SELECT COUNT(*) AS t FROM tok),
+per AS (
+  SELECT doc_id, CAST(t AS DOUBLE) / CAST(c AS DOUBLE) AS inv
+  FROM tok JOIN counts USING (term), total
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       {{davg_inv}} AS rarity,
+       {{davg_inv}} > {RARITY_BAR} AS is_rare
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+""".format(davg_inv=davg_sql("inv"))

@@ -48,6 +48,8 @@ def _build() -> None:
         "clustering",
         "tpch",
         "graph",
+        "bloom",
+        "sketches",
     ):
         try:
             mod = __import__(
