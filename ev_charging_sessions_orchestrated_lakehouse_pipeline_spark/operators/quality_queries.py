@@ -354,3 +354,89 @@ ORDER BY version
 
 
 ORACLE["snapshot_metric_drift"] = _drift_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Categorical concentration profiling: Gini impurity per column.
+# Deequ-style profilers report entropy/distinctness per column; the
+# Shannon form needs ln() (libm parity hazard, see text.py BM25 note),
+# so the surfaced concentration measure is GINI IMPURITY
+# 1 - sum(p_v^2) — same ordering of "how concentrated is this
+# column", pure +,*,/ arithmetic, exactly oracle-matchable. One
+# grouped count per column (map-side combinable over low-cardinality
+# keys), then a bounded second aggregate; the stacked form profiles
+# any number of categorical columns in a single scan.
+# ---------------------------------------------------------------------------
+GINI_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def q_gini_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{c}', {c}" for c in GINI_COLS)
+    pairs = li.select(
+        F.expr(
+            f"stack({len(GINI_COLS)}, {stack}) AS (column_name, value)"
+        )
+    )
+    counts = pairs.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("column_name").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_values")
+    )
+    from ..functions.oracle import dsum as _dsum
+
+    return (
+        counts.join(F.broadcast(totals), "column_name")
+        .select(
+            "column_name",
+            "n_values",
+            (
+                (F.col("c").cast("double") / F.col("n").cast("double"))
+                * (F.col("c").cast("double") / F.col("n").cast("double"))
+            ).alias("p2"),
+        )
+        .groupBy("column_name", "n_values")
+        .agg(_dsum("p2").alias("sum_p2"))
+        .select(
+            "column_name",
+            "n_values",
+            (1.0 - F.col("sum_p2")).alias("gini_impurity"),
+        )
+        .orderBy("column_name")
+    )
+
+
+def _gini_oracle() -> str:
+    from ..functions.oracle import dsum_sql as _dsum_sql
+
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value "
+        "FROM lineitem"
+        for c in GINI_COLS
+    )
+    return f"""
+WITH pairs AS ({unions}),
+counts AS (
+  SELECT column_name, value, COUNT(*) AS c
+  FROM pairs GROUP BY column_name, value
+),
+totals AS (
+  SELECT column_name, SUM(c) AS n, COUNT(*) AS n_values
+  FROM counts GROUP BY column_name
+),
+p AS (
+  SELECT counts.column_name, totals.n_values,
+         (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS p2
+  FROM counts JOIN totals ON totals.column_name = counts.column_name
+)
+SELECT column_name, CAST(n_values AS BIGINT) AS n_values,
+       1.0 - {_dsum_sql("p2")} AS gini_impurity
+FROM p
+GROUP BY column_name, n_values
+ORDER BY column_name
+"""
+
+
+ORACLE["gini_profile"] = _gini_oracle()

@@ -50,6 +50,7 @@ def _build() -> None:
         "graph",
         "bloom",
         "sketches",
+        "linalg",
     ):
         try:
             mod = __import__(
