@@ -39,6 +39,12 @@ BNLJ_ALLOWED = {
     "fuzzy_name_match",
     # 1-row min-count aggregate broadcast into the per-source rates
     "temperature_mixture",
+    # 1-row bloom-bitmap aggregate broadcast into the map-side probe
+    "bloom_semi_join",
+    # 1-row count-min sketch row broadcast into the per-doc estimator
+    "rarity_filter",
+    # 1-row global-triangle-total broadcast onto every corner row
+    "triangle_count",
 }
 
 
