@@ -306,12 +306,15 @@ WHERE len({_TOKENS_SQL}) >= {SHINGLE_N}
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs with exact-Jaccard verification.
-# This xxhash64 k=32 variant is the SCALE path and stays rows-only
-# (xxhash64 has no DuckDB twin); tests/test_llm_ops.py pins
-# LSH ⊆ exact-Jaccard, and q_dedup_minhash_lsh_md5 below carries the
-# full value-hash driver check for the same pipeline shape.
+# This xxhash64 k=32 variant is the SCALE path; it is a library
+# function (not registry-registered) because xxhash64 has no DuckDB
+# twin, so it can never carry a value-hash oracle. The REGISTERED
+# `dedup_minhash_lsh` query below is the md5/hash60-family twin of
+# this exact pipeline shape and carries the full cross-engine check;
+# tests/test_llm_ops.py pins this variant's LSH ⊆ exact-Jaccard
+# recall property directly.
 # ---------------------------------------------------------------------------
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The persist is load-bearing (shingles feed band-gen once and the
     # exact-verify join twice; recomputing re-tokenizes the corpus 3x)
     # but it cannot be unpersisted here — the frame must stay cached
@@ -904,22 +907,24 @@ ORACLE["minhash_calibration"] = _calibration_oracle()
 
 
 # ---------------------------------------------------------------------------
-# Driver-verifiable LSH twin: md5-seeded k=8 signatures (the DuckDB-
-# reproducible hash60 family) banded as b=4 x r=2, with the band key
-# being the TUPLE of r signature components rather than a polynomial
-# hash — tuple equality is exactly replayable cross-engine, where
-# Java long arithmetic wraps but DuckDB BIGINT errors on overflow.
-# S-curve midpoint (1/b)^(1/r) = 0.5 = JACCARD_THRESHOLD. The
-# xxhash64 k=32 variant above remains the scale path (md5 is ~5x the
-# per-shingle hashing cost); THIS one exists so the whole
-# signatures -> banding -> bucket-join -> exact-verify chain carries
-# a full value-hash driver check instead of a rows-only row.
+# The registered MinHash-LSH query: md5-seeded k=8 signatures (the
+# DuckDB-reproducible hash60 family) banded as b=4 x r=2, with the
+# band key being the TUPLE of r signature components rather than a
+# polynomial hash — tuple equality is exactly replayable cross-engine,
+# where Java long arithmetic wraps but DuckDB BIGINT errors on
+# overflow. S-curve midpoint (1/b)^(1/r) = 0.5 = JACCARD_THRESHOLD.
+# The xxhash64 k=32 `minhash_lsh_pairs_xxhash` above remains the
+# scale path (md5 is ~5x the per-shingle hashing cost); THIS one is
+# the registry entry so the whole signatures -> banding ->
+# bucket-join -> exact-verify chain carries a full value-hash driver
+# check. (Registered as `dedup_minhash_lsh_md5` through round 4;
+# renamed in round 5 when it replaced the rows-only xxhash entry.)
 # ---------------------------------------------------------------------------
 LSH_MD5_BANDS = 4
 LSH_MD5_ROWS = 2
 
 
-def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _shingled(spark, sf_dir).persist()
     k = LSH_MD5_BANDS * LSH_MD5_ROWS
     sigs = minhash_signatures_md5(shingled, k=k)
@@ -1001,4 +1006,4 @@ ORDER BY doc_a, doc_b
 """
 
 
-ORACLE["dedup_minhash_lsh_md5"] = _lsh_md5_oracle()
+ORACLE["dedup_minhash_lsh"] = _lsh_md5_oracle()

@@ -50,8 +50,11 @@ def source_digest(fn: Callable, oracle_sql: str = "") -> str:
 
 
 def load_state() -> dict[str, dict]:
-    """{query: {"round": int, "digest": str, "mode": "oracled"|"rows_only"}}.
-    Missing file -> empty (every query counts as never-verified)."""
+    """{query: {"round": int, "digest": str, "mode": "oracled"|"rows_only"}}
+    for driver-verified queries, or {"pending_since": int, "mode":
+    "pending"} for queries that existed in some round's registry
+    without earning a green row. Missing file -> empty (every query
+    counts as never-verified)."""
     try:
         with open(STATE_PATH, encoding="utf-8") as f:
             return json.load(f)
@@ -59,24 +62,47 @@ def load_state() -> dict[str, dict]:
         return {}
 
 
+# Sentinel for queries with no state record at all: they were added
+# after the last recorded round, i.e. they are the NEWEST waiters and
+# must not jump ahead of queries that have already waited a round+.
+_NEVER_SEEN = 1 << 30
+
+
 def verification_order(
-    queries: dict[str, Callable], oracles: dict[str, str]
+    queries: dict[str, Callable],
+    oracles: dict[str, str],
+    state: dict[str, dict] | None = None,
 ) -> list[str]:
     """Registry order derived purely from the committed state file.
 
-    Prefix = stale-or-never-verified (oracled ones first — a full
-    value-hash row beats a rows-only row — then alphabetical for
-    determinism). Suffix = verified-at-current-source, oldest round
+    Prefix = stale-or-never-verified, AGE-WEIGHTED: sorted by how
+    long the query has been waiting (earliest pending/verified round
+    first), so a query can never starve behind alphabetically-earlier
+    newcomers the way `unpivot_measures`/`value_outliers` waited two
+    rounds behind round-4's surface additions (round-4 VERDICT item
+    3). Within the same waiting age, oracled queries come first — a
+    full value-hash row beats a rows-only row — then name for
+    determinism. Suffix = verified-at-current-source, oldest round
     first so long-unrefreshed evidence rotates back into the window
     before recent evidence does.
+
+    ``state`` defaults to the committed file; tests inject synthetic
+    states to pin the starvation-resistance property.
     """
-    state = load_state()
+    if state is None:
+        state = load_state()
 
     def key(name: str):
         rec = state.get(name)
         cur = source_digest(queries[name], oracles.get(name, ""))
-        if rec is None or rec.get("digest") != cur:
-            return (0, 0 if name in oracles else 1, 0, name)
-        return (1, 0, rec.get("round", 0), name)
+        if rec is not None and rec.get("digest") == cur:
+            return (1, 0, rec.get("round", 0), name)
+        if rec is None:
+            waiting_since = _NEVER_SEEN
+        else:
+            # pending record -> round it first appeared unverified;
+            # stale green record -> round of the now-invalid evidence.
+            waiting_since = rec.get("pending_since", rec.get("round", _NEVER_SEEN))
+        return (0, waiting_since, 0 if name in oracles else 1, name)
 
     return sorted(queries, key=key)

@@ -11,8 +11,8 @@ from pyspark.sql import functions as F
 
 from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
     JACCARD_THRESHOLD,
+    minhash_lsh_pairs_xxhash,
     q_dedup_exact,
-    q_dedup_minhash_lsh,
     q_dedup_ngram_jaccard,
     q_dedup_simhash,
 )
@@ -36,7 +36,10 @@ def test_minhash_lsh_candidates_subset_of_exact(spark, sf_dir):
         (r.doc_a, r.doc_b)
         for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
     }
-    lsh = {(r.doc_a, r.doc_b) for r in q_dedup_minhash_lsh(spark, sf_dir).collect()}
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs_xxhash(spark, sf_dir).collect()
+    }
     assert lsh <= exact
 
 

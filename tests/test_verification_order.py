@@ -21,7 +21,7 @@ def _staleness():
     stale = set()
     for name, fn in qs.items():
         rec = st.get(name)
-        if rec is None or rec["digest"] != source_digest(fn, ors.get(name, "")):
+        if rec is None or rec.get("digest") != source_digest(fn, ors.get(name, "")):
             stale.add(name)
     return qs, ors, st, stale
 
@@ -41,17 +41,22 @@ def test_verified_suffix_ordered_oldest_evidence_first():
     assert verified_rounds == sorted(verified_rounds)
 
 
-def test_within_stale_prefix_oracled_queries_come_first():
-    qs, ors, _, stale = _staleness()
+def test_stale_prefix_is_age_weighted_then_oracled_first():
+    """Within the stale prefix: longest-waiting queries first (their
+    pending_since / stale-evidence round ascending); within the same
+    age, oracled before rows-only; never-seen queries (no record)
+    last. Round-4 VERDICT item 3."""
+    qs, ors, st, stale = _staleness()
+
+    def age(n):
+        rec = st.get(n)
+        if rec is None:
+            return 1 << 30
+        return rec.get("pending_since", rec.get("round", 1 << 30))
+
     names = [n for n in qs if n in stale]
-    seen_rows_only = False
-    for n in names:
-        if n not in ors:
-            seen_rows_only = True
-        else:
-            assert not seen_rows_only, (
-                f"oracled stale query {n} sorted after a rows-only one"
-            )
+    keys = [(age(n), 0 if n in ors else 1, n) for n in names]
+    assert keys == sorted(keys)
 
 
 def test_state_file_is_well_formed_and_covers_only_registry_queries():
@@ -59,10 +64,73 @@ def test_state_file_is_well_formed_and_covers_only_registry_queries():
     assert st, "verification_state.json missing or empty"
     for name, rec in st.items():
         assert name in qs, f"state records unknown query {name}"
+        if rec["mode"] == "pending":
+            assert isinstance(rec["pending_since"], int)
+            assert rec["pending_since"] >= 1
+            continue
         assert isinstance(rec["round"], int) and rec["round"] >= 1
         assert isinstance(rec["digest"], str) and len(rec["digest"]) == 16
         int(rec["digest"], 16)
         assert rec["mode"] in ("oracled", "rows_only")
+
+
+def _q_waited_two_rounds(spark, sf_dir):  # pragma: no cover - key only
+    return None
+
+
+def _q_brand_new(spark, sf_dir):  # pragma: no cover - key only
+    return None
+
+
+def _q_fresh_batch_a(spark, sf_dir):  # pragma: no cover - key only
+    return None
+
+
+def test_old_waiter_outranks_alphabetically_earlier_newcomers():
+    """The exact round-4 starvation case: a query pending since round
+    3 whose name sorts AFTER a big batch of round-4 newcomers must
+    still take the first verification slot; a brand-new query with no
+    record at all sorts behind every recorded waiter."""
+    queries = {
+        "unpivot_measures": _q_waited_two_rounds,  # u > a,f alphabetically
+        "aaa_new_this_round": _q_fresh_batch_a,
+        "fresh_batch_a": _q_fresh_batch_a,
+        "brand_new_no_record": _q_brand_new,
+    }
+    oracles = dict.fromkeys(queries, "SELECT 1")
+    state = {
+        "unpivot_measures": {"pending_since": 3, "mode": "pending"},
+        "aaa_new_this_round": {"pending_since": 4, "mode": "pending"},
+        "fresh_batch_a": {"pending_since": 4, "mode": "pending"},
+        # brand_new_no_record: absent on purpose
+    }
+    order = verification_order(queries, oracles, state=state)
+    assert order == [
+        "unpivot_measures",
+        "aaa_new_this_round",
+        "fresh_batch_a",
+        "brand_new_no_record",
+    ]
+
+
+def test_stale_green_evidence_ages_from_its_recorded_round():
+    """A query verified in round 2 whose source then changed competes
+    with pending queries at age 2 — ahead of a round-3 waiter."""
+    queries = {
+        "waiter_r3": _q_waited_two_rounds,
+        "edited_after_r2": _q_brand_new,
+    }
+    oracles = dict.fromkeys(queries, "SELECT 1")
+    state = {
+        "waiter_r3": {"pending_since": 3, "mode": "pending"},
+        "edited_after_r2": {
+            "round": 2,
+            "digest": "0" * 16,  # never matches the live source
+            "mode": "oracled",
+        },
+    }
+    order = verification_order(queries, oracles, state=state)
+    assert order == ["edited_after_r2", "waiter_r3"]
 
 
 def test_order_function_is_deterministic_and_total():

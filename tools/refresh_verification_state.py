@@ -42,6 +42,17 @@ ROUND_COMMITS = {
     1: "f1f194b",
     2: "8f3afb2",
     3: "6c379b6",
+    4: "565e982",
+}
+
+# Registry renames: old name -> new name. Applied after all rounds
+# merge, so green evidence earned under the old name carries over
+# (its digest won't match the renamed source, keeping it correctly
+# stale until re-verified) and the orphaned record disappears.
+RENAMES = {
+    # round 5: the fully-oracled md5 LSH twin became the canonical
+    # registry entry; the xxhash64 scale path left the registry.
+    "dedup_minhash_lsh_md5": "dedup_minhash_lsh",
 }
 
 # Runs inside a worktree subprocess; must be self-contained and use
@@ -97,6 +108,13 @@ def merge_round(state: dict, round_n: int, correctness_path: str,
         else:
             continue
         state[name] = {"round": round_n, "digest": digests[name], "mode": mode}
+    # Queries that existed in this round's registry but have no record
+    # yet (green or pending) start their waiting clock here — the
+    # age-weighted ordering (plans/verification.py) uses pending_since
+    # so long-waiting queries outrank alphabetically-earlier newcomers.
+    for name in digests:
+        if name not in state:
+            state[name] = {"pending_since": round_n, "mode": "pending"}
 
 
 def main() -> None:
@@ -116,6 +134,9 @@ def main() -> None:
         except OSError:
             state = {}
         merge_round(state, round_n, path, commit)
+    for old, new in RENAMES.items():
+        if old in state:
+            state[new] = state.pop(old)
     with open(STATE, "w", encoding="utf-8") as f:
         json.dump(dict(sorted(state.items())), f, indent=1, sort_keys=True)
         f.write("\n")
