@@ -335,7 +335,7 @@ def minhash_lsh_pairs_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = sigs.select(
         "doc_id", F.posexplode(F.expr(bands)).alias("band_id", "band_hash")
-    )
+    ).persist()  # both self-join sides; avoids running sig-gen twice
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -922,20 +922,71 @@ ORACLE["minhash_calibration"] = _calibration_oracle()
 # ---------------------------------------------------------------------------
 LSH_MD5_BANDS = 4
 LSH_MD5_ROWS = 2
+#: seed family for the oracled LSH: TWO 60-bit hex windows per md5
+#: digest (chars 1-15 and 16-30 of the 32-char digest), so k seeds
+#: cost k/2 md5 evaluations per shingle instead of k. Seed i uses
+#: digest group i//2 (salt 'g<i//2>|') and window i%2 — mirrored
+#: textually in the DuckDB oracle.
+_LSH_MD5_GROUPS = (LSH_MD5_BANDS * LSH_MD5_ROWS) // 2
+
+
+def _mh_window_sql(i: int, duck: bool, digest: str | None = None) -> str:
+    """Seed i of the windowed family as a SQL expression. ``digest``
+    references an already-computed md5 string (Spark fused path);
+    otherwise the md5 call is inlined (oracle CTE path)."""
+    g, w = divmod(i, 2)
+    start = 1 + 15 * w
+    if duck:
+        return (
+            f"CAST(('0x' || substr(md5('g{g}|' || s), {start}, 15)) AS BIGINT)"
+        )
+    d = digest if digest is not None else f"md5(concat('g{g}|', s))"
+    return f"CAST(conv(substring({d}, {start}, 15), 16, 10) AS LONG)"
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import let_sql
+
     shingled = _shingled(spark, sf_dir).persist()
     k = LSH_MD5_BANDS * LSH_MD5_ROWS
-    sigs = minhash_signatures_md5(shingled, k=k)
-    band_structs = ", ".join(
-        f"struct({b} AS band_id, mh{b * LSH_MD5_ROWS} AS k1, "
-        f"mh{b * LSH_MD5_ROWS + 1} AS k2)"
-        for b in range(LSH_MD5_BANDS)
+    # Per shingle: ONE evaluation of the _LSH_MD5_GROUPS digests
+    # (let-bound as ds — HOF lambda bodies are interpreted, so
+    # without the binding each window would re-run its md5), then k
+    # windowed 60-bit values. Signature mins and the band structs all
+    # fold into the same single expression: the whole
+    # signatures -> banding chain is map-side, one projection, no
+    # intermediate columns for CollapseProject to duplicate.
+    digests = ", ".join(
+        f"md5(concat('g{g}|', s))" for g in range(_LSH_MD5_GROUPS)
     )
-    banded = sigs.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
-    ).select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
+    windows = ", ".join(
+        _mh_window_sql(i, duck=False, digest=f"ds[{i // 2}]")
+        for i in range(k)
+    )
+    per_shingle = (
+        f"transform(shingles, s -> "
+        f"transform(array(array({digests})), ds -> array({windows}))[0])"
+    )
+    bands_expr = let_sql(
+        per_shingle,
+        "hs",
+        let_sql(
+            f"transform(sequence(0, {k - 1}), "
+            f"i -> array_min(transform(hs, h -> h[i])))",
+            "sig",
+            f"transform(sequence(0, {LSH_MD5_BANDS - 1}), b -> "
+            f"struct(b AS band_id, sig[b * {LSH_MD5_ROWS}] AS k1, "
+            f"sig[b * {LSH_MD5_ROWS} + 1] AS k2))",
+        ),
+    )
+    banded = (
+        shingled.select("doc_id", F.explode(F.expr(bands_expr)).alias("bk"))
+        .select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
+        # both sides of the bucket self-join read this frame; without
+        # the persist the whole hash+band expression runs twice
+        # (4 long columns x bands-per-doc rows — kilobytes cached)
+        .persist()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -970,7 +1021,8 @@ def _lsh_md5_oracle() -> str:
     shingle_arr = f"list_distinct({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)})"
     k = LSH_MD5_BANDS * LSH_MD5_ROWS
     mh = ", ".join(
-        f"list_min(list_transform(shingles, s -> {hash60_sql('s', seed=i)})) AS mh{i}"
+        f"list_min(list_transform(shingles, s -> "
+        f"{_mh_window_sql(i, duck=True)})) AS mh{i}"
         for i in range(k)
     )
     band_rows = " UNION ALL ".join(
