@@ -152,7 +152,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Property-tested in tests/test_llm_ops.py (adversarial corpus,
     DF 226 > cap: oracle parity still hash-matches, recall 20/23
     vs uncapped exact, floor asserted at 0.85)."""
-    shingled = _shingled(spark, sf_dir)
+    # persisted: referenced by the inverted index AND (via sizes) both
+    # sides of the union-size join — unpersisted, the tokenize+shingle
+    # projection runs three times. Caller-clears-cache discipline as
+    # in the LSH queries (bench.py / oracle_compare clearCache).
+    shingled = _shingled(spark, sf_dir).persist()
     sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
     inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     # ONE shuffle (groupBy shingle), then pairs generate map-side from
