@@ -758,6 +758,8 @@ ORDER BY d.doc_id, h.first_seen_doc_id
 """
 
 
+
+
 # ---------------------------------------------------------------------------
 # Best-representative selection: real pipelines don't keep the
 # MIN-id member of a dup cluster — they keep the best one. Reuses
@@ -948,18 +950,18 @@ def _mh_window_sql(i: int, duck: bool, digest: str | None = None) -> str:
     return f"CAST(conv(substring({d}, {start}, 15), 16, 10) AS LONG)"
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _md5_bands_expr() -> str:
+    """The fused signatures -> band-structs expression over a
+    ``shingles`` column. Per shingle: ONE evaluation of the
+    _LSH_MD5_GROUPS digests (let-bound as ds — HOF lambda bodies are
+    interpreted, so without the binding each window would re-run its
+    md5), then k windowed 60-bit values. Signature mins and the band
+    structs all fold into the same single expression: the whole
+    chain is map-side, one projection, no intermediate columns for
+    CollapseProject to duplicate."""
     from ..functions.hashing import let_sql
 
-    shingled = _shingled(spark, sf_dir).persist()
     k = LSH_MD5_BANDS * LSH_MD5_ROWS
-    # Per shingle: ONE evaluation of the _LSH_MD5_GROUPS digests
-    # (let-bound as ds — HOF lambda bodies are interpreted, so
-    # without the binding each window would re-run its md5), then k
-    # windowed 60-bit values. Signature mins and the band structs all
-    # fold into the same single expression: the whole
-    # signatures -> banding chain is map-side, one projection, no
-    # intermediate columns for CollapseProject to duplicate.
     digests = ", ".join(
         f"md5(concat('g{g}|', s))" for g in range(_LSH_MD5_GROUPS)
     )
@@ -971,7 +973,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(shingles, s -> "
         f"transform(array(array({digests})), ds -> array({windows}))[0])"
     )
-    bands_expr = let_sql(
+    return let_sql(
         per_shingle,
         "hs",
         let_sql(
@@ -983,8 +985,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sig[b * {LSH_MD5_ROWS} + 1] AS k2))",
         ),
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir).persist()
     banded = (
-        shingled.select("doc_id", F.explode(F.expr(bands_expr)).alias("bk"))
+        shingled.select(
+            "doc_id", F.explode(F.expr(_md5_bands_expr())).alias("bk")
+        )
         .select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
         # both sides of the bucket self-join read this frame; without
         # the persist the whole hash+band expression runs twice
@@ -1063,3 +1071,104 @@ ORDER BY doc_a, doc_b
 
 
 ORACLE["dedup_minhash_lsh"] = _lsh_md5_oracle()
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL near-dup dedup — the daily-ingest twin of
+# q_dedup_incremental for NEAR duplicates: find batch documents whose
+# MinHash-LSH bands collide with a historical document's bands, then
+# exact-verify the candidate pairs by Jaccard. At 100 TB the
+# historical side is a persisted BAND INDEX table — (band_id, k1, k2,
+# doc_id), 4 longs/row, bucketed on the band key (sources/writers.
+# write_bucketed) so the per-batch probe join is shuffle-free on the
+# history side; the batch (small by definition) shuffles 32-byte band
+# keys only, and document shingles are fetched solely for surviving
+# candidate pairs. Mirrors the reference's incremental-partition
+# ingest stance (gold_etl.py:90-92,156: process today's slice against
+# standing state, never recompute history).
+# ---------------------------------------------------------------------------
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir).persist()
+    banded = (
+        shingled.select(
+            "doc_id", F.explode(F.expr(_md5_bands_expr())).alias("bk")
+        )
+        .select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
+        .persist()  # read twice: history index side + batch probe side
+    )
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1
+    hist_index = banded.filter(~is_batch)  # at scale: bucketed snapshot table
+    batch_bands = banded.filter(is_batch)
+    b, h = batch_bands.alias("b"), hist_index.alias("h")
+    candidates = (
+        b.join(
+            h,
+            (F.col("b.band_id") == F.col("h.band_id"))
+            & (F.col("b.k1") == F.col("h.k1"))
+            & (F.col("b.k2") == F.col("h.k2")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("matched_doc_id"),
+        )
+        .distinct()
+    )
+    sh_b = shingled.select("doc_id", F.col("shingles").alias("sh_b"))
+    sh_h = shingled.select(
+        F.col("doc_id").alias("matched_doc_id"), F.col("shingles").alias("sh_h")
+    )
+    jaccard = F.size(F.array_intersect("sh_b", "sh_h")).cast("double") / F.size(
+        F.array_union("sh_b", "sh_h")
+    )
+    return (
+        candidates.join(sh_b, "doc_id")
+        .join(sh_h, "matched_doc_id")
+        .select("doc_id", "matched_doc_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_id", "matched_doc_id")
+    )
+
+
+def _incremental_near_oracle() -> str:
+    shingle_arr = f"list_distinct({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)})"
+    k = LSH_MD5_BANDS * LSH_MD5_ROWS
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"{_mh_window_sql(i, duck=True)})) AS mh{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh{b * LSH_MD5_ROWS} AS k1, "
+        f"mh{b * LSH_MD5_ROWS + 1} AS k2 FROM sigs"
+        for b in range(LSH_MD5_BANDS)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, {shingle_arr} AS shingles
+  FROM documents
+  WHERE len({_TOKENS_SQL}) >= {SHINGLE_N}
+), sigs AS (
+  SELECT doc_id, {mh} FROM shingled
+), banded AS (
+  {band_rows}
+), candidates AS (
+  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS matched_doc_id
+  FROM banded b
+  JOIN banded h
+    ON b.band_id = h.band_id AND b.k1 = h.k1 AND b.k2 = h.k2
+  WHERE b.doc_id % {BATCH_MOD} = {BATCH_MOD - 1}
+    AND h.doc_id % {BATCH_MOD} <> {BATCH_MOD - 1}
+)
+SELECT c.doc_id, c.matched_doc_id,
+       CAST(len(list_intersect(sb.shingles, sh.shingles)) AS DOUBLE)
+         / len(list_distinct(sb.shingles || sh.shingles)) AS jaccard
+FROM candidates c
+JOIN shingled sb ON sb.doc_id = c.doc_id
+JOIN shingled sh ON sh.doc_id = c.matched_doc_id
+WHERE CAST(len(list_intersect(sb.shingles, sh.shingles)) AS DOUBLE)
+        / len(list_distinct(sb.shingles || sh.shingles)) >= {JACCARD_THRESHOLD}
+ORDER BY c.doc_id, c.matched_doc_id
+"""
+
+
+ORACLE["dedup_incremental_near"] = _incremental_near_oracle()
