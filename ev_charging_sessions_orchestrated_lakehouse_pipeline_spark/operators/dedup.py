@@ -855,7 +855,11 @@ CALIBRATION_K = 8
 
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_ngram_jaccard(spark, sf_dir)
-    sigs = minhash_signatures_md5(_shingled(spark, sf_dir), k=CALIBRATION_K)
+    # persisted: both join sides (sa, sb) read the signature frame —
+    # unpersisted, the k md5 transforms run twice over the corpus
+    sigs = minhash_signatures_md5(
+        _shingled(spark, sf_dir), k=CALIBRATION_K
+    ).persist()
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(CALIBRATION_K)],
