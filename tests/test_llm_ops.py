@@ -43,6 +43,30 @@ def test_minhash_lsh_candidates_subset_of_exact(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_incremental_near_subset_of_exact_cross_pairs(spark, sf_dir):
+    """Batch-vs-history LSH near-dup: every reported (batch, history)
+    match must appear in the exact inverted-index pair set with
+    exactly one endpoint in the batch partition — LSH banding can
+    miss pairs (recall) but the exact-Jaccard verify forbids false
+    positives, and the batch/history split must be respected."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        BATCH_MOD,
+        q_dedup_incremental_near,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    got = q_dedup_incremental_near(spark, sf_dir).collect()
+    assert got, "fixture should produce at least one cross match"
+    for r in got:
+        assert r.doc_id % BATCH_MOD == BATCH_MOD - 1
+        assert r.matched_doc_id % BATCH_MOD != BATCH_MOD - 1
+        pair = (min(r.doc_id, r.matched_doc_id), max(r.doc_id, r.matched_doc_id))
+        assert pair in exact, f"{pair} not in the exact pair set"
+
+
 def test_lsh_ann_subset_of_bruteforce(spark, sf_dir):
     """Hyperplane-LSH matches for query 0 must be a subset of what a
     full scan finds above the same cosine threshold."""
