@@ -1176,3 +1176,101 @@ ORDER BY c.doc_id, c.matched_doc_id
 
 
 ORACLE["dedup_incremental_near"] = _incremental_near_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/test split — contamination-safe data splitting:
+# a TRAIN document that near-duplicates any TEST document is excluded,
+# because near-copies of held-out data inside the training set defeat
+# the held-out evaluation (memorization leaks through paraphrase-level
+# duplication; this is the split-time counterpart of eval-set
+# decontamination, operators/decontam.py).
+#
+# Scale shape: the split is a map-side deterministic hash
+# (sampling.split_assign — no RNG, stable under repartitioning);
+# cluster labels come from the bounded near-dup candidate pipeline;
+# the leak check joins id-sized (doc_id, cluster_id) labels against
+# the broadcast DISTINCT set of clusters containing a test doc. Text
+# payloads never shuffle.
+# ---------------------------------------------------------------------------
+LEAKFREE_FRACTIONS = {"test": 0.2, "train": 0.8}
+LEAKFREE_SEED = 0
+
+
+def q_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import split_assign
+
+    assigned = _docs(spark, sf_dir).select(
+        "doc_id", split_assign("doc_id", LEAKFREE_FRACTIONS, seed=LEAKFREE_SEED)
+    )
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    lab = assigned.join(clusters, "doc_id", "left")
+    test_clusters = (
+        lab.filter((F.col("split") == "test") & F.col("cluster_id").isNotNull())
+        .select("cluster_id")
+        .distinct()
+        .withColumn("has_test", F.lit(True))
+    )
+    joined = lab.join(F.broadcast(test_clusters), "cluster_id", "left")
+    excluded = (F.col("split") == "train") & F.coalesce(
+        F.col("has_test"), F.lit(False)
+    )
+    return joined.select(
+        "doc_id",
+        "split",
+        excluded.alias("excluded"),
+        F.when(excluded, "excluded").otherwise(F.col("split")).alias(
+            "final_split"
+        ),
+    ).orderBy("doc_id")
+
+
+def _leakfree_oracle() -> str:
+    from .sampling import split_assign_sql
+
+    pairs_body = ORACLE["dedup_ngram_jaccard"].strip()
+    split_case = split_assign_sql(
+        "CAST(doc_id AS VARCHAR)", LEAKFREE_FRACTIONS, seed=LEAKFREE_SEED
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_body}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(src, node) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+),
+assigned AS (
+  SELECT doc_id, {split_case} AS split FROM documents
+),
+lab AS (
+  SELECT a.doc_id, a.split, c.cluster_id
+  FROM assigned a LEFT JOIN comp c USING (doc_id)
+),
+testc AS (
+  SELECT DISTINCT cluster_id FROM lab
+  WHERE split = 'test' AND cluster_id IS NOT NULL
+)
+SELECT l.doc_id, l.split,
+       (l.split = 'train' AND l.cluster_id IS NOT NULL
+        AND l.cluster_id IN (SELECT cluster_id FROM testc)) AS excluded,
+       CASE WHEN l.split = 'train' AND l.cluster_id IS NOT NULL
+                 AND l.cluster_id IN (SELECT cluster_id FROM testc)
+            THEN 'excluded' ELSE l.split END AS final_split
+FROM lab l ORDER BY l.doc_id
+"""
+
+
+ORACLE["leakfree_split"] = _leakfree_oracle()
