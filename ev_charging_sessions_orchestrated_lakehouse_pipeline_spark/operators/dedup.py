@@ -12,12 +12,17 @@ Scale design (the part that matters at 100 TB):
   distinct shingles -> join on shingle -> count per pair). This is
   the classic candidate-generation shape: cost scales with
   sum(docs-per-shingle²), NOT docs² — no crossJoin anywhere.
-- **MinHash+LSH**: signatures via explode -> k seeded hashes ->
-  groupBy min (one shuffle of small rows); docs then meet only in
-  band buckets, and only surviving candidate PAIRS (ids, no payloads)
-  fetch their shingle sets for the exact-Jaccard verify. Collision
-  probability per band = s^r, so b=8 bands x r=4 rows puts the
-  S-curve midpoint near s = (1/8)^(1/4) ≈ 0.59.
+- **MinHash+LSH**: fully map-side signatures (zero shuffle until the
+  band bucket join); docs meet only in band buckets, and only
+  surviving candidate PAIRS (ids, no payloads) fetch their shingle
+  sets for the exact-Jaccard verify. Two families: the registered
+  ``dedup_minhash_lsh`` uses windowed-md5 seeds (two 60-bit hex
+  windows per digest, DuckDB-replayable, b=4 x r=2 with S-curve
+  midpoint (1/4)^(1/2) = 0.5) and is fully value-oracled; the
+  xxhash64 k=32 ``minhash_lsh_pairs_xxhash`` (b=8 x r=4, midpoint
+  ≈ 0.59) is the faster scale path, pinned by the LSH ⊆ exact
+  recall property test. ``dedup_incremental_near`` probes a
+  batch against the historical band index — the daily-ingest shape.
 - **SimHash** hashes each distinct token ONCE into an integer array,
   then takes 16 bit-vote aggregates over that array — one projection,
   no shuffle.
