@@ -73,7 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for each SQL-expressible query; non-SQL ops
-    (LSH dedup, ANN buckets, streaming) are intentionally absent ->
-    rows-only check."""
+    """DuckDB twin for every registered query — since round 5 ALL
+    registry entries carry an exact value-hash oracle (the formerly
+    rows-only xxhash LSH variant left the registry for its fully
+    oracled md5-family twin)."""
     return get_oracles()
