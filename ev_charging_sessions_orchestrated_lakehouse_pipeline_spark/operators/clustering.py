@@ -135,7 +135,14 @@ def kmeans(
 ) -> tuple[DataFrame, list[list[float]], int]:
     """(assigned_df, centroids, iterations_run). Stops when the
     (exact, fixed-point) centroids repeat — a true fixpoint, not a
-    float-tolerance heuristic."""
+    float-tolerance heuristic.
+
+    The input is persisted for the loop (the standard iterative-ML
+    input cache — MLlib does the same): every iteration's assign +
+    centroid update re-reads it, and so does the seed collect.
+    Caller-clears-cache discipline applies (bench.py /
+    oracle_compare clearCache between queries)."""
+    emb = emb.persist()
     first = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     centroids = [[float(x) for x in r.embedding] for r in first]
     for it in range(1, max_iter + 1):
