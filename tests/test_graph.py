@@ -84,3 +84,39 @@ def test_triangles_exist_in_known_clique(spark, sf_dir):
     assert out
     assert all(r.total_triangles == brute for r in out)
     assert sum(r.n_triangles for r in out) <= 3 * brute
+
+
+def test_shared_edges_cached_per_session_and_rebuilt_on_dead_context(
+    spark, sf_dir
+):
+    """shared_cosupply_edges must return the SAME materialized frame
+    for repeated calls on one (session, sf_dir) — the cross-query
+    reuse the graph family depends on — and must fall through to a
+    rebuild when a cached entry's context probe fails (stale entry
+    from a stopped session)."""
+    a = G.shared_cosupply_edges(spark, sf_dir)
+    b = G.shared_cosupply_edges(spark, sf_dir)
+    assert a is b
+    assert a.rdd.getNumPartitions() == 1  # bounded list, one partition
+
+    # poison the cache entry with an object whose context probe throws
+    import os
+
+    key = (id(spark.sparkContext), os.path.abspath(sf_dir))
+
+    class _Dead:
+        @property
+        def sparkSession(self):
+            raise RuntimeError("stopped context")
+
+    G._EDGE_CACHE[key] = _Dead()
+    try:
+        rebuilt = G.shared_cosupply_edges(spark, sf_dir)
+        assert not isinstance(rebuilt, _Dead)
+        # rebuild produced identical edge content and re-primed the cache
+        assert G._EDGE_CACHE[key] is rebuilt
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, a.collect())
+        )
+    finally:
+        G._EDGE_CACHE.pop(key, None)
