@@ -43,6 +43,7 @@ ROUND_COMMITS = {
     2: "8f3afb2",
     3: "6c379b6",
     4: "565e982",
+    5: "19bb0ad",
 }
 
 # Registry renames: old name -> new name. Applied after all rounds
@@ -135,8 +136,16 @@ def main() -> None:
             state = {}
         merge_round(state, round_n, path, commit)
     for old, new in RENAMES.items():
-        if old in state:
-            state[new] = state.pop(old)
+        if old not in state:
+            continue
+        moved = state.pop(old)
+        # Never clobber fresher evidence earned under the NEW name:
+        # after the rename round merges, the new name has its own
+        # (higher-round) record and the orphaned old one must lose.
+        if new not in state or state[new].get(
+            "round", state[new].get("pending_since", -1)
+        ) < moved.get("round", moved.get("pending_since", -1)):
+            state[new] = moved
     with open(STATE, "w", encoding="utf-8") as f:
         json.dump(dict(sorted(state.items())), f, indent=1, sort_keys=True)
         f.write("\n")

@@ -56,7 +56,8 @@ def main() -> None:
             (st[n].get("round", 0) for n in outside if n in st and "round" in st[n]),
             default=None,
         )
-        print(f"outside window: {len(outside)} (oldest evidence round: r{oldest})")
+        age = "n/a" if oldest is None else f"r{oldest}"
+        print(f"outside window: {len(outside)} (oldest evidence round: {age})")
 
 
 if __name__ == "__main__":
