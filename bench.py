@@ -13,7 +13,14 @@ from this exact loop):
   HOF pipelines) would be under-timed.
 - ``spark.catalog.clearCache()`` runs between queries so one query's
   persist (e.g. the LSH shingle cache) can never subsidize or crowd
-  out another — every number is a cold-cache, independent measurement.
+  out another. ONE deliberate exception: the graph family shares a
+  memoized co-supply edge derivation (graph.shared_cosupply_edges)
+  that survives clearCache by design. Its build cost is therefore
+  timed and reported as its own line item
+  (``shared_cosupply_edges_build``, included in the total), and the
+  per-graph-query numbers are WARM-edge numbers — what a session that
+  has already derived the edge list pays per query. Every other
+  number is a cold-cache, independent measurement.
 - A warmup run of the flagship query amortizes JVM/codegen startup
   out of the per-query numbers.
 - ADAPTIVE RETIMING (round 5): a single pass on this box can be
@@ -25,7 +32,10 @@ from this exact loop):
   MAX_EXTRA_RUNS more times and the MIN is reported — the same
   min-of-N procedure that round 4 used by hand to clear round 3's
   flags, now applied mechanically inside the run. Queries without a
-  committed floor get one extra run unconditionally.
+  committed floor get one extra run unconditionally. The payload's
+  ``n_runs`` dict records how many runs each reported minimum came
+  from, so consumers can tell single-pass numbers from retimed
+  minima.
 """
 
 from __future__ import annotations
@@ -72,14 +82,17 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return elapsed
 
 
-def timed_min(spark, fn, sf_dir: str, floor: float | None, repeat: int) -> float:
+def timed_min(
+    spark, fn, sf_dir: str, floor: float | None, repeat: int
+) -> tuple[float, int]:
     """min-of-N timing: ``repeat`` unconditional runs, then (in the
     default repeat=1 mode) adaptive extra runs while the best time
     still exceeds RETIME_FACTOR x the committed floor — or one extra
-    run if the query has no floor yet."""
+    run if the query has no floor yet. Returns (best, n_runs) so the
+    payload can record how many runs a minimum came from."""
     best = min(run_query(spark, fn, sf_dir) for _ in range(repeat))
     if repeat > 1:
-        return best  # explicit min-of-N mode (floor recording)
+        return best, repeat  # explicit min-of-N mode (floor recording)
     extra = 0
     while extra < MAX_EXTRA_RUNS:
         if floor is None:
@@ -89,7 +102,7 @@ def timed_min(spark, fn, sf_dir: str, floor: float | None, repeat: int) -> float
             break
         best = min(best, run_query(spark, fn, sf_dir))
         extra += 1
-    return best
+    return best, 1 + extra
 
 
 def main() -> None:
@@ -128,11 +141,30 @@ def main() -> None:
 
     floors = load_floors()
     timings: dict[str, float] = {}
-    for name in sorted(qs):
-        timings[name] = round(
-            timed_min(spark, qs[name], sf_dir, floors.get(name), args.repeat),
-            4,
+    n_runs: dict[str, int] = {}
+
+    # The graph family shares one memoized edge derivation that
+    # survives clearCache (graph.shared_cosupply_edges). Build it
+    # HERE, timed, as its own line item — so the derivation cost is
+    # visible in every bench artifact instead of hiding inside
+    # whichever graph query happens to run first, and the per-query
+    # graph numbers are honestly labeled warm-edge numbers. Single
+    # run by construction: a re-run would hit the cache and time ~0.
+    graph_family = {n for n in qs if n.startswith(("graph_", "triangle_", "pagerank"))}
+    if graph_family:
+        from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.graph import (  # noqa: E501
+            shared_cosupply_edges,
         )
+
+        t0 = time.perf_counter()
+        shared_cosupply_edges(spark, sf_dir)  # eager localCheckpoint
+        timings["shared_cosupply_edges_build"] = round(time.perf_counter() - t0, 4)
+        n_runs["shared_cosupply_edges_build"] = 1
+
+    for name in sorted(qs):
+        best, runs = timed_min(spark, qs[name], sf_dir, floors.get(name), args.repeat)
+        timings[name] = round(best, 4)
+        n_runs[name] = runs
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -140,6 +172,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_runs": n_runs,
         "sf": float(sf),
     }
     # The driver captures a bounded tail of stdout, which truncated

@@ -131,18 +131,28 @@ def update_centroids(
 
 
 def kmeans(
-    emb: DataFrame, k: int = K, max_iter: int = MAX_ITER, dim: int = 64
+    emb: DataFrame,
+    k: int = K,
+    max_iter: int = MAX_ITER,
+    dim: int = 64,
+    persist: bool = True,
 ) -> tuple[DataFrame, list[list[float]], int]:
     """(assigned_df, centroids, iterations_run). Stops when the
     (exact, fixed-point) centroids repeat — a true fixpoint, not a
     float-tolerance heuristic.
 
-    The input is persisted for the loop (the standard iterative-ML
-    input cache — MLlib does the same): every iteration's assign +
-    centroid update re-reads it, and so does the seed collect.
-    Caller-clears-cache discipline applies (bench.py /
-    oracle_compare clearCache between queries)."""
-    emb = emb.persist()
+    By default the input is persisted for the loop (the standard
+    iterative-ML input cache — MLlib does the same): every
+    iteration's assign + centroid update re-reads it, and so does the
+    seed collect. The cached blocks outlive the call — the returned
+    assigned_df depends on them — so callers follow the
+    clearCache-between-queries discipline (bench.py / oracle_compare
+    do). Library embedders in a long-lived session that cannot adopt
+    that discipline should pass ``persist=False``: each iteration
+    then recomputes the input lineage, trading iteration time for
+    zero retained storage."""
+    if persist:
+        emb = emb.persist()
     first = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     centroids = [[float(x) for x in r.embedding] for r in first]
     for it in range(1, max_iter + 1):

@@ -113,8 +113,20 @@ def shared_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
+    # Evict entries whose owning context has stopped: a long-lived
+    # server embedding this library across many sessions/sf_dirs must
+    # not accumulate dead DataFrame handles without bound.
+    for k in [k for k, df in _EDGE_CACHE.items() if _context_stopped(df)]:
+        _EDGE_CACHE.pop(k, None)
     _EDGE_CACHE[key] = edges
     return edges
+
+
+def _context_stopped(df: DataFrame) -> bool:
+    try:
+        return bool(df.sparkSession.sparkContext._jsc.sc().isStopped())
+    except Exception:
+        return True  # unreachable JVM handle == dead entry
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ def _scripted(mod, times):
 def test_under_floor_single_pass_no_extra_runs():
     b = _load_bench()
     seq = _scripted(b, [1.0, 99.0, 99.0, 99.0])
-    assert b.timed_min(None, None, "sf", floor=0.9, repeat=1) == 1.0
+    assert b.timed_min(None, None, "sf", floor=0.9, repeat=1) == (1.0, 1)
     assert len(seq) == 3  # only the first scripted run was consumed
 
 
@@ -48,7 +48,7 @@ def test_inflated_pass_retimes_until_under_two_x_floor():
     b = _load_bench()
     # first pass 25x floor (a harness tick), second run clean
     seq = _scripted(b, [25.0, 0.95, 99.0, 99.0])
-    assert b.timed_min(None, None, "sf", floor=1.0, repeat=1) == 0.95
+    assert b.timed_min(None, None, "sf", floor=1.0, repeat=1) == (0.95, 2)
     assert len(seq) == 2
 
 
@@ -56,14 +56,17 @@ def test_persistently_slow_query_stops_at_max_extra_runs():
     b = _load_bench()
     times = [10.0] * (1 + b.MAX_EXTRA_RUNS) + [99.0]
     seq = _scripted(b, times)
-    assert b.timed_min(None, None, "sf", floor=1.0, repeat=1) == 10.0
+    assert b.timed_min(None, None, "sf", floor=1.0, repeat=1) == (
+        10.0,
+        1 + b.MAX_EXTRA_RUNS,
+    )
     assert len(seq) == 1  # 1 + MAX_EXTRA_RUNS consumed, sentinel left
 
 
 def test_floorless_query_gets_exactly_one_extra_run():
     b = _load_bench()
     seq = _scripted(b, [5.0, 3.0, 99.0])
-    assert b.timed_min(None, None, "sf", floor=None, repeat=1) == 3.0
+    assert b.timed_min(None, None, "sf", floor=None, repeat=1) == (3.0, 2)
     assert len(seq) == 1
 
 
@@ -71,7 +74,7 @@ def test_explicit_repeat_mode_is_pure_min_of_n():
     b = _load_bench()
     seq = _scripted(b, [9.0, 7.0, 8.0, 99.0])
     # repeat=3 -> exactly three runs, no adaptive extras even above floor
-    assert b.timed_min(None, None, "sf", floor=0.001, repeat=3) == 7.0
+    assert b.timed_min(None, None, "sf", floor=0.001, repeat=3) == (7.0, 3)
     assert len(seq) == 1
 
 

@@ -111,3 +111,22 @@ def test_kmeans_assign_paths_agree_k32(spark, sf_dir):
     # and the public entry point routes k=32 through the array path
     assigned, _, _ = kmeans(emb, k=32, max_iter=2)
     assert assigned.filter(F.col("cluster").isNull()).count() == 0
+
+
+def test_kmeans_persist_false_same_result_no_retained_cache(spark, sf_dir):
+    """The persist=False escape hatch (for library embedders that
+    can't run clearCache between calls) must produce bit-identical
+    results and leave nothing in the catalog cache."""
+    emb = _emb(spark, sf_dir)
+    spark.catalog.clearCache()
+    # localCheckpoint blocks from other tests may exist in the shared
+    # session; the contract is that THIS call adds no storage.
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    a0, c0, i0 = kmeans(emb, k=4, max_iter=3, persist=False)
+    rows0 = sorted((r.vec_id, r.cluster) for r in a0.select("vec_id", "cluster").collect())
+    assert len(jsc.getRDDStorageInfo()) == before
+    a1, c1, i1 = kmeans(emb, k=4, max_iter=3)  # default persisted path
+    rows1 = sorted((r.vec_id, r.cluster) for r in a1.select("vec_id", "cluster").collect())
+    spark.catalog.clearCache()
+    assert c0 == c1 and i0 == i1 and rows0 == rows1

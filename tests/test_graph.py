@@ -120,3 +120,28 @@ def test_shared_edges_cached_per_session_and_rebuilt_on_dead_context(
         )
     finally:
         G._EDGE_CACHE.pop(key, None)
+
+
+def test_edge_cache_evicts_dead_context_entries(spark, sf_dir):
+    """Inserting into _EDGE_CACHE drops entries whose owning context
+    has stopped, so a long-lived server embedding the library never
+    accumulates dead handles across sessions/sf_dirs (round-5
+    VERDICT item 8)."""
+
+    class _Dead:
+        @property
+        def sparkSession(self):
+            raise RuntimeError("stopped context")
+
+    dead_key = (-1, "/nonexistent/sf_dir")
+    G._EDGE_CACHE[dead_key] = _Dead()
+    import os
+
+    live_key = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    G._EDGE_CACHE.pop(live_key, None)  # force a rebuild/insert
+    try:
+        live = G.shared_cosupply_edges(spark, sf_dir)
+        assert dead_key not in G._EDGE_CACHE  # evicted on insert
+        assert G._EDGE_CACHE[live_key] is live  # live entry kept
+    finally:
+        G._EDGE_CACHE.pop(dead_key, None)
