@@ -1092,7 +1092,11 @@ ORACLE["dedup_minhash_lsh"] = _lsh_md5_oracle()
 # write_bucketed) so the per-batch probe join is shuffle-free on the
 # history side; the batch (small by definition) shuffles 32-byte band
 # keys only, and document shingles are fetched solely for surviving
-# candidate pairs. Mirrors the reference's incremental-partition
+# candidate pairs. That deployment shape is pinned by a plan test —
+# tests/test_plans.py::
+# test_incremental_near_history_band_index_probe_is_shuffle_free
+# materializes the band index bucketed on (band_id, k1, k2) and
+# asserts the probe join has exactly ONE Exchange (batch side only). Mirrors the reference's incremental-partition
 # ingest stance (gold_etl.py:90-92,156: process today's slice against
 # standing state, never recompute history).
 # ---------------------------------------------------------------------------

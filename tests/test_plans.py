@@ -210,3 +210,70 @@ def test_corpus_prep_never_shuffles_payload(spark, sf_dir):
     assert exchanges, "expected Exchange nodes in the funnel plan"
     for cols in exchanges:
         assert "text#" not in cols, f"payload column shuffled: [{cols}]"
+
+
+def test_incremental_near_history_band_index_probe_is_shuffle_free(spark, sf_dir):
+    """The 100 TB contract stated in dedup.py's incremental-near
+    docstring, converted into a regression-guarded fact: when the
+    historical band index is MATERIALIZED as a table bucketed+sorted
+    on (band_id, k1, k2) — the at-scale deployment shape — the
+    per-batch probe join must not re-shuffle the history side.
+    Exactly ONE Exchange may appear in the candidate-join plan (the
+    small batch side repartitioning to the index's bucket layout);
+    the bucketed history scan feeds the join directly."""
+    import re
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators import (
+        dedup as D,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    banded = (
+        D._shingled(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(D._md5_bands_expr())).alias("bk"))
+        .select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
+    )
+    is_batch = F.col("doc_id") % D.BATCH_MOD == D.BATCH_MOD - 1
+    keys = ["band_id", "k1", "k2"]
+    write_bucketed(banded.filter(~is_batch), "band_index_hist", keys, 4, keys)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the sort-merge path: at real scale the batch outgrows
+    # broadcast, and a broadcast plan would vacuously pass this test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hist = spark.table("band_index_hist").alias("h")
+        batch = banded.filter(is_batch).alias("b")
+        # the join itself is the plan under test; the downstream
+        # distinct's own Exchange (on the id pair) is not
+        joined = batch.join(hist, keys).select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("matched_doc_id"),
+        )
+        plan = _formatted_plan(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert re.search(r"Bucketed: true", plan), "history scan not bucketed"
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange == 1, (
+            f"expected exactly 1 Exchange (batch side only), got "
+            f"{n_exchange}:\n{plan}"
+        )
+        candidates = joined.distinct()
+        # value parity with the in-session (unbucketed) derivation
+        b2, h2 = batch.alias("b2"), banded.filter(~is_batch).alias("h2")
+        expect = {
+            (r.doc_id, r.matched_doc_id)
+            for r in b2.join(h2, keys)
+            .select(
+                F.col("b2.doc_id").alias("doc_id"),
+                F.col("h2.doc_id").alias("matched_doc_id"),
+            )
+            .distinct()
+            .collect()
+        }
+        got = {(r.doc_id, r.matched_doc_id) for r in candidates.collect()}
+        assert got == expect and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS band_index_hist")
