@@ -26,12 +26,16 @@ Scale design (the part that matters at 100 TB):
   oracle), and emit pairs MAP-SIDE with one HOF expansion. One
   shuffle total for pair counting; supplier payloads never fan out
   through a self-join.
-- Triangle counting joins the (bounded) edge list against itself on
-  the canonical a<b<c orientation. At unbounded edge scale the
-  standard degree-orientation trick (orient each edge toward the
-  higher-degree endpoint, join oriented wedges) bounds the wedge
-  fan-out by arboricity; with TOP_EDGES bounded the plain canonical
-  join is already the right plan (both joins broadcast).
+- Triangle counting ships BOTH plans: ``q_triangle_count`` joins the
+  (bounded) edge list against itself on the canonical a<b<c
+  orientation — with TOP_EDGES bounded that is the right plan (both
+  joins broadcast) — and ``q_triangle_count_oriented`` implements
+  the degree-orientation algorithm (orient each edge toward the
+  higher-(degree, id) endpoint, join oriented wedges) whose wedge
+  fan-out is bounded by arboricity, the plan that stays affordable
+  on an UNBOUNDED edge list. Both are oracled and must agree
+  exactly; the wedge joins are pinned as keyed equi-joins in
+  tests/test_plans.py.
 - PageRank is the model-parallel loop shape shared with
   operators/clustering.py: per iteration ONE shuffle (contributions
   groupBy dst), ranks re-derived as a pure function. Because the
@@ -270,6 +274,123 @@ tri AS (
   FROM e e1
   JOIN e e2 ON e2.src = e1.dst
   JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY node
+)
+SELECT node, n_triangles,
+       (SELECT COUNT(*) FROM tri) AS total_triangles
+FROM corners
+ORDER BY n_triangles DESC, node
+LIMIT {TRI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree-oriented exact triangle counting — the unbounded-graph path
+# ---------------------------------------------------------------------------
+def q_triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result contract as ``q_triangle_count`` (per-node
+    participation, top TRI_TOPK, global total on every row), computed
+    via DEGREE ORIENTATION — the algorithm that stays affordable when
+    the edge list is NOT TOP_EDGES-bounded.
+
+    Each undirected edge is directed toward its higher-(degree, id)
+    endpoint, so every node's out-degree is bounded by graph
+    arboricity (O(sqrt(E)) worst case) instead of its raw degree: a
+    celebrity node with 10M neighbors generates ZERO wedges from its
+    own fan-in, because all those edges point AT it. Wedges are pairs
+    of out-neighbors of a common source, closed by an equi-join
+    against the oriented edge list itself. Every join is a keyed
+    equi-join (the rank inequality is a residual predicate on the
+    wedge join's ``u`` key, never a join condition on its own), so at
+    100 TB the whole pipeline is shuffle-on-key — no node ever
+    enumerates a super-linear neighbor cross-product. On the bounded
+    fixture graph it must agree exactly with the canonical-orientation
+    join, which the shared oracle pins."""
+    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("degree").alias("dsrc")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("degree").alias("ddst")),
+            "dst",
+        )
+    )
+    src_first = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ed.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    rank_lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = x.join(
+        F.broadcast(y), (F.col("x.u") == F.col("y.u")) & rank_lt
+    ).select(F.col("x.u").alias("a"), F.col("x.v").alias("b"), F.col("y.v").alias("c"))
+    closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(F.broadcast(closer), ["b", "c"])
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
+    return (
+        corners.join(F.broadcast(total))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(TRI_TOPK)
+        .select("node", "n_triangles", "total_triangles")
+    )
+
+
+# The oracle replays the SAME degree-orientation construction in
+# DuckDB — and because orientation is count-preserving, its result is
+# definitionally identical to ORACLE["triangle_count"]'s canonical
+# join on the same edge CTE (the local suite asserts that equality in
+# tests/test_graph.py).
+ORACLE["triangle_count_oriented"] = f"""
+WITH {_EDGES_SQL},
+nodes AS (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM nodes GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN ds.degree < dd.degree
+              OR (ds.degree = dd.degree AND e.src < e.dst)
+         THEN e.src ELSE e.dst END AS u,
+         CASE WHEN ds.degree < dd.degree
+              OR (ds.degree = dd.degree AND e.src < e.dst)
+         THEN e.dst ELSE e.src END AS v,
+         CASE WHEN ds.degree < dd.degree
+              OR (ds.degree = dd.degree AND e.src < e.dst)
+         THEN dd.degree ELSE ds.degree END AS dv
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+),
+tri AS (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM oriented x
+  JOIN oriented y ON y.u = x.u
+   AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+  JOIN oriented z ON z.u = x.v AND z.v = y.v
 ),
 corners AS (
   SELECT node, COUNT(*) AS n_triangles

@@ -145,3 +145,32 @@ def test_edge_cache_evicts_dead_context_entries(spark, sf_dir):
         assert G._EDGE_CACHE[live_key] is live  # live entry kept
     finally:
         G._EDGE_CACHE.pop(dead_key, None)
+
+
+def test_oriented_triangles_agree_with_canonical(spark, sf_dir):
+    """Degree orientation is count-preserving: the arboricity-bounded
+    plan (q_triangle_count_oriented) must reproduce the canonical
+    a<b<c join bit-for-bit — per-node counts, top-K order, and the
+    global total. This is the cross-implementation check that makes
+    the unbounded-graph path trustworthy, on top of each query's own
+    DuckDB oracle."""
+    a = sorted(map(tuple, G.q_triangle_count(spark, sf_dir).collect()))
+    b = sorted(map(tuple, G.q_triangle_count_oriented(spark, sf_dir).collect()))
+    assert a == b and a
+
+
+def test_oriented_out_degree_bounded_by_rank(spark, sf_dir):
+    """Every oriented edge points at the higher-(degree, id) endpoint:
+    for each edge u->v, rank(u) < rank(v). This is the invariant that
+    bounds wedge fan-out by arboricity on unbounded graphs."""
+    edges = G.shared_cosupply_edges(spark, sf_dir).select("src", "dst")
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = {r.node: r.degree for r in nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree")).collect()}
+    for e in edges.collect():
+        u, v = e.src, e.dst
+        lo = u if (deg[u], u) < (deg[v], v) else v
+        hi = v if lo == u else u
+        assert (deg[lo], lo) < (deg[hi], hi)

@@ -52,6 +52,10 @@ BNLJ_ALLOWED = {
     "rarity_filter": 1,
     # 1-row global-triangle-total broadcast onto every corner row
     "triangle_count": 1,
+    # same 1-row total broadcast; the count staying at 1 ALSO pins
+    # that both wedge joins keep their equi-keys (u; then b,c) — a
+    # lost key would surface as a second BNLJ node here
+    "triangle_count_oriented": 1,
     # 1-row node-count aggregate broadcast into the uniform r0 ranks
     # (visible since the PR loop became one lazy plan; the five
     # per-iteration contribution joins are all keyed equi-joins)
