@@ -2,11 +2,19 @@
 payloads with typed metadata, processed through Arrow-batched
 ``mapInPandas`` (BASELINE.json north star).
 
-The container has no image/audio codecs, so the actual decode is
-STUBBED (``decode_stub``) behind a deterministic fake — but the
-Spark-side plumbing is real and tested: binary column construction,
-metadata struct schema, Arrow batch shape through mapInPandas, and
-partition-preserving feature extraction.
+The container image has no codec libraries (no PIL/ffmpeg), so the
+richer feature paths run on deterministic fake payloads — but two
+REAL pure-Python decoders ship for trivial containers: ``decode_ppm``
+(binary P6 netpbm images, full header grammar incl. comments) and
+``decode_wav`` (RIFF/WAVE PCM, proper chunk walk). The synthesizers
+build genuine containers JVM-side (headers + payload bytes with
+Spark built-ins, zero Python in the construction), the decoders parse
+them inside the existing mapInPandas Arrow path, and the decoded
+fields are DuckDB-oracled to exact value equality
+(``multimodal_decode_ppm`` / ``multimodal_decode_wav``). The rest of
+the Spark-side plumbing is real and tested: binary column
+construction, metadata struct schema, Arrow batch shape through
+mapInPandas, and partition-preserving feature extraction.
 
 Scale design: media payloads are the columns that break naive plans.
 Rules encoded here:
@@ -57,13 +65,87 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes, fmt: str) -> bytes:
-    """Where a real decoder (PIL/ffmpeg) would run. The container has
-    no codecs; callers must use ``fake=True`` paths."""
-    raise NotImplementedError(
-        "media codecs not available in this environment; "
-        "use extract_media_features(fake=True)"
-    )
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real binary-PPM (netpbm P6) decoder: parses the full header
+    grammar — magic, whitespace runs, ``#`` comments, three ASCII
+    integers (width, height, maxval), one whitespace — and returns
+    ``(width, height, maxval, pixel_bytes)``. Any spec-conformant P6
+    file decodes; truncated or malformed input raises ValueError."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while payload[pos : pos + 1] and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PPM maxval out of range: {maxval}")
+    bpp = 3 if maxval < 256 else 6
+    pixels = payload[pos : pos + width * height * bpp]
+    if len(pixels) != width * height * bpp:
+        raise ValueError("truncated PPM raster")
+    return width, height, maxval, pixels
+
+
+def decode_wav(payload: bytes) -> dict[str, int]:
+    """Real RIFF/WAVE PCM header decoder: validates the RIFF
+    signature, walks chunks (word-aligned, as the spec requires)
+    until ``fmt `` and ``data``, and returns channels / sample_rate /
+    bits_per_sample / n_samples / duration_us. Any PCM WAV file
+    parses; compressed or malformed input raises ValueError."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload) and (fmt is None or data_len is None):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _byte_rate, block_align, bits = (
+                struct.unpack("<HHIIHH", body[:16])
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"not PCM (audio format {audio_fmt})")
+            fmt = (channels, rate, block_align, bits)
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, rate, block_align, bits = fmt
+    n_samples = data_len // block_align
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // rate,
+    }
+
+
+def decode_media(payload: bytes, fmt: str):
+    """Dispatch to the real decoder for a container format. Formats
+    the synthetic feature paths use (``fake/*``) are NOT containers
+    and refuse decoding — by contract, not by missing implementation."""
+    if fmt == "image/ppm":
+        return decode_ppm(payload)
+    if fmt == "audio/wav":
+        return decode_wav(payload)
+    raise ValueError(f"no decoder for format {fmt!r}")
 
 
 FEATURE_SCHEMA = (
@@ -74,16 +156,17 @@ FEATURE_SCHEMA = (
 def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    With ``fake=True`` (the only mode that works here) features are
-    computed directly from the payload bytes — deterministic, so
-    tests can assert exact values. ``fake=False`` routes through
-    :func:`decode_stub` and raises until codecs exist.
+    With ``fake=True`` (the default) features are computed directly
+    from the payload bytes — deterministic, so tests can assert
+    exact values. ``fake=False`` routes through :func:`decode_media`,
+    which refuses the non-container ``fake/rgb8`` format; real
+    container decoding lives in the ``multimodal_decode_*`` queries.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:  # pragma: no cover - codec path
-                pdf["payload"].map(lambda b: decode_stub(b, "fake/rgb8"))
+            if not fake:  # fake/rgb8 is a raw digest, not a container
+                pdf["payload"].map(lambda b: decode_media(b, "fake/rgb8"))
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -173,8 +256,8 @@ FAKE_FRAME_BYTES = 4
 def sample_frames(media: DataFrame, stride: int = 2, fake: bool = True) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:  # pragma: no cover - codec path
-                pdf["payload"].map(lambda b: decode_stub(b, "fake/video"))
+            if not fake:  # fake/video is a raw digest, not a container
+                pdf["payload"].map(lambda b: decode_media(b, "fake/video"))
             ids, idxs, frames, means = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n_frames = len(payload) // FAKE_FRAME_BYTES
@@ -223,4 +306,191 @@ SELECT doc_id,
       + CAST(('0x' || substr(h, frame_idx*8 + 5, 2)) AS INT)
       + CAST(('0x' || substr(h, frame_idx*8 + 7, 2)) AS INT)) / 4.0 AS frame_mean
 FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL container decode queries. The synthesizers build genuine
+# containers with Spark built-ins (header text + payload bytes, zero
+# Python in construction); the decoders above parse them in the
+# mapInPandas Arrow path; the oracles recompute every decoded field
+# from the same md5 derivation, so the decode round-trip is
+# value-exact across engines.
+# ---------------------------------------------------------------------------
+_PPM_W = "(cast(conv(substring(md5(text),1,2),16,10) as int) % 4 + 1)"
+_PPM_H = "(cast(conv(substring(md5(text),3,2),16,10) as int) % 4 + 1)"
+#: header 'P6\n<w> <h>\n255\n' + w*h*3 raster bytes cycled from the digest
+_PPM_PAYLOAD = (
+    "concat("
+    "encode(concat('P6\n', cast(" + _PPM_W + " as string), ' ', "
+    "cast(" + _PPM_H + " as string), '\n255\n'), 'utf-8'), "
+    "unhex(substring(repeat(md5(text), 9), 1, "
+    + _PPM_W + " * " + _PPM_H + " * 6)))"
+)
+
+
+def synthesize_ppm(docs: DataFrame) -> DataFrame:
+    """Real P6 PPM containers, built JVM-side: spec-conformant header
+    plus a w*h RGB raster whose bytes cycle through the text digest.
+    Deterministic — the oracle recomputes every byte."""
+    return docs.select(
+        "doc_id",
+        F.expr(_PPM_PAYLOAD).alias("payload"),
+        F.lit("image/ppm").alias("format"),
+    )
+
+
+PPM_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, maxval int, "
+    "n_pixel_bytes int, pixel_sum long"
+)
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: every payload goes through the full
+    P6 header parse; emitted fields come from the decoder's output,
+    not from metadata the synthesizer could have carried along."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_ppm(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="int32"),
+                    "maxval": pd.array([d[2] for d in decoded], dtype="int32"),
+                    "n_pixel_bytes": pd.array(
+                        [len(d[3]) for d in decoded], dtype="int32"
+                    ),
+                    "pixel_sum": pd.array(
+                        [sum(d[3]) for d in decoded], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=PPM_DECODE_SCHEMA
+    )
+
+
+def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_ppm_features(synthesize_ppm(_docs(spark, sf_dir)))
+
+
+ORACLE["multimodal_decode_ppm"] = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         (CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 4 + 1) AS w,
+         (CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 4 + 1) AS ht
+  FROM documents
+), px AS (
+  SELECT doc_id, w, ht, repeat(h, 9) AS rh,
+         unnest(generate_series(1, w * ht * 3)) AS i
+  FROM m
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(ht AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(w * ht * 3 AS INT) AS n_pixel_bytes,
+       CAST(SUM(CAST(('0x' || substr(rh, 2*i - 1, 2)) AS INT)) AS BIGINT)
+         AS pixel_sum
+FROM px
+GROUP BY doc_id, w, ht
+"""
+
+
+#: sample rate 8000..15000 Hz derived from the digest; 16-bit mono PCM
+_WAV_RATE = "(8000 + (cast(conv(substring(md5(text),5,2),16,10) as int) % 8) * 1000)"
+#: little-endian uint32 for a value known to fit in 16 bits
+def _le32_expr(val_expr: str) -> str:
+    h4 = f"lpad(hex({val_expr}), 4, '0')"
+    return f"unhex(concat(substring({h4}, 3, 2), substring({h4}, 1, 2), '0000'))"
+
+
+#: canonical 44-byte RIFF/WAVE PCM header + 64 data bytes (32 mono
+#: 16-bit samples) cycled from the digest. Constant chunk sizes:
+#: RIFF size 100 = 36 + 64, fmt size 16, data size 64.
+_WAV_PAYLOAD = (
+    "concat("
+    "encode('RIFF', 'utf-8'), unhex('64000000'), "
+    "encode('WAVE', 'utf-8'), "
+    "encode('fmt ', 'utf-8'), unhex('10000000'), "
+    "unhex('0100'), "  # audio format 1 = PCM
+    "unhex('0100'), "  # channels = 1
+    + _le32_expr(_WAV_RATE) + ", "
+    + _le32_expr(f"({_WAV_RATE} * 2)") + ", "  # byte rate = rate * block align
+    "unhex('0200'), "  # block align = 2
+    "unhex('1000'), "  # bits per sample = 16
+    "encode('data', 'utf-8'), unhex('40000000'), "
+    "unhex(repeat(md5(text), 4)))"
+)
+
+
+def synthesize_wav(docs: DataFrame) -> DataFrame:
+    """Real RIFF/WAVE PCM containers, built JVM-side: canonical
+    44-byte header (little-endian fields assembled with hex/lpad/
+    unhex built-ins) + 64 bytes of PCM data cycled from the digest."""
+    return docs.select(
+        "doc_id",
+        F.expr(_WAV_PAYLOAD).alias("payload"),
+        F.lit("audio/wav").alias("format"),
+    )
+
+
+WAV_DECODE_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, bits_per_sample int, "
+    "n_samples int, duration_us long"
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_wav(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "channels": pd.array(
+                        [d["channels"] for d in decoded], dtype="int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [d["sample_rate"] for d in decoded], dtype="int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [d["bits_per_sample"] for d in decoded], dtype="int32"
+                    ),
+                    "n_samples": pd.array(
+                        [d["n_samples"] for d in decoded], dtype="int32"
+                    ),
+                    "duration_us": pd.array(
+                        [d["duration_us"] for d in decoded], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=WAV_DECODE_SCHEMA
+    )
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_wav_features(synthesize_wav(_docs(spark, sf_dir)))
+
+
+ORACLE["multimodal_decode_wav"] = """
+WITH r AS (
+  SELECT doc_id,
+         (8000 + (CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 8) * 1000)
+           AS rate
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS INT) AS channels,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(32 AS INT) AS n_samples,
+       CAST(32000000 // rate AS BIGINT) AS duration_us
+FROM r
 """

@@ -217,13 +217,71 @@ def test_multimodal_query_runs(spark, sf_dir):
     )
 
 
-def test_decode_stub_raises():
+def test_decode_media_dispatch_and_unknown_format():
     from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.multimodal import (
-        decode_stub,
+        decode_media,
     )
 
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"xx", "image/png")
+    w, h, maxval, px = decode_media(b"P6\n2 1\n255\n" + bytes(6), "image/ppm")
+    assert (w, h, maxval, px) == (2, 1, 255, bytes(6))
+    with pytest.raises(ValueError):
+        decode_media(b"xx", "image/png")
+
+
+def test_decode_ppm_full_header_grammar():
+    """The decoder handles what the netpbm spec allows, not just the
+    synthesizer's canonical output: comments between header fields,
+    multi-whitespace runs, multi-digit dimensions — and rejects
+    malformed input instead of mis-decoding it."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    px = bytes(range(12 * 3))
+    spec = b"P6\n# a comment\n 12 \t# another\n1\n# last\n255\n" + px
+    assert decode_ppm(spec) == (12, 1, 255, px)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00\x00\x00")  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n0\n\x00\x00\x00")  # maxval out of range
+
+
+def test_decode_wav_chunk_walk_and_pcm_guard():
+    """The decoder walks arbitrary chunk layouts (LIST before fmt,
+    odd-sized chunks word-aligned per spec) and rejects non-PCM."""
+    import struct
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = bytes(16)
+    body = chunk(b"LIST", b"INFOx") + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out = decode_wav(wav)
+    assert out == {
+        "channels": 2,
+        "sample_rate": 44100,
+        "bits_per_sample": 16,
+        "n_samples": 4,
+        "duration_us": 4 * 1_000_000 // 44100,
+    }
+    bad_fmt = struct.pack("<HHIIHH", 85, 2, 44100, 0, 4, 16)  # mp3-in-wav
+    bad = b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE" + chunk(
+        b"fmt ", bad_fmt
+    ) + chunk(b"data", data)
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))
 
 
 def test_connected_components_multihop(spark):
