@@ -276,6 +276,56 @@ WHERE rank <= {IVF_TOP_K}
 """
 
 
+def ivf_search(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_filter: F.Column,
+    top_k: int = IVF_TOP_K,
+    n_probe: int = 1,
+) -> DataFrame:
+    """n_probe-generalized IVF search: every vector sits in its
+    max-cosine cell (``ivf_assign``); each query probes its
+    ``n_probe`` highest-cosine cells and ranks candidates by exact
+    cosine. ``n_probe=1`` reproduces ``q_similarity_ivf``'s shape;
+    ``n_probe=N_CENTROIDS`` degenerates to exact brute force (every
+    cell probed — the property the recall test anchors on). Cells are
+    disjoint, so probing distinct cells can never duplicate a
+    candidate pair. Shuffle profile is unchanged from the 1-probe
+    path: centroids and the (query, probe-cell) list broadcast, the
+    corpus never re-partitions."""
+    assigned = ivf_assign(emb, centroids)
+    queries = assigned.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qcos = _dot("qv", "cv") / (
+        F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("qc").desc(), F.col("cent_id").desc()
+    )
+    probe_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", qcos.alias("qc"), "cent_id")
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "qv", F.col("cent_id").alias("qcell"))
+    )
+    cos = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_cells), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path; rows-only driver check).
 # ---------------------------------------------------------------------------
