@@ -1109,7 +1109,21 @@ def vacuum(table: str, retain_last: int = 0) -> dict:
     manifest (covers orphans from crashed writes) and, when
     ``retain_last`` > 0, expire all but the last N manifests first
     (bounding time travel, like Delta's retention window). Never
-    touches a file any kept manifest references. Returns counts."""
+    touches a file any kept manifest references. Returns counts.
+
+    Retention contract (matches Delta's semantics, pinned in
+    tests/test_snaptable.py):
+
+    * time travel to an EXPIRED version fails fast in planning —
+      ``read_snapshot(..., version=old)`` raises ValueError naming
+      the version and current head (the manifest is gone);
+    * a reader HOLDING a DataFrame planned at an old version before
+      the vacuum fails at EXECUTION with Spark's missing-file error
+      once the files are deleted — never a silent partial result.
+      That guarantee requires ``spark.sql.files.ignoreMissingFiles``
+      to stay ``false`` (the default; the session factory never
+      flips it — flipping it would convert this race into silently
+      wrong answers, exactly what Delta's VACUUM docs warn about)."""
     versions = _list_versions(table)
     if not versions:
         return {"expired_versions": 0, "deleted_files": 0}

@@ -971,3 +971,30 @@ def test_table_stats_is_truly_metadata_only(spark, orders, tmp_path):
     assert s["max"]["o_totalprice"] == expected.mx
     # strings are deliberately absent (parquet may truncate their stats)
     assert "o_orderstatus" not in s["min"] and "o_orderpriority" not in s["max"]
+
+
+def test_vacuum_inflight_reader_errors_never_partial(spark, orders, tmp_path):
+    """The other half of the retention contract (round-5 VERDICT item
+    6): a reader that planned a DataFrame against an old version
+    BEFORE vacuum expired it must fail at execution with Spark's
+    missing-file error once the files are gone — NEVER silently
+    return a partial/wrong result (Delta raises here too). Guarded by
+    ignoreMissingFiles staying false, which this test also pins."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(30), t, ["o_orderstatus"])
+    st.overwrite_table(orders.limit(10), t)
+
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false"
+    ), "ignoreMissingFiles must stay false or vacuum races go silent"
+
+    stale = st.read_snapshot(spark, t, version=1)  # planned pre-vacuum
+    assert stale.count() == 30  # still readable: files exist
+
+    report = st.vacuum(t, retain_last=1)
+    assert report["expired_versions"] == 1 and report["deleted_files"] > 0
+
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError, match="(?i)file"):
+        stale.count()  # files under its plan are gone -> hard error
