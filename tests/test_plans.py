@@ -145,6 +145,11 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     lineitem = read_fixture(spark, sf_dir, "lineitem")
     write_bucketed(orders, "bkt_orders", ["o_orderkey"], 4, ["o_orderkey"])
     write_bucketed(lineitem, "bkt_lineitem", ["l_orderkey"], 4, ["l_orderkey"])
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force sort-merge: at fixture scale the dim side fits broadcast,
+    # and a BroadcastHashJoin never shuffles its stream side anyway —
+    # the co-location contract would pass vacuously
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = (
             spark.table("bkt_lineitem")
@@ -156,8 +161,17 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
         )
         plan = _formatted_plan(spark, joined)
-        join_part = plan.split("HashAggregate")[0]
-        assert "Exchange" not in join_part, "bucketed join still shuffles"
+        # formatted explain prints the tree root-first, so "everything
+        # before the first HashAggregate" is just the header — count
+        # Exchange nodes over the whole plan instead: exactly ONE may
+        # remain (the post-join groupBy on o_orderpriority); the join
+        # itself must read co-located buckets with no Exchange on
+        # either side (an unbucketed plan has three).
+        import re
+
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange == 1, f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
         # row parity with a plain (shuffling) join
         expect = {
             (r.o_orderpriority, r.n)
@@ -171,6 +185,7 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         got = {(r.o_orderpriority, r.n) for r in joined.collect()}
         assert got == expect
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
