@@ -539,3 +539,66 @@ FROM per
 GROUP BY doc_id
 ORDER BY doc_id
 """.format(davg_inv=davg_sql("inv"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source document quota (domain balancing). Web-scale corpora are
+# dominated by a handful of high-volume sources; the standard fix
+# (C4/RefinedWeb-style) is a hard per-domain cap so no source
+# contributes more than CAP documents, keeping the best ones by a
+# deterministic rank.
+#
+# Scale design (100 TB): the ranking window shuffles ONLY
+# (doc_id, source, n_chars) — ids and two small columns, never text
+# payloads (kept ids semi-join back for payload fetch downstream, the
+# same ids-only stance as operators/llm_prep.py). A skewed source
+# costs one hot partition bounded by that source's ID-ROW count, not
+# its payload bytes; at extreme skew the two-phase top-K (salted
+# partial rank, then global rank over <= CAP x salt survivors)
+# composes with functions/skew.py without changing this contract.
+# ---------------------------------------------------------------------------
+SOURCE_CAP = 15  # < docs-per-source at every fixture SF, so the cap bites
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota audit: for each source, how many documents
+    exist, how many survive the CAP (ranked by n_chars desc, doc_id
+    tiebreak), the chars kept, and the admission cutoff (n_chars of
+    the last admitted document)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= SOURCE_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.min(F.when(kept, F.col("n_chars"))).alias("cutoff_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["source_cap"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       MIN(CASE WHEN rk <= {SOURCE_CAP} THEN n_chars END) AS cutoff_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""

@@ -859,3 +859,37 @@ def test_ivf_recall_floor_across_nprobe(spark, sf_dir):
     assert recalls[1] >= 0.35, f"n_probe=1 recall {recalls[1]:.3f} < 0.35"  # (b)
     assert recalls[4] >= 0.5, f"n_probe=4 recall {recalls[4]:.3f} < 0.5"  # (b)
     assert recalls[S.N_CENTROIDS] == 1.0, recalls  # (c)
+
+
+def test_source_cap_matches_python_recomputation(spark, sf_dir):
+    """Per-source quota audit vs a plain-Python recomputation from the
+    raw documents: kept set = top SOURCE_CAP by (n_chars desc, doc_id)
+    per source, and the cap actually bites on the fixture."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.corpus_filter import (
+        SOURCE_CAP,
+        q_source_cap,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    by_src: dict = {}
+    for r in docs.collect():
+        by_src.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    got = {r.source: r for r in q_source_cap(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    bites = 0
+    for src, items in by_src.items():
+        ordered = sorted(items, key=lambda t: (-t[0], t[1]))
+        kept = ordered[:SOURCE_CAP]
+        r = got[src]
+        assert r.n_docs == len(items)
+        assert r.n_kept == len(kept)
+        assert r.n_dropped == len(items) - len(kept)
+        assert r.kept_chars == sum(c for c, _ in kept)
+        assert r.cutoff_chars == min(c for c, _ in kept)
+        bites += r.n_dropped
+    assert bites > 0, "SOURCE_CAP must bite on the fixture"
