@@ -296,3 +296,32 @@ def test_incremental_near_history_band_index_probe_is_shuffle_free(spark, sf_dir
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS band_index_hist")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_normalized",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "leakfree_split",
+        "source_cap",
+        "dedup_incremental_near",
+    ],
+)
+def test_dedup_family_never_shuffles_payload(spark, sf_dir, name):
+    """The dedup/quota family's core scale promise, same pin as
+    llm_prep's: no Exchange in any plan carries the text payload —
+    only digests, shingle hashes, band keys, ids, and aggregation
+    buffers move. At 100 TB a payload shuffle is the difference
+    between moving kilobytes per row and moving the corpus."""
+    import re
+
+    plan = _formatted_plan(spark, QUERIES[name](spark, sf_dir))
+    exchanges = re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[[^\]]*\]: \[([^\]]*)\]", plan
+    )
+    assert exchanges, f"{name}: expected Exchange nodes in the plan"
+    for cols in exchanges:
+        assert "text#" not in cols, f"{name}: payload column shuffled: [{cols}]"
