@@ -2678,3 +2678,88 @@ FROM chain
 GROUP BY depth_to_root
 ORDER BY depth_to_root
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection: each event scored against the
+# trailing ROLLING_Z_PRIOR events of the SAME user (frame excludes
+# the current row, so an outlier never masks itself), flagged when
+# |z| > ROLLING_Z. Complements q_value_outliers (global per-type
+# moments): this is the streaming-shaped "did THIS user just deviate
+# from THEIR recent behavior" detector, with a warm-up guard of
+# ROLLING_Z_MIN_PRIOR observations before any score is emitted.
+#
+# Engine parity follows the rolling_revenue recipe: frame sums are
+# exact decimals cast back through VARCHAR (functions/oracle.py), the
+# frame order (ts, event_id) is total, and mean/var/z are the same
+# IEEE expression text on both engines — sqrt is correctly rounded
+# per IEEE-754, so the hash compare is exact.
+#
+# Scale: ONE shuffle (hash partition by user_id), then a sorted
+# window pass; rows-frame state is O(ROLLING_Z_PRIOR) per partition.
+# ---------------------------------------------------------------------------
+ROLLING_Z_PRIOR = 20
+ROLLING_Z_MIN_PRIOR = 10
+ROLLING_Z = 3.0
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLLING_Z_PRIOR, -1)
+    )
+    s1 = (
+        F.sum(F.col("value").cast("decimal(25,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(25,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / n
+    z = (F.col("value") - mean) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            n.alias("n_prior"),
+            z.alias("z"),
+        )
+        .filter(
+            (F.col("n_prior") >= ROLLING_Z_MIN_PRIOR)
+            & (F.abs(F.col("z")) > ROLLING_Z)
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE["rolling_zscore"] = f"""
+WITH wstats AS (
+  SELECT event_id, user_id, event_type, value,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER w AS VARCHAR)
+         AS DOUBLE) AS s1,
+    CAST(CAST(SUM(CAST(value * value AS DECIMAL(25,10))) OVER w AS VARCHAR)
+         AS DOUBLE) AS s2,
+    COUNT(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLLING_Z_PRIOR} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, event_type, value, n_prior,
+       (value - s1 / n_prior)
+         / sqrt((s2 - s1 * s1 / n_prior) / (n_prior - 1)) AS z
+FROM wstats
+WHERE n_prior >= {ROLLING_Z_MIN_PRIOR}
+  AND abs((value - s1 / n_prior)
+          / sqrt((s2 - s1 * s1 / n_prior) / (n_prior - 1))) > {ROLLING_Z}
+ORDER BY event_id
+"""

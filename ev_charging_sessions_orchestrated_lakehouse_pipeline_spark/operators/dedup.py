@@ -1283,3 +1283,88 @@ FROM lab l ORDER BY l.doc_id
 
 
 ORACLE["leakfree_split"] = _leakfree_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (CCNet/Gopher-style sub-document dedup): split
+# each document into non-overlapping PASSAGE_TOKENS-token passages,
+# find passages shared verbatim across documents, and score each
+# document by its duplicated-passage fraction. Doc-level dedup above
+# misses boilerplate shared INSIDE otherwise-distinct pages (headers,
+# license blocks, navigation chrome); this is the granularity CCNet
+# dedupes at before anything else runs.
+#
+# Scale (100 TB): the explode emits (doc_id, md5) pairs ONLY — the
+# passage text reduces to a 16-byte digest map-side, so the two
+# aggregations (distinct-docs per digest, per-doc rollup) shuffle
+# narrow rows whose volume is ~n_tokens/PASSAGE_TOKENS per doc, never
+# the corpus. Pinned by test_dedup_family_never_shuffles_payload.
+# ---------------------------------------------------------------------------
+PASSAGE_TOKENS = 20
+#: keep a document while at most this fraction of its passages is
+#: shared verbatim with any other document.
+PASSAGE_DUP_MAX = 0.5
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import let_sql
+
+    P = PASSAGE_TOKENS
+    docs = _docs(spark, sf_dir)
+    digests = let_sql(
+        "split(text, ' ')",
+        "t",
+        f"transform(sequence(0, CAST(ceil(size(t) / {P}.0D) AS INT) - 1), "
+        f"i -> md5(concat_ws(' ', slice(t, i * {P} + 1, {P}))))",
+    )
+    ex = docs.select("doc_id", F.explode(F.expr(digests)).alias("digest"))
+    n_docs = ex.groupBy("digest").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup_frac = F.col("n_dup_passages").cast("double") / F.col("n_passages")
+    return (
+        ex.join(n_docs, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_passages"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            dup_frac.alias("dup_frac"),
+            (dup_frac <= PASSAGE_DUP_MAX).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["passage_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+                CAST(ceil(n / {PASSAGE_TOKENS}.0) AS INTEGER) - 1)) AS i
+  FROM toks
+), ex AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i * {PASSAGE_TOKENS} + 1,
+             least(i * {PASSAGE_TOKENS} + {PASSAGE_TOKENS}, n)), ' ')) AS digest
+  FROM idx
+), nd AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS n_docs FROM ex GROUP BY digest
+)
+SELECT ex.doc_id, COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_passages,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         <= {PASSAGE_DUP_MAX} AS keep
+FROM ex JOIN nd USING (digest)
+GROUP BY ex.doc_id ORDER BY ex.doc_id
+"""

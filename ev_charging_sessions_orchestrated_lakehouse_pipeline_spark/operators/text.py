@@ -717,3 +717,61 @@ SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
 FROM idx
 ORDER BY doc_id, chunk_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity — the repetitiveness signal quality pipelines
+# gate on (templated / spun text has few distinct tokens). Two
+# rational measures per document: type-token ratio (distinct/total)
+# and the Simpson diversity index 1 - sum(p_i^2). Shannon entropy is
+# the textbook choice but needs log(), and Math.log vs libm log can
+# differ in the last ulp across engines (same reasoning as the BM25
+# rational idf above); Simpson is a monotone-equivalent concentration
+# measure using only +,*,/ folded in array_sort order — identical
+# IEEE evaluation on both engines, bit-exact oracle hash.
+#
+# Scale: pure map-side expression (one let-bound token array per
+# row, O(k·n) per doc for k distinct tokens), zero shuffle — the
+# filter column comes for free with the scan at 100 TB.
+# ---------------------------------------------------------------------------
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import let_sql
+
+    docs = _docs(spark, sf_dir)
+    div = let_sql(
+        "split(text, ' ')",
+        "t",
+        "named_struct("
+        "'n_tokens', size(t), "
+        "'n_distinct', size(array_distinct(t)), "
+        "'simpson', CAST(1 AS DOUBLE) - aggregate("
+        "array_sort(array_distinct(t)), CAST(0 AS DOUBLE), "
+        "(acc, c) -> acc + transform("
+        "array(CAST(size(filter(t, x -> x = c)) AS DOUBLE) / size(t)), "
+        "p -> p * p)[0]))",
+    )
+    return (
+        docs.select("doc_id", F.expr(div).alias("d"))
+        .select(
+            "doc_id",
+            "d.n_tokens",
+            "d.n_distinct",
+            (F.col("d.n_distinct").cast("double") / F.col("d.n_tokens")).alias("ttr"),
+            "d.simpson",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["token_diversity"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+       CAST(1 AS DOUBLE) - list_reduce(
+         list_transform(list_sort(list_distinct(t)),
+           c -> (CAST(len(list_filter(t, x -> x = c)) AS DOUBLE) / len(t))
+              * (CAST(len(list_filter(t, x -> x = c)) AS DOUBLE) / len(t))),
+         (a, b) -> a + b) AS simpson
+FROM toks ORDER BY doc_id
+"""
