@@ -326,3 +326,34 @@ def test_dedup_family_never_shuffles_payload(spark, sf_dir, name):
     assert exchanges, f"{name}: expected Exchange nodes in the plan"
     for cols in exchanges:
         assert "text#" not in cols, f"{name}: payload column shuffled: [{cols}]"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_stats",
+        "quality_score",
+        "token_count",
+        "token_diversity",
+        "lang_id",
+        "fingerprint",
+        "fingerprint_rolling",
+        "gopher_rules",
+    ],
+)
+def test_per_doc_text_metrics_are_map_side(spark, sf_dir, name):
+    """text.py's module-level scale promise, pinned: per-document
+    metrics are pure map-side expression work — the ONLY Exchange
+    allowed in their plans is the final rangepartitioning that sorts
+    the (already narrow) metric output for deterministic oracle
+    comparison. A hashpartitioning Exchange appearing here means an
+    aggregation/join snuck into what must stay an O(rows/splits)
+    embarrassingly-parallel scan at 100 TB."""
+    import re
+
+    plan = _formatted_plan(spark, QUERIES[name](spark, sf_dir))
+    hash_ex = re.findall(
+        r"\(\d+\) Exchange[^\n]*\n(?:[^\n]*\n)*?Arguments: (hashpartitioning[^,]*)",
+        plan,
+    )
+    assert not hash_ex, f"{name}: unexpected shuffle(s) {hash_ex}"
