@@ -893,3 +893,123 @@ def test_source_cap_matches_python_recomputation(spark, sf_dir):
         assert r.cutoff_chars == min(c for c, _ in kept)
         bites += r.n_dropped
     assert bites > 0, "SOURCE_CAP must bite on the fixture"
+
+
+def test_token_diversity_bounds_and_extremes(spark, sf_dir):
+    """Contract pins for the lexical-diversity metrics: ttr in (0,1],
+    simpson in [0,1), n_distinct <= n_tokens; a one-token-repeated doc
+    scores simpson=0 / ttr->0 extreme, an all-distinct doc scores
+    ttr=1 and the maximal simpson 1-1/n for its length."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    rows = QUERIES["token_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_tokens
+        assert 0.0 < r.ttr <= 1.0
+        assert 0.0 <= r.simpson < 1.0
+
+    probe = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d"), (3, "a")], ["doc_id", "text"]
+    )
+    probe.createOrReplaceTempView("documents_probe")
+    import ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.text as text_mod
+
+    orig = text_mod._docs
+    text_mod._docs = lambda s, d: probe
+    try:
+        got = {
+            r.doc_id: r
+            for r in QUERIES["token_diversity"](spark, sf_dir).collect()
+        }
+    finally:
+        text_mod._docs = orig
+    assert got[1].simpson == 0.0 and got[1].ttr == 0.25
+    assert got[2].ttr == 1.0 and got[2].simpson == 1.0 - 1.0 / 4
+    assert got[3].n_tokens == 1 and got[3].simpson == 0.0
+
+
+def test_passage_dedup_flags_exact_clone_pairs(spark, sf_dir):
+    """A verbatim clone shares EVERY passage with its twin, so both
+    must score dup_frac=1.0 / keep=False, while a corpus of unique
+    single-passage docs keeps everything. Also pins the rollup
+    identity n_dup_passages <= n_passages = ceil(n_tokens/P) on the
+    real fixture."""
+    import math
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        PASSAGE_TOKENS,
+        q_passage_dedup,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n"
+        ).collect()
+    }
+    for r in QUERIES["passage_dedup"](spark, sf_dir).collect():
+        assert 0 <= r.n_dup_passages <= r.n_passages
+        assert r.n_passages == math.ceil(n_tok[r.doc_id] / PASSAGE_TOKENS)
+        assert r.keep == (r.dup_frac <= 0.5)
+
+    long_a = " ".join(f"w{i}" for i in range(PASSAGE_TOKENS * 3))
+    long_b = " ".join(f"v{i}" for i in range(PASSAGE_TOKENS * 3))
+    probe = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b)], ["doc_id", "text"]
+    )
+    import ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup as dedup_mod
+
+    orig = dedup_mod._docs
+    dedup_mod._docs = lambda s, d: probe
+    try:
+        got = {r.doc_id: r for r in q_passage_dedup(spark, sf_dir).collect()}
+    finally:
+        dedup_mod._docs = orig
+    assert got[1].dup_frac == 1.0 and not got[1].keep
+    assert got[2].dup_frac == 1.0 and not got[2].keep
+    assert got[3].dup_frac == 0.0 and got[3].keep
+
+
+def test_rolling_zscore_warmup_and_self_exclusion(spark, sf_dir):
+    """The frame excludes the current row (a spike can't mask itself)
+    and no score is emitted before ROLLING_Z_MIN_PRIOR observations:
+    a single 100x spike after a stable prefix MUST be flagged, and
+    nothing in the first MIN_PRIOR events of a user ever appears."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.analytics import (
+        ROLLING_Z_MIN_PRIOR,
+        q_rolling_zscore,
+    )
+    import datetime
+
+    import ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.analytics as a_mod
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(15):
+        # stable-ish prefix: alternating 10.0 / 12.0, then one spike
+        v = 1000.0 if i == 14 else (10.0 if i % 2 == 0 else 12.0)
+        rows.append((i, base + datetime.timedelta(minutes=i), 7, "tap", v, "{}"))
+    probe = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    orig = a_mod._t
+    a_mod._t = lambda s, d, name: probe
+    try:
+        got = q_rolling_zscore(spark, sf_dir).collect()
+    finally:
+        a_mod._t = orig
+    flagged = {r.event_id for r in got}
+    assert 14 in flagged, "spike after warm-up must be flagged"
+    assert all(e >= ROLLING_Z_MIN_PRIOR for e in flagged)
+    spike = next(r for r in got if r.event_id == 14)
+    assert spike.z > 100  # trailing std ~1, deviation ~989
