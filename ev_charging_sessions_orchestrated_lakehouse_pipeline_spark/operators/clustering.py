@@ -155,6 +155,11 @@ def kmeans(
         emb = emb.persist()
     first = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     centroids = [[float(x) for x in r.embedding] for r in first]
+    if not centroids:
+        # empty partition (routine in a daily-partitioned lake):
+        # nothing to seed from — return the zero-row assignment with
+        # the same schema instead of building array_min(array()).
+        return emb.withColumn("cluster", F.lit(0).cast("int")), [], 0
     for it in range(1, max_iter + 1):
         assigned = assign_clusters(emb, centroids)
         new = update_centroids(assigned, k, dim)

@@ -251,7 +251,11 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             dsum("o_totalprice").alias("sum_totalprice"),
         ).collect()[0]
-        rows.append((v, r.n_orders, float(r.sum_totalprice)))
+        # SUM over an empty snapshot is NULL (matches the oracle's
+        # SUM over zero rows) — keep it None instead of crashing on
+        # an empty daily partition.
+        total = None if r.sum_totalprice is None else float(r.sum_totalprice)
+        rows.append((v, r.n_orders, total))
     shutil.rmtree(table, ignore_errors=True)
     return spark.createDataFrame(
         rows, "version int, n_orders bigint, sum_totalprice double"
@@ -851,14 +855,22 @@ def q_snapshot_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for v in (1, 2):
         s = st.table_stats(table, version=v)
+
+        # footer stats don't exist for a zero-file snapshot (empty
+        # daily partition): surface NULL min/max, like MIN/MAX over
+        # zero rows, instead of crashing on the missing key.
+        def _stat(kind: str, col: str, cast):
+            val = s[kind].get(col)
+            return None if val is None else cast(val)
+
         rows.append(
             (
                 v,
                 s["rows"],
-                float(s["min"]["o_totalprice"]),
-                float(s["max"]["o_totalprice"]),
-                int(s["min"]["o_orderkey"]),
-                int(s["max"]["o_orderkey"]),
+                _stat("min", "o_totalprice", float),
+                _stat("max", "o_totalprice", float),
+                _stat("min", "o_orderkey", int),
+                _stat("max", "o_orderkey", int),
             )
         )
     shutil.rmtree(table, ignore_errors=True)

@@ -312,10 +312,15 @@ def q_snapshot_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in hist:
         if prev is None:
             drift = False
+        elif prev["n_rows"] == 0:
+            # empty predecessor: any growth is infinite relative
+            # drift; empty-to-empty is no drift
+            drift = h["n_rows"] > 0
         else:
             rel = abs(h["n_rows"] - prev["n_rows"]) / prev["n_rows"]
             drift = rel > DRIFT_THRESHOLD
-        rows.append((h["version"], h["n_rows"], float(h["total_price"]), drift))
+        total = None if h["total_price"] is None else float(h["total_price"])
+        rows.append((h["version"], h["n_rows"], total, drift))
         prev = h
     return spark.createDataFrame(
         rows,

@@ -797,6 +797,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.vec_id, [float(x) for x in r.embedding], float(r.rel))
         for r in pool_df.collect()  # bounded: MMR_POOL x dim
     ]
+    audit_schema = (
+        "n_selected int, k int, ranks_contiguous boolean, "
+        "all_from_pool boolean, first_is_top1 boolean"
+    )
+    if not pool:
+        # empty partition: no query vector, no pool — no audit row
+        return spark.createDataFrame([], audit_schema)
     sel = mmr_rerank(pool)
     pool_ids = {vid for vid, _, _ in pool}
     top1 = pool[0][0]  # pool is relevance-ordered
@@ -810,8 +817,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sel[0][1] == top1,
             )
         ],
-        "n_selected int, k int, ranks_contiguous boolean, "
-        "all_from_pool boolean, first_is_top1 boolean",
+        audit_schema,
     )
 
 
