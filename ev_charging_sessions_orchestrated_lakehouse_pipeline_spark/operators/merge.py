@@ -894,3 +894,84 @@ FROM orders
 WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
 ORDER BY version
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup — the consumption side of q_scd2_history:
+# each fact row joined to the dimension version valid AT ITS OWN
+# timestamp (valid_from <= ts < valid_to, open current interval).
+# This is the canonical lakehouse dimension-lookup pattern (Delta/
+# Iceberg SCD2 guides all end here); building the history without
+# ever reading it back point-in-time leaves the hard part untested.
+#
+# Here the facts are the events themselves and the dimension is the
+# SCD2 run history OF those events, which turns the query into a
+# self-consistency audit with known ground truth: every event must
+# land in EXACTLY one interval of its user (n_matches = n_events)
+# and that interval's attribute must equal the event's own
+# (n_consistent = n_events) — interval partition-ness, not just
+# row counts, is what the oracle hash checks.
+#
+# Scale: the interval predicate rides an EQUI-join on user_id (one
+# hash shuffle, residual range filter per key group) — never a BNLJ
+# over the fact table; pinned by the BNLJ=0 plan audit. History per
+# key is bounded by the run count, so the per-key interval probe is
+# a small sorted lookup exactly like the bucketed history side of
+# incremental dedup.
+# ---------------------------------------------------------------------------
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2(ev, "user_id", "event_type", "ts", "event_id").select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("event_type").alias("dim_type"),
+        "valid_from",
+        "valid_to",
+    )
+    joined = ev.join(
+        hist,
+        (F.col("user_id") == F.col("h_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count_distinct("event_id").alias("n_events"),
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("dim_type"), 1).otherwise(0)
+            ).alias("n_consistent"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["scd2_pointintime"] = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), changed AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM marked WHERE prev IS DISTINCT FROM event_type
+), hist AS (
+  SELECT a.user_id, a.event_type AS dim_type,
+         a.ts AS valid_from, b.ts AS valid_to
+  FROM changed a
+  LEFT JOIN changed b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+)
+SELECT e.user_id, COUNT(DISTINCT e.event_id) AS n_events,
+       COUNT(*) AS n_matches,
+       CAST(SUM(CASE WHEN e.event_type = h.dim_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_consistent
+FROM events e
+LEFT JOIN hist h
+  ON e.user_id = h.user_id AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+GROUP BY e.user_id ORDER BY e.user_id
+"""
