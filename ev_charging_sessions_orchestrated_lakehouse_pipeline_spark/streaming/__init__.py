@@ -16,7 +16,11 @@ from .ingest import (
     session_windows,
     windowed_event_counts,
 )
-from .stateful import stateful_user_totals, streaming_topk_per_user
+from .stateful import (
+    stateful_user_totals,
+    streaming_topk_per_user,
+    streaming_zscore,
+)
 
 __all__ = [
     "stream_stream_attribution",
@@ -28,4 +32,5 @@ __all__ = [
     "session_windows",
     "stateful_user_totals",
     "streaming_topk_per_user",
+    "streaming_zscore",
 ]

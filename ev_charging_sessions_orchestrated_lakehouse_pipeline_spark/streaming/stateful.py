@@ -120,3 +120,89 @@ def streaming_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score — the stateful twin of
+# operators/analytics.q_rolling_zscore: each event scored against the
+# SAME user's trailing window, |z| > threshold emitted as an anomaly,
+# with the identical warm-up guard. The interesting part is that the
+# batch query's numbers are reproduced BIT-EXACTLY: the batch side
+# sums the frame through DECIMAL(25,10)-via-shortest-string
+# (functions/oracle.py), and Python's decimal module can replay that
+# cast exactly — Spark's double->decimal cast goes through the
+# double's shortest decimal representation (BigDecimal.valueOf), which
+# is what ``Decimal(repr(v))`` produces — so a streaming deployment
+# and a batch backfill of the same detector agree to the last bit
+# (pinned in tests/test_streaming.py).
+#
+# State is a bounded ring of the last ROLLING_Z_PRIOR values per user
+# (an array of doubles in the state store — O(window) per key, never
+# the event history). Order contract: micro-batches must respect
+# per-user event-time order (the file-source replay in the test
+# arranges this; a production deployment keys it to a sorted-upstream
+# or watermark-reordered feed) — the operator sorts WITHIN each batch
+# by (ts, event_id), so only cross-batch order is the caller's job.
+# ---------------------------------------------------------------------------
+ZSCORE_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, value double, n_prior long, z double"
+)
+ZSCORE_STATE_SCHEMA = "vals array<double>"
+
+
+def _update_zscore(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..operators.analytics import (
+        ROLLING_Z,
+        ROLLING_Z_MIN_PRIOR,
+        ROLLING_Z_PRIOR,
+    )
+
+    quantum = Decimal("1e-10")
+
+    def dec(v: float) -> Decimal:
+        # Spark's double->DECIMAL(25,10) cast: shortest decimal repr
+        # of the double (BigDecimal.valueOf), then HALF_UP at scale 10
+        return Decimal(repr(v)).quantize(quantum, ROUND_HALF_UP)
+
+    vals: list[float] = list(state.get[0]) if state.exists else []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out: list[tuple[int, int, float, int, float]] = []
+    for row in pdf.itertuples():
+        n = len(vals)
+        if n >= ROLLING_Z_MIN_PRIOR:
+            # exact decimal frame sums, read back through the string
+            # round-trip — identical to dsum()'s decimal->varchar->
+            # double route, then the batch query's IEEE expression
+            s1 = float(str(sum(dec(v) for v in vals)))
+            s2 = float(str(sum(dec(v * v) for v in vals)))
+            value = float(row.value)
+            z = (value - s1 / n) / math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+            if abs(z) > ROLLING_Z:
+                out.append((int(row.event_id), int(key[0]), value, n, z))
+        vals.append(float(row.value))
+        if len(vals) > ROLLING_Z_PRIOR:
+            vals.pop(0)
+    state.update((vals,))
+    yield pd.DataFrame(
+        out, columns=["event_id", "user_id", "value", "n_prior", "z"]
+    )
+
+
+def streaming_zscore(events: DataFrame) -> DataFrame:
+    """Streaming per-user rolling z-score anomalies over
+    (user_id, ts, event_id, value, ...); emits only flagged events.
+    Bit-exact twin of ``q_rolling_zscore`` given in-order replay."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_zscore,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

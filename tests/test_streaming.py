@@ -540,3 +540,78 @@ def test_transform_with_state_topk_across_batches(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert final == expected
+
+
+def test_streaming_zscore_bit_exact_vs_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState rolling z-score: replay the events
+    fixture in 4 time-ordered micro-batches; the streamed anomaly set
+    must equal the batch q_rolling_zscore rows BIT-EXACTLY (same
+    event_ids, same z doubles) — the decimal-frame-sum replay in
+    streaming/stateful.py reproduces dsum()'s double->decimal->
+    string->double route, so a streaming deployment and a batch
+    backfill of the same detector can never disagree."""
+    import os
+    import time
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        streaming_zscore,
+    )
+
+    events = read_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    batch = {
+        r.event_id: r
+        for r in QUERIES["rolling_zscore"](spark, sf_dir).collect()
+    }
+
+    # 4 contiguous time slices written oldest-first with strictly
+    # increasing mtimes: the file source replays them in order, so
+    # cross-batch per-user event order holds (the operator's contract)
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows = events.orderBy("ts", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    now = time.time()
+    for i in range(4):
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"stage_{i}")
+        )
+        part = next(
+            p for p in (tmp_path / f"stage_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        dst = src / f"slice_{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_zscore(stream)
+        .writeStream.format("memory")
+        .queryName("zscore_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r.event_id: r for r in spark.sql("SELECT * FROM zscore_stream").collect()
+    }
+    assert set(streamed) == set(batch)
+    for eid, b in batch.items():
+        s = streamed[eid]
+        assert (s.user_id, s.n_prior) == (b.user_id, b.n_prior), eid
+        assert s.value == b.value and s.z == b.z, (
+            f"{eid}: stream z={s.z!r} batch z={b.z!r}"
+        )
