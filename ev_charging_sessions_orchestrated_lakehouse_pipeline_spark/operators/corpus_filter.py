@@ -602,3 +602,105 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution drift: chi-square distance between each
+# source's document-length histogram and the corpus-wide one — the
+# "did this crawl/feed change shape" monitor that catches a source
+# whose scraper broke (truncated pages, boilerplate floods) even when
+# its row COUNT looks normal (count drift is snapshot_metric_drift's
+# job). PSI is the textbook choice but needs log(); the chi-square
+# statistic sum (p-q)^2/(p+q) ranks drift identically and uses only
+# +,*,/ — folded in sorted bin order on both engines, so the oracle
+# hash is bit-exact (same reasoning as token_diversity / BM25).
+#
+# Scale: histograms only — two map-side-combinable groupBys on
+# (source, bin) / (bin) whose output is |sources| x NBINS rows, a
+# broadcast join of the tiny global histogram, and a fold over
+# <= NBINS terms per source. The corpus is scanned once, never
+# shuffled; the global total rides a window over the NBINS-row
+# histogram, not a second scan.
+# ---------------------------------------------------------------------------
+DRIFT_BIN_WIDTH = 100
+DRIFT_NBINS = 10
+DRIFT_CHI2 = 0.1
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bin_col = (
+        F.least(
+            F.floor(F.col("n_chars") / DRIFT_BIN_WIDTH),
+            F.lit(DRIFT_NBINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    per = docs.select("source", bin_col).groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_sb")
+    )
+    src_tot = per.groupBy("source").agg(F.sum("n_sb").alias("n_s"))
+    glob = (
+        per.groupBy("bin")
+        .agg(F.sum("n_sb").alias("n_b"))
+        .withColumn("n_total", F.sum("n_b").over(W.partitionBy()))
+    )
+    p = F.col("n_sb").cast("double") / F.col("n_s")
+    q = F.col("n_b").cast("double") / F.col("n_total")
+    term = (p - q) * (p - q) / (p + q)
+    chi2 = F.expr(
+        "aggregate(array_sort(collect_list(bt)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x.t)"
+    )
+    return (
+        per.join(src_tot, "source")
+        .join(F.broadcast(glob), "bin")
+        .select("source", "n_s", F.struct("bin", term.alias("t")).alias("bt"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_docs"),
+            chi2.alias("chi2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "chi2",
+            (F.col("chi2") > DRIFT_CHI2).alias("drifted"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["source_drift"] = f"""
+WITH binned AS (
+  SELECT source,
+         CAST(least(floor(n_chars / {DRIFT_BIN_WIDTH}), {DRIFT_NBINS - 1})
+              AS INT) AS bin
+  FROM documents
+), per AS (
+  SELECT source, bin, COUNT(*) AS n_sb FROM binned GROUP BY source, bin
+), st AS (
+  SELECT source, SUM(n_sb) AS n_s FROM per GROUP BY source
+), gl AS (
+  SELECT bin, SUM(n_sb) AS n_b,
+         SUM(SUM(n_sb)) OVER () AS n_total
+  FROM per GROUP BY bin
+), terms AS (
+  SELECT p.source, CAST(s.n_s AS BIGINT) AS n_docs, p.bin,
+         (CAST(p.n_sb AS DOUBLE) / s.n_s) AS pp,
+         (CAST(g.n_b AS DOUBLE) / g.n_total) AS qq
+  FROM per p JOIN st s USING (source) JOIN gl g USING (bin)
+)
+SELECT source, n_docs,
+       list_reduce(list_transform(
+         list_sort(list({{'bin': bin,
+                          't': (pp - qq) * (pp - qq) / (pp + qq)}})),
+         x -> x.t), (a, b) -> a + b) AS chi2,
+       list_reduce(list_transform(
+         list_sort(list({{'bin': bin,
+                          't': (pp - qq) * (pp - qq) / (pp + qq)}})),
+         x -> x.t), (a, b) -> a + b) > {DRIFT_CHI2} AS drifted
+FROM terms
+GROUP BY source, n_docs ORDER BY source
+"""
