@@ -9,6 +9,7 @@ events stream.
 
 from .ingest import (
     corpus_prep_stream,
+    dedup_stream,
     gold_stream,
     gold_stream_snapshot,
     silver_stream,
@@ -25,6 +26,7 @@ from .stateful import (
 __all__ = [
     "stream_stream_attribution",
     "corpus_prep_stream",
+    "dedup_stream",
     "gold_stream",
     "gold_stream_snapshot",
     "silver_stream",

@@ -83,3 +83,43 @@ def test_verification_metrics_agree_with_python(spark, rows):
     # Deequ uniqueness: values occurring exactly once / total rows
     uniq = sum(1 for x in xs if xs.count(x) == 1)
     assert abs(by_name["uniqueness(x)"]["metric"] - uniq / n) < 1e-12
+
+
+_TOKEN = st.sampled_from(["a", "bb", "ccc", "dd", "e", "spark", "x1"])
+_DOCS = st.lists(
+    st.lists(_TOKEN, min_size=1, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_DOCS)
+@_SETTINGS
+def test_token_diversity_matches_python_reference(spark, texts):
+    """Fuzz the HOF diversity fold against a direct Python
+    computation: exact n_tokens/n_distinct and float-close ttr /
+    Simpson (the fold itself is deterministic; vs-Python closeness is
+    a semantic check, bit-exactness is the ORACLE's contract)."""
+    import ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.text as text_mod
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.text import (
+        q_token_diversity,
+    )
+
+    probe = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    orig = text_mod._docs
+    text_mod._docs = lambda s, d: probe
+    try:
+        got = {r.doc_id: r for r in q_token_diversity(spark, "unused").collect()}
+    finally:
+        text_mod._docs = orig
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n, k = len(toks), len(set(toks))
+        simpson = 1.0 - sum((toks.count(c) / n) ** 2 for c in set(toks))
+        r = got[i]
+        assert (r.n_tokens, r.n_distinct) == (n, k), t
+        assert abs(r.ttr - k / n) < 1e-12, t
+        assert abs(r.simpson - simpson) < 1e-12, t
