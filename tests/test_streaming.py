@@ -615,3 +615,80 @@ def test_streaming_zscore_bit_exact_vs_batch(spark, sf_dir, tmp_path):
         assert s.value == b.value and s.z == b.z, (
             f"{eid}: stream z={s.z!r} batch z={b.z!r}"
         )
+
+
+def test_streaming_zscore_state_survives_restart(spark, sf_dir, tmp_path):
+    """Stop the z-score stream after half the time slices, restart
+    from the checkpoint with the rest: the per-user trailing-window
+    state must resume (not reset), so the union of both runs' flagged
+    rows equals the batch detector exactly — an event early in slice
+    3 is scored against window values carried over from slices 1-2."""
+    import os
+    import time
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        streaming_zscore,
+    )
+
+    events = read_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    batch = {
+        r.event_id: r
+        for r in QUERIES["rolling_zscore"](spark, sf_dir).collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = events.orderBy("ts", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    now = time.time()
+
+    def add_slice(i: int) -> None:
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"stage_{i}")
+        )
+        part = next(
+            p for p in (tmp_path / f"stage_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        dst = src / f"slice_{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    def run_available() -> None:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_zscore(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    add_slice(0)
+    add_slice(1)
+    run_available()  # first run: slices 0-1, then stops (availableNow)
+    add_slice(2)
+    add_slice(3)
+    run_available()  # restart from checkpoint: slices 2-3 only
+
+    streamed = {r.event_id: r for r in spark.read.parquet(out).collect()}
+    assert set(streamed) == set(batch)
+    for eid, b in batch.items():
+        s = streamed[eid]
+        assert (s.user_id, s.n_prior) == (b.user_id, b.n_prior), eid
+        assert s.value == b.value and s.z == b.z, eid
