@@ -975,3 +975,64 @@ LEFT JOIN hist h
  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
 GROUP BY e.user_id ORDER BY e.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-indexed point lookup — the manifest-level bloom filter
+# (sources/snaptable.add_bloom_index, the Delta bloom-filter-index
+# twin) driven end to end: cluster orders by o_custkey, index, then
+# answer an equality lookup through the bloom-pruned scan. Footer
+# min/max can't prune a high-cardinality point predicate (every
+# file's range overlaps); the bloom turns it into a 1-2 file read —
+# at 100 TB that's the difference between a full scan and opening
+# kilobytes. The lookup key is the corpus MIN custkey (engine-
+# independent), so the oracle replays the same lookup relationally;
+# the pruning itself (<= 2 files kept, 0 for an absent key) is
+# pinned by tests/test_snaptable.py.
+# ---------------------------------------------------------------------------
+def q_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_bloom_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders.repartitionByRange(8, "o_custkey"), table, [])
+    st.add_bloom_index(spark, table, "o_custkey")
+    out_schema = (
+        "custkey bigint, n_orders bigint, sum_totalprice double, "
+        "min_orderkey bigint, max_orderkey bigint"
+    )
+    min_key = orders.agg(F.min("o_custkey")).collect()[0][0]
+    if min_key is None:  # empty partition: no key to look up
+        shutil.rmtree(table, ignore_errors=True)
+        return spark.createDataFrame([], out_schema)
+    key = int(min_key)
+    hit = st.scan(spark, table, [("o_custkey", "=", key)])
+    out = hit.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_totalprice"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    ).withColumnRenamed("o_custkey", "custkey")
+    rows = [tuple(r) for r in out.collect()]  # bounded: one group
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema).orderBy("custkey")
+
+
+ORACLE["snapshot_bloom_lookup"] = f"""
+WITH k AS (SELECT MIN(o_custkey) AS key FROM orders)
+SELECT o.o_custkey AS custkey, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice,
+       MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey
+FROM orders o JOIN k ON o.o_custkey = k.key
+GROUP BY o.o_custkey ORDER BY custkey
+"""

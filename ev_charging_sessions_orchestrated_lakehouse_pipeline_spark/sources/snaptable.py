@@ -477,6 +477,14 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
                     alive = False
                     break
                 continue
+            if op in ("=", "=="):
+                bl = fstat.get("bloom", {}).get(col)
+                if bl is not None:
+                    positions = set(bl["pos"])
+                    probe = _bloom_positions_py(val, bl["bits"], bl["hashes"])
+                    if not all(p in positions for p in probe):
+                        alive = False
+                        break
             lo, hi = mins.get(col), maxs.get(col)
             if lo is None or hi is None:
                 continue  # no stats: cannot prune this conjunct
@@ -840,6 +848,128 @@ def table_stats(table: str, version: int | None = None) -> dict:
         if files and all(v is not None for v in per_file_max):
             maxs[col] = max(per_file_max)
     return {"rows": rows, "min": mins, "max": maxs}
+
+
+# ---------------------------------------------------------------------------
+# Per-file bloom-filter index (the Delta "bloom filter index" /
+# Parquet bloom feature re-expressed at the manifest level): footer
+# min/max prunes RANGES, but an equality lookup on a high-cardinality
+# un-clustered key (user id, order id, digest) overlaps every file's
+# [min,max] — at 100 TB that's a full-table scan for one row. A
+# ~0.5 KB bloom bitmap per (file, column) in the manifest turns the
+# point lookup into "open the 1-2 files whose bloom admits the key".
+#
+# Positions use the hash60 md5 family (functions/hashing.py) so the
+# DISTRIBUTED build (JVM-side md5 over each file's values, one
+# shuffle of (file, position) pairs bounded by files x bits) and the
+# DRIVER-side probe (hashlib.md5 in _bloom_positions_py) are the same
+# function by construction. Values are canonicalized via CAST AS
+# STRING — supported for integer and string columns (float/bool
+# string forms differ between JVM and Python; such columns simply
+# shouldn't be indexed).
+#
+# The bitmap lives INSIDE the file's ``file_stats`` entry, so every
+# existing commit path carries it automatically with the file
+# (_carry_stats), and rewrites (optimize, merge, update) naturally
+# DROP it for rewritten files — a file without a bloom is never
+# pruned by one, so correctness is unconditional and re-indexing is
+# an explicit maintenance step, exactly like Delta's.
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 4096
+BLOOM_HASHES = 5
+
+
+def _bloom_positions_py(value, bits: int, hashes: int) -> list[int]:
+    """Driver-side twin of the build's hash60-family positions."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"s{i}|{s}".encode()).hexdigest()[:15], 16) % bits
+        for i in range(hashes)
+    ]
+
+
+def add_bloom_index(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> int:
+    """Build a per-file bloom index for ``col`` over the head
+    snapshot's live files and commit it as a new metadata-only
+    version (operation "index" — the data files are untouched and
+    shared with the parent, like Delta's OPTIMIZE-style commits)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from ..functions.hashing import hash60
+
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    manifest = _read_manifest(table, head)
+    files = manifest["files"]
+    stats = {f: dict(s) for f, s in manifest.get("file_stats", {}).items()}
+    if files:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        data_root = _data_dir(table)
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", data_root)
+            .parquet(*[os.path.join(table, f) for f in files])
+            .select(
+                F.input_file_name().alias("_f"),
+                F.col(col).cast("string").alias("_v"),
+            )
+            .where(F.col("_v").isNotNull())
+        )
+        pos = F.array(
+            *[(hash60("_v", seed=i) % bits).cast("int") for i in range(hashes)]
+        )
+        grouped = (
+            df.select("_f", F.explode(pos).alias("p"))
+            .distinct()
+            .groupBy("_f")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()  # bounded: n_files x <= bits ints
+        )
+        by_rel: dict[str, list[int]] = {}
+        for r in grouped:
+            # input_file_name is a file: URI; recover the
+            # manifest-relative (table-relative) path
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(r._f).path) if ":" in r._f else r._f
+            by_rel[os.path.relpath(path, table)] = sorted(r.ps)
+        for f in files:
+            entry = stats.setdefault(f, {"rows": 0, "min": {}, "max": {}})
+            blooms = dict(entry.get("bloom", {}))
+            # a live file absent from the grouped output has no
+            # non-null values: an empty bitmap correctly rejects
+            # every equality probe against it
+            blooms[col] = {
+                "bits": bits,
+                "hashes": hashes,
+                "pos": by_rel.get(f, []),
+            }
+            entry["bloom"] = blooms
+            stats[f] = entry
+    # No blind retry: the index was built against ``head``'s file
+    # list, so a concurrent commit must surface as ConcurrentCommit
+    # (caller re-runs against the new head) rather than silently
+    # committing a stale file list over it.
+    return _commit(
+        table,
+        "index",
+        files,
+        manifest["partition_cols"],
+        manifest["schema"],
+        parent=head,
+        file_stats=stats,
+        constraints=manifest.get("constraints", {}),
+    )
 
 
 def maintain_count_sum(

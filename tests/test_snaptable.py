@@ -998,3 +998,59 @@ def test_vacuum_inflight_reader_errors_never_partial(spark, orders, tmp_path):
 
     with pytest.raises(Py4JJavaError, match="(?i)file"):
         stale.count()  # files under its plan are gone -> hard error
+
+
+def test_bloom_index_point_lookup_prunes_and_stays_exact(spark, orders, tmp_path):
+    """Per-file bloom index: clustered writes + add_bloom_index turn
+    an equality lookup into a 1-2 file read; results stay exact, an
+    absent key reads ZERO files, and the index rides the manifest —
+    no data file is touched by the index commit."""
+    t = _tbl(tmp_path)
+    clustered = orders.repartitionByRange(8, "o_custkey")
+    v1 = st.create_table(clustered, t, [])
+    v2 = st.add_bloom_index(spark, t, "o_custkey")
+    assert v2 == v1 + 1
+    m1, m2 = st._read_manifest(t, v1), st._read_manifest(t, v2)
+    assert m2["files"] == m1["files"]  # metadata-only commit
+    assert all("bloom" in m2["file_stats"][f] for f in m2["files"])
+
+    key = int(orders.agg(F.min("o_custkey")).collect()[0][0])
+    kept = st._prune_files(t, m2, [("o_custkey", "=", key)])
+    # range-clustered: the key lives in one file (bloom may admit a
+    # false-positive neighbor, never more)
+    assert 1 <= len(kept) <= 2, kept
+    expected = sorted(
+        r.o_orderkey
+        for r in orders.filter(F.col("o_custkey") == key).collect()
+    )
+    got = sorted(
+        r.o_orderkey
+        for r in st.scan(spark, t, [("o_custkey", "=", key)]).collect()
+    )
+    assert got == expected
+
+    assert st._prune_files(t, m2, [("o_custkey", "=", -1)]) == []
+    assert st.scan(spark, t, [("o_custkey", "=", -1)]).count() == 0
+
+
+def test_bloom_index_unindexed_new_files_never_pruned(spark, orders, tmp_path):
+    """Files appended AFTER indexing carry no bloom and must always
+    be scanned — the index can go stale, never wrong. Re-indexing
+    covers the new file again."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.filter(F.col("o_orderkey") % 2 == 0), t, [])
+    st.add_bloom_index(spark, t, "o_orderkey")
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    st.append(odd.coalesce(1), t)
+    odd_key = int(odd.agg(F.min("o_orderkey")).collect()[0][0])
+
+    head = st._read_manifest(t, st.current_version(t))
+    kept = st._prune_files(t, head, [("o_orderkey", "=", odd_key)])
+    new_files = [f for f in head["files"] if "bloom" not in head["file_stats"][f]]
+    assert new_files and set(new_files) <= set(kept)
+    assert st.scan(spark, t, [("o_orderkey", "=", odd_key)]).count() == 1
+
+    st.add_bloom_index(spark, t, "o_orderkey")
+    head2 = st._read_manifest(t, st.current_version(t))
+    assert all("bloom" in head2["file_stats"][f] for f in head2["files"])
+    assert st.scan(spark, t, [("o_orderkey", "=", odd_key)]).count() == 1
