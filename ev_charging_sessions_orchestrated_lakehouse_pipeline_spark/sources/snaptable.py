@@ -117,6 +117,25 @@ def _partition_values(rel_path: str, partition_cols: list[str]) -> dict:
     return vals
 
 
+def _path_values(rel_path: str) -> dict:
+    """ALL hive key=value pairs in a file's path, whatever partition
+    spec wrote it — the per-file source of truth that makes partition
+    evolution work: each file prunes and reads under the spec it was
+    written with, not the table's current one."""
+    vals = {}
+    for seg in rel_path.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            vals[k] = v
+    return vals
+
+
+def _file_spec(rel_path: str) -> tuple[str, ...]:
+    """A file's partition-spec signature: the sorted set of hive keys
+    in its path (empty tuple = unpartitioned layout)."""
+    return tuple(sorted(_path_values(rel_path)))
+
+
 def _publish(table: str, version: int, manifest: dict) -> None:
     """Atomic, collision-detecting manifest publish (write-temp +
     hard-link). A lost race raises :class:`ConcurrentCommit` and
@@ -393,6 +412,21 @@ def overwrite_partitions(
     pcols = prev["partition_cols"]
     if not pcols:
         raise ValueError(f"{table} is unpartitioned; use overwrite_table")
+    # partition-evolution safety: a file written under an OLDER spec
+    # doesn't encode the current partition columns in its path, so
+    # "which partitions does it hold" is unknowable from metadata —
+    # silently keeping it could leave rows that the overwrite should
+    # have replaced. Require migration first (optimize() rewrites the
+    # live snapshot under the current spec); Iceberg's overwrite-by-
+    # partition makes the same demand of its old-spec manifests.
+    spec = tuple(sorted(pcols))
+    legacy = [f for f in prev["files"] if _file_spec(f) != spec]
+    if legacy:
+        raise ValueError(
+            f"{table} has {len(legacy)} file(s) from an older partition "
+            f"spec (e.g. {legacy[0]}); run optimize() to migrate them to "
+            f"{pcols} before dynamic partition overwrite"
+        )
     _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, pcols)
     touched = {tuple(sorted(_partition_values(f, pcols).items())) for f in new}
@@ -414,6 +448,43 @@ def overwrite_partitions(
     )
 
 
+def evolve_partitioning(table: str, new_cols: list[str]) -> int:
+    """Iceberg-hallmark partition evolution as a METADATA-ONLY
+    commit: future writes lay files out under ``new_cols``; existing
+    files stay exactly where they are and keep pruning/reading under
+    the spec encoded in their own paths (:func:`_path_values` /
+    :func:`_read_union` make readers spec-agnostic per file). No
+    data rewrite happens — at 100 TB that's the entire point: a
+    repartitioning decision must not cost a table rewrite. Dynamic
+    partition overwrite on a mixed-spec table is refused until
+    :func:`optimize` migrates the old files (see the guard there);
+    every other operation (scan, time travel, append, DML, CDF,
+    vacuum) works across mixed layouts."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    names = {f.name for f in schema.fields}
+    missing = [c for c in new_cols if c not in names]
+    if missing:
+        raise ValueError(f"partition columns not in schema: {missing}")
+    if list(new_cols) == list(prev["partition_cols"]):
+        return head  # no-op
+    return _commit(
+        table,
+        "evolve_partitioning",
+        prev["files"],
+        list(new_cols),
+        prev["schema"],
+        parent=head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+    )
+
+
 def read_snapshot(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
@@ -431,18 +502,34 @@ def read_snapshot(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if not manifest["files"]:
+    return _read_union(spark, table, manifest["files"], schema)
+
+
+def _read_union(spark: SparkSession, table: str, files: list[str], schema):
+    """Plan a file list as ONE DataFrame, tolerating MIXED partition
+    layouts (partition evolution leaves old-spec files in place):
+    files group by their path-derived spec, each group reads with
+    normal partition discovery under the shared basePath, and the
+    groups union by name. Schema-on-read from the manifest: files
+    predating a schema evolution null-fill the newer columns, and
+    each group's partition columns resolve from ITS directory values
+    at the manifest-declared types (a column is either in a file's
+    data or in its path — never both, never neither)."""
+    if not files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table, f) for f in manifest["files"]]
-    # schema-on-read from the manifest (not file-footer sampling):
-    # files predating a schema evolution null-fill the newer columns,
-    # and partition columns resolve from the directory values at the
-    # manifest-declared types.
-    return (
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for f in files:
+        groups.setdefault(_file_spec(f), []).append(f)
+    dfs = [
         spark.read.schema(schema)
         .option("basePath", _data_dir(table))
-        .parquet(*paths)
-    )
+        .parquet(*[os.path.join(table, f) for f in fs])
+        for fs in groups.values()
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 _OPS = {
@@ -462,12 +549,14 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
     conjunct. Missing stats never prune — skipping is an
     optimization, correctness comes from re-applying the filter."""
     stats = manifest.get("file_stats", {})
-    pcols = manifest["partition_cols"]
     kept = []
     for f in manifest["files"]:
         fstat = stats.get(f, {})
         mins, maxs = fstat.get("min", {}), fstat.get("max", {})
-        pvals = _partition_values(f, pcols)
+        # every spec the file was written under prunes it — after a
+        # partition evolution, old-layout files keep pruning on their
+        # own path columns
+        pvals = _path_values(f)
         alive = True
         for col, op, val in filters:
             if op not in _OPS:
@@ -526,14 +615,7 @@ def scan(
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     files = _prune_files(table, manifest, filters or [])
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = (
-            spark.read.schema(schema)
-            .option("basePath", _data_dir(table))
-            .parquet(*[os.path.join(table, f) for f in files])
-        )
+    df = _read_union(spark, table, files, schema)
     from pyspark.sql import functions as F
 
     for col, op, val in filters or []:
@@ -609,11 +691,7 @@ def _rewrite_matching_files(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(prev["schema"]))
-    cand_df = (
-        spark.read.schema(schema)
-        .option("basePath", _data_dir(table))
-        .parquet(*[os.path.join(table, f) for f in candidates])
-    )
+    cand_df = _read_union(spark, table, candidates, schema)
     rewritten, operation = transform(cand_df)
     _validate_constraints(rewritten, prev.get("constraints", {}))
     new = _write_data(rewritten, table, pcols)
@@ -774,9 +852,7 @@ def changes(
                     continue
                 schema = StructType.fromJson(json.loads(manifest["schema"]))
                 batch = (
-                    spark.read.schema(schema)
-                    .option("basePath", _data_dir(table))
-                    .parquet(*[os.path.join(table, f) for f in rel_paths])
+                    _read_union(spark, table, rel_paths, schema)
                     .withColumn("_change_type", F.lit(change))
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
                 )
@@ -916,9 +992,7 @@ def add_bloom_index(
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         data_root = _data_dir(table)
         df = (
-            spark.read.schema(schema)
-            .option("basePath", data_root)
-            .parquet(*[os.path.join(table, f) for f in files])
+            _read_union(spark, table, files, schema)
             .select(
                 F.input_file_name().alias("_f"),
                 F.col(col).cast("string").alias("_v"),

@@ -1054,3 +1054,72 @@ def test_bloom_index_unindexed_new_files_never_pruned(spark, orders, tmp_path):
     head2 = st._read_manifest(t, st.current_version(t))
     assert all("bloom" in head2["file_stats"][f] for f in head2["files"])
     assert st.scan(spark, t, [("o_orderkey", "=", odd_key)]).count() == 1
+
+
+def test_partition_evolution_mixed_layouts(spark, orders, tmp_path):
+    """evolve_partitioning is metadata-only: old files stay in their
+    old hive layout and new appends land under the new one; reads,
+    time travel, and per-file pruning work across the mix (each file
+    prunes under the spec its own path encodes)."""
+    t = _tbl(tmp_path)
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    v1 = st.create_table(half_a, t, ["o_orderstatus"])
+    v2 = st.evolve_partitioning(t, ["o_orderpriority"])
+    assert v2 == v1 + 1
+    m2 = st._read_manifest(t, v2)
+    assert m2["files"] == st._read_manifest(t, v1)["files"]  # no rewrite
+    v3 = st.append(half_b, t)
+
+    # totals and schema hold across the layout mix
+    total = orders.count()
+    assert st.read_snapshot(spark, t).count() == total
+    assert st.read_snapshot(spark, t, version=v1).count() == half_a.count()
+
+    head = st._read_manifest(t, v3)
+    old_files = [f for f in head["files"] if st._file_spec(f) == ("o_orderstatus",)]
+    new_files = [f for f in head["files"] if st._file_spec(f) == ("o_orderpriority",)]
+    assert old_files and new_files
+
+    # old-spec files still prune on THEIR path column...
+    kept = st._prune_files(t, head, [("o_orderstatus", "=", "F")])
+    assert all(
+        st._path_values(f).get("o_orderstatus") in (None, "F") for f in kept
+    )
+    assert len(kept) < len(head["files"])
+    # ...and new-spec files prune on the new one
+    some_prio = st._path_values(new_files[0])["o_orderpriority"]
+    kept2 = st._prune_files(t, head, [("o_orderpriority", "=", some_prio)])
+    assert all(
+        st._path_values(f).get("o_orderpriority") in (None, some_prio)
+        for f in kept2
+    )
+
+    # filter results stay exact through the pruned mixed-layout scan
+    for col, val in (("o_orderstatus", "F"), ("o_orderpriority", some_prio)):
+        got = st.scan(spark, t, [(col, "=", val)]).count()
+        assert got == orders.filter(F.col(col) == val).count(), col
+
+
+def test_partition_evolution_overwrite_requires_migration(spark, orders, tmp_path):
+    """Dynamic partition overwrite on a mixed-spec table must refuse
+    (an old-spec file can't be matched to the overwritten partitions
+    from metadata) until optimize() migrates the layout — after which
+    the overwrite works with its usual carry-over semantics."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.evolve_partitioning(t, ["o_orderpriority"])
+    batch = orders.filter(F.col("o_orderpriority") == "1-URGENT").limit(10)
+    with pytest.raises(ValueError, match="older partition spec"):
+        st.overwrite_partitions(batch, t)
+
+    st.optimize(spark, t, files_per_partition=1)
+    head = st._read_manifest(t, st.current_version(t))
+    assert all(
+        st._file_spec(f) == ("o_orderpriority",) for f in head["files"]
+    )
+    st.overwrite_partitions(batch, t)
+    final = st.read_snapshot(spark, t)
+    assert final.filter(F.col("o_orderpriority") == "1-URGENT").count() == 10
+    untouched = orders.filter(F.col("o_orderpriority") != "1-URGENT").count()
+    assert final.filter(F.col("o_orderpriority") != "1-URGENT").count() == untouched
