@@ -1036,3 +1036,60 @@ SELECT o.o_custkey AS custkey, COUNT(*) AS n_orders,
 FROM orders o JOIN k ON o.o_custkey = k.key
 GROUP BY o.o_custkey ORDER BY custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution driven end to end (snaptable.evolve_
+# partitioning): v1 = orders partitioned by o_orderstatus, v2 =
+# metadata-only spec change to o_orderpriority, v3 = append under the
+# NEW layout — then a priority-filtered aggregate over the final
+# mixed-layout snapshot, where the old-spec files answer from footer
+# stats + re-filter and the new-spec files from path pruning. The
+# oracle replays the same visible row set relationally (v1 half plus
+# appended half = all orders), so the hash checks that NO row is
+# lost, duplicated, or mis-pruned across the layout mix; the pruning
+# mechanics themselves are pinned in tests/test_snaptable.py.
+# ---------------------------------------------------------------------------
+def q_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_pev_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders.filter(F.col("o_orderkey") % 2 == 0), table,
+                    ["o_orderstatus"])
+    st.evolve_partitioning(table, ["o_orderpriority"])
+    st.append(orders.filter(F.col("o_orderkey") % 2 == 1), table)
+    snap = st.scan(spark, table, [("o_orderstatus", "=", "F")])
+    out = (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .withColumnRenamed("o_orderpriority", "priority")
+        .orderBy("priority")
+    )
+    rows = [tuple(r) for r in out.collect()]  # bounded: |priorities|
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "priority string, n_orders bigint, sum_totalprice double"
+    ).orderBy("priority")
+
+
+ORACLE["snapshot_partition_evolution"] = f"""
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY priority
+"""
