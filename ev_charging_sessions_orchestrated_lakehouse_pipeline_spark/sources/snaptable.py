@@ -517,19 +517,34 @@ def _read_union(spark: SparkSession, table: str, files: list[str], schema):
     data or in its path — never both, never neither)."""
     if not files:
         return spark.createDataFrame([], schema)
-    groups: dict[tuple[str, ...], list[str]] = {}
+    # group by (spec, data root): a shallow CLONE's manifest lists the
+    # source table's files as absolute paths, whose partition values
+    # must resolve against the SOURCE's data dir, not the clone's
+    groups: dict[tuple, list[str]] = {}
     for f in files:
-        groups.setdefault(_file_spec(f), []).append(f)
+        groups.setdefault((_file_spec(f), _data_root_of(table, f)), []).append(f)
     dfs = [
         spark.read.schema(schema)
-        .option("basePath", _data_dir(table))
+        .option("basePath", root)
         .parquet(*[os.path.join(table, f) for f in fs])
-        for fs in groups.values()
+        for (_spec, root), fs in groups.items()
     ]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _data_root_of(table: str, rel_or_abs: str) -> str:
+    """The data/ directory a manifest file entry lives under — the
+    clone-aware basePath for partition discovery."""
+    if not os.path.isabs(rel_or_abs):
+        return _data_dir(table)
+    marker = f"{os.sep}{DATA_DIR}{os.sep}"
+    idx = rel_or_abs.rfind(marker)
+    if idx < 0:
+        return os.path.dirname(rel_or_abs)
+    return rel_or_abs[: idx + len(marker) - 1]
 
 
 _OPS = {
@@ -1010,13 +1025,19 @@ def add_bloom_index(
             .collect()  # bounded: n_files x <= bits ints
         )
         by_rel: dict[str, list[int]] = {}
+        abs_to_entry = {
+            os.path.normpath(os.path.join(table, f)): f for f in files
+        }
         for r in grouped:
-            # input_file_name is a file: URI; recover the
-            # manifest-relative (table-relative) path
+            # input_file_name is a file: URI; map it back to the
+            # manifest entry (table-relative, or absolute for files a
+            # shallow clone borrows from its source)
             from urllib.parse import unquote, urlparse
 
             path = unquote(urlparse(r._f).path) if ":" in r._f else r._f
-            by_rel[os.path.relpath(path, table)] = sorted(r.ps)
+            entry = abs_to_entry.get(os.path.normpath(path))
+            if entry is not None:
+                by_rel[entry] = sorted(r.ps)
         for f in files:
             entry = stats.setdefault(f, {"rows": 0, "min": {}, "max": {}})
             blooms = dict(entry.get("bloom", {}))
@@ -1306,6 +1327,47 @@ def merge_into(
     if pruned:
         return overwrite_partitions(merged, table)
     return overwrite_table(merged, table)
+
+
+def clone_table(src_table: str, dst_table: str) -> int:
+    """Delta-style SHALLOW CLONE: a new table whose first manifest
+    references the SOURCE's current data files by absolute path —
+    zero data copied, O(metadata) cost at any table size. The clone
+    then evolves independently: its own appends/DML/OPTIMIZE write
+    files into ITS data/ tree, and since :func:`vacuum` only ever
+    deletes files found under the table's OWN data directory,
+    vacuuming the clone can never reclaim source files (and vice
+    versa — though vacuuming the SOURCE can break a clone that still
+    references expired source files, exactly Delta's documented
+    shallow-clone hazard). Readers handle the mixed ownership via
+    per-group basePath resolution (:func:`_data_root_of`)."""
+    head = current_version(src_table)
+    if head is None:
+        raise ValueError(f"{src_table} does not exist")
+    if current_version(dst_table) is not None:
+        raise ValueError(f"{dst_table} already exists")
+    prev = _read_manifest(src_table, head)
+    abs_files = [
+        f if os.path.isabs(f) else os.path.normpath(os.path.join(src_table, f))
+        for f in prev["files"]
+    ]
+    old_stats = prev.get("file_stats", {})
+    stats = {
+        a: old_stats[f]
+        for a, f in zip(abs_files, prev["files"])
+        if f in old_stats
+    }
+    os.makedirs(_data_dir(dst_table), exist_ok=True)
+    return _commit(
+        dst_table,
+        "clone",
+        sorted(abs_files),
+        prev["partition_cols"],
+        prev["schema"],
+        parent=None,
+        file_stats=stats,
+        constraints=prev.get("constraints", {}),
+    )
 
 
 def vacuum(table: str, retain_last: int = 0) -> dict:

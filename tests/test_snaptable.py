@@ -1123,3 +1123,59 @@ def test_partition_evolution_overwrite_requires_migration(spark, orders, tmp_pat
     assert final.filter(F.col("o_orderpriority") == "1-URGENT").count() == 10
     untouched = orders.filter(F.col("o_orderpriority") != "1-URGENT").count()
     assert final.filter(F.col("o_orderpriority") != "1-URGENT").count() == untouched
+
+
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, orders, tmp_path):
+    """clone_table copies metadata only; the clone reads the source's
+    files in place, then appends/optimizes/vacuums independently —
+    and vacuuming the clone never deletes source data."""
+    src_t = str(tmp_path / "src_orders")
+    dst_t = str(tmp_path / "clone_orders")
+    st.create_table(orders, src_t, ["o_orderstatus"])
+    v = st.clone_table(src_t, dst_t)
+    assert v == 1
+
+    n = orders.count()
+    # zero copy: the clone's own data tree is empty
+    assert st._list_data_files(dst_t) == set()
+    assert st.read_snapshot(spark, dst_t).count() == n
+    # partition pruning works on borrowed absolute-path files
+    kept = st._prune_files(
+        dst_t, st._read_manifest(dst_t, 1), [("o_orderstatus", "=", "F")]
+    )
+    assert kept and len(kept) < len(st._read_manifest(dst_t, 1)["files"])
+    f_count = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert st.scan(spark, dst_t, [("o_orderstatus", "=", "F")]).count() == f_count
+
+    # clone evolves independently of the source...
+    st.append(orders.limit(50), dst_t)
+    assert st.read_snapshot(spark, dst_t).count() == n + 50
+    assert st.read_snapshot(spark, src_t).count() == n
+    # ...and vacuuming the clone reclaims nothing it doesn't own
+    src_files_before = st._list_data_files(src_t)
+    res = st.vacuum(dst_t, retain_last=1)
+    assert res["deleted_files"] == 0
+    assert st._list_data_files(src_t) == src_files_before
+    assert st.read_snapshot(spark, dst_t).count() == n + 50
+
+    # OPTIMIZE migrates the clone onto its own storage entirely
+    st.optimize(spark, dst_t, files_per_partition=1)
+    head = st._read_manifest(dst_t, st.current_version(dst_t))
+    assert all(not os.path.isabs(f) for f in head["files"])
+    assert st.read_snapshot(spark, dst_t).count() == n + 50
+
+
+def test_clone_bloom_index_on_borrowed_files(spark, orders, tmp_path):
+    """add_bloom_index on a shallow clone maps input files back to
+    the absolute manifest entries of the borrowed source files."""
+    src_t = str(tmp_path / "src_orders")
+    dst_t = str(tmp_path / "clone_orders")
+    st.create_table(orders.repartitionByRange(4, "o_custkey"), src_t, [])
+    st.clone_table(src_t, dst_t)
+    st.add_bloom_index(spark, dst_t, "o_custkey")
+    head = st._read_manifest(dst_t, st.current_version(dst_t))
+    assert all("bloom" in head["file_stats"][f] for f in head["files"])
+    assert st._prune_files(dst_t, head, [("o_custkey", "=", -1)]) == []
+    key = int(orders.agg(F.min("o_custkey")).collect()[0][0])
+    expected = orders.filter(F.col("o_custkey") == key).count()
+    assert st.scan(spark, dst_t, [("o_custkey", "=", key)]).count() == expected
