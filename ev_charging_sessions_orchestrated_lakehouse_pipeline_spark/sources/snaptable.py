@@ -130,6 +130,109 @@ def _path_values(rel_path: str) -> dict:
     return vals
 
 
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg's signature): partition_cols entries
+# may be TRANSFORMS of source columns — "days(ts)" or
+# "bucket(N,col)" — instead of plain names. The derived hive column
+# is materialized only in the directory layout (never stored in data
+# files, never surfaced to readers), and filters on the SOURCE
+# column prune directories through the transform: a ts range maps to
+# a day-string range, an equality on a bucketed key maps to exactly
+# one bucket. Like the bloom index, bucket() uses the hash60 md5
+# family so the write-side expression and the Python probe are the
+# same function; bucketed columns should be integer/string (float
+# and bool string forms differ between JVM and Python).
+# ---------------------------------------------------------------------------
+_TRANSFORM_RE = None
+
+
+def _parse_transform(entry: str):
+    """(kind, source_col, param, derived_name) for a partition_cols
+    entry; kind='identity' for a plain column name."""
+    import re
+
+    global _TRANSFORM_RE
+    if _TRANSFORM_RE is None:
+        _TRANSFORM_RE = re.compile(
+            r"^(?:(days)\((\w+)\)|(bucket)\((\d+)\s*,\s*(\w+)\))$"
+        )
+    m = _TRANSFORM_RE.match(entry.strip())
+    if m is None:
+        return ("identity", entry, None, entry)
+    if m.group(1) == "days":
+        col = m.group(2)
+        return ("days", col, None, f"{col}_day")
+    n, col = int(m.group(4)), m.group(5)
+    return ("bucket", col, n, f"{col}_bucket")
+
+
+def _spec_names(partition_cols: list[str]) -> list[str]:
+    """Hive directory column names for a partition spec (derived
+    names for transform entries, the column itself otherwise)."""
+    return [_parse_transform(e)[3] for e in partition_cols]
+
+
+def _layout_frame(df: DataFrame, partition_cols: list[str]):
+    """(df with derived layout columns materialized, hive names) —
+    what :func:`_write_data` partitions by. Identity entries pass
+    through; transform entries add their derived column."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60
+
+    names = []
+    for entry in partition_cols:
+        kind, col, param, name = _parse_transform(entry)
+        if name in df.columns:
+            pass  # already materialized (idempotent re-derivation)
+        elif kind == "days":
+            df = df.withColumn(name, F.date_format(F.col(col), "yyyy-MM-dd"))
+        elif kind == "bucket":
+            df = df.withColumn(
+                name, (hash60(F.col(col).cast("string")) % param).cast("int")
+            )
+        names.append(name)
+    return df, names
+
+
+def _bucket_of(value, n: int) -> int:
+    """Python twin of the bucket() write expression."""
+    import hashlib
+
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+    return h % n
+
+
+def _day_of(value) -> str:
+    """Canonical day string of a filter literal (datetime/date/str)."""
+    import datetime
+
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.strftime("%Y-%m-%d")
+    return str(value)[:10]
+
+
+def _transform_prunes(entry: str, pvals: dict, op: str, val) -> bool:
+    """False when the transform PROVES no row in this directory can
+    satisfy (source_col op val); True (keep) otherwise."""
+    kind, col, param, name = _parse_transform(entry)
+    if kind == "identity" or name not in pvals:
+        return True
+    d = pvals[name]
+    if kind == "bucket":
+        if op in ("=", "=="):
+            return int(d) == _bucket_of(val, param)
+        return True  # buckets carry no order: only equality prunes
+    day = _day_of(val)
+    if op in ("=", "=="):
+        return d == day
+    if op in (">", ">="):
+        return d >= day
+    if op in ("<", "<="):
+        return d <= day
+    return True
+
+
 def _file_spec(rel_path: str) -> tuple[str, ...]:
     """A file's partition-spec signature: the sorted set of hive keys
     in its path (empty tuple = unpartitioned layout)."""
@@ -164,9 +267,12 @@ def _write_data(df: DataFrame, table: str, partition_cols: list[str]) -> list[st
     names embed per-task UUIDs and files are immutable)."""
     os.makedirs(_data_dir(table), exist_ok=True)
     before = _list_data_files(table)
-    writer = df.write.mode("append").option("compression", "zstd")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        laid, hive_names = _layout_frame(df, partition_cols)
+        writer = laid.write.mode("append").option("compression", "zstd")
+        writer = writer.partitionBy(*hive_names)
+    else:
+        writer = df.write.mode("append").option("compression", "zstd")
     writer.parquet(_data_dir(table))
     return sorted(_list_data_files(table) - before)
 
@@ -419,7 +525,7 @@ def overwrite_partitions(
     # have replaced. Require migration first (optimize() rewrites the
     # live snapshot under the current spec); Iceberg's overwrite-by-
     # partition makes the same demand of its old-spec manifests.
-    spec = tuple(sorted(pcols))
+    spec = tuple(sorted(_spec_names(pcols)))
     legacy = [f for f in prev["files"] if _file_spec(f) != spec]
     if legacy:
         raise ValueError(
@@ -429,11 +535,12 @@ def overwrite_partitions(
         )
     _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, pcols)
-    touched = {tuple(sorted(_partition_values(f, pcols).items())) for f in new}
+    hive = _spec_names(pcols)
+    touched = {tuple(sorted(_partition_values(f, hive).items())) for f in new}
     kept = [
         f
         for f in prev["files"]
-        if tuple(sorted(_partition_values(f, pcols).items())) not in touched
+        if tuple(sorted(_partition_values(f, hive).items())) not in touched
     ]
     return _commit(
         table,
@@ -468,7 +575,7 @@ def evolve_partitioning(table: str, new_cols: list[str]) -> int:
 
     schema = StructType.fromJson(json.loads(prev["schema"]))
     names = {f.name for f in schema.fields}
-    missing = [c for c in new_cols if c not in names]
+    missing = [c for c in new_cols if _parse_transform(c)[1] not in names]
     if missing:
         raise ValueError(f"partition columns not in schema: {missing}")
     if list(new_cols) == list(prev["partition_cols"]):
@@ -529,6 +636,11 @@ def _read_union(spark: SparkSession, table: str, files: list[str], schema):
         .parquet(*[os.path.join(table, f) for f in fs])
         for (_spec, root), fs in groups.items()
     ]
+    # hidden-partitioning layouts surface their derived hive columns
+    # through partition discovery — project back to the manifest
+    # schema so readers only ever see the table's declared columns
+    names = [f.name for f in schema.fields]
+    dfs = [d.select(*names) for d in dfs]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -581,6 +693,19 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
                     alive = False
                     break
                 continue
+            # hidden partitioning: a filter on a transform's SOURCE
+            # column prunes through the derived directory value
+            transformed = [
+                e
+                for e in manifest["partition_cols"]
+                if _parse_transform(e)[0] != "identity"
+                and _parse_transform(e)[1] == col
+            ]
+            if any(
+                not _transform_prunes(e, pvals, op, val) for e in transformed
+            ):
+                alive = False
+                break
             if op in ("=", "=="):
                 bl = fstat.get("bloom", {}).get(col)
                 if bl is not None:
@@ -1235,14 +1360,17 @@ def optimize(
         # hive partition stay range-contiguous so the dir layout
         # survives. files_per_partition counts TOTAL range splits
         # in zorder mode.
-        range_cols = [*pcols, "__zkey"] if pcols else ["__zkey"]
+        range_cols = [*_spec_names(pcols), "__zkey"] if pcols else ["__zkey"]
+        if pcols:
+            keyed, _names = _layout_frame(keyed, pcols)
         out = (
             keyed.repartitionByRange(files_per_partition, *range_cols)
             .sortWithinPartitions(*range_cols)
             .drop("__zkey")
         )
     elif pcols:
-        out = df.repartition(files_per_partition, *pcols)
+        laid, hive_names = _layout_frame(df, pcols)
+        out = laid.repartition(files_per_partition, *hive_names)
         if cluster_by:
             out = out.sortWithinPartitions(*cluster_by)
     elif cluster_by:

@@ -1179,3 +1179,82 @@ def test_clone_bloom_index_on_borrowed_files(spark, orders, tmp_path):
     key = int(orders.agg(F.min("o_custkey")).collect()[0][0])
     expected = orders.filter(F.col("o_custkey") == key).count()
     assert st.scan(spark, dst_t, [("o_custkey", "=", key)]).count() == expected
+
+
+def test_hidden_partitioning_days_transform(spark, sf_dir, tmp_path):
+    """Iceberg-style hidden partitioning: partition spec days(ts)
+    lays files out by derived day directories that readers never see
+    as a column, and RANGE filters on the source ts column prune
+    whole day directories through the transform."""
+    import datetime
+
+    ev = read_fixture(spark, sf_dir, "events")
+    t = str(tmp_path / "hp_events")
+    st.create_table(ev, t, ["days(ts)"])
+    m = st._read_manifest(t, 1)
+    assert all("ts_day=" in f for f in m["files"])
+
+    df = st.read_snapshot(spark, t)
+    assert df.columns == ev.columns  # derived column stays hidden
+    assert df.count() == ev.count()
+
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b.lo + (b.hi - b.lo) / 2
+    lo = datetime.datetime(mid.year, mid.month, mid.day)
+    kept = st._prune_files(t, m, [("ts", ">=", lo)])
+    assert 0 < len(kept) < len(m["files"])
+    got = st.scan(spark, t, [("ts", ">=", lo)]).count()
+    assert got == ev.filter(F.col("ts") >= F.lit(lo)).count()
+    # equality on a single day keeps exactly that day's files
+    day = lo.strftime("%Y-%m-%d")
+    kept_eq = st._prune_files(t, m, [("ts", "=", lo)])
+    assert kept_eq and all(f"ts_day={day}" in f for f in kept_eq)
+
+
+def test_hidden_partitioning_bucket_transform(spark, orders, tmp_path):
+    """bucket(N, col): equality lookups on the source column open
+    exactly one bucket directory; the bucket function is the hash60
+    md5 family, so the Python probe and the write layout agree by
+    construction. Dynamic partition overwrite works on the DERIVED
+    spec (the batch's buckets are replaced, others carry)."""
+    t = str(tmp_path / "hp_orders")
+    st.create_table(orders, t, ["bucket(8,o_custkey)"])
+    m = st._read_manifest(t, 1)
+    n_dirs = len({st._path_values(f)["o_custkey_bucket"] for f in m["files"]})
+    assert n_dirs == 8
+
+    key = int(orders.agg(F.min("o_custkey")).collect()[0][0])
+    kept = st._prune_files(t, m, [("o_custkey", "=", key)])
+    assert len({st._path_values(f)["o_custkey_bucket"] for f in kept}) == 1
+    assert (
+        st.scan(spark, t, [("o_custkey", "=", key)]).count()
+        == orders.filter(F.col("o_custkey") == key).count()
+    )
+    # non-equality filters never prune on a bucket (no order)
+    assert len(st._prune_files(t, m, [("o_custkey", ">", key)])) == len(
+        m["files"]
+    )
+
+    # overwrite by derived partition: replace one customer's bucket
+    batch = orders.filter(F.col("o_custkey") == key).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    st.overwrite_partitions(batch, t)
+    snap = st.read_snapshot(spark, t)
+    assert snap.filter(F.col("o_custkey") == key).count() == batch.count()
+    # rows of OTHER customers in the replaced bucket are gone (that
+    # is overwrite-by-partition semantics); other buckets carry over
+    bucket = st._bucket_of(key, 8)
+    assert snap.count() == orders.count() - _bucket_member_count(
+        spark, orders, 8, bucket
+    ) + batch.count()
+
+
+def _bucket_member_count(spark, orders, n, bucket):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.functions.hashing import (
+        hash60,
+    )
+
+    return orders.filter(
+        (hash60(F.col("o_custkey").cast("string")) % n) == bucket
+    ).count()
