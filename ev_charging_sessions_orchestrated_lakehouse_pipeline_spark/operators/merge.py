@@ -1093,3 +1093,60 @@ FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority ORDER BY priority
 """
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning driven end to end (snaptable days()/bucket()
+# transform specs): events laid out by derived ts_day directories a
+# reader never sees as a column; a ts-range scan prunes whole day
+# directories through the transform before Spark plans a file. The
+# fixed cutoff (fixture days span ~30 days from 2024-01-01) keeps
+# the filter literal engine-independent, so the oracle replays the
+# same range relationally; directory-level pruning mechanics are
+# pinned in tests/test_snaptable.py.
+# ---------------------------------------------------------------------------
+HIDDEN_PART_CUTOFF = "2024-01-15 00:00:00"
+
+
+def q_snapshot_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_hp_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(ev, table, ["days(ts)"])
+    import datetime
+
+    cutoff = datetime.datetime.strptime(HIDDEN_PART_CUTOFF, "%Y-%m-%d %H:%M:%S")
+    snap = st.scan(spark, table, [("ts", ">=", cutoff)])
+    out = (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    rows = [tuple(r) for r in out.collect()]  # bounded: |event types|
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events bigint, total_value double"
+    ).orderBy("event_type")
+
+
+ORACLE["snapshot_hidden_partitioning"] = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '{HIDDEN_PART_CUTOFF}'
+GROUP BY event_type ORDER BY event_type
+"""
