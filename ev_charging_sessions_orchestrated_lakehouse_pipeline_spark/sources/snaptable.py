@@ -592,16 +592,49 @@ def evolve_partitioning(table: str, new_cols: list[str]) -> int:
     )
 
 
+def version_as_of(table: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    time is <= ``ts`` (a Unix timestamp or datetime). Raises if the
+    timestamp predates the first retained commit — after a vacuum
+    retention expiry that is the honest answer, matching Delta's
+    "timestamp before earliest version" error rather than silently
+    serving a younger snapshot."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    versions = _list_versions(table)
+    if not versions:
+        raise ValueError(f"{table} does not exist")
+    eligible = [
+        v for v in versions if _read_manifest(table, v)["committed_at"] <= ts
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no version of {table} committed at or before {ts} "
+            f"(earliest retained: v{versions[0]})"
+        )
+    return max(eligible)
+
+
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Read a committed snapshot (latest, or ``version=`` for time
-    travel). Plans exactly the manifest's file list — snapshot
+    """Read a committed snapshot (latest; ``version=`` for VERSION AS
+    OF; ``as_of=`` a Unix timestamp/datetime for TIMESTAMP AS OF
+    time travel). Plans exactly the manifest's file list — snapshot
     isolation against concurrent commits, normal Catalyst partition
     pruning / filter pushdown on top."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version= or as_of=, not both")
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist")
+    if as_of is not None:
+        version = version_as_of(table, as_of)
     v = head if version is None else version
     if v not in _list_versions(table):
         raise ValueError(f"version {v} of {table} does not exist (head={head})")

@@ -1258,3 +1258,37 @@ def _bucket_member_count(spark, orders, n, bucket):
     return orders.filter(
         (hash60(F.col("o_custkey").cast("string")) % n) == bucket
     ).count()
+
+
+def test_timestamp_as_of_time_travel(spark, orders, tmp_path):
+    """TIMESTAMP AS OF: a timestamp between two commits resolves to
+    the earlier one; before the first retained commit it errors
+    (Delta's earliest-version contract), and after retention expiry
+    the earliest RETAINED commit becomes the floor."""
+    import json as _json
+
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(100), t, [])
+    st.append(orders.limit(50), t)
+    st.append(orders.limit(25), t)
+    # pin distinct commit times (manifests are the source of truth)
+    for v, ts in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        path = st._manifest_path(t, v)
+        m = _json.load(open(path))
+        m["committed_at"] = ts
+        os.unlink(path)
+        with open(path, "w") as fh:
+            _json.dump(m, fh)
+
+    assert st.version_as_of(t, 2999.0) == 2
+    assert st.version_as_of(t, 3000.0) == 3
+    assert st.read_snapshot(spark, t, as_of=1500.0).count() == 100
+    assert st.read_snapshot(spark, t, as_of=2500.0).count() == 150
+    with pytest.raises(ValueError, match="at or before"):
+        st.version_as_of(t, 999.0)
+    with pytest.raises(ValueError, match="not both"):
+        st.read_snapshot(spark, t, version=1, as_of=1500.0)
+
+    st.vacuum(t, retain_last=1)
+    with pytest.raises(ValueError, match="earliest retained: v3"):
+        st.version_as_of(t, 2500.0)
