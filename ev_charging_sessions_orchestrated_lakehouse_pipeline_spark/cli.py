@@ -70,7 +70,56 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--sf-dir", required=True, help="fixture dir with documents.parquet")
     pl.add_argument("--table", required=True, help="snapshot table path for survivors")
 
+    pt = sub.add_parser(
+        "table",
+        help="snapshot-table maintenance (OPTIMIZE / VACUUM / bloom "
+        "index / partition evolution / history)",
+    )
+    pt.add_argument("--table", required=True, help="snapshot table path")
+    pt.add_argument(
+        "action",
+        choices=["optimize", "vacuum", "bloom", "evolve", "history"],
+    )
+    pt.add_argument("--cluster-by", default=None, help="comma-separated sort cols")
+    pt.add_argument("--zorder", action="store_true")
+    pt.add_argument("--files-per-partition", type=int, default=1)
+    pt.add_argument("--retain-last", type=int, default=0)
+    pt.add_argument("--column", default=None, help="bloom index column")
+    pt.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated new spec for evolve (plain cols or "
+        "days(col) / bucket(N,col) transforms)",
+    )
+
     args = p.parse_args(argv)
+
+    if args.cmd == "table" and args.action in ("vacuum", "evolve", "history"):
+        # metadata-only actions: no SparkSession needed
+        from .sources import snaptable as st
+
+        if args.action == "vacuum":
+            print(json.dumps(st.vacuum(args.table, retain_last=args.retain_last)))
+        elif args.action == "evolve":
+            if not args.partition_by:
+                p.error("evolve requires --partition-by")
+            # paren-aware split: bucket(4,o_custkey) holds a comma
+            entries, depth, cur = [], 0, []
+            for ch in args.partition_by:
+                if ch == "," and depth == 0:
+                    entries.append("".join(cur).strip())
+                    cur = []
+                    continue
+                depth += ch == "("
+                depth -= ch == ")"
+                cur.append(ch)
+            if cur:
+                entries.append("".join(cur).strip())
+            v = st.evolve_partitioning(args.table, entries)
+            print(json.dumps({"version": v}))
+        else:
+            print(json.dumps(st.history(args.table), default=str))
+        return 0
 
     from .session import get_spark
 
@@ -133,6 +182,24 @@ def main(argv: list[str] | None = None) -> int:
 
             version, funnel = llm_prep(spark, args.sf_dir, args.table)
             print(json.dumps({"version": version, "funnel": funnel}))
+        elif args.cmd == "table":
+            from .sources import snaptable as st
+
+            if args.action == "optimize":
+                v = st.optimize(
+                    spark,
+                    args.table,
+                    files_per_partition=args.files_per_partition,
+                    cluster_by=(
+                        args.cluster_by.split(",") if args.cluster_by else None
+                    ),
+                    zorder=args.zorder,
+                )
+            else:  # bloom
+                if not args.column:
+                    p.error("bloom requires --column")
+                v = st.add_bloom_index(spark, args.table, args.column)
+            print(json.dumps({"version": v}))
         else:
             from .operators.gold import run_gold
 
