@@ -699,6 +699,8 @@ _OPS = {
     ">=": lambda lo, hi, v: hi >= v,
     "<": lambda lo, hi, v: lo < v,
     "<=": lambda lo, hi, v: lo <= v,
+    # IN-list: alive iff ANY value could be in [lo, hi]
+    "in": lambda lo, hi, vs: any(not (v < lo or v > hi) for v in vs),
 }
 
 
@@ -721,30 +723,42 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
         for col, op, val in filters:
             if op not in _OPS:
                 raise ValueError(f"unsupported pruning op {op!r}")
-            if col in pvals and op in ("=", "=="):
-                if pvals[col] != str(val):
+            vals = list(val) if op == "in" else [val]
+            if col in pvals and op in ("=", "==", "in"):
+                if pvals[col] not in {str(v) for v in vals}:
                     alive = False
                     break
                 continue
             # hidden partitioning: a filter on a transform's SOURCE
             # column prunes through the derived directory value
+            # (an IN-list keeps the file iff ANY value survives)
             transformed = [
                 e
                 for e in manifest["partition_cols"]
                 if _parse_transform(e)[0] != "identity"
                 and _parse_transform(e)[1] == col
             ]
+            t_op = "=" if op == "in" else op
             if any(
-                not _transform_prunes(e, pvals, op, val) for e in transformed
+                not any(_transform_prunes(e, pvals, t_op, v) for v in vals)
+                for e in transformed
             ):
                 alive = False
                 break
-            if op in ("=", "=="):
+            if op in ("=", "==", "in"):
                 bl = fstat.get("bloom", {}).get(col)
                 if bl is not None:
                     positions = set(bl["pos"])
-                    probe = _bloom_positions_py(val, bl["bits"], bl["hashes"])
-                    if not all(p in positions for p in probe):
+                    admitted = any(
+                        all(
+                            p in positions
+                            for p in _bloom_positions_py(
+                                v, bl["bits"], bl["hashes"]
+                            )
+                        )
+                        for v in vals
+                    )
+                    if not admitted:
                         alive = False
                         break
             lo, hi = mins.get(col), maxs.get(col)
@@ -793,6 +807,9 @@ def scan(
 
     for col, op, val in filters or []:
         c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(list(val)))
+            continue
         df = df.filter(
             {"=": c == val, "==": c == val, ">": c > val, ">=": c >= val,
              "<": c < val, "<=": c <= val}[op]
@@ -833,6 +850,9 @@ def _filters_to_column(filters: list[tuple]):
     cond = F.lit(True)
     for col, op, val in filters:
         c = F.col(col)
+        if op == "in":
+            cond = cond & c.isin(list(val))
+            continue
         cond = cond & {
             "=": c == val, "==": c == val, ">": c > val,
             ">=": c >= val, "<": c < val, "<=": c <= val,

@@ -1292,3 +1292,37 @@ def test_timestamp_as_of_time_travel(spark, orders, tmp_path):
     st.vacuum(t, retain_last=1)
     with pytest.raises(ValueError, match="earliest retained: v3"):
         st.version_as_of(t, 2500.0)
+
+
+def test_in_list_filter_prunes_through_stats_bloom_and_partitions(
+    spark, orders, tmp_path
+):
+    """("col", "in", [v1, v2]) prunes with every index the format
+    has: footer min/max keep a file iff ANY value fits its range,
+    the bloom keeps it iff ANY value is admitted, hive/bucket
+    directories keep it iff ANY value maps there — and the residual
+    filter makes results exact either way."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartitionByRange(8, "o_custkey"), t, [])
+    st.add_bloom_index(spark, t, "o_custkey")
+    keys = [
+        int(r.o_custkey)
+        for r in orders.select(F.min("o_custkey").alias("o_custkey")).union(
+            orders.select(F.max("o_custkey"))
+        ).collect()
+    ]
+    m = st._read_manifest(t, st.current_version(t))
+    kept = st._prune_files(t, m, [("o_custkey", "in", keys)])
+    assert 2 <= len(kept) <= 4  # min-file + max-file (+bloom FPs)
+    expected = orders.filter(F.col("o_custkey").isin(keys)).count()
+    assert st.scan(spark, t, [("o_custkey", "in", keys)]).count() == expected
+    assert st._prune_files(t, m, [("o_custkey", "in", [-1, -2])]) == []
+
+    # bucket layout: the IN-list opens only the values' buckets
+    t2 = str(tmp_path / "hp_in")
+    st.create_table(orders, t2, ["bucket(8,o_custkey)"])
+    m2 = st._read_manifest(t2, 1)
+    kept2 = st._prune_files(t2, m2, [("o_custkey", "in", keys)])
+    want = {str(st._bucket_of(k, 8)) for k in keys}
+    assert {st._path_values(f)["o_custkey_bucket"] for f in kept2} <= want
+    assert st.scan(spark, t2, [("o_custkey", "in", keys)]).count() == expected
