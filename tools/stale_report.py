@@ -61,4 +61,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. `stale_report.py | head`
+        import os
+        import sys
+
+        # reopen stdout on devnull so the interpreter's shutdown
+        # flush doesn't raise a second time
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
