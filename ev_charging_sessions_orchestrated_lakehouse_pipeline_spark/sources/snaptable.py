@@ -290,14 +290,26 @@ def _collect_stats(table: str, rel_paths: list[str]) -> dict:
         md = pq.ParquetFile(os.path.join(table, rel)).metadata
         mins: dict = {}
         maxs: dict = {}
+        nulls: dict = {}
+        no_nullcount: set = set()
         for rg in range(md.num_row_groups):
             grp = md.row_group(rg)
             for ci in range(grp.num_columns):
                 col = grp.column(ci)
                 stats = col.statistics
-                if stats is None or not stats.has_min_max:
+                if stats is None:
                     continue
                 name = col.path_in_schema
+                # null counts aggregate independently of min/max: a
+                # column is only recorded if EVERY row group reports
+                # (a single missing count makes the total unknowable)
+                if stats.null_count is None:
+                    no_nullcount.add(name)
+                    nulls.pop(name, None)
+                elif name not in no_nullcount:
+                    nulls[name] = nulls.get(name, 0) + stats.null_count
+                if not stats.has_min_max:
+                    continue
                 lo, hi = stats.min, stats.max
                 if not isinstance(lo, (bool, int, float, str)) or not isinstance(
                     hi, (bool, int, float, str)
@@ -305,7 +317,12 @@ def _collect_stats(table: str, rel_paths: list[str]) -> dict:
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-        out[rel] = {"rows": md.num_rows, "min": mins, "max": maxs}
+        out[rel] = {
+            "rows": md.num_rows,
+            "min": mins,
+            "max": maxs,
+            "nulls": nulls,
+        }
     return out
 
 
@@ -721,6 +738,18 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
         pvals = _path_values(f)
         alive = True
         for col, op, val in filters:
+            if op in ("isnull", "notnull"):
+                # Delta's nullCount skipping: a file with zero nulls
+                # can't satisfy IS NULL; one that is ALL nulls can't
+                # satisfy IS NOT NULL. Unknown counts never prune.
+                nc = fstat.get("nulls", {}).get(col)
+                if nc is not None and (
+                    (op == "isnull" and nc == 0)
+                    or (op == "notnull" and nc == fstat.get("rows"))
+                ):
+                    alive = False
+                    break
+                continue
             if op not in _OPS:
                 raise ValueError(f"unsupported pruning op {op!r}")
             vals = list(val) if op == "in" else [val]
@@ -807,6 +836,12 @@ def scan(
 
     for col, op, val in filters or []:
         c = F.col(col)
+        if op == "isnull":
+            df = df.filter(c.isNull())
+            continue
+        if op == "notnull":
+            df = df.filter(c.isNotNull())
+            continue
         if op == "in":
             df = df.filter(c.isin(list(val)))
             continue
@@ -850,6 +885,12 @@ def _filters_to_column(filters: list[tuple]):
     cond = F.lit(True)
     for col, op, val in filters:
         c = F.col(col)
+        if op == "isnull":
+            cond = cond & c.isNull()
+            continue
+        if op == "notnull":
+            cond = cond & c.isNotNull()
+            continue
         if op == "in":
             cond = cond & c.isin(list(val))
             continue

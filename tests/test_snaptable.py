@@ -1326,3 +1326,36 @@ def test_in_list_filter_prunes_through_stats_bloom_and_partitions(
     want = {str(st._bucket_of(k, 8)) for k in keys}
     assert {st._path_values(f)["o_custkey_bucket"] for f in kept2} <= want
     assert st.scan(spark, t2, [("o_custkey", "in", keys)]).count() == expected
+
+
+def test_nullcount_stats_prune_isnull_notnull(spark, tmp_path):
+    """Delta nullCount skipping: IS NULL skips files with zero
+    nulls, IS NOT NULL skips all-null files; residual filters keep
+    results exact."""
+    t = _tbl(tmp_path)
+    rows = (
+        [(i, "none", float(i)) for i in range(50)]
+        + [(100 + i, "some", None if i % 2 else float(i)) for i in range(50)]
+        + [(200 + i, "all", None) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    st.create_table(df.coalesce(1), t, ["grp"])  # one file per group
+    m = st._read_manifest(t, 1)
+    by_grp = {st._path_values(f)["grp"]: f for f in m["files"]}
+    stats = m["file_stats"]
+    assert stats[by_grp["none"]]["nulls"]["v"] == 0
+    assert stats[by_grp["some"]]["nulls"]["v"] == 25
+    assert stats[by_grp["all"]]["nulls"]["v"] == 50
+
+    kept_null = st._prune_files(t, m, [("v", "isnull", None)])
+    assert by_grp["none"] not in kept_null and by_grp["some"] in kept_null
+    kept_notnull = st._prune_files(t, m, [("v", "notnull", None)])
+    assert by_grp["all"] not in kept_notnull
+
+    assert st.scan(spark, t, [("v", "isnull", None)]).count() == 75
+    assert st.scan(spark, t, [("v", "notnull", None)]).count() == 75
+    # composable with other conjuncts
+    assert (
+        st.scan(spark, t, [("v", "notnull", None), ("id", "<", 100)]).count()
+        == 50
+    )
