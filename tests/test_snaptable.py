@@ -1359,3 +1359,83 @@ def test_nullcount_stats_prune_isnull_notnull(spark, tmp_path):
         st.scan(spark, t, [("v", "notnull", None), ("id", "<", 100)]).count()
         == 50
     )
+
+
+def test_full_lifecycle_composition(spark, orders, tmp_path):
+    """Cross-feature interaction audit: every mutation/maintenance
+    feature applied in sequence against a logical model of the table
+    — catching interactions no single-feature test sees (DML on
+    mixed partition specs, bloom after evolution, clone of an
+    evolved table, rollback across an index commit)."""
+    t = _tbl(tmp_path)
+    n0 = orders.count()
+
+    # 1. create (identity spec) + append
+    st.create_table(orders, t, ["o_orderstatus"])
+    extra = orders.limit(200).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    st.append(extra, t)
+    assert st.read_snapshot(spark, t).count() == n0 + 200
+
+    # 2. evolve to a bucket spec; append lands in the NEW layout
+    st.evolve_partitioning(t, ["bucket(4,o_custkey)"])
+    extra2 = orders.limit(100).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 20_000_000
+    )
+    st.append(extra2, t)
+    assert st.read_snapshot(spark, t).count() == n0 + 300
+
+    # 3. DML across MIXED specs: delete every appended row
+    st.delete_where(spark, t, [("o_orderkey", ">=", 10_000_000)])
+    assert st.read_snapshot(spark, t).count() == n0
+    assert (
+        st.read_snapshot(spark, t)
+        .filter(F.col("o_orderkey") >= 10_000_000)
+        .count()
+        == 0
+    )
+
+    # 4. bloom on the mixed table, then a pruned exact lookup
+    st.add_bloom_index(spark, t, "o_orderkey")
+    key = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+    assert (
+        st.scan(spark, t, [("o_orderkey", "=", key)]).count()
+        == orders.filter(F.col("o_orderkey") == key).count()
+    )
+
+    # 5. shallow-clone the evolved+indexed table; clone reads equal
+    clone = str(tmp_path / "lifecycle_clone")
+    st.clone_table(t, clone)
+    assert st.read_snapshot(spark, clone).count() == n0
+
+    # 6. optimize migrates everything onto the current bucket spec,
+    #    enabling dynamic partition overwrite again
+    st.optimize(spark, t, files_per_partition=1)
+    head = st._read_manifest(t, st.current_version(t))
+    assert all(
+        st._file_spec(f) == ("o_custkey_bucket",) for f in head["files"]
+    )
+    batch = orders.filter(F.col("o_custkey") == key).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    v_before_ow = st.current_version(t)
+    st.overwrite_partitions(batch, t)
+    snap = st.read_snapshot(spark, t)
+    assert snap.filter(F.col("o_custkey") == key).count() == batch.count()
+
+    # 7. rollback across the overwrite, then vacuum with retention.
+    #    The source survives; the clone — which borrows the source's
+    #    PRE-optimize files that no retained source manifest
+    #    references anymore — must now fail LOUDLY at plan time, the
+    #    exact shallow-clone hazard Delta documents (never a silent
+    #    partial read).
+    st.rollback(t, v_before_ow)
+    assert st.read_snapshot(spark, t).count() == n0
+    assert st.read_snapshot(spark, clone).count() == n0  # still fine
+    st.vacuum(t, retain_last=2)
+    assert st.read_snapshot(spark, t).count() == n0
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        st.read_snapshot(spark, clone).count()
