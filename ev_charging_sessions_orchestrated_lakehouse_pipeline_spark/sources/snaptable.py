@@ -336,6 +336,7 @@ def _commit(
     txn: tuple[str, int] | None = None,
     file_stats: dict | None = None,
     constraints: dict[str, str] | None = None,
+    deletion_vectors: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1
     manifest = {
@@ -348,6 +349,9 @@ def _commit(
         "files": files,
         "file_stats": file_stats or {},
         "constraints": constraints or {},
+        "deletion_vectors": {
+            f: sorted(ps) for f, ps in (deletion_vectors or {}).items() if ps
+        },
     }
     if txn is not None:
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
@@ -494,6 +498,7 @@ def append(
         txn=txn,
         file_stats=_carry_stats(prev, prev["files"], _collect_stats(table, new)),
         constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
     )
 
 
@@ -569,6 +574,11 @@ def overwrite_partitions(
         txn=txn,
         file_stats=_carry_stats(prev, kept, _collect_stats(table, new)),
         constraints=prev.get("constraints", {}),
+        deletion_vectors={
+            f: ps
+            for f, ps in prev.get("deletion_vectors", {}).items()
+            if f in set(kept)
+        },
     )
 
 
@@ -606,6 +616,7 @@ def evolve_partitioning(table: str, new_cols: list[str]) -> int:
         parent=head,
         file_stats=prev.get("file_stats", {}),
         constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
     )
 
 
@@ -659,10 +670,50 @@ def read_snapshot(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    return _read_union(spark, table, manifest["files"], schema)
+    return _read_union(
+        spark,
+        table,
+        manifest["files"],
+        schema,
+        dvs=manifest.get("deletion_vectors"),
+    )
 
 
-def _read_union(spark: SparkSession, table: str, files: list[str], schema):
+def _abs_uri(table: str, rel_or_abs: str) -> str:
+    """The _metadata.file_path form of a manifest file entry."""
+    return "file:" + os.path.normpath(os.path.join(table, rel_or_abs))
+
+
+def _apply_dvs(spark, df, table: str, dvs: dict):
+    """Merge-on-read: anti-join the per-file deleted row positions
+    (deletion vectors) out of a position-keyed frame (must carry the
+    ``___f``/``___ri`` columns). No data column is compared, and the
+    DV frame broadcasts — it holds one row per DELETED row of the
+    files being read, which is small by construction: large deletes
+    take the rewrite path."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (_abs_uri(table, f), int(p)) for f, ps in dvs.items() for p in ps
+    ]
+    if not rows:
+        return df
+    dv_df = spark.createDataFrame(rows, "___dvf string, ___dvp long")
+    return df.join(
+        F.broadcast(dv_df),
+        (df["___f"] == dv_df["___dvf"]) & (df["___ri"] == dv_df["___dvp"]),
+        "left_anti",
+    )
+
+
+def _read_union(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    schema,
+    dvs: dict | None = None,
+    keep_pos: bool = False,
+):
     """Plan a file list as ONE DataFrame, tolerating MIXED partition
     layouts (partition evolution leaves old-spec files in place):
     files group by their path-derived spec, each group reads with
@@ -686,10 +737,28 @@ def _read_union(spark: SparkSession, table: str, files: list[str], schema):
         .parquet(*[os.path.join(table, f) for f in fs])
         for (_spec, root), fs in groups.items()
     ]
+    from pyspark.sql import functions as F
+
+    live_dvs = {f: ps for f, ps in (dvs or {}).items() if f in set(files)}
+    names = [f.name for f in schema.fields]
+    if live_dvs or keep_pos:
+        # position-keyed read: the parquet row index + file path ride
+        # along (resolvable only on the source relation, so attached
+        # here), feed the DV anti-join, and survive when the caller
+        # asked for positions (keep_pos)
+        dfs = [
+            d.withColumn("___f", F.col("_metadata.file_path")).withColumn(
+                "___ri", F.col("_metadata.row_index")
+            )
+            for d in dfs
+        ]
+        if live_dvs:
+            dfs = [_apply_dvs(spark, d, table, live_dvs) for d in dfs]
+        if keep_pos:
+            names = names + ["___f", "___ri"]
     # hidden-partitioning layouts surface their derived hive columns
     # through partition discovery — project back to the manifest
     # schema so readers only ever see the table's declared columns
-    names = [f.name for f in schema.fields]
     dfs = [d.select(*names) for d in dfs]
     out = dfs[0]
     for d in dfs[1:]:
@@ -831,7 +900,9 @@ def scan(
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     files = _prune_files(table, manifest, filters or [])
-    df = _read_union(spark, table, files, schema)
+    df = _read_union(
+        spark, table, files, schema, dvs=manifest.get("deletion_vectors")
+    )
     from pyspark.sql import functions as F
 
     for col, op, val in filters or []:
@@ -925,7 +996,13 @@ def _rewrite_matching_files(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(prev["schema"]))
-    cand_df = _read_union(spark, table, candidates, schema)
+    cand_df = _read_union(
+        spark,
+        table,
+        candidates,
+        schema,
+        dvs=prev.get("deletion_vectors"),
+    )
     rewritten, operation = transform(cand_df)
     _validate_constraints(rewritten, prev.get("constraints", {}))
     new = _write_data(rewritten, table, pcols)
@@ -938,16 +1015,85 @@ def _rewrite_matching_files(
         head,
         file_stats=_carry_stats(prev, untouched, _collect_stats(table, new)),
         constraints=prev.get("constraints", {}),
+        deletion_vectors={
+            f: ps
+            for f, ps in prev.get("deletion_vectors", {}).items()
+            if f in set(untouched)
+        },
     )
 
 
-def delete_where(spark: SparkSession, table: str, filters: list[tuple]) -> int:
-    """Row-level DELETE: rewrite only the files whose footer stats
-    say they MAY hold matching rows, dropping those rows; all other
-    files carry over untouched. ``filters`` as in :func:`scan`."""
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    filters: list[tuple],
+    use_dv: bool = False,
+) -> int:
+    """Row-level DELETE. Default (``use_dv=False``): rewrite only the
+    files whose footer stats say they MAY hold matching rows,
+    dropping those rows; all other files carry over untouched.
+
+    ``use_dv=True`` takes the MERGE-ON-READ path instead (Delta
+    deletion vectors / Iceberg v3 position deletes): no data file is
+    touched — the commit records the deleted ROW POSITIONS per file
+    and every reader anti-joins them out via the parquet row index.
+    At 100 TB this is the difference between rewriting a 1 GB file
+    to delete ten rows and writing a few bytes of metadata. The
+    manifest holds the positions as a JSON int list, so the mode is
+    meant for SELECTIVE deletes (the broadcast DV frame is one row
+    per deleted row); bulk deletes should rewrite — and
+    :func:`optimize` materializes accumulated DVs back into clean
+    files, clearing them."""
     cond = _filters_to_column(filters)
-    return _rewrite_matching_files(
-        spark, table, filters, lambda df: (df.filter(~cond), "delete")
+    if not use_dv:
+        return _rewrite_matching_files(
+            spark, table, filters, lambda df: (df.filter(~cond), "delete")
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    if not filters:
+        raise ValueError("refusing an unfiltered delete; pass filters")
+    candidates = _prune_files(table, prev, filters)
+    if not candidates:
+        return head
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    # read WITH existing DVs applied so already-deleted rows are not
+    # re-recorded (idempotent re-runs), keeping position sets minimal
+    cand = _read_union(
+        spark,
+        table,
+        candidates,
+        schema,
+        dvs=prev.get("deletion_vectors"),
+        keep_pos=True,
+    )
+    hits = (
+        cand.filter(cond)
+        .select(F.col("___f").alias("f"), F.col("___ri").alias("p"))
+        .collect()  # bounded: one row per DELETED row (selective path)
+    )
+    if not hits:
+        return head
+    abs_to_entry = {_abs_uri(table, f): f for f in prev["files"]}
+    dvs = {f: set(ps) for f, ps in prev.get("deletion_vectors", {}).items()}
+    for r in hits:
+        entry = abs_to_entry[r.f]
+        dvs.setdefault(entry, set()).add(int(r.p))
+    return _commit(
+        table,
+        "delete_dv",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors={f: sorted(ps) for f, ps in dvs.items()},
     )
 
 
@@ -1000,6 +1146,7 @@ def add_constraint(
         head,
         file_stats=prev.get("file_stats", {}),
         constraints=cons,
+        deletion_vectors=prev.get("deletion_vectors", {}),
     )
 
 
@@ -1085,12 +1232,57 @@ def changes(
                 if not rel_paths:
                     continue
                 schema = StructType.fromJson(json.loads(manifest["schema"]))
+                # each side reads under ITS OWN deletion vectors: a
+                # removed file's already-DV-deleted rows were never
+                # visible at `prev`, so they must not surface as
+                # deletes now (and inserts respect the new commit's)
                 batch = (
-                    _read_union(spark, table, rel_paths, schema)
+                    _read_union(
+                        spark,
+                        table,
+                        rel_paths,
+                        schema,
+                        dvs=manifest.get("deletion_vectors"),
+                    )
                     .withColumn("_change_type", F.lit(change))
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
                 )
                 parts.append(batch)
+            # merge-on-read deletes: positions newly added to a
+            # still-present file's deletion vector ARE this commit's
+            # deleted rows — read exactly those positions
+            prev_dv = prev.get("deletion_vectors", {})
+            cur_dv = cur.get("deletion_vectors", {})
+            delta = {
+                f: sorted(set(cur_dv.get(f, [])) - set(prev_dv.get(f, [])))
+                for f in set(cur["files"]) & set(prev["files"])
+            }
+            delta = {f: ps for f, ps in delta.items() if ps}
+            if delta:
+                schema = StructType.fromJson(json.loads(cur["schema"]))
+                keyed = _read_union(
+                    spark, table, sorted(delta), schema, keep_pos=True
+                )
+                pos_rows = [
+                    (_abs_uri(table, f), int(p))
+                    for f, ps in delta.items()
+                    for p in ps
+                ]
+                pos_df = spark.createDataFrame(
+                    pos_rows, "___dvf string, ___dvp long"
+                )
+                dv_batch = (
+                    keyed.join(
+                        F.broadcast(pos_df),
+                        (keyed["___f"] == pos_df["___dvf"])
+                        & (keyed["___ri"] == pos_df["___dvp"]),
+                        "left_semi",
+                    )
+                    .drop("___f", "___ri")
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                )
+                parts.append(dv_batch)
         prev = cur
     if not parts:
         schema = StructType.fromJson(json.loads(prev["schema"]))
@@ -1140,7 +1332,8 @@ def table_stats(table: str, version: int | None = None) -> dict:
             f"{len(missing)} files lack committed stats (pre-stats table?); "
             "metadata-only answers would be wrong"
         )
-    rows = sum(fs[f]["rows"] for f in files)
+    dvs = manifest.get("deletion_vectors", {})
+    rows = sum(fs[f]["rows"] - len(dvs.get(f, [])) for f in files)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     numeric = {
         f.name
@@ -1283,6 +1476,7 @@ def add_bloom_index(
         parent=head,
         file_stats=stats,
         constraints=manifest.get("constraints", {}),
+        deletion_vectors=manifest.get("deletion_vectors", {}),
     )
 
 
@@ -1364,6 +1558,7 @@ def rollback(table: str, version: int) -> int:
         head,
         file_stats=target.get("file_stats", {}),
         constraints=target.get("constraints", {}),
+        deletion_vectors=target.get("deletion_vectors", {}),
     )
 
 
@@ -1579,6 +1774,12 @@ def clone_table(src_table: str, dst_table: str) -> int:
         for a, f in zip(abs_files, prev["files"])
         if f in old_stats
     }
+    old_dvs = prev.get("deletion_vectors", {})
+    dvs = {
+        a: old_dvs[f]
+        for a, f in zip(abs_files, prev["files"])
+        if f in old_dvs
+    }
     os.makedirs(_data_dir(dst_table), exist_ok=True)
     return _commit(
         dst_table,
@@ -1589,6 +1790,7 @@ def clone_table(src_table: str, dst_table: str) -> int:
         parent=None,
         file_stats=stats,
         constraints=prev.get("constraints", {}),
+        deletion_vectors=dvs,
     )
 
 

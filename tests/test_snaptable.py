@@ -1439,3 +1439,85 @@ def test_full_lifecycle_composition(spark, orders, tmp_path):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         st.read_snapshot(spark, clone).count()
+
+
+def test_deletion_vectors_merge_on_read(spark, orders, tmp_path):
+    """use_dv=True deletes touch NO data file: the commit records row
+    positions, readers anti-join them out via the parquet row index,
+    time travel still sees the rows, metadata COUNT subtracts them,
+    re-running the same delete is a metadata no-op, and OPTIMIZE
+    materializes the vectors back into clean files."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    files_v1 = set(st._read_manifest(t, 1)["files"])
+    n0 = orders.count()
+    n_del = orders.filter(F.col("o_totalprice") > 400000.0).count()
+    assert 0 < n_del < 1000  # selective at fixture scale
+
+    v2 = st.delete_where(
+        spark, t, [("o_totalprice", ">", 400000.0)], use_dv=True
+    )
+    m2 = st._read_manifest(t, v2)
+    assert m2["operation"] == "delete_dv"
+    assert set(m2["files"]) == files_v1  # no file touched
+    assert sum(len(ps) for ps in m2["deletion_vectors"].values()) == n_del
+
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n0 - n_del
+    assert snap.filter(F.col("o_totalprice") > 400000.0).count() == 0
+    # scan path applies DVs too, composed with pruning + residuals
+    assert st.scan(spark, t, [("o_totalprice", ">", 300000.0)]).count() == (
+        orders.filter(
+            (F.col("o_totalprice") > 300000.0)
+            & (F.col("o_totalprice") <= 400000.0)
+        ).count()
+    )
+    # time travel: v1 still sees everything
+    assert st.read_snapshot(spark, t, version=1).count() == n0
+    # metadata-only COUNT subtracts the vectors
+    assert st.table_stats(t)["rows"] == n0 - n_del
+    # idempotent: same predicate again deletes nothing new
+    assert st.delete_where(
+        spark, t, [("o_totalprice", ">", 400000.0)], use_dv=True
+    ) == v2
+
+    # a rewrite-mode delete on the DV'd table must not resurrect rows
+    st.delete_where(spark, t, [("o_orderstatus", "=", "P")])
+    after = st.read_snapshot(spark, t)
+    assert after.filter(F.col("o_totalprice") > 400000.0).count() == 0
+    expect = orders.filter(
+        (F.col("o_totalprice") <= 400000.0) & (F.col("o_orderstatus") != "P")
+    ).count()
+    assert after.count() == expect
+
+    # OPTIMIZE materializes: fresh files, no vectors, same contents
+    st.optimize(spark, t, files_per_partition=1)
+    mh = st._read_manifest(t, st.current_version(t))
+    assert mh["deletion_vectors"] == {}
+    assert st.read_snapshot(spark, t).count() == expect
+
+
+def test_deletion_vectors_change_feed_and_clone(spark, orders, tmp_path):
+    """CDF: a delete_dv commit emits EXACTLY the newly-deleted rows
+    as deletes (net-effect identity holds), and a shallow clone
+    carries the source's vectors with its borrowed files."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, [])
+    key = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+    st.delete_where(spark, t, [("o_orderkey", "=", key)], use_dv=True)
+
+    feed = st.changes(spark, t, from_version=1).collect()
+    assert len(feed) == 1
+    assert feed[0]._change_type == "delete"
+    assert feed[0].o_orderkey == key
+    assert feed[0]._commit_version == 2
+
+    # net effect: state(head) == state(v1) - deletes + inserts
+    n_now = st.read_snapshot(spark, t).count()
+    assert n_now == orders.count() - 1
+
+    clone = str(tmp_path / "dv_clone")
+    st.clone_table(t, clone)
+    csnap = st.read_snapshot(spark, clone)
+    assert csnap.count() == n_now
+    assert csnap.filter(F.col("o_orderkey") == key).count() == 0
