@@ -1150,3 +1150,61 @@ FROM events
 WHERE ts >= TIMESTAMP '{HIDDEN_PART_CUTOFF}'
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors driven end to end
+# (snaptable.delete_where(use_dv=True)): a selective DELETE commits
+# row positions instead of rewriting files, and the aggregate below
+# runs over the vector-filtered read — the oracle replays the
+# surviving row set relationally, so the hash checks that the
+# anti-join removes EXACTLY the predicate's rows (no loss, no
+# resurrection). File-untouched/time-travel/CDF mechanics are pinned
+# in tests/test_snaptable.py.
+# ---------------------------------------------------------------------------
+DV_DELETE_THRESHOLD = 400000.0
+
+
+def q_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_dv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    st.delete_where(
+        spark, table, [("o_totalprice", ">", DV_DELETE_THRESHOLD)], use_dv=True
+    )
+    out = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .withColumnRenamed("o_orderstatus", "status")
+        .orderBy("status")
+    )
+    rows = [tuple(r) for r in out.collect()]  # bounded: |statuses|
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "status string, n_orders bigint, sum_totalprice double"
+    ).orderBy("status")
+
+
+ORACLE["snapshot_dv_delete"] = f"""
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+WHERE o_totalprice <= {DV_DELETE_THRESHOLD}
+GROUP BY o_orderstatus ORDER BY status
+"""
