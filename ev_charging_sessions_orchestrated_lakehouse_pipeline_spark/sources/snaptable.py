@@ -1098,15 +1098,80 @@ def delete_where(
 
 
 def update_where(
-    spark: SparkSession, table: str, filters: list[tuple], set_exprs: dict[str, str]
+    spark: SparkSession,
+    table: str,
+    filters: list[tuple],
+    set_exprs: dict[str, str],
+    use_dv: bool = False,
 ) -> int:
     """Row-level UPDATE: ``set_exprs`` maps column -> SQL expression
     applied to matching rows (non-matching rows in rewritten files
     pass through unchanged). CHECK constraints re-validate the
-    rewritten files before anything publishes."""
+    rewritten files before anything publishes.
+
+    ``use_dv=True`` is the deletion-vector UPDATE (how Delta runs
+    UPDATE when DVs are enabled): the OLD matching rows are marked
+    deleted by position — their files untouched — and the updated
+    rows append as new files. Selective updates stop paying the
+    rewrite-the-whole-file tax; OPTIMIZE later materializes."""
     from pyspark.sql import functions as F
 
     cond = _filters_to_column(filters)
+
+    if use_dv:
+        from pyspark.sql.types import StructType
+
+        head = current_version(table)
+        if head is None:
+            raise ValueError(f"{table} does not exist")
+        prev = _read_manifest(table, head)
+        if not filters:
+            raise ValueError("refusing an unfiltered update; pass filters")
+        candidates = _prune_files(table, prev, filters)
+        if not candidates:
+            return head
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        matched = _read_union(
+            spark,
+            table,
+            candidates,
+            schema,
+            dvs=prev.get("deletion_vectors"),
+            keep_pos=True,
+        ).filter(cond)
+        names = [f.name for f in schema.fields]
+        updated = matched.select(
+            *[
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in names
+            ]
+        )
+        _validate_constraints(updated, prev.get("constraints", {}))
+        hits = matched.select(
+            F.col("___f").alias("f"), F.col("___ri").alias("p")
+        ).collect()  # bounded: one row per UPDATED row (selective path)
+        if not hits:
+            return head
+        new = _write_data(updated, table, prev["partition_cols"])
+        abs_to_entry = {_abs_uri(table, f): f for f in prev["files"]}
+        dvs = {
+            f: set(ps) for f, ps in prev.get("deletion_vectors", {}).items()
+        }
+        for r in hits:
+            dvs.setdefault(abs_to_entry[r.f], set()).add(int(r.p))
+        return _commit(
+            table,
+            "update_dv",
+            sorted(prev["files"] + new),
+            prev["partition_cols"],
+            prev["schema"],
+            head,
+            file_stats=_carry_stats(
+                prev, prev["files"], _collect_stats(table, new)
+            ),
+            constraints=prev.get("constraints", {}),
+            deletion_vectors={f: sorted(ps) for f, ps in dvs.items()},
+        )
 
     def transform(df: DataFrame):
         # one select so every SET expression sees the OLD row (SQL

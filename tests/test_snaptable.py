@@ -1521,3 +1521,35 @@ def test_deletion_vectors_change_feed_and_clone(spark, orders, tmp_path):
     csnap = st.read_snapshot(spark, clone)
     assert csnap.count() == n_now
     assert csnap.filter(F.col("o_orderkey") == key).count() == 0
+
+
+def test_deletion_vector_update(spark, orders, tmp_path):
+    """use_dv=True UPDATE: old matching rows are position-deleted in
+    place, updated rows append as new files — original files
+    untouched, visible state identical to a rewrite UPDATE, and the
+    CDF shows the delete+insert pair."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, [])
+    files_v1 = set(st._read_manifest(t, 1)["files"])
+    key = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+
+    v2 = st.update_where(
+        spark,
+        t,
+        [("o_orderkey", "=", key)],
+        {"o_totalprice": "o_totalprice * 0 + 123.5"},
+        use_dv=True,
+    )
+    m2 = st._read_manifest(t, v2)
+    assert m2["operation"] == "update_dv"
+    assert files_v1 < set(m2["files"])  # originals untouched, new appended
+    assert sum(len(ps) for ps in m2["deletion_vectors"].values()) == 1
+
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == orders.count()
+    got = snap.filter(F.col("o_orderkey") == key).collect()
+    assert len(got) == 1 and got[0].o_totalprice == 123.5
+
+    feed = st.changes(spark, t, from_version=1).collect()
+    kinds = sorted((r._change_type, r.o_orderkey) for r in feed)
+    assert kinds == [("delete", key), ("insert", key)]
