@@ -1553,3 +1553,40 @@ def test_deletion_vector_update(spark, orders, tmp_path):
     feed = st.changes(spark, t, from_version=1).collect()
     kinds = sorted((r._change_type, r.o_orderkey) for r in feed)
     assert kinds == [("delete", key), ("insert", key)]
+
+
+def test_deletion_vectors_compose_with_hidden_partitioning(spark, sf_dir, tmp_path):
+    """DV delete on a days(ts)-partitioned table: candidate files are
+    found through the transform pruning, positions recorded per
+    hidden-layout file, and a later ts-range scan composes directory
+    pruning with the vector anti-join."""
+    import datetime
+
+    ev = read_fixture(spark, sf_dir, "events")
+    t = str(tmp_path / "hp_dv_events")
+    st.create_table(ev, t, ["days(ts)"])
+
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b.lo + (b.hi - b.lo) / 2
+    day0 = datetime.datetime(mid.year, mid.month, mid.day)
+    day1 = day0 + datetime.timedelta(days=1)
+
+    # DV-delete one full day
+    st.delete_where(
+        spark,
+        t,
+        [("ts", ">=", day0), ("ts", "<", day1)],
+        use_dv=True,
+    )
+    m = st._read_manifest(t, st.current_version(t))
+    day_str = day0.strftime("%Y-%m-%d")
+    assert all(f"ts_day={day_str}" in f for f in m["deletion_vectors"])
+
+    n_day = ev.filter(
+        (F.col("ts") >= F.lit(day0)) & (F.col("ts") < F.lit(day1))
+    ).count()
+    assert n_day > 0
+    assert st.read_snapshot(spark, t).count() == ev.count() - n_day
+    # range scan across the deleted day: directory pruning + DV join
+    got = st.scan(spark, t, [("ts", ">=", day0)]).count()
+    assert got == ev.filter(F.col("ts") >= F.lit(day0)).count() - n_day
