@@ -172,6 +172,24 @@ def _spec_names(partition_cols: list[str]) -> list[str]:
     return [_parse_transform(e)[3] for e in partition_cols]
 
 
+def _validate_spec(partition_cols: list[str], field_names: set[str]) -> None:
+    """Reject a partition spec whose TRANSFORM entries reference a
+    missing source column or derive a hive name that collides with a
+    real schema column — a collision would silently partition by the
+    user's column instead of the derived value."""
+    for entry in partition_cols:
+        kind, col, _param, name = _parse_transform(entry)
+        if kind == "identity":
+            continue
+        if col not in field_names:
+            raise ValueError(f"transform source column missing: {entry}")
+        if name in field_names:
+            raise ValueError(
+                f"derived partition column {name!r} (from {entry!r}) "
+                f"collides with an existing schema column"
+            )
+
+
 def _layout_frame(df: DataFrame, partition_cols: list[str]):
     """(df with derived layout columns materialized, hive names) —
     what :func:`_write_data` partitions by. Identity entries pass
@@ -424,6 +442,7 @@ def create_table(
     partition_cols = partition_cols or []
     if current_version(table) is not None:
         raise ValueError(f"{table} already exists; use overwrite_table")
+    _validate_spec(partition_cols, set(df.columns))
     _validate_constraints(df, constraints or {})
     files = _write_data(df, table, partition_cols)
     return _commit(
@@ -605,6 +624,7 @@ def evolve_partitioning(table: str, new_cols: list[str]) -> int:
     missing = [c for c in new_cols if _parse_transform(c)[1] not in names]
     if missing:
         raise ValueError(f"partition columns not in schema: {missing}")
+    _validate_spec(list(new_cols), names)
     if list(new_cols) == list(prev["partition_cols"]):
         return head  # no-op
     return _commit(

@@ -1590,3 +1590,20 @@ def test_deletion_vectors_compose_with_hidden_partitioning(spark, sf_dir, tmp_pa
     # range scan across the deleted day: directory pruning + DV join
     got = st.scan(spark, t, [("ts", ">=", day0)]).count()
     assert got == ev.filter(F.col("ts") >= F.lit(day0)).count() - n_day
+
+
+def test_transform_spec_name_collision_rejected(spark, orders, tmp_path):
+    """A transform whose derived hive name collides with a real
+    schema column is rejected at create and at evolve — silently
+    partitioning by the user's column would corrupt pruning."""
+    t = _tbl(tmp_path)
+    clash = orders.withColumn("ts_day", F.lit("x")).withColumn(
+        "ts", F.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="collides"):
+        st.create_table(clash, t, ["days(ts)"])
+    st.create_table(clash, t, [])
+    with pytest.raises(ValueError, match="collides"):
+        st.evolve_partitioning(t, ["days(ts)"])
+    with pytest.raises(ValueError, match="missing"):
+        st.create_table(orders, str(tmp_path / "t2"), ["days(nope)"])
