@@ -710,7 +710,10 @@ def _apply_dvs(spark, df, table: str, dvs: dict):
     ``___f``/``___ri`` columns). No data column is compared, and the
     DV frame broadcasts — it holds one row per DELETED row of the
     files being read, which is small by construction: large deletes
-    take the rewrite path."""
+    take the rewrite path. ``_metadata.row_index`` is the row's
+    position within the FILE — verified across many-row-group files
+    (tests/test_snaptable.py), since a row-group-scoped index would
+    silently corrupt every multi-row-group DV at scale."""
     from pyspark.sql import functions as F
 
     rows = [

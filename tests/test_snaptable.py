@@ -1607,3 +1607,33 @@ def test_transform_spec_name_collision_rejected(spark, orders, tmp_path):
         st.evolve_partitioning(t, ["days(ts)"])
     with pytest.raises(ValueError, match="missing"):
         st.create_table(orders, str(tmp_path / "t2"), ["days(nope)"])
+
+
+def test_row_index_is_file_scoped_across_row_groups(spark, tmp_path):
+    """The deletion-vector design rests on ``_metadata.row_index``
+    being the row's position WITHIN THE FILE — if it restarted per
+    parquet row group, positions would collide on any multi-row-group
+    file (the norm at scale) and DVs would delete the wrong rows.
+    Force a many-row-group file and pin the contract."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "rg")
+    df = spark.range(0, 50000).withColumn("payload", F.expr("repeat('x', 200)"))
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 65536)
+        .parquet(d)
+    )
+    f = glob.glob(d + "/*.parquet")[0]
+    assert pq.ParquetFile(f).metadata.num_row_groups > 10
+    r = spark.read.parquet(d).select(F.col("_metadata.row_index").alias("ri"))
+    n = r.count()
+    s = r.agg(
+        F.min("ri").alias("lo"),
+        F.max("ri").alias("hi"),
+        F.count_distinct("ri").alias("k"),
+    ).collect()[0]
+    assert (s.lo, s.hi, s.k) == (0, n - 1, n)
