@@ -856,3 +856,68 @@ SELECT CAST({MMR_K} AS INT) AS n_selected,
        TRUE AS all_from_pool,
        TRUE AS first_is_top1
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal curation: the only place the documents and embeddings
+# tables meet. Each document joins its embedding's semantic bucket
+# (the deterministic hyperplane signature above — at scale the
+# k-means/IVF cell), and the profile aggregates quality signals per
+# semantic neighborhood: size, text length, language and source
+# diversity. This is the SemDeDup-era curation dashboard — "which
+# semantic regions of the corpus are big, short-doc, single-source
+# monocultures" — and the pruning decisions (cap, rebalance, drop)
+# key off exactly these rows.
+#
+# Scale: the equi-join is doc_id = vec_id (one shuffle, or zero with
+# both tables bucketed by id via sources.writers.write_bucketed);
+# the profile output is |buckets| rows. Text payloads are never
+# shuffled — only ids, buckets, and the three profiled columns move.
+# ---------------------------------------------------------------------------
+def q_cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.oracle import davg
+
+    from ..sources.readers import read_fixture
+
+    docs = read_fixture(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    b = semantic_buckets(_emb(spark, sf_dir)).select("vec_id", "bucket")
+    return (
+        b.join(docs, b.vec_id == docs.doc_id)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _cluster_profile_oracle() -> str:
+    from ..functions.oracle import davg_sql
+
+    terms = []
+    for p in range(SEMANTIC_PLANES):
+        w = ", ".join(f"CAST({x} AS DOUBLE)" for x in _plane_weights(p))
+        terms.append(
+            f"CASE WHEN {_dot_sql('embedding', f'[{w}]')} >= 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+        )
+    sig = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST({sig} AS BIGINT) AS bucket FROM embeddings
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       {davg_sql('n_chars')} AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources
+FROM b JOIN documents d ON b.vec_id = d.doc_id
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+ORACLE["cluster_quality_profile"] = _cluster_profile_oracle()
