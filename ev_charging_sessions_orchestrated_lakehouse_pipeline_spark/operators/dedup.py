@@ -1368,3 +1368,87 @@ SELECT ex.doc_id, COUNT(*) AS n_passages,
 FROM ex JOIN nd USING (digest)
 GROUP BY ex.doc_id ORDER BY ex.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate PAIRS — the join the fingerprint above
+# exists for. Hamming distance <= SIMHASH_MAX_HAMMING over the
+# 16-bit signature, with pigeonhole banding for candidate
+# generation: split the signature into SIMHASH_BANDS byte-bands —
+# two signatures within hamming distance 1 must agree EXACTLY on at
+# least one band (d+1 bands guarantee recall for distance d), so the
+# self-join runs on (band_id, band_value) equality and only
+# colliding pairs pay the bit_count(xor) verification. DISTINCT
+# dedupes pairs that collide on both bands.
+#
+# Scale: the corpus never self-joins all-pairs — band buckets bound
+# the candidate count exactly like MinHash-LSH banding above, and
+# the joined payload is (doc_id, 8-byte signature). The verification
+# is two integer ops per candidate.
+# ---------------------------------------------------------------------------
+SIMHASH_BANDS = 2  # 8 bits each; guarantees recall for hamming <= 1
+SIMHASH_MAX_HAMMING = 1
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = q_dedup_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", 8 * b)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_id",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_id",
+        "band_val",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {8 * b}) & 255 AS band_val FROM sh"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sh AS ({_simhash_oracle().strip()}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE["dedup_simhash_pairs"] = _simhash_pairs_oracle()

@@ -309,6 +309,7 @@ def test_incremental_near_history_band_index_probe_is_shuffle_free(spark, sf_dir
         "source_cap",
         "dedup_incremental_near",
         "passage_dedup",
+        "dedup_simhash_pairs",
     ],
 )
 def test_dedup_family_never_shuffles_payload(spark, sf_dir, name):
