@@ -775,3 +775,68 @@ SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
          (a, b) -> a + b) AS simpson
 FROM toks ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style within-document span dedup — a TRANSFORMATION, not a score:
+# repetition_scores measures duplicate-span fraction, this removes the
+# repeats. C4 drops duplicate lines / three-sentence spans inside each
+# page; this fixture's documents have no line breaks, so the span unit
+# is the non-overlapping 3-token chunk. First occurrence of each span
+# is kept IN ORDER (indexed-lambda filter + first-position probe), the
+# survivors are re-joined into the trimmed text. Pure per-row array
+# work — no shuffle, rides WholeStageCodegen, safe at 100 TB. The
+# O(spans^2) position probe is bounded by document length, the same
+# bound repetition scoring already accepts.
+# ---------------------------------------------------------------------------
+def q_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import let_sql
+
+    docs = _docs(spark, sf_dir)
+    chunks = (
+        "transform(sequence(0, ((size(t) + 2) div 3) - 1), "
+        "i -> array_join(slice(t, i * 3 + 1, 3), ' '))"
+    )
+    body = let_sql(
+        chunks,
+        "c",
+        "named_struct("
+        "'n_spans', size(c), "
+        "'kept', filter(c, (x, i) -> array_position(c, x) = i + 1))",
+    )
+    return (
+        docs.select("doc_id", F.expr(let_sql("split(text, ' ')", "t", body)).alias("d"))
+        .select(
+            "doc_id",
+            "d.n_spans",
+            F.size("d.kept").alias("n_kept"),
+            F.array_join("d.kept", " ").alias("trimmed_text"),
+            (
+                (F.col("d.n_spans") - F.size("d.kept")).cast("double")
+                / F.col("d.n_spans")
+            ).alias("span_dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["span_dedup_trim"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunked AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, ((len(t) + 2) // 3) - 1),
+           i -> array_to_string(list_slice(t, i * 3 + 1, i * 3 + 3), ' ')) AS c
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, c,
+         list_filter(c, (x, i) -> list_position(c, x) = i) AS k
+  FROM chunked
+)
+SELECT doc_id,
+       CAST(len(c) AS INT) AS n_spans,
+       CAST(len(k) AS INT) AS n_kept,
+       array_to_string(k, ' ') AS trimmed_text,
+       CAST(len(c) - len(k) AS DOUBLE) / len(c) AS span_dup_frac
+FROM kept ORDER BY doc_id
+"""

@@ -340,6 +340,7 @@ def test_dedup_family_never_shuffles_payload(spark, sf_dir, name):
         "fingerprint",
         "fingerprint_rolling",
         "gopher_rules",
+        "span_dedup_trim",
     ],
 )
 def test_per_doc_text_metrics_are_map_side(spark, sf_dir, name):
