@@ -1452,3 +1452,90 @@ ORDER BY doc_a, doc_b
 
 
 ORACLE["dedup_simhash_pairs"] = _simhash_pairs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Global passage dedup — the C4/CCNet TRANSFORMATION passage_dedup
+# only scores: every PASSAGE_TOKENS-token passage is deduped across
+# the WHOLE corpus, first occurrence (lowest (doc_id, pos)) kept,
+# every later instance — cross-document boilerplate or within-doc
+# repetition alike — cut, and the surviving passages reassembled in
+# order into the cleaned text.
+#
+# Scale: this is the one dedup op that MUST shuffle passage payloads
+# — a global text rewrite can't avoid moving the text — but it does
+# it the cheap way: one window shuffle keyed on the passage's md5
+# (fixed-width key, ~n_tokens/PASSAGE_TOKENS rows per doc), one
+# groupBy(doc_id) to reassemble, no self-join and no all-pairs
+# stage. At 100 TB this is CCNet's exact paragraph-hash layout.
+# Within a doc the window's (doc_id, pos) ordering makes keep-first
+# deterministic under any partitioning.
+# ---------------------------------------------------------------------------
+def q_passage_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import let_sql
+
+    P = PASSAGE_TOKENS
+    docs = _docs(spark, sf_dir)
+    chunks = let_sql(
+        "split(text, ' ')",
+        "t",
+        f"transform(sequence(0, CAST(ceil(size(t) / {P}.0D) AS INT) - 1), "
+        f"i -> concat_ws(' ', slice(t, i * {P} + 1, {P})))",
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(F.expr(chunks)).alias("pos", "passage")
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("passage")).orderBy("doc_id", "pos")
+    )
+    ranked = ex.select("doc_id", "pos", "passage", rn.alias("rn"))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("pos", "passage")
+    )  # collect_list drops the nulls for rn > 1
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_removed"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN rn = 1 THEN struct(pos, passage) END)), "
+                "s -> s.passage), ' ')"
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["passage_dedup_global"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+                CAST(ceil(n / {PASSAGE_TOKENS}.0) AS INTEGER) - 1)) AS i
+  FROM toks
+), ex AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(t, i * {PASSAGE_TOKENS} + 1,
+             least(i * {PASSAGE_TOKENS} + {PASSAGE_TOKENS}, n)), ' ')
+           AS passage
+  FROM idx
+), ranked AS (
+  SELECT doc_id, pos, passage,
+         row_number() OVER (PARTITION BY md5(passage)
+                            ORDER BY doc_id, pos) AS rn
+  FROM ex
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list(passage ORDER BY pos) FILTER (WHERE rn = 1), ' '), '')
+         AS cleaned_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
