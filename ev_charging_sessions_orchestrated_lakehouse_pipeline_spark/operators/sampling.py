@@ -496,3 +496,75 @@ SELECT r.source, r.n_s AS n_total,
 FROM rates r LEFT JOIN kept k ON r.source = k.source
 ORDER BY r.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS (probability-proportional-to-size) sampling — the
+# deterministic weighted subsample: within each source, documents are
+# walked in doc_id order, character mass accumulates, and a row is
+# selected whenever its weight interval crosses one of PPS_K equal
+# thresholds of the source's total mass. Longer (higher-weight)
+# documents are proportionally likelier to straddle a threshold —
+# classic systematic PPS — with ZERO randomness: the sample is a pure
+# function of the data, reproducible across engines, runs, and
+# layouts (the cumsum order is the explicit doc_id sort, not arrival
+# order).
+#
+# Exactness: selection is pure int64 arithmetic — a row is taken iff
+# (PPS_K * cum_w) div W > (PPS_K * (cum_w - w)) div W. No decimal
+# division, no libm, so Spark and DuckDB agree bit-for-bit.
+#
+# Scale: both windows partition by source, so the cumsum
+# parallelizes across sources and shuffles only (source, doc_id, w).
+# The per-source total ordering is inherent to systematic sampling;
+# at 100 TB you run it per source/shard exactly like this, never over
+# one global order.
+# ---------------------------------------------------------------------------
+PPS_K = 10
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    wcum = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wtot = W.partitionBy("source")
+    cum = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.sum("n_chars").over(wcum).alias("cum_w"),
+        F.sum("n_chars").over(wtot).alias("total_w"),
+    )
+    crossed = F.expr(
+        f"total_w > 0 AND ({PPS_K}L * cum_w) div total_w "
+        f"> ({PPS_K}L * (cum_w - w)) div total_w"
+    )
+    return (
+        cum.where(crossed)
+        .select(
+            "source",
+            "doc_id",
+            "w",
+            "cum_w",
+            F.expr(f"({PPS_K}L * cum_w) div total_w").alias("bucket"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLE["pps_sample"] = f"""
+WITH cum AS (
+  SELECT source, doc_id, n_chars AS w,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(n_chars) OVER (PARTITION BY source) AS total_w
+  FROM documents
+)
+SELECT source, doc_id, w, CAST(cum_w AS BIGINT) AS cum_w,
+       CAST(({PPS_K} * cum_w) // total_w AS BIGINT) AS bucket
+FROM cum
+WHERE total_w > 0
+  AND ({PPS_K} * cum_w) // total_w > ({PPS_K} * (cum_w - w)) // total_w
+ORDER BY source, doc_id
+"""
