@@ -568,3 +568,64 @@ WHERE total_w > 0
   AND ({PPS_K} * cum_w) // total_w > ({PPS_K} * (cum_w - w)) // total_w
 ORDER BY source, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-proportion stratified split — the ranked complement of the
+# hash-gate split above. split_assign gives each row an INDEPENDENT
+# biased-coin assignment (proportions hold only in expectation, so a
+# 40-document stratum can land 7 test docs instead of 4);
+# exact_stratified_split instead RANKS each stratum by document hash
+# and cuts at floor(frac * n): every stratum gets exactly its quota,
+# still fully deterministic — the rank order is the hash order, so
+# membership never depends on ingest order or layout. The price is a
+# per-stratum window (one narrow shuffle) instead of a map-side
+# gate; at 100 TB both run per source shard.
+#
+# Note the different stability contract: split_assign keeps a
+# document's split fixed FOREVER (membership depends only on its own
+# hash); the ranked split keeps proportions exact but adding corpus
+# can move the cut line. Eval sets that must never drift use the
+# gate; budget-exact experiment splits use this.
+# ---------------------------------------------------------------------------
+TEST_FRAC_EXACT = 0.2
+
+
+def q_exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    h = hash60(_as_str(F.col("doc_id")), seed=11).alias("h")
+    win = W.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.select("source", "doc_id", h).select(
+        "source",
+        "doc_id",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    quota = F.floor(F.lit(TEST_FRAC_EXACT) * F.col("n")).cast("bigint")
+    return (
+        ranked.select(
+            "source",
+            "doc_id",
+            F.when(F.col("rn") <= quota, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLE["exact_stratified_split"] = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {hash60_sql('CAST(doc_id AS VARCHAR)', seed=11)}, doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, doc_id,
+       CASE WHEN rn <= CAST(FLOOR({TEST_FRAC_EXACT} * n) AS BIGINT)
+            THEN 'test' ELSE 'train' END AS split
+FROM ranked ORDER BY source, doc_id
+"""
