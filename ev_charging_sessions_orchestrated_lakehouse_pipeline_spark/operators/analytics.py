@@ -2763,3 +2763,77 @@ WHERE n_prior >= {ROLLING_Z_MIN_PRIOR}
           / sqrt((s2 - s1 * s1 / n_prior) / (n_prior - 1))) > {ROLLING_Z}
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile — the diagnosis that decides WHICH mitigation
+# a big join needs before it runs: for each candidate lineitem join
+# key, the distinct-key count, the heaviest key's row count, the
+# skew factor (heaviest key vs mean key load — how unbalanced the
+# heaviest shuffle partition's hottest key is), and the heaviest
+# key's share of all rows (whether ONE key dominates enough that
+# salting/AQE-skew-join matters). functions/skew.py holds the
+# mitigations; this is the profile a 100 TB operator reads first.
+#
+# Plan: one stack of the three key columns (map-side, no payload),
+# two-level aggregation — per-(col,key) counts with map-side
+# combine, then a 3-row per-column rollup. Shuffle volume is bounded
+# by distinct keys, never row count. Ratios are single divisions of
+# exact int64 counts, bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(3, 'l_orderkey', CAST(l_orderkey AS BIGINT), "
+            "'l_partkey', CAST(l_partkey AS BIGINT), "
+            "'l_suppkey', CAST(l_suppkey AS BIGINT)) AS (key_col, key_value)"
+        )
+    )
+    per_key = stacked.groupBy("key_col", "key_value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_key.groupBy("key_col")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_key_rows"),
+        )
+        .select(
+            "key_col",
+            "n_rows",
+            "n_distinct",
+            "max_key_rows",
+            (
+                (F.col("max_key_rows") * F.col("n_distinct")).cast("double")
+                / F.col("n_rows")
+            ).alias("skew_factor"),
+            (F.col("max_key_rows").cast("double") / F.col("n_rows")).alias(
+                "top_key_share"
+            ),
+        )
+        .orderBy("key_col")
+    )
+
+
+ORACLE["skew_profile"] = """
+WITH stacked AS (
+  SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS BIGINT) AS key_value
+    FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+), per_key AS (
+  SELECT key_col, key_value, COUNT(*) AS c
+  FROM stacked GROUP BY key_col, key_value
+)
+SELECT key_col,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS skew_factor,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_key_share
+FROM per_key GROUP BY key_col ORDER BY key_col
+"""
