@@ -359,3 +359,36 @@ def test_per_doc_text_metrics_are_map_side(spark, sf_dir, name):
         plan,
     )
     assert not hash_ex, f"{name}: unexpected shuffle(s) {hash_ex}"
+
+
+@pytest.mark.parametrize("name", ["pps_sample", "exact_stratified_split"])
+def test_sampler_scans_never_read_text(spark, sf_dir, name):
+    """The round-6 samplers' scale promise: both are decisions ABOUT
+    documents that never need the documents — selection is pure
+    (source, doc_id, weight) arithmetic, so column pruning must strip
+    the text payload at the parquet scan. A text# column appearing in
+    ReadSchema (or any Exchange) means a refactor started shipping
+    the corpus through the sampler's window shuffle."""
+    import re
+
+    plan = _formatted_plan(spark, QUERIES[name](spark, sf_dir))
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, f"{name}: scan reads text: {line}"
+    for cols in re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[[^\]]*\]: \[([^\]]*)\]", plan
+    ):
+        assert "text#" not in cols, f"{name}: payload column shuffled: [{cols}]"
+
+
+def test_skew_profile_scan_reads_only_key_columns(spark, sf_dir):
+    """skew_profile stacks three join keys out of 16-column lineitem;
+    pruning must reach the scan — the diagnosis of a 100 TB join must
+    not itself read the fact table's payload."""
+    plan = _formatted_plan(spark, QUERIES["skew_profile"](spark, sf_dir))
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
