@@ -310,6 +310,9 @@ def test_incremental_near_history_band_index_probe_is_shuffle_free(spark, sf_dir
         "dedup_incremental_near",
         "passage_dedup",
         "dedup_simhash_pairs",
+        # shuffles 20-token passages by design (CCNet layout) but must
+        # never move the full document text through an Exchange
+        "passage_dedup_global",
     ],
 )
 def test_dedup_family_never_shuffles_payload(spark, sf_dir, name):
@@ -326,7 +329,12 @@ def test_dedup_family_never_shuffles_payload(spark, sf_dir, name):
     )
     assert exchanges, f"{name}: expected Exchange nodes in the plan"
     for cols in exchanges:
-        assert "text#" not in cols, f"{name}: payload column shuffled: [{cols}]"
+        # match the raw source column `text#NN` only — derived outputs
+        # like `cleaned_text#NN` (a rewrite's RESULT, necessarily in
+        # its final sort exchange) are not the corpus payload
+        assert not re.search(r"(?<![A-Za-z0-9_])text#", cols), (
+            f"{name}: payload column shuffled: [{cols}]"
+        )
 
 
 @pytest.mark.parametrize(
