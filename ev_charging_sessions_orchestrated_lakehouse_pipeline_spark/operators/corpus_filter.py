@@ -704,3 +704,115 @@ SELECT source, n_docs,
 FROM terms
 GROUP BY source, n_docs ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift — the bin-free companion
+# to q_source_drift's chi-square: for every source, the KS distance
+# between its doc-length distribution and the REST of the corpus,
+# evaluated exactly (no binning, no approximation). KS is the
+# standard "did this feed's shape move" test; the chi-square above
+# needs a bin width chosen in advance, KS does not.
+#
+# Exactness: the CDF difference at grid value x is
+# |cum_a*n_b - cum_b*n_a| / (n_a*n_b); numerator and both counts are
+# int64, so the argmax is computed entirely in integers and the ONE
+# double division happens after the max — bit-identical cross-engine
+# (same pattern as pps_sample).
+#
+# Scale: two map-side-combinable groupBys (per-(source,len) and
+# per-len histograms), then a |sources| x |distinct lengths| dense
+# grid via a broadcast cross join of two TINY aggregates (doc length
+# has bounded support; the corpus itself is scanned once and never
+# shuffled). Window cumsums run per source over the small grid.
+# ---------------------------------------------------------------------------
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    per = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c_a"))
+    glob = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c_tot"))
+    sources = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
+    grid = glob.select("n_chars", "c_tot")
+    n_total = docs.count()  # one scalar; the grid is derived, not re-scanned
+
+    dense = (
+        sources.crossJoin(F.broadcast(grid))
+        .join(per, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            "n_a",
+            F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+            "c_tot",
+        )
+    )
+    wcum = W.partitionBy("source").orderBy("n_chars").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    diffs = dense.select(
+        "source",
+        "n_chars",
+        "n_a",
+        F.sum("c_a").over(wcum).alias("cum_a"),
+        F.sum("c_tot").over(wcum).alias("cum_t"),
+    ).select(
+        "source",
+        "n_chars",
+        "n_a",
+        (F.lit(n_total) - F.col("n_a")).alias("n_b"),
+        F.abs(
+            F.col("cum_a") * (F.lit(n_total) - F.col("n_a"))
+            - (F.col("cum_t") - F.col("cum_a")) * F.col("n_a")
+        ).alias("num"),
+    )
+    best = diffs.groupBy("source", "n_a", "n_b").agg(F.max("num").alias("max_num"))
+    return (
+        best.join(diffs, ["source", "n_a", "n_b"])
+        .where(F.col("num") == F.col("max_num"))
+        .groupBy("source", "n_a", "n_b", "max_num")
+        .agg(F.min("n_chars").alias("at_length"))
+        .select(
+            "source",
+            "n_a",
+            "n_b",
+            (
+                F.col("max_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_stat"),
+            "at_length",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ks_drift"] = """
+WITH per AS (
+  SELECT source, n_chars, COUNT(*) AS c_a
+  FROM documents GROUP BY source, n_chars
+), lens AS (
+  SELECT n_chars, COUNT(*) AS c_tot FROM documents GROUP BY n_chars
+), srcs AS (
+  SELECT source, COUNT(*) AS n_a FROM documents GROUP BY source
+), tot AS (SELECT COUNT(*) AS n FROM documents),
+dense AS (
+  SELECT s.source, g.n_chars, s.n_a, COALESCE(p.c_a, 0) AS c_a, g.c_tot
+  FROM srcs s CROSS JOIN lens g
+  LEFT JOIN per p ON p.source = s.source AND p.n_chars = g.n_chars
+), diffs AS (
+  SELECT source, n_chars, n_a,
+         CAST((SELECT n FROM tot) - n_a AS BIGINT) AS n_b,
+         ABS(SUM(c_a) OVER w * ((SELECT n FROM tot) - n_a)
+             - (SUM(c_tot) OVER w - SUM(c_a) OVER w) * n_a) AS num
+  FROM dense
+  WINDOW w AS (PARTITION BY source ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+), best AS (
+  SELECT source, n_a, n_b, MAX(num) AS max_num
+  FROM diffs GROUP BY source, n_a, n_b
+)
+SELECT b.source, b.n_a, b.n_b,
+       CAST(b.max_num AS DOUBLE) / (CAST(b.n_a AS DOUBLE) * b.n_b) AS ks_stat,
+       CAST(MIN(d.n_chars) AS BIGINT) AS at_length
+FROM best b JOIN diffs d
+  ON d.source = b.source AND d.num = b.max_num
+GROUP BY b.source, b.n_a, b.n_b, b.max_num
+ORDER BY b.source
+"""

@@ -56,6 +56,12 @@ BNLJ_ALLOWED = {
     # that both wedge joins keep their equi-keys (u; then b,c) — a
     # lost key would surface as a second BNLJ node here
     "triangle_count_oriented": 1,
+    # tiny |sources| x |distinct lengths| dense CDF grid: broadcast
+    # length-histogram aggregate crossed with the 20-row source list;
+    # the grid subtree appears on BOTH sides of the argmax self-join
+    # (max-per-source, then the rows attaining it), so the one
+    # logical cross join shows up as two physical BNLJ nodes
+    "ks_drift": 2,
     # 1-row node-count aggregate broadcast into the uniform r0 ranks
     # (visible since the PR loop became one lazy plan; the five
     # per-iteration contribution joins are all keyed equi-joins)
