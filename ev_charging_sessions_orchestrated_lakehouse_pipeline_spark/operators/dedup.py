@@ -230,6 +230,102 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric shingle containment: |A ∩ B| / min(|A|, |B|).
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs by shingle CONTAINMENT, the asymmetric
+    companion to ``q_dedup_ngram_jaccard``: a short document quoted
+    verbatim inside a much longer one has Jaccard ≈ |A|/|B| (tiny)
+    but containment |A∩B|/min(|A|,|B|) ≈ 1. Training-data pipelines
+    need both — symmetric Jaccard for true near-copies, containment
+    for quote-expansion / boilerplate-wrapping duplicates the
+    symmetric measure structurally cannot see (Broder's original
+    resemblance-vs-containment distinction).
+
+    Same single-shuffle inverted-index shape as the Jaccard query:
+    one groupBy(shingle), pairs emitted map-side from posting lists
+    capped at MAX_SHINGLE_DF (identical undercount bound — dropping
+    a hot shingle lowers the intersection by at most h, never
+    min(|A|,|B|), so capped containment >= exact - h/min and the
+    output is a subset of the uncapped exact pairs). Candidate
+    volume is bounded by sum(df^2) with df <= cap, independent of
+    corpus row count — the 100 TB story is the Jaccard query's.
+
+    Output: (doc_a < doc_b, containment, contained_doc) where
+    contained_doc is the smaller-shingle-set side (ties -> doc_a).
+    """
+    shingled = _shingled(spark, sf_dir).persist()
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
+    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    buckets = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / F.least(F.col("sa.n_shingles"), F.col("sb.n_shingles"))
+            ).alias("containment"),
+            F.when(
+                F.col("sa.n_shingles") <= F.col("sb.n_shingles"), F.col("doc_a")
+            )
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE["dedup_containment"] = f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)}) AS shingles
+  FROM documents
+  WHERE len({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)}) > 0
+),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+hot AS (
+  SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}
+),
+inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM shingled),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) AS containment,
+       CASE WHEN sa.n_shingles <= sb.n_shingles THEN doc_a ELSE doc_b END AS contained_doc
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash signatures — fully MAP-SIDE, zero shuffle.
 #
 # One base hash per distinct shingle (xxhash64, JVM intrinsic), then k

@@ -310,6 +310,7 @@ def test_incremental_near_history_band_index_probe_is_shuffle_free(spark, sf_dir
         "dedup_exact",
         "dedup_normalized",
         "dedup_ngram_jaccard",
+        "dedup_containment",
         "dedup_minhash_lsh",
         "leakfree_split",
         "source_cap",
