@@ -2724,7 +2724,12 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1)).over(w)
     mean = s1 / n
-    z = (F.col("value") - mean) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    # Explicit variance-positive predicate: on a constant trailing
+    # window Spark's zero-divide yields NULL (row filtered) while
+    # DuckDB's IEEE mode yields +/-inf (row flagged) — making the
+    # guard explicit keeps both engines in agreement by construction.
     return (
         ev.select(
             "event_id",
@@ -2732,12 +2737,15 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
             n.alias("n_prior"),
+            var.alias("_var"),
             z.alias("z"),
         )
         .filter(
             (F.col("n_prior") >= ROLLING_Z_MIN_PRIOR)
+            & (F.col("_var") > 0)
             & (F.abs(F.col("z")) > ROLLING_Z)
         )
+        .drop("_var")
         .orderBy("event_id")
     )
 
@@ -2759,6 +2767,7 @@ SELECT event_id, user_id, event_type, value, n_prior,
          / sqrt((s2 - s1 * s1 / n_prior) / (n_prior - 1)) AS z
 FROM wstats
 WHERE n_prior >= {ROLLING_Z_MIN_PRIOR}
+  AND (s2 - s1 * s1 / n_prior) / (n_prior - 1) > 0
   AND abs((value - s1 / n_prior)
           / sqrt((s2 - s1 * s1 / n_prior) / (n_prior - 1))) > {ROLLING_Z}
 ORDER BY event_id

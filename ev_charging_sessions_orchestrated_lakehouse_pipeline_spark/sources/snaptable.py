@@ -700,8 +700,13 @@ def read_snapshot(
 
 
 def _abs_uri(table: str, rel_or_abs: str) -> str:
-    """The _metadata.file_path form of a manifest file entry."""
-    return "file:" + os.path.normpath(os.path.join(table, rel_or_abs))
+    """The _metadata.file_path form of a manifest file entry.
+
+    Must be ABSOLUTE regardless of how the caller spelled ``table``:
+    Spark's ``_metadata.file_path`` is always an absolute file: URI,
+    so a relative table path here would make every DV anti-join and
+    bloom file mapping silently match nothing."""
+    return "file:" + os.path.abspath(os.path.join(table, rel_or_abs))
 
 
 def _apply_dvs(spark, df, table: str, dvs: dict):
@@ -1402,7 +1407,11 @@ def table_stats(table: str, version: int | None = None) -> dict:
     columns are deliberately excluded from exact answers — same
     reason Delta's metadata-only path is limited. A column missing
     stats in any file is simply absent from the result; ``rows`` is
-    always exact."""
+    always exact — including under deletion vectors, whose deleted
+    positions are subtracted per file. Files carrying a non-empty DV
+    are treated as having NO min/max stats (the footer bounds may
+    describe deleted rows), so any column they cover is omitted from
+    the result rather than answered stale."""
     from pyspark.sql.types import StructType
 
     head = current_version(table)
@@ -1431,9 +1440,16 @@ def table_stats(table: str, version: int | None = None) -> dict:
     }
     mins: dict = {}
     maxs: dict = {}
+    # Footer bounds of a DV-carrying file may belong to deleted rows;
+    # treat such files as stats-less so no column folds a stale bound.
+    dv_files = {f for f in files if dvs.get(f)}
     for col in numeric:
-        per_file_min = [fs[f]["min"].get(col) for f in files]
-        per_file_max = [fs[f]["max"].get(col) for f in files]
+        per_file_min = [
+            None if f in dv_files else fs[f]["min"].get(col) for f in files
+        ]
+        per_file_max = [
+            None if f in dv_files else fs[f]["max"].get(col) for f in files
+        ]
         if files and all(v is not None for v in per_file_min):
             mins[col] = min(per_file_min)
         if files and all(v is not None for v in per_file_max):
@@ -1526,7 +1542,7 @@ def add_bloom_index(
         )
         by_rel: dict[str, list[int]] = {}
         abs_to_entry = {
-            os.path.normpath(os.path.join(table, f)): f for f in files
+            os.path.abspath(os.path.join(table, f)): f for f in files
         }
         for r in grouped:
             # input_file_name is a file: URI; map it back to the
@@ -1535,7 +1551,7 @@ def add_bloom_index(
             from urllib.parse import unquote, urlparse
 
             path = unquote(urlparse(r._f).path) if ":" in r._f else r._f
-            entry = abs_to_entry.get(os.path.normpath(path))
+            entry = abs_to_entry.get(os.path.abspath(path))
             if entry is not None:
                 by_rel[entry] = sorted(r.ps)
         for f in files:

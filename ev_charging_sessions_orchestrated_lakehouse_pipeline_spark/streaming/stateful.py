@@ -183,9 +183,17 @@ def _update_zscore(
             s1 = float(str(sum(dec(v) for v in vals)))
             s2 = float(str(sum(dec(v * v) for v in vals)))
             value = float(row.value)
-            z = (value - s1 / n) / math.sqrt((s2 - s1 * s1 / n) / (n - 1))
-            if abs(z) > ROLLING_Z:
-                out.append((int(row.event_id), int(key[0]), value, n, z))
+            # A constant window has zero variance (possibly a tiny
+            # negative float) — the batch twin's division yields
+            # NULL/NaN and the row is filtered, so skip it here
+            # rather than kill the streaming query on sqrt/zero-div.
+            var = (s2 - s1 * s1 / n) / (n - 1)
+            if var > 0.0:
+                z = (value - s1 / n) / math.sqrt(var)
+                if abs(z) > ROLLING_Z:
+                    out.append(
+                        (int(row.event_id), int(key[0]), value, n, z)
+                    )
         vals.append(float(row.value))
         if len(vals) > ROLLING_Z_PRIOR:
             vals.pop(0)

@@ -1637,3 +1637,83 @@ def test_row_index_is_file_scoped_across_row_groups(spark, tmp_path):
         F.count_distinct("ri").alias("k"),
     ).collect()[0]
     assert (s.lo, s.hi, s.k) == (0, n - 1, n)
+
+
+def test_relative_table_path_dv_and_bloom(spark, orders, tmp_path):
+    """A RELATIVE table path (possible via the CLI ``table --table``
+    subcommand run from any cwd) must behave identically to the
+    absolute spelling: _abs_uri resolves manifest entries to absolute
+    file: URIs, so DV anti-joins still match Spark's absolute
+    ``_metadata.file_path`` (deleted rows stay deleted — before the
+    abspath fix they silently resurrected) and add_bloom_index still
+    maps input files back to manifest entries (before the fix it
+    committed empty bitmaps that pruned EVERY file, returning zero
+    rows for any equality scan)."""
+    t_abs = _tbl(tmp_path)
+    t = os.path.relpath(t_abs)  # relative to the JVM/driver cwd
+    assert not os.path.isabs(t)
+    st.create_table(orders, t, ["o_orderstatus"])
+    n0 = orders.count()
+    n_del = orders.filter(F.col("o_totalprice") > 400000.0).count()
+    assert n_del > 0
+
+    v2 = st.delete_where(
+        spark, t, [("o_totalprice", ">", 400000.0)], use_dv=True
+    )
+    assert st._read_manifest(t, v2)["operation"] == "delete_dv"
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n0 - n_del
+    assert snap.filter(F.col("o_totalprice") > 400000.0).count() == 0
+
+    # OPTIMIZE on the relative path materializes the DVs, not the
+    # deleted rows
+    st.optimize(spark, t, files_per_partition=1)
+    assert st.read_snapshot(spark, t).count() == n0 - n_del
+
+    st.add_bloom_index(spark, t, "o_custkey")
+    m = st._read_manifest(t, st.current_version(t))
+    indexed = [
+        s["bloom"]["o_custkey"]["pos"]
+        for s in m["file_stats"].values()
+        if "bloom" in s and "o_custkey" in s.get("bloom", {})
+    ]
+    assert indexed and any(pos for pos in indexed)  # non-empty bitmaps
+    key = orders.filter(F.col("o_totalprice") <= 400000.0).first().o_custkey
+    expect = orders.filter(
+        (F.col("o_custkey") == key) & (F.col("o_totalprice") <= 400000.0)
+    ).count()
+    got = st.scan(spark, t, [("o_custkey", "=", int(key))]).count()
+    assert got == expect and got > 0
+
+
+def test_table_stats_omits_minmax_under_deletion_vectors(spark, orders, tmp_path):
+    """After a DV delete removes a column's extreme rows, the footer
+    min/max of DV-carrying files describe rows that no longer exist —
+    table_stats must OMIT such columns (mirroring missing-stats
+    behavior) rather than answer stale, while ``rows`` stays exact.
+    OPTIMIZE materializes the DVs into fresh files, after which exact
+    min/max come back reflecting the delete."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    s0 = st.table_stats(t)
+    true_max0 = orders.agg(F.max("o_totalprice")).collect()[0][0]
+    assert s0["max"]["o_totalprice"] == true_max0
+
+    n0 = orders.count()
+    n_del = orders.filter(F.col("o_totalprice") > 400000.0).count()
+    st.delete_where(spark, t, [("o_totalprice", ">", 400000.0)], use_dv=True)
+    s1 = st.table_stats(t)
+    assert s1["rows"] == n0 - n_del  # exact under DVs
+    # the max-carrying file now has a DV -> column omitted entirely
+    assert "o_totalprice" not in s1["max"]
+    assert "o_totalprice" not in s1["min"]
+
+    st.optimize(spark, t, files_per_partition=1)
+    s2 = st.table_stats(t)
+    live_max = (
+        orders.filter(F.col("o_totalprice") <= 400000.0)
+        .agg(F.max("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert s2["rows"] == n0 - n_del
+    assert s2["max"]["o_totalprice"] == live_max

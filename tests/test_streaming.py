@@ -692,3 +692,42 @@ def test_streaming_zscore_state_survives_restart(spark, sf_dir, tmp_path):
         s = streamed[eid]
         assert (s.user_id, s.n_prior) == (b.user_id, b.n_prior), eid
         assert s.value == b.value and s.z == b.z, eid
+
+
+def test_streaming_zscore_constant_window_skips_not_crashes():
+    """A user whose trailing window is constant (>= ROLLING_Z_MIN_PRIOR
+    identical values — plausible for heartbeat/sensor feeds) has zero
+    sample variance; the batch twin's zero-divide yields NULL and
+    filters the row, so the streaming operator must SKIP the row, not
+    raise ZeroDivisionError / math domain error and kill the query."""
+    import pandas as pd
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.analytics import (
+        ROLLING_Z_MIN_PRIOR,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.stateful import (
+        _update_zscore,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    n = ROLLING_Z_MIN_PRIOR + 5
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n + 1),
+            "user_id": [7] * (n + 1),
+            "ts": range(n + 1),
+            "value": [42.0] * n + [1e9],  # constant prior window
+        }
+    )
+    state = FakeState()
+    out = pd.concat(list(_update_zscore((7,), iter([pdf]), state)))
+    # every scored row saw a zero-variance window -> nothing emitted,
+    # and crucially nothing raised
+    assert out.empty
+    # state still advanced: the window now holds the trailing values
+    assert state.stored[0][-1] == 1e9
