@@ -1,0 +1,652 @@
+"""Statistical profiling and data-observability operators: Benford
+first-digit conformance, robust (median/MAD) outlier detection,
+interval-overlap peak concurrency, order-independent partition
+checksums, collocation lift, chi-square association, and EWMA
+smoothing.
+
+These extend the reference's DQ surface (its pydeequ-style
+completeness/containment checks, ``jobs/ev_sessions_silver_etl_clean.py:
+175-210``) with the distribution-level monitors a production lake runs
+on top of row-level gates — the reference itself has no equivalent;
+this module is part of the observability/extension tier alongside
+operators/quality.py and operators/corpus_filter.py.
+
+Engine-parity rules (the repo-wide oracle discipline):
+
+- Counting happens in int64 and stays exact; every statistic performs
+  its float work in the SAME textual expression order on both engines.
+- Sums of per-row/per-cell double terms route through DECIMAL(25,10)
+  (functions/oracle.py) so they are order-independent — a grouped or
+  windowed double SUM is never hash-compared directly.
+- No log()/exp() in compared output (Math.log vs libm may differ in
+  the last ulp): Benford's expected shares are embedded as shared
+  literal constants, and collocation strength uses the rational LIFT
+  form rather than log-PMI (a monotone transform, so rankings match).
+
+Scale design (100 TB):
+
+- **Benford / chi-square association** aggregate to tiny keyed frames
+  (9 digits, |priorities| x |statuses| cells) with map-side combine;
+  the windowed total runs over those few rows, never the fact table.
+- **MAD outliers** needs exact per-group order statistics: two
+  rank-and-pick passes (sort shuffle each) over (group, value) pairs
+  — the payload never travels — then one broadcast join of the
+  per-group medians back onto the stream. At petabyte scale swap the
+  exact ordstat for the approx_percentile_bounds sketch without
+  changing the join shape.
+- **Peak concurrency** is the classic sweep line: each session emits
+  two (t, +/-1) deltas, ONE shuffle partitions by group, and a
+  running sum over the sorted deltas finds the max — O(1) state per
+  partition, no interval self-join (which would be quadratic on hot
+  groups).
+- **Partition checksums** fold a 60-bit row digest into an exact
+  decimal sum per partition — commutative, so replication audits can
+  compare checksums computed on different clusters with different
+  partition orders, and mergeable, so per-file sums roll up to
+  per-partition sums without rescanning.
+- **Collocation lift** derives its marginals from the aggregated
+  bigram frame itself (never a second corpus scan) and broadcasts
+  them back; top-k is TakeOrderedAndProject.
+- **EWMA** joins each user's LAST event against its bounded trailing
+  window (EWMA_K rows) by row-number range — per-user work is O(K),
+  one shuffle by user.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+from ..functions.oracle import DEC
+
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance — the classic "is this numeric feed
+# organic" fraud/quality screen: compare the observed first
+# significant digit distribution of a positive measure against
+# Benford's law and report the chi-square-style divergence.
+#
+# The first digit is extracted through integer arithmetic and string
+# slicing of an int64 (floor -> BIGINT -> VARCHAR -> first char) —
+# never via log10 or double formatting, both of which differ across
+# engines. Expected shares are literal constants shared by both query
+# texts, so the only float work is share = n/total (one division of
+# exact int64s) and the squared-deviation terms, decimal-summed.
+# ---------------------------------------------------------------------------
+_BENFORD_EXP = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    per = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = W.partitionBy()
+    total = F.sum("n").over(wall)
+    share = F.col("n").cast("double") / total.cast("double")
+    expected = F.expr(
+        "CASE digit "
+        + " ".join(f"WHEN '{d}' THEN {x}D" for d, x in _BENFORD_EXP.items())
+        + " END"
+    )
+    term = (share - expected) * (share - expected) / expected
+    return (
+        per.select(
+            "digit",
+            "n",
+            share.alias("share"),
+            expected.alias("expected"),
+            term.cast(DEC).alias("_term"),
+        )
+        .select(
+            "digit",
+            "n",
+            "share",
+            "expected",
+            F.sum("_term").over(wall).cast("string").cast("double").alias(
+                "chi2_total"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE["benford_profile"] = (
+    """
+WITH per AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+), terms AS (
+  SELECT digit, n,
+         CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+         CASE digit """
+    + " ".join(f"WHEN '{d}' THEN {x}" for d, x in _BENFORD_EXP.items())
+    + """ END AS expected
+  FROM per
+)
+SELECT digit, n, share, expected,
+       CAST(CAST(SUM(CAST((share - expected) * (share - expected) / expected
+                          AS DECIMAL(25,10))) OVER () AS VARCHAR) AS DOUBLE)
+         AS chi2_total
+FROM terms
+ORDER BY digit
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Median / MAD robust outliers — the heavy-tail-safe companion to
+# q_value_outliers (mean/stddev) and q_rolling_zscore: a single wild
+# value inflates a standard deviation enough to mask later outliers,
+# while the median absolute deviation barely moves. Flags values with
+# |v - median| > MAD_K * MAD per event_type.
+#
+# Exactness: medians are EXACT order statistics computed with the
+# rank-and-pick construction of q_percentiles_ordstat — identical
+# expression text on both engines, so the interpolated median and the
+# derived MAD are bit-identical, and the outlier comparison (pure
+# IEEE multiply/compare) cannot disagree.
+# ---------------------------------------------------------------------------
+MAD_K = 3.0
+
+_MED_R = "(1.0D + 0.5D * (CAST(n AS DOUBLE) - 1.0D))"
+_MED_R_SQL = "(1.0 + 0.5 * (CAST(n AS DOUBLE) - 1.0))"
+
+
+def _exact_median(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Per-``key`` exact interpolated median of ``val`` as ``out``."""
+    wp = W.partitionBy(key)
+    ranked = df.select(
+        key,
+        val,
+        F.row_number().over(wp.orderBy(val)).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    keep = f"rn = floor({_MED_R}) OR rn = ceil({_MED_R})"
+    grouped = (
+        ranked.filter(F.expr(keep))
+        .groupBy(key)
+        .agg(
+            F.max("n").alias("n"),
+            F.expr(f"max(CASE WHEN rn = floor({_MED_R}) THEN {val} END)").alias(
+                "lo"
+            ),
+            F.expr(f"max(CASE WHEN rn = ceil({_MED_R}) THEN {val} END)").alias(
+                "hi"
+            ),
+        )
+    )
+    return grouped.select(
+        key,
+        "n",
+        F.expr(f"lo + (hi - lo) * ({_MED_R} - floor({_MED_R}))").alias(out),
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = _exact_median(ev, "event_type", "value", "med")
+    devs = ev.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = _exact_median(devs, "event_type", "dev", "mad").select(
+        "event_type", "mad"
+    )
+    flagged = (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(flagged, "event_type")
+        .select("event_type", "n", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+def _median_sql(src: str, key: str, val: str, out: str) -> str:
+    r = _MED_R_SQL
+    return f"""
+  SELECT {key}, n, lo + (hi - lo) * ({r} - floor({r})) AS {out}
+  FROM (
+    SELECT {key}, CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = floor({r}) THEN {val} END) AS lo,
+           MAX(CASE WHEN rn = ceil({r}) THEN {val} END) AS hi
+    FROM (
+      SELECT {key}, {val},
+             row_number() OVER (PARTITION BY {key} ORDER BY {val}) AS rn,
+             COUNT(*) OVER (PARTITION BY {key}) AS n
+      FROM {src}
+    )
+    WHERE rn = floor({r}) OR rn = ceil({r})
+    GROUP BY {key}
+  )
+"""
+
+
+ORACLE["mad_outliers"] = f"""
+WITH med AS ({_median_sql("events", "event_type", "value", "med")}),
+devs AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS ({_median_sql("devs", "event_type", "dev", "mad")}),
+flagged AS (
+  SELECT d.event_type,
+         CAST(SUM(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+  FROM devs d JOIN mad a USING (event_type)
+  GROUP BY d.event_type
+)
+SELECT m.event_type, m.n, m.med, a.mad, f.n_outliers
+FROM med m JOIN mad a USING (event_type) JOIN flagged f USING (event_type)
+ORDER BY m.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (interval-overlap maximum) — "how many sessions of
+# each type were active AT ONCE, and when was the peak first hit":
+# the capacity-planning number a charging-network operator actually
+# provisions against (the reference's peak-hours query
+# counts session STARTS per hour, which undercounts sessions that
+# span hours).
+#
+# Sessions are [start, start + floor(value * 60) + 1) second
+# intervals. Sweep line: +1 at start, -1 at end, running sum over the
+# total order (t, delta, event_id) — delta sorts -1 before +1 so a
+# session ending exactly when another starts never overlaps it. All
+# arithmetic is int64; timestamps go through floor(epoch) so
+# sub-second fractions truncate identically on both engines.
+# ---------------------------------------------------------------------------
+def q_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("start_t"),
+        (F.floor(F.col("value") * F.lit(60.0))).cast("long").alias("dur"),
+    )
+    deltas = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_t").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("start_t") + F.col("dur") + F.lit(1)).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("event_type", "event_id", "e.t", "e.delta")
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    conc = deltas.select(
+        "event_type", "t", F.sum("delta").over(wrun).alias("conc")
+    )
+    peak = conc.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        conc.join(F.broadcast(peak), "event_type")
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("peak_at_epoch"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE["concurrent_peak"] = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_t,
+         CAST(floor(value * 60.0) AS BIGINT) AS dur
+  FROM events
+), deltas AS (
+  SELECT event_type, event_id, start_t AS t, 1 AS delta FROM ev
+  UNION ALL
+  SELECT event_type, event_id, start_t + dur + 1 AS t, -1 AS delta FROM ev
+), conc AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+), peak AS (
+  SELECT event_type, MAX(conc) AS peak FROM conc GROUP BY event_type
+)
+SELECT c.event_type, CAST(p.peak AS BIGINT) AS peak,
+       CAST(MIN(c.t) AS BIGINT) AS peak_at_epoch
+FROM conc c JOIN peak p ON c.event_type = p.event_type AND c.conc = p.peak
+GROUP BY c.event_type, p.peak
+ORDER BY c.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Order-independent partition checksums — the replication/migration
+# audit primitive: a 60-bit digest of every row's canonical string,
+# folded with exact decimal addition per partition. Because the fold
+# is commutative and associative, two clusters can checksum the same
+# logical partition in ANY physical order (different file splits,
+# different shuffle layouts) and must produce identical values —
+# unlike a concatenation or first-N digest. Mergeable: per-file sums
+# roll up to partition/table sums without rescanning.
+#
+# Doubles never enter the canonical string (double→string formatting
+# is engine-specific): o_totalprice rides as DECIMAL(12,2) text, the
+# date as an explicit yyyy-MM-dd format.
+# ---------------------------------------------------------------------------
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rowstr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            hash60(rowstr).alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("checksum"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE["partition_checksums"] = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST({hash60_sql(
+           "concat_ws('|', CAST(o_orderkey AS VARCHAR), "
+           "CAST(o_custkey AS VARCHAR), o_orderstatus, "
+           "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), "
+           "strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)"
+       )} AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Collocation lift — PMI-style collocation mining over adjacent
+# bigrams, using the RATIONAL lift form
+#   lift(x,y) = N * c(x,y) / (c(x,·) * c(·,y))
+# instead of log-PMI (log is a monotone transform, and Math.log vs
+# libm log can differ in the last ulp across engines). lift > 1 means
+# the pair co-occurs more than independence predicts — the phrase
+# detector feeding tokenizer merges and boilerplate lexicons.
+#
+# All products stay exact: c_xy * N and c_x * c_y are int64 products
+# well under 2^53, so the single double division is bit-deterministic.
+# Marginals come from the AGGREGATED bigram frame (never a second
+# corpus pass) and broadcast back onto it.
+# ---------------------------------------------------------------------------
+MIN_COLLOC = 5
+COLLOC_TOPK = 50
+
+
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .select(
+            "bigram",
+            "c_xy",
+            F.split(F.col("bigram"), " ").getItem(0).alias("x"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("y"),
+        )
+    )
+    firsts = bg.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    seconds = bg.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n_total = F.sum("c_xy").over(W.partitionBy())
+    scored = (
+        bg.join(F.broadcast(firsts), "x")
+        .join(F.broadcast(seconds), "y")
+        .select("bigram", "c_xy", "c_x", "c_y", n_total.alias("n_total"))
+        .where(F.col("c_xy") >= MIN_COLLOC)
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                F.col("c_xy").cast("double")
+                * F.col("n_total").cast("double")
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "bigram").limit(COLLOC_TOPK)
+
+
+ORACLE["collocation_lift"] = f"""
+WITH bg AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram, COUNT(*) AS c_xy
+  FROM (
+    SELECT string_split(text, ' ') AS t,
+           unnest(range(1, len(string_split(text, ' ')))) AS i
+    FROM documents
+  )
+  GROUP BY bigram
+), parts AS (
+  SELECT bigram, c_xy,
+         string_split(bigram, ' ')[1] AS x,
+         string_split(bigram, ' ')[2] AS y,
+         SUM(c_xy) OVER () AS n_total
+  FROM bg
+), firsts AS (SELECT x, SUM(c_xy) AS c_x FROM parts GROUP BY x),
+seconds AS (SELECT y, SUM(c_xy) AS c_y FROM parts GROUP BY y)
+SELECT p.bigram, p.c_xy,
+       CAST(f.c_x AS BIGINT) AS c_x, CAST(s.c_y AS BIGINT) AS c_y,
+       CAST(p.c_xy AS DOUBLE) * CAST(p.n_total AS DOUBLE)
+         / (CAST(f.c_x AS DOUBLE) * CAST(s.c_y AS DOUBLE)) AS lift
+FROM parts p JOIN firsts f USING (x) JOIN seconds s USING (y)
+WHERE p.c_xy >= {MIN_COLLOC}
+ORDER BY lift DESC, bigram
+LIMIT {COLLOC_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of association between two categorical columns —
+# "are order priority and order status independent?": the
+# contingency-table screen run before trusting a segmentation, and
+# the categorical twin of q_source_drift's binned drift test.
+#
+# Expected counts are integer products divided once in double; the
+# chi-square total decimal-sums the per-cell terms so the scalar is
+# order-independent. Degrees of freedom come from a 1-row aggregate
+# cross-joined back (broadcast on the Spark side).
+# ---------------------------------------------------------------------------
+def q_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    wr = W.partitionBy("o_orderpriority")
+    wc = W.partitionBy("o_orderstatus")
+    wall = W.partitionBy()
+    exp = (F.sum("n_c").over(wr) * F.sum("n_c").over(wc)).cast(
+        "double"
+    ) / F.sum("n_c").over(wall).cast("double")
+    term = (F.col("n_c").cast("double") - F.col("exp")) * (
+        F.col("n_c").cast("double") - F.col("exp")
+    ) / F.col("exp")
+    dims = orders.agg(
+        F.count_distinct("o_orderpriority").alias("n_pri"),
+        F.count_distinct("o_orderstatus").alias("n_st"),
+    ).select(((F.col("n_pri") - 1) * (F.col("n_st") - 1)).alias("dof"))
+    return (
+        cells.select("o_orderpriority", "o_orderstatus", "n_c", exp.alias("exp"))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_c",
+            "exp",
+            term.cast(DEC).alias("_term"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_c",
+            "exp",
+            F.sum("_term").over(wall).cast("string").cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+ORACLE["chi_square_assoc"] = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_c
+  FROM orders GROUP BY 1, 2
+), exps AS (
+  SELECT o_orderpriority, o_orderstatus, n_c,
+         CAST(SUM(n_c) OVER (PARTITION BY o_orderpriority)
+              * SUM(n_c) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+           / CAST(SUM(n_c) OVER () AS DOUBLE) AS exp
+  FROM cells
+), dims AS (
+  SELECT (COUNT(DISTINCT o_orderpriority) - 1)
+           * (COUNT(DISTINCT o_orderstatus) - 1) AS dof
+  FROM orders
+)
+SELECT o_orderpriority, o_orderstatus, n_c, exp,
+       CAST(CAST(SUM(CAST((CAST(n_c AS DOUBLE) - exp)
+                          * (CAST(n_c AS DOUBLE) - exp) / exp
+                          AS DECIMAL(25,10))) OVER () AS VARCHAR) AS DOUBLE)
+         AS chi2,
+       CAST((SELECT dof FROM dims) AS BIGINT) AS dof
+FROM exps
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA (exponentially weighted moving average) — the smoothed "current
+# level" per user over their trailing EWMA_K events, the state a
+# monitoring/personalization pipeline keeps per entity. Decay
+# alpha = 1/2 per step is deliberate: weights 2^-k are exact binary
+# fractions, value * 2^-k is pure exponent arithmetic (EXACT in
+# IEEE-754), and both weighted sum and weight norm go through the
+# exact decimal route — so the single final division is the only
+# rounding step and matches bit-for-bit cross-engine.
+#
+# Shape: rank events per user (one shuffle), keep each user's LAST
+# row, and range-join it against its own trailing window by
+# row-number distance — O(EWMA_K) rows per user, payloads never
+# shuffle twice.
+# ---------------------------------------------------------------------------
+EWMA_K = 8
+
+
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "value", F.row_number().over(wp).alias("rn")
+    )
+    last = ranked.groupBy("user_id").agg(F.max("rn").alias("last_rn"))
+    hist = ranked.alias("h")
+    pairs = (
+        last.alias("c")
+        .join(hist, F.col("c.user_id") == F.col("h.user_id"))
+        .where(
+            (F.col("h.rn") <= F.col("c.last_rn"))
+            & (F.col("h.rn") > F.col("c.last_rn") - EWMA_K)
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            (F.col("c.last_rn") - F.col("h.rn")).alias("k"),
+            F.col("h.value").alias("value"),
+        )
+    )
+    w = F.pow(F.lit(0.5), F.col("k").cast("double"))
+    return (
+        pairs.select(
+            "user_id",
+            (F.col("value") * w).cast(DEC).alias("_term"),
+            w.cast(DEC).alias("_w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            (
+                F.sum("_term").cast("string").cast("double")
+                / F.sum("_w").cast("string").cast("double")
+            ).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["ewma_value"] = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), last AS (
+  SELECT user_id, MAX(rn) AS last_rn FROM ranked GROUP BY user_id
+), pairs AS (
+  SELECT c.user_id, c.last_rn - h.rn AS k, h.value
+  FROM last c JOIN ranked h ON c.user_id = h.user_id
+  WHERE h.rn <= c.last_rn AND h.rn > c.last_rn - {EWMA_K}
+)
+SELECT user_id, COUNT(*) AS n_used,
+       CAST(CAST(SUM(CAST(value * power(0.5, CAST(k AS DOUBLE))
+                          AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(power(0.5, CAST(k AS DOUBLE))
+                              AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+         AS ewma
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -51,6 +51,7 @@ def _build() -> None:
         "bloom",
         "sketches",
         "linalg",
+        "stats",
     ):
         try:
             mod = __import__(
