@@ -515,3 +515,105 @@ LIMIT {PR_TOPK}
 
 
 ORACLE["pagerank"] = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood-Jaccard link scores — the classic link-prediction /
+# community-strength feature over the co-supply graph: for every
+# existing edge (a, b), the Jaccard similarity of the two endpoints'
+# neighbor sets, J = |N(a) n N(b)| / |N(a) u N(b) \ {a,b}|. An edge
+# whose endpoints share most of their neighborhoods is intra-community
+# (a dense supplier cluster); J = 0 flags bridge edges between
+# communities — the edges graph-partitioning cuts first.
+#
+# Everything derives from the SAME bounded TOP_EDGES frame the other
+# graph queries share (one cached derivation per session/sf_dir, <=
+# TOP_EDGES rows): common-neighbor counts are the triangle wedge join
+# over the tiny symmetric adjacency, degrees one groupBy over it —
+# shuffle volume is O(TOP_EDGES), independent of lineitem size. The
+# union denominator excludes the endpoints themselves
+# (deg_a + deg_b - common - 2, both endpoints adjacent to each other
+# by construction); the single double division is exact, and the
+# isolated-edge case (denominator 0: two degree-1 endpoints) scores
+# 0.0 on both engines via the same CASE guard.
+# ---------------------------------------------------------------------------
+def q_graph_jaccard_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = shared_cosupply_edges(spark, sf_dir)
+    both = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = both.alias("a")
+    b = both.alias("b")
+    common = (
+        edges.select("src", "dst")
+        .alias("e")
+        .join(a, F.col("a.src") == F.col("e.src"))
+        .join(
+            b,
+            (F.col("b.src") == F.col("e.dst"))
+            & (F.col("b.dst") == F.col("a.dst")),
+        )
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        edges.select("src", "dst", "weight")
+        .join(common, ["src", "dst"], "left")
+        .join(deg.select(F.col("src").alias("src"), F.col("deg").alias("deg_a")), "src")
+        .join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_b")), "dst")
+        .select(
+            "src",
+            "dst",
+            "weight",
+            F.coalesce(F.col("common"), F.lit(0)).alias("common"),
+            "deg_a",
+            "deg_b",
+        )
+        .select(
+            "src",
+            "dst",
+            "weight",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CASE WHEN deg_a + deg_b - common - 2 > 0 "
+                "THEN CAST(common AS DOUBLE) "
+                "/ CAST(deg_a + deg_b - common - 2 AS DOUBLE) "
+                "ELSE 0.0D END"
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "src", "dst").limit(100)
+
+
+ORACLE["graph_jaccard_link"] = f"""
+WITH {_EDGES_SQL},
+both_dir AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+degree AS (SELECT src, COUNT(*) AS deg FROM both_dir GROUP BY src),
+common AS (
+  SELECT e.src, e.dst, COUNT(*) AS common
+  FROM edges e
+  JOIN both_dir a ON a.src = e.src
+  JOIN both_dir b ON b.src = e.dst AND b.dst = a.dst
+  GROUP BY e.src, e.dst
+)
+SELECT e.src, e.dst, e.weight,
+       CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       CASE WHEN da.deg + db.deg - COALESCE(c.common, 0) - 2 > 0
+            THEN CAST(COALESCE(c.common, 0) AS DOUBLE)
+                 / CAST(da.deg + db.deg - COALESCE(c.common, 0) - 2 AS DOUBLE)
+            ELSE 0.0 END AS jaccard
+FROM edges e
+LEFT JOIN common c ON c.src = e.src AND c.dst = e.dst
+JOIN degree da ON da.src = e.src
+JOIN degree db ON db.src = e.dst
+ORDER BY jaccard DESC, e.src, e.dst
+LIMIT 100
+"""

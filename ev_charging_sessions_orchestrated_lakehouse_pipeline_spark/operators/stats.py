@@ -650,3 +650,231 @@ FROM pairs
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Fact-vs-rollup reconciliation — the cross-table consistency audit a
+# lakehouse runs between a header table and its line-level detail:
+# recompute each order's charge rollup SUM(extendedprice * (1 -
+# discount) * (1 + tax)) from lineitem and compare it to the header's
+# o_totalprice, reporting mismatch counts, orders with no lines, and
+# the worst absolute delta per status. (The synthetic fixture header
+# prices are NOT derived from the lines — the audit's job is exactly
+# to measure and bound that disagreement, not to assume it away.)
+#
+# Exactness: the per-row charge is one deterministic IEEE expression;
+# per-order rollups decimal-sum it (order-independent); delta and the
+# MAX fold are then pure functions of exact inputs. Scale: one
+# map-side-combinable groupBy on l_orderkey (the natural key the
+# detail table is already clustered by), a key+two-doubles join
+# against the header — line payloads never shuffle twice — then a
+# tiny per-status rollup.
+# ---------------------------------------------------------------------------
+RECONCILE_TOL = 0.01
+
+
+def q_reconcile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    rolled = li.groupBy("l_orderkey").agg(
+        F.sum(charge.cast(DEC)).cast("string").cast("double").alias("rollup")
+    )
+    joined = orders.join(
+        rolled, orders["o_orderkey"] == rolled["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        "o_totalprice",
+        "rollup",
+        F.abs(F.col("o_totalprice") - F.col("rollup")).alias("abs_delta"),
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("rollup").isNull(), 1).otherwise(0)
+            ).alias("n_no_lines"),
+            F.sum(
+                F.when(F.col("abs_delta") > RECONCILE_TOL, 1).otherwise(0)
+            ).alias("n_mismatch"),
+            F.max("abs_delta").alias("max_abs_delta"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE["reconcile_rollup"] = f"""
+WITH rolled AS (
+  SELECT l_orderkey,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            * (1.0 + l_tax)
+                            AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+           AS rollup
+  FROM lineitem GROUP BY l_orderkey
+), joined AS (
+  SELECT o.o_orderstatus, o.o_totalprice, r.rollup,
+         ABS(o.o_totalprice - r.rollup) AS abs_delta
+  FROM orders o LEFT JOIN rolled r ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN rollup IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(SUM(CASE WHEN abs_delta > {RECONCILE_TOL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+       MAX(abs_delta) AS max_abs_delta
+FROM joined
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness — the time-series shape profile per user:
+# gaps between consecutive events (int64 seconds via lag), their mean
+# and standard deviation, and the Goh-Barabasi burstiness index
+# B = (sigma - mu) / (sigma + mu) in [-1, 1): B near -1 is a
+# metronome (periodic heartbeat), near 0 a Poisson process, toward 1
+# a bursty human. The monitor that tells a rate-limiter or an
+# anomaly detector what "normal" inter-event spacing looks like.
+#
+# Exactness: gaps are exact int64 second differences; their sums and
+# squared sums fold in DECIMAL(38,0) (no 2^53 ceiling at scale) and
+# reach double through the correctly-rounded string route, so
+# mu/sigma/B are single deterministic IEEE expressions. One shuffle
+# (window by user), then a per-user aggregate.
+# ---------------------------------------------------------------------------
+MIN_GAPS = 5
+
+
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id"
+    )
+    wp = W.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("t") - F.lag("t").over(wp)).alias("d")
+    ).where(F.col("d").isNotNull())
+    s = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("d").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n_gaps")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1)
+    )
+    return (
+        s.where(F.col("n_gaps") >= MIN_GAPS)
+        .select(
+            "user_id",
+            "n_gaps",
+            mu.alias("mean_gap"),
+            sigma.alias("std_gap"),
+            ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["interarrival_burstiness"] = f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS d
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         CAST(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           AS s2
+  FROM gaps WHERE d IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       s1 / n_gaps AS mean_gap,
+       sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) AS std_gap,
+       (sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) - s1 / n_gaps)
+         / (sqrt((s2 - s1 * s1 / n_gaps) / (n_gaps - 1)) + s1 / n_gaps)
+         AS burstiness
+FROM s
+WHERE n_gaps >= {MIN_GAPS}
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — "the price at which half the VOLUME trades": the
+# 50th percentile of l_extendedprice weighted by l_quantity per
+# return flag. An unweighted median treats a 1-unit line and a
+# 50-unit line alike; procurement/pricing decisions weight by volume.
+#
+# Definition: the smallest value v whose cumulative weight reaches
+# half the total (lower weighted median — no interpolation, so the
+# answer is always an actual data value). Cumulative weights fold as
+# exact DECIMAL(25,10) over the total order (value, rn), and the
+# half-total comparison happens in decimal (2 * cumw >= total), so
+# the pick is integer-exact on both engines. One sort shuffle of
+# (flag, value, weight) pairs; at 100 TB the same statistic comes
+# from a weighted histogram sketch with this exact query as oracle.
+# ---------------------------------------------------------------------------
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast(DEC).alias("w"),
+    )
+    wp = W.partitionBy("l_returnflag")
+    worder = wp.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(worder).alias("cumw"),
+        F.sum("w").over(wp).alias("total"),
+    )
+    return (
+        cum.where(F.col("cumw") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.max(F.col("total").cast("string").cast("double")).alias(
+                "total_weight"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["weighted_median"] = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS DECIMAL(25,10)))
+           OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                 ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(CAST(l_quantity AS DECIMAL(25,10)))
+           OVER (PARTITION BY l_returnflag) AS total
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(v) AS wmedian,
+       MAX(CAST(CAST(total AS VARCHAR) AS DOUBLE)) AS total_weight
+FROM cum
+WHERE cumw * 2 >= total
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

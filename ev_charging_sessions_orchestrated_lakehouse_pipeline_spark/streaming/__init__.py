@@ -19,6 +19,7 @@ from .ingest import (
 )
 from .stateful import (
     stateful_user_totals,
+    streaming_concurrent_peak,
     streaming_topk_per_user,
     streaming_zscore,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "windowed_event_counts",
     "session_windows",
     "stateful_user_totals",
+    "streaming_concurrent_peak",
     "streaming_topk_per_user",
     "streaming_zscore",
 ]

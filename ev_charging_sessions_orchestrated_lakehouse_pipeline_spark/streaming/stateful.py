@@ -214,3 +214,57 @@ def streaming_zscore(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming peak concurrency — the stateful twin of the batch
+# sweep-line (operators/stats.py q_concurrent_peak): the state per
+# event_type is just (current concurrency, peak, peak_at) — three
+# longs, O(1) regardless of stream length — updated by folding the
+# session-boundary deltas in total order. Each micro-batch emits the
+# running (peak, peak_at_epoch) so a dashboard always has the
+# high-water mark; the final emission equals the batch query exactly.
+#
+# Order contract (same stance as streaming_zscore): the DELTA feed
+# must respect the (t, delta, event_id) total order across
+# micro-batches — the operator sorts within each batch; cross-batch
+# order is the caller's (in production, a watermark-reordered
+# upstream; in tests, a pre-sorted file replay). Deltas, not raw
+# sessions, are the stream: an end event becomes visible at
+# start + duration, which is exactly what a watermarked session
+# tracker emits.
+# ---------------------------------------------------------------------------
+CONC_OUTPUT_SCHEMA = "event_type string, peak long, peak_at_epoch long"
+CONC_STATE_SCHEMA = "conc long, peak long, peak_at long"
+
+
+def _update_concurrency(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    conc, peak, peak_at = state.get if state.exists else (0, 0, 0)
+    pdf = pd.concat(list(pdfs)).sort_values(["t", "delta", "event_id"])
+    for row in pdf.itertuples():
+        conc += int(row.delta)
+        if conc > peak:
+            peak, peak_at = conc, int(row.t)
+    state.update((conc, peak, peak_at))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "peak": [peak], "peak_at_epoch": [peak_at]}
+    )
+
+
+def streaming_concurrent_peak(deltas: DataFrame) -> DataFrame:
+    """Running per-type peak concurrency over a session-boundary
+    delta stream (event_type, t, delta, event_id); emits the current
+    high-water mark each micro-batch. Final emission is the exact
+    twin of the batch ``concurrent_peak`` query given in-order
+    replay."""
+    return deltas.groupBy("event_type").applyInPandasWithState(
+        _update_concurrency,
+        outputStructType=CONC_OUTPUT_SCHEMA,
+        stateStructType=CONC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

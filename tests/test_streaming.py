@@ -731,3 +731,105 @@ def test_streaming_zscore_constant_window_skips_not_crashes():
     assert out.empty
     # state still advanced: the window now holds the trailing values
     assert state.stored[0][-1] == 1e9
+
+
+def test_streaming_concurrent_peak_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful sweep-line concurrency: replay the session-boundary
+    delta feed (start +1 at ts, end -1 at ts + floor(value*60) + 1)
+    in 4 time-ordered micro-batches; the final per-type high-water
+    mark must equal the batch q_concurrent_peak rows exactly (same
+    peak AND same first-reached epoch), with O(1) state per type."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        streaming_concurrent_peak,
+    )
+
+    batch = {
+        r.event_type: r
+        for r in QUERIES["concurrent_peak"](spark, sf_dir).collect()
+    }
+
+    ev = read_fixture(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("start_t"),
+        F.floor(F.col("value") * F.lit(60.0)).cast("long").alias("dur"),
+    )
+    deltas = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("start_t").alias("t"), F.lit(1).alias("delta")),
+                    F.struct(
+                        (F.col("start_t") + F.col("dur") + F.lit(1)).alias("t"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("event_type", F.col("e.t").alias("t"), F.col("e.delta").alias("delta"), "event_id")
+    )
+
+    # pre-sorted delta replay: the operator's cross-batch order
+    # contract (a production feed gets this from watermark reordering)
+    src = tmp_path / "delta_src"
+    src.mkdir()
+    rows = deltas.orderBy("t", "delta", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    now = time.time()
+    for i in range(4):
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, deltas.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"dstage_{i}")
+        )
+        part = next(
+            p for p in (tmp_path / f"dstage_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        dst = src / f"slice_{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        spark.readStream.schema(deltas.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_concurrent_peak(stream)
+        .writeStream.format("memory")
+        .queryName("conc_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # memory sink in update mode appends each batch's emission; the
+    # high-water mark is monotone, and peak_at is a pure function of
+    # the peak value (it only moves when peak strictly increases), so
+    # the max-peak row per type IS the final state, independent of
+    # sink row order
+    final = {
+        r.event_type: r
+        for r in spark.sql(
+            "SELECT event_type, peak, peak_at_epoch FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY event_type "
+            "         ORDER BY peak DESC) AS rk FROM conc_stream"
+            ") WHERE rk = 1"
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert (s.peak, s.peak_at_epoch) == (b.peak, b.peak_at_epoch), et
