@@ -878,3 +878,131 @@ WHERE cumw * 2 >= total
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation profile — exact cross-engine correlation between
+# quantity and price per return flag. Spark's built-in corr() is a
+# streaming-covariance fold whose result depends on accumulation
+# order; this operator instead folds the five moment sums
+# (n, Sx, Sy, Sxy, Sx2, Sy2) in DECIMAL(38,10) — wide enough that a
+# 600k-row sum of squared prices (~6e15) cannot overflow — reads them
+# back through the correctly-rounded string route, and computes
+#   r = (n*Sxy - Sx*Sy) / (sqrt(n*Sx2 - Sx^2) * sqrt(n*Sy2 - Sy^2))
+# as one deterministic IEEE expression. One map-side-combinable
+# groupBy; shuffle volume is |groups| x 6 numbers at any data size.
+# ---------------------------------------------------------------------------
+_D38 = "decimal(38,10)"
+
+
+def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def dsum38(c):
+        return F.sum(c.cast(_D38)).cast("string").cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum38(F.col("x")).alias("sx"),
+        dsum38(F.col("y")).alias("sy"),
+        dsum38(F.col("x") * F.col("y")).alias("sxy"),
+        dsum38(F.col("x") * F.col("x")).alias("sx2"),
+        dsum38(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n).alias("mean_x"),
+        (F.col("sy") / n).alias("mean_y"),
+        r.alias("pearson_r"),
+    ).orderBy("l_returnflag")
+
+
+def _dsum38_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+ORACLE["corr_profile"] = f"""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {_dsum38_sql("l_quantity")} AS sx,
+         {_dsum38_sql("l_extendedprice")} AS sy,
+         {_dsum38_sql("l_quantity * l_extendedprice")} AS sxy,
+         {_dsum38_sql("l_quantity * l_quantity")} AS sx2,
+         {_dsum38_sql("l_extendedprice * l_extendedprice")} AS sy2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / CAST(n AS DOUBLE) AS mean_x,
+       sy / CAST(n AS DOUBLE) AS mean_y,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+            * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS pearson_r
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trending items — recency-decayed demand ranking: each lineitem
+# contributes 2^-(age/30d buckets) toward its part, so last month's
+# shipment counts fully, a year-old one 1/4096th. The "what's hot
+# NOW" counterpart of cms_heavy_hitters' all-time heavy hitters, and
+# the batch shape of a decayed streaming counter.
+#
+# Determinism: ages are exact int64 day differences against the
+# corpus max ship date (itself an exact aggregate); bucketed integer
+# exponents make every weight an exact binary fraction 2^-k, summed
+# in decimal. Weights below the decimal quantum (age > ~80 buckets)
+# round to zero IDENTICALLY on both engines (HALF_UP at 1e-10).
+# Scale: one scalar broadcast (max date), one map-side-combinable
+# groupBy on partkey, TakeOrderedAndProject top-k.
+# ---------------------------------------------------------------------------
+TREND_HALFLIFE_DAYS = 30
+TREND_TOPK = 25
+
+
+def q_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    maxd = li.agg(F.max("l_shipdate").alias("maxd"))
+    bucket = F.floor(
+        F.datediff(F.col("maxd"), F.col("l_shipdate"))
+        / F.lit(TREND_HALFLIFE_DAYS)
+    ).cast("double")
+    w = F.pow(F.lit(0.5), bucket)
+    return (
+        li.crossJoin(F.broadcast(maxd))
+        .select("l_partkey", w.cast(DEC).alias("_w"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("_w").cast("string").cast("double").alias("trend"),
+        )
+        .orderBy(F.desc("trend"), "l_partkey")
+        .limit(TREND_TOPK)
+    )
+
+
+ORACLE["trending_items"] = f"""
+WITH maxd AS (SELECT MAX(l_shipdate) AS maxd FROM lineitem)
+SELECT l_partkey, COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(power(0.5,
+              CAST(floor(date_diff('day', l_shipdate, (SELECT maxd FROM maxd))
+                         / {TREND_HALFLIFE_DAYS}) AS DOUBLE))
+              AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS trend
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY trend DESC, l_partkey
+LIMIT {TREND_TOPK}
+"""

@@ -16,6 +16,7 @@ functions/hashing.py keeps fingerprints engine-identical).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_sql, tokens
@@ -839,4 +840,93 @@ SELECT doc_id,
        array_to_string(k, ' ') AS trimmed_text,
        CAST(len(c) - len(k) AS DOUBLE) / len(c) AS span_dup_frac
 FROM kept ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per source — contrastive term extraction: which
+# words characterize THIS source against the rest of the corpus?
+# Scored by share-lift, the rational form of log-odds keyness
+# (monotone transform, so rankings agree while avoiding cross-engine
+# libm log):
+#   lift(t, s) = (c_ts / tokens_s) / (c_t / tokens_total)
+#              = c_ts * tokens_total / (tokens_s * c_t)
+# exact int64 products, one double division. The corpus-curation
+# probe behind mixture design and source-quality review ("this feed
+# is all boilerplate legalese").
+#
+# Scale: one tokenize+explode pass aggregated per (source, term) with
+# map-side combine; global term counts and per-source token totals
+# derive from THAT aggregate (no second corpus scan) and broadcast
+# back. Top-k per source is a window over the filtered candidate set
+# (min-count gate first, so the ranked frame is small).
+# ---------------------------------------------------------------------------
+DISTINCT_TERMS_MIN_COUNT = 10
+DISTINCT_TERMS_TOPK = 10
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_ts"))
+    )
+    per_source = st.groupBy("source").agg(F.sum("c_ts").alias("tokens_s"))
+    per_term = st.groupBy("term").agg(F.sum("c_ts").alias("c_t"))
+    total = F.sum("c_ts").over(W.partitionBy())
+    lift = (
+        F.col("c_ts").cast("double") * F.col("tokens_total").cast("double")
+    ) / (F.col("tokens_s").cast("double") * F.col("c_t").cast("double"))
+    ranked = (
+        st.select("source", "term", "c_ts", total.alias("tokens_total"))
+        .where(F.col("c_ts") >= DISTINCT_TERMS_MIN_COUNT)
+        .join(F.broadcast(per_source), "source")
+        .join(F.broadcast(per_term), "term")
+        .select("source", "term", "c_ts", "c_t", lift.alias("lift"))
+    )
+    wr = W.partitionBy("source").orderBy(F.desc("lift"), "term")
+    return (
+        ranked.select(
+            "source", "term", "c_ts", "c_t", "lift",
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= DISTINCT_TERMS_TOPK)
+        .orderBy("source", "rank")
+    )
+
+
+ORACLE["distinctive_terms"] = f"""
+WITH st AS (
+  SELECT source, term, COUNT(*) AS c_ts
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+  )
+  WHERE term <> ''
+  GROUP BY source, term
+), per_source AS (
+  SELECT source, SUM(c_ts) AS tokens_s FROM st GROUP BY source
+), per_term AS (
+  SELECT term, SUM(c_ts) AS c_t FROM st GROUP BY term
+), tot AS (
+  -- total over the UNFILTERED aggregate, like the Spark side's
+  -- pre-filter window
+  SELECT SUM(c_ts) AS n FROM st
+), cand AS (
+  SELECT s.source, s.term, s.c_ts, CAST(t.c_t AS BIGINT) AS c_t,
+         CAST(s.c_ts AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE)
+           / (CAST(p.tokens_s AS DOUBLE) * CAST(t.c_t AS DOUBLE)) AS lift
+  FROM st s JOIN per_source p USING (source) JOIN per_term t USING (term)
+  WHERE s.c_ts >= {DISTINCT_TERMS_MIN_COUNT}
+)
+SELECT source, term, c_ts, c_t, lift,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY lift DESC, term) AS rank
+  FROM cand
+)
+WHERE rank <= {DISTINCT_TERMS_TOPK}
+ORDER BY source, rank
 """
