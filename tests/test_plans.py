@@ -66,6 +66,12 @@ BNLJ_ALLOWED = {
     # (visible since the PR loop became one lazy plan; the five
     # per-iteration contribution joins are all keyed equi-joins)
     "pagerank": 1,
+    # 1-row max-shipdate aggregate broadcast into the per-line decay
+    # weight projection
+    "trending_items": 1,
+    # 1-row degrees-of-freedom aggregate broadcast onto the tiny
+    # contingency-cell frame
+    "chi_square_assoc": 1,
 }
 
 
@@ -407,3 +413,51 @@ def test_skew_profile_scan_reads_only_key_columns(spark, sf_dir):
     for col in ("l_orderkey", "l_partkey", "l_suppkey"):
         assert col in read_schema
     assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+STATS_PRUNE = {
+    # events carries a wide props payload column; none of the stats
+    # queries need it — pruning must strip it at the scan
+    "mad_outliers": ("props",),
+    "concurrent_peak": ("props",),
+    "ewma_value": ("props",),
+    "interarrival_burstiness": ("props", "value"),
+    # documents' text payload: the checksum/corr queries never touch
+    # documents, but collocation/distinctive DO need text — so pin
+    # the events/orders family only
+}
+
+
+@pytest.mark.parametrize("name", sorted(STATS_PRUNE))
+def test_stats_queries_prune_unused_payloads(spark, sf_dir, name):
+    """operators/stats.py scale promise: the observability queries
+    are decisions ABOUT events that never need the wide props payload
+    (and burstiness not even the value) — column pruning must strip
+    them at the parquet scan, or a 100 TB profile run pays full-row
+    I/O for a three-column computation."""
+    plan = _formatted_plan(spark, QUERIES[name](spark, sf_dir))
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            for col in STATS_PRUNE[name]:
+                assert f"{col}:" not in line, (
+                    f"{name}: scan reads pruned column {col}: {line}"
+                )
+
+
+def test_partition_checksums_shuffles_only_aggregates(spark, sf_dir):
+    """The checksum fold must combine map-side: the one
+    hashpartitioning Exchange carries per-partition (month, count,
+    partial decimal sum) rows — never per-row digests. A partial
+    HashAggregate below the Exchange is the codegen'd map-side
+    combine; its absence means every row's hash travels the wire."""
+    import re
+
+    plan = _formatted_plan(
+        spark, QUERIES["partition_checksums"](spark, sf_dir)
+    )
+    hash_ex = re.findall(r"hashpartitioning", plan)
+    assert len(hash_ex) == 1, f"expected one hash shuffle, saw {len(hash_ex)}"
+    # formatted explain lists HashAggregate keys/functions; the
+    # partial-mode aggregate appears as two HashAggregate nodes
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
+    assert n_agg >= 2, "map-side partial aggregation missing"
