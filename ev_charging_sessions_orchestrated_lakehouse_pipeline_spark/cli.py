@@ -73,18 +73,29 @@ def main(argv: list[str] | None = None) -> int:
     pt = sub.add_parser(
         "table",
         help="snapshot-table maintenance (OPTIMIZE / VACUUM / bloom "
-        "index / partition evolution / history)",
+        "index / partition evolution / column DDL / history)",
     )
     pt.add_argument("--table", required=True, help="snapshot table path")
     pt.add_argument(
         "action",
-        choices=["optimize", "vacuum", "bloom", "evolve", "history"],
+        choices=[
+            "optimize",
+            "vacuum",
+            "bloom",
+            "evolve",
+            "rename-column",
+            "drop-column",
+            "history",
+        ],
     )
     pt.add_argument("--cluster-by", default=None, help="comma-separated sort cols")
     pt.add_argument("--zorder", action="store_true")
     pt.add_argument("--files-per-partition", type=int, default=1)
     pt.add_argument("--retain-last", type=int, default=0)
-    pt.add_argument("--column", default=None, help="bloom index column")
+    pt.add_argument(
+        "--column", default=None, help="bloom index / DDL target column"
+    )
+    pt.add_argument("--to", default=None, help="new name for rename-column")
     pt.add_argument(
         "--partition-by",
         default=None,
@@ -94,7 +105,13 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
-    if args.cmd == "table" and args.action in ("vacuum", "evolve", "history"):
+    if args.cmd == "table" and args.action in (
+        "vacuum",
+        "evolve",
+        "rename-column",
+        "drop-column",
+        "history",
+    ):
         # metadata-only actions: no SparkSession needed
         from .sources import snaptable as st
 
@@ -116,6 +133,16 @@ def main(argv: list[str] | None = None) -> int:
             if cur:
                 entries.append("".join(cur).strip())
             v = st.evolve_partitioning(args.table, entries)
+            print(json.dumps({"version": v}))
+        elif args.action == "rename-column":
+            if not args.column or not args.to:
+                p.error("rename-column requires --column and --to")
+            v = st.rename_column(args.table, args.column, args.to)
+            print(json.dumps({"version": v}))
+        elif args.action == "drop-column":
+            if not args.column:
+                p.error("drop-column requires --column")
+            v = st.drop_column(args.table, args.column)
             print(json.dumps({"version": v}))
         else:
             print(json.dumps(st.history(args.table), default=str))

@@ -1208,3 +1208,82 @@ FROM orders
 WHERE o_totalprice <= {DV_DELETE_THRESHOLD}
 GROUP BY o_orderstatus ORDER BY status
 """
+
+
+def q_snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column DDL (sources/snaptable.py rename_column /
+    drop_column — the Delta column-mapping equivalent; the reference's
+    Iceberg v2 tables get the same capability from the format,
+    jobs/ev_sessions_gold_etl.py:69-75): rename o_totalprice ->
+    total_price and drop o_orderpriority WITHOUT touching a data
+    file, append a batch under the NEW logical names, then audit the
+    final state per status plus the pre-DDL version via time travel.
+    The oracle replays both visible row sets in SQL (rename is
+    aliasing there), so what's hash-checked is the mapping machinery:
+    physical-named files reading back under logical names, the append
+    translating logical -> physical, and time travel resolving each
+    version under ITS OWN manifest's mapping."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_cm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    st.rename_column(table, "o_totalprice", "total_price")
+    st.drop_column(table, "o_orderpriority")
+    batch = (
+        orders.orderBy("o_orderkey")
+        .limit(100)
+        .drop("o_orderpriority")
+        .withColumnRenamed("o_totalprice", "total_price")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    )
+    st.append(batch, table)
+    head = st.read_snapshot(spark, table)
+    cur = head.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("total_price").alias("sum_price"),
+    )
+    rows = [
+        ("v4:" + r.o_orderstatus, r.n_orders, float(r.sum_price))
+        for r in cur.collect()
+    ]
+    v1 = st.read_snapshot(spark, table, version=1)
+    r1 = v1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("o_totalprice").alias("s"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias("p"),
+    ).collect()[0]
+    rows.append(("v1:all", r1.n, float(r1.s)))
+    rows.append(("v1:priorities", r1.p, None))
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "slice string, n bigint, sum_price double"
+    ).orderBy("slice")
+
+
+ORACLE["snapshot_column_mapping"] = f"""
+WITH both_batches AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)
+)
+SELECT 'v4:' || o_orderstatus AS slice, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM both_batches GROUP BY o_orderstatus
+UNION ALL
+SELECT 'v1:all', COUNT(*), {dsum_sql('o_totalprice')} FROM orders
+UNION ALL
+SELECT 'v1:priorities', COUNT(DISTINCT o_orderpriority), NULL FROM orders
+ORDER BY slice
+"""

@@ -278,11 +278,41 @@ def _publish(table: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _write_data(df: DataFrame, table: str, partition_cols: list[str]) -> list[str]:
+def _head_mapping(table: str) -> dict:
+    """The current head's column mapping {logical: physical} (empty
+    before the table exists or when no rename/drop ever happened)."""
+    head = current_version(table)
+    if head is None:
+        return {}
+    return _read_manifest(table, head).get("column_mapping") or {}
+
+
+def _write_data(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str],
+    mapping: dict | None = None,
+) -> list[str]:
     """Write a commit's data files into the shared data/ tree and
     return the relative paths of exactly the files this write
     produced (before/after listing diff — safe because part-file
-    names embed per-task UUIDs and files are immutable)."""
+    names embed per-task UUIDs and files are immutable).
+
+    Under column mapping, files ALWAYS carry physical names — the
+    incoming frame is logical, so mapped columns rename before the
+    write (the one write chokepoint every commit path goes through,
+    so appends, rewrites, OPTIMIZE, and MERGE all stay consistent
+    with files written before a rename). ``mapping`` defaults to the
+    current head's; callers mid-evolution pass the updated one."""
+    if mapping is None:
+        mapping = _head_mapping(table)
+    renames = {
+        logical: phys
+        for logical, phys in mapping.items()
+        if logical != phys and logical in df.columns
+    }
+    if renames:
+        df = df.withColumnsRenamed(renames)
     os.makedirs(_data_dir(table), exist_ok=True)
     before = _list_data_files(table)
     if partition_cols:
@@ -355,8 +385,19 @@ def _commit(
     file_stats: dict | None = None,
     constraints: dict[str, str] | None = None,
     deletion_vectors: dict | None = None,
+    column_mapping: dict | None = None,
+    retired_columns: list[str] | None = None,
 ) -> int:
     version = (parent or 0) + 1
+    # column mapping / retired physical names carry forward from the
+    # parent automatically so no commit path can silently lose them —
+    # only rename/drop/clone pass them explicitly
+    if parent is not None and (column_mapping is None or retired_columns is None):
+        par = _read_manifest(table, parent)
+        if column_mapping is None:
+            column_mapping = par.get("column_mapping")
+        if retired_columns is None:
+            retired_columns = par.get("retired_columns")
     manifest = {
         "version": version,
         "parent": parent,
@@ -371,6 +412,10 @@ def _commit(
             f: sorted(ps) for f, ps in (deletion_vectors or {}).items() if ps
         },
     }
+    if column_mapping:
+        manifest["column_mapping"] = column_mapping
+    if retired_columns:
+        manifest["retired_columns"] = sorted(retired_columns)
     if txn is not None:
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
     _publish(table, version, manifest)
@@ -505,8 +550,29 @@ def append(
         raise ValueError(f"{table} does not exist; use create_table")
     prev = _read_manifest(table, head)
     schema_json = _evolve_schema(prev["schema"], df, merge_schema)
+    mapping = dict(prev.get("column_mapping") or {})
+    if schema_json != prev["schema"]:
+        # Resurrection guard: a NEW logical column whose name matches
+        # a physical name still present in old data files (a column
+        # renamed away or dropped earlier) must get a fresh physical
+        # alias — otherwise old files would surface their unrelated
+        # stale values under the new column instead of nulls.
+        from pyspark.sql.types import StructType
+
+        old_names = {
+            f.name
+            for f in StructType.fromJson(json.loads(prev["schema"])).fields
+        }
+        used_physical = (
+            {mapping.get(n, n) for n in old_names}
+            | set(mapping.values())
+            | set(prev.get("retired_columns") or [])
+        )
+        for f in StructType.fromJson(json.loads(schema_json)).fields:
+            if f.name not in old_names and f.name in used_physical:
+                mapping[f.name] = f"{f.name}__r{head + 1}"
     _validate_constraints(df, prev.get("constraints", {}))
-    new = _write_data(df, table, prev["partition_cols"])
+    new = _write_data(df, table, prev["partition_cols"], mapping=mapping)
     return _commit(
         table,
         "append",
@@ -518,6 +584,7 @@ def append(
         file_stats=_carry_stats(prev, prev["files"], _collect_stats(table, new)),
         constraints=prev.get("constraints", {}),
         deletion_vectors=prev.get("deletion_vectors", {}),
+        column_mapping=mapping,
     )
 
 
@@ -640,6 +707,119 @@ def evolve_partitioning(table: str, new_cols: list[str]) -> int:
     )
 
 
+def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
+    """Shared refusals for rename/drop: partition-spec sources and
+    CHECK-constraint references block column DDL (Delta's stance —
+    the constraint/layout would silently break otherwise)."""
+    import re
+
+    for e in prev["partition_cols"]:
+        if _parse_transform(e)[1] == col:
+            raise ValueError(
+                f"cannot {verb} partition column {col!r} (spec {e!r}); "
+                "evolve partitioning first"
+            )
+    for name, expr in prev.get("constraints", {}).items():
+        if re.search(rf"\b{re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} column {col!r}: referenced by CHECK "
+                f"constraint {name!r} ({expr})"
+            )
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """Delta-column-mapping-style RENAME COLUMN as a METADATA-ONLY
+    commit: no data file is touched at any table size. The manifest's
+    column mapping records {new_logical: physical}, where the
+    physical name is whatever the data files were written under;
+    readers plan against the physical schema and rename back
+    (:func:`_read_union`), writers translate logical -> physical at
+    the single write chokepoint (:func:`_write_data`), and stats /
+    bloom / DV machinery is untouched because it was always keyed by
+    physical names. Time travel to a pre-rename version shows the old
+    name — the mapping lives in each version's manifest.
+
+    Refused for partition columns and columns referenced by CHECK
+    constraints (rename would silently break them — Delta refuses
+    likewise)."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    _guard_column_ddl(prev, old, "rename")
+    mapping = dict(prev.get("column_mapping") or {})
+    mapping[new] = mapping.pop(old, old)
+    if mapping[new] == new:
+        mapping.pop(new)  # renamed back to its physical name
+    new_schema = StructType(
+        [
+            StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+    )
+    return _commit(
+        table,
+        "rename_column",
+        prev["files"],
+        prev["partition_cols"],
+        new_schema.json(),
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        column_mapping=mapping,
+        retired_columns=prev.get("retired_columns") or [],
+    )
+
+
+def drop_column(table: str, col: str) -> int:
+    """METADATA-ONLY DROP COLUMN: the field leaves the schema, its
+    physical name is recorded as retired, and no data file changes —
+    old versions still time-travel to the full schema. A later
+    ``append(..., merge_schema=True)`` that re-adds the same logical
+    name gets a FRESH physical alias (see :func:`append`'s
+    resurrection guard), so dropped data can never silently resurface
+    under a new column."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"column {col!r} not in schema {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    _guard_column_ddl(prev, col, "drop")
+    mapping = dict(prev.get("column_mapping") or {})
+    physical = mapping.pop(col, col)
+    retired = sorted(set(prev.get("retired_columns") or []) | {physical})
+    new_schema = StructType([f for f in schema.fields if f.name != col])
+    return _commit(
+        table,
+        "drop_column",
+        prev["files"],
+        prev["partition_cols"],
+        new_schema.json(),
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        column_mapping=mapping,
+        retired_columns=retired,
+    )
+
+
 def version_as_of(table: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the newest version whose commit
     time is <= ``ts`` (a Unix timestamp or datetime). Raises if the
@@ -696,6 +876,7 @@ def read_snapshot(
         manifest["files"],
         schema,
         dvs=manifest.get("deletion_vectors"),
+        mapping=manifest.get("column_mapping"),
     )
 
 
@@ -741,6 +922,7 @@ def _read_union(
     schema,
     dvs: dict | None = None,
     keep_pos: bool = False,
+    mapping: dict | None = None,
 ):
     """Plan a file list as ONE DataFrame, tolerating MIXED partition
     layouts (partition evolution leaves old-spec files in place):
@@ -750,9 +932,27 @@ def _read_union(
     predating a schema evolution null-fill the newer columns, and
     each group's partition columns resolve from ITS directory values
     at the manifest-declared types (a column is either in a file's
-    data or in its path — never both, never neither)."""
+    data or in its path — never both, never neither).
+
+    ``mapping`` is the manifest's column mapping {logical: physical}
+    (Delta column-mapping equivalent): data files always carry
+    PHYSICAL names, so the scan plans against the physical schema and
+    renames back to the manifest's logical names — which is what
+    makes :func:`rename_column` a metadata-only commit."""
     if not files:
         return spark.createDataFrame([], schema)
+    mapping = mapping or {}
+    if mapping:
+        from pyspark.sql.types import StructField, StructType
+
+        phys_schema = StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+    else:
+        phys_schema = schema
     # group by (spec, data root): a shallow CLONE's manifest lists the
     # source table's files as absolute paths, whose partition values
     # must resolve against the SOURCE's data dir, not the clone's
@@ -760,11 +960,14 @@ def _read_union(
     for f in files:
         groups.setdefault((_file_spec(f), _data_root_of(table, f)), []).append(f)
     dfs = [
-        spark.read.schema(schema)
+        spark.read.schema(phys_schema)
         .option("basePath", root)
         .parquet(*[os.path.join(table, f) for f in fs])
         for (_spec, root), fs in groups.items()
     ]
+    if mapping:
+        back = {phys: logical for logical, phys in mapping.items()}
+        dfs = [d.withColumnsRenamed(back) for d in dfs]
     from pyspark.sql import functions as F
 
     live_dvs = {f: ps for f, ps in (dvs or {}).items() if f in set(files)}
@@ -825,6 +1028,9 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
     conjunct. Missing stats never prune — skipping is an
     optimization, correctness comes from re-applying the filter."""
     stats = manifest.get("file_stats", {})
+    # footer stats and bloom bitmaps key by PHYSICAL column names
+    # (they come from the files); filters arrive logical
+    cmap = manifest.get("column_mapping") or {}
     kept = []
     for f in manifest["files"]:
         fstat = stats.get(f, {})
@@ -835,11 +1041,12 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
         pvals = _path_values(f)
         alive = True
         for col, op, val in filters:
+            phys = cmap.get(col, col)
             if op in ("isnull", "notnull"):
                 # Delta's nullCount skipping: a file with zero nulls
                 # can't satisfy IS NULL; one that is ALL nulls can't
                 # satisfy IS NOT NULL. Unknown counts never prune.
-                nc = fstat.get("nulls", {}).get(col)
+                nc = fstat.get("nulls", {}).get(phys)
                 if nc is not None and (
                     (op == "isnull" and nc == 0)
                     or (op == "notnull" and nc == fstat.get("rows"))
@@ -872,7 +1079,7 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
                 alive = False
                 break
             if op in ("=", "==", "in"):
-                bl = fstat.get("bloom", {}).get(col)
+                bl = fstat.get("bloom", {}).get(phys)
                 if bl is not None:
                     positions = set(bl["pos"])
                     admitted = any(
@@ -887,7 +1094,7 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
                     if not admitted:
                         alive = False
                         break
-            lo, hi = mins.get(col), maxs.get(col)
+            lo, hi = mins.get(phys), maxs.get(phys)
             if lo is None or hi is None:
                 continue  # no stats: cannot prune this conjunct
             try:
@@ -929,7 +1136,12 @@ def scan(
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     files = _prune_files(table, manifest, filters or [])
     df = _read_union(
-        spark, table, files, schema, dvs=manifest.get("deletion_vectors")
+        spark,
+        table,
+        files,
+        schema,
+        dvs=manifest.get("deletion_vectors"),
+        mapping=manifest.get("column_mapping"),
     )
     from pyspark.sql import functions as F
 
@@ -1030,6 +1242,7 @@ def _rewrite_matching_files(
         candidates,
         schema,
         dvs=prev.get("deletion_vectors"),
+        mapping=prev.get("column_mapping"),
     )
     rewritten, operation = transform(cand_df)
     _validate_constraints(rewritten, prev.get("constraints", {}))
@@ -1099,6 +1312,7 @@ def delete_where(
         schema,
         dvs=prev.get("deletion_vectors"),
         keep_pos=True,
+        mapping=prev.get("column_mapping"),
     )
     hits = (
         cand.filter(cond)
@@ -1166,6 +1380,7 @@ def update_where(
             schema,
             dvs=prev.get("deletion_vectors"),
             keep_pos=True,
+            mapping=prev.get("column_mapping"),
         ).filter(cond)
         names = [f.name for f in schema.fields]
         updated = matched.select(
@@ -1336,6 +1551,7 @@ def changes(
                         rel_paths,
                         schema,
                         dvs=manifest.get("deletion_vectors"),
+                        mapping=manifest.get("column_mapping"),
                     )
                     .withColumn("_change_type", F.lit(change))
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
@@ -1354,7 +1570,12 @@ def changes(
             if delta:
                 schema = StructType.fromJson(json.loads(cur["schema"]))
                 keyed = _read_union(
-                    spark, table, sorted(delta), schema, keep_pos=True
+                    spark,
+                    table,
+                    sorted(delta),
+                    schema,
+                    keep_pos=True,
+                    mapping=cur.get("column_mapping"),
                 )
                 pos_rows = [
                     (_abs_uri(table, f), int(p))
@@ -1443,12 +1664,14 @@ def table_stats(table: str, version: int | None = None) -> dict:
     # Footer bounds of a DV-carrying file may belong to deleted rows;
     # treat such files as stats-less so no column folds a stale bound.
     dv_files = {f for f in files if dvs.get(f)}
+    cmap = manifest.get("column_mapping") or {}
     for col in numeric:
+        phys = cmap.get(col, col)
         per_file_min = [
-            None if f in dv_files else fs[f]["min"].get(col) for f in files
+            None if f in dv_files else fs[f]["min"].get(phys) for f in files
         ]
         per_file_max = [
-            None if f in dv_files else fs[f]["max"].get(col) for f in files
+            None if f in dv_files else fs[f]["max"].get(phys) for f in files
         ]
         if files and all(v is not None for v in per_file_min):
             mins[col] = min(per_file_min)
@@ -1519,11 +1742,13 @@ def add_bloom_index(
     manifest = _read_manifest(table, head)
     files = manifest["files"]
     stats = {f: dict(s) for f, s in manifest.get("file_stats", {}).items()}
+    cmap = manifest.get("column_mapping") or {}
+    phys_col = cmap.get(col, col)
     if files:
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         data_root = _data_dir(table)
         df = (
-            _read_union(spark, table, files, schema)
+            _read_union(spark, table, files, schema, mapping=cmap or None)
             .select(
                 F.input_file_name().alias("_f"),
                 F.col(col).cast("string").alias("_v"),
@@ -1559,8 +1784,10 @@ def add_bloom_index(
             blooms = dict(entry.get("bloom", {}))
             # a live file absent from the grouped output has no
             # non-null values: an empty bitmap correctly rejects
-            # every equality probe against it
-            blooms[col] = {
+            # every equality probe against it. Keyed by the PHYSICAL
+            # name (like footer stats) so a later rename can't
+            # orphan the index — probes map logical -> physical.
+            blooms[phys_col] = {
                 "bits": bits,
                 "hashes": hashes,
                 "pos": by_rel.get(f, []),
@@ -1895,6 +2122,8 @@ def clone_table(src_table: str, dst_table: str) -> int:
         file_stats=stats,
         constraints=prev.get("constraints", {}),
         deletion_vectors=dvs,
+        column_mapping=prev.get("column_mapping") or {},
+        retired_columns=prev.get("retired_columns") or [],
     )
 
 

@@ -1,0 +1,214 @@
+"""Column mapping (sources/snaptable.py rename_column/drop_column):
+Delta-column-mapping-equivalent metadata-only column DDL. Files always
+carry PHYSICAL names; the manifest maps logical -> physical, readers
+plan physical and rename back, writers translate at the single write
+chokepoint, and stats/bloom/DV machinery stays physical-keyed — so a
+rename touches zero data files at any table size."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+    snaptable as st,
+)
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+    read_fixture,
+)
+
+
+@pytest.fixture
+def orders(spark, sf_dir):
+    return read_fixture(spark, sf_dir, "orders")
+
+
+def _tbl(tmp_path) -> str:
+    return str(tmp_path / "cm_orders")
+
+
+def test_rename_is_metadata_only_and_reads_back(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    files_v1 = list(st._read_manifest(t, 1)["files"])
+    v2 = st.rename_column(t, "o_totalprice", "total_price")
+    m2 = st._read_manifest(t, v2)
+    assert m2["operation"] == "rename_column"
+    assert m2["files"] == files_v1  # zero data movement
+    assert m2["column_mapping"] == {"total_price": "o_totalprice"}
+
+    snap = st.read_snapshot(spark, t)
+    assert "total_price" in snap.columns
+    assert "o_totalprice" not in snap.columns
+    # exact row fidelity under the new name
+    exp = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in orders.select("o_orderkey", "o_totalprice").collect()
+    }
+    got = {
+        (r.o_orderkey, r.total_price)
+        for r in snap.select("o_orderkey", "total_price").collect()
+    }
+    assert got == exp
+    # time travel: the pre-rename version still reads the old name
+    assert "o_totalprice" in st.read_snapshot(spark, t, version=1).columns
+
+
+def test_append_and_rewrites_write_physical_names(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    n0 = orders.count()
+    st.rename_column(t, "o_totalprice", "total_price")
+    extra = orders.limit(50).withColumnRenamed("o_totalprice", "total_price")
+    st.append(extra, t)
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n0 + 50
+    # the appended files carry the PHYSICAL name, so the whole table
+    # still reads under one physical schema
+    import glob
+
+    import pyarrow.parquet as pq
+
+    newest = max(
+        glob.glob(f"{t}/data/**/*.parquet", recursive=True),
+        key=lambda p: __import__("os").path.getmtime(p),
+    )
+    assert "o_totalprice" in pq.ParquetFile(newest).schema_arrow.names
+    # rewrite path (OPTIMIZE) keeps the mapping consistent
+    st.optimize(spark, t, files_per_partition=1)
+    assert st.read_snapshot(spark, t).count() == n0 + 50
+    assert "total_price" in st.read_snapshot(spark, t).columns
+
+
+def test_scan_prunes_and_filters_on_renamed_column(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    # clustered write so footer stats actually prune the range
+    st.create_table(
+        orders.orderBy("o_totalprice").coalesce(4), t, []
+    )
+    st.optimize(spark, t, files_per_partition=4, cluster_by=["o_totalprice"])
+    st.rename_column(t, "o_totalprice", "total_price")
+    head = st.current_version(t)
+    m = st._read_manifest(t, head)
+    pruned = st._prune_files(t, m, [("total_price", ">", 400000.0)])
+    assert len(pruned) < len(m["files"]), "stats must prune via the mapping"
+    got = st.scan(spark, t, [("total_price", ">", 400000.0)]).count()
+    assert got == orders.filter(F.col("o_totalprice") > 400000.0).count()
+
+
+def test_bloom_survives_rename_in_both_directions(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    # index BEFORE the rename, probe AFTER
+    st.add_bloom_index(spark, t, "o_custkey")
+    st.rename_column(t, "o_custkey", "customer_key")
+    key = int(orders.first().o_custkey)
+    exp = orders.filter(F.col("o_custkey") == key).count()
+    assert st.scan(spark, t, [("customer_key", "=", key)]).count() == exp
+    # index AFTER a rename stores the physical key too
+    st.rename_column(t, "o_orderkey", "order_key")
+    st.add_bloom_index(spark, t, "order_key")
+    m = st._read_manifest(t, st.current_version(t))
+    blooms = {
+        c for s in m["file_stats"].values() for c in s.get("bloom", {})
+    }
+    assert "o_orderkey" in blooms and "order_key" not in blooms
+    okey = int(orders.first().o_orderkey)
+    assert st.scan(spark, t, [("order_key", "=", okey)]).count() == 1
+
+
+def test_dv_delete_on_renamed_column(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.rename_column(t, "o_totalprice", "total_price")
+    n0 = orders.count()
+    n_del = orders.filter(F.col("o_totalprice") > 400000.0).count()
+    st.delete_where(spark, t, [("total_price", ">", 400000.0)], use_dv=True)
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n0 - n_del
+    assert snap.filter(F.col("total_price") > 400000.0).count() == 0
+    assert st.table_stats(t)["rows"] == n0 - n_del
+
+
+def test_drop_column_and_resurrection_guard(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    n0 = orders.count()
+    v2 = st.drop_column(t, "o_orderpriority")
+    m2 = st._read_manifest(t, v2)
+    assert m2["operation"] == "drop_column"
+    assert m2["retired_columns"] == ["o_orderpriority"]
+    snap = st.read_snapshot(spark, t)
+    assert "o_orderpriority" not in snap.columns
+    # time travel still has it
+    assert "o_orderpriority" in st.read_snapshot(spark, t, version=1).columns
+    # re-adding the same logical name must NOT resurrect old values:
+    # the new column gets a fresh physical alias, old files null-fill
+    re_add = snap.limit(10).withColumn("o_orderpriority", F.lit("X-NEW"))
+    st.append(re_add, t, merge_schema=True)
+    m = st._read_manifest(t, st.current_version(t))
+    assert m["column_mapping"]["o_orderpriority"].startswith(
+        "o_orderpriority__r"
+    )
+    vals = {
+        r[0]
+        for r in st.read_snapshot(spark, t)
+        .select("o_orderpriority")
+        .distinct()
+        .collect()
+    }
+    assert vals == {"X-NEW", None}
+    assert st.read_snapshot(spark, t).count() == n0 + 10
+
+
+def test_rename_refusals(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(
+        orders,
+        t,
+        ["o_orderstatus"],
+        constraints={"price_pos": "o_totalprice >= 0"},
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        st.rename_column(t, "o_orderstatus", "status")
+    with pytest.raises(ValueError, match="partition column"):
+        st.drop_column(t, "o_orderstatus")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        st.rename_column(t, "o_totalprice", "total_price")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        st.drop_column(t, "o_totalprice")
+    with pytest.raises(ValueError, match="already exists"):
+        st.rename_column(t, "o_custkey", "o_orderkey")
+    with pytest.raises(ValueError, match="not in schema"):
+        st.rename_column(t, "nope", "x")
+
+
+def test_rename_back_clears_mapping_and_clone_carries_it(
+    spark, orders, tmp_path
+):
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, [])
+    st.rename_column(t, "o_totalprice", "total_price")
+    dst = str(tmp_path / "cm_clone")
+    st.clone_table(t, dst)
+    csnap = st.read_snapshot(spark, dst)
+    assert "total_price" in csnap.columns
+    assert csnap.count() == orders.count()
+    # renaming back to the physical name leaves an identity mapping —
+    # which is dropped entirely
+    v = st.rename_column(t, "total_price", "o_totalprice")
+    assert "column_mapping" not in st._read_manifest(t, v)
+    assert "o_totalprice" in st.read_snapshot(spark, t).columns
+
+
+def test_cdf_reads_each_side_under_its_own_mapping(spark, orders, tmp_path):
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(100), t, [])
+    st.rename_column(t, "o_totalprice", "total_price")
+    st.append(
+        orders.limit(120).withColumnRenamed("o_totalprice", "total_price"),
+        t,
+    )
+    feed = st.changes(spark, t, from_version=2)
+    assert "total_price" in feed.columns
+    assert feed.filter(F.col("_change_type") == "insert").count() == 120
