@@ -2846,3 +2846,81 @@ SELECT key_col,
        CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_key_share
 FROM per_key GROUP BY key_col ORDER BY key_col
 """
+
+
+# ---------------------------------------------------------------------------
+# Longest same-type streak per user — the canonical gaps-and-islands
+# shape (the one windowing idiom the registry didn't yet pin): a
+# "streak" is a maximal run of consecutive events with the same
+# event_type in the user's (ts, event_id) order. Islands fall out of
+# the classic two-row_number difference: rn_overall - rn_within_type
+# is constant exactly while the type doesn't change, so (user, type,
+# diff) IS the island key — no iteration, no self-join.
+#
+# Everything is int64 window arithmetic (two sorted rank passes over
+# the same single shuffle by user, then a count per island and a max
+# per user); ties on streak length break deterministically to the
+# lexicographically smallest type, then earliest island start.
+# ---------------------------------------------------------------------------
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    streaks = islands.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("streak"),
+        F.min("event_id").alias("first_event_id"),
+    )
+    w_best = W.partitionBy("user_id").orderBy(
+        F.desc("streak"), "event_type", "first_event_id"
+    )
+    return (
+        streaks.select(
+            "user_id",
+            "event_type",
+            "streak",
+            "first_event_id",
+            F.row_number().over(w_best).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            F.col("streak").alias("longest_streak"),
+            "first_event_id",
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["longest_streak"] = """
+WITH islands AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+  FROM events
+), streaks AS (
+  SELECT user_id, event_type, island,
+         COUNT(*) AS streak, MIN(event_id) AS first_event_id
+  FROM islands GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type AS streak_type,
+       CAST(streak AS BIGINT) AS longest_streak, first_event_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY streak DESC, event_type, first_event_id) AS rk
+  FROM streaks
+)
+WHERE rk = 1
+ORDER BY user_id
+"""

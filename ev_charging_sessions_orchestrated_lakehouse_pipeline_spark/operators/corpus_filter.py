@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, hash60_sql, let_sql
+from ..functions.hashing import hash60, hash60_sql, let_sql, word_shingles_sql
 from ..functions.oracle import davg, davg_sql
 from .dedup import SHINGLE_N, _shingled
 from .text import STOPWORDS, _in_list_expr
@@ -815,4 +815,85 @@ FROM best b JOIN diffs d
   ON d.source = b.source AND d.num = b.max_num
 GROUP BY b.source, b.n_a, b.n_b, b.max_num
 ORDER BY b.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty profile — per-source memorization risk: what share
+# of each document's word shingles appears NOWHERE else in the
+# corpus? A source full of corpus-unique n-grams contributes fresh
+# text; one whose shingles all recur elsewhere is boilerplate or
+# near-duplicate mass (and trains a model toward memorization). The
+# source-level report that complements per-pair dedup: dedup finds
+# WHICH docs collide, novelty measures HOW MUCH of a feed is
+# recycled.
+#
+# Exactness: per-doc novelty = unique/total is one int64 division;
+# the per-source mean routes through the exact decimal path. Scale:
+# reuses the shingle derivation (one tokenize projection), one
+# map-side-combinable groupBy on 8-byte-hashable shingles for
+# document frequency, one equi-join of (shingle -> df) back onto the
+# exploded pairs — text never shuffles, only shingles do, same as
+# every dedup path in operators/dedup.py.
+# ---------------------------------------------------------------------------
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingled
+
+    pairs = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    # shingles are distinct per doc, so COUNT(*) per shingle IS the
+    # document frequency
+    df_tbl = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        pairs.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n_unique").cast("double") / F.col("n_sh").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        docs.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("novelty").alias("mean_novelty"),
+            F.min("novelty").alias("min_novelty"),
+            F.max("novelty").alias("max_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["ngram_novelty"] = f"""
+WITH sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(
+           {word_shingles_sql("string_split(text, ' ')", SHINGLE_N)}
+         )) AS s
+  FROM documents
+), dfs AS (
+  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+), per_doc AS (
+  SELECT sh.doc_id,
+         CAST(SUM(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS novelty
+  FROM sh JOIN dfs USING (s)
+  GROUP BY sh.doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       {davg_sql('p.novelty')} AS mean_novelty,
+       MIN(p.novelty) AS min_novelty,
+       MAX(p.novelty) AS max_novelty
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source
+ORDER BY d.source
 """

@@ -930,3 +930,56 @@ FROM (
 WHERE rank <= {DISTINCT_TERMS_TOPK}
 ORDER BY source, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram merge candidates — the first iteration of BPE
+# tokenizer training: count adjacent character pairs WITHIN words
+# across the corpus and rank the top merge candidates. (Real BPE
+# iterates merge-and-recount; the first round's counts are the
+# expensive distributed part — later rounds work on the shrinking
+# merged vocabulary — so this is the Spark-shaped kernel a tokenizer
+# trainer calls in a loop.)
+#
+# Scale: one tokenize+explode to words (no shuffle yet), pairs
+# emitted map-side with a higher-order transform over character
+# positions (zero Python), then ONE map-side-combinable groupBy on
+# the tiny pair key space (|alphabet|^2 bounded). All counts int64.
+# ---------------------------------------------------------------------------
+CHAR_MERGE_TOPK = 30
+
+
+def q_char_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(CHAR_MERGE_TOPK)
+    )
+
+
+ORACLE["char_bigram_merges"] = f"""
+SELECT substr(w, i, 2) AS pair, COUNT(*) AS n
+FROM (
+  SELECT w, UNNEST(range(1, length(w))) AS i
+  FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+  )
+  WHERE length(w) >= 2
+)
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {CHAR_MERGE_TOPK}
+"""
