@@ -358,7 +358,13 @@ def _collect_stats(table: str, rel_paths: list[str]) -> dict:
                     nulls[name] = nulls.get(name, 0) + stats.null_count
                 if not stats.has_min_max:
                     continue
-                lo, hi = stats.min, stats.max
+                try:
+                    lo, hi = stats.min, stats.max
+                except Exception:
+                    # pyarrow can't extract min/max for some physical
+                    # types (e.g. wide decimals) — such columns simply
+                    # don't prune, same as missing stats
+                    continue
                 if not isinstance(lo, (bool, int, float, str)) or not isinstance(
                     hi, (bool, int, float, str)
                 ):
@@ -387,17 +393,23 @@ def _commit(
     deletion_vectors: dict | None = None,
     column_mapping: dict | None = None,
     retired_columns: list[str] | None = None,
+    generated: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1
-    # column mapping / retired physical names carry forward from the
-    # parent automatically so no commit path can silently lose them —
-    # only rename/drop/clone pass them explicitly
-    if parent is not None and (column_mapping is None or retired_columns is None):
+    # column mapping / retired physical names / generated-column
+    # definitions carry forward from the parent automatically so no
+    # commit path can silently lose them — only the DDL entry points
+    # (rename/drop/clone/create) pass them explicitly
+    if parent is not None and (
+        column_mapping is None or retired_columns is None or generated is None
+    ):
         par = _read_manifest(table, parent)
         if column_mapping is None:
             column_mapping = par.get("column_mapping")
         if retired_columns is None:
             retired_columns = par.get("retired_columns")
+        if generated is None:
+            generated = par.get("generated")
     manifest = {
         "version": version,
         "parent": parent,
@@ -416,6 +428,8 @@ def _commit(
         manifest["column_mapping"] = column_mapping
     if retired_columns:
         manifest["retired_columns"] = sorted(retired_columns)
+    if generated:
+        manifest["generated"] = generated
     if txn is not None:
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
     _publish(table, version, manifest)
@@ -453,6 +467,39 @@ def _validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
         raise ConstraintViolation(f"batch violates CHECK constraints: {detail}")
 
 
+def _apply_generated(df: DataFrame, generated: dict[str, str]) -> DataFrame:
+    """Delta-style GENERATED ALWAYS AS semantics on a data-adding
+    batch: a generated column the batch OMITS is computed from its
+    expression; one the batch PROVIDES is validated against the
+    expression in one aggregation pass (null-safe equality, like
+    Delta's check) — a writer can hand-supply values only if they
+    match the definition exactly."""
+    if not generated:
+        return df
+    from pyspark.sql import functions as F
+
+    provided = {c: e for c, e in generated.items() if c in df.columns}
+    for col, expr in generated.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+    if provided:
+        aggs = [
+            F.sum((~F.col(c).eqNullSafe(F.expr(e))).cast("long")).alias(c)
+            for c, e in provided.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {c: int(row[c]) for c in provided if row[c]}
+        if bad:
+            detail = ", ".join(
+                f"{c!r} (GENERATED AS {provided[c]}): {n} rows"
+                for c, n in bad.items()
+            )
+            raise ConstraintViolation(
+                f"batch contradicts generated columns: {detail}"
+            )
+    return df
+
+
 def txn_epoch(table: str, app_id: str) -> int | None:
     """Highest epoch this writer (``app_id``) has durably committed —
     the Delta-style idempotent-writer handshake. A streaming epoch
@@ -480,13 +527,18 @@ def create_table(
     partition_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Create version 1 of a new snapshot table from ``df``.
     ``constraints``: {name: boolean SQL expr} CHECK constraints
-    enforced on this and every future commit."""
+    enforced on this and every future commit.
+    ``generated``: {col: SQL expr} Delta-style GENERATED ALWAYS AS
+    columns — computed when a batch omits them, validated when it
+    provides them, on this and every future data-adding commit."""
     partition_cols = partition_cols or []
     if current_version(table) is not None:
         raise ValueError(f"{table} already exists; use overwrite_table")
+    df = _apply_generated(df, generated or {})
     _validate_spec(partition_cols, set(df.columns))
     _validate_constraints(df, constraints or {})
     files = _write_data(df, table, partition_cols)
@@ -500,6 +552,7 @@ def create_table(
         txn=txn,
         file_stats=_collect_stats(table, files),
         constraints=constraints or {},
+        generated=generated or {},
     )
 
 
@@ -549,6 +602,7 @@ def append(
     if head is None:
         raise ValueError(f"{table} does not exist; use create_table")
     prev = _read_manifest(table, head)
+    df = _apply_generated(df, prev.get("generated") or {})
     schema_json = _evolve_schema(prev["schema"], df, merge_schema)
     mapping = dict(prev.get("column_mapping") or {})
     if schema_json != prev["schema"]:
@@ -595,6 +649,7 @@ def overwrite_table(df: DataFrame, table: str) -> int:
     if head is None:
         return create_table(df, table)
     prev = _read_manifest(table, head)
+    df = _apply_generated(df, prev.get("generated") or {})
     _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, prev["partition_cols"])
     return _commit(
@@ -641,6 +696,7 @@ def overwrite_partitions(
             f"spec (e.g. {legacy[0]}); run optimize() to migrate them to "
             f"{pcols} before dynamic partition overwrite"
         )
+    df = _apply_generated(df, prev.get("generated") or {})
     _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, pcols)
     hive = _spec_names(pcols)
@@ -708,9 +764,10 @@ def evolve_partitioning(table: str, new_cols: list[str]) -> int:
 
 
 def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
-    """Shared refusals for rename/drop: partition-spec sources and
-    CHECK-constraint references block column DDL (Delta's stance —
-    the constraint/layout would silently break otherwise)."""
+    """Shared refusals for rename/drop: partition-spec sources,
+    CHECK-constraint references, and generated-column definitions
+    block column DDL (Delta's stance — the constraint/expression
+    would silently break otherwise)."""
     import re
 
     for e in prev["partition_cols"]:
@@ -724,6 +781,12 @@ def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
             raise ValueError(
                 f"cannot {verb} column {col!r}: referenced by CHECK "
                 f"constraint {name!r} ({expr})"
+            )
+    for gcol, expr in (prev.get("generated") or {}).items():
+        if gcol == col or re.search(rf"\b{re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} column {col!r}: part of generated column "
+                f"{gcol!r} (GENERATED AS {expr})"
             )
 
 
@@ -1383,12 +1446,26 @@ def update_where(
             mapping=prev.get("column_mapping"),
         ).filter(cond)
         names = [f.name for f in schema.fields]
+        # SET expressions cast to the DECLARED column type: a literal
+        # like 1000.0 parses as DECIMAL and would otherwise silently
+        # change the written physical type mid-table
+        types = {f.name: f.dataType for f in schema.fields}
         updated = matched.select(
             *[
-                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
                 for c in names
             ]
         )
+        # generated columns not explicitly SET recompute from their
+        # definitions (their sources may have changed); explicitly
+        # SET ones validate against the definition
+        gen = prev.get("generated") or {}
+        recompute = [c for c in gen if c not in set_exprs]
+        if recompute:
+            updated = updated.drop(*recompute)
+        updated = _apply_generated(updated, gen).select(*names)
         _validate_constraints(updated, prev.get("constraints", {}))
         hits = matched.select(
             F.col("___f").alias("f"), F.col("___ri").alias("p")
@@ -1419,13 +1496,29 @@ def update_where(
     def transform(df: DataFrame):
         # one select so every SET expression sees the OLD row (SQL
         # UPDATE semantics), not earlier assignments
+        names = list(df.columns)
+        types = {f.name: f.dataType for f in df.schema.fields}
         cols = [
-            F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            F.when(cond, F.expr(set_exprs[c]).cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
             if c in set_exprs
             else F.col(c)
-            for c in df.columns
+            for c in names
         ]
-        return df.select(*cols), "update"
+        out = df.select(*cols)
+        head = current_version(table)
+        gen = (
+            (_read_manifest(table, head).get("generated") or {}) if head else {}
+        )
+        # recompute generated columns over the rewritten frame: rows
+        # the predicate matched may have changed the sources, and
+        # untouched rows recompute to their existing values
+        recompute = [c for c in gen if c not in set_exprs]
+        if recompute:
+            out = out.drop(*recompute)
+        out = _apply_generated(out, gen).select(*names)
+        return out, "update"
 
     return _rewrite_matching_files(spark, table, filters, transform)
 
@@ -2124,6 +2217,7 @@ def clone_table(src_table: str, dst_table: str) -> int:
         deletion_vectors=dvs,
         column_mapping=prev.get("column_mapping") or {},
         retired_columns=prev.get("retired_columns") or [],
+        generated=prev.get("generated") or {},
     )
 
 

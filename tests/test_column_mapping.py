@@ -212,3 +212,110 @@ def test_cdf_reads_each_side_under_its_own_mapping(spark, orders, tmp_path):
     feed = st.changes(spark, t, from_version=2)
     assert "total_price" in feed.columns
     assert feed.filter(F.col("_change_type") == "insert").count() == 120
+
+
+# ---------------------------------------------------------------------------
+# Generated columns (Delta GENERATED ALWAYS AS equivalent)
+# ---------------------------------------------------------------------------
+GEN = {"price_band": "CASE WHEN o_totalprice > 200000 THEN 'hi' ELSE 'lo' END"}
+
+
+def test_generated_column_computed_and_validated(spark, orders, tmp_path):
+    t = str(tmp_path / "gen_orders")
+    # batch omits the column -> computed
+    st.create_table(orders, t, ["o_orderstatus"], generated=GEN)
+    snap = st.read_snapshot(spark, t)
+    assert "price_band" in snap.columns
+    n_hi = orders.filter(F.col("o_totalprice") > 200000).count()
+    assert snap.filter(F.col("price_band") == "hi").count() == n_hi
+    # append omitting it -> computed again
+    st.append(orders.limit(30), t)
+    assert st.read_snapshot(spark, t).filter(
+        F.col("price_band").isNull()
+    ).count() == 0
+    # append PROVIDING matching values -> accepted
+    ok = orders.limit(10).withColumn(
+        "price_band",
+        F.when(F.col("o_totalprice") > 200000, "hi").otherwise("lo"),
+    )
+    st.append(ok, t)
+    # append contradicting the definition -> rejected, nothing commits
+    head = st.current_version(t)
+    bad = orders.limit(10).withColumn("price_band", F.lit("hi"))
+    if bad.filter(F.col("o_totalprice") <= 200000).count() > 0:
+        with pytest.raises(st.ConstraintViolation, match="generated"):
+            st.append(bad, t)
+        assert st.current_version(t) == head
+
+
+def test_generated_column_recomputes_on_update(spark, orders, tmp_path):
+    t = str(tmp_path / "gen_upd")
+    st.create_table(orders, t, [], generated=GEN)
+    # update the SOURCE column across the band boundary: the
+    # generated column must recompute, not keep its stale value
+    st.update_where(
+        spark,
+        t,
+        [("o_totalprice", ">", 300000.0)],
+        {"o_totalprice": "1000.0"},
+    )
+    snap = st.read_snapshot(spark, t)
+    assert snap.filter(
+        (F.col("o_totalprice") <= 200000) & (F.col("price_band") == "hi")
+    ).count() == 0
+    # DV-mode update recomputes too
+    st.update_where(
+        spark,
+        t,
+        [("o_totalprice", "<", 2000.0)],
+        {"o_totalprice": "250000.0"},
+        use_dv=True,
+    )
+    snap = st.read_snapshot(spark, t)
+    assert snap.filter(
+        (F.col("o_totalprice") > 200000) & (F.col("price_band") != "hi")
+    ).count() == 0
+
+
+def test_generated_column_blocks_ddl_and_survives_clone(
+    spark, orders, tmp_path
+):
+    t = str(tmp_path / "gen_ddl")
+    st.create_table(orders, t, [], generated=GEN)
+    with pytest.raises(ValueError, match="generated column"):
+        st.rename_column(t, "o_totalprice", "total_price")
+    with pytest.raises(ValueError, match="generated column"):
+        st.drop_column(t, "price_band")
+    dst = str(tmp_path / "gen_clone")
+    st.clone_table(t, dst)
+    assert st._read_manifest(dst, 1).get("generated") == GEN
+    # the clone keeps enforcing: contradicting append fails there too
+    bad = orders.limit(5).withColumn("price_band", F.lit("nope"))
+    with pytest.raises(st.ConstraintViolation, match="generated"):
+        st.append(bad, dst)
+
+
+def test_update_set_exprs_cast_to_declared_types(spark, orders, tmp_path):
+    """A SET literal like 1000.0 parses as DECIMAL — update_where must
+    cast it to the DECLARED column type so the physical parquet type
+    cannot silently drift mid-table (both rewrite and DV modes)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "type_upd")
+    st.create_table(orders, t, [])
+    st.update_where(
+        spark, t, [("o_totalprice", ">", 450000.0)], {"o_totalprice": "1000.0"}
+    )
+    st.update_where(
+        spark,
+        t,
+        [("o_totalprice", "<", 1500.0)],
+        {"o_totalprice": "2000.0"},
+        use_dv=True,
+    )
+    for f in glob.glob(f"{t}/data/**/*.parquet", recursive=True):
+        sch = pq.ParquetFile(f).schema_arrow
+        assert str(sch.field("o_totalprice").type) == "double", f
+    assert dict(st.read_snapshot(spark, t).dtypes)["o_totalprice"] == "double"
