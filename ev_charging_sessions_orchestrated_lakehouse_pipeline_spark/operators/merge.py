@@ -1287,3 +1287,86 @@ UNION ALL
 SELECT 'v1:priorities', COUNT(DISTINCT o_orderpriority), NULL FROM orders
 ORDER BY slice
 """
+
+
+def q_snapshot_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (sources/snaptable.py
+    _apply_generated; the Delta generated-column equivalent —
+    reference tables carry no derived-column enforcement, the gold
+    job recomputes metrics by convention, jobs/ev_sessions_gold_etl.py:
+    96-117): create a table whose price_band column is GENERATED from
+    o_totalprice, append a batch that OMITS it (computed), then
+    UPDATE source prices across the band boundary (recomputed), and
+    audit the final band populations. The oracle replays band
+    assignment in SQL over the same logical row set, so what's
+    hash-checked is the enforcement machinery: compute-on-omit,
+    recompute-on-update, and that no stale band survives the source
+    change."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_gen_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(
+        orders,
+        table,
+        [],
+        generated={
+            "price_band": "CASE WHEN o_totalprice > 200000 THEN 'hi' ELSE 'lo' END"
+        },
+    )
+    batch = (
+        orders.orderBy("o_orderkey")
+        .limit(200)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(20_000_000))
+    )
+    st.append(batch, table)  # omits price_band -> computed
+    st.update_where(
+        spark,
+        table,
+        [("o_totalprice", ">", 400000.0)],
+        {"o_totalprice": "CAST(o_totalprice / 10.0 AS DOUBLE)"},
+    )
+    out = (
+        st.read_snapshot(spark, table)
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.price_band, r.n, float(r.sum_price)) for r in out],
+        "price_band string, n bigint, sum_price double",
+    ).orderBy("price_band")
+
+
+ORACLE["snapshot_generated_columns"] = f"""
+WITH both_batches AS (
+  SELECT o_totalprice FROM orders
+  UNION ALL
+  SELECT o_totalprice
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+), updated AS (
+  SELECT CASE WHEN o_totalprice > 400000.0
+              THEN CAST(o_totalprice / 10.0 AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM both_batches
+)
+SELECT CASE WHEN o_totalprice > 200000 THEN 'hi' ELSE 'lo' END AS price_band,
+       COUNT(*) AS n, {dsum_sql('o_totalprice')} AS sum_price
+FROM updated
+GROUP BY 1
+ORDER BY price_band
+"""
