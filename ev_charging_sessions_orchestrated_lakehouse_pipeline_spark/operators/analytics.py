@@ -2924,3 +2924,123 @@ FROM (
 WHERE rk = 1
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — the growth-analytics DAU/WAU pair,
+# computed EXACTLY: for each day, how many distinct users had at
+# least one event in the trailing ROLLING_AU_DAYS window. A windowed
+# COUNT(DISTINCT) doesn't exist in either engine; the classic exact
+# rewrite dedups to (user, day) pairs first (tiny — bounded by
+# users x days, independent of event volume), then explodes each
+# pair into the ROLLING_AU_DAYS window-end days it covers and counts
+# distinct users per window end. Only surviving days appear (a
+# window end with zero activity has no row, identically in both
+# engines).
+#
+# Scale: events collapse map-side to the (user, day) set (ONE
+# shuffle bounded by |users| x |days|); the x7 explode multiplies
+# the tiny dedup set, never the event stream.
+# ---------------------------------------------------------------------------
+ROLLING_AU_DAYS = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    exploded = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {ROLLING_AU_DAYS - 1}), "
+                "i -> date_add(day, i))"
+            )
+        ).alias("window_end"),
+    )
+    daily = pairs.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    rolling = exploded.groupBy("window_end").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        daily.join(rolling, daily["day"] == rolling["window_end"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            (F.col("wau").cast("double") / F.col("dau").cast("double")).alias(
+                "stickiness_inv"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["rolling_active_users"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), daily AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY day
+), exploded AS (
+  SELECT user_id, day + CAST(i || ' days' AS INTERVAL) AS window_end
+  FROM pairs, UNNEST(range(0, {ROLLING_AU_DAYS})) AS t(i)
+), rolling AS (
+  SELECT window_end, COUNT(DISTINCT user_id) AS wau
+  FROM exploded GROUP BY window_end
+)
+SELECT CAST(d.day AS VARCHAR) AS day, d.dau, r.wau,
+       CAST(r.wau AS DOUBLE) / CAST(d.dau AS DOUBLE) AS stickiness_inv
+FROM daily d JOIN rolling r ON r.window_end = d.day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day — the acquisition/retention split:
+# a user's FIRST-ever event day marks them new; every later active
+# day counts them returning. Exact via the per-user minimum day over
+# the deduped (user, day) set — event payloads never shuffle, and
+# the min fold is map-side combinable.
+# ---------------------------------------------------------------------------
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        pairs.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["new_vs_returning"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), firsts AS (
+  SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY user_id
+)
+SELECT CAST(p.day AS VARCHAR) AS day,
+       CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN p.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM pairs p JOIN firsts f USING (user_id)
+GROUP BY p.day
+ORDER BY day
+"""
