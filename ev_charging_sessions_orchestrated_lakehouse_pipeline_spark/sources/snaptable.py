@@ -1983,6 +1983,13 @@ def rollback(table: str, version: int) -> int:
         file_stats=target.get("file_stats", {}),
         constraints=target.get("constraints", {}),
         deletion_vectors=target.get("deletion_vectors", {}),
+        # restore the TARGET's column DDL state too — inheriting the
+        # (possibly renamed/dropped) parent's mapping over the
+        # target's schema would corrupt every read (caught by the
+        # model-equivalence property test)
+        column_mapping=target.get("column_mapping") or {},
+        retired_columns=target.get("retired_columns") or [],
+        generated=target.get("generated") or {},
     )
 
 

@@ -413,6 +413,7 @@ _op = hst.one_of(
     hst.tuples(hst.just("overwrite_partitions"), _batch),
     hst.tuples(hst.just("overwrite_table"), _batch),
     hst.tuples(hst.just("rollback"), hst.integers(1, 3)),
+    hst.tuples(hst.just("rename"), hst.just(0)),
 )
 
 
@@ -424,46 +425,56 @@ _op = hst.one_of(
 @given(ops=hst.lists(_op, min_size=1, max_size=4))
 def test_snaptable_model_equivalence(spark, tmp_path_factory, ops):
     """Model-based property test: any sequence of
-    append / overwrite_partitions / overwrite_table / rollback must
-    leave the table's visible rows equal to a trivial in-memory model,
-    and EVERY intermediate version must stay time-travelable to its
-    recorded model state (manifest immutability)."""
+    append / overwrite_partitions / overwrite_table / rollback /
+    rename_column must leave the table's visible rows equal to a
+    trivial in-memory model, and EVERY intermediate version must stay
+    time-travelable to its recorded model state AND its recorded
+    column name (manifest immutability — including each version's own
+    column mapping)."""
     tmp = tmp_path_factory.mktemp("snapmodel")
     t = str(tmp / "t")
 
-    def mk(batch):
-        return spark.createDataFrame(
-            [(i, k, p) for i, (k, p) in enumerate(batch)], "row_id int, k int, p string"
+    def mk(batch, kname):
+        df = spark.createDataFrame(
+            [(i, k, p) for i, (k, p) in enumerate(batch)],
+            "row_id int, k int, p string",
         )
+        return df.withColumnRenamed("k", kname) if kname != "k" else df
 
     seed = [(0, 0, "a"), (1, 1, "b")]
     st.create_table(
         spark.createDataFrame(seed, "row_id int, k int, p string"), t, ["p"]
     )
     model = list(seed)
-    states = {1: list(model)}  # version -> model rows
+    kname = "k"
+    states = {1: (kname, list(model))}  # version -> (k column name, rows)
     for op, arg in ops:
         if op == "rollback":
             v = min(arg, st.current_version(t))
             st.rollback(t, v)
-            model = list(states[v])
+            kname, model = states[v][0], list(states[v][1])
+        elif op == "rename":
+            # toggle k <-> kk; rows are untouched (metadata-only)
+            new = "kk" if kname == "k" else "k"
+            st.rename_column(t, kname, new)
+            kname = new
         else:
             batch = [(i, k, p) for i, (k, p) in enumerate(arg)]
             if op == "append":
-                st.append(mk(arg), t)
+                st.append(mk(arg, kname), t)
                 model = model + batch
             elif op == "overwrite_partitions":
-                st.overwrite_partitions(mk(arg), t)
+                st.overwrite_partitions(mk(arg, kname), t)
                 touched = {p for _, _, p in batch}
                 model = [r for r in model if r[2] not in touched] + batch
             else:
-                st.overwrite_table(mk(arg), t)
+                st.overwrite_table(mk(arg, kname), t)
                 model = batch
-        states[st.current_version(t)] = list(model)
-    for v, expect in states.items():
-        got = sorted(
-            tuple(r) for r in st.read_snapshot(spark, t, version=v).collect()
-        )
+        states[st.current_version(t)] = (kname, list(model))
+    for v, (kn, expect) in states.items():
+        snap = st.read_snapshot(spark, t, version=v)
+        assert snap.columns == ["row_id", kn, "p"], (v, snap.columns, kn)
+        got = sorted(tuple(r) for r in snap.collect())
         assert got == sorted(expect), (v, got, expect)
 
 
