@@ -833,3 +833,122 @@ def test_streaming_concurrent_peak_matches_batch(spark, sf_dir, tmp_path):
     for et, b in batch.items():
         s = final[et]
         assert (s.peak, s.peak_at_epoch) == (b.peak, b.peak_at_epoch), et
+
+
+def test_streaming_concurrent_peak_state_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    """Stop the concurrency stream after half the delta slices,
+    restart from the checkpoint with the rest: the (conc, peak,
+    peak_at) state must resume — a high-water mark reached in slice 1
+    must survive into the final emission even if later slices never
+    reach it again, and the running concurrency must carry over so a
+    peak straddling the restart boundary is still counted."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        streaming_concurrent_peak,
+    )
+
+    batch = {
+        r.event_type: r
+        for r in QUERIES["concurrent_peak"](spark, sf_dir).collect()
+    }
+    ev = read_fixture(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("start_t"),
+        F.floor(F.col("value") * F.lit(60.0)).cast("long").alias("dur"),
+    )
+    deltas = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("start_t").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("start_t") + F.col("dur") + F.lit(1)).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "event_type",
+        F.col("e.t").alias("t"),
+        F.col("e.delta").alias("delta"),
+        "event_id",
+    )
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    rows = deltas.orderBy("t", "delta", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    now = time.time()
+
+    def add_slice(i: int) -> None:
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, deltas.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"dstage_{i}")
+        )
+        part = next(
+            p for p in (tmp_path / f"dstage_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        dst = src / f"slice_{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    def run_available() -> None:
+        stream = (
+            spark.readStream.schema(deltas.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+        # update-mode emissions land via foreachBatch (the parquet
+        # sink itself only accepts append mode)
+        def sink_batch(df, _epoch):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_concurrent_peak(stream)
+            .writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    add_slice(0)
+    add_slice(1)
+    run_available()
+    add_slice(2)
+    add_slice(3)
+    run_available()
+
+    import pandas as pd  # noqa: F401
+
+    sink = spark.read.parquet(out)
+    final = {
+        r.event_type: r
+        for r in spark.sql(
+            "SELECT event_type, peak, peak_at_epoch FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY event_type "
+            "         ORDER BY peak DESC) AS rk FROM {df}"
+            ") WHERE rk = 1",
+            df=sink,
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert (s.peak, s.peak_at_epoch) == (b.peak, b.peak_at_epoch), et
