@@ -1006,3 +1006,122 @@ GROUP BY l_partkey
 ORDER BY trend DESC, l_partkey
 LIMIT {TREND_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity per brand — exact least-squares regression by
+# group: the OLS slope and intercept of quantity-on-discount for each
+# part brand, answering "which brands actually move more units when
+# discounted". The grouped-regression shape generalizes
+# q_corr_profile (same five exact moment sums; slope/intercept
+# instead of r):
+#   slope = (n*Sxy - Sx*Sy) / (n*Sx2 - Sx^2),
+#   intercept = (Sy - slope*Sx) / n
+# with sums folded in DECIMAL(38,10) through the string route, so
+# both coefficients are single deterministic IEEE expressions.
+#
+# Scale: lineitem joins the part dim on the build side (broadcast at
+# any realistic dim size), then one map-side-combinable groupBy on
+# brand — shuffle volume |brands| x 6 numbers, never rows.
+# ---------------------------------------------------------------------------
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def dsum38(c):
+        return F.sum(c.cast(_D38)).cast("string").cast("double")
+
+    s = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum38(F.col("x")).alias("sx"),
+            dsum38(F.col("y")).alias("sy"),
+            dsum38(F.col("x") * F.col("y")).alias("sxy"),
+            dsum38(F.col("x") * F.col("x")).alias("sx2"),
+        )
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.select("p_brand", "n", slope.alias("slope"), "sx", "sy")
+        .select(
+            "p_brand",
+            "n",
+            "slope",
+            ((F.col("sy") - F.col("slope") * F.col("sx")) / n).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE["discount_elasticity"] = f"""
+WITH s AS (
+  SELECT p.p_brand, COUNT(*) AS n,
+         {_dsum38_sql("l.l_discount")} AS sx,
+         {_dsum38_sql("l.l_quantity")} AS sy,
+         {_dsum38_sql("l.l_discount * l.l_quantity")} AS sxy,
+         {_dsum38_sql("l.l_discount * l.l_discount")} AS sx2
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), fitted AS (
+  SELECT p_brand, n, sx, sy,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sx2 - sx * sx) AS slope
+  FROM s
+)
+SELECT p_brand, n, slope,
+       (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept
+FROM fitted
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal activity profile — the day-of-week x hour-of-day matrix of
+# event volume and mean value: the capacity/seasonality heatmap that
+# generalizes the reference's hourly peak query (peak-hours counts by
+# hour only; load patterns are weekly). Weekday uses the ISO
+# convention computed explicitly on both engines (Spark weekday() is
+# 0=Monday; DuckDB isodow - 1) so the matrix keys can't drift by
+# engine-specific week-start defaults. Means route through the exact
+# decimal path. One map-side-combinable groupBy on a <=168-cell key.
+# ---------------------------------------------------------------------------
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.oracle import davg
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("weekday(ts)").cast("int").alias("dow_iso0"),
+            F.hour("ts").cast("int").alias("hour"),
+            "value",
+        )
+        .groupBy("dow_iso0", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value").alias("avg_value"),
+        )
+        .orderBy("dow_iso0", "hour")
+    )
+
+
+ORACLE["seasonal_profile"] = """
+SELECT CAST(isodow(ts) - 1 AS INT) AS dow_iso0,
+       CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow_iso0, hour
+"""
