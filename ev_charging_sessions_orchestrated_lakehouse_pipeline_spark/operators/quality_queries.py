@@ -445,3 +445,77 @@ ORDER BY column_name
 
 
 ORACLE["gini_profile"] = _gini_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the governance twin of the PII masking pass:
+# for a quasi-identifier tuple (nation, market segment), how many
+# customers share each combination, and which combinations fall
+# below the k threshold (re-identifiable: an attacker who knows a
+# person's QI tuple narrows them to < K candidates). Reports the
+# per-cell sizes plus the table-level verdict columns every privacy
+# review asks for: number of violating cells and the share of rows
+# at risk.
+#
+# Scale: one map-side-combinable groupBy on the (bounded) QI tuple;
+# the verdict columns are window aggregates over the tiny cell
+# frame, never the customer table.
+# ---------------------------------------------------------------------------
+K_ANON = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cells = (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )
+    wall = W.partitionBy()
+    at_risk = F.sum(
+        F.when(F.col("cell_size") < K_ANON, F.col("cell_size")).otherwise(0)
+    ).over(wall)
+    return (
+        cells.select(
+            "nation",
+            "mktsegment",
+            "cell_size",
+            (F.col("cell_size") < K_ANON).alias("violates_k"),
+            F.sum(F.when(F.col("cell_size") < K_ANON, 1).otherwise(0))
+            .over(wall)
+            .alias("violating_cells"),
+            (
+                at_risk.cast("double")
+                / F.sum("cell_size").over(wall).cast("double")
+            ).alias("rows_at_risk_share"),
+        )
+        .orderBy("nation", "mktsegment")
+    )
+
+
+ORACLE["k_anonymity_audit"] = f"""
+WITH cells AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS mktsegment,
+         COUNT(*) AS cell_size
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, mktsegment, cell_size,
+       cell_size < {K_ANON} AS violates_k,
+       CAST(SUM(CASE WHEN cell_size < {K_ANON} THEN 1 ELSE 0 END) OVER ()
+            AS BIGINT) AS violating_cells,
+       CAST(SUM(CASE WHEN cell_size < {K_ANON} THEN cell_size ELSE 0 END)
+            OVER () AS DOUBLE)
+         / CAST(SUM(cell_size) OVER () AS DOUBLE) AS rows_at_risk_share
+FROM cells
+ORDER BY nation, mktsegment
+"""

@@ -921,3 +921,115 @@ GROUP BY bucket ORDER BY bucket
 
 
 ORACLE["cluster_quality_profile"] = _cluster_profile_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data op: for each
+# anchor vector, its most similar SAME-label neighbor (the positive)
+# and its most similar DIFFERENT-label neighbor (the hard negative —
+# the confusable example that actually teaches the margin), plus the
+# margin between them. Negative margins flag anchors whose nearest
+# neighbor crosses the label boundary: exactly the samples a
+# metric-learning curriculum surfaces first.
+#
+# Shape follows q_knn_join: anchors broadcast against the corpus,
+# norms folded once per row, per-pair work a single dot+multiply,
+# then one window per (anchor, side) ranking. At scale the anchor
+# side is a sampled batch (bounded broadcast) and the corpus side
+# streams — payload vectors never shuffle; mining the FULL corpus
+# swaps the broadcast for the LSH/IVF candidate generation already
+# in this module without changing this ranking contract.
+# ---------------------------------------------------------------------------
+HARDNEG_ANCHORS = 8
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm", F.sqrt(_dot("embedding", "embedding"))
+    )
+    anchors = emb.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    cosine = _dot("embedding", "qv") / (F.col("norm") * F.col("qn"))
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            cosine.alias("cosine"),
+        )
+    )
+    w = W.partitionBy(
+        "anchor_id", F.col("label") == F.col("anchor_label")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    # one conditional aggregation instead of a pos/neg self-join —
+    # the scored subtree (corpus x broadcast anchors) evaluates ONCE;
+    # each (anchor, side) group has exactly one rk=1 row, so the MAX
+    # picks it
+    same = F.col("label") == F.col("anchor_label")
+    return (
+        ranked.groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.max(F.when(same, F.col("vec_id"))).alias("positive_id"),
+            F.max(F.when(same, F.col("cosine"))).alias("positive_cos"),
+            F.max(F.when(~same, F.col("vec_id"))).alias("hard_negative_id"),
+            F.max(F.when(~same, F.col("cosine"))).alias("negative_cos"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "positive_id",
+            "positive_cos",
+            "hard_negative_id",
+            "negative_cos",
+            (F.col("positive_cos") - F.col("negative_cos")).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+ORACLE["hard_negatives"] = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qv
+  FROM embeddings WHERE vec_id < {HARDNEG_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         {_dot_sql('e.embedding', 'a.qv')} /
+         (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+          * sqrt({_dot_sql('a.qv', 'a.qv')})) AS cosine
+  FROM embeddings e, anchors a
+  WHERE e.vec_id <> a.anchor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY anchor_id, (label = anchor_label)
+      ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+),
+best AS (
+  SELECT anchor_id, anchor_label,
+         MAX(CASE WHEN label = anchor_label THEN vec_id END) AS positive_id,
+         MAX(CASE WHEN label = anchor_label THEN cosine END) AS positive_cos,
+         MAX(CASE WHEN label <> anchor_label THEN vec_id END)
+           AS hard_negative_id,
+         MAX(CASE WHEN label <> anchor_label THEN cosine END)
+           AS negative_cos
+  FROM ranked WHERE rk = 1
+  GROUP BY anchor_id, anchor_label
+)
+SELECT anchor_id, anchor_label, positive_id, positive_cos,
+       hard_negative_id, negative_cos,
+       positive_cos - negative_cos AS margin
+FROM best
+ORDER BY anchor_id
+"""

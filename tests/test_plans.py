@@ -72,6 +72,10 @@ BNLJ_ALLOWED = {
     # 1-row degrees-of-freedom aggregate broadcast onto the tiny
     # contingency-cell frame
     "chi_square_assoc": 1,
+    # broadcast anchor-batch cross join against the corpus (the
+    # knn_join shape); the pos/neg split is conditional aggregation,
+    # not a second pass — the count staying at 1 pins that
+    "hard_negatives": 1,
 }
 
 
