@@ -1263,7 +1263,8 @@ def q_snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("s"),
         F.count_distinct("o_orderpriority").cast("bigint").alias("p"),
     ).collect()[0]
-    rows.append(("v1:all", r1.n, float(r1.s)))
+    # SUM over an empty snapshot is NULL (empty-lake sweep) — keep it
+    rows.append(("v1:all", r1.n, None if r1.s is None else float(r1.s)))
     rows.append(("v1:priorities", r1.p, None))
     shutil.rmtree(table, ignore_errors=True)
     return spark.createDataFrame(
