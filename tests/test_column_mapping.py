@@ -319,3 +319,59 @@ def test_update_set_exprs_cast_to_declared_types(spark, orders, tmp_path):
         sch = pq.ParquetFile(f).schema_arrow
         assert str(sch.field("o_totalprice").type) == "double", f
     assert dict(st.read_snapshot(spark, t).dtypes)["o_totalprice"] == "double"
+
+
+def test_streaming_append_computes_generated_columns(
+    spark, orders, tmp_path
+):
+    """Streaming ingest into a generated-column table: each
+    foreachBatch append computes the omitted GENERATED column, so the
+    table is always band-complete no matter which micro-batch a row
+    arrived in — the enforcement lives in the TABLE, not the job."""
+    import time
+
+    t = str(tmp_path / "gen_stream")
+    st.create_table(
+        orders.limit(1), t, [], generated=GEN
+    )
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    rows = orders.limit(400).collect()
+    now = time.time()
+    for i in range(2):
+        chunk = rows[i * 200 : (i + 1) * 200]
+        spark.createDataFrame(chunk, orders.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"gstage_{i}")
+        )
+        part = next(
+            p for p in (tmp_path / f"gstage_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        dst = src / f"slice_{i}.parquet"
+        part.rename(dst)
+        import os
+
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _eid: st.append(df, t) if df.count() else None
+        )
+        .option("checkpointLocation", str(tmp_path / "gckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == 401
+    assert snap.filter(F.col("price_band").isNull()).count() == 0
+    n_hi = snap.filter(
+        (F.col("o_totalprice") > 200000) & (F.col("price_band") == "hi")
+    ).count()
+    assert n_hi == snap.filter(F.col("o_totalprice") > 200000).count()

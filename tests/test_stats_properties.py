@@ -171,3 +171,57 @@ def test_collocation_lift_positive_and_min_count(rows):
         assert r.lift > 0.0
         assert r.c_xy >= MIN_COLLOC
         assert r.c_x >= r.c_xy and r.c_y >= r.c_xy
+
+
+def test_ngram_novelty_shares_bounded(rows):
+    for r in rows("ngram_novelty"):
+        assert 0.0 <= r.min_novelty <= r.mean_novelty <= r.max_novelty <= 1.0
+        assert r.n_docs > 0
+
+
+def test_distinctive_terms_structure(rows):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.text import (
+        DISTINCT_TERMS_TOPK,
+    )
+
+    per_source: dict = {}
+    for r in rows("distinctive_terms"):
+        assert r.lift > 0.0
+        assert r.c_t >= r.c_ts  # marginal dominates the cell
+        per_source.setdefault(r.source, []).append(r.rank)
+    for src, ranks in per_source.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+        assert len(ranks) <= DISTINCT_TERMS_TOPK
+
+
+def test_longest_streak_bounded_by_user_events(rows, spark, sf_dir):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+    from pyspark.sql import functions as F
+
+    counts = {
+        r.user_id: r.n
+        for r in read_fixture(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = rows("longest_streak")
+    assert {r.user_id for r in out} == set(counts)
+    for r in out:
+        assert 1 <= r.longest_streak <= counts[r.user_id]
+
+
+def test_graph_jaccard_in_unit_interval(rows):
+    for r in rows("graph_jaccard_link"):
+        assert 0.0 <= r.jaccard <= 1.0
+        # common neighbors can't exceed either endpoint's OTHER edges
+        assert r.common <= min(r.deg_a, r.deg_b) - 1 or r.common == 0
+
+
+def test_hard_negative_positive_tops_same_label(rows):
+    for r in rows("hard_negatives"):
+        assert -1.0 <= r.negative_cos <= 1.0 + 1e-9
+        assert -1.0 <= r.positive_cos <= 1.0 + 1e-9
+        assert r.positive_id != r.hard_negative_id
