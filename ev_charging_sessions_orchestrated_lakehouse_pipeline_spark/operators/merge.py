@@ -1371,3 +1371,62 @@ FROM updated
 GROUP BY 1
 ORDER BY price_band
 """
+
+
+def q_snapshot_dnf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive data skipping (sources/snaptable.py scan_any —
+    the stats-pruned OR-of-ANDs read; TPC-H Q19 is the canonical
+    consumer of this shape): cluster a snapshot table by price, then
+    answer a two-branch disjunctive predicate (cheap F orders OR very
+    expensive orders) through per-branch file pruning + union. The
+    oracle replays the OR-of-ANDs in SQL, so what's hash-checked is
+    that the branch-pruned union loses no qualifying row."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_dnf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders.orderBy("o_totalprice").coalesce(8), table, [])
+    st.optimize(
+        spark, table, files_per_partition=8, cluster_by=["o_totalprice"]
+    )
+    hits = st.scan_any(
+        spark,
+        table,
+        [
+            [("o_totalprice", "<", 5000.0), ("o_orderstatus", "=", "F")],
+            [("o_totalprice", ">", 480000.0)],
+        ],
+    )
+    out = hits.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).collect()
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, r.n, None if r.sum_price is None else float(r.sum_price))
+            for r in out
+        ],
+        "o_orderstatus string, n bigint, sum_price double",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_dnf_scan"] = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+WHERE (o_totalprice < 5000.0 AND o_orderstatus = 'F')
+   OR o_totalprice > 480000.0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

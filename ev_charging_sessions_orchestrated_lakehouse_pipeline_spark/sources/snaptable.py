@@ -1081,6 +1081,9 @@ _OPS = {
     "<=": lambda lo, hi, v: lo <= v,
     # IN-list: alive iff ANY value could be in [lo, hi]
     "in": lambda lo, hi, vs: any(not (v < lo or v > hi) for v in vs),
+    # not-equal prunes only the degenerate constant file lo == hi == v
+    # (every row equals v, so none can differ) — Delta's notEq rule
+    "!=": lambda lo, hi, v: not (lo == v and hi == v),
 }
 
 
@@ -1125,13 +1128,21 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
                     alive = False
                     break
                 continue
+            if col in pvals and op == "!=":
+                # a partition directory holding exactly v cannot
+                # satisfy col != v
+                if pvals[col] == str(val):
+                    alive = False
+                    break
+                continue
             # hidden partitioning: a filter on a transform's SOURCE
             # column prunes through the derived directory value
             # (an IN-list keeps the file iff ANY value survives)
             transformed = [
                 e
                 for e in manifest["partition_cols"]
-                if _parse_transform(e)[0] != "identity"
+                if op != "!="  # transform buckets can't prove inequality
+                and _parse_transform(e)[0] != "identity"
                 and _parse_transform(e)[1] == col
             ]
             t_op = "=" if op == "in" else op
@@ -1221,9 +1232,60 @@ def scan(
             continue
         df = df.filter(
             {"=": c == val, "==": c == val, ">": c > val, ">=": c >= val,
-             "<": c < val, "<=": c <= val}[op]
+             "<": c < val, "<=": c <= val, "!=": c != val}[op]
         )
     return df
+
+
+def scan_any(
+    spark: SparkSession,
+    table: str,
+    branches: list[list[tuple]],
+    version: int | None = None,
+) -> DataFrame:
+    """Disjunctive data-skipping read — the OR-of-ANDs (DNF) twin of
+    :func:`scan` for TPC-H-Q19-shaped predicates: ``branches`` is a
+    list of conjunctive filter lists, the overall predicate their OR.
+    A file is read iff AT LEAST ONE branch's stats check keeps it
+    (per-branch :func:`_prune_files`, then the union), and the exact
+    OR-of-ANDs predicate re-applies as a real filter — so skipping
+    stays a pure optimization. At 100 TB this is the difference
+    between a disjunctive point-lookup opening a handful of files and
+    a full scan: pushing only the conjunctive common factor (what a
+    single conjunct API forces) keeps every file a weak branch would
+    have pruned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not branches or any(not b for b in branches):
+        raise ValueError("scan_any needs >=1 branch, each a non-empty conjunct list")
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    manifest = _read_manifest(table, v)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    keep: list[str] = []
+    seen: set[str] = set()
+    for branch in branches:
+        for f in _prune_files(table, manifest, branch):
+            if f not in seen:
+                seen.add(f)
+                keep.append(f)
+    df = _read_union(
+        spark,
+        table,
+        sorted(keep),
+        schema,
+        dvs=manifest.get("deletion_vectors"),
+        mapping=manifest.get("column_mapping"),
+    )
+    cond = F.lit(False)
+    for branch in branches:
+        cond = cond | _filters_to_column(branch)
+    return df.filter(cond)
 
 
 def commit_with_retry(fn, retries: int = 5):
@@ -1271,6 +1333,7 @@ def _filters_to_column(filters: list[tuple]):
         cond = cond & {
             "=": c == val, "==": c == val, ">": c > val,
             ">=": c >= val, "<": c < val, "<=": c <= val,
+            "!=": c != val,
         }[op]
     return cond
 

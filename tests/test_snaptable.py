@@ -1728,3 +1728,60 @@ def test_table_stats_omits_minmax_under_deletion_vectors(spark, orders, tmp_path
     )
     assert s2["rows"] == n0 - n_del
     assert s2["max"]["o_totalprice"] == live_max
+
+
+def test_not_equal_pruning_and_filtering(spark, orders, tmp_path):
+    """!= prunes exactly the degenerate cases it can prove: a file
+    whose footer min == max == v (every row equals v) and a partition
+    directory holding exactly v; everything else reads and the
+    residual filter keeps results exact."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    m = st._read_manifest(t, 1)
+    # partition-path pruning: status != 'F' must drop the F directory
+    pruned = st._prune_files(t, m, [("o_orderstatus", "!=", "F")])
+    assert pruned and all("o_orderstatus=F" not in f for f in pruned)
+    got = st.scan(spark, t, [("o_orderstatus", "!=", "F")]).count()
+    assert got == orders.filter(F.col("o_orderstatus") != "F").count()
+    # constant-column file: min == max == v -> pruned by stats
+    const = spark.createDataFrame(
+        [(1, 7.0), (2, 7.0)], "id bigint, v double"
+    ).coalesce(1)
+    t2 = str(tmp_path / "const")
+    st.create_table(const, t2, [])
+    m2 = st._read_manifest(t2, 1)
+    assert st._prune_files(t2, m2, [("v", "!=", 7.0)]) == []
+    assert st.scan(spark, t2, [("v", "!=", 7.0)]).count() == 0
+
+
+def test_scan_any_dnf_prunes_union_of_branches(spark, orders, tmp_path):
+    """Disjunctive skipping: each branch prunes independently and the
+    union is read; results equal the unpruned OR-of-ANDs filter
+    exactly, and the file set is strictly smaller than the table when
+    both branches are selective."""
+    t = _tbl(tmp_path)
+    st.create_table(
+        orders.orderBy("o_totalprice").coalesce(8), t, []
+    )
+    st.optimize(spark, t, files_per_partition=8, cluster_by=["o_totalprice"])
+    m = st._read_manifest(t, st.current_version(t))
+    branches = [
+        [("o_totalprice", "<", 5000.0), ("o_orderstatus", "=", "F")],
+        [("o_totalprice", ">", 480000.0)],
+    ]
+    per_branch = [set(st._prune_files(t, m, b)) for b in branches]
+    union = per_branch[0] | per_branch[1]
+    assert len(union) < len(m["files"]), "both branches should prune"
+    got = st.scan_any(spark, t, branches)
+    expect = orders.filter(
+        ((F.col("o_totalprice") < 5000.0) & (F.col("o_orderstatus") == "F"))
+        | (F.col("o_totalprice") > 480000.0)
+    )
+    assert got.count() == expect.count()
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in expect.collect()
+    )
+    # a single-conjunct scan could only push the trivial common factor
+    # (nothing) — DNF reads strictly fewer files than the full table
+    with pytest.raises(ValueError):
+        st.scan_any(spark, t, [])
