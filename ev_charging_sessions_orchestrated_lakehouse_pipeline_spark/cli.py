@@ -93,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--files-per-partition", type=int, default=1)
     pt.add_argument("--retain-last", type=int, default=0)
     pt.add_argument(
+        "--dry-run", action="store_true",
+        help="vacuum: report victims without deleting",
+    )
+    pt.add_argument(
         "--column", default=None, help="bloom index / DDL target column"
     )
     pt.add_argument("--to", default=None, help="new name for rename-column")
@@ -116,7 +120,15 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import snaptable as st
 
         if args.action == "vacuum":
-            print(json.dumps(st.vacuum(args.table, retain_last=args.retain_last)))
+            print(
+                json.dumps(
+                    st.vacuum(
+                        args.table,
+                        retain_last=args.retain_last,
+                        dry_run=args.dry_run,
+                    )
+                )
+            )
         elif args.action == "evolve":
             if not args.partition_by:
                 p.error("evolve requires --partition-by")

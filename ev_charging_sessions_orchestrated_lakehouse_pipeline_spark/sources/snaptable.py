@@ -2107,6 +2107,7 @@ def optimize(
     files_per_partition: int = 1,
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    partitions: dict | None = None,
 ) -> int:
     """OPTIMIZE [ZORDER BY] as a metadata commit — the snapshot-native
     replacement for the rename-swap dance in
@@ -2132,6 +2133,15 @@ def optimize(
         raise ValueError(f"{table} does not exist")
     prev = _read_manifest(table, head)
     pcols = prev["partition_cols"]
+    if partitions:
+        # OPTIMIZE WHERE — partition-scoped compaction: at 100 TB you
+        # compact yesterday's hot partitions, never the whole table.
+        # Only the matching directories rewrite; everything else
+        # (files, stats, deletion vectors) carries by reference.
+        return _optimize_partitions(
+            spark, table, prev, head, partitions, files_per_partition,
+            cluster_by, zorder,
+        )
     df = read_snapshot(spark, table)
     n_before = df.count()
     if zorder:
@@ -2187,6 +2197,87 @@ def optimize(
         head,
         file_stats=_collect_stats(table, new),
         constraints=prev.get("constraints", {}),
+    )
+
+
+def _optimize_partitions(
+    spark: SparkSession,
+    table: str,
+    prev: dict,
+    head: int,
+    partitions: dict,
+    files_per_partition: int,
+    cluster_by: list[str] | None,
+    zorder: bool,
+) -> int:
+    """Partition-scoped OPTIMIZE: rewrite only the files whose
+    directory values match ``partitions`` (identity partition columns
+    of the CURRENT spec; old-spec files never match and carry over
+    untouched). Deletion vectors of rewritten files materialize; DVs
+    and stats of carried files survive by reference."""
+    from pyspark.sql.types import StructType
+
+    if zorder:
+        raise ValueError("partition-scoped optimize does not support zorder")
+    pcols = prev["partition_cols"]
+    if not pcols:
+        raise ValueError(f"{table} is unpartitioned; omit partitions")
+    hive = _spec_names(pcols)
+    unknown = set(partitions) - set(hive)
+    if unknown:
+        raise ValueError(
+            f"unknown partition columns {sorted(unknown)}; spec has {hive}"
+        )
+    want = {k: str(v) for k, v in partitions.items()}
+    cand = [
+        f
+        for f in prev["files"]
+        if all(_partition_values(f, hive).get(k) == v for k, v in want.items())
+    ]
+    if not cand:
+        return head  # nothing matches: metadata no-op
+    carried = [f for f in prev["files"] if f not in set(cand)]
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    dfc = _read_union(
+        spark,
+        table,
+        cand,
+        schema,
+        dvs=prev.get("deletion_vectors"),
+        mapping=prev.get("column_mapping"),
+    )
+    n_before = dfc.count()
+    laid, hive_names = _layout_frame(dfc, pcols)
+    out = laid.repartition(files_per_partition, *hive_names)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    new = _write_data(out, table, pcols)
+    new_paths = [os.path.join(table, f) for f in new]
+    n_after = (
+        spark.read.option("basePath", _data_dir(table)).parquet(*new_paths).count()
+        if new_paths
+        else 0
+    )
+    if n_after != n_before:
+        for f in new:
+            os.unlink(os.path.join(table, f))
+        raise RuntimeError(
+            f"optimize row-count mismatch on {table}: {n_after} != {n_before}"
+        )
+    return _commit(
+        table,
+        "optimize",
+        sorted(carried + new),
+        pcols,
+        prev["schema"],
+        head,
+        file_stats=_carry_stats(prev, carried, _collect_stats(table, new)),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors={
+            f: ps
+            for f, ps in prev.get("deletion_vectors", {}).items()
+            if f in set(carried)
+        },
     )
 
 
@@ -2291,7 +2382,7 @@ def clone_table(src_table: str, dst_table: str) -> int:
     )
 
 
-def vacuum(table: str, retain_last: int = 0) -> dict:
+def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
     """Reclaim space: delete data files referenced by NO retained
     manifest (covers orphans from crashed writes) and, when
     ``retain_last`` > 0, expire all but the last N manifests first
@@ -2310,21 +2401,37 @@ def vacuum(table: str, retain_last: int = 0) -> dict:
       That guarantee requires ``spark.sql.files.ignoreMissingFiles``
       to stay ``false`` (the default; the session factory never
       flips it — flipping it would convert this race into silently
-      wrong answers, exactly what Delta's VACUUM docs warn about)."""
+      wrong answers, exactly what Delta's VACUUM docs warn about).
+
+    ``dry_run=True`` (Delta's VACUUM DRY RUN): report what WOULD be
+    expired/deleted — including the victim file list — touching
+    nothing, so retention changes can be audited before they burn
+    time-travel history."""
     versions = _list_versions(table)
     if not versions:
         return {"expired_versions": 0, "deleted_files": 0}
     expired = 0
+    expirable: list[int] = []
     if retain_last > 0 and len(versions) > retain_last:
-        for v in versions[:-retain_last]:
-            os.unlink(_manifest_path(table, v))
-            expired += 1
+        expirable = list(versions[:-retain_last])
+        if not dry_run:
+            for v in expirable:
+                os.unlink(_manifest_path(table, v))
+                expired += 1
         versions = versions[-retain_last:]
     referenced: set[str] = set()
     for v in versions:
         referenced.update(_read_manifest(table, v)["files"])
+    victims = sorted(_list_data_files(table) - referenced)
+    if dry_run:
+        return {
+            "dry_run": True,
+            "expired_versions": len(expirable),
+            "deleted_files": len(victims),
+            "files": victims,
+        }
     deleted = 0
-    for f in _list_data_files(table) - referenced:
+    for f in victims:
         os.unlink(os.path.join(table, f))
         deleted += 1
     # prune now-empty partition dirs so listings stay clean

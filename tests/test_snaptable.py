@@ -1785,3 +1785,61 @@ def test_scan_any_dnf_prunes_union_of_branches(spark, orders, tmp_path):
     # (nothing) — DNF reads strictly fewer files than the full table
     with pytest.raises(ValueError):
         st.scan_any(spark, t, [])
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, orders, tmp_path):
+    """VACUUM DRY RUN: the report names exactly the files a real
+    vacuum would delete (orphans + files only expired versions
+    reference) while touching nothing — manifests, data files, and
+    time travel all survive."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.overwrite_table(orders.limit(100), t)  # v1 files become expirable
+    n_files_before = len(st._list_data_files(t))
+    report = st.vacuum(t, retain_last=1, dry_run=True)
+    assert report["dry_run"] is True
+    assert report["expired_versions"] == 1
+    assert report["deleted_files"] == len(report["files"]) > 0
+    # nothing happened
+    assert len(st._list_data_files(t)) == n_files_before
+    assert st.read_snapshot(spark, t, version=1).count() == orders.count()
+    # the real vacuum deletes exactly the reported set
+    real = st.vacuum(t, retain_last=1)
+    assert real["deleted_files"] == report["deleted_files"]
+    assert real["expired_versions"] == 1
+
+
+def test_partition_scoped_optimize(spark, orders, tmp_path):
+    """OPTIMIZE WHERE: only the named partition's files rewrite;
+    other partitions' files, stats, and deletion vectors carry by
+    reference — the 100 TB compaction pattern (compact yesterday's
+    hot partition, never the table)."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartition(6), t, ["o_orderstatus"])
+    # DV a few rows in an untouched partition to prove DVs survive
+    st.delete_where(
+        spark,
+        t,
+        [("o_orderstatus", "=", "O"), ("o_totalprice", ">", 400000.0)],
+        use_dv=True,
+    )
+    prev = st._read_manifest(t, st.current_version(t))
+    f_files = [f for f in prev["files"] if "o_orderstatus=F" in f]
+    o_files = [f for f in prev["files"] if "o_orderstatus=O" in f]
+    assert len(f_files) > 1 and prev["deletion_vectors"]
+    n_total = st.read_snapshot(spark, t).count()
+
+    v = st.optimize(
+        spark, t, files_per_partition=1, partitions={"o_orderstatus": "F"}
+    )
+    m = st._read_manifest(t, v)
+    new_f = [f for f in m["files"] if "o_orderstatus=F" in f]
+    assert len(new_f) == 1 and not set(new_f) & set(f_files)  # rewritten
+    assert set(o_files) <= set(m["files"])  # untouched partition carried
+    assert m["deletion_vectors"] == prev["deletion_vectors"]  # DVs survive
+    assert st.read_snapshot(spark, t).count() == n_total
+    # scoping errors are loud
+    with pytest.raises(ValueError, match="unknown partition"):
+        st.optimize(spark, t, partitions={"nope": "x"})
+    # no-op scope returns the head unchanged
+    assert st.optimize(spark, t, partitions={"o_orderstatus": "ZZ"}) == v
