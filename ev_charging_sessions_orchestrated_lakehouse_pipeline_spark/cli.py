@@ -85,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
             "evolve",
             "rename-column",
             "drop-column",
+            "layout",
             "history",
         ],
     )
@@ -114,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         "evolve",
         "rename-column",
         "drop-column",
+        "layout",
         "history",
     ):
         # metadata-only actions: no SparkSession needed
@@ -156,6 +158,8 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("drop-column requires --column")
             v = st.drop_column(args.table, args.column)
             print(json.dumps({"version": v}))
+        elif args.action == "layout":
+            print(json.dumps(st.table_layout(args.table)))
         else:
             print(json.dumps(st.history(args.table), default=str))
         return 0

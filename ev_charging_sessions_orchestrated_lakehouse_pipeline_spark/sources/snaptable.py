@@ -1237,6 +1237,45 @@ def scan(
     return df
 
 
+def table_layout(table: str, version: int | None = None) -> list[dict]:
+    """Metadata-only small-files report — the diagnosis that decides
+    WHERE to point :func:`optimize`: per partition-directory tuple,
+    the file count, total rows, and the smallest/largest file's row
+    count, read entirely from the manifest (zero data I/O at any
+    table size). A partition with many small files is a compaction
+    target; one huge file wants a split. Sorted by file count
+    descending so the worst offender leads."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    manifest = _read_manifest(table, v)
+    stats = manifest.get("file_stats", {})
+    hive = _spec_names(manifest["partition_cols"])
+    groups: dict[tuple, list[int]] = {}
+    for f in manifest["files"]:
+        pv = _partition_values(f, hive)
+        key = tuple(sorted(pv.items()))
+        rows = stats.get(f, {}).get("rows")
+        groups.setdefault(key, []).append(-1 if rows is None else int(rows))
+    out = []
+    for key, counts in groups.items():
+        known = [c for c in counts if c >= 0]
+        out.append(
+            {
+                "partition": dict(key),
+                "n_files": len(counts),
+                "rows": sum(known) if len(known) == len(counts) else None,
+                "min_file_rows": min(known) if known else None,
+                "max_file_rows": max(known) if known else None,
+            }
+        )
+    out.sort(key=lambda r: (-r["n_files"], sorted(r["partition"].items())))
+    return out
+
+
 def scan_any(
     spark: SparkSession,
     table: str,

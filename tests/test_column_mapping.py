@@ -375,3 +375,39 @@ def test_streaming_append_computes_generated_columns(
         (F.col("o_totalprice") > 200000) & (F.col("price_band") == "hi")
     ).count()
     assert n_hi == snap.filter(F.col("o_totalprice") > 200000).count()
+
+
+def test_cli_table_actions_column_ddl_layout_dryrun(spark, orders, tmp_path):
+    """The Spark-free CLI surface for the new maintenance actions:
+    rename-column / drop-column / layout / vacuum --dry-run all run
+    without a SparkSession and report JSON."""
+    import json as _json
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "cli_tab")
+    st.create_table(orders, t, ["o_orderstatus"])
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m",
+             "ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli",
+             "table", "--table", t, *args],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        return _json.loads(r.stdout)
+
+    assert cli("rename-column", "--column", "o_totalprice",
+               "--to", "total_price") == {"version": 2}
+    assert cli("drop-column", "--column", "o_orderpriority") == {"version": 3}
+    layout = cli("layout")
+    assert {tuple(e["partition"].items())[0][1] for e in layout} == {
+        "F", "O", "P"
+    }
+    assert all(e["rows"] and e["n_files"] >= 1 for e in layout)
+    dry = cli("vacuum", "--retain-last", "1", "--dry-run")
+    assert dry["dry_run"] is True and dry["expired_versions"] == 2
+    # DDL landed: read back under the new schema
+    cols = st.read_snapshot(spark, t).columns
+    assert "total_price" in cols and "o_orderpriority" not in cols

@@ -1843,3 +1843,24 @@ def test_partition_scoped_optimize(spark, orders, tmp_path):
         st.optimize(spark, t, partitions={"nope": "x"})
     # no-op scope returns the head unchanged
     assert st.optimize(spark, t, partitions={"o_orderstatus": "ZZ"}) == v
+
+
+def test_table_layout_is_metadata_only(spark, orders, tmp_path):
+    """table_layout answers the small-files report with zero data
+    reads — proven by answering AFTER the data directory is gone —
+    and its row totals agree with the live snapshot beforehand."""
+    import shutil
+
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartition(5), t, ["o_orderstatus"])
+    layout = st.table_layout(t)
+    assert sum(e["rows"] for e in layout) == orders.count()
+    assert all(
+        e["min_file_rows"] <= e["max_file_rows"] for e in layout
+    )
+    worst = layout[0]["n_files"]
+    assert worst == max(e["n_files"] for e in layout)
+    shutil.rmtree(st._data_dir(t))
+    # still answers: manifest-only
+    again = st.table_layout(t)
+    assert again == layout
