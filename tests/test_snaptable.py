@@ -853,6 +853,52 @@ class TestScanPruningProperty:
         want = full.filter(cond).count()
         assert got == want, (filters, got, want)
 
+    @_settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[_HC.function_scoped_fixture],
+    )
+    @_given(
+        branches=_st.lists(
+            _st.lists(
+                _st.tuples(
+                    _st.sampled_from(["o_totalprice", "o_custkey"]),
+                    _st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+                    _st.one_of(
+                        _st.floats(
+                            min_value=0, max_value=600000, allow_nan=False
+                        ),
+                        _st.integers(min_value=0, max_value=15000),
+                    ),
+                ),
+                min_size=1,
+                max_size=2,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def test_scan_any_equals_unpruned_dnf(self, spark, table, branches):
+        """Disjunctive skipping exactness on arbitrary OR-of-ANDs,
+        including != and the all-null stats-less file: per-branch
+        pruning + union must lose no qualifying row."""
+        from pyspark.sql import functions as _F
+
+        branches = [
+            [
+                (c, op, float(v) if c == "o_totalprice" else int(v))
+                for c, op, v in b
+            ]
+            for b in branches
+        ]
+        got = st.scan_any(spark, table, branches).count()
+        full = st.read_snapshot(spark, table)
+        cond = _F.lit(False)
+        for b in branches:
+            cond = cond | st._filters_to_column(b)
+        want = full.filter(cond).count()
+        assert got == want, (branches, got, want)
+
 
 def _multiset(df):
     rows = df.select(*sorted(df.columns)).collect()
