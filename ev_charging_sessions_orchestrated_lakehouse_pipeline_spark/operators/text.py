@@ -983,3 +983,91 @@ GROUP BY pair
 ORDER BY n DESC, pair
 LIMIT {CHAR_MERGE_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law) — distinct-vocabulary size as
+# the corpus grows, measured at document-count deciles: the
+# corpus-planning statistic behind "how much new text until the
+# tokenizer stops learning new types". Sub-linear growth is healthy;
+# a curve that keeps climbing linearly means the corpus is full of
+# unique noise (IDs, hashes), one that flatlines early means it's
+# recycled boilerplate.
+#
+# Exact and one-pass: a term enters the vocabulary at its FIRST
+# document (min doc rank over the exploded pairs — map-side
+# combinable, shuffle bounded by |vocab|); the cumulative count per
+# decile is then a window over the 10-row bucket aggregate. No
+# sampling, no sketch; at petabyte scale the same query runs on the
+# (term, min_rank) aggregate a tokenizer pipeline already maintains.
+# ---------------------------------------------------------------------------
+HEAPS_BUCKETS = 10
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # one scalar; ranks derive from doc_id order
+    ranked = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy("doc_id"))
+        .alias("rank"),
+        "text",
+    )
+    firsts = (
+        ranked.select("rank", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    bucket = F.least(
+        F.lit(HEAPS_BUCKETS),
+        F.ceil(
+            F.col("first_rank")
+            * F.lit(HEAPS_BUCKETS)
+            / F.lit(n_docs)
+        ).cast("int"),
+    )
+    per_bucket = firsts.select(
+        bucket.cast("bigint").alias("decile")
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_bucket.select(
+            "decile",
+            "new_terms",
+            F.sum("new_terms").over(wcum).alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["vocab_growth"] = f"""
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rank, text
+  FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+firsts AS (
+  SELECT term, MIN(rank) AS first_rank
+  FROM (
+    SELECT rank, UNNEST(string_split(text, ' ')) AS term FROM ranked
+  )
+  WHERE term <> ''
+  GROUP BY term
+), per_bucket AS (
+  SELECT LEAST({HEAPS_BUCKETS},
+               CAST(CEIL(first_rank * {HEAPS_BUCKETS}
+                         / CAST((SELECT n_docs FROM n) AS DOUBLE)) AS INT))
+           AS decile,
+         COUNT(*) AS new_terms
+  FROM firsts GROUP BY 1
+)
+SELECT decile, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_size
+FROM per_bucket
+ORDER BY decile
+"""
