@@ -994,38 +994,48 @@ LIMIT {CHAR_MERGE_TOPK}
 # unique noise (IDs, hashes), one that flatlines early means it's
 # recycled boilerplate.
 #
-# Exact and one-pass: a term enters the vocabulary at its FIRST
-# document (min doc rank over the exploded pairs — map-side
-# combinable, shuffle bounded by |vocab|); the cumulative count per
-# decile is then a window over the 10-row bucket aggregate. No
-# sampling, no sketch; at petabyte scale the same query runs on the
-# (term, min_rank) aggregate a tokenizer pipeline already maintains.
+# Exact and one-pass over the payloads: terms are exploded against
+# the RAW doc_id (no rank attached), aggregated term -> min(doc_id)
+# (map-side combinable, shuffle bounded by |vocab|), and only then
+# joined against a slim (doc_id, rank) frame. row_number() over a
+# global ORDER BY doc_id is monotonic in doc_id, so
+# min(rank) == rank(min(doc_id)) — the join-after-aggregate plan is
+# value-identical to ranking before the explode, but the single-
+# partition Exchange the global window needs carries 8-byte doc_ids
+# only, never the text payload (the 100 TB constraint; the payload
+# column stays in map-side explode/aggregate stages). n_docs comes
+# from a 1-row broadcast aggregate instead of an eager driver count,
+# so the query is a single job. At petabyte scale the same query runs
+# on the (term, first_doc) aggregate a tokenizer pipeline already
+# maintains.
 # ---------------------------------------------------------------------------
 HEAPS_BUCKETS = 10
 
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # one scalar; ranks derive from doc_id order
-    ranked = docs.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy("doc_id"))
-        .alias("rank"),
-        "text",
-    )
     firsts = (
-        ranked.select("rank", F.explode(tokens(F.col("text"))).alias("term"))
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .where(F.col("term") != "")
         .groupBy("term")
-        .agg(F.min("rank").alias("first_rank"))
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ranked = docs.select("doc_id").select(
+        "doc_id",
+        F.row_number().over(W.orderBy("doc_id")).alias("first_rank"),
+    )
+    totals = ranked.agg(F.count(F.lit(1)).alias("n_docs"))
+    firsts = (
+        firsts.join(ranked, firsts.first_doc == ranked.doc_id)
+        .crossJoin(F.broadcast(totals))
+        .select("term", "first_rank", "n_docs")
     )
     bucket = F.least(
         F.lit(HEAPS_BUCKETS),
         F.ceil(
             F.col("first_rank")
             * F.lit(HEAPS_BUCKETS)
-            / F.lit(n_docs)
+            / F.col("n_docs")
         ).cast("int"),
     )
     per_bucket = firsts.select(

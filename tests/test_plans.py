@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "frequent_items_bounds": 2,
     # 1-row corpus-totals aggregate broadcast into the share projection
     "mixture_epochs": 1,
+    # 1-row doc-count aggregate broadcast into the decile bucketing
+    "vocab_growth": 1,
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk": 1,
@@ -384,6 +386,39 @@ def test_per_doc_text_metrics_are_map_side(spark, sf_dir, name):
         plan,
     )
     assert not hash_ex, f"{name}: unexpected shuffle(s) {hash_ex}"
+
+
+# Raw wide-payload source columns (multi-KB strings / float arrays /
+# binary blobs) that must never ride through a single-partition
+# Exchange: a global window or ordered collect funnels EVERY row of
+# its input through one task, so slim ids and aggregation buffers are
+# fine but corpus payloads are a guaranteed OOM at 100x scale
+# (ADVICE r7: vocab_growth shipped `text` through its global rank).
+_PAYLOAD_COLS = ("text#", "embedding#", "data#", "content#")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_payload_through_single_partition_exchange(spark, sf_dir, name):
+    """Registry-wide pin: no Exchange SinglePartition node carries a
+    raw payload column. Global windows/sorts must rank slim key
+    frames and join the payload back (or aggregate first)."""
+    import re
+
+    plan = _formatted_plan(spark, QUERIES[name](spark, sf_dir))
+    for block in plan.split("\n\n"):
+        first = block.lstrip().splitlines()[0] if block.strip() else ""
+        if not re.match(r"\(\d+\) Exchange", first):
+            continue
+        if "SinglePartition" not in block:
+            continue
+        input_line = next(
+            (ln for ln in block.splitlines() if ln.startswith("Input")), ""
+        )
+        for payload in _PAYLOAD_COLS:
+            assert payload not in input_line, (
+                f"{name}: payload column {payload!r} funnels through a "
+                f"SinglePartition exchange: {input_line}"
+            )
 
 
 @pytest.mark.parametrize("name", ["pps_sample", "exact_stratified_split"])
