@@ -312,7 +312,16 @@ def _write_data(
         if logical != phys and logical in df.columns
     }
     if renames:
-        df = df.withColumnsRenamed(renames)
+        # one atomic select, NOT withColumnsRenamed: chained renames
+        # break when one rename's TARGET is another's SOURCE (e.g.
+        # total_price->o_totalprice alongside
+        # o_totalprice->o_totalprice__r3 — the intermediate frame
+        # holds two o_totalprice columns and the second rename hits
+        # both). Aliasing every column against the ORIGINAL frame in
+        # a single projection is order-independent.
+        df = df.select(
+            *[df[c].alias(renames.get(c, c)) for c in df.columns]
+        )
     os.makedirs(_data_dir(table), exist_ok=True)
     before = _list_data_files(table)
     if partition_cols:
@@ -644,14 +653,37 @@ def append(
 
 def overwrite_table(df: DataFrame, table: str) -> int:
     """Full-table replace: the new snapshot references only the new
-    files; history (and time travel to it) is preserved."""
+    files; history (and time travel to it) is preserved.
+
+    The parent's column mapping is RECONCILED against the new schema
+    rather than carried verbatim (_commit's auto-carry): entries whose
+    logical column left the schema are dropped, surviving renames keep
+    their physical alias, and a new schema column colliding with a
+    still-claimed physical name (a surviving mapped physical or a
+    retired one — e.g. the frame reintroduces column ``a`` after
+    RENAME a->b) gets a fresh physical alias, exactly as append's
+    resurrection guard does. Carrying the mapping blind would commit a
+    head whose read-side rename (physical->logical) targets a column
+    absent from the committed schema — an unreadable table."""
     head = current_version(table)
     if head is None:
         return create_table(df, table)
     prev = _read_manifest(table, head)
     df = _apply_generated(df, prev.get("generated") or {})
     _validate_constraints(df, prev.get("constraints", {}))
-    new = _write_data(df, table, prev["partition_cols"])
+    new_names = {f.name for f in df.schema.fields}
+    mapping = {
+        logical: physical
+        for logical, physical in (prev.get("column_mapping") or {}).items()
+        if logical in new_names
+    }
+    used_physical = set(mapping.values()) | set(
+        prev.get("retired_columns") or []
+    )
+    for name in sorted(new_names - set(mapping)):
+        if name in used_physical:
+            mapping[name] = f"{name}__r{head + 1}"
+    new = _write_data(df, table, prev["partition_cols"], mapping=mapping)
     return _commit(
         table,
         "overwrite",
@@ -661,6 +693,7 @@ def overwrite_table(df: DataFrame, table: str) -> int:
         head,
         file_stats=_collect_stats(table, new),
         constraints=prev.get("constraints", {}),
+        column_mapping=mapping,
     )
 
 
@@ -763,13 +796,23 @@ def evolve_partitioning(table: str, new_cols: list[str]) -> int:
     )
 
 
+def _references_column(expr: str, col: str) -> bool:
+    """Does a SQL expression text reference ``col`` as an identifier?
+    String literals are stripped first so a constraint like
+    ``status != 'priority'`` does not block DDL on an unrelated
+    column named ``priority`` (ADVICE r7); backtick-quoted
+    identifiers remain, since those ARE references."""
+    import re
+
+    stripped = re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", "''", expr)
+    return bool(re.search(rf"\b{re.escape(col)}\b", stripped))
+
+
 def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
     """Shared refusals for rename/drop: partition-spec sources,
     CHECK-constraint references, and generated-column definitions
     block column DDL (Delta's stance — the constraint/expression
     would silently break otherwise)."""
-    import re
-
     for e in prev["partition_cols"]:
         if _parse_transform(e)[1] == col:
             raise ValueError(
@@ -777,13 +820,13 @@ def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
                 "evolve partitioning first"
             )
     for name, expr in prev.get("constraints", {}).items():
-        if re.search(rf"\b{re.escape(col)}\b", expr):
+        if _references_column(expr, col):
             raise ValueError(
                 f"cannot {verb} column {col!r}: referenced by CHECK "
                 f"constraint {name!r} ({expr})"
             )
     for gcol, expr in (prev.get("generated") or {}).items():
-        if gcol == col or re.search(rf"\b{re.escape(col)}\b", expr):
+        if gcol == col or _references_column(expr, col):
             raise ValueError(
                 f"cannot {verb} column {col!r}: part of generated column "
                 f"{gcol!r} (GENERATED AS {expr})"
@@ -1030,7 +1073,17 @@ def _read_union(
     ]
     if mapping:
         back = {phys: logical for logical, phys in mapping.items()}
-        dfs = [d.withColumnsRenamed(back) for d in dfs]
+        # atomic single projection, not withColumnsRenamed: with a
+        # rename chain like {o_totalprice: total_price,
+        # o_totalprice__r3: o_totalprice} (a physical name reused as
+        # another column's logical name), sequential renaming
+        # transiently duplicates a name and then renames both copies;
+        # aliasing all columns against the original frame at once is
+        # order-independent.
+        dfs = [
+            d.select(*[d[c].alias(back.get(c, c)) for c in d.columns])
+            for d in dfs
+        ]
     from pyspark.sql import functions as F
 
     live_dvs = {f: ps for f, ps in (dvs or {}).items() if f in set(files)}

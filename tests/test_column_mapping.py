@@ -411,3 +411,69 @@ def test_cli_table_actions_column_ddl_layout_dryrun(spark, orders, tmp_path):
     # DDL landed: read back under the new schema
     cols = st.read_snapshot(spark, t).columns
     assert "total_price" in cols and "o_orderpriority" not in cols
+
+
+def test_overwrite_after_rename_reconciles_mapping(spark, orders, tmp_path):
+    """ADVICE r7: overwrite_table after RENAME a->b with a frame that
+    reintroduces a column named `a` (the mapped PHYSICAL name) must
+    not commit an unreadable head. The surviving rename keeps its
+    physical alias, the colliding new column gets a fresh one, and
+    every read path resolves."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.rename_column(t, "o_totalprice", "total_price")
+    # new frame: keeps the renamed column AND brings back a column
+    # under the old physical name with unrelated values
+    df = (
+        st.read_snapshot(spark, t)
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .limit(500)
+    )
+    v = st.overwrite_table(df, t)
+    m = st._read_manifest(t, v)
+    assert m["column_mapping"]["total_price"] == "o_totalprice"
+    assert m["column_mapping"]["o_totalprice"].startswith("o_totalprice__r")
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == 500
+    # both columns resolve with their own values, not each other's
+    row = snap.select("total_price", "o_totalprice").first()
+    assert row.o_totalprice == -1.0
+    assert row.total_price != -1.0
+    # scan path (stats/DV-aware reader) resolves too
+    assert st.scan(spark, t, [("total_price", ">", 0)]).count() == 500
+
+
+def test_overwrite_drops_mapping_of_departed_columns(spark, orders, tmp_path):
+    """A logical column that leaves the schema in an overwrite takes
+    its mapping entry with it; the manifest never maps columns absent
+    from the committed schema."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    st.rename_column(t, "o_totalprice", "total_price")
+    df = st.read_snapshot(spark, t).drop("total_price")
+    v = st.overwrite_table(df, t)
+    m = st._read_manifest(t, v)
+    assert "total_price" not in (m.get("column_mapping") or {})
+    snap = st.read_snapshot(spark, t)
+    assert "total_price" not in snap.columns
+    assert snap.count() == orders.count()
+
+
+def test_ddl_guard_ignores_string_literals(spark, orders, tmp_path):
+    """ADVICE r7 (low): a CHECK constraint whose TEXT mentions a
+    column name only inside a string literal must not block DDL on
+    that column; a real identifier reference still does."""
+    t = _tbl(tmp_path)
+    st.create_table(
+        orders.withColumn("priority", F.lit(1)).withColumn(
+            "status", F.lit("ok")
+        ),
+        t,
+    )
+    st.add_constraint(spark, t, "no_prio_status", "status != 'priority'")
+    v = st.rename_column(t, "priority", "prio")  # must not raise
+    assert "prio" in st.read_snapshot(spark, t).columns
+    st.rename_column(t, "prio", "priority")
+    st.add_constraint(spark, t, "prio_pos", "priority >= 0")
+    with pytest.raises(ValueError, match="prio_pos"):
+        st.rename_column(t, "priority", "p2")
