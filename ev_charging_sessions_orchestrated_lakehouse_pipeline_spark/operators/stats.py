@@ -305,12 +305,31 @@ def q_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("event_type", "event_id", "e.t", "e.delta")
+    # Pre-aggregate deltas per (event_type, t) BEFORE the running
+    # window (VERDICT r7 #6): the window input collapses from 2N rows
+    # to |distinct timestamps|, and the map-side-combinable groupBy
+    # absorbs the explode. Peak-exact: the row-granular running sum
+    # (ordered -1s first, then +1s) only ever reaches its per-
+    # timestamp FINAL value as a running maximum — intermediate
+    # partial sums at a timestamp are bounded by that timestamp's
+    # final value — so max(conc) and its earliest t are unchanged.
+    # one shuffle, not two: hash-partitioning by event_type alone
+    # satisfies BOTH the groupBy's clustered distribution on
+    # (event_type, t) — equal keys still co-locate — and the window's
+    # on event_type, so Catalyst inserts no further Exchange. Reduce-
+    # side agg work per event_type is bounded by |distinct t|, the
+    # same bound as the window input it feeds.
+    net = (
+        deltas.repartition("event_type")
+        .groupBy("event_type", "t")
+        .agg(F.sum("delta").alias("delta"))
+    )
     wrun = (
         W.partitionBy("event_type")
-        .orderBy("t", "delta", "event_id")
+        .orderBy("t")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    conc = deltas.select(
+    conc = net.select(
         "event_type", "t", F.sum("delta").over(wrun).alias("conc")
     )
     peak = conc.groupBy("event_type").agg(F.max("conc").alias("peak"))
@@ -878,6 +897,85 @@ WHERE cumw * 2 >= total
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted median, histogram-sketch path — the 100 TB successor the
+# exact query's docstring names. The exact form's per-group running
+# sum orders EVERY row of a group through one window task; this
+# variant bounds that to one price bucket:
+#   1. fixed-width buckets floor(v / 1000) -> per-(group, bucket)
+#      DECIMAL weight sums (map-side combinable; |groups| x |buckets|
+#      rows total, ~315 here),
+#   2. a cumulative sum over the TINY histogram finds the bucket
+#      where cumulative weight first crosses half the total (and the
+#      exact cumulative weight entering it),
+#   3. the exact running-sum window re-runs ONLY inside that bucket
+#      (rows join the 1-row-per-group bucket pick by broadcast), with
+#      the carried-in offset making it globally exact.
+# floor(v/width) is monotonic in v, so bucket-then-value ordering IS
+# value ordering and the result is bit-identical to the exact query —
+# which is therefore its oracle. Window input shrinks from |group| to
+# |group|/|buckets| rows; everything else is map-side.
+# ---------------------------------------------------------------------------
+WMEDIAN_BUCKET = 1000
+
+
+def q_weighted_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast(DEC).alias("w"),
+    )
+    b = li.withColumn("bucket", F.floor(F.col("v") / F.lit(WMEDIAN_BUCKET)))
+    hist = b.groupBy("l_returnflag", "bucket").agg(F.sum("w").alias("bw"))
+    wf = W.partitionBy("l_returnflag")
+    hcum = hist.select(
+        "l_returnflag",
+        "bucket",
+        "bw",
+        F.sum("bw")
+        .over(wf.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cumb"),
+        F.sum("bw").over(wf).alias("total"),
+    )
+    pick = (
+        hcum.where(F.col("cumb") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min(F.struct("bucket", "cumb", "bw", "total")).alias("s"))
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("s.bucket").alias("mbucket"),
+            (F.col("s.cumb") - F.col("s.bw")).alias("cum_before"),
+            F.col("s.total").alias("total"),
+        )
+    )
+    inb = b.join(
+        F.broadcast(pick),
+        (b.l_returnflag == pick.g) & (b.bucket == pick.mbucket),
+    )
+    worder = wf.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = inb.select(
+        "l_returnflag",
+        "v",
+        (F.col("cum_before") + F.sum("w").over(worder)).alias("cumw"),
+        "total",
+    )
+    return (
+        cum.where(F.col("cumw") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.max(F.col("total").cast("string").cast("double")).alias(
+                "total_weight"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# bit-identical by construction, so the EXACT query is the oracle
+ORACLE["weighted_median_sketch"] = ORACLE["weighted_median"]
 
 
 # ---------------------------------------------------------------------------
