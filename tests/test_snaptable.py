@@ -1910,3 +1910,186 @@ def test_table_layout_is_metadata_only(spark, orders, tmp_path):
     # still answers: manifest-only
     again = st.table_layout(t)
     assert again == layout
+
+
+# ---------------------------------------------------------------------------
+# Semantic-conflict matrix (round-7 VERDICT item 7): every pair of
+# concurrent commits collides at the version slot (conservative
+# optimistic concurrency — the publish is a compare-and-swap on the
+# version number), and the commit_with_retry protocol re-RUNS the
+# losing closure against the new head, so semantically-conflicting
+# pairs serialize instead of silently merging stale state. These
+# tests define that contract for the pairs Delta/Iceberg call out.
+# ---------------------------------------------------------------------------
+
+
+def _race(monkeypatch, trigger_op: str, competitor):
+    """Patch _publish so that the FIRST commit whose operation matches
+    ``trigger_op`` loses the version slot to ``competitor()`` (which
+    runs and commits first); everything else publishes normally."""
+    raced = {"done": False}
+    real_publish = st._publish
+
+    def racing_publish(table, version, manifest):
+        if not raced["done"] and manifest["operation"] == trigger_op:
+            raced["done"] = True
+            competitor()
+        real_publish(table, version, manifest)
+
+    monkeypatch.setattr(st, "_publish", racing_publish)
+    return raced
+
+
+def test_conflict_overwrite_partitions_same_partition_serializes(
+    spark, orders, tmp_path, monkeypatch
+):
+    """Two dynamic overwrites of the SAME partition: the loser must
+    NOT land its stale file set next to the winner's (a silent
+    double-write of the partition) — its retry re-runs against the
+    new head and REPLACES the winner's files, so the final partition
+    holds exactly the last writer's rows."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    part = orders.where(F.col("o_orderstatus") == "F")
+    other_n = orders.where(F.col("o_orderstatus") != "F").count()
+    batch_winner = part.limit(7).withColumn("o_orderpriority", F.lit("WINNER"))
+    batch_loser = part.limit(3).withColumn("o_orderpriority", F.lit("LOSER"))
+
+    raced = _race(
+        monkeypatch,
+        "overwrite_partitions",
+        lambda: st.overwrite_partitions(batch_winner, t),
+    )
+    v = st.commit_with_retry(lambda: st.overwrite_partitions(batch_loser, t))
+    assert raced["done"] and v == 3
+    snap = st.read_snapshot(spark, t)
+    got = snap.where(F.col("o_orderstatus") == "F")
+    # last writer wins the partition OUTRIGHT: no winner rows remain
+    assert got.count() == 3
+    assert got.where(F.col("o_orderpriority") == "WINNER").count() == 0
+    # untouched partitions carried over intact
+    assert snap.where(F.col("o_orderstatus") != "F").count() == other_n
+    # and the intermediate (winner-only) state is time-travelable
+    assert (
+        st.read_snapshot(spark, t, version=2)
+        .where(F.col("o_orderpriority") == "WINNER")
+        .count()
+        == 7
+    )
+
+
+def test_conflict_overwrite_partitions_disjoint_partitions_both_land(
+    spark, orders, tmp_path, monkeypatch
+):
+    """Two dynamic overwrites of DIFFERENT partitions: the loser's
+    retry must preserve the winner's partition while replacing its
+    own — both payloads visible, nothing lost."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    batch_f = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .limit(5)
+        .withColumn("o_orderpriority", F.lit("NEW-F"))
+    )
+    batch_o = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .limit(4)
+        .withColumn("o_orderpriority", F.lit("NEW-O"))
+    )
+    raced = _race(
+        monkeypatch,
+        "overwrite_partitions",
+        lambda: st.overwrite_partitions(batch_f, t),
+    )
+    v = st.commit_with_retry(lambda: st.overwrite_partitions(batch_o, t))
+    assert raced["done"] and v == 3
+    snap = st.read_snapshot(spark, t)
+    assert snap.where(F.col("o_orderpriority") == "NEW-F").count() == 5
+    assert snap.where(F.col("o_orderpriority") == "NEW-O").count() == 4
+    assert snap.where(F.col("o_orderstatus") == "F").count() == 5
+    assert snap.where(F.col("o_orderstatus") == "O").count() == 4
+
+
+def test_conflict_delete_races_optimize(spark, orders, tmp_path, monkeypatch):
+    """DELETE loses the slot to a concurrent OPTIMIZE that rewrote
+    the very files the delete targeted: committing the stale file
+    list would resurrect every row the optimize carried (double data)
+    or lose the delete. The retry re-prunes against the compacted
+    head, so the final state is exactly optimize-then-delete."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartition(8), t, [])
+    n = orders.count()
+    n_del = orders.where(F.col("o_totalprice") > 300000.0).count()
+    assert 0 < n_del < n
+
+    raced = _race(
+        monkeypatch,
+        "delete",
+        lambda: st.optimize(spark, t, files_per_partition=1),
+    )
+    v = st.commit_with_retry(
+        lambda: st.delete_where(spark, t, [("o_totalprice", ">", 300000.0)])
+    )
+    assert raced["done"] and v == 3
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n - n_del
+    assert snap.where(F.col("o_totalprice") > 300000.0).count() == 0
+    # the head references the post-compaction lineage, not v1 files
+    head_files = set(st._read_manifest(t, v)["files"])
+    v1_files = set(st._read_manifest(t, 1)["files"])
+    assert not head_files & v1_files
+
+
+def test_conflict_optimize_races_delete(spark, orders, tmp_path, monkeypatch):
+    """The mirror image: OPTIMIZE loses to a concurrent DELETE. Its
+    stale rewrite holds rows the delete removed — committing it would
+    resurrect them. The retry re-reads the post-delete snapshot (and
+    its row-count guard re-verifies against it), so deleted rows stay
+    deleted through the compaction."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartition(8), t, [])
+    n = orders.count()
+    n_del = orders.where(F.col("o_totalprice") > 300000.0).count()
+
+    raced = _race(
+        monkeypatch,
+        "optimize",
+        lambda: st.delete_where(
+            spark, t, [("o_totalprice", ">", 300000.0)]
+        ),
+    )
+    v = st.commit_with_retry(lambda: st.optimize(spark, t, files_per_partition=1))
+    assert raced["done"] and v == 3
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n - n_del
+    assert snap.where(F.col("o_totalprice") > 300000.0).count() == 0
+
+
+def test_conflict_dv_delete_races_optimize(
+    spark, orders, tmp_path, monkeypatch
+):
+    """Merge-on-read DELETE (deletion vectors) loses to OPTIMIZE: its
+    DV keys reference file paths the compaction just removed from the
+    head — committing them would silently drop the delete (positions
+    against dead files). The retry recomputes positions against the
+    compacted files."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.repartition(4), t, [])
+    n = orders.count()
+    n_del = orders.where(F.col("o_totalprice") > 400000.0).count()
+    raced = _race(
+        monkeypatch,
+        "delete_dv",
+        lambda: st.optimize(spark, t, files_per_partition=1),
+    )
+    v = st.commit_with_retry(
+        lambda: st.delete_where(
+            spark, t, [("o_totalprice", ">", 400000.0)], use_dv=True
+        )
+    )
+    assert raced["done"] and v == 3
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == n - n_del
+    # every DV in the head points at a LIVE file
+    m = st._read_manifest(t, v)
+    assert set(m.get("deletion_vectors", {})) <= set(m["files"])
