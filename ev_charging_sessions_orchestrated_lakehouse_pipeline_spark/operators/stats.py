@@ -1223,3 +1223,380 @@ FROM events
 GROUP BY 1, 2
 ORDER BY dow_iso0, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Skewness / excess kurtosis — exact higher-moment distribution
+# profile per return flag, the shape monitor behind "did this batch's
+# price distribution grow a tail". Extends corr_profile's 2nd-moment
+# machinery to the 3rd/4th: per-row powers of the 1e5-SCALED price
+# (skewness and kurtosis are scale-invariant, and scaling keeps
+# sum(v^4) far from DECIMAL(38,10)'s integer range at any SF), folded
+# as four exact decimal sums, read back through the string route, and
+# combined in ONE fixed-structure IEEE expression on both engines.
+# Map-side combinable; shuffle is |groups| x 5 numbers at any size.
+# Zero-variance groups are excluded on both engines (m2 > 0).
+# ---------------------------------------------------------------------------
+def q_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("v"),
+    )
+
+    def dsum38(c):
+        return F.sum(c.cast(_D38)).cast("string").cast("double")
+
+    v = F.col("v")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum38(v).alias("s1"),
+        dsum38(v * v).alias("s2"),
+        dsum38((v * v) * v).alias("s3"),
+        dsum38(((v * v) * v) * v).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    q = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / n).alias("mean"),
+        (F.col("s2") / n).alias("q2"),
+        (F.col("s3") / n).alias("q3"),
+        (F.col("s4") / n).alias("q4"),
+    )
+    mean, q2, q3, q4 = (F.col(c) for c in ("mean", "q2", "q3", "q4"))
+    m = q.select(
+        "l_returnflag",
+        "n",
+        (q2 - mean * mean).alias("m2"),
+        (q3 - F.lit(3.0) * mean * q2 + F.lit(2.0) * ((mean * mean) * mean)).alias("m3"),
+        (
+            q4
+            - F.lit(4.0) * mean * q3
+            + F.lit(6.0) * ((mean * mean) * q2)
+            - F.lit(3.0) * ((mean * mean) * (mean * mean))
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return (
+        m.where(m2 > 0)
+        .select(
+            "l_returnflag",
+            "n",
+            (m3 / (F.sqrt(m2) * m2)).alias("skewness"),
+            (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["skewness_kurtosis"] = f"""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {_dsum38_sql("v")} AS s1,
+         {_dsum38_sql("v * v")} AS s2,
+         {_dsum38_sql("(v * v) * v")} AS s3,
+         {_dsum38_sql("((v * v) * v) * v")} AS s4
+  FROM (SELECT l_returnflag, l_extendedprice / 100000.0 AS v FROM lineitem)
+  GROUP BY l_returnflag
+), q AS (
+  SELECT l_returnflag, n,
+         s1 / CAST(n AS DOUBLE) AS mean,
+         s2 / CAST(n AS DOUBLE) AS q2,
+         s3 / CAST(n AS DOUBLE) AS q3,
+         s4 / CAST(n AS DOUBLE) AS q4
+  FROM s
+), m AS (
+  SELECT l_returnflag, n,
+         q2 - mean * mean AS m2,
+         q3 - 3.0 * mean * q2 + 2.0 * ((mean * mean) * mean) AS m3,
+         q4 - 4.0 * mean * q3 + 6.0 * ((mean * mean) * q2)
+            - 3.0 * ((mean * mean) * (mean * mean)) AS m4
+  FROM q
+)
+SELECT l_returnflag, n,
+       m3 / (sqrt(m2) * m2) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+FROM m
+WHERE m2 > 0
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Revenue autocorrelation — lag-k Pearson correlation of the daily
+# revenue series with itself at calendar offsets 1/7/30 days: the
+# seasonality detector behind "is this metric weekly-periodic" that
+# seasonal_profile eyeballs and this quantifies. The series is first
+# collapsed to one exact-decimal revenue per date (map-side
+# combinable), so the pair join runs on |dates| slim rows, not the
+# fact table; lags arrive via a 3-row broadcast (the pinned BNLJ),
+# and each pair joins by EXACT calendar-date equality — days missing
+# from the calendar simply pair with nothing, identically on both
+# engines. Pearson per lag from DECIMAL(38,10) moment sums, one
+# fixed-structure IEEE expression (corr_profile's discipline).
+# ---------------------------------------------------------------------------
+AUTOCORR_LAGS = (1, 7, 30)
+
+
+def q_autocorr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # daily revenue stays an EXACT DECIMAL(18,2) (prices carry two
+    # decimals, so the narrowing cast is lossless on both engines):
+    # the lagged products x*y are then exact decimal multiplies, not
+    # double products whose 10th-decimal tail the two engines would
+    # round differently when cast into the decimal accumulator.
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("decimal(18,2)")
+        .alias("r")
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in AUTOCORR_LAGS], "lag int"
+    )
+    a = daily.select(F.col("o_orderdate").alias("d"), F.col("r").alias("x"))
+    b = daily.select(F.col("o_orderdate").alias("d2"), F.col("r").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("d2 = date_add(d, lag)"))
+        .select("lag", "x", "y")
+    )
+
+    def dsum38(c):
+        return F.sum(c.cast(_D38)).cast("string").cast("double")
+
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum38(F.col("x")).alias("sx"),
+        dsum38(F.col("y")).alias("sy"),
+        dsum38((F.col("x") * F.col("y")).cast(_D38)).alias("sxy"),
+        dsum38((F.col("x") * F.col("x")).cast(_D38)).alias("sx2"),
+        dsum38((F.col("y") * F.col("y")).cast(_D38)).alias("sy2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("sy2") - F.col("sy") * F.col("sy")
+    )
+    return (
+        s.where(
+            (n * F.col("sx2") - F.col("sx") * F.col("sx") > 0)
+            & (n * F.col("sy2") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select("lag", "n_pairs", (num / den).alias("autocorr"))
+        .orderBy("lag")
+    )
+
+
+ORACLE["autocorr_revenue"] = f"""
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY o_orderdate
+), lags AS (
+  SELECT * FROM (VALUES {", ".join(f"({k})" for k in AUTOCORR_LAGS)}) AS t(lag)
+), pairs AS (
+  SELECT l.lag, a.r AS x, b.r AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON CAST(b.o_orderdate AS DATE) = CAST(a.o_orderdate AS DATE) + l.lag
+), s AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         {_dsum38_sql("x")} AS sx,
+         {_dsum38_sql("y")} AS sy,
+         {_dsum38_sql("x * y")} AS sxy,
+         {_dsum38_sql("x * x")} AS sx2,
+         {_dsum38_sql("y * y")} AS sy2
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+         / (sqrt(CAST(n_pairs AS DOUBLE) * sx2 - sx * sx)
+            * sqrt(CAST(n_pairs AS DOUBLE) * sy2 - sy * sy)) AS autocorr
+FROM s
+WHERE CAST(n_pairs AS DOUBLE) * sx2 - sx * sx > 0
+  AND CAST(n_pairs AS DOUBLE) * sy2 - sy * sy > 0
+ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient — per-priority revenue inequality via
+# the exact rank formula G = 2*sum(i * x_(i)) / (n * sum(x)) - (n+1)/n
+# over values sorted ascending. The wealth-inequality complement of
+# q_gini_profile's categorical impurity: "is revenue concentrated in
+# a few whale orders" as one number per segment, the monitor behind
+# mixture-capping decisions (source_cap) and skew alerts.
+#
+# Ties: row_number breaks them arbitrarily, but sum(i*x) is invariant
+# under permuting equal x across adjacent ranks, so the result is
+# deterministic on both engines. Sums fold in DECIMAL(38,10) (exact;
+# i*x of int64 rank times 2-decimal price is an exact decimal).
+# Scale: only slim (group, value) pairs cross the per-group sort
+# shuffle — the classic ordstat shape (cf. mad_outliers); at petabyte
+# scale substitute a binned Lorenz curve (fixed price buckets ->
+# cumulative shares, the weighted_median_sketch treatment) and keep
+# this exact query as its oracle.
+# ---------------------------------------------------------------------------
+def q_gini_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    wp = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(wp.orderBy("v")).alias("i"),
+    )
+
+    def dsum38(c):
+        return F.sum(c.cast(_D38)).cast("string").cast("double")
+
+    s = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum38(F.col("v")).alias("sx"),
+        dsum38(F.col("i") * F.col("v")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = (F.lit(2.0) * F.col("six")) / (n * F.col("sx")) - (
+        n + F.lit(1.0)
+    ) / n
+    return (
+        s.where(F.col("sx") > 0)
+        .select("o_orderpriority", "n", gini.alias("gini"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["gini_totalprice"] = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v) AS i
+  FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders)
+), s AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         {_dsum38_sql("v")} AS sx,
+         {_dsum38_sql("i * v")} AS six
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       (2.0 * six) / (CAST(n AS DOUBLE) * sx)
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+WHERE sx > 0
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U drift test — exact rank-sum comparison of the
+# quantity distribution between returned ('R') and accepted ('A')
+# lineitems: the nonparametric two-sample location test that catches
+# distribution drift a mean/stddev monitor misses, complementing
+# ks_drift's max-gap statistic with a tie-aware significance score.
+#
+# Computed WITHOUT ranking individual rows: quantity has a tiny value
+# domain, so the per-(value, group) contingency aggregate (map-side
+# combinable) carries everything — tie-block average ranks come from
+# a window over the |domain| distinct values (slim, ~50 rows), R1 is
+# a decimal fold of c1 * avg_rank (exact: integers and halves), and
+# the normal approximation applies the standard tie-corrected
+# variance. The one windowed pass never touches row-level data — the
+# 100 TB shape for any bounded-domain rank statistic.
+# ---------------------------------------------------------------------------
+def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select("l_returnflag", F.col("l_quantity").alias("v"))
+    )
+    cells = li.groupBy("v").agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    blocks = cells.select(
+        "v",
+        "c1",
+        "ct",
+        (
+            F.coalesce(F.sum("ct").over(wcum), F.lit(0)).cast("double")
+            + (F.col("ct").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+
+    def dsum38(c):
+        return F.sum(c.cast(_D38)).cast("string").cast("double")
+
+    s = blocks.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).alias("n2"),
+        dsum38(F.col("c1").cast("double") * F.col("avg_rank")).alias("r1"),
+        dsum38(
+            (F.col("ct") * F.col("ct")) * F.col("ct") - F.col("ct")
+        ).alias("tie3"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    ntot = n1 + n2
+    u1 = F.col("r1") - (n1 * (n1 + F.lit(1.0))) / F.lit(2.0)
+    mean_u = (n1 * n2) / F.lit(2.0)
+    var_u = ((n1 * n2) / F.lit(12.0)) * (
+        (ntot + F.lit(1.0))
+        - F.col("tie3") / (ntot * (ntot - F.lit(1.0)))
+    )
+    return (
+        s.where(
+            ((n1 * n2) / F.lit(12.0))
+            * (
+                (ntot + F.lit(1.0))
+                - F.col("tie3") / (ntot * (ntot - F.lit(1.0)))
+            )
+            > 0
+        )
+        .select(
+            "n1",
+            "n2",
+            u1.alias("u_stat"),
+            ((u1 - mean_u) / F.sqrt(var_u)).alias("z_score"),
+        )
+    )
+
+
+ORACLE["mann_whitney_drift"] = f"""
+WITH cells AS (
+  SELECT v,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c1,
+         COUNT(*) AS ct
+  FROM (SELECT l_returnflag, l_quantity AS v FROM lineitem
+        WHERE l_returnflag IN ('A', 'R'))
+  GROUP BY v
+), blocks AS (
+  SELECT v, c1, ct,
+         CAST(COALESCE(SUM(ct) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE)
+           + (CAST(ct AS DOUBLE) + 1.0) / 2.0 AS avg_rank
+  FROM cells
+), s AS (
+  SELECT SUM(c1) AS n1, SUM(ct - c1) AS n2,
+         {_dsum38_sql("CAST(c1 AS DOUBLE) * avg_rank")} AS r1,
+         {_dsum38_sql("(ct * ct) * ct - ct")} AS tie3
+  FROM blocks
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       r1 - (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u_stat,
+       (r1 - (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+        - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+         / sqrt(((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 12.0)
+                * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                   - tie3 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                             * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                - 1.0)))) AS z_score
+FROM s
+WHERE ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 12.0)
+      * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+         - tie3 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) > 0
+"""

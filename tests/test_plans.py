@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "mixture_epochs": 1,
     # 1-row doc-count aggregate broadcast into the decile bucketing
     "vocab_growth": 1,
+    # 3-row lag list broadcast against the slim daily-revenue series
+    "autocorr_revenue": 1,
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk": 1,
