@@ -897,3 +897,92 @@ FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Hellinger term-distribution drift — per-source divergence of the
+# TERM (unigram) distribution from the corpus-wide one, the lexical
+# complement of q_source_drift's length-histogram chi-square: a feed
+# that keeps its length profile but floods one phrase (boilerplate,
+# spam templates) moves here first. Hellinger distance
+# H^2 = 1/2 * sum_t (sqrt(p_t) - sqrt(q_t))^2 is the textbook
+# f-divergence that needs NO log() (repo parity rule — KL/PSI do):
+# IEEE sqrt is correctly rounded, so every term's contribution is
+# bit-identical across engines. Terms absent from a source still
+# contribute q_t; folding only the PRESENT (source, term) cells via
+# H^2 = 1/2 * (1 + sum_present((sqrt(p)-sqrt(q))^2 - q)) keeps the
+# aggregation sparse. Per-cell double terms route through the exact
+# DECIMAL(25,10) sum — order-independent, no sorted-fold collect.
+#
+# Scale (100 TB): one tokenize+explode pass aggregated per
+# (source, term) with map-side combine (|sources| x |vocab| rows);
+# marginals derive from THAT frame — no second corpus scan — and
+# broadcast back. Unlike the chi-square fold in q_source_drift
+# (sorted collect_list over NBINS rows), the decimal-sum route here
+# stays distributed even when |vocab| is millions.
+# ---------------------------------------------------------------------------
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.oracle import dsum
+    from ..functions.hashing import tokens
+
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_ts"))
+    )
+    per_source = st.groupBy("source").agg(F.sum("c_ts").alias("tokens_s"))
+    per_term = (
+        st.groupBy("term")
+        .agg(F.sum("c_ts").alias("c_t"))
+        .withColumn("c_total", F.sum("c_t").over(W.partitionBy()))
+    )
+    p = F.col("c_ts").cast("double") / F.col("tokens_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("c_total").cast("double")
+    contrib = (F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q)) - q
+    h2 = (F.lit(1.0) + F.col("s_contrib")) / F.lit(2.0)
+    return (
+        st.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(per_term), "term")
+        .groupBy("source")
+        .agg(
+            F.first("tokens_s").alias("n_tokens"),
+            dsum(contrib).alias("s_contrib"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            h2.alias("hellinger_sq"),
+            F.sqrt(h2).alias("hellinger"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["hellinger_drift"] = f"""
+WITH st AS (
+  SELECT source, term, COUNT(*) AS c_ts
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+  )
+  WHERE term <> ''
+  GROUP BY source, term
+), ps AS (
+  SELECT source, SUM(c_ts) AS tokens_s FROM st GROUP BY source
+), pt AS (
+  SELECT term, SUM(c_ts) AS c_t,
+         SUM(SUM(c_ts)) OVER () AS c_total
+  FROM st GROUP BY term
+), agg AS (
+  SELECT source, MIN(tokens_s) AS n_tokens,
+         CAST(CAST(SUM(CAST((sqrt(CAST(c_ts AS DOUBLE) / CAST(tokens_s AS DOUBLE)) - sqrt(CAST(c_t AS DOUBLE) / CAST(c_total AS DOUBLE))) * (sqrt(CAST(c_ts AS DOUBLE) / CAST(tokens_s AS DOUBLE)) - sqrt(CAST(c_t AS DOUBLE) / CAST(c_total AS DOUBLE))) - CAST(c_t AS DOUBLE) / CAST(c_total AS DOUBLE) AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS s_contrib
+  FROM st JOIN ps USING (source) JOIN pt USING (term)
+  GROUP BY source
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       (1.0 + s_contrib) / 2.0 AS hellinger_sq,
+       sqrt((1.0 + s_contrib) / 2.0) AS hellinger
+FROM agg
+ORDER BY source
+"""

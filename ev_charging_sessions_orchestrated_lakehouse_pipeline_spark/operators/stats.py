@@ -1600,3 +1600,93 @@ WHERE ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 12.0)
          - tie3 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection — locate the date where the daily
+# revenue series most decisively shifts level: the classic cumulative
+# sum S_k = sum_{d<=k}(r_d - mean) peaks at the changepoint. The
+# sequel to ewma_value (smoothing) and ks_drift (two known samples):
+# here the split point itself is unknown and recovered from the data.
+#
+# Exactness: the statistic is computed in SCALED integer form
+# S*_k = sum_{d<=k}(n * r_d - T) = n * S_k (n = #days, T = total),
+# which stays entirely in exact DECIMAL arithmetic — no double ever
+# enters the running sum, so the argmax is deterministic without any
+# fold-order ceremony. The two output doubles divide the exact
+# decimals once, in identical textual order on both engines.
+#
+# Scale (100 TB): the fact table collapses to |dates| slim decimal
+# rows map-side; the 1-row (n, T) aggregate broadcasts back (pinned
+# BNLJ), and the running sum windows over the |dates|-row frame —
+# SinglePartition but payload-free (date + decimal), the same
+# documented bound as concurrent_peak's delta stream.
+# ---------------------------------------------------------------------------
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("decimal(18,2)")
+        .alias("r")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("r").cast("decimal(29,2)").alias("t"),
+    )
+    dev = (
+        (F.col("n") * F.col("r")).cast("decimal(29,2)") - F.col("t")
+    ).cast("decimal(30,2)")
+    wrun = W.orderBy("o_orderdate").rowsBetween(W.unboundedPreceding, 0)
+    run = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderdate",
+            "n",
+            F.sum(dev).over(wrun).cast("decimal(38,2)").alias("s_star"),
+        )
+    )
+    ranked = run.select(
+        "o_orderdate",
+        "n",
+        "s_star",
+        F.row_number()
+        .over(W.orderBy(F.abs(F.col("s_star")).desc(), F.col("o_orderdate")))
+        .alias("rk"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        F.col("o_orderdate").alias("changepoint_date"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            F.abs(F.col("s_star")).cast("string").cast("double")
+            / F.col("n").cast("string").cast("double")
+        ).alias("cusum_peak"),
+    )
+
+
+ORACLE["cusum_changepoint"] = """
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY o_orderdate
+), tot AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+         CAST(SUM(r) AS DECIMAL(29,2)) AS t
+  FROM daily
+), run AS (
+  SELECT o_orderdate, n,
+         CAST(SUM(CAST(CAST(n * r AS DECIMAL(29,2)) - t AS DECIMAL(30,2)))
+                OVER (ORDER BY o_orderdate ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(38,2)) AS s_star
+  FROM daily CROSS JOIN tot
+), ranked AS (
+  SELECT o_orderdate, n, s_star,
+         ROW_NUMBER() OVER (ORDER BY abs(s_star) DESC, o_orderdate) AS rk
+  FROM run
+)
+SELECT o_orderdate AS changepoint_date,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(CAST(abs(s_star) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS cusum_peak
+FROM ranked
+WHERE rk = 1
+"""

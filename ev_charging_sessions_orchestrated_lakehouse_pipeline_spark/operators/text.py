@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, hash60_sql, tokens
+from ..functions.hashing import hash60, hash60_sql, tokens, word_shingles_sql
 
 ORACLE: dict[str, str] = {}
 
@@ -1080,4 +1080,261 @@ SELECT decile, new_terms,
          AS vocab_size
 FROM per_bucket
 ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model fluency score — the model-based quality gate
+# (CCNet/RefinedWeb-style "LM perplexity filter") re-expressed with
+# the corpus itself as the model: train an add-k-smoothed bigram LM
+# from corpus counts, then score every document by its mean smoothed
+# conditional probability avg(p(w_i | w_{i-1})). Templated/degenerate
+# documents (repeating rare transitions) sink; fluent ones rise.
+#
+# Engine-parity: production LM filters use mean log-prob; log() is
+# not bit-stable across engines (repo-wide rule), so the score is the
+# arithmetic mean of the probabilities themselves — a deterministic
+# rational statistic with the same "typical transitions score high"
+# gradient. Each p is ONE double division of exact int64 counts, and
+# the per-doc mean routes through the exact DECIMAL(25,10) sum, so
+# the fold is order-independent.
+#
+# Scale (100 TB): one explode pass produces slim (doc_id, w1, w2)
+# rows; the count model derives from THAT frame (no second corpus
+# scan) and its size is bounded by observed bigram types, dwarfed by
+# the corpus — AQE broadcasts it when small, else the join shuffles
+# only slim key/count rows. The vocabulary size is a 1-row broadcast
+# (the pinned BNLJ). Top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+LM_ADD_K = 0.5
+LM_TOPK = 100
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.agg(F.countDistinct("w2").alias("v"))
+    p = (F.col("c12").cast("double") + F.lit(LM_ADD_K)) / (
+        F.col("c1").cast("double")
+        + F.lit(LM_ADD_K) * F.col("v").cast("double")
+    )
+    from ..functions.oracle import DEC
+
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(p.cast(DEC)).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("lm_score"),
+        )
+    )
+    return scored.orderBy(F.desc("lm_score"), "doc_id").limit(LM_TOPK)
+
+
+ORACLE["bigram_lm_score"] = f"""
+WITH bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           unnest(range(1, len(string_split(text, ' ')))) AS i
+    FROM documents
+  )
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM c12
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(CAST(SUM(CAST(
+         (CAST(c12.c12 AS DOUBLE) + {LM_ADD_K})
+           / (CAST(c1.c1 AS DOUBLE) + {LM_ADD_K} * CAST(vocab.v AS DOUBLE))
+         AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS lm_score
+FROM bg
+JOIN c12 USING (w1, w2)
+JOIN c1 USING (w1)
+CROSS JOIN vocab
+GROUP BY doc_id
+ORDER BY lm_score DESC, doc_id
+LIMIT {LM_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine near-duplicate pairs — the WEIGHTED complement of
+# dedup_ngram_jaccard's set-overlap: documents are sparse TF-IDF
+# vectors over word 3-shingle dimensions, and the top-k most-similar
+# pairs by cosine surface soft rewrites that exact/minhash dedup
+# misses (same rare shingles, different counts). The retrieval-side
+# sibling of bm25_topk (which scores docs against a fixed query;
+# this scores docs against each other).
+#
+# Engine-parity: idf uses the rational (N - df + 0.5)/(df + 0.5)
+# form (no log(), same reasoning as BM25). Dot products and squared
+# norms are DIM-SORTED IEEE folds (the source_drift pattern), NOT
+# decimal sums: a tf-idf product's fractional tail is dense at the
+# 10th decimal, where Spark's double->DECIMAL cast (via the shortest
+# string representation) and DuckDB's (exact binary expansion) can
+# round a half case apart — observed as 1-ulp cosine drift at sf0.1.
+# A fold over the same doubles in the same (dim-hash) order is
+# bit-identical with no decimal cast at all; the final cosine is ONE
+# fixed-structure division dot / (norm_a * norm_b), and IEEE sqrt is
+# correctly rounded.
+#
+# Scale (100 TB): the classic inverted-index self-join — candidate
+# volume is sum(df^2) over shingle dimensions, NOT docs^2; dimensions
+# hotter than TFIDF_DF_CAP are dropped from PAIR GENERATION only
+# (their mass still counts in the norms), the same DF-cap recall
+# contract as dedup_ngram_jaccard (MAX_SHINGLE_DF). Only slim
+# (doc_id, dim-hash, weight) rows shuffle; text never leaves the
+# scan. Top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+TFIDF_DF_CAP = 50
+TFIDF_TOPK = 100
+
+
+def _tfidf_weights(spark: SparkSession, sf_dir: str):
+    from ..functions.hashing import word_shingles_expr
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                word_shingles_expr("split(text, ' ')", 3)
+            ).alias("sh"),
+        )
+        .groupBy("doc_id", hash60("sh").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("dim").agg(F.count(F.lit(1)).alias("df"))
+    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+    w = F.col("tf").cast("double") * (
+        (F.col("n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    return (
+        tf.join(df_, "dim")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "dim", "df", w.alias("w"))
+    )
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted: the weights frame feeds the norms aggregate AND the
+    # posting-list index — unpersisted, the tokenize+shingle+tf+df
+    # subtree (three shuffles) replays once per consumer.
+    # Caller-clears-cache discipline as in dedup_ngram_jaccard.
+    wts = _tfidf_weights(spark, sf_dir).persist()
+    # Bit-exact double sums: collect (dim, term) structs, sort by the
+    # dim hash, fold with IEEE + in that fixed order on both engines.
+    fold = (
+        "aggregate(array_sort(collect_list(dt)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x.t)"
+    )
+    norms = (
+        wts.select(
+            "doc_id",
+            F.struct(F.col("dim"), (F.col("w") * F.col("w")).alias("t")).alias("dt"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.expr(fold)).alias("norm"))
+    )
+    # ONE shuffle (groupBy dim) builds the inverted index; pairs and
+    # their weight products generate MAP-SIDE from each posting list
+    # via higher-order functions (the dedup_ngram_jaccard shape) —
+    # no index self-join. sort_array orders by doc_id, so d1 < d2
+    # comes free from the triangular slice.
+    buckets = (
+        wts.where(F.col("df") <= TFIDF_DF_CAP)
+        .groupBy("dim")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "w"))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        "dim",
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x.doc_id AS d1, y.doc_id AS d2, "
+                "x.w * y.w AS prod))))"
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.d1").alias("d1"),
+        F.col("p.d2").alias("d2"),
+        F.struct(F.col("dim"), F.col("p.prod").alias("t")).alias("dt"),
+    )
+    inter = pairs.groupBy("d1", "d2").agg(F.expr(fold).alias("dot"))
+    na = norms.select(F.col("doc_id").alias("d1"), F.col("norm").alias("norm1"))
+    nb = norms.select(F.col("doc_id").alias("d2"), F.col("norm").alias("norm2"))
+    return (
+        inter.join(na, "d1")
+        .join(nb, "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("dot") / (F.col("norm1") * F.col("norm2"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "d1", "d2")
+        .limit(TFIDF_TOPK)
+    )
+
+
+ORACLE["tfidf_pairs"] = f"""
+WITH tf AS (
+  SELECT doc_id, {hash60_sql("sh")} AS dim, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, unnest({word_shingles_sql("t", 3)}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+  GROUP BY doc_id, dim
+), dfreq AS (
+  SELECT dim, COUNT(*) AS df FROM tf GROUP BY dim
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), wts AS (
+  SELECT doc_id, dim, df,
+         CAST(tf AS DOUBLE)
+           * ((CAST(n.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5)) AS w
+  FROM tf JOIN dfreq USING (dim) CROSS JOIN n
+), norms AS (
+  SELECT doc_id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({{'dim': dim, 't': w * w}})), x -> x.t)),
+           (acc, x) -> acc + x)) AS norm
+  FROM wts GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({{'dim': a.dim, 't': a.w * b.w}})), x -> x.t)),
+           (acc, x) -> acc + x) AS dot
+  FROM wts a JOIN wts b ON a.dim = b.dim AND a.doc_id < b.doc_id
+  WHERE a.df <= {TFIDF_DF_CAP} AND b.df <= {TFIDF_DF_CAP}
+  GROUP BY d1, d2
+)
+SELECT d1, d2, dot / (na.norm * nb.norm) AS cosine
+FROM pairs
+JOIN norms na ON na.doc_id = d1
+JOIN norms nb ON nb.doc_id = d2
+ORDER BY cosine DESC, d1, d2
+LIMIT {TFIDF_TOPK}
 """

@@ -41,6 +41,16 @@ BNLJ_ALLOWED = {
     "vocab_growth": 1,
     # 3-row lag list broadcast against the slim daily-revenue series
     "autocorr_revenue": 1,
+    # 1-row vocabulary-size aggregate broadcast into the smoothed
+    # conditional-probability projection
+    "bigram_lm_score": 1,
+    # 1-row doc-count aggregate broadcast into the idf projection
+    # (once — the weights frame is persisted and shared by the norms
+    # aggregate and the inverted index)
+    "tfidf_pairs": 1,
+    # 1-row (n_days, total) aggregate broadcast into the scaled
+    # deviation projection
+    "cusum_changepoint": 1,
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk": 1,
