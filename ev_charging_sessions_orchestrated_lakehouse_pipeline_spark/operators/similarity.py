@@ -1033,3 +1033,112 @@ SELECT anchor_id, anchor_label, positive_id, positive_cos,
 FROM best
 ORDER BY anchor_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit — per-label robust (median-relative)
+# squared-distance screen against the label centroid: the "mislabeled
+# or corrupted vector" detector an embedding pipeline runs before
+# training retrieval heads. Complements cluster_quality_profile
+# (bucket composition) and kmeans_clusters (unsupervised structure)
+# with a SUPERVISED per-vector verdict; the robust threshold is the
+# mad_outliers discipline applied in embedding space — a label whose
+# cluster is wide raises its own bar.
+#
+# Engine parity: centroids use the exact fixed-point integer mean
+# (q_embedding_centroids' floor(val*1000) rationale); each distance
+# is ONE sequential IEEE fold over the dimension order (the _dot
+# discipline), and the median threshold PICKS order statistics
+# (_exact_median) — no double summation across rows anywhere.
+#
+# Scale (100 TB): centroids aggregate map-side to |labels| x dims
+# rows and broadcast back as arrays; distances are map-side folds;
+# the only row-scale shuffle is the (label, dist2) rank pass of the
+# exact median, swappable for the approx_percentile sketch at
+# petabyte scale without changing the join shape.
+# ---------------------------------------------------------------------------
+EMB_OUTLIER_K = 4.0
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stats import _exact_median
+
+    emb = _emb(spark, sf_dir)
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val").cast("double") * 1000))
+                .cast("double")
+                / F.count(F.lit(1))
+                / 1000
+            ).alias("mean_val")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mean_val))), "
+                "x -> x.mean_val)"
+            ).alias("cvec")
+        )
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(embedding, cvec, "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    devs = emb.join(F.broadcast(centroids), "label").select(
+        "vec_id", "label", dist2.alias("dist2")
+    )
+    med = _exact_median(devs, "label", "dist2", "med_dist2").select(
+        "label", "med_dist2"
+    )
+    return (
+        devs.join(F.broadcast(med), "label")
+        .where(F.col("dist2") > F.lit(EMB_OUTLIER_K) * F.col("med_dist2"))
+        .select(
+            "vec_id",
+            "label",
+            "dist2",
+            (F.col("dist2") / F.col("med_dist2")).alias("med_ratio"),
+        )
+        .orderBy("label", "vec_id")
+    )
+
+
+def _emb_outliers_oracle() -> str:
+    from .stats import _median_sql
+
+    return f"""
+WITH centroid_dims AS (
+  SELECT label, dim, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000 AS mean_val
+  FROM (
+    SELECT label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+    FROM embeddings
+  )
+  GROUP BY label, dim
+), centroids AS (
+  SELECT label,
+         list_transform(list_sort(list({{'dim': dim,
+                                         'mean_val': mean_val}})),
+                        x -> x.mean_val) AS cvec
+  FROM centroid_dims GROUP BY label
+), devs AS (
+  SELECT vec_id, e.label,
+         list_sum(list_transform(list_zip(embedding, cvec),
+           p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+           AS dist2
+  FROM embeddings e JOIN centroids c ON e.label = c.label
+),
+med AS ({_median_sql("devs", "label", "dist2", "med_dist2")})
+SELECT vec_id, label, dist2, dist2 / med_dist2 AS med_ratio
+FROM devs JOIN med USING (label)
+WHERE dist2 > {EMB_OUTLIER_K} * med_dist2
+ORDER BY label, vec_id
+"""
+
+
+ORACLE["embedding_outliers"] = _emb_outliers_oracle()

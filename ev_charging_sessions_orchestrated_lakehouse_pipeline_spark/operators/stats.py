@@ -1690,3 +1690,196 @@ SELECT o_orderdate AS changepoint_date,
 FROM ranked
 WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — per-month median of all pairwise daily
+# revenue slopes: the breakdown-resistant (29% outlier tolerance)
+# alternative to linear_trend's OLS fit, the robust-statistics
+# counterpart of mad_outliers for TRENDS rather than levels. A single
+# whale order that drags the OLS slope barely moves the pairwise
+# median.
+#
+# Exactness: each slope is ONE IEEE division of an exact decimal
+# revenue delta (read through the string route) by an exact integer
+# day delta; the per-month median then PICKS order statistics
+# (_exact_median) rather than summing doubles, so no fold-order or
+# decimal-cast ceremony is needed anywhere.
+#
+# Scale (100 TB): the fact table collapses map-side to |dates| slim
+# decimal rows; the pair join is month-bucketed, so candidate volume
+# is |months| x C(31,2) <= 465 pairs/month — bounded by the calendar,
+# not the data. The median's rank shuffle carries (month, slope)
+# pairs only.
+# ---------------------------------------------------------------------------
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("decimal(18,2)")
+        .alias("r")
+    ).select(
+        F.trunc("o_orderdate", "month").alias("m"), F.col("o_orderdate").alias("d"), "r"
+    )
+    a = daily.select("m", F.col("d").alias("da"), F.col("r").alias("ra"))
+    b = daily.select("m", F.col("d").alias("db"), F.col("r").alias("rb"))
+    slopes = (
+        a.join(b, "m")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "m",
+            (
+                (F.col("rb") - F.col("ra")).cast("string").cast("double")
+                / F.datediff("db", "da").cast("double")
+            ).alias("slope"),
+        )
+    )
+    med = _exact_median(slopes, "m", "slope", "theil_sen_slope")
+    return med.select(
+        F.col("m").alias("month"),
+        F.col("n").alias("n_slopes"),
+        "theil_sen_slope",
+    ).orderBy("month")
+
+
+ORACLE["theil_sen_trend"] = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         o_orderdate AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY 1, 2
+), slopes AS (
+  SELECT a.m,
+         CAST(CAST(b.r - a.r AS VARCHAR) AS DOUBLE)
+           / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.m = b.m AND a.d < b.d
+),
+med AS ({_median_sql("slopes", "m", "slope", "theil_sen_slope")})
+SELECT m AS month, n AS n_slopes, theil_sen_slope
+FROM med
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve — user-retention survival estimate over
+# event-log lifetimes with right-censoring: users whose last event
+# falls within KM_CENSOR_DAYS of the corpus end are censored (still
+# alive), everyone else's first-to-last-event span is an observed
+# churn duration. The survival complement of cohort_retention's fixed
+# grid: S(t) handles censoring correctly where naive retention-rate
+# curves undercount.
+#
+# Exactness: S(t) = prod_{s<=t}(1 - d_s/n_s) is a SEQUENTIAL product
+# of IEEE factors — no log()/exp() (repo parity rule). Each row folds
+# the duration-sorted factor array prefix with IEEE * in identical
+# order on both engines (the source_drift fold discipline applied to
+# multiplication), so the curve is bit-exact. O(T^2) over T distinct
+# durations — bounded by the calendar, not the user count.
+#
+# Scale (100 TB): the event log collapses map-side to one slim row
+# per user (min/max ts), then to |durations| cells; the lifetable and
+# the fold windows run over those <= a-few-thousand rows. The 1-row
+# corpus-end aggregate broadcasts back (pinned BNLJ).
+# ---------------------------------------------------------------------------
+KM_CENSOR_DAYS = 30
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    end = ev.agg(F.max("ts").alias("t_end"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.datediff(F.to_date("t1"), F.to_date("t0")).alias("dur"),
+            (
+                F.datediff(F.to_date("t_end"), F.to_date("t1"))
+                >= F.lit(KM_CENSOR_DAYS)
+            )
+            .cast("int")
+            .alias("event"),
+        )
+    )
+    cells = users.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("event").alias("d_events"),
+    )
+    wall = W.orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    lifetable = cells.select(
+        "dur",
+        "d_events",
+        (
+            F.sum("n_at").over(wall)
+            - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))
+        ).alias("n_risk"),
+        F.collect_list(
+            F.struct(
+                F.col("dur").alias("t"),
+                (
+                    F.lit(1.0)
+                    - F.col("d_events").cast("double")
+                    / (
+                        F.sum("n_at").over(wall)
+                        - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))
+                    ).cast("double")
+                ).alias("f"),
+            )
+        )
+        .over(wall)
+        .alias("factors"),
+    )
+    surv = F.expr(
+        "aggregate(filter(array_sort(factors), x -> x.t <= dur), "
+        "CAST(1 AS DOUBLE), (acc, x) -> acc * x.f)"
+    )
+    return lifetable.select(
+        F.col("dur").cast("bigint").alias("dur"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_events").cast("bigint").alias("n_events"),
+        surv.alias("survival"),
+    ).orderBy("dur")
+
+
+ORACLE["kaplan_meier"] = f"""
+WITH ev AS (
+  SELECT user_id, ts FROM events
+), endt AS (
+  SELECT MAX(ts) AS t_end FROM ev
+), users AS (
+  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS dur,
+         CASE WHEN date_diff('day', CAST(MAX(ts) AS DATE),
+                             CAST((SELECT t_end FROM endt) AS DATE))
+                   >= {KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS event
+  FROM ev GROUP BY user_id
+), cells AS (
+  SELECT dur, COUNT(*) AS n_at, SUM(event) AS d_events
+  FROM users GROUP BY dur
+), risk AS (
+  SELECT dur, d_events,
+         SUM(n_at) OVER ()
+           - COALESCE(SUM(n_at) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM cells
+), lifetable AS (
+  SELECT dur, d_events, n_risk,
+         list({{'t': dur,
+                'f': 1.0 - CAST(d_events AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE)}})
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS factors
+  FROM risk
+)
+SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_events AS BIGINT) AS n_events,
+       list_reduce(list_prepend(CAST(1 AS DOUBLE), list_transform(
+         list_filter(list_sort(factors), x -> x.t <= dur), x -> x.f)),
+         (acc, x) -> acc * x) AS survival
+FROM lifetable
+ORDER BY dur
+"""

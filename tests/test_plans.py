@@ -51,6 +51,9 @@ BNLJ_ALLOWED = {
     # 1-row (n_days, total) aggregate broadcast into the scaled
     # deviation projection
     "cusum_changepoint": 1,
+    # 1-row corpus-end max-timestamp aggregate broadcast into the
+    # censoring flag projection
+    "kaplan_meier": 1,
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk": 1,
