@@ -52,6 +52,7 @@ def _build() -> None:
         "sketches",
         "linalg",
         "stats",
+        "features",
     ):
         try:
             mod = __import__(

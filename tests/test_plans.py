@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus-end max-timestamp aggregate broadcast into the
     # censoring flag projection
     "kaplan_meier": 1,
+    # 1-row corpus-end max-order-date aggregate broadcast into the
+    # recency projection
+    "rfm_segments": 1,
     # 1-row corpus-statistics aggregate (N, df, avgdl) broadcast into
     # the per-doc scoring projection
     "bm25_topk": 1,
