@@ -87,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
             "drop-column",
             "layout",
             "history",
+            "create-tag",
+            "drop-tag",
+            "create-branch",
+            "drop-branch",
+            "fast-forward",
+            "refs",
         ],
     )
     pt.add_argument("--cluster-by", default=None, help="comma-separated sort cols")
@@ -101,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
         "--column", default=None, help="bloom index / DDL target column"
     )
     pt.add_argument("--to", default=None, help="new name for rename-column")
+    pt.add_argument("--name", default=None, help="ref name for tag/branch actions")
+    pt.add_argument(
+        "--version", type=int, default=None,
+        help="version for create-tag/create-branch (default: head)",
+    )
     pt.add_argument(
         "--partition-by",
         default=None,
@@ -117,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
         "drop-column",
         "layout",
         "history",
+        "create-tag",
+        "drop-tag",
+        "create-branch",
+        "drop-branch",
+        "fast-forward",
+        "refs",
     ):
         # metadata-only actions: no SparkSession needed
         from .sources import snaptable as st
@@ -160,6 +177,32 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"version": v}))
         elif args.action == "layout":
             print(json.dumps(st.table_layout(args.table)))
+        elif args.action in (
+            "create-tag",
+            "drop-tag",
+            "create-branch",
+            "drop-branch",
+            "fast-forward",
+        ):
+            if not args.name:
+                p.error(f"{args.action} requires --name")
+            if args.action == "create-tag":
+                v = st.create_tag(args.table, args.name, version=args.version)
+                print(json.dumps({"tag": args.name, "version": v}))
+            elif args.action == "drop-tag":
+                st.drop_tag(args.table, args.name)
+                print(json.dumps({"dropped": args.name}))
+            elif args.action == "create-branch":
+                bp = st.create_branch(args.table, args.name, version=args.version)
+                print(json.dumps({"branch": args.name, "path": bp}))
+            elif args.action == "drop-branch":
+                st.drop_branch(args.table, args.name)
+                print(json.dumps({"dropped": args.name}))
+            else:
+                v = st.fast_forward(args.table, args.name)
+                print(json.dumps({"version": v}))
+        elif args.action == "refs":
+            print(json.dumps(st.list_refs(args.table)))
         else:
             print(json.dumps(st.history(args.table), default=str))
         return 0

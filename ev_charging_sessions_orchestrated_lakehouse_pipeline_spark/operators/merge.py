@@ -1430,3 +1430,85 @@ WHERE (o_totalprice < 5000.0 AND o_orderstatus = 'F')
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish over snapshot-table BRANCHES and TAGS
+    (sources/snaptable.py refs — the Iceberg SnapshotRef model the
+    reference's catalog wiring implies, jobs/ev_sessions_gold_etl.py:
+    69-75): stage a dirty batch on an audit branch, quarantine its
+    bad rows THERE with a merge-on-read DV delete, and publish to
+    main only via fast-forward — main never exposes a bad row at any
+    version.
+
+    Lifecycle: v1 = orders partitioned by o_orderstatus, tagged
+    'baseline'; branch 'audit' forks v1 (shallow — zero data copied)
+    and receives a deterministic clone batch (o_orderkey % 100 == 7,
+    keys shifted +10M) in which odd-custkey rows carry a NEGATED
+    price (the planted defect); the audit gate DV-deletes the
+    negatives on the branch; fast_forward publishes v2 and consumes
+    the branch. The audit reads v1 THROUGH THE TAG and v2 from head,
+    so what's hash-checked is fork carry-over + DV remapping through
+    the fast-forward + tag resolution. Bounded driver-side collect
+    (2 rows) because the table lives in a run-scoped temp dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_wap_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    st.create_tag(table, "baseline")
+    bp = st.create_branch(table, "audit")
+    batch = (
+        orders.filter(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_custkey") % 2 == 1, -F.col("o_totalprice")
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    st.append(batch, bp)
+    st.delete_where(spark, bp, [("o_totalprice", "<", 0)], use_dv=True)
+    st.fast_forward(table, "audit")
+    rows = []
+    for v, snap in (
+        (1, st.read_snapshot(spark, table, tag="baseline")),
+        (2, st.read_snapshot(spark, table)),
+    ):
+        r = snap.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        ).collect()[0]
+        total = None if r.sum_totalprice is None else float(r.sum_totalprice)
+        rows.append((v, r.n_orders, total))
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_orders bigint, sum_totalprice double"
+    ).orderBy("version")
+
+
+ORACLE["snapshot_wap"] = f"""
+SELECT 1 AS version, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+UNION ALL
+SELECT 2, COUNT(*), {dsum_sql('o_totalprice')}
+FROM (
+  SELECT o_totalprice FROM orders
+  UNION ALL
+  SELECT o_totalprice FROM orders
+  WHERE o_orderkey % 100 = 7 AND o_custkey % 2 = 0
+)
+ORDER BY version
+"""

@@ -403,6 +403,7 @@ def _commit(
     column_mapping: dict | None = None,
     retired_columns: list[str] | None = None,
     generated: dict | None = None,
+    extra: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1
     # column mapping / retired physical names / generated-column
@@ -441,6 +442,8 @@ def _commit(
         manifest["generated"] = generated
     if txn is not None:
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
+    if extra:
+        manifest.update(extra)
     _publish(table, version, manifest)
     return version
 
@@ -956,17 +959,21 @@ def read_snapshot(
     table: str,
     version: int | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read a committed snapshot (latest; ``version=`` for VERSION AS
     OF; ``as_of=`` a Unix timestamp/datetime for TIMESTAMP AS OF
-    time travel). Plans exactly the manifest's file list — snapshot
-    isolation against concurrent commits, normal Catalyst partition
-    pruning / filter pushdown on top."""
-    if version is not None and as_of is not None:
-        raise ValueError("pass version= or as_of=, not both")
+    time travel; ``tag=`` a named ref from :func:`create_tag`).
+    Plans exactly the manifest's file list — snapshot isolation
+    against concurrent commits, normal Catalyst partition pruning /
+    filter pushdown on top."""
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass at most one of version=, as_of=, tag=")
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist")
+    if tag is not None:
+        version = read_tag(table, tag)
     if as_of is not None:
         version = version_as_of(table, as_of)
     v = head if version is None else version
@@ -2498,19 +2505,25 @@ def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
     ``dry_run=True`` (Delta's VACUUM DRY RUN): report what WOULD be
     expired/deleted — including the victim file list — touching
     nothing, so retention changes can be audited before they burn
-    time-travel history."""
+    time-travel history.
+
+    TAGGED versions (:func:`create_tag`) are exempt from retention
+    expiry — their manifests and the files those reference survive
+    any ``retain_last``, the Iceberg ref-retention rule; drop the tag
+    to let the version age out."""
     versions = _list_versions(table)
     if not versions:
         return {"expired_versions": 0, "deleted_files": 0}
+    tagged = set(_tagged_versions(table).values())
     expired = 0
     expirable: list[int] = []
     if retain_last > 0 and len(versions) > retain_last:
-        expirable = list(versions[:-retain_last])
+        expirable = [v for v in versions[:-retain_last] if v not in tagged]
         if not dry_run:
             for v in expirable:
                 os.unlink(_manifest_path(table, v))
                 expired += 1
-        versions = versions[-retain_last:]
+        versions = sorted(set(versions[-retain_last:]) | tagged)
     referenced: set[str] = set()
     for v in versions:
         referenced.update(_read_manifest(table, v)["files"])
@@ -2531,3 +2544,249 @@ def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
         if not dirs and not files and dirpath != _data_dir(table):
             os.rmdir(dirpath)
     return {"expired_versions": expired, "deleted_files": deleted}
+
+
+# ---------------------------------------------------------------------------
+# Named references: TAGS (immutable version pointers) and BRANCHES
+# (independent writable lineages), the Iceberg ref model
+# (core/src/main/java/org/apache/iceberg/SnapshotRef.java semantics)
+# rebuilt on this format's manifest chain — the substrate for the
+# Write-Audit-Publish pattern: stage a batch on an audit branch, run
+# the quality gates there, FAST-FORWARD main only when they pass.
+# ---------------------------------------------------------------------------
+BRANCH_DIR = "_branches"
+TAG_DIR = "tags"
+
+_REF_NAME_OK = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-"
+
+
+class BranchDiverged(RuntimeError):
+    """Main advanced past the branch's fork point; fast-forward is no
+    longer a pure publish (the Iceberg fast-forward rule). Re-create
+    the branch from the new head and replay, or merge by hand."""
+
+
+def _check_ref_name(name: str) -> None:
+    if not name or any(c not in _REF_NAME_OK for c in name):
+        raise ValueError(f"invalid ref name {name!r} (use [A-Za-z0-9_-]+)")
+
+
+def _tag_path(table: str, name: str) -> str:
+    return os.path.join(_snap_dir(table), TAG_DIR, f"{name}.json")
+
+
+def branch_path(table: str, name: str) -> str:
+    """Filesystem root of a branch — itself a full snapshot table
+    (every read/write/DML entry point of this module works on it)."""
+    return os.path.join(table, BRANCH_DIR, name)
+
+
+def create_tag(table: str, name: str, version: int | None = None) -> int:
+    """Tag a committed version with an immutable name (Iceberg
+    ``CREATE TAG``). Tags protect their manifest from retention
+    expiry (:func:`vacuum` keeps tagged versions), and
+    :func:`read_snapshot` accepts ``tag=``. Re-tagging an existing
+    name fails — drop it first (matching Iceberg's refusal to
+    silently repoint a tag)."""
+    _check_ref_name(name)
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    final = _tag_path(table, name)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "created_at": time.time()}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ValueError(f"tag {name!r} already exists on {table}") from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def read_tag(table: str, name: str) -> int:
+    """The version a tag points at."""
+    try:
+        with open(_tag_path(table, name)) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise ValueError(f"tag {name!r} does not exist on {table}") from None
+
+
+def drop_tag(table: str, name: str) -> None:
+    try:
+        os.unlink(_tag_path(table, name))
+    except FileNotFoundError:
+        raise ValueError(f"tag {name!r} does not exist on {table}") from None
+
+
+def _tagged_versions(table: str) -> dict[str, int]:
+    d = os.path.join(_snap_dir(table), TAG_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out[f[:-5]] = int(json.load(fh)["version"])
+    return out
+
+
+def create_branch(table: str, name: str, version: int | None = None) -> str:
+    """Create a writable branch forked at ``version`` (default head)
+    and return its path. The branch is a SHALLOW fork (the
+    clone_table mechanics): its first manifest references the parent
+    table's data files by absolute path — zero data copied — and
+    records the fork version for the fast-forward conflict check.
+    Writes to the branch land in the branch's OWN data tree; the
+    parent never sees them until :func:`fast_forward`."""
+    _check_ref_name(name)
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    bp = branch_path(table, name)
+    if current_version(bp) is not None:
+        raise ValueError(f"branch {name!r} already exists on {table}")
+    prev = _read_manifest(table, v)
+    abs_files = [
+        f if os.path.isabs(f) else os.path.normpath(os.path.join(table, f))
+        for f in prev["files"]
+    ]
+    remap = dict(zip(prev["files"], abs_files))
+    old_stats = prev.get("file_stats", {})
+    old_dvs = prev.get("deletion_vectors", {})
+    os.makedirs(_data_dir(bp), exist_ok=True)
+    _commit(
+        bp,
+        "branch",
+        sorted(abs_files),
+        prev["partition_cols"],
+        prev["schema"],
+        parent=None,
+        file_stats={remap[f]: s for f, s in old_stats.items() if f in remap},
+        constraints=prev.get("constraints", {}),
+        deletion_vectors={remap[f]: d for f, d in old_dvs.items() if f in remap},
+        column_mapping=prev.get("column_mapping") or {},
+        retired_columns=prev.get("retired_columns") or [],
+        generated=prev.get("generated") or {},
+        extra={"branch_of": {"fork_version": v}},
+    )
+    return bp
+
+
+def drop_branch(table: str, name: str) -> None:
+    import shutil
+
+    bp = branch_path(table, name)
+    if current_version(bp) is None:
+        raise ValueError(f"branch {name!r} does not exist on {table}")
+    shutil.rmtree(bp)
+
+
+def list_refs(table: str) -> dict:
+    """{"tags": {name: version}, "branches": {name: {"head": v,
+    "fork_version": v}}} — the SHOW REFS surface."""
+    branches = {}
+    bd = os.path.join(table, BRANCH_DIR)
+    if os.path.isdir(bd):
+        for name in sorted(os.listdir(bd)):
+            bp = os.path.join(bd, name)
+            head = current_version(bp)
+            if head is None:
+                continue
+            fork = _read_manifest(bp, 1).get("branch_of", {}).get("fork_version")
+            branches[name] = {"head": head, "fork_version": fork}
+    return {"tags": _tagged_versions(table), "branches": branches}
+
+
+def fast_forward(table: str, name: str) -> int:
+    """Publish a branch's current state as the parent table's next
+    version — the WAP publish step. Allowed only while the parent's
+    head IS the branch's fork version (the Iceberg fast-forward
+    rule); otherwise :class:`BranchDiverged`.
+
+    File mechanics: entries already living in the parent's data pool
+    carry over by (relative) reference; branch-owned files are
+    HARD-LINKED into the parent's data tree BEFORE the manifest
+    publish, so there is no window where the new head references
+    missing paths, and a lost publish race unlinks the fresh links
+    and leaves the branch fully intact. On success the branch is
+    consumed (dropped) — its lineage referenced the now-moved files.
+    """
+    bp = branch_path(table, name)
+    bhead = current_version(bp)
+    if bhead is None:
+        raise ValueError(f"branch {name!r} does not exist on {table}")
+    bman = _read_manifest(bp, bhead)
+    fork = _read_manifest(bp, 1).get("branch_of", {}).get("fork_version")
+    head = current_version(table)
+    if head != fork:
+        raise BranchDiverged(
+            f"{table} advanced to v{head} past branch {name!r}'s fork "
+            f"v{fork}; fast-forward would drop those commits"
+        )
+    main_data = os.path.abspath(_data_dir(table))
+    branch_data = os.path.abspath(_data_dir(bp))
+    files_out: list[str] = []
+    remap: dict[str, str] = {}
+    linked: list[str] = []
+    try:
+        for f in bman["files"]:
+            af = (
+                os.path.normpath(f)
+                if os.path.isabs(f)
+                else os.path.normpath(os.path.join(bp, f))
+            )
+            if af.startswith(main_data + os.sep):
+                out = os.path.relpath(af, os.path.abspath(table))
+            elif af.startswith(branch_data + os.sep):
+                sub = os.path.relpath(af, branch_data)
+                dst = os.path.join(main_data, sub)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(af, dst)
+                linked.append(dst)
+                out = os.path.relpath(dst, os.path.abspath(table))
+            else:
+                # foreign absolute reference (e.g. the branch was
+                # forked from a clone): carry it verbatim
+                out = af
+            files_out.append(out)
+            remap[f] = out
+        old_stats = bman.get("file_stats", {})
+        old_dvs = bman.get("deletion_vectors", {})
+        version = _commit(
+            table,
+            "fast_forward",
+            sorted(files_out),
+            bman["partition_cols"],
+            bman["schema"],
+            parent=head,
+            file_stats={remap[f]: s for f, s in old_stats.items() if f in remap},
+            constraints=bman.get("constraints", {}),
+            deletion_vectors={
+                remap[f]: d for f, d in old_dvs.items() if f in remap
+            },
+            column_mapping=bman.get("column_mapping") or {},
+            retired_columns=bman.get("retired_columns") or [],
+            generated=bman.get("generated") or {},
+            extra={"fast_forward_of": {"branch": name, "branch_head": bhead}},
+        )
+    except BaseException:
+        for dst in linked:
+            try:
+                os.unlink(dst)
+            except FileNotFoundError:
+                pass
+        raise
+    drop_branch(table, name)
+    return version

@@ -2093,3 +2093,125 @@ def test_conflict_dv_delete_races_optimize(
     # every DV in the head points at a LIVE file
     m = st._read_manifest(t, v)
     assert set(m.get("deletion_vectors", {})) <= set(m["files"])
+
+
+# ---------------------------------------------------------------------------
+# Named refs: tags, branches, fast-forward (Write-Audit-Publish).
+# ---------------------------------------------------------------------------
+class TestRefs:
+    def test_tag_lifecycle(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, ["o_orderstatus"])
+        st.append(orders.limit(50), t)
+        n1 = st.read_snapshot(spark, t, version=1).count()
+        assert st.create_tag(t, "v1-audit", version=1) == 1
+        assert st.read_tag(t, "v1-audit") == 1
+        assert st.read_snapshot(spark, t, tag="v1-audit").count() == n1
+        # default tags the head
+        assert st.create_tag(t, "latest") == 2
+        # immutable: re-tagging fails, pointer unchanged
+        with pytest.raises(ValueError, match="already exists"):
+            st.create_tag(t, "latest", version=1)
+        assert st.read_tag(t, "latest") == 2
+        st.drop_tag(t, "latest")
+        with pytest.raises(ValueError, match="does not exist"):
+            st.read_tag(t, "latest")
+        with pytest.raises(ValueError, match="invalid ref name"):
+            st.create_tag(t, "bad/name")
+
+    def test_vacuum_spares_tagged_versions(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders.limit(100), t, [])
+        st.overwrite_table(orders.limit(60), t)
+        st.overwrite_table(orders.limit(30), t)
+        st.create_tag(t, "keep", version=1)
+        res = st.vacuum(t, retain_last=1)
+        # v2 expired; v1 survives via the tag, v3 via retain_last
+        assert res["expired_versions"] == 1
+        assert st.read_snapshot(spark, t, tag="keep").count() == 100
+        with pytest.raises(ValueError, match="does not exist"):
+            st.read_snapshot(spark, t, version=2)
+        # dropping the tag lets the version age out on the next vacuum
+        st.drop_tag(t, "keep")
+        st.vacuum(t, retain_last=1)
+        with pytest.raises(ValueError, match="does not exist"):
+            st.read_snapshot(spark, t, version=1)
+        assert st.read_snapshot(spark, t).count() == 30
+
+    def test_branch_isolation_and_refs(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, ["o_orderstatus"])
+        n = orders.count()
+        bp = st.create_branch(t, "audit")
+        st.append(orders.limit(200), bp)
+        # branch sees the fork data plus its own appends, zero copies
+        assert st.read_snapshot(spark, bp).count() == n + 200
+        # main is untouched
+        assert st.current_version(t) == 1
+        assert st.read_snapshot(spark, t).count() == n
+        refs = st.list_refs(t)
+        assert refs["branches"]["audit"] == {"head": 2, "fork_version": 1}
+        with pytest.raises(ValueError, match="already exists"):
+            st.create_branch(t, "audit")
+
+    def test_fast_forward_publishes_and_consumes(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, ["o_orderstatus"])
+        n = orders.count()
+        bp = st.create_branch(t, "audit")
+        st.append(orders.limit(200), bp)
+        v = st.fast_forward(t, "audit")
+        assert v == 2
+        assert st.read_snapshot(spark, t).count() == n + 200
+        # the branch was consumed
+        assert st.list_refs(t)["branches"] == {}
+        # no manifest entry escapes the table's own tree: every file
+        # resolves under the main data/ dir
+        man = st._read_manifest(t, 2)
+        assert man["operation"] == "fast_forward"
+        for f in man["files"]:
+            assert not os.path.isabs(f), f
+            assert not f.startswith(st.BRANCH_DIR), f
+        # v1 time travel still works
+        assert st.read_snapshot(spark, t, version=1).count() == n
+
+    def test_fast_forward_diverged(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, [])
+        bp = st.create_branch(t, "audit")
+        st.append(orders.limit(10), bp)
+        st.append(orders.limit(5), t)  # main advances past the fork
+        with pytest.raises(st.BranchDiverged):
+            st.fast_forward(t, "audit")
+        # the failed fast-forward left both lineages intact
+        assert st.read_snapshot(spark, bp).count() == orders.count() + 10
+        assert st.read_snapshot(spark, t).count() == orders.count() + 5
+
+    def test_wap_delete_on_branch_carries_dvs(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, [])
+        n = orders.count()
+        bad = orders.filter(F.col("o_orderkey") % 100 == 7)
+        n_bad = bad.count()
+        assert n_bad > 0
+        bp = st.create_branch(t, "wap")
+        st.append(bad.withColumn("o_totalprice", -F.col("o_totalprice")), bp)
+        # audit gate: quarantine the negative-price rows on the branch
+        # (merge-on-read DVs — the fast-forward must remap their keys)
+        assert st.delete_where(spark, bp, [("o_totalprice", "<", 0)], use_dv=True) == 3
+        assert (
+            st.read_snapshot(spark, bp).filter(F.col("o_totalprice") < 0).count()
+            == 0
+        )
+        st.fast_forward(t, "wap")
+        out = st.read_snapshot(spark, t)
+        assert out.count() == n
+        assert out.filter(F.col("o_totalprice") < 0).count() == 0
+
+    def test_fast_forward_without_branch_commits(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders.limit(40), t, [])
+        st.create_branch(t, "noop")
+        v = st.fast_forward(t, "noop")
+        assert v == 2
+        assert st.read_snapshot(spark, t).count() == 40
