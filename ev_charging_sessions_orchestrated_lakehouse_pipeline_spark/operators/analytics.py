@@ -3044,3 +3044,289 @@ FROM pairs p JOIN firsts f USING (user_id)
 GROUP BY p.day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC inventory classification — rank parts by exact revenue,
+# cut the cumulative-share curve at 80% (A) and 95% (B), and report
+# each class's population and revenue mass: the classic "which 20% of
+# SKUs carry 80% of revenue" warehouse query.
+#
+# Exactness: per-part revenue is an exact decimal sum; the cumulative
+# and total sums are exact DECIMAL(38,10) window aggregates over the
+# slim (partkey, revenue) frame; the share and the class boundaries
+# compare identical doubles on both engines.
+#
+# Scale: facts collapse map-side to one slim row per part; the global
+# cumulative window orders (revenue, partkey) pairs only — at 100x
+# the part dimension this swaps for the documented broadcast-threshold
+# sketch (totalprice_deciles pattern) unchanged.
+# ---------------------------------------------------------------------------
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(25,10)")
+        .alias("r"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("r").cast("decimal(38,10)").alias("rev")
+    )
+    wcum = W.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy()
+    cum_d = F.sum("rev").over(wcum).cast("string").cast("double")
+    tot_d = F.sum("rev").over(wall).cast("string").cast("double")
+    share = cum_d / tot_d
+    classed = per_part.select(
+        "l_partkey",
+        "rev",
+        tot_d.alias("tot"),
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("decimal(38,10)").cast("string").cast("double").alias(
+                "class_revenue"
+            ),
+            F.max("tot").alias("tot"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_revenue",
+            (F.col("class_revenue") / F.col("tot")).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE["pareto_abc"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10)))
+              AS DECIMAL(38,10)) AS rev
+  FROM lineitem GROUP BY l_partkey
+), curve AS (
+  SELECT l_partkey, rev,
+         CAST(CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS VARCHAR) AS DOUBLE) AS cum_d,
+         CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE) AS tot
+  FROM per_part
+), classed AS (
+  SELECT l_partkey, rev, tot,
+         CASE WHEN cum_d / tot <= 0.80 THEN 'A'
+              WHEN cum_d / tot <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM curve
+)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(CAST(CAST(SUM(rev) AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE)
+         AS class_revenue,
+       CAST(CAST(CAST(SUM(rev) AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) / MAX(tot)
+         AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding 7-day distinct users — the exact trailing-week unique-user
+# count per day, the canonical WAU-by-day panel. COUNT(DISTINCT) over
+# a sliding range has no map-combinable form, so the scalable shape
+# is: dedup to (user, day) pairs map-side, EXPLODE each pair into the
+# <=7 window-ends it covers (an equi-join-able key — no range/BNLJ
+# join anywhere), and run one exact distinct-count per window end.
+# 7x slim pairs is the whole shuffle; at 100 TB the pair dedup is the
+# only pass that touches the fact table. (rolling_active_users does
+# the related calendar-window variant; this one pins the explode
+# re-keying shape.)
+# ---------------------------------------------------------------------------
+SLIDING_WINDOW_DAYS = 7
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    pairs = ev.distinct()
+    exploded = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), SLIDING_WINDOW_DAYS - 1))
+        ).alias("window_end"),
+    )
+    spine = pairs.select(F.col("d").alias("window_end")).distinct()
+    return (
+        exploded.join(spine, "window_end", "left_semi")
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+        .orderBy("window_end")
+    )
+
+
+ORACLE["sliding_distinct_users"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), ex AS (
+  SELECT user_id, d + CAST(t.i AS INTEGER) AS window_end
+  FROM pairs, generate_series(0, {SLIDING_WINDOW_DAYS - 1}) AS t(i)
+), spine AS (
+  SELECT DISTINCT d AS window_end FROM pairs
+)
+SELECT window_end, COUNT(DISTINCT user_id) AS n_users_7d
+FROM ex
+WHERE window_end IN (SELECT window_end FROM spine)
+GROUP BY window_end
+ORDER BY window_end
+"""
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path analysis — the most common first-5-event journeys:
+# order each user's events by (ts, event_id), join the first five
+# event types into a '>'-delimited path, and count users per path.
+# The product-analytics "top user journeys" panel, and the repo's
+# deterministic collect_list pattern: the list is collected unordered
+# (Spark makes no ordering promise) and sorted by an explicit rank
+# INSIDE the row via array_sort over (rn, type) structs.
+#
+# Scale: the rank window shuffles slim (user, ts, event_id, type)
+# tuples partitioned by user (no global sort); paths aggregate
+# map-side; top-k is a per-partition heap.
+# ---------------------------------------------------------------------------
+PATH_LEN = 5
+TOP_PATHS = 30
+
+
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    firsts = ev.select("user_id", "event_type", rn.alias("rn")).where(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(TOP_PATHS)
+    )
+
+
+ORACLE["user_paths"] = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {PATH_LEN} GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {TOP_PATHS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value — customers cohorted by first-order month;
+# for each (cohort, age-in-months) cell: active customers, exact cell
+# revenue, and the running cumulative revenue per cohort member (the
+# LTV curve every retention model calibrates against). Complements
+# cohort_retention (which counts users only) with exact money.
+#
+# Exactness: the month index is pure int arithmetic (year*12+month);
+# cell revenue and the cumulative window sum are exact decimals over
+# the small (cohort x age) grid; the two ratios are final doubles.
+# ---------------------------------------------------------------------------
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(25,10)").alias("p"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m_idx"),
+    )
+    wcust = W.partitionBy("o_custkey")
+    cohorted = o.select(
+        "o_custkey",
+        "p",
+        "m_idx",
+        F.min("m_idx").over(wcust).alias("cohort_idx"),
+    )
+    cells = cohorted.groupBy(
+        "cohort_idx", (F.col("m_idx") - F.col("cohort_idx")).alias("age_months")
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("p").cast("decimal(38,10)").alias("cell_rev"),
+    )
+    sizes = cohorted.groupBy("cohort_idx").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    wltv = W.partitionBy("cohort_idx").orderBy("age_months").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum_d = F.sum("cell_rev").over(wltv).cast("decimal(38,10)").cast("string").cast(
+        "double"
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_idx")
+        .select(
+            "cohort_idx",
+            "age_months",
+            "cohort_size",
+            "n_active",
+            F.col("cell_rev").cast("string").cast("double").alias("cell_revenue"),
+            (cum_d / F.col("cohort_size").cast("double")).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_idx", "age_months")
+    )
+
+
+ORACLE["cohort_ltv"] = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(25,10)) AS p,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m_idx
+  FROM orders
+), cohorted AS (
+  SELECT o_custkey, p, m_idx,
+         MIN(m_idx) OVER (PARTITION BY o_custkey) AS cohort_idx
+  FROM o
+), cells AS (
+  SELECT cohort_idx, m_idx - cohort_idx AS age_months,
+         COUNT(DISTINCT o_custkey) AS n_active,
+         CAST(SUM(p) AS DECIMAL(38,10)) AS cell_rev
+  FROM cohorted GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_idx, COUNT(DISTINCT o_custkey) AS cohort_size
+  FROM cohorted GROUP BY cohort_idx
+)
+SELECT CAST(cohort_idx AS BIGINT) AS cohort_idx,
+       CAST(age_months AS BIGINT) AS age_months,
+       cohort_size, n_active,
+       CAST(CAST(cell_rev AS VARCHAR) AS DOUBLE) AS cell_revenue,
+       CAST(CAST(CAST(SUM(cell_rev) OVER (PARTITION BY cohort_idx ORDER BY age_months
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE)
+         / CAST(cohort_size AS DOUBLE) AS ltv_per_user
+FROM cells JOIN sizes USING (cohort_idx)
+ORDER BY cohort_idx, age_months
+"""

@@ -1,0 +1,438 @@
+"""Inferential / robust statistics operators — the hypothesis-testing
+tier (rank correlation, two-sample tests, robust location estimates,
+association effect sizes) that a data platform runs to validate
+training-data shifts before they reach a model. The reference (a
+437-line medallion ETL, jobs/ev_sessions_silver_etl_clean.py) stops at
+Deequ-style constraint checks; this module extends that DQ surface to
+distribution-level inference, as the build brief's first-class
+extension tier.
+
+Engine-parity rules (repo-wide oracle discipline, see
+operators/stats.py and functions/oracle.py):
+
+- **No log()** anywhere — Math.log (JVM) vs libm log (DuckDB) can
+  differ in the last ULP, so every statistic here is built from
+  arithmetic, comparisons, and sqrt (IEEE-754 requires sqrt to be
+  correctly rounded, so it IS bit-portable).
+- Everything that crosses rows is an exact int64 / DECIMAL sum; the
+  final statistic is a fixed-structure double expression evaluated
+  identically by both engines (decimal -> varchar -> double transit,
+  see functions/oracle.py docstring).
+- Rank-based statistics use integer rank surrogates (2*rank + ties-1
+  = twice the average rank) so no float ever enters the rank algebra;
+  Pearson-on-ranks is invariant under that affine map.
+
+Scale design (100 TB):
+
+- **Spearman** shuffles slim (flag, measure) pairs for the rank
+  windows (the mad_outliers ordstat shape — per-group sort, never a
+  global one); the moment sums are map-side combinable decimals.
+- **Welch's t** is a single map-side-combinable conditional aggregate
+  — one reduce to one row, no shuffle of payloads at all.
+- **Trimmed/winsorized means** rank within group (per-group sort of
+  slim pairs) then collapse to one exact-decimal row per group.
+- **Cramér's V** aggregates contingency cells map-side (|cells| =
+  r*c, bounded by the categorical domains), then runs windows over
+  the tiny cells frame only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+ORACLE: dict[str, str] = {}
+
+_D38 = "decimal(38,10)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import read_fixture
+
+    return read_fixture(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation matrix — per return flag, the rank
+# correlation between extended price, quantity, and discount: the
+# robust (outlier- and monotone-transform-invariant) companion to
+# corr_profile's Pearson matrix, and the standard drift screen for
+# heavy-tailed measures.
+#
+# Method: average ranks via the integer surrogate R = 2*rank + t - 1
+# (t = tie-group size), which equals twice the average rank —
+# Pearson correlation is invariant under the affine map, so
+# rho(Rx, Ry) IS the textbook tie-corrected Spearman rho. Products
+# R*R fit DECIMAL(36,0) up to ~1e18 rows per group; the nine moment
+# sums are exact decimals, and rho is a fixed double expression of
+# their exact totals (sqrt only — no log).
+# ---------------------------------------------------------------------------
+def _avg_rank2(flag: str, col: str) -> Column:
+    """Integer surrogate for 2x the average (tie-corrected) rank."""
+    rk = F.rank().over(W.partitionBy(flag).orderBy(col))
+    ties = F.count(F.lit(1)).over(W.partitionBy(flag, col))
+    return (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(18,0)")
+
+
+def _rho(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) -> Column:
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return F.when((dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        _avg_rank2("l_returnflag", "l_extendedprice").alias("rp"),
+        _avg_rank2("l_returnflag", "l_quantity").alias("rq"),
+        _avg_rank2("l_returnflag", "l_discount").alias("rd"),
+    )
+
+    def dsum(c: Column) -> Column:
+        return F.sum(c).cast("string").cast("double")
+
+    rp, rq, rd = F.col("rp"), F.col("rq"), F.col("rd")
+    s = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(rp).alias("sp"),
+        dsum(rq).alias("sq"),
+        dsum(rd).alias("sd"),
+        dsum(rp * rp).alias("spp"),
+        dsum(rq * rq).alias("sqq"),
+        dsum(rd * rd).alias("sdd"),
+        dsum(rp * rq).alias("spq"),
+        dsum(rp * rd).alias("spd"),
+        dsum(rq * rd).alias("sqd"),
+    )
+    n = F.col("n_rows").cast("double")
+    c = {k: F.col(k) for k in ("sp", "sq", "sd", "spp", "sqq", "sdd", "spq", "spd", "sqd")}
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        _rho(n, c["sp"], c["sq"], c["spp"], c["sqq"], c["spq"]).alias("rho_price_qty"),
+        _rho(n, c["sp"], c["sd"], c["spp"], c["sdd"], c["spd"]).alias("rho_price_disc"),
+        _rho(n, c["sq"], c["sd"], c["sqq"], c["sdd"], c["sqd"]).alias("rho_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+def _rho_sql(x: str, y: str) -> str:
+    num = f"(n_d * s{x}{y} - s{x} * s{y})"
+    dx = f"(n_d * s{x}{x} - s{x} * s{x})"
+    dy = f"(n_d * s{y}{y} - s{y} * s{y})"
+    return (
+        f"CASE WHEN {dx} > 0 AND {dy} > 0 "
+        f"THEN {num} / (sqrt({dx}) * sqrt({dy})) END"
+    )
+
+
+ORACLE["spearman_corr"] = f"""
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+              - 1 AS DECIMAL(18,0)) AS rp,
+         CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+              - 1 AS DECIMAL(18,0)) AS rq,
+         CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, l_discount)
+              - 1 AS DECIMAL(18,0)) AS rd
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         CAST(CAST(SUM(rp) AS VARCHAR) AS DOUBLE) AS sp,
+         CAST(CAST(SUM(rq) AS VARCHAR) AS DOUBLE) AS sq,
+         CAST(CAST(SUM(rd) AS VARCHAR) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(rp * rp) AS VARCHAR) AS DOUBLE) AS spp,
+         CAST(CAST(SUM(rq * rq) AS VARCHAR) AS DOUBLE) AS sqq,
+         CAST(CAST(SUM(rd * rd) AS VARCHAR) AS DOUBLE) AS sdd,
+         CAST(CAST(SUM(rp * rq) AS VARCHAR) AS DOUBLE) AS spq,
+         CAST(CAST(SUM(rp * rd) AS VARCHAR) AS DOUBLE) AS spd,
+         CAST(CAST(SUM(rq * rd) AS VARCHAR) AS DOUBLE) AS sqd
+  FROM ranked GROUP BY l_returnflag
+), sd2 AS (
+  SELECT *, CAST(n_rows AS DOUBLE) AS n_d FROM s
+)
+SELECT l_returnflag, n_rows,
+       {_rho_sql('p', 'q')} AS rho_price_qty,
+       {_rho_sql('p', 'd')} AS rho_price_disc,
+       {_rho_sql('q', 'd')} AS rho_qty_disc
+FROM sd2
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test — does the mean event value differ between
+# 'purchase' and 'click' events? The unequal-variance t statistic and
+# its Welch–Satterthwaite degrees of freedom, the standard A/B and
+# drift gate. One map-side-combinable conditional aggregate -> one
+# row; exact decimal moment sums; t and df are fixed double
+# expressions (sqrt only).
+# ---------------------------------------------------------------------------
+WELCH_GROUP_A = "purchase"
+WELCH_GROUP_B = "click"
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+
+    def dsum_if(grp: str, c: Column) -> Column:
+        return (
+            F.sum(F.when(F.col("event_type") == grp, c).otherwise(F.lit(None)).cast(_D38))
+            .cast("string")
+            .cast("double")
+        )
+
+    v = F.col("value")
+    agg = ev.agg(
+        F.count(F.when(F.col("event_type") == WELCH_GROUP_A, 1)).alias("na"),
+        F.count(F.when(F.col("event_type") == WELCH_GROUP_B, 1)).alias("nb"),
+        dsum_if(WELCH_GROUP_A, v).alias("s1a"),
+        dsum_if(WELCH_GROUP_A, v * v).alias("s2a"),
+        dsum_if(WELCH_GROUP_B, v).alias("s1b"),
+        dsum_if(WELCH_GROUP_B, v * v).alias("s2b"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma, mb = F.col("s1a") / na, F.col("s1b") / nb
+    va = (F.col("s2a") - na * (ma * ma)) / (na - F.lit(1.0))
+    vb = (F.col("s2b") - nb * (mb * mb)) / (nb - F.lit(1.0))
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (sea * sea) / (na - F.lit(1.0)) + (seb * seb) / (nb - F.lit(1.0))
+    )
+    return (
+        agg.where((F.col("na") > 1) & (F.col("nb") > 1))
+        .select(
+            "na",
+            "nb",
+            ma.alias("mean_a"),
+            mb.alias("mean_b"),
+            va.alias("var_a"),
+            vb.alias("var_b"),
+            F.when(se2 > 0, t).alias("t_stat"),
+            F.when(se2 > 0, df).alias("df_welch"),
+        )
+    )
+
+
+ORACLE["welch_ttest"] = f"""
+WITH agg AS (
+  SELECT
+    COUNT(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN 1 END) AS na,
+    COUNT(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN 1 END) AS nb,
+    CAST(CAST(SUM(CAST(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN value END
+                       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s1a,
+    CAST(CAST(SUM(CAST(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN value * value END
+                       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s2a,
+    CAST(CAST(SUM(CAST(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN value END
+                       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s1b,
+    CAST(CAST(SUM(CAST(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN value * value END
+                       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s2b
+  FROM events
+), m AS (
+  SELECT na, nb,
+         s1a / CAST(na AS DOUBLE) AS ma, s1b / CAST(nb AS DOUBLE) AS mb,
+         (s2a - CAST(na AS DOUBLE) * ((s1a / CAST(na AS DOUBLE)) * (s1a / CAST(na AS DOUBLE))))
+           / (CAST(na AS DOUBLE) - 1.0) AS va,
+         (s2b - CAST(nb AS DOUBLE) * ((s1b / CAST(nb AS DOUBLE)) * (s1b / CAST(nb AS DOUBLE))))
+           / (CAST(nb AS DOUBLE) - 1.0) AS vb
+  FROM agg WHERE na > 1 AND nb > 1
+), se AS (
+  SELECT *, va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+  FROM m
+)
+SELECT na, nb, ma AS mean_a, mb AS mean_b, va AS var_a, vb AS var_b,
+       CASE WHEN sea + seb > 0
+            THEN (ma - mb) / sqrt(sea + seb) END AS t_stat,
+       CASE WHEN sea + seb > 0
+            THEN ((sea + seb) * (sea + seb))
+                 / ((sea * sea) / (CAST(na AS DOUBLE) - 1.0)
+                    + (seb * seb) / (CAST(nb AS DOUBLE) - 1.0)) END AS df_welch
+FROM se
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trimmed & winsorized means — per return flag, the 10%-trimmed mean
+# (drop the bottom/top decile by rank) and the winsorized mean (clamp
+# them to the surviving boundary values) of extended price: the robust
+# location estimates that survive the fat tails plain averages don't.
+#
+# Exactness: prices are exact DECIMAL(18,2) per row; the kept-set
+# boundary is decided by integer rank comparisons (rank() places ties
+# identically on both engines); sums are exact decimals; the two means
+# are fixed double expressions of exact totals and int counts.
+# ---------------------------------------------------------------------------
+TRIM_FRAC_DENOM = 10  # trim floor(n/10) rows from each tail
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("decimal(18,2)").alias("p")
+    )
+    wf = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "p",
+        F.rank().over(wf.orderBy("p")).alias("rk"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    ).select(
+        "l_returnflag",
+        "p",
+        "rk",
+        "n",
+        F.floor(F.col("n") / F.lit(TRIM_FRAC_DENOM)).alias("lo"),
+    )
+    kept = (F.col("rk") > F.col("lo")) & (F.col("rk") <= F.col("n") - F.col("lo"))
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("p")))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .cast("double")
+        .alias("ksum"),
+        F.min(F.when(kept, F.col("p"))).cast("string").cast("double").alias("lo_val"),
+        F.max(F.when(kept, F.col("p"))).cast("string").cast("double").alias("hi_val"),
+        F.sum(F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0)).alias("n_below"),
+        F.sum(F.when(F.col("rk") > F.col("n") - F.col("lo"), 1).otherwise(0)).alias(
+            "n_above"
+        ),
+    )
+    return agg.where(F.col("n_kept") > 0).select(
+        "l_returnflag",
+        "n_rows",
+        "n_kept",
+        (F.col("ksum") / F.col("n_kept").cast("double")).alias("trimmed_mean"),
+        (
+            (
+                F.col("ksum")
+                + F.col("n_below").cast("double") * F.col("lo_val")
+                + F.col("n_above").cast("double") * F.col("hi_val")
+            )
+            / F.col("n_rows").cast("double")
+        ).alias("winsorized_mean"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE["trimmed_stats"] = f"""
+WITH ranked AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), marked AS (
+  SELECT *, CAST(floor(n / {TRIM_FRAC_DENOM}) AS BIGINT) AS lo FROM ranked
+), agg AS (
+  SELECT l_returnflag,
+         MAX(n) AS n_rows,
+         CAST(SUM(CASE WHEN rk > lo AND rk <= n - lo THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(CAST(CAST(SUM(CASE WHEN rk > lo AND rk <= n - lo THEN p END)
+                        AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS ksum,
+         CAST(CAST(MIN(CASE WHEN rk > lo AND rk <= n - lo THEN p END)
+                   AS VARCHAR) AS DOUBLE) AS lo_val,
+         CAST(CAST(MAX(CASE WHEN rk > lo AND rk <= n - lo THEN p END)
+                   AS VARCHAR) AS DOUBLE) AS hi_val,
+         CAST(SUM(CASE WHEN rk <= lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         CAST(SUM(CASE WHEN rk > n - lo THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+  FROM marked GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, n_kept,
+       ksum / CAST(n_kept AS DOUBLE) AS trimmed_mean,
+       (ksum + CAST(n_below AS DOUBLE) * lo_val + CAST(n_above AS DOUBLE) * hi_val)
+         / CAST(n_rows AS DOUBLE) AS winsorized_mean
+FROM agg
+WHERE n_kept > 0
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association effect sizes — chi-square normalized to
+# [0, 1] for two categorical pairs (order priority x status, customer
+# segment x nation): the comparable-across-tables strength measure
+# that raw chi2 (chi_square_assoc) is not. Contingency cells aggregate
+# map-side (|cells| = r*c rows); every window below runs on that tiny
+# frame; V = sqrt(chi2 / (n * min(r-1, c-1))) — sqrt only, no log.
+# ---------------------------------------------------------------------------
+def _cramers_one(df: DataFrame, a: str, b: str, name: str) -> DataFrame:
+    cells = df.groupBy(F.col(a).alias("va"), F.col(b).alias("vb")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    wr, wc, wall = W.partitionBy("va"), W.partitionBy("vb"), W.partitionBy()
+    exp = (F.sum("n_c").over(wr) * F.sum("n_c").over(wc)).cast("double") / F.sum(
+        "n_c"
+    ).over(wall).cast("double")
+    d = F.col("n_c").cast("double") - F.col("exp")
+    withexp = cells.select("va", "vb", "n_c", exp.alias("exp"))
+    return withexp.agg(
+        F.sum("n_c").alias("n_rows"),
+        F.count_distinct("va").alias("r_levels"),
+        F.count_distinct("vb").alias("c_levels"),
+        F.sum(((d * d) / F.col("exp")).cast("decimal(25,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("chi2"),
+    ).select(F.lit(name).alias("pair"), "n_rows", "r_levels", "c_levels", "chi2")
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = _cramers_one(orders, "o_orderpriority", "o_orderstatus", "priority_x_status")
+    seg = _cramers_one(cust, "c_mktsegment", "c_nationkey", "segment_x_nation")
+    u = base.unionByName(seg)
+    mindim = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    v = F.when(
+        (F.col("n_rows") > 0) & (mindim > 0),
+        F.sqrt(F.col("chi2") / (F.col("n_rows").cast("double") * mindim.cast("double"))),
+    )
+    return u.select(
+        "pair",
+        "n_rows",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        "chi2",
+        v.alias("cramers_v"),
+    ).orderBy("pair")
+
+
+def _cramers_sql(table: str, a: str, b: str, name: str) -> str:
+    return f"""
+  SELECT '{name}' AS pair, n_rows, dof, chi2,
+         CASE WHEN n_rows > 0 AND mindim > 0
+              THEN sqrt(chi2 / (CAST(n_rows AS DOUBLE) * CAST(mindim AS DOUBLE)))
+         END AS cramers_v
+  FROM (
+    SELECT SUM(n_c) AS n_rows,
+           (COUNT(DISTINCT va) - 1) * (COUNT(DISTINCT vb) - 1) AS dof,
+           least(COUNT(DISTINCT va) - 1, COUNT(DISTINCT vb) - 1) AS mindim,
+           CAST(CAST(SUM(CAST((CAST(n_c AS DOUBLE) - exp) * (CAST(n_c AS DOUBLE) - exp)
+                              / exp AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS chi2
+    FROM (
+      SELECT va, vb, n_c,
+             CAST(SUM(n_c) OVER (PARTITION BY va)
+                  * SUM(n_c) OVER (PARTITION BY vb) AS DOUBLE)
+               / CAST(SUM(n_c) OVER () AS DOUBLE) AS exp
+      FROM (SELECT {a} AS va, {b} AS vb, COUNT(*) AS n_c FROM {table} GROUP BY 1, 2)
+    )
+  )"""
+
+
+ORACLE["cramers_v"] = f"""
+SELECT pair, CAST(n_rows AS BIGINT) AS n_rows, CAST(dof AS BIGINT) AS dof,
+       chi2, cramers_v
+FROM (
+{_cramers_sql('orders', 'o_orderpriority', 'o_orderstatus', 'priority_x_status')}
+  UNION ALL
+{_cramers_sql('customer', 'c_mktsegment', 'c_nationkey', 'segment_x_nation')}
+)
+ORDER BY pair
+"""

@@ -519,3 +519,75 @@ SELECT nation, mktsegment, cell_size,
 FROM cells
 ORDER BY nation, mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the companion privacy gate to k_anonymity_audit:
+# a quasi-identifier cell (nation x market segment) is safe only if
+# the SENSITIVE attribute (order priority) takes at least L distinct
+# values inside it; k-anonymous cells where everyone shares one
+# priority still leak. One row per QI cell with its distinct-l, the
+# violation flag, and the global violating-cell count.
+#
+# Scale: the fact join is a broadcast of the tiny nation dim; the
+# distinct-l aggregate is map-side combinable on (cell, priority)
+# first, then cell — two slim shuffles, no payloads.
+# ---------------------------------------------------------------------------
+L_DIV = 3
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey", "c_mktsegment"),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "o_orderpriority",
+        )
+    )
+    cells = joined.groupBy("nation", "mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("l_distinct"),
+    )
+    wall = W.partitionBy()
+    return (
+        cells.select(
+            "nation",
+            "mktsegment",
+            "n_rows",
+            "l_distinct",
+            (F.col("l_distinct") < L_DIV).alias("violates_l"),
+            F.sum(F.when(F.col("l_distinct") < L_DIV, 1).otherwise(0))
+            .over(wall)
+            .alias("violating_cells"),
+        )
+        .orderBy("nation", "mktsegment")
+    )
+
+
+ORACLE["l_diversity_audit"] = f"""
+WITH cells AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS mktsegment,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT o.o_orderpriority) AS l_distinct
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, mktsegment, n_rows, l_distinct,
+       l_distinct < {L_DIV} AS violates_l,
+       CAST(SUM(CASE WHEN l_distinct < {L_DIV} THEN 1 ELSE 0 END) OVER ()
+            AS BIGINT) AS violating_cells
+FROM cells
+ORDER BY nation, mktsegment
+"""

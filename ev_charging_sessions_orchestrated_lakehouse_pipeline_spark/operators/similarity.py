@@ -1142,3 +1142,96 @@ ORDER BY label, vec_id
 
 
 ORACLE["embedding_outliers"] = _emb_outliers_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — merge two retrieval rankings (cosine
+# similarity to two probe vectors, the multi-query retrieval shape)
+# into one list via RRF: score(d) = sum over rankings of
+# 1 / (60 + rank_d). The standard ensemble trick for combining
+# lexical + dense (or multi-probe) retrieval without score
+# calibration.
+#
+# Determinism: each ranking is a row_number over (cosine DESC,
+# vec_id); each RRF term is ONE correctly-rounded IEEE division of
+# integers, and the final score adds at most two doubles (a single
+# commutative addition — no multi-row float sum exists anywhere).
+#
+# Scale: cosines are map-side projections against broadcast 1-row
+# probes; the two global rank windows order slim (vec_id, cosine)
+# pairs only; the fusion join is pool-sized (2 x RRF_POOL rows).
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOPK = 20
+
+
+def _rrf_ranking(emb: DataFrame, probe_id: int) -> DataFrame:
+    query = emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("qv")
+    )
+    cosine = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") > 1)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cosine.alias("cos"))
+    )
+    rk = F.row_number().over(W.orderBy(F.desc("cos"), "vec_id"))
+    return scored.select("vec_id", rk.alias("rk")).where(F.col("rk") <= RRF_POOL)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    ra = _rrf_ranking(emb, 0).withColumnRenamed("rk", "rank_a")
+    rb = _rrf_ranking(emb, 1).withColumnRenamed("rk", "rank_b")
+    fused = ra.join(rb, "vec_id", "full_outer")
+    term_a = F.when(
+        F.col("rank_a").isNotNull(),
+        F.lit(1.0) / (F.lit(RRF_K).cast("double") + F.col("rank_a").cast("double")),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("rank_b").isNotNull(),
+        F.lit(1.0) / (F.lit(RRF_K).cast("double") + F.col("rank_b").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select("vec_id", "rank_a", "rank_b", (term_a + term_b).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "vec_id")
+        .limit(RRF_TOPK)
+    )
+
+
+def _rrf_ranking_sql(probe_id: int) -> str:
+    return f"""
+  SELECT vec_id, rk FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+    FROM (
+      SELECT e.vec_id,
+             {_dot_sql('e.embedding', 'q.qv')} /
+             (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cos
+      FROM embeddings e,
+           (SELECT embedding AS qv FROM embeddings WHERE vec_id = {probe_id}) q
+      WHERE e.vec_id > 1
+    )
+  ) WHERE rk <= {RRF_POOL}"""
+
+
+ORACLE["rrf_fusion"] = f"""
+WITH ra AS ({_rrf_ranking_sql(0)}),
+rb AS ({_rrf_ranking_sql(1)})
+SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+       CAST(ra.rk AS BIGINT) AS rank_a,
+       CAST(rb.rk AS BIGINT) AS rank_b,
+       (CASE WHEN ra.rk IS NOT NULL
+             THEN 1.0 / (CAST({RRF_K} AS DOUBLE) + CAST(ra.rk AS DOUBLE))
+             ELSE 0.0 END
+        + CASE WHEN rb.rk IS NOT NULL
+               THEN 1.0 / (CAST({RRF_K} AS DOUBLE) + CAST(rb.rk AS DOUBLE))
+               ELSE 0.0 END) AS rrf_score
+FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
+ORDER BY rrf_score DESC, vec_id
+LIMIT {RRF_TOPK}
+"""

@@ -53,6 +53,7 @@ def _build() -> None:
         "linalg",
         "stats",
         "features",
+        "inferential",
     ):
         try:
             mod = __import__(

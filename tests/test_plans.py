@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "bm25_topk": 1,
     # tiny-dim inequality self-join (edit-distance pair space)
     "fuzzy_name_match": 1,
+    # two 1-row probe-vector broadcasts (multi-query retrieval fusion)
+    "rrf_fusion": 2,
     # 1-row min-count aggregate broadcast into the per-source rates
     "temperature_mixture": 2,
     # 1-row bloom-bitmap aggregate broadcast into the map-side probe
