@@ -3330,3 +3330,384 @@ SELECT CAST(cohort_idx AS BIGINT) AS cohort_idx,
 FROM cells JOIN sizes USING (cohort_idx)
 ORDER BY cohort_idx, age_months
 """
+
+
+# ---------------------------------------------------------------------------
+# Signup-to-purchase conversion latency — for each user who purchased
+# after signing up, the whole-second delay between first signup and
+# first subsequent purchase; reported as exact order statistics
+# (min / lower-median / p90 / max) plus the conversion count. The
+# funnel-timing panel that complements `funnel` (which counts stages
+# but not speed).
+#
+# Exactness: latencies are int64 epoch-second diffs; the order
+# statistics PICK ranked elements (rank() over the slim latency
+# frame) — no float ever appears.
+#
+# Scale: per-user firsts are map-side min-aggregates; the ordstat
+# window ranks one slim int row per CONVERTED user (the
+# percentiles_ordstat shape at user cardinality, not event
+# cardinality).
+# ---------------------------------------------------------------------------
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+    )
+    lat = (
+        firsts.where(
+            F.col("signup_ts").isNotNull()
+            & F.col("purchase_ts").isNotNull()
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+        )
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+            ).alias("latency_s"),
+        )
+    )
+    ranked = lat.select(
+        "latency_s",
+        F.rank().over(W.orderBy("latency_s", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.groupBy().agg(
+        F.max("n").alias("n_converted"),
+        F.min("latency_s").alias("min_s"),
+        F.max(
+            F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("latency_s"))
+        ).alias("median_s"),
+        F.max(
+            F.when(F.col("rk") == F.ceil(F.col("n") * 0.9), F.col("latency_s"))
+        ).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    ).where(F.col("n_converted").isNotNull())
+
+
+ORACLE["conversion_latency"] = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT user_id,
+         CAST(floor(epoch(purchase_ts)) AS BIGINT)
+           - CAST(floor(epoch(signup_ts)) AS BIGINT) AS latency_s
+  FROM firsts
+  WHERE signup_ts IS NOT NULL AND purchase_ts IS NOT NULL
+    AND purchase_ts >= signup_ts
+), ranked AS (
+  SELECT latency_s,
+         rank() OVER (ORDER BY latency_s, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT MAX(n) AS n_converted,
+       MIN(latency_s) AS min_s,
+       MAX(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                THEN latency_s END) AS median_s,
+       MAX(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                THEN latency_s END) AS p90_s,
+       MAX(latency_s) AS max_s
+FROM ranked
+HAVING MAX(n) IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inactivity gap detection (gaps-and-islands) — per user, the runs of
+# calendar days with NO events between two active days: lag() over
+# each user's distinct activity days, a gap row wherever consecutive
+# active days differ by more than one, ranked by length. The
+# churn-risk early-warning panel (and the classic gaps-and-islands
+# SQL shape the registry otherwise lacked).
+#
+# Exactness: all int day arithmetic; global totals are window counts
+# over the tiny gap frame; top-k is deterministic via the
+# (len, user, start) composite order.
+#
+# Scale: activity dedup is map-side; the lag window partitions by
+# user (slim (user, day) pairs — no global sort anywhere).
+# ---------------------------------------------------------------------------
+GAP_TOPK = 20
+
+
+def q_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    lagged = days.select(
+        "user_id",
+        "d",
+        F.lag("d").over(W.partitionBy("user_id").orderBy("d")).alias("prev_d"),
+    )
+    gaps = lagged.where(
+        F.col("prev_d").isNotNull() & (F.datediff("d", "prev_d") > 1)
+    ).select(
+        "user_id",
+        F.date_add("prev_d", 1).alias("gap_start"),
+        F.date_add("d", -1).alias("gap_end"),
+        (F.datediff("d", "prev_d") - 1).alias("gap_days"),
+    )
+    wall = W.partitionBy()
+    return (
+        gaps.select(
+            "user_id",
+            "gap_start",
+            "gap_end",
+            "gap_days",
+            F.count(F.lit(1)).over(wall).alias("n_gaps"),
+            F.sum("gap_days").over(wall).alias("total_idle_days"),
+        )
+        .orderBy(F.desc("gap_days"), "user_id", "gap_start")
+        .limit(GAP_TOPK)
+    )
+
+
+ORACLE["inactivity_gaps"] = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), lagged AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+  FROM days
+), gaps AS (
+  SELECT user_id,
+         prev_d + 1 AS gap_start,
+         d - 1 AS gap_end,
+         date_diff('day', prev_d, d) - 1 AS gap_days
+  FROM lagged
+  WHERE prev_d IS NOT NULL AND date_diff('day', prev_d, d) > 1
+)
+SELECT user_id, gap_start, gap_end,
+       CAST(gap_days AS INT) AS gap_days,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) OVER () AS BIGINT) AS total_idle_days
+FROM gaps
+ORDER BY gap_days DESC, user_id, gap_start
+LIMIT {GAP_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shipping-delay profile — the distribution of order-date ->
+# ship-date lag, bucketed into SLA bands per order priority, with
+# each band's share of its priority: the operational latency panel
+# behind late_shipment_priority (which flags one band; this profiles
+# all of them).
+#
+# Exactness: the lag is an int day diff; buckets are integer
+# comparisons; the share is one division of exact counts.
+#
+# Scale: the orders->lineitem equi-join shuffles on the join key with
+# AQE handling skew; the profile aggregates map-side to
+# |priorities| x |bands| rows.
+# ---------------------------------------------------------------------------
+def q_ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    band = (
+        F.when(lag <= 7, "a_0_7d")
+        .when(lag <= 30, "b_8_30d")
+        .when(lag <= 60, "c_31_60d")
+        .when(lag <= 90, "d_61_90d")
+        .otherwise("e_over_90d")
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority", band.alias("delay_band")
+    )
+    counts = joined.groupBy("o_orderpriority", "delay_band").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    wp = W.partitionBy("o_orderpriority")
+    return (
+        counts.select(
+            "o_orderpriority",
+            "delay_band",
+            "n_lines",
+            (
+                F.col("n_lines").cast("double")
+                / F.sum("n_lines").over(wp).cast("double")
+            ).alias("share_in_priority"),
+        )
+        .orderBy("o_orderpriority", "delay_band")
+    )
+
+
+ORACLE["ship_delay_profile"] = """
+WITH joined AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 7 THEN 'a_0_7d'
+              WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'b_8_30d'
+              WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN 'c_31_60d'
+              WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'd_61_90d'
+              ELSE 'e_over_90d' END AS delay_band
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), counts AS (
+  SELECT o_orderpriority, delay_band, COUNT(*) AS n_lines
+  FROM joined GROUP BY 1, 2
+)
+SELECT o_orderpriority, delay_band, n_lines,
+       CAST(n_lines AS DOUBLE)
+         / CAST(SUM(n_lines) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+         AS share_in_priority
+FROM counts
+ORDER BY o_orderpriority, delay_band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (Herfindahl–Hirschman index) — per supplier
+# nation: each supplier's share of the nation's exact revenue,
+# squared and summed (HHI, the antitrust-standard concentration
+# measure, 1/n for perfect competition .. 1.0 for monopoly), plus the
+# top supplier's share. The "is one supplier dominating this region"
+# panel.
+#
+# Exactness: revenue sums are exact decimals; shares are
+# deterministic doubles of exact totals; the share^2 sum routes
+# through the repo's per-row-decimal dsum so the cross-row float sum
+# is order-independent (functions/oracle.py).
+#
+# Scale: facts collapse map-side to one slim row per supplier; the
+# nation totals are window sums over the supplier frame (bounded by
+# the supplier dimension); output is |nations| rows.
+# ---------------------------------------------------------------------------
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(25,10)")
+        .alias("r"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("r").cast("decimal(38,10)").alias("rev"))
+    )
+    wn = W.partitionBy("s_nationkey")
+    tot_d = F.sum("rev").over(wn).cast("string").cast("double")
+    shared = per_supp.select(
+        "s_nationkey",
+        (F.col("rev").cast("string").cast("double") / tot_d).alias("share"),
+    )
+    hhi = shared.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum(F.col("share") * F.col("share")).alias("hhi"),
+        F.max("share").alias("top_share"),
+    )
+    return (
+        hhi.join(F.broadcast(nation), hhi["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "hhi",
+            "top_share",
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE["market_concentration"] = f"""
+WITH per_supp AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10)))
+              AS DECIMAL(38,10)) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), shared AS (
+  SELECT s_nationkey,
+         CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(rev) OVER (PARTITION BY s_nationkey) AS VARCHAR)
+                  AS DOUBLE) AS share
+  FROM per_supp
+), hhi AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         {dsum_sql('share * share')} AS hhi,
+         MAX(share) AS top_share
+  FROM shared GROUP BY s_nationkey
+)
+SELECT n.n_name AS nation, h.n_suppliers, h.hhi, h.top_share
+FROM hhi h JOIN nation n ON h.s_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reorder-interval distribution — the day gap between each customer's
+# consecutive orders, bucketed into repurchase bands with shares: the
+# repeat-behavior panel behind retention and inventory forecasting
+# (how long until a customer comes back).
+#
+# Exactness: gaps are int day diffs from lag() over (orderdate,
+# orderkey); buckets are integer comparisons; shares divide exact
+# counts.
+#
+# Scale: the lag window shuffles slim (cust, date, key) tuples
+# partitioned by customer; the histogram aggregates map-side to a
+# handful of rows.
+# ---------------------------------------------------------------------------
+def q_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    gaps = o.select(
+        F.datediff("o_orderdate", prev).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    band = (
+        F.when(F.col("gap_days") <= 7, "a_within_week")
+        .when(F.col("gap_days") <= 30, "b_within_month")
+        .when(F.col("gap_days") <= 90, "c_within_quarter")
+        .when(F.col("gap_days") <= 365, "d_within_year")
+        .otherwise("e_over_year")
+    )
+    counts = gaps.groupBy(band.alias("reorder_band")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+    wall = W.partitionBy()
+    return (
+        counts.select(
+            "reorder_band",
+            "n_gaps",
+            (
+                F.col("n_gaps").cast("double")
+                / F.sum("n_gaps").over(wall).cast("double")
+            ).alias("share"),
+        )
+        .orderBy("reorder_band")
+    )
+
+
+ORACLE["reorder_intervals"] = """
+WITH gaps AS (
+  SELECT date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+), banded AS (
+  SELECT CASE WHEN gap_days <= 7 THEN 'a_within_week'
+              WHEN gap_days <= 30 THEN 'b_within_month'
+              WHEN gap_days <= 90 THEN 'c_within_quarter'
+              WHEN gap_days <= 365 THEN 'd_within_year'
+              ELSE 'e_over_year' END AS reorder_band
+  FROM gaps WHERE gap_days IS NOT NULL
+), counts AS (
+  SELECT reorder_band, COUNT(*) AS n_gaps FROM banded GROUP BY reorder_band
+)
+SELECT reorder_band, n_gaps,
+       CAST(n_gaps AS DOUBLE) / CAST(SUM(n_gaps) OVER () AS DOUBLE) AS share
+FROM counts
+ORDER BY reorder_band
+"""

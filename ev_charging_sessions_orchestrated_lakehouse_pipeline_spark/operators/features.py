@@ -241,3 +241,74 @@ FROM coded
 GROUP BY r_code, f_code, m_code
 ORDER BY r_code, f_code, m_code
 """
+
+
+# ---------------------------------------------------------------------------
+# Spend-band migration matrix — quartile-code each customer's exact
+# quarterly revenue within its quarter, then count transitions
+# between a customer's consecutive OBSERVED quarters: the Markov
+# band-migration matrix behind churn/upgrade models (and the
+# categorical-feature drift check for any banded feature).
+#
+# Determinism: quarter index is int arithmetic; revenue is an exact
+# decimal sum; ntile(4) orders by (revenue, custkey) so tie placement
+# is pinned; transitions are lag() over the int quarter index.
+#
+# Scale: orders collapse map-side to one slim row per (customer,
+# quarter); the ntile windows shuffle those pairs by quarter; the
+# lag window re-shuffles by customer; the matrix is 16 rows.
+# ---------------------------------------------------------------------------
+def q_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("q_idx"),
+        F.col("o_totalprice").cast(DEC).alias("p"),
+    )
+    per_cq = o.groupBy("o_custkey", "q_idx").agg(
+        F.sum("p").cast("decimal(29,2)").alias("rev")
+    )
+    banded = per_cq.select(
+        "o_custkey",
+        "q_idx",
+        F.ntile(4)
+        .over(W.partitionBy("q_idx").orderBy("rev", "o_custkey"))
+        .alias("band"),
+    )
+    trans = banded.select(
+        "band",
+        F.lag("band")
+        .over(W.partitionBy("o_custkey").orderBy("q_idx"))
+        .alias("from_band"),
+    ).where(F.col("from_band").isNotNull())
+    return (
+        trans.groupBy("from_band", F.col("band").alias("to_band"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_band", "to_band")
+    )
+
+
+ORACLE["band_migration"] = """
+WITH per_cq AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT) AS q_idx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(29,2)) AS rev
+  FROM orders
+  GROUP BY 1, 2
+), banded AS (
+  SELECT o_custkey, q_idx,
+         ntile(4) OVER (PARTITION BY q_idx ORDER BY rev, o_custkey) AS band
+  FROM per_cq
+), trans AS (
+  SELECT band AS to_band,
+         lag(band) OVER (PARTITION BY o_custkey ORDER BY q_idx) AS from_band
+  FROM banded
+)
+SELECT CAST(from_band AS INT) AS from_band, CAST(to_band AS INT) AS to_band,
+       COUNT(*) AS n_transitions
+FROM trans
+WHERE from_band IS NOT NULL
+GROUP BY from_band, to_band
+ORDER BY from_band, to_band
+"""

@@ -1512,3 +1512,98 @@ FROM (
 )
 ORDER BY version
 """
+
+
+def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE WHERE lifecycle audit (sources/snaptable.replace_where
+    — the Delta ``replaceWhere`` semantics): atomically swap the
+    price band [100k, 200k) for a recomputed slice (priority remapped,
+    odd orderkeys dropped — a shrink, proving it is not an append), in
+    ONE commit; verify (live booleans) that an incoming row OUTSIDE
+    the predicate is rejected atomically (head unchanged), that
+    untouched files carried by reference, and that delete+insert
+    consumed a single version. Final per-priority aggregate
+    hash-matches a SQL replay of the band replacement."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_rw_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, [])
+    st.optimize(spark, table, files_per_partition=8, cluster_by=["o_totalprice"])
+    v_before = st.current_version(table)
+    band = [("o_totalprice", ">=", 100000.0), ("o_totalprice", "<", 200000.0)]
+    files_before = set(st._read_manifest(table, v_before)["files"])
+
+    replacement = (
+        orders.filter(
+            (F.col("o_totalprice") >= 100000.0) & (F.col("o_totalprice") < 200000.0)
+        )
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderpriority", F.lit("9-REPLACED"))
+    )
+    v_after = st.replace_where(spark, replacement, table, band)
+    single_commit = v_after == v_before + 1
+    files_after = set(st._read_manifest(table, v_after)["files"])
+    carried = len(files_before & files_after) > 0
+
+    stray = orders.limit(1).withColumn("o_totalprice", F.lit(1.0))
+    try:
+        st.replace_where(spark, stray, table, band)
+        reject_enforced = False
+    except ValueError:
+        reject_enforced = st.current_version(table) == v_after
+
+    audit = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r.o_orderpriority,
+                r.n_orders,
+                float(r.sum_totalprice),
+                carried,
+                reject_enforced,
+                single_commit,
+            )
+            for r in audit
+        ],
+        "o_orderpriority string, n_orders bigint, sum_totalprice double, "
+        "files_carried boolean, reject_enforced boolean, single_commit boolean",
+    ).orderBy("o_orderpriority")
+
+
+ORACLE["snapshot_replace_where"] = f"""
+WITH surviving AS (
+  SELECT CASE WHEN o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+              THEN '9-REPLACED' ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders
+  WHERE NOT (o_totalprice >= 100000.0 AND o_totalprice < 200000.0)
+     OR o_orderkey % 2 = 0
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice,
+       TRUE AS files_carried, TRUE AS reject_enforced, TRUE AS single_commit
+FROM surviving
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -760,6 +760,91 @@ def overwrite_partitions(
     )
 
 
+def replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    filters: list[tuple],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Delta-style ``replaceWhere``: atomically replace EXACTLY the
+    rows matching ``filters`` with the rows of ``df`` — the
+    arbitrary-predicate generalization of dynamic partition overwrite
+    (the reference's gold-job idempotency primitive,
+    jobs/ev_sessions_gold_etl.py:156, extended beyond partition
+    boundaries the way Delta's ``option("replaceWhere", ...)`` is).
+
+    Contract (the Delta semantics):
+
+    - every INCOMING row must satisfy the predicate — otherwise the
+      write would smuggle rows outside the declared replacement
+      region past downstream idempotency assumptions; violations
+      fail the whole commit atomically;
+    - existing rows matching the predicate disappear, rows NOT
+      matching are untouched;
+    - delete + insert publish as ONE commit (one snapshot, one CDF
+      changeset) — a reader never observes the deleted-but-not-yet-
+      inserted state.
+
+    Scale: footer-stats skipping picks only the files that MAY hold
+    matching rows; everything else carries over by reference. With
+    clustered data a selective replace rewrites a handful of files
+    out of thousands — the same economics as :func:`delete_where`.
+    """
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist; use create_table")
+    prev = _read_manifest(table, head)
+    if not filters:
+        raise ValueError(
+            "refusing an unfiltered replace_where; use overwrite_table"
+        )
+    cond = _filters_to_column(filters)
+    df = _apply_generated(df, prev.get("generated") or {})
+    stray = df.filter(~cond).limit(1).count()
+    if stray:
+        raise ValueError(
+            f"replace_where: incoming rows violate the predicate "
+            f"{filters}; every written row must match the replaced region"
+        )
+    _validate_constraints(df, prev.get("constraints", {}))
+    pcols = prev["partition_cols"]
+    candidates = _prune_files(table, prev, filters)
+    untouched = [f for f in prev["files"] if f not in set(candidates)]
+    new: list[str] = []
+    if candidates:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        cand_df = _read_union(
+            spark,
+            table,
+            candidates,
+            schema,
+            dvs=prev.get("deletion_vectors"),
+            mapping=prev.get("column_mapping"),
+        )
+        survivors = cand_df.filter(~cond)
+        new += _write_data(survivors, table, pcols)
+    new += _write_data(df, table, pcols)
+    return _commit(
+        table,
+        "replace_where",
+        sorted(untouched + new),
+        pcols,
+        prev["schema"],
+        head,
+        txn=txn,
+        file_stats=_carry_stats(prev, untouched, _collect_stats(table, new)),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors={
+            f: ps
+            for f, ps in prev.get("deletion_vectors", {}).items()
+            if f in set(untouched)
+        },
+    )
+
+
 def evolve_partitioning(table: str, new_cols: list[str]) -> int:
     """Iceberg-hallmark partition evolution as a METADATA-ONLY
     commit: future writes lay files out under ``new_cols``; existing
