@@ -1607,3 +1607,92 @@ FROM surviving
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def q_snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING lifecycle audit (sources/snaptable.widen_column —
+    Delta type-widening semantics): ingest events with deliberately
+    narrow column types (int ids, float32 values), widen id -> BIGINT
+    and value -> DOUBLE as METADATA-ONLY commits (live boolean: the
+    file list must be byte-identical), append a row that OVERFLOWS the
+    old int range (the migration that motivates widening), and verify
+    time travel still reads the pre-widen narrow schema. The final
+    aggregate hash-matches a SQL replay of the same narrow-then-widen
+    value pipeline plus the sentinel row."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events").select(
+        F.col("event_id").cast("int").alias("event_id"),
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("value").cast("float").alias("value"),
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_tw_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(ev, table, [])
+    files_before = set(st._read_manifest(table, 1)["files"])
+    st.widen_column(table, "user_id", "long")
+    st.widen_column(table, "value", "double")
+    v_widen = st.current_version(table)
+    metadata_only = (
+        set(st._read_manifest(table, v_widen)["files"]) == files_before
+    )
+    narrow_travel = dict(st.read_snapshot(spark, table, version=1).dtypes) == {
+        "event_id": "int",
+        "user_id": "int",
+        "value": "float",
+    }
+    sentinel = spark.createDataFrame(
+        [(2_000_000_000, 2**35, 0.5)], "event_id int, user_id long, value double"
+    )
+    st.append(sentinel, table)
+    got = st.read_snapshot(spark, table)
+    wide_types = dict(got.dtypes)["user_id"] == "bigint" and (
+        dict(got.dtypes)["value"] == "double"
+    )
+    audit = got.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+        dsum("value").alias("sum_value"),
+    ).collect()[0]
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                audit.n_rows,
+                audit.sum_user,
+                float(audit.sum_value),
+                metadata_only,
+                narrow_travel,
+                wide_types,
+            )
+        ],
+        "n_rows bigint, sum_user bigint, sum_value double, "
+        "metadata_only boolean, narrow_time_travel boolean, wide_types boolean",
+    )
+
+
+ORACLE["snapshot_type_widening"] = f"""
+WITH narrow AS (
+  SELECT CAST(user_id AS INTEGER) AS user_id,
+         CAST(CAST(value AS REAL) AS DOUBLE) AS value
+  FROM events
+), u AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, value FROM narrow
+  UNION ALL
+  SELECT CAST(34359738368 AS BIGINT), CAST(0.5 AS DOUBLE)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       {dsum_sql('value')} AS sum_value,
+       TRUE AS metadata_only, TRUE AS narrow_time_travel, TRUE AS wide_types
+FROM u
+"""

@@ -1883,3 +1883,148 @@ SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
 FROM lifetable
 ORDER BY dur
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — per event type, the step-hold
+# time-weighted mean of `value`: each observation holds until the
+# next one, so its weight is the microseconds until the next event.
+# THE correct average for irregularly-sampled series (sensor
+# readings, prices, utilization gauges), where the arithmetic mean
+# over-weights bursty periods.
+#
+# Exactness: timestamps become int64 epoch-microseconds; each
+# value*dt product is one deterministic double multiply cast per-row
+# to DECIMAL(38,10) (order-independent), summed exactly; the weight
+# total is an exact decimal sum of int64s; TWAP is one final
+# division of exact totals.
+#
+# Scale: one lead() window over slim (type, ts, id, value) tuples
+# partitioned by type; the aggregate is map-side combinable.
+# ---------------------------------------------------------------------------
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    w = W.partitionBy("event_type").orderBy("t_us", "event_id")
+    stepped = ev.select(
+        "event_type",
+        "value",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    agg = stepped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum((F.col("value") * F.col("dt_us").cast("double")).cast("decimal(38,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("vw_sum"),
+        F.sum(F.col("dt_us").cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("w_sum"),
+    )
+    return (
+        agg.where(F.col("w_sum") > 0)
+        .select(
+            "event_type",
+            "n_intervals",
+            (F.col("vw_sum") / F.col("w_sum")).alias("twap"),
+            (F.col("w_sum") / F.lit(86400000000.0)).alias("span_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["time_weighted_avg"] = """
+WITH ev AS (
+  SELECT event_type, event_id, value,
+         epoch_us(ts) AS t_us
+  FROM events
+), stepped AS (
+  SELECT event_type, value,
+         lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us, event_id)
+           - t_us AS dt_us
+  FROM ev
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_intervals,
+         CAST(CAST(SUM(CAST(value * CAST(dt_us AS DOUBLE) AS DECIMAL(38,10)))
+                   AS VARCHAR) AS DOUBLE) AS vw_sum,
+         CAST(CAST(SUM(CAST(dt_us AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           AS w_sum
+  FROM stepped WHERE dt_us IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n_intervals,
+       vw_sum / w_sum AS twap,
+       w_sum / 86400000000.0 AS span_days
+FROM agg
+WHERE w_sum > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling — compress each (event_type, day) to open / high
+# / low / close / count: the lossy-but-shape-preserving reduction
+# every time-series dashboard renders (and the candlestick primitive
+# finance pipelines run at enormous scale). Open/close PICK the first
+# and last value by the deterministic (ts, event_id) order via two
+# row_number windows; high/low/count are plain aggregates — no float
+# is ever summed.
+#
+# Scale: the two windows and the final aggregate share one shuffle on
+# (event_type, day); output is |types| x |days| rows.
+# ---------------------------------------------------------------------------
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wk = W.partitionBy("event_type", "day")
+    marked = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wk.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number().over(wk.orderBy(F.desc("ts"), F.desc("event_id"))).alias(
+            "rn_d"
+        ),
+    )
+    return (
+        marked.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE["ohlc_downsample"] = """
+WITH marked AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM marked
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""

@@ -974,6 +974,94 @@ def rename_column(table: str, old: str, new: str) -> int:
     )
 
 
+#: legal metadata-only widenings: target Spark reads the narrow
+#: parquet physical type under the wider declared schema natively
+#: (verified: INT32->bigint, FLOAT->double, DECIMAL precision growth)
+_WIDENINGS: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def widen_column(table: str, col: str, new_type: str) -> int:
+    """Delta-style TYPE WIDENING as a METADATA-ONLY commit: the
+    manifest schema declares the wider type and every reader plans
+    old files through Spark's native parquet type promotion — no data
+    file is rewritten at any table size (the whole point: an
+    int-overflow migration on a 100 TB table must not cost a table
+    rewrite). Allowed: byte/short/int up-chain to long, float ->
+    double, and decimal precision growth at the SAME scale. Time
+    travel to a pre-widen version still reads the narrow schema (the
+    schema lives in each version's manifest); appends after the
+    widen write the wide type and mixed files union seamlessly.
+
+    Refused for narrowings/cross-family changes, partition columns,
+    and columns referenced by CHECK constraints or generated columns
+    (the expression's type would silently shift — Delta refuses
+    likewise). The column's per-file BLOOM index entries are dropped
+    (bloom bitmaps hash the value's string rendering, which widening
+    can change for floats — a file without a bloom is never pruned,
+    so dropping is the always-safe direction); footer min/max stats
+    stay, their JSON scalars compare unchanged under the wider type.
+    """
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    from pyspark.sql.types import DecimalType, StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"column {col!r} not in schema {names}")
+    field = next(f for f in schema.fields if f.name == col)
+    target = _parse_datatype_string(new_type)
+    old_t, new_t = field.dataType, target
+    ok = False
+    if isinstance(old_t, DecimalType) and isinstance(new_t, DecimalType):
+        ok = new_t.scale == old_t.scale and new_t.precision > old_t.precision
+    else:
+        ok = new_t.typeName() in _WIDENINGS.get(old_t.typeName(), set())
+    if not ok:
+        raise ValueError(
+            f"cannot widen {col!r}: {old_t.simpleString()} -> "
+            f"{new_t.simpleString()} is not a supported widening"
+        )
+    _guard_column_ddl(prev, col, "widen")
+    new_schema = StructType(
+        [
+            StructField(col, target, f.nullable) if f.name == col else f
+            for f in schema.fields
+        ]
+    )
+    phys = (prev.get("column_mapping") or {}).get(col, col)
+    file_stats = {}
+    for f, entry in (prev.get("file_stats") or {}).items():
+        e = dict(entry)
+        blooms = {k: v for k, v in (e.get("bloom") or {}).items() if k != phys}
+        if blooms:
+            e["bloom"] = blooms
+        else:
+            e.pop("bloom", None)
+        file_stats[f] = e
+    return _commit(
+        table,
+        "widen_column",
+        prev["files"],
+        prev["partition_cols"],
+        new_schema.json(),
+        head,
+        file_stats=file_stats,
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        column_mapping=prev.get("column_mapping") or {},
+        retired_columns=prev.get("retired_columns") or [],
+    )
+
+
 def drop_column(table: str, col: str) -> int:
     """METADATA-ONLY DROP COLUMN: the field leaves the schema, its
     physical name is recorded as retired, and no data file changes —

@@ -2348,3 +2348,118 @@ class TestReplaceWhere:
         got = st.read_snapshot(spark, t, version=v)
         assert "total_price" in got.columns
         assert got.filter(F.col("total_price") > 400000.0).count() == 7
+
+
+# ---------------------------------------------------------------------------
+# TYPE WIDENING (Delta type-widening semantics, metadata-only)
+# ---------------------------------------------------------------------------
+class TestTypeWidening:
+    def _seed(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            FloatType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        t = _tbl(tmp_path)
+        schema = StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("qty", IntegerType()),
+                StructField("price", FloatType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(i, i * 10, float(i) + 0.5) for i in range(1, 101)], schema
+        )
+        st.create_table(df, t, [])
+        return t, df
+
+    def test_widen_is_metadata_only_and_reads_back(self, spark, tmp_path):
+        t, df = self._seed(spark, tmp_path)
+        files_before = set(st._read_manifest(t, 1)["files"])
+        st.widen_column(t, "qty", "long")
+        st.widen_column(t, "price", "double")
+        m = st._read_manifest(t, st.current_version(t))
+        assert set(m["files"]) == files_before, "no data file may be touched"
+        got = st.read_snapshot(spark, t)
+        assert dict(got.dtypes)["qty"] == "bigint"
+        assert dict(got.dtypes)["price"] == "double"
+        assert got.count() == 100
+        assert got.agg(F.sum("qty")).collect()[0][0] == sum(i * 10 for i in range(1, 101))
+
+    def test_append_wide_values_after_widen(self, spark, tmp_path):
+        t, _ = self._seed(spark, tmp_path)
+        st.widen_column(t, "qty", "long")
+        wide = spark.createDataFrame(
+            [(999, 2**40, 1.25)], "id int, qty long, price float"
+        )
+        st.append(wide, t)
+        got = st.read_snapshot(spark, t)
+        assert got.count() == 101
+        assert got.filter(F.col("qty") == 2**40).count() == 1
+
+    def test_time_travel_keeps_narrow_schema(self, spark, tmp_path):
+        t, _ = self._seed(spark, tmp_path)
+        st.widen_column(t, "qty", "long")
+        old = st.read_snapshot(spark, t, version=1)
+        assert dict(old.dtypes)["qty"] == "int"
+        assert dict(st.read_snapshot(spark, t).dtypes)["qty"] == "bigint"
+
+    def test_narrowing_and_cross_family_refused(self, spark, tmp_path):
+        t, _ = self._seed(spark, tmp_path)
+        st.widen_column(t, "qty", "long")
+        with pytest.raises(ValueError, match="not a supported widening"):
+            st.widen_column(t, "qty", "int")
+        with pytest.raises(ValueError, match="not a supported widening"):
+            st.widen_column(t, "price", "string")
+        with pytest.raises(ValueError, match="not a supported widening"):
+            st.widen_column(t, "qty", "double")
+
+    def test_constraint_and_generated_references_refused(self, spark, tmp_path):
+        t, _ = self._seed(spark, tmp_path)
+        st.add_constraint(spark, t, "qty_pos", "qty >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            st.widen_column(t, "qty", "long")
+        # unreferenced column still widens
+        st.widen_column(t, "price", "double")
+
+    def test_widen_drops_bloom_but_keeps_minmax_pruning(self, spark, tmp_path):
+        t, _ = self._seed(spark, tmp_path)
+        st.optimize(spark, t, files_per_partition=8, cluster_by=["qty"])
+        st.add_bloom_index(spark, t, "qty")
+        m1 = st._read_manifest(t, st.current_version(t))
+        assert any("bloom" in e for e in m1["file_stats"].values())
+        st.widen_column(t, "qty", "long")
+        m2 = st._read_manifest(t, st.current_version(t))
+        assert not any(
+            "qty" in (e.get("bloom") or {}) for e in m2["file_stats"].values()
+        ), "widened column's bloom entries must drop (string-hash skew)"
+        # min/max skipping still prunes on the widened column
+        pruned = st._prune_files(t, m2, [("qty", ">", 900)])
+        assert len(pruned) < len(m2["files"])
+        assert st.scan(spark, t, [("qty", ">", 900)]).count() == 10
+
+    def test_widen_decimal_precision_same_scale(self, spark, tmp_path):
+        t = _tbl(tmp_path)
+        df = spark.range(5).selectExpr(
+            "id", "cast(id * 1.5 as decimal(10,2)) as amt"
+        )
+        st.create_table(df, t, [])
+        st.widen_column(t, "amt", "decimal(30,2)")
+        got = st.read_snapshot(spark, t)
+        assert dict(got.dtypes)["amt"] == "decimal(30,2)"
+        assert got.count() == 5
+        with pytest.raises(ValueError, match="not a supported widening"):
+            st.widen_column(t, "amt", "decimal(32,4)")  # scale change
+
+    def test_widen_composes_with_rename(self, spark, tmp_path):
+        t, _ = self._seed(spark, tmp_path)
+        st.rename_column(t, "qty", "quantity")
+        st.widen_column(t, "quantity", "long")
+        got = st.read_snapshot(spark, t)
+        assert dict(got.dtypes)["quantity"] == "bigint"
+        assert got.agg(F.sum("quantity")).collect()[0][0] == sum(
+            i * 10 for i in range(1, 101)
+        )
