@@ -85,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
             "evolve",
             "rename-column",
             "drop-column",
+            "widen-column",
             "layout",
             "history",
             "create-tag",
@@ -107,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
         "--column", default=None, help="bloom index / DDL target column"
     )
     pt.add_argument("--to", default=None, help="new name for rename-column")
+    pt.add_argument(
+        "--type", default=None, help="wider Spark type for widen-column"
+    )
     pt.add_argument("--name", default=None, help="ref name for tag/branch actions")
     pt.add_argument(
         "--version", type=int, default=None,
@@ -126,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         "evolve",
         "rename-column",
         "drop-column",
+        "widen-column",
         "layout",
         "history",
         "create-tag",
@@ -174,6 +179,11 @@ def main(argv: list[str] | None = None) -> int:
             if not args.column:
                 p.error("drop-column requires --column")
             v = st.drop_column(args.table, args.column)
+            print(json.dumps({"version": v}))
+        elif args.action == "widen-column":
+            if not args.column or not args.type:
+                p.error("widen-column requires --column and --type")
+            v = st.widen_column(args.table, args.column, args.type)
             print(json.dumps({"version": v}))
         elif args.action == "layout":
             print(json.dumps(st.table_layout(args.table)))

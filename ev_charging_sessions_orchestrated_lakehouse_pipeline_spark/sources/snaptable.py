@@ -974,6 +974,45 @@ def rename_column(table: str, old: str, new: str) -> int:
     )
 
 
+def _parse_simple_type(s: str):
+    """Parse a widening-eligible type name WITHOUT a SparkSession
+    (the type-DDL parser needs a live SparkContext, which would force
+    the CLI's metadata-only actions to boot a JVM): atomic numerics
+    plus decimal(p,s)."""
+    import re
+
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    atomic = {
+        "byte": ByteType(),
+        "tinyint": ByteType(),
+        "short": ShortType(),
+        "smallint": ShortType(),
+        "int": IntegerType(),
+        "integer": IntegerType(),
+        "long": LongType(),
+        "bigint": LongType(),
+        "float": FloatType(),
+        "real": FloatType(),
+        "double": DoubleType(),
+    }
+    key = s.strip().lower()
+    if key in atomic:
+        return atomic[key]
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", key)
+    if m:
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    raise ValueError(f"unsupported widen target type: {s!r}")
+
+
 #: legal metadata-only widenings: target Spark reads the narrow
 #: parquet physical type under the wider declared schema natively
 #: (verified: INT32->bigint, FLOAT->double, DECIMAL precision growth)
@@ -1011,14 +1050,13 @@ def widen_column(table: str, col: str, new_type: str) -> int:
         raise ValueError(f"{table} does not exist")
     prev = _read_manifest(table, head)
     from pyspark.sql.types import DecimalType, StructField, StructType
-    from pyspark.sql.types import _parse_datatype_string
 
     schema = StructType.fromJson(json.loads(prev["schema"]))
     names = [f.name for f in schema.fields]
     if col not in names:
         raise ValueError(f"column {col!r} not in schema {names}")
     field = next(f for f in schema.fields if f.name == col)
-    target = _parse_datatype_string(new_type)
+    target = _parse_simple_type(new_type)
     old_t, new_t = field.dataType, target
     ok = False
     if isinstance(old_t, DecimalType) and isinstance(new_t, DecimalType):

@@ -20,6 +20,7 @@ from .ingest import (
 from .stateful import (
     stateful_user_totals,
     streaming_concurrent_peak,
+    streaming_twap,
     streaming_topk_per_user,
     streaming_zscore,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "session_windows",
     "stateful_user_totals",
     "streaming_concurrent_peak",
+    "streaming_twap",
     "streaming_topk_per_user",
     "streaming_zscore",
 ]

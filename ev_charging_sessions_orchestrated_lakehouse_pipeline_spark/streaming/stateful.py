@@ -268,3 +268,95 @@ def streaming_concurrent_peak(deltas: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-weighted average — the stateful twin of the batch
+# TWAP (operators/stats.py q_time_weighted_avg): state per event_type
+# is (last observation, exact running sums) — O(1) regardless of
+# stream length. Each arriving observation closes the PREVIOUS one's
+# hold interval, exactly like the batch lead() window; the running
+# value-time sum accumulates in decimal (stored as a string in state
+# so no float error ever compounds), mirroring the batch query's
+# per-row DECIMAL(38,10) route bit for bit.
+#
+# Order contract (same stance as streaming_zscore /
+# streaming_concurrent_peak): the feed must respect the
+# (t_us, event_id) total order across micro-batches; the operator
+# sorts within each batch.
+# ---------------------------------------------------------------------------
+TWAP_OUTPUT_SCHEMA = (
+    "event_type string, n_intervals long, twap double, span_days double"
+)
+TWAP_STATE_SCHEMA = (
+    "last_t long, last_value double, vw string, w long, n long"
+)
+
+
+def _update_twap(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal("1e-10")
+
+    def dec(v: float) -> Decimal:
+        # Spark's double -> DECIMAL(38,10) cast: shortest decimal
+        # repr (BigDecimal.valueOf), then HALF_UP at scale 10
+        return Decimal(repr(v)).quantize(quantum, ROUND_HALF_UP)
+
+    if state.exists:
+        last_t, last_value, vw_str, w_sum, n = state.get
+        vw = Decimal(vw_str)
+        have_prev = True
+    else:
+        last_t, last_value, vw, w_sum, n = 0, 0.0, Decimal(0), 0, 0
+        have_prev = False
+    pdf = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
+    for row in pdf.itertuples():
+        t = int(row.t_us)
+        if have_prev:
+            dt = t - last_t
+            # batch twin: (value * CAST(dt AS DOUBLE))::DECIMAL(38,10)
+            vw += dec(last_value * float(dt))
+            w_sum += dt
+            n += 1
+        last_t, last_value, have_prev = t, float(row.value), True
+    state.update((last_t, last_value, str(vw), w_sum, n))
+    if w_sum > 0:
+        # decimal -> varchar -> double, the dsum() route
+        twap = float(str(vw)) / float(str(w_sum))
+        span = float(str(w_sum)) / 86400000000.0
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_intervals": [n],
+                "twap": [twap],
+                "span_days": [span],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n_intervals": pd.Series([], dtype="int64"),
+                "twap": pd.Series([], dtype="float64"),
+                "span_days": pd.Series([], dtype="float64"),
+            }
+        )
+
+
+def streaming_twap(events: DataFrame) -> DataFrame:
+    """Running per-type time-weighted average over an observation
+    stream (event_type, t_us, event_id, value); emits the current
+    TWAP each micro-batch. Final emission is the exact twin of the
+    batch ``time_weighted_avg`` query given in-order replay."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_twap,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

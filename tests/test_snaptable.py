@@ -2412,7 +2412,7 @@ class TestTypeWidening:
         st.widen_column(t, "qty", "long")
         with pytest.raises(ValueError, match="not a supported widening"):
             st.widen_column(t, "qty", "int")
-        with pytest.raises(ValueError, match="not a supported widening"):
+        with pytest.raises(ValueError, match="unsupported widen target"):
             st.widen_column(t, "price", "string")
         with pytest.raises(ValueError, match="not a supported widening"):
             st.widen_column(t, "qty", "double")

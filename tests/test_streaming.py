@@ -952,3 +952,86 @@ def test_streaming_concurrent_peak_state_survives_restart(
     for et, b in batch.items():
         s = final[et]
         assert (s.peak, s.peak_at_epoch) == (b.peak, b.peak_at_epoch), et
+
+
+def test_streaming_twap_bit_exact_vs_batch(spark, sf_dir, tmp_path):
+    """Stateful TWAP: replay the observation feed in 4 time-ordered
+    micro-batches; the final per-type emission must equal the batch
+    q_time_weighted_avg rows BIT-EXACTLY (the state's decimal-string
+    accumulator mirrors the batch DECIMAL(38,10) route), with O(1)
+    state per type."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        streaming_twap,
+    )
+
+    batch = {
+        r.event_type: r
+        for r in QUERIES["time_weighted_avg"](spark, sf_dir).collect()
+    }
+
+    obs = read_fixture(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "value",
+    )
+    src = tmp_path / "twap_src"
+    src.mkdir()
+    rows = obs.orderBy("t_us", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    now = time.time()
+    for i in range(4):
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, obs.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"tstage_{i}")
+        )
+        part = next(
+            p
+            for p in (tmp_path / f"tstage_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        dst = src / f"slice_{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    stream = (
+        spark.readStream.schema(obs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_twap(stream)
+        .writeStream.format("memory")
+        .queryName("twap_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # n_intervals is strictly monotone per type, so the max-n row per
+    # type IS the final state, independent of sink row order
+    final = {
+        r.event_type: r
+        for r in spark.sql(
+            "SELECT event_type, n_intervals, twap, span_days FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY event_type "
+            "         ORDER BY n_intervals DESC) AS rk FROM twap_stream"
+            ") WHERE rk = 1"
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert s.n_intervals == b.n_intervals, et
+        assert s.twap == b.twap, (et, s.twap, b.twap)
+        assert s.span_days == b.span_days, et
