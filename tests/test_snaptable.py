@@ -414,6 +414,8 @@ _op = hst.one_of(
     hst.tuples(hst.just("overwrite_table"), _batch),
     hst.tuples(hst.just("rollback"), hst.integers(1, 3)),
     hst.tuples(hst.just("rename"), hst.just(0)),
+    hst.tuples(hst.just("replace_where"), _batch),
+    hst.tuples(hst.just("widen"), hst.just(0)),
 )
 
 
@@ -426,19 +428,23 @@ _op = hst.one_of(
 def test_snaptable_model_equivalence(spark, tmp_path_factory, ops):
     """Model-based property test: any sequence of
     append / overwrite_partitions / overwrite_table / rollback /
-    rename_column must leave the table's visible rows equal to a
-    trivial in-memory model, and EVERY intermediate version must stay
-    time-travelable to its recorded model state AND its recorded
-    column name (manifest immutability — including each version's own
-    column mapping)."""
+    rename_column / replace_where / widen_column must leave the
+    table's visible rows equal to a trivial in-memory model, and
+    EVERY intermediate version must stay time-travelable to its
+    recorded model state, its recorded column name (manifest
+    immutability — including each version's own column mapping), AND
+    its recorded k-column width (each version's own schema)."""
     tmp = tmp_path_factory.mktemp("snapmodel")
     t = str(tmp / "t")
 
-    def mk(batch, kname):
+    def mk(batch, kname, wide):
         df = spark.createDataFrame(
             [(i, k, p) for i, (k, p) in enumerate(batch)],
             "row_id int, k int, p string",
         )
+        if wide:
+            # a widened table's appends arrive at the declared width
+            df = df.withColumn("k", F.col("k").cast("long"))
         return df.withColumnRenamed("k", kname) if kname != "k" else df
 
     seed = [(0, 0, "a"), (1, 1, "b")]
@@ -446,34 +452,54 @@ def test_snaptable_model_equivalence(spark, tmp_path_factory, ops):
         spark.createDataFrame(seed, "row_id int, k int, p string"), t, ["p"]
     )
     model = list(seed)
-    kname = "k"
-    states = {1: (kname, list(model))}  # version -> (k column name, rows)
+    kname, wide = "k", False
+    # version -> (k column name, rows, k widened to long?)
+    states = {1: (kname, list(model), wide)}
     for op, arg in ops:
         if op == "rollback":
             v = min(arg, st.current_version(t))
             st.rollback(t, v)
-            kname, model = states[v][0], list(states[v][1])
+            kname, model, wide = states[v][0], list(states[v][1]), states[v][2]
         elif op == "rename":
             # toggle k <-> kk; rows are untouched (metadata-only)
             new = "kk" if kname == "k" else "k"
             st.rename_column(t, kname, new)
             kname = new
+        elif op == "widen":
+            if wide:
+                with pytest.raises(ValueError, match="not a supported widening"):
+                    st.widen_column(t, kname, "long")
+                continue  # refused: no new version, no state entry
+            st.widen_column(t, kname, "long")
+            wide = True
+        elif op == "replace_where":
+            # replace the k >= 5 band; incoming rows forced into it
+            batch = [(i, 5 + (k % 5), p) for i, (k, p) in enumerate(arg)]
+            st.replace_where(
+                spark, mk([(k, p) for _, k, p in batch], kname, wide), t,
+                [(kname, ">=", 5)],
+            )
+            model = [r for r in model if r[1] < 5] + batch
         else:
             batch = [(i, k, p) for i, (k, p) in enumerate(arg)]
             if op == "append":
-                st.append(mk(arg, kname), t)
+                st.append(mk(arg, kname, wide), t)
                 model = model + batch
             elif op == "overwrite_partitions":
-                st.overwrite_partitions(mk(arg, kname), t)
+                st.overwrite_partitions(mk(arg, kname, wide), t)
                 touched = {p for _, _, p in batch}
                 model = [r for r in model if r[2] not in touched] + batch
             else:
-                st.overwrite_table(mk(arg, kname), t)
+                # full replace commits the incoming frame's schema —
+                # an int frame legitimately narrows k back
+                st.overwrite_table(mk(arg, kname, False), t)
                 model = batch
-        states[st.current_version(t)] = (kname, list(model))
-    for v, (kn, expect) in states.items():
+                wide = False
+        states[st.current_version(t)] = (kname, list(model), wide)
+    for v, (kn, expect, w) in states.items():
         snap = st.read_snapshot(spark, t, version=v)
         assert snap.columns == ["row_id", kn, "p"], (v, snap.columns, kn)
+        assert dict(snap.dtypes)[kn] == ("bigint" if w else "int"), (v, kn, w)
         got = sorted(tuple(r) for r in snap.collect())
         assert got == sorted(expect), (v, got, expect)
 

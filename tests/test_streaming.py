@@ -1035,3 +1035,99 @@ def test_streaming_twap_bit_exact_vs_batch(spark, sf_dir, tmp_path):
         assert s.n_intervals == b.n_intervals, et
         assert s.twap == b.twap, (et, s.twap, b.twap)
         assert s.span_days == b.span_days, et
+
+
+def test_streaming_twap_state_survives_restart(spark, sf_dir, tmp_path):
+    """Stop the TWAP stream after half the observation slices,
+    restart from the checkpoint with the rest: the (last observation,
+    decimal accumulator, weight total) state must resume so the final
+    emission is STILL bit-identical to the batch query — including
+    the hold interval that straddles the restart boundary."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        streaming_twap,
+    )
+
+    batch = {
+        r.event_type: r
+        for r in QUERIES["time_weighted_avg"](spark, sf_dir).collect()
+    }
+    obs = read_fixture(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "value",
+    )
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    out = str(tmp_path / "tout")
+    ckpt = str(tmp_path / "tckpt")
+    rows = obs.orderBy("t_us", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    now = time.time()
+
+    def add_slice(i: int) -> None:
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, obs.schema).coalesce(1).write.parquet(
+            str(tmp_path / f"tstage_{i}")
+        )
+        part = next(
+            p
+            for p in (tmp_path / f"tstage_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        dst = src / f"slice_{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    def run_available() -> None:
+        stream = (
+            spark.readStream.schema(obs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+        def sink_batch(df, _epoch):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_twap(stream)
+            .writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    add_slice(0)
+    add_slice(1)
+    run_available()
+    add_slice(2)
+    add_slice(3)
+    run_available()
+
+    sink = spark.read.parquet(out)
+    final = {
+        r.event_type: r
+        for r in spark.sql(
+            "SELECT event_type, n_intervals, twap, span_days FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY event_type "
+            "         ORDER BY n_intervals DESC) AS rk FROM {df}"
+            ") WHERE rk = 1",
+            df=sink,
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert s.n_intervals == b.n_intervals, et
+        assert s.twap == b.twap, (et, s.twap, b.twap)
+        assert s.span_days == b.span_days, et
