@@ -3711,3 +3711,156 @@ SELECT reorder_band, n_gaps,
 FROM counts
 ORDER BY reorder_band
 """
+
+
+# ---------------------------------------------------------------------------
+# Audience segmentation by behavior bitmask — give each event type a
+# bit, OR them per user, and count users per exact behavior
+# combination: the inclusion-exclusion audience panel ("viewed AND
+# clicked but never purchased") that ad/retention tooling slices on.
+# A bitmask aggregate is the scalable form — one int per user instead
+# of N boolean columns or 2^N set intersections.
+#
+# Exactness: pure integer bit algebra end to end.
+# Scale: map-side bit_or partials per user, one slim shuffle on
+# user_id, then a 2^|types|-row rollup.
+# ---------------------------------------------------------------------------
+SEGMENT_BITS = [
+    ("view", 1),
+    ("click", 2),
+    ("purchase", 4),
+    ("signup", 8),
+    ("error", 16),
+]
+
+
+def q_audience_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    bit = F.lit(0)
+    for name, b in SEGMENT_BITS:
+        bit = F.when(F.col("event_type") == name, F.lit(b)).otherwise(bit)
+    masks = ev.select("user_id", bit.alias("bit")).groupBy("user_id").agg(
+        F.bit_or("bit").alias("mask")
+    )
+    seg = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n_users"))
+    flags = [
+        ((F.col("mask").bitwiseAND(F.lit(b)) > 0).alias(f"has_{name}"))
+        for name, b in SEGMENT_BITS
+    ]
+    return seg.select("mask", *flags, "n_users").orderBy("mask")
+
+
+ORACLE["audience_segments"] = f"""
+WITH bits AS (
+  SELECT user_id,
+         CASE event_type
+              {' '.join(f"WHEN '{n}' THEN {b}" for n, b in SEGMENT_BITS)}
+              ELSE 0 END AS bit
+  FROM events
+), masks AS (
+  SELECT user_id, CAST(bit_or(bit) AS INTEGER) AS mask
+  FROM bits GROUP BY user_id
+)
+SELECT mask,
+       {', '.join(f"(mask & {b}) > 0 AS has_{n}" for n, b in SEGMENT_BITS)},
+       COUNT(*) AS n_users
+FROM masks
+GROUP BY mask
+ORDER BY mask
+"""
+
+
+# ---------------------------------------------------------------------------
+# Revenue proration (largest-remainder allocation) — split each
+# order's total price EXACTLY across the calendar months its line
+# items shipped in: integer cents divide evenly, the remainder cents
+# go one each to the earliest months, so per-order allocations sum to
+# the order total TO THE CENT (the invariant naive ratio-multiply
+# float proration silently breaks — the classic finance close bug).
+#
+# Exactness: everything is int64 cents with div/mod and a rank
+# comparison; the only double is the final display division by 100.
+#
+# Scale: the orders->months equi-join shuffles on orderkey; the rank
+# window partitions by order over <= a-few-months rows; the month
+# rollup is tiny.
+# ---------------------------------------------------------------------------
+def q_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("m_idx"),
+    )
+    months = li.distinct()
+    per_order = months.join(o, months["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderkey", "m_idx", "cents"
+    )
+    wq = W.partitionBy("o_orderkey")
+    ranked = per_order.select(
+        "o_orderkey",
+        "m_idx",
+        "cents",
+        F.count(F.lit(1)).over(wq).alias("n_months"),
+        F.row_number().over(wq.orderBy("m_idx")).alias("rk"),
+    )
+    alloc = ranked.select(
+        "m_idx",
+        (
+            F.expr("cents div n_months")
+            + F.when(F.col("rk") <= F.col("cents") % F.col("n_months"), 1).otherwise(
+                0
+            )
+        ).alias("alloc_cents"),
+    )
+    return (
+        alloc.groupBy("m_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_allocations"),
+            F.sum("alloc_cents").alias("alloc_cents"),
+        )
+        .select(
+            "m_idx",
+            "n_allocations",
+            "alloc_cents",
+            (F.col("alloc_cents").cast("double") / F.lit(100.0)).alias(
+                "alloc_revenue"
+            ),
+        )
+        .orderBy("m_idx")
+    )
+
+
+ORACLE["revenue_proration"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), months AS (
+  SELECT DISTINCT l_orderkey,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m_idx
+  FROM lineitem
+), ranked AS (
+  SELECT o.o_orderkey, m.m_idx, o.cents,
+         COUNT(*) OVER (PARTITION BY o.o_orderkey) AS n_months,
+         row_number() OVER (PARTITION BY o.o_orderkey ORDER BY m.m_idx) AS rk
+  FROM months m JOIN o ON m.l_orderkey = o.o_orderkey
+), alloc AS (
+  SELECT m_idx,
+         cents // n_months
+           + CASE WHEN rk <= cents % n_months THEN 1 ELSE 0 END AS alloc_cents
+  FROM ranked
+)
+SELECT m_idx, COUNT(*) AS n_allocations,
+       CAST(SUM(alloc_cents) AS BIGINT) AS alloc_cents,
+       CAST(CAST(SUM(alloc_cents) AS BIGINT) AS DOUBLE) / 100.0 AS alloc_revenue
+FROM alloc
+GROUP BY m_idx
+ORDER BY m_idx
+"""

@@ -170,3 +170,48 @@ def test_l_diversity_flags_match_counts(rows):
     violating = sum(1 for r in out if r.violates_l)
     assert all(r.violating_cells == violating for r in out)
     assert all((r.l_distinct < 3) == r.violates_l for r in out)
+
+
+def test_revenue_proration_conserves_cents_exactly(rows, spark, sf_dir):
+    """The largest-remainder invariant: allocated cents across all
+    months == the exact cent total of every order that has at least
+    one shipped line item. To the cent, not approximately."""
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    out = rows("revenue_proration")
+    allocated = sum(r.alloc_cents for r in out)
+    o = read_fixture(spark, sf_dir, "orders")
+    li = read_fixture(spark, sf_dir, "lineitem")
+    shipped = li.select("l_orderkey").distinct()
+    total = (
+        o.join(shipped, o["o_orderkey"] == shipped["l_orderkey"], "left_semi")
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .agg(F.sum("cents"))
+        .collect()[0][0]
+    )
+    assert allocated == total
+
+
+def test_audience_segments_partition_users_exactly(rows, spark, sf_dir):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    out = rows("audience_segments")
+    n_users = (
+        read_fixture(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in out) == n_users
+    masks = [r.mask for r in out]
+    assert len(masks) == len(set(masks))
+    for r in out:
+        assert r.has_view == bool(r.mask & 1)
+        assert r.has_purchase == bool(r.mask & 4)
