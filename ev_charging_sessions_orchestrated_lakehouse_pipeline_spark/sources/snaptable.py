@@ -90,9 +90,34 @@ def _list_versions(table: str) -> list[int]:
     return sorted(out)
 
 
+#: reader feature flags this engine implements (the Delta/Iceberg
+#: protocol-versioning model, expressed as named table features): a
+#: manifest listing a feature OUTSIDE this set was written by a newer
+#: writer whose semantics this reader does not know — refusing loudly
+#: beats silently misreading (the exact failure Delta's
+#: readerFeatures gate exists to prevent).
+SUPPORTED_READER_FEATURES = frozenset(
+    {
+        "deletion-vectors",
+        "column-mapping",
+        "generated-columns",
+        "hidden-partitioning",
+        "type-widening",
+    }
+)
+
+
 def _read_manifest(table: str, version: int) -> dict:
     with open(_manifest_path(table, version)) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    unknown = set(m.get("reader_features") or []) - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"{table} v{version} requires reader feature(s) this engine "
+            f"does not implement: {sorted(unknown)} — written by a newer "
+            f"writer; upgrade before reading"
+        )
+    return m
 
 
 def _list_data_files(table: str) -> set[str]:
@@ -444,6 +469,26 @@ def _commit(
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
     if extra:
         manifest.update(extra)
+    # protocol versioning (Delta readerFeatures model): a feature is
+    # REQUIRED once content needs it, and sticky — carried from the
+    # parent even if this commit's content no longer exercises it
+    # (e.g. the last DV was materialized away), matching Delta's
+    # "features are never silently dropped" stance.
+    features = set(manifest.get("reader_features") or [])
+    if parent is not None:
+        features |= set(
+            _read_manifest(table, parent).get("reader_features") or []
+        )
+    if manifest["deletion_vectors"]:
+        features.add("deletion-vectors")
+    if manifest.get("column_mapping") or manifest.get("retired_columns"):
+        features.add("column-mapping")
+    if manifest.get("generated"):
+        features.add("generated-columns")
+    if any("(" in c for c in partition_cols):
+        features.add("hidden-partitioning")
+    if features:
+        manifest["reader_features"] = sorted(features)
     _publish(table, version, manifest)
     return version
 
@@ -1097,6 +1142,7 @@ def widen_column(table: str, col: str, new_type: str) -> int:
         deletion_vectors=prev.get("deletion_vectors", {}),
         column_mapping=prev.get("column_mapping") or {},
         retired_columns=prev.get("retired_columns") or [],
+        extra={"reader_features": ["type-widening"]},
     )
 
 

@@ -2489,3 +2489,65 @@ class TestTypeWidening:
         assert got.agg(F.sum("quantity")).collect()[0][0] == sum(
             i * 10 for i in range(1, 101)
         )
+
+
+# ---------------------------------------------------------------------------
+# Protocol versioning (Delta readerFeatures model)
+# ---------------------------------------------------------------------------
+class TestReaderFeatures:
+    def test_features_accrue_from_content_and_stick(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, [])
+        m = st._read_manifest(t, 1)
+        assert not m.get("reader_features")
+        st.delete_where(
+            spark, t, [("o_totalprice", ">", 400000.0)], use_dv=True
+        )
+        m = st._read_manifest(t, st.current_version(t))
+        assert "deletion-vectors" in m["reader_features"]
+        st.rename_column(t, "o_orderpriority", "priority")
+        m = st._read_manifest(t, st.current_version(t))
+        assert {"deletion-vectors", "column-mapping"} <= set(
+            m["reader_features"]
+        )
+        # sticky: a plain append keeps both flags even though it adds
+        # neither DVs nor renames
+        st.append(
+            st.read_snapshot(spark, t).limit(1), t
+        )
+        m = st._read_manifest(t, st.current_version(t))
+        assert {"deletion-vectors", "column-mapping"} <= set(
+            m["reader_features"]
+        )
+
+    def test_widen_requires_type_widening_feature(self, spark, tmp_path):
+        t = _tbl(tmp_path)
+        df = spark.createDataFrame([(1, 10)], "id int, qty int")
+        st.create_table(df, t, [])
+        st.widen_column(t, "qty", "long")
+        m = st._read_manifest(t, 2)
+        assert "type-widening" in m["reader_features"]
+
+    def test_hidden_partitioning_flagged(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, ["days(o_orderdate)"])
+        m = st._read_manifest(t, 1)
+        assert "hidden-partitioning" in m["reader_features"]
+
+    def test_unknown_future_feature_refused_loudly(self, spark, orders, tmp_path):
+        import json as _json
+
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, [])
+        path = st._manifest_path(t, 1)
+        m = _json.load(open(path))
+        m["reader_features"] = ["row-tracking-v9"]
+        os.unlink(path)
+        with open(path, "w") as fh:
+            _json.dump(m, fh)
+        with pytest.raises(ValueError, match="row-tracking-v9"):
+            st.read_snapshot(spark, t)
+        # and commits on top are refused too (no building on an
+        # unreadable head)
+        with pytest.raises(ValueError, match="row-tracking-v9"):
+            st.append(orders.limit(1), t)
