@@ -489,6 +489,22 @@ def _commit(
         features.add("hidden-partitioning")
     if features:
         manifest["reader_features"] = sorted(features)
+    # operation metrics (Delta's operationMetrics): file-set diff vs
+    # the parent plus row counts from the footer-stats index — pure
+    # driver-side set arithmetic, no data read
+    parent_files = (
+        set(_read_manifest(table, parent)["files"]) if parent is not None else set()
+    )
+    added = [f for f in files if f not in parent_files]
+    removed = sorted(parent_files - set(files))
+    stats = manifest["file_stats"]
+    manifest["metrics"] = {
+        "num_added_files": len(added),
+        "num_removed_files": len(removed),
+        "num_output_rows": sum(
+            stats[f]["rows"] for f in added if f in stats and "rows" in stats[f]
+        ),
+    }
     _publish(table, version, manifest)
     return version
 
@@ -1972,25 +1988,30 @@ def add_constraint(
 
 def history(table: str) -> list[dict]:
     """Commit log, oldest first: version, parent, operation, file and
-    partition counts, commit time — the DESCRIBE HISTORY surface."""
+    partition counts, per-commit operation metrics (added/removed
+    files, output rows — Delta's operationMetrics), commit time — the
+    DESCRIBE HISTORY surface."""
     out = []
     for v in _list_versions(table):
         m = _read_manifest(table, v)
-        out.append(
-            {
-                "version": m["version"],
-                "parent": m["parent"],
-                "operation": m["operation"],
-                "committed_at": m["committed_at"],
-                "n_files": len(m["files"]),
-                "n_partitions": len(
-                    {
-                        tuple(sorted(_partition_values(f, m["partition_cols"]).items()))
-                        for f in m["files"]
-                    }
-                ),
-            }
-        )
+        entry = {
+            "version": m["version"],
+            "parent": m["parent"],
+            "operation": m["operation"],
+            "committed_at": m["committed_at"],
+            "n_files": len(m["files"]),
+            "n_partitions": len(
+                {
+                    tuple(sorted(_partition_values(f, m["partition_cols"]).items()))
+                    for f in m["files"]
+                }
+            ),
+        }
+        if m.get("metrics"):
+            entry["metrics"] = m["metrics"]
+        if m.get("reader_features"):
+            entry["reader_features"] = m["reader_features"]
+        out.append(entry)
     return out
 
 

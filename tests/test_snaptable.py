@@ -2551,3 +2551,19 @@ class TestReaderFeatures:
         # unreadable head)
         with pytest.raises(ValueError, match="row-tracking-v9"):
             st.append(orders.limit(1), t)
+
+    def test_operation_metrics_in_history(self, spark, orders, tmp_path):
+        """Delta-operationMetrics equivalent: per-commit added/removed
+        file counts and output rows, pure manifest arithmetic."""
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, [])
+        st.append(orders.limit(25), t)
+        st.delete_where(spark, t, [("o_totalprice", ">", 400000.0)])
+        hist = {h["version"]: h for h in st.history(t)}
+        m1, m2, m3 = (hist[v]["metrics"] for v in (1, 2, 3))
+        assert m1["num_removed_files"] == 0
+        assert m1["num_output_rows"] == orders.count()
+        assert m2["num_added_files"] >= 1 and m2["num_removed_files"] == 0
+        assert m2["num_output_rows"] == 25
+        # the delete rewrote at least one file and removed at least one
+        assert m3["num_removed_files"] >= 1
