@@ -520,3 +520,39 @@ def test_partition_checksums_shuffles_only_aggregates(spark, sf_dir):
     # partial-mode aggregate appears as two HashAggregate nodes
     n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
     assert n_agg >= 2, "map-side partial aggregation missing"
+
+
+# The lineitem fixture has 11 physical columns; a query that uses a
+# handful must never scan them all. Pin the pruned width for the
+# round-8 fact-heavy queries: (query, max columns the lineitem scan
+# may read). At 100 TB, reading 11 columns for a 3-column aggregate
+# is the difference between a morning and an afternoon.
+LINEITEM_PRUNE_PINS = [
+    ("pareto_abc", 3),
+    ("market_concentration", 3),
+    ("spearman_corr", 4),
+    ("trimmed_stats", 2),
+    ("revenue_proration", 2),
+    ("ship_delay_profile", 2),
+]
+
+
+@pytest.mark.parametrize("name,max_cols", LINEITEM_PRUNE_PINS)
+def test_lineitem_scan_prunes_columns(spark, sf_dir, name, max_cols):
+    plan = _formatted_plan(spark, QUERIES[name](spark, sf_dir))
+    scans = [
+        line
+        for block in plan.split("\n\n")
+        if "Scan parquet" in block and "lineitem" in block
+        for line in block.splitlines()
+        if "ReadSchema" in line
+    ]
+    assert scans, f"{name}: no lineitem scan found in plan"
+    for line in scans:
+        # ReadSchema: struct<a:double,b:int,...>
+        inner = line.split("struct<", 1)[1].rsplit(">", 1)[0]
+        ncols = len([c for c in inner.split(",") if ":" in c])
+        assert ncols <= max_cols, (
+            f"{name}: lineitem scan reads {ncols} columns (cap "
+            f"{max_cols}): {line.strip()}"
+        )
