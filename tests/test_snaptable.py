@@ -2234,6 +2234,36 @@ class TestRefs:
         assert out.count() == n
         assert out.filter(F.col("o_totalprice") < 0).count() == 0
 
+    def test_wap_replace_where_on_branch_fast_forwards(
+        self, spark, orders, tmp_path
+    ):
+        """Write-Audit-Publish with the round-8 predicate overwrite:
+        stage a band replacement on a branch, audit it there, publish
+        by fast-forward — the main table sees the replaced band
+        atomically and the carried files by reference."""
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, [])
+        band = [("o_totalprice", ">", 400000.0)]
+        in_band = F.col("o_totalprice") > 400000.0
+        n_out_of_band = orders.filter(~in_band).count()
+        bp = st.create_branch(t, "wap_rw")
+        repl = orders.filter(in_band).limit(5).withColumn(
+            "o_orderpriority", F.lit("9-STAGED")
+        )
+        st.replace_where(spark, repl, bp, band)
+        # audit on the branch: band now holds exactly the staged rows
+        staged = st.read_snapshot(spark, bp)
+        assert staged.filter(in_band).count() == 5
+        # main is untouched until publish
+        assert st.read_snapshot(spark, t).filter(
+            F.col("o_orderpriority") == "9-STAGED"
+        ).count() == 0
+        st.fast_forward(t, "wap_rw")
+        out = st.read_snapshot(spark, t)
+        assert out.filter(~in_band).count() == n_out_of_band
+        assert out.filter(in_band).count() == 5
+        assert out.filter(F.col("o_orderpriority") == "9-STAGED").count() == 5
+
     def test_fast_forward_without_branch_commits(self, spark, orders, tmp_path):
         t = _tbl(tmp_path)
         st.create_table(orders.limit(40), t, [])
