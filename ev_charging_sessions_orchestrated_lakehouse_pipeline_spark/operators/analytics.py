@@ -3864,3 +3864,106 @@ FROM alloc
 GROUP BY m_idx
 ORDER BY m_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting — the canonical weekly user-ledger: every active
+# user is NEW (first week), RETAINED (also active the previous week),
+# or RESURRECTED (returning after a gap); users active last week but
+# not this week CHURN into this week's ledger. The identity
+# active(w) = new + retained + resurrected, and
+# churned(w) = active(w-1) - retained(w), holds exactly by
+# construction — both are property-tested.
+#
+# Exactness: weeks are date_trunc values, classification is pure
+# lag/lead date arithmetic over distinct (user, week) pairs.
+#
+# Scale: the pair dedup is the only pass over the fact table; the
+# lag/lead window partitions by user over slim pairs; the ledger is
+# |weeks| rows. Churn is right-censored: the corpus's final week
+# cannot convict anyone of churning after it.
+# ---------------------------------------------------------------------------
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("w")
+    )
+    pairs = ev.distinct()
+    wu = W.partitionBy("user_id").orderBy("w")
+    marked = pairs.select(
+        "user_id",
+        "w",
+        F.lag("w").over(wu).alias("prev_w"),
+        F.lead("w").over(wu).alias("next_w"),
+    )
+    status = marked.select(
+        "w",
+        F.when(F.col("prev_w").isNull(), "new")
+        .when(F.col("prev_w") == F.date_add("w", -7), "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+        "next_w",
+    )
+    ledger = status.groupBy("w").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias("new_users"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).alias(
+            "retained_users"
+        ),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).alias(
+            "resurrected_users"
+        ),
+    )
+    last_week = pairs.agg(F.max("w").alias("w_max"))
+    churn = (
+        marked.crossJoin(F.broadcast(last_week))
+        .where(
+            (F.date_add("w", 7) <= F.col("w_max"))
+            & (F.col("next_w").isNull() | (F.col("next_w") > F.date_add("w", 7)))
+        )
+        .groupBy(F.date_add("w", 7).alias("w"))
+        .agg(F.count(F.lit(1)).alias("churned_users"))
+    )
+    return (
+        ledger.join(churn, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
+            F.coalesce("resurrected_users", F.lit(0)).alias("resurrected_users"),
+            F.coalesce("churned_users", F.lit(0)).alias("churned_users"),
+        )
+        .orderBy("w")
+    )
+
+
+ORACLE["growth_accounting"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+), marked AS (
+  SELECT user_id, w,
+         lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+         lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+  FROM pairs
+), ledger AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(SUM(CASE WHEN prev_w = w - 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained_users,
+         CAST(SUM(CASE WHEN prev_w IS NOT NULL AND prev_w <> w - 7
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users
+  FROM marked GROUP BY w
+), churn AS (
+  SELECT w + 7 AS w, COUNT(*) AS churned_users
+  FROM marked, (SELECT MAX(w) AS w_max FROM pairs) mx
+  WHERE w + 7 <= mx.w_max AND (next_w IS NULL OR next_w > w + 7)
+  GROUP BY w + 7
+)
+SELECT COALESCE(l.w, c.w) AS w,
+       COALESCE(l.new_users, 0) AS new_users,
+       COALESCE(l.retained_users, 0) AS retained_users,
+       COALESCE(l.resurrected_users, 0) AS resurrected_users,
+       COALESCE(c.churned_users, 0) AS churned_users
+FROM ledger l FULL OUTER JOIN churn c ON l.w = c.w
+ORDER BY w
+"""

@@ -1696,3 +1696,112 @@ SELECT COUNT(*) AS n_rows,
        TRUE AS metadata_only, TRUE AS narrow_time_travel, TRUE AS wide_types
 FROM u
 """
+
+
+def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-gating lifecycle audit (sources/snaptable reader
+    features — the Delta readerFeatures model): exercise DV delete,
+    RENAME COLUMN, and TYPE WIDENING on one table and verify (live
+    booleans) that the head manifest lists exactly the features its
+    content requires, that the flags are STICKY across a later plain
+    append, and that a forged manifest demanding an unknown future
+    feature refuses both reads and commits. The final per-status
+    aggregate (through the renamed, widened, DV-filtered head)
+    hash-matches a SQL replay."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_proto_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, [])
+    st.delete_where(spark, table, [("o_totalprice", ">", 400000.0)], use_dv=True)
+    st.rename_column(table, "o_orderpriority", "priority")
+    st.widen_column(table, "o_custkey", "long")
+    st.append(st.read_snapshot(spark, table).limit(0), table)  # plain commit
+    head = st._read_manifest(table, st.current_version(table))
+    feats = set(head.get("reader_features") or [])
+    features_exact = feats == {
+        "deletion-vectors",
+        "column-mapping",
+        "type-widening",
+    }
+
+    forged = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_forge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(forged, ignore_errors=True)
+    st.create_table(orders.limit(5), forged, [])
+    mpath = st._manifest_path(forged, 1)
+    m = _json.load(open(mpath))
+    m["reader_features"] = ["row-tracking-v9"]
+    os.unlink(mpath)
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    try:
+        st.read_snapshot(spark, forged).count()
+        future_read_refused = False
+    except ValueError:
+        future_read_refused = True
+    try:
+        st.append(orders.limit(1), forged)
+        future_commit_refused = False
+    except ValueError:
+        future_commit_refused = True
+
+    audit = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(forged, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r.o_orderstatus,
+                r.n_orders,
+                float(r.sum_totalprice),
+                features_exact,
+                future_read_refused,
+                future_commit_refused,
+            )
+            for r in audit
+        ],
+        "o_orderstatus string, n_orders bigint, sum_totalprice double, "
+        "features_exact boolean, future_read_refused boolean, "
+        "future_commit_refused boolean",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_protocol"] = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice,
+       TRUE AS features_exact, TRUE AS future_read_refused,
+       TRUE AS future_commit_refused
+FROM orders
+WHERE NOT (o_totalprice > 400000.0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -215,3 +215,37 @@ def test_audience_segments_partition_users_exactly(rows, spark, sf_dir):
     for r in out:
         assert r.has_view == bool(r.mask & 1)
         assert r.has_purchase == bool(r.mask & 4)
+
+
+def test_growth_accounting_identities(rows, spark, sf_dir):
+    """active(w) = new + retained + resurrected, and
+    churned(w) = active(w-1) - retained(w) for every non-final week."""
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    active = {
+        r.w: r.n
+        for r in read_fixture(spark, sf_dir, "events")
+        .select(
+            F.to_date(F.date_trunc("week", "ts")).alias("w"), "user_id"
+        )
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    out = {r.w: r for r in rows("growth_accounting")}
+    import datetime
+
+    last = max(active)
+    for w, r in out.items():
+        if w in active:
+            assert (
+                r.new_users + r.retained_users + r.resurrected_users
+                == active[w]
+            ), w
+        prev = w - datetime.timedelta(days=7)
+        if prev in active and w <= last:
+            assert r.churned_users == active[prev] - r.retained_users, w

@@ -64,6 +64,9 @@ BNLJ_ALLOWED = {
     "fuzzy_name_match": 1,
     # two 1-row probe-vector broadcasts (multi-query retrieval fusion)
     "rrf_fusion": 2,
+    # 1-row corpus-end max-week aggregate broadcast into the
+    # right-censoring churn filter
+    "growth_accounting": 1,
     # 1-row min-count aggregate broadcast into the per-source rates
     "temperature_mixture": 2,
     # 1-row bloom-bitmap aggregate broadcast into the map-side probe
