@@ -2756,6 +2756,15 @@ def clone_table(src_table: str, dst_table: str) -> int:
         column_mapping=prev.get("column_mapping") or {},
         retired_columns=prev.get("retired_columns") or [],
         generated=prev.get("generated") or {},
+        # the clone has no parent to inherit from, and some features
+        # are not derivable from content (a widened source's files
+        # are NARROW parquet under the wide schema) — carry the
+        # source head's full feature set explicitly
+        extra=(
+            {"reader_features": prev["reader_features"]}
+            if prev.get("reader_features")
+            else None
+        ),
     )
 
 

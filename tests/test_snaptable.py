@@ -2597,3 +2597,19 @@ class TestReaderFeatures:
         assert m2["num_output_rows"] == 25
         # the delete rewrote at least one file and removed at least one
         assert m3["num_removed_files"] >= 1
+
+    def test_clone_carries_reader_features(self, spark, tmp_path):
+        """A shallow clone of a widened table MUST carry
+        type-widening (its borrowed files are narrow parquet under
+        the wide schema — not derivable from clone content)."""
+        src = str(tmp_path / "feat_src")
+        dst = str(tmp_path / "feat_dst")
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id int, qty int")
+        st.create_table(df, src, [])
+        st.widen_column(src, "qty", "long")
+        st.clone_table(src, dst)
+        m = st._read_manifest(dst, 1)
+        assert "type-widening" in (m.get("reader_features") or [])
+        got = st.read_snapshot(spark, dst)
+        assert dict(got.dtypes)["qty"] == "bigint"
+        assert got.count() == 2
