@@ -3066,7 +3066,17 @@ def fast_forward(table: str, name: str) -> int:
             column_mapping=bman.get("column_mapping") or {},
             retired_columns=bman.get("retired_columns") or [],
             generated=bman.get("generated") or {},
-            extra={"fast_forward_of": {"branch": name, "branch_head": bhead}},
+            # the branch may carry features the parent head lacks and
+            # content cannot re-derive (type widening on the branch) —
+            # seed the union with the branch head's feature set
+            extra={
+                "fast_forward_of": {"branch": name, "branch_head": bhead},
+                **(
+                    {"reader_features": bman["reader_features"]}
+                    if bman.get("reader_features")
+                    else {}
+                ),
+            },
         )
     except BaseException:
         for dst in linked:

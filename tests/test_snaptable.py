@@ -2613,3 +2613,22 @@ class TestReaderFeatures:
         got = st.read_snapshot(spark, dst)
         assert dict(got.dtypes)["qty"] == "bigint"
         assert got.count() == 2
+
+    def test_fast_forward_carries_branch_features(self, spark, tmp_path):
+        """A widen staged on a WAP branch must gate the parent after
+        publish — the parent's pre-publish head has no flag and the
+        hard-linked files are narrow parquet."""
+        t = str(tmp_path / "ff_feat")
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id int, qty int")
+        st.create_table(df, t, [])
+        bp = st.create_branch(t, "widen_wap")
+        st.widen_column(bp, "qty", "long")
+        st.append(
+            spark.createDataFrame([(3, 2**40)], "id int, qty long"), bp
+        )
+        st.fast_forward(t, "widen_wap")
+        m = st._read_manifest(t, st.current_version(t))
+        assert "type-widening" in (m.get("reader_features") or [])
+        got = st.read_snapshot(spark, t)
+        assert dict(got.dtypes)["qty"] == "bigint"
+        assert got.filter(F.col("qty") == 2**40).count() == 1
