@@ -2966,7 +2966,16 @@ def create_branch(table: str, name: str, version: int | None = None) -> str:
         column_mapping=prev.get("column_mapping") or {},
         retired_columns=prev.get("retired_columns") or [],
         generated=prev.get("generated") or {},
-        extra={"branch_of": {"fork_version": v}},
+        # parentless fork: carry the fork point's feature set (same
+        # reasoning as clone_table — widening is not content-derivable)
+        extra={
+            "branch_of": {"fork_version": v},
+            **(
+                {"reader_features": prev["reader_features"]}
+                if prev.get("reader_features")
+                else {}
+            ),
+        },
     )
     return bp
 

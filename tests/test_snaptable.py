@@ -2632,3 +2632,13 @@ class TestReaderFeatures:
         got = st.read_snapshot(spark, t)
         assert dict(got.dtypes)["qty"] == "bigint"
         assert got.filter(F.col("qty") == 2**40).count() == 1
+
+    def test_branch_of_widened_table_carries_features(self, spark, tmp_path):
+        t = str(tmp_path / "br_feat")
+        df = spark.createDataFrame([(1, 10)], "id int, qty int")
+        st.create_table(df, t, [])
+        st.widen_column(t, "qty", "long")
+        bp = st.create_branch(t, "b1")
+        m = st._read_manifest(bp, 1)
+        assert "type-widening" in (m.get("reader_features") or [])
+        assert dict(st.read_snapshot(spark, bp).dtypes)["qty"] == "bigint"
