@@ -4134,3 +4134,105 @@ WHERE p.revenue = l.grp_max
   AND (l.max_above IS NULL OR p.revenue > l.max_above)
 ORDER BY p.c_acctbal DESC, p.c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# FIFO return matching — per part, match returned quantity ('R' lines)
+# against shipments in first-in-first-out order via the running-total
+# interval technique: a shipment whose cumulative-start lies below the
+# part's total returned quantity is (at least partially) consumed, one
+# whose cumulative-END lies below it is fully consumed, and the FIFO
+# frontier is the latest ship date any return reaches. The classic
+# inventory-allocation shape (FIFO cost layers, lot consumption)
+# WITHOUT the quadratic sale x return pairing — each shipment
+# compares against one per-part scalar.
+#
+# Exactness: quantities and running sums are exact decimals; dates
+# and counts are picked, not summed.
+#
+# Scale: two map-side per-part aggregates plus one running-sum window
+# partitioned by part over slim tuples; output is one row per part
+# with returns.
+# ---------------------------------------------------------------------------
+FIFO_TOPK = 25
+
+
+def q_fifo_return_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(25,10)").alias("q"),
+    )
+    returns = li.where(F.col("l_returnflag") == "R").groupBy("l_partkey").agg(
+        F.sum("q").cast("decimal(38,10)").alias("ret_qty")
+    )
+    sales = li.where(F.col("l_returnflag") != "R")
+    wfifo = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sales.select(
+        "l_partkey",
+        "l_shipdate",
+        "q",
+        (F.sum("q").over(wfifo) - F.col("q")).alias("cum_start"),
+        F.sum("q").over(wfifo).alias("cum_end"),
+    )
+    matched = cum.join(returns, "l_partkey")
+    agg = matched.groupBy("l_partkey").agg(
+        F.sum("q").cast("decimal(38,10)").cast("string").cast("double").alias(
+            "sales_qty"
+        ),
+        F.max(F.col("ret_qty").cast("string").cast("double")).alias("returns_qty"),
+        F.sum(F.when(F.col("cum_start") < F.col("ret_qty"), 1).otherwise(0)).alias(
+            "n_touched"
+        ),
+        F.sum(F.when(F.col("cum_end") <= F.col("ret_qty"), 1).otherwise(0)).alias(
+            "n_fully_consumed"
+        ),
+        F.max(
+            F.when(F.col("cum_start") < F.col("ret_qty"), F.col("l_shipdate"))
+        ).alias("fifo_frontier_date"),
+    )
+    return agg.orderBy(F.desc("returns_qty"), "l_partkey").limit(FIFO_TOPK)
+
+
+ORACLE["fifo_return_matching"] = f"""
+WITH returns AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DECIMAL(38,10))
+           AS ret_qty
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+), cum AS (
+  SELECT l_partkey, l_shipdate,
+         CAST(l_quantity AS DECIMAL(25,10)) AS q,
+         SUM(CAST(l_quantity AS DECIMAL(25,10)))
+           OVER (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(l_quantity AS DECIMAL(25,10)) AS cum_start,
+         SUM(CAST(l_quantity AS DECIMAL(25,10)))
+           OVER (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+  FROM lineitem WHERE l_returnflag <> 'R'
+)
+SELECT c.l_partkey,
+       CAST(CAST(CAST(SUM(c.q) AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE)
+         AS sales_qty,
+       MAX(CAST(CAST(r.ret_qty AS VARCHAR) AS DOUBLE)) AS returns_qty,
+       CAST(SUM(CASE WHEN c.cum_start < r.ret_qty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_touched,
+       CAST(SUM(CASE WHEN c.cum_end <= r.ret_qty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fully_consumed,
+       MAX(CASE WHEN c.cum_start < r.ret_qty THEN c.l_shipdate END)
+         AS fifo_frontier_date
+FROM cum c JOIN returns r USING (l_partkey)
+GROUP BY c.l_partkey
+ORDER BY returns_qty DESC, c.l_partkey
+LIMIT {FIFO_TOPK}
+"""
