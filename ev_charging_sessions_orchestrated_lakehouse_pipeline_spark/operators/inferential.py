@@ -60,19 +60,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # corr_profile's Pearson matrix, and the standard drift screen for
 # heavy-tailed measures.
 #
-# Method: average ranks via the integer surrogate R = 2*rank + t - 1
-# (t = tie-group size), which equals twice the average rank —
-# Pearson correlation is invariant under the affine map, so
-# rho(Rx, Ry) IS the textbook tie-corrected Spearman rho. Products
-# R*R fit DECIMAL(36,0) up to ~1e18 rows per group; the nine moment
-# sums are exact decimals, and rho is a fixed double expression of
-# their exact totals (sqrt only — no log).
+# Method: average ranks via the integer surrogate R = 2*avg_rank =
+# 2*cum_before + ct + 1 (ct = tie-group size, cum_before = rows
+# strictly below the tie block) — identical to 2*rank + ties - 1, so
+# Pearson correlation on the surrogates IS the textbook tie-corrected
+# Spearman rho (Pearson is affine-invariant). Products R*R fit
+# DECIMAL(36,0) up to ~1e18 rows per group; the nine moment sums are
+# exact decimals, and rho is a fixed double expression of their exact
+# totals (sqrt only — no log).
+#
+# Scale: ranks are NOT computed by row-level windows (the 3-value
+# l_returnflag would funnel a near-global sort through 3 tasks).
+# Instead each measure gets a bounded-domain contingency ladder —
+# groupBy(flag, value) -> counts -> cumulative count over the
+# distinct-value ladder (|distinct| slim rows per flag: ~50 for
+# quantity, 11 for discount, price-domain-bounded for extendedprice)
+# -> per-(flag, value) surrogate — then an equi join-back to the slim
+# row frame. All shuffles are keyed on high-cardinality (flag, value)
+# pairs; AQE broadcasts the small ladders. Same technique as
+# mann_whitney_drift (operators/stats.py).
 # ---------------------------------------------------------------------------
-def _avg_rank2(flag: str, col: str) -> Column:
-    """Integer surrogate for 2x the average (tie-corrected) rank."""
-    rk = F.rank().over(W.partitionBy(flag).orderBy(col))
-    ties = F.count(F.lit(1)).over(W.partitionBy(flag, col))
-    return (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(18,0)")
+def _rank_ladder(li: DataFrame, col: str, alias: str) -> DataFrame:
+    """Per-(flag, value) integer surrogate for 2x the average rank."""
+    cells = li.groupBy("l_returnflag", col).agg(F.count(F.lit(1)).alias("ct"))
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy(col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return cells.select(
+        "l_returnflag",
+        col,
+        (
+            F.lit(2) * F.coalesce(F.sum("ct").over(wcum), F.lit(0))
+            + F.col("ct")
+            + F.lit(1)
+        )
+        .cast("decimal(18,0)")
+        .alias(alias),
+    )
 
 
 def _rho(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) -> Column:
@@ -86,11 +112,11 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
     )
-    ranked = li.select(
-        "l_returnflag",
-        _avg_rank2("l_returnflag", "l_extendedprice").alias("rp"),
-        _avg_rank2("l_returnflag", "l_quantity").alias("rq"),
-        _avg_rank2("l_returnflag", "l_discount").alias("rd"),
+    ranked = (
+        li.join(_rank_ladder(li, "l_extendedprice", "rp"), ["l_returnflag", "l_extendedprice"])
+        .join(_rank_ladder(li, "l_quantity", "rq"), ["l_returnflag", "l_quantity"])
+        .join(_rank_ladder(li, "l_discount", "rd"), ["l_returnflag", "l_discount"])
+        .select("l_returnflag", "rp", "rq", "rd")
     )
 
     def dsum(c: Column) -> Column:
