@@ -44,8 +44,8 @@ def test_spearman_perfect_on_monotone_column(spark, sf_dir):
     li = read_fixture(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    r2 = inf._avg_rank2("l_returnflag", "l_extendedprice")
-    ranked = li.select("l_returnflag", r2.alias("rx")).select(
+    ladder = inf._rank_ladder(li, "l_extendedprice", "rx")
+    ranked = li.join(ladder, ["l_returnflag", "l_extendedprice"]).select(
         "l_returnflag", "rx", F.col("rx").alias("ry")
     )
     s = ranked.groupBy("l_returnflag").agg(
