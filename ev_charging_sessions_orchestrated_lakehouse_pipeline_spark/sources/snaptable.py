@@ -18,9 +18,16 @@ Log-structured design (the same shape as the Delta/Iceberg logs):
   concurrent or crashed writes can never collide). A writer that dies
   here leaves orphan files no manifest references: readers are
   unaffected, :func:`vacuum` reclaims them.
-- **The manifest IS the commit.** It lists every data file (relative
-  path) visible in that version plus the operation, parent version,
-  schema, and partition columns. It is published with
+- **The manifest IS the commit.** Logically it lists every data file
+  (relative path) visible in that version plus the operation, parent
+  version, schema, and partition columns. On disk, only every
+  ``CHECKPOINT_INTERVAL``-th commit stores that full list (a
+  CHECKPOINT); the commits between store LOG SEGMENTS — the file-set
+  diff (``add_files``/``remove_files``) plus new-or-changed stats
+  entries — so steady-state commit metadata is O(files touched), not
+  O(table files): the Delta checkpoint + log-segment / Iceberg
+  manifest-reuse property. :func:`_read_manifest` materializes either
+  form into the same full dict. It is published with
   write-temp → ``os.link`` → unlink, which is atomic on POSIX and
   FAILS with ``FileExistsError`` if the version was concurrently
   committed — optimistic concurrency, surfaced as
@@ -107,9 +114,35 @@ SUPPORTED_READER_FEATURES = frozenset(
 )
 
 
-def _read_manifest(table: str, version: int) -> dict:
+#: every CHECKPOINT_INTERVAL-th commit in a chain is a self-contained
+#: checkpoint (full file list + stats); the commits between are LOG
+#: SEGMENTS that store only the file-set diff vs their parent — the
+#: Delta log/checkpoint + Iceberg manifest-reuse property. Without
+#: this, every commit on a 100 TB / million-file table rewrites
+#: O(n_files) metadata; with it, steady-state commit metadata is
+#: O(files touched) and a read materializes at most one checkpoint
+#: plus CHECKPOINT_INTERVAL-1 segments.
+CHECKPOINT_INTERVAL = 10
+
+#: stored-form-only keys a segment uses; stripped on materialization
+_SEGMENT_KEYS = ("segment", "base", "chain_depth", "add_files", "remove_files", "stats_removed")
+
+
+def _raw_manifest(table: str, version: int) -> dict:
+    """The manifest exactly as stored (checkpoint or segment), no
+    reconstruction and no feature gate — internal plumbing only."""
     with open(_manifest_path(table, version)) as fh:
-        m = json.load(fh)
+        return json.load(fh)
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    """Materialize version ``version``: checkpoints return as-is;
+    segments reconstruct files/file_stats by applying the diff chain
+    on top of the nearest ancestor checkpoint (recursion depth is
+    bounded by CHECKPOINT_INTERVAL). Reader-feature gating runs on
+    the stored form — features are sticky-carried, so every stored
+    manifest names its full requirement set."""
+    m = _raw_manifest(table, version)
     unknown = set(m.get("reader_features") or []) - SUPPORTED_READER_FEATURES
     if unknown:
         raise ValueError(
@@ -117,7 +150,21 @@ def _read_manifest(table: str, version: int) -> dict:
             f"does not implement: {sorted(unknown)} — written by a newer "
             f"writer; upgrade before reading"
         )
-    return m
+    if not m.get("segment"):
+        return m
+    base = _read_manifest(table, m["base"])
+    removed = set(m["remove_files"])
+    kept = [f for f in base["files"] if f not in removed]
+    stats = {
+        f: base["file_stats"][f] for f in kept if f in base["file_stats"]
+    }
+    for f in m.get("stats_removed", ()):
+        stats.pop(f, None)
+    stats.update(m["file_stats"])
+    out = {k: v for k, v in m.items() if k not in _SEGMENT_KEYS}
+    out["files"] = kept + m["add_files"]
+    out["file_stats"] = stats
+    return out
 
 
 def _list_data_files(table: str) -> set[str]:
@@ -431,14 +478,12 @@ def _commit(
     extra: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1
+    par = _read_manifest(table, parent) if parent is not None else None
     # column mapping / retired physical names / generated-column
     # definitions carry forward from the parent automatically so no
     # commit path can silently lose them — only the DDL entry points
     # (rename/drop/clone/create) pass them explicitly
-    if parent is not None and (
-        column_mapping is None or retired_columns is None or generated is None
-    ):
-        par = _read_manifest(table, parent)
+    if par is not None:
         if column_mapping is None:
             column_mapping = par.get("column_mapping")
         if retired_columns is None:
@@ -475,10 +520,8 @@ def _commit(
     # (e.g. the last DV was materialized away), matching Delta's
     # "features are never silently dropped" stance.
     features = set(manifest.get("reader_features") or [])
-    if parent is not None:
-        features |= set(
-            _read_manifest(table, parent).get("reader_features") or []
-        )
+    if par is not None:
+        features |= set(par.get("reader_features") or [])
     if manifest["deletion_vectors"]:
         features.add("deletion-vectors")
     if manifest.get("column_mapping") or manifest.get("retired_columns"):
@@ -492,9 +535,7 @@ def _commit(
     # operation metrics (Delta's operationMetrics): file-set diff vs
     # the parent plus row counts from the footer-stats index — pure
     # driver-side set arithmetic, no data read
-    parent_files = (
-        set(_read_manifest(table, parent)["files"]) if parent is not None else set()
-    )
+    parent_files = set(par["files"]) if par is not None else set()
     added = [f for f in files if f not in parent_files]
     removed = sorted(parent_files - set(files))
     stats = manifest["file_stats"]
@@ -505,8 +546,66 @@ def _commit(
             stats[f]["rows"] for f in added if f in stats and "rows" in stats[f]
         ),
     }
-    _publish(table, version, manifest)
+    _publish(table, version, _store_form(table, parent, par, manifest, added, removed))
     return version
+
+
+def _store_form(
+    table: str,
+    parent: int | None,
+    par: dict | None,
+    manifest: dict,
+    added: list[str],
+    removed: list[str],
+) -> dict:
+    """Pick the on-disk form for a commit: a self-contained CHECKPOINT
+    (parentless commits, every CHECKPOINT_INTERVAL-th link in a chain,
+    or whenever the diff would be as large as the full list anyway —
+    e.g. overwrite_table), else a LOG SEGMENT storing only the
+    file-set diff and the stats entries that are new or changed vs the
+    parent. Materialization (:func:`_read_manifest`) is exact: segment
+    stats overlay wholly-replaced entries, ``stats_removed`` covers a
+    kept file whose entry was dropped outright. The reconstructed
+    ``files`` order is kept-in-parent-order + adds — data files are
+    immutable and uniquely named, so readers treat the list as a set
+    and the order difference vs the committer's list (which may be
+    globally sorted) is semantically inert."""
+    if par is None:
+        return manifest
+    depth = int(_raw_manifest(table, parent).get("chain_depth", 0)) + 1
+    if depth >= CHECKPOINT_INTERVAL:
+        return manifest
+    if len(added) + len(removed) >= len(manifest["files"]):
+        return manifest  # diff as big as the list: checkpoint and reset
+    par_stats = par.get("file_stats", {})
+    stats = manifest["file_stats"]
+    removed_set = set(removed)
+    seg_stats = {
+        f: s
+        for f, s in stats.items()
+        if f not in par_stats or par_stats[f] != s
+    }
+    stats_removed = sorted(
+        f for f in par_stats if f not in removed_set and f not in stats
+    )
+    seg = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("files", "file_stats")
+    }
+    seg.update(
+        {
+            "segment": True,
+            "base": parent,
+            "chain_depth": depth,
+            "add_files": added,
+            "remove_files": sorted(removed),
+            "file_stats": seg_stats,
+        }
+    )
+    if stats_removed:
+        seg["stats_removed"] = stats_removed
+    return seg
 
 
 def _carry_stats(prev: dict, kept: list[str], new_stats: dict) -> dict:
@@ -2768,6 +2867,21 @@ def clone_table(src_table: str, dst_table: str) -> int:
     )
 
 
+def _rewrite_as_checkpoint(table: str, version: int) -> None:
+    """Replace a stored segment manifest with its materialized
+    self-contained form (atomic os.replace) — vacuum's escape hatch
+    when a segment's chain is about to be expired out from under it.
+    Content-identical to what every reader already saw."""
+    full = _read_manifest(table, version)
+    final = _manifest_path(table, version)
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+
+
 def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
     """Reclaim space: delete data files referenced by NO retained
     manifest (covers orphans from crashed writes) and, when
@@ -2806,11 +2920,24 @@ def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
     expirable: list[int] = []
     if retain_last > 0 and len(versions) > retain_last:
         expirable = [v for v in versions[:-retain_last] if v not in tagged]
+        kept = sorted(set(versions[-retain_last:]) | tagged)
         if not dry_run:
+            # a kept SEGMENT whose diff chain passes through an
+            # expiring manifest must be materialized into a
+            # self-contained checkpoint BEFORE its bases vanish —
+            # ascending order guarantees each rewrite sees its chain
+            # intact (a later kept segment then chains to the rewrite)
+            keep_set = set(kept)
+            for v in kept:
+                if (
+                    _raw_manifest(table, v).get("segment")
+                    and _raw_manifest(table, v)["base"] not in keep_set
+                ):
+                    _rewrite_as_checkpoint(table, v)
             for v in expirable:
                 os.unlink(_manifest_path(table, v))
                 expired += 1
-        versions = sorted(set(versions[-retain_last:]) | tagged)
+        versions = kept
     referenced: set[str] = set()
     for v in versions:
         referenced.update(_read_manifest(table, v)["files"])

@@ -2642,3 +2642,118 @@ class TestReaderFeatures:
         m = st._read_manifest(bp, 1)
         assert "type-widening" in (m.get("reader_features") or [])
         assert dict(st.read_snapshot(spark, bp).dtypes)["qty"] == "bigint"
+
+
+class TestLogSegments:
+    """Checkpoint + log-segment storage (snaptable.py _store_form /
+    _read_manifest): steady-state commit metadata must be O(files
+    touched), not O(table files) — the Delta checkpoint / Iceberg
+    manifest-reuse property — while every materialized view stays
+    byte-equivalent to the self-contained form."""
+
+    def test_segment_form_and_materialization(self, spark, tmp_path):
+        t = str(tmp_path / "seg_basic")
+        df = spark.range(0, 100).withColumn("g", F.col("id") % 4)
+        st.create_table(df.repartition(4), t, [])
+        st.append(
+            spark.range(100, 110).withColumn("g", F.lit(9).cast("long")), t
+        )
+        raw1 = st._raw_manifest(t, 1)
+        raw2 = st._raw_manifest(t, 2)
+        assert "files" in raw1 and not raw1.get("segment")  # checkpoint
+        assert raw2.get("segment") and raw2["base"] == 1
+        assert "files" not in raw2
+        m2 = st._read_manifest(t, 2)
+        m1 = st._read_manifest(t, 1)
+        assert set(m1["files"]) < set(m2["files"])
+        assert all(f in m2["file_stats"] for f in m2["files"])
+        assert st.read_snapshot(spark, t).count() == 110
+
+    def test_head_manifest_bytes_stay_bounded_over_100_commits(
+        self, spark, tmp_path
+    ):
+        """100 single-file appends: segment manifests must NOT grow
+        with table size — the whole point of the log-segment design."""
+        t = str(tmp_path / "seg_bounded")
+        st.create_table(spark.range(0, 10).coalesce(1), t, [])
+        seg_sizes = []
+        for i in range(1, 100):
+            v = st.append(
+                spark.range(10 * i, 10 * i + 10).coalesce(1), t
+            )
+            raw = st._raw_manifest(t, v)
+            if raw.get("segment"):
+                seg_sizes.append(
+                    os.path.getsize(st._manifest_path(t, v))
+                )
+        assert len(seg_sizes) >= 80  # most commits are segments
+        # late segments are no bigger than early ones (+ slack for
+        # version-number digits): size is flat, not O(n_files)
+        assert max(seg_sizes[-10:]) < 3 * min(seg_sizes[:10])
+        # checkpoints DO grow — and exist at the expected cadence
+        checkpoints = [
+            v
+            for v in st._list_versions(t)
+            if not st._raw_manifest(t, v).get("segment")
+        ]
+        assert len(checkpoints) >= 100 // st.CHECKPOINT_INTERVAL
+        # the materialized head sees every row of every commit
+        assert st.read_snapshot(spark, t).count() == 1000
+
+    def test_overwrite_resets_chain_as_checkpoint(self, spark, tmp_path):
+        t = str(tmp_path / "seg_ow")
+        st.create_table(spark.range(0, 50).coalesce(1), t, [])
+        st.append(spark.range(50, 60).coalesce(1), t)
+        v = st.overwrite_table(spark.range(0, 5).coalesce(1), t)
+        raw = st._raw_manifest(t, v)
+        assert not raw.get("segment")  # full-diff commit -> checkpoint
+        assert st.read_snapshot(spark, t).count() == 5
+
+    def test_metadata_only_commit_is_tiny_segment(self, spark, tmp_path):
+        """widen_column on a kept file set stores no file list at all
+        — and changed stats entries (bloom drops) overlay exactly."""
+        t = str(tmp_path / "seg_meta")
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id int, qty int")
+        st.create_table(df.coalesce(1), t, [])
+        st.add_bloom_index(spark, t, "qty")
+        st.widen_column(t, "qty", "long")
+        head = st.current_version(t)
+        raw = st._raw_manifest(t, head)
+        assert raw.get("segment")
+        assert raw["add_files"] == [] and raw["remove_files"] == []
+        m = st._read_manifest(t, head)
+        prev = st._read_manifest(t, head - 1)
+        assert m["files"] == prev["files"]
+        assert all(
+            "bloom" not in m["file_stats"][f] for f in m["files"]
+        )
+        assert all("bloom" in prev["file_stats"][f] for f in prev["files"])
+
+    def test_vacuum_rewrites_kept_segments_before_expiry(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "seg_vac")
+        st.create_table(spark.range(0, 10).coalesce(1), t, [])
+        for i in range(1, 6):
+            st.append(spark.range(10 * i, 10 * i + 10).coalesce(1), t)
+        assert st._raw_manifest(t, 5).get("segment")
+        st.vacuum(t, retain_last=2)
+        # kept versions 5 and 6: v5's chain went through expired
+        # manifests, so it must now be a self-contained checkpoint
+        assert st._list_versions(t) == [5, 6]
+        assert not st._raw_manifest(t, 5).get("segment")
+        assert st._read_manifest(t, 5)["files"]
+        assert st.read_snapshot(spark, t, version=5).count() == 50
+        assert st.read_snapshot(spark, t).count() == 60
+        with pytest.raises(ValueError):
+            st.read_snapshot(spark, t, version=2)
+
+    def test_vacuum_keeps_tagged_segment_readable(self, spark, tmp_path):
+        t = str(tmp_path / "seg_tag")
+        st.create_table(spark.range(0, 10).coalesce(1), t, [])
+        for i in range(1, 8):
+            st.append(spark.range(10 * i, 10 * i + 10).coalesce(1), t)
+        st.create_tag(t, "audit", version=4)
+        st.vacuum(t, retain_last=2)
+        assert st.read_snapshot(spark, t, version=4).count() == 40
+        assert st.read_snapshot(spark, t).count() == 80
