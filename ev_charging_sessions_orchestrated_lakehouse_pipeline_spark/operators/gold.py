@@ -110,3 +110,78 @@ def run_gold(
         # post-write verification (reference A2, :159-160)
         spark.sql(f"SELECT COUNT(*) AS cnt FROM {fqn}").collect()
     return row_count
+
+
+def _discover_partition_cols(path: str) -> list[str]:
+    """Hive partition columns implied by the directory layout: one
+    ``key=value`` level per partition column, outermost first."""
+    import os
+
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            entries = sorted(os.listdir(cur))
+        except (FileNotFoundError, NotADirectoryError):
+            break
+        parts = [
+            e
+            for e in entries
+            if "=" in e and os.path.isdir(os.path.join(cur, e))
+        ]
+        if not parts:
+            break
+        key = parts[0].split("=", 1)[0]
+        cols.append(key)
+        cur = os.path.join(cur, parts[0])
+    return cols
+
+
+def discover_table(
+    spark: SparkSession, path: str, database: str, table: str
+) -> str:
+    """Crawler-style schema discovery (reference S10,
+    ``infra/glue-crawlers.tf:25-58``): point at a Parquet prefix,
+    infer the schema from the file footers and the partition columns
+    from the Hive directory layout, and register the result as an
+    external table — then ``MSCK REPAIR`` so every existing partition
+    is queryable immediately.
+
+    Re-running against an EVOLVED prefix (new columns in newer files)
+    is the crawler's ``UPDATE_IN_DATABASE`` behavior: the table is
+    re-registered with the merged schema (external tables are
+    metadata-only, so drop+recreate touches no data). Scale note: the
+    inference reads parquet FOOTERS only — no data scan — and Spark
+    samples footers in parallel; at 100 TB this is bounded by file
+    count, the same cost a real crawler pays. Returns the qualified
+    table name."""
+    pcols = _discover_partition_cols(path)
+    df = spark.read.option("mergeSchema", "true").option(
+        "basePath", path
+    ).parquet(path)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    fqn = f"{database}.{table}"
+    part_fields = [f for f in df.schema.fields if f.name in pcols]
+    data_fields = [f for f in df.schema.fields if f.name not in pcols]
+    col_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in data_fields
+    )
+    existing = spark.catalog.tableExists(fqn)
+    if existing:
+        old = {f.name: f.dataType for f in spark.table(fqn).schema.fields}
+        new = {f.name: f.dataType for f in df.schema.fields}
+        if old == new:
+            if pcols:
+                spark.sql(f"MSCK REPAIR TABLE {fqn}")
+            return fqn
+        spark.sql(f"DROP TABLE {fqn}")  # external: metadata-only
+    stmt = f"CREATE TABLE {fqn} ({col_ddl}) USING PARQUET"
+    if part_fields:
+        pddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in part_fields
+        )
+        stmt += f" PARTITIONED BY ({pddl})"
+    spark.sql(stmt + f" LOCATION '{path}'")
+    if pcols:
+        spark.sql(f"MSCK REPAIR TABLE {fqn}")
+    return fqn

@@ -262,3 +262,71 @@ def test_compaction_crash_recovery(spark, tmp_path):
 
     # idempotent on a healthy dataset
     assert recover_compaction(path) == "clean"
+
+
+def test_discover_table_crawler_semantics(spark, tmp_path):
+    """Reference S10 (infra/glue-crawlers.tf:25-58): point
+    discover_table at a partitioned Parquet prefix -> schema +
+    partition columns inferred and registered, every partition
+    queryable; re-discover after schema evolution re-registers with
+    the merged schema (the crawler's UPDATE_IN_DATABASE policy)."""
+    from pyspark.sql import functions as F
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.gold import (
+        discover_table,
+    )
+
+    path = str(tmp_path / "crawled")
+    df = (
+        spark.range(0, 100)
+        .withColumn("day", (F.col("id") % 3).cast("string"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    df.write.partitionBy("day").parquet(path)
+    try:
+        fqn = discover_table(spark, path, "crawldb", "t_crawled")
+        assert fqn == "crawldb.t_crawled"
+        got = spark.sql(f"SELECT COUNT(*) AS c FROM {fqn}").collect()[0].c
+        assert got == 100
+        assert (
+            spark.sql(
+                f"SELECT COUNT(DISTINCT day) AS d FROM {fqn}"
+            ).collect()[0].d
+            == 3
+        )
+        # partition pruning works through the registered table
+        plan = (
+            spark.sql(f"SELECT v FROM {fqn} WHERE day = '1'")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in plan
+
+        # idempotent re-discover: same schema, no-op re-register
+        assert discover_table(spark, path, "crawldb", "t_crawled") == fqn
+
+        # schema evolution: newer files carry an extra column
+        df2 = (
+            spark.range(100, 130)
+            .withColumn("day", F.lit("3"))
+            .withColumn("v", F.col("id") * 2)
+            .withColumn("extra", F.lit("new"))
+        )
+        df2.write.mode("append").partitionBy("day").parquet(path)
+        discover_table(spark, path, "crawldb", "t_crawled")
+        cols = [f.name for f in spark.table(fqn).schema.fields]
+        assert "extra" in cols
+        assert (
+            spark.sql(f"SELECT COUNT(*) AS c FROM {fqn}").collect()[0].c
+            == 130
+        )
+        assert (
+            spark.sql(
+                f"SELECT COUNT(*) AS c FROM {fqn} WHERE extra = 'new'"
+            ).collect()[0].c
+            == 30
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS crawldb.t_crawled")
+        spark.sql("DROP DATABASE IF EXISTS crawldb")
