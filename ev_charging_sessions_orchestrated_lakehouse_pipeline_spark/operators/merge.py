@@ -1805,3 +1805,117 @@ WHERE NOT (o_totalprice > 400000.0)
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_snapshot_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING lifecycle audit (sources/snaptable
+    enable_row_tracking / read_snapshot(with_row_ids=True) — the
+    Delta row-ID model, gated behind the ``row-tracking`` reader
+    feature): stable per-row ids assigned at enablement, extended by
+    appends off the id high-water mark, retired by DV deletes, and
+    PRESERVED through OPTIMIZE by materializing them into the
+    rewritten files.
+
+    The lifecycle makes ids exactly reproducible: each batch lands as
+    ONE file sorted by o_orderkey, so a file's parquet row index IS
+    the batch-local o_orderkey rank and every _row_id equals the
+    deterministic rank algebra the oracle replays with ROW_NUMBER().
+    Batches: v1 = 'F' orders (ids 0..n1-1), append 'P' orders (ids
+    n1..n1+n2-1), DV-delete totalprice > 400k, OPTIMIZE into one
+    file (ids materialize), then append the first 100 'O' orders —
+    their ids continue from the high-water mark, proving the mark
+    survived materialization. The final per-priority aggregate over
+    (_row_id, priority) hash-checks the whole id ledger."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+    def one_file(df):
+        return df.repartition(1).sortWithinPartitions("o_orderkey")
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(one_file(orders.filter(F.col("o_orderstatus") == "F")), table, [])
+    st.enable_row_tracking(table)
+    st.append(one_file(orders.filter(F.col("o_orderstatus") == "P")), table)
+    st.delete_where(
+        spark, table, [("o_totalprice", ">", 400000.0)], use_dv=True
+    )
+    st.optimize(spark, table, files_per_partition=1)
+    st.append(
+        one_file(
+            orders.filter(F.col("o_orderstatus") == "O")
+            .orderBy("o_orderkey")
+            .limit(100)
+        ),
+        table,
+    )
+    snap = st.read_snapshot(spark, table, with_row_ids=True)
+    out = (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("_row_id").cast("bigint").alias("min_rid"),
+            F.max("_row_id").cast("bigint").alias("max_rid"),
+            F.sum("_row_id").cast("bigint").alias("sum_rid"),
+        )
+        .collect()  # bounded: one row per order priority (5)
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.o_orderpriority, r.n_rows, r.min_rid, r.max_rid, r.sum_rid)
+            for r in out
+        ],
+        "o_orderpriority string, n_rows bigint, min_rid bigint, "
+        "max_rid bigint, sum_rid bigint",
+    ).orderBy("o_orderpriority")
+
+
+ORACLE["snapshot_row_tracking"] = """
+WITH b1 AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderstatus = 'F'
+), c1 AS (
+  SELECT COUNT(*) AS n FROM b1
+), b2 AS (
+  SELECT o_orderpriority, o_totalprice,
+         (SELECT n FROM c1) + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderstatus = 'P'
+), c2 AS (
+  SELECT (SELECT n FROM c1) + COUNT(*) AS n FROM b2
+), b3 AS (
+  SELECT o_orderpriority, o_totalprice, (SELECT n FROM c2) + rn - 1 AS rid
+  FROM (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+    FROM orders WHERE o_orderstatus = 'O'
+  ) WHERE rn <= 100
+), live AS (
+  SELECT * FROM b1 WHERE o_totalprice <= 400000
+  UNION ALL
+  SELECT * FROM b2 WHERE o_totalprice <= 400000
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice, rid FROM b3
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(rid) AS BIGINT) AS min_rid,
+       CAST(MAX(rid) AS BIGINT) AS max_rid,
+       CAST(SUM(rid) AS BIGINT) AS sum_rid
+FROM live
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -110,8 +110,14 @@ SUPPORTED_READER_FEATURES = frozenset(
         "generated-columns",
         "hidden-partitioning",
         "type-widening",
+        "row-tracking",
     }
 )
+
+#: physical column carrying MATERIALIZED row ids in files rewritten by
+#: OPTIMIZE on a row-tracked table (Delta's materialized row-ID
+#: column): never part of the table schema, invisible to normal reads
+ROW_ID_COL = "_rt_row_id"
 
 
 #: every CHECKPOINT_INTERVAL-th commit in a chain is a self-contained
@@ -519,9 +525,15 @@ def _commit(
     # parent even if this commit's content no longer exercises it
     # (e.g. the last DV was materialized away), matching Delta's
     # "features are never silently dropped" stance.
+    # row tracking is sticky like reader features: once enabled, every
+    # descendant commit carries the flag and the id high-water mark
+    if par is not None and par.get("row_tracking") and "row_tracking" not in manifest:
+        manifest["row_tracking"] = True
     features = set(manifest.get("reader_features") or [])
     if par is not None:
         features |= set(par.get("reader_features") or [])
+    if manifest.get("row_tracking"):
+        features.add("row-tracking")
     if manifest["deletion_vectors"]:
         features.add("deletion-vectors")
     if manifest.get("column_mapping") or manifest.get("retired_columns"):
@@ -546,8 +558,36 @@ def _commit(
             stats[f]["rows"] for f in added if f in stats and "rows" in stats[f]
         ),
     }
+    # row-id allocation (Delta row tracking): every NEW data file gets
+    # a fresh contiguous id range [base, base + rows) off the table's
+    # high-water mark, in sorted-path order (deterministic). Files a
+    # rewrite materialized ids into, and files re-added with an id
+    # range they already own (rollback), keep their entries.
+    if manifest.get("row_tracking"):
+        nxt = manifest.get("next_row_id")
+        if nxt is None:
+            nxt = int((par or {}).get("next_row_id") or 0)
+        nxt = int(nxt)
+        for f in sorted(added):
+            e = dict(stats.get(f) or {})
+            if "base_row_id" not in e and not e.get("materialized_row_ids"):
+                if "rows" not in e:
+                    e["rows"] = _file_rows(table, f)
+                e["base_row_id"] = nxt
+                nxt += int(e["rows"])
+            stats[f] = e
+        manifest["next_row_id"] = nxt
     _publish(table, version, _store_form(table, parent, par, manifest, added, removed))
     return version
+
+
+def _file_rows(table: str, rel_or_abs: str) -> int:
+    """Row count from the parquet footer (metadata read, no data)."""
+    import pyarrow.parquet as pq
+
+    return int(
+        pq.ParquetFile(os.path.join(table, rel_or_abs)).metadata.num_rows
+    )
 
 
 def _store_form(
@@ -1332,13 +1372,19 @@ def read_snapshot(
     version: int | None = None,
     as_of: float | None = None,
     tag: str | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read a committed snapshot (latest; ``version=`` for VERSION AS
     OF; ``as_of=`` a Unix timestamp/datetime for TIMESTAMP AS OF
     time travel; ``tag=`` a named ref from :func:`create_tag`).
     Plans exactly the manifest's file list — snapshot isolation
     against concurrent commits, normal Catalyst partition pruning /
-    filter pushdown on top."""
+    filter pushdown on top.
+
+    ``with_row_ids=True`` (requires :func:`enable_row_tracking`)
+    appends the stable ``_row_id`` column — Delta row tracking: id =
+    the file's allocated base + the parquet row index, overridden by
+    the materialized id column in files OPTIMIZE rewrote."""
     if sum(x is not None for x in (version, as_of, tag)) > 1:
         raise ValueError("pass at most one of version=, as_of=, tag=")
     head = current_version(table)
@@ -1352,6 +1398,13 @@ def read_snapshot(
     if v not in _list_versions(table):
         raise ValueError(f"version {v} of {table} does not exist (head={head})")
     manifest = _read_manifest(table, v)
+    if with_row_ids:
+        if not manifest.get("row_tracking"):
+            raise ValueError(
+                f"{table} v{v} has no row tracking; call "
+                "enable_row_tracking(table) first"
+            )
+        return _with_row_ids(spark, table, manifest, manifest["files"])
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -1362,6 +1415,91 @@ def read_snapshot(
         schema,
         dvs=manifest.get("deletion_vectors"),
         mapping=manifest.get("column_mapping"),
+    )
+
+
+def enable_row_tracking(table: str) -> int:
+    """Turn on Delta-style ROW TRACKING as a metadata-only commit:
+    every current file gets a contiguous stable-id range (in sorted
+    file-path order; ranges sized by footer row counts — no data
+    read), the manifest records the high-water mark, and the
+    ``row-tracking`` reader feature gates older readers out. From
+    here on every data-adding commit allocates fresh ranges, DV
+    deletes retire ids without touching survivors, and OPTIMIZE
+    preserves ids by materializing them into the rewritten files
+    (:data:`ROW_ID_COL`). Row-REWRITING ops (update_where, merge)
+    assign fresh ids to rewritten rows — the Delta default without
+    preserved-row-tracking writes. Idempotent."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    if prev.get("row_tracking"):
+        return head
+    stats = {f: dict(e) for f, e in prev.get("file_stats", {}).items()}
+    nxt = 0
+    for f in sorted(prev["files"]):
+        e = stats.setdefault(f, {})
+        if "rows" not in e:
+            e["rows"] = _file_rows(table, f)
+        e["base_row_id"] = nxt
+        nxt += int(e["rows"])
+    return _commit(
+        table,
+        "enable_row_tracking",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=stats,
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        extra={"row_tracking": True, "next_row_id": nxt},
+    )
+
+
+def _with_row_ids(
+    spark: SparkSession, table: str, manifest: dict, files: list[str]
+) -> DataFrame:
+    """Attach ``_row_id`` to a file subset of a row-tracked snapshot:
+    coalesce(materialized id column, file base + parquet row index).
+    The base map is one slim row per FILE (path, base) joined
+    broadcast on ``_metadata.file_path`` — file-count cardinality,
+    the same metadata-scale join every Delta reader carries; row
+    payloads never shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    schema_rt = StructType(
+        list(schema.fields) + [StructField(ROW_ID_COL, LongType(), True)]
+    )
+    df = _read_union(
+        spark,
+        table,
+        files,
+        schema_rt,
+        dvs=manifest.get("deletion_vectors"),
+        keep_pos=True,
+        mapping=manifest.get("column_mapping"),
+    )
+    stats = manifest.get("file_stats", {})
+    base_df = spark.createDataFrame(
+        [
+            (_abs_uri(table, f), stats.get(f, {}).get("base_row_id"))
+            for f in files
+        ],
+        "___bf string, ___base long",
+    )
+    joined = df.join(
+        F.broadcast(base_df), df["___f"] == base_df["___bf"], "left"
+    )
+    keep = [f.name for f in schema.fields]
+    return joined.select(
+        *keep,
+        F.coalesce(
+            F.col(ROW_ID_COL), F.col("___base") + F.col("___ri")
+        ).alias("_row_id"),
     )
 
 
@@ -2618,7 +2756,15 @@ def optimize(
             spark, table, prev, head, partitions, files_per_partition,
             cluster_by, zorder,
         )
-    df = read_snapshot(spark, table)
+    track = bool(prev.get("row_tracking"))
+    if track:
+        # preserve stable row ids across the rewrite by MATERIALIZING
+        # them into the new files (Delta's materialized row-ID column)
+        df = read_snapshot(spark, table, with_row_ids=True).withColumnRenamed(
+            "_row_id", ROW_ID_COL
+        )
+    else:
+        df = read_snapshot(spark, table)
     n_before = df.count()
     if zorder:
         if not cluster_by or len(cluster_by) < 2:
@@ -2664,6 +2810,10 @@ def optimize(
         raise RuntimeError(
             f"optimize row-count mismatch on {table}: {n_after} != {n_before}"
         )
+    new_stats = _collect_stats(table, new)
+    if track:
+        for e in new_stats.values():
+            e["materialized_row_ids"] = True
     return _commit(
         table,
         "optimize",
@@ -2671,7 +2821,7 @@ def optimize(
         pcols,
         prev["schema"],
         head,
-        file_stats=_collect_stats(table, new),
+        file_stats=new_stats,
         constraints=prev.get("constraints", {}),
     )
 
@@ -2714,14 +2864,20 @@ def _optimize_partitions(
         return head  # nothing matches: metadata no-op
     carried = [f for f in prev["files"] if f not in set(cand)]
     schema = StructType.fromJson(json.loads(prev["schema"]))
-    dfc = _read_union(
-        spark,
-        table,
-        cand,
-        schema,
-        dvs=prev.get("deletion_vectors"),
-        mapping=prev.get("column_mapping"),
-    )
+    track = bool(prev.get("row_tracking"))
+    if track:
+        dfc = _with_row_ids(spark, table, prev, cand).withColumnRenamed(
+            "_row_id", ROW_ID_COL
+        )
+    else:
+        dfc = _read_union(
+            spark,
+            table,
+            cand,
+            schema,
+            dvs=prev.get("deletion_vectors"),
+            mapping=prev.get("column_mapping"),
+        )
     n_before = dfc.count()
     laid, hive_names = _layout_frame(dfc, pcols)
     out = laid.repartition(files_per_partition, *hive_names)
@@ -2740,6 +2896,10 @@ def _optimize_partitions(
         raise RuntimeError(
             f"optimize row-count mismatch on {table}: {n_after} != {n_before}"
         )
+    new_stats = _collect_stats(table, new)
+    if track:
+        for e in new_stats.values():
+            e["materialized_row_ids"] = True
     return _commit(
         table,
         "optimize",
@@ -2747,7 +2907,7 @@ def _optimize_partitions(
         pcols,
         prev["schema"],
         head,
-        file_stats=_carry_stats(prev, carried, _collect_stats(table, new)),
+        file_stats=_carry_stats(prev, carried, new_stats),
         constraints=prev.get("constraints", {}),
         deletion_vectors={
             f: ps

@@ -2757,3 +2757,156 @@ class TestLogSegments:
         st.vacuum(t, retain_last=2)
         assert st.read_snapshot(spark, t, version=4).count() == 40
         assert st.read_snapshot(spark, t).count() == 80
+
+
+class TestRowTracking:
+    """Delta-style row tracking (snaptable.enable_row_tracking /
+    read_snapshot(with_row_ids=True)): stable _row_id survives
+    appends, DV deletes, and OPTIMIZE (materialized into rewritten
+    files); gated behind the row-tracking reader feature."""
+
+    @staticmethod
+    def _one_file(df, key):
+        return df.repartition(1).sortWithinPartitions(key)
+
+    def test_ids_stable_across_append_and_delete(self, spark, tmp_path):
+        t = str(tmp_path / "rt_basic")
+        df1 = self._one_file(
+            spark.createDataFrame(
+                [(i, f"u{i}") for i in range(10)], "id int, name string"
+            ),
+            "id",
+        )
+        st.create_table(df1, t, [])
+        st.enable_row_tracking(t)
+        m = st._read_manifest(t, st.current_version(t))
+        assert m["row_tracking"] and m["next_row_id"] == 10
+        assert "row-tracking" in m["reader_features"]
+        got = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        assert got == {i: i for i in range(10)}  # sorted single file
+
+        df2 = self._one_file(
+            spark.createDataFrame(
+                [(i, f"u{i}") for i in range(10, 15)], "id int, name string"
+            ),
+            "id",
+        )
+        st.append(df2, t)
+        got = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        assert got == {i: i for i in range(15)}
+
+        # DV delete retires ids, survivors keep theirs
+        st.delete_where(spark, t, [("id", "in", [3, 12])], use_dv=True)
+        got = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        assert got == {i: i for i in range(15) if i not in (3, 12)}
+
+    def test_optimize_materializes_ids(self, spark, tmp_path):
+        t = str(tmp_path / "rt_opt")
+        st.create_table(
+            self._one_file(
+                spark.createDataFrame(
+                    [(i, i * 2) for i in range(20)], "id int, v int"
+                ),
+                "id",
+            ),
+            t,
+            [],
+        )
+        st.enable_row_tracking(t)
+        st.append(
+            self._one_file(
+                spark.createDataFrame(
+                    [(i, i * 2) for i in range(20, 30)], "id int, v int"
+                ),
+                "id",
+            ),
+            t,
+        )
+        st.delete_where(spark, t, [("id", "=", 7)], use_dv=True)
+        before = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        v = st.optimize(spark, t, files_per_partition=1)
+        m = st._read_manifest(t, v)
+        assert all(
+            e.get("materialized_row_ids") for e in m["file_stats"].values()
+        )
+        assert not m["deletion_vectors"]  # DVs materialized away
+        after = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        assert after == before  # ids preserved through the rewrite
+        # normal reads never see the materialized physical column
+        assert "_rt_row_id" not in st.read_snapshot(spark, t).columns
+        # fresh appends after optimize keep allocating off the mark
+        st.append(
+            self._one_file(
+                spark.createDataFrame([(99, 0)], "id int, v int"), "id"
+            ),
+            t,
+        )
+        got = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        assert got[99] == 30  # next_row_id survived materialization
+
+    def test_row_ids_require_enablement_and_gate_readers(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "rt_gate")
+        st.create_table(spark.range(3).coalesce(1), t, [])
+        with pytest.raises(ValueError, match="row tracking"):
+            st.read_snapshot(spark, t, with_row_ids=True)
+        st.enable_row_tracking(t)
+        assert st.enable_row_tracking(t) == st.current_version(t)  # idempotent
+        m = st._read_manifest(t, st.current_version(t))
+        assert "row-tracking" in m["reader_features"]
+
+    def test_partition_scoped_optimize_preserves_ids(self, spark, tmp_path):
+        from pyspark.sql import functions as F2
+
+        t = str(tmp_path / "rt_popt")
+        df = (
+            spark.createDataFrame(
+                [(i, "a" if i < 10 else "b") for i in range(20)],
+                "id int, g string",
+            )
+            .repartition(1)
+            .sortWithinPartitions("id")
+        )
+        st.create_table(df, t, ["g"])
+        st.enable_row_tracking(t)
+        st.append(
+            spark.createDataFrame([(100, "a"), (101, "a")], "id int, g string")
+            .repartition(1)
+            .sortWithinPartitions("id"),
+            t,
+        )
+        before = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        st.optimize(spark, t, files_per_partition=1, partitions={"g": "a"})
+        after = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        assert after == before
+        assert (
+            st.read_snapshot(spark, t)
+            .filter(F2.col("g") == "b")
+            .count()
+            == 10
+        )
