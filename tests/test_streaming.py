@@ -1131,3 +1131,104 @@ def test_streaming_twap_state_survives_restart(spark, sf_dir, tmp_path):
         assert s.n_intervals == b.n_intervals, et
         assert s.twap == b.twap, (et, s.twap, b.twap)
         assert s.span_days == b.span_days, et
+
+
+def test_watermark_drops_late_rows_and_matches_batch_twin(
+    spark, tmp_path
+):
+    """Event-time watermark semantics, end to end: replay three
+    time-ordered files through windowed_event_counts with a 10-minute
+    watermark — the second file carries two genuinely LATE rows whose
+    10-minute windows closed when the first file advanced the
+    watermark, plus one late-but-within-watermark row that must
+    survive. The streamed append-mode output must bit-match the batch
+    twin computed over exactly the kept rows (late-drop is the one
+    streaming behavior the earlier tests sidestep with
+    365-day watermarks)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        windowed_event_counts,
+    )
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(minute, etype="click", value=1.0):
+        return (t0 + timedelta(minutes=minute), etype, "u1", value)
+
+    schema = "ts timestamp, event_type string, user_id string, value double"
+    # file 1: on-time rows 00:00..00:59 -> watermark after = 00:49
+    batch1 = [ev(m) for m in (0, 5, 12, 23, 37, 44, 59)]
+    # file 2: on-time hour-2 rows; processing it finalizes (emits +
+    # evicts) every window ending <= 00:49 and advances the
+    # watermark to 01:49
+    batch2 = [ev(m) for m in (60, 71, 85, 99, 119)]
+    # file 3: the actual late arrivals, one batch AFTER their
+    # windows were finalized:
+    #   ev(5), ev(30): windows [00:00,00:10) / [00:30,00:40) were
+    #     emitted at the end of file 2 -> DROPPED
+    #   ev(105): window [01:40,01:50) ends past the 01:49 watermark,
+    #     still open -> KEPT (late but within the watermark bound)
+    late_dropped = [ev(5, "late"), ev(30, "late")]
+    late_kept = [ev(105, "late_ok")]
+    batch3 = [ev(m) for m in (125, 140)] + late_dropped + late_kept
+    # file 4: far-future sentinel pushes the watermark past every
+    # real window so append mode flushes them; its own open window
+    # is excluded from the comparison
+    sentinel = [ev(60 * 24 * 10, "sentinel")]
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    for i, rows in enumerate([batch1, batch2, batch3, sentinel]):
+        f = os.path.join(src, f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f)
+        # file source orders by modification time (latestFirst=false):
+        # pin strictly increasing mtimes so trigger order is the
+        # logical batch order regardless of write speed
+        for root, _dirs, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = windowed_event_counts(
+        stream, window_duration="10 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_audit")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "late_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM late_audit WHERE event_type <> 'sentinel' "
+            "ORDER BY window_start, event_type"
+        ).collect()
+    ]
+    # nothing from the dropped rows leaked through
+    assert all(r[2] != "late" for r in streamed)
+    kept_rows = batch1 + batch2 + [ev(125), ev(140)] + late_kept
+    twin = [
+        tuple(r)
+        for r in windowed_event_counts(
+            spark.createDataFrame(kept_rows, schema),
+            window_duration="10 minutes",
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    ]
+    assert streamed == twin
+    assert any(r[2] == "late_ok" for r in streamed)
