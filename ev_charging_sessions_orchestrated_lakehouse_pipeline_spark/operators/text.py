@@ -1338,3 +1338,136 @@ JOIN norms nb ON nb.doc_id = d2
 ORDER BY cosine DESC, d1, d2
 LIMIT {TFIDF_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge table — K full byte-pair-encoding training
+# iterations (the sequel to char_bigram_merges, which is iteration
+# 1's count only): each round counts adjacent SYMBOL pairs across the
+# corpus weighted by word frequency, merges the most frequent pair
+# everywhere, and recounts. The output is the ordered merge table a
+# tokenizer trainer ships.
+#
+# Scale (the Sennrich trick): the corpus collapses to the DISTINCT
+# word-frequency table first — one shuffle on the word — and every
+# iteration runs on that vocab-bounded frame (|vocab| rows, never the
+# corpus). Segmentations ride as delimiter-encoded strings
+# ("|c||a||t|"), so a merge is ONE JVM-side replace('|a||b|' ->
+# '|ab|') — left-to-right non-overlapping, exactly greedy BPE, and
+# bit-identical in DuckDB. The K best-pair picks are 1-row collects
+# (the bounded-iteration Lloyd's pattern of kmeans_clusters).
+# ---------------------------------------------------------------------------
+BPE_MERGE_ITERS = 5
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("|"), F.concat_ws("||", F.split("w", "")), F.lit("|")
+            ).alias("seq"),
+            "cnt",
+        )
+        .persist()
+    )
+    cur = wf
+    merges: list[tuple] = []
+    try:
+        for it in range(1, BPE_MERGE_ITERS + 1):
+            pc = (
+                cur.select(
+                    F.expr(
+                        "split(substring(seq, 2, length(seq) - 2), "
+                        "'\\\\|\\\\|')"
+                    ).alias("s"),
+                    "cnt",
+                )
+                .where(F.size("s") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(s) - 1), "
+                            "i -> struct(element_at(s, i) AS lhs, "
+                            "element_at(s, i + 1) AS rhs))"
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+            )
+            best = (
+                pc.groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), "lhs", "rhs")
+                .limit(1)
+                .collect()  # bounded: exactly one row per iteration
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((it, b.lhs, b.rhs, b.lhs + b.rhs, int(b.n)))
+            cur = cur.select(
+                F.replace(
+                    "seq",
+                    F.lit(f"|{b.lhs}||{b.rhs}|"),
+                    F.lit(f"|{b.lhs}{b.rhs}|"),
+                ).alias("seq"),
+                "cnt",
+            )
+    finally:
+        wf.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "iteration int, lhs string, rhs string, merged string, n bigint",
+    ).orderBy("iteration")
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """The same K bounded iterations, unrolled as a CTE chain (the
+    oracle may enumerate what the engine loops over)."""
+    parts = [
+        """wf0 AS (
+  SELECT substr(x, 1, length(x) - 1) AS seq, cnt FROM (
+    SELECT '|' || regexp_replace(w, '(.)', '\\1||', 'g') AS x, cnt FROM (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+      GROUP BY w
+    )
+  )
+)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"wf{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT s[j] AS lhs, s[j + 1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT string_split(substr(seq, 2, length(seq) - 2), '||') AS s,
+           cnt, UNNEST(range(1, length(string_split(substr(seq, 2,
+             length(seq) - 2), '||')))) AS j
+    FROM {prev}
+  ) GROUP BY lhs, rhs
+), b{i} AS (
+  SELECT lhs, rhs, n FROM p{i} ORDER BY n DESC, lhs, rhs LIMIT 1
+), wf{i} AS (
+  SELECT replace(seq,
+                 '|' || (SELECT lhs FROM b{i}) || '||' ||
+                   (SELECT rhs FROM b{i}) || '|',
+                 '|' || (SELECT lhs FROM b{i}) ||
+                   (SELECT rhs FROM b{i}) || '|') AS seq, cnt
+  FROM {prev}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS iteration, lhs, rhs, lhs || rhs AS merged, n FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY iteration"
+
+
+ORACLE["bpe_merge_table"] = _bpe_oracle_sql(BPE_MERGE_ITERS)
