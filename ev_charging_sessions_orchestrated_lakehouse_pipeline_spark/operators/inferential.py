@@ -462,3 +462,183 @@ FROM (
 )
 ORDER BY pair
 """
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b — the concordance-based rank correlation between
+# quantity and discount per return flag, with full tie correction:
+# the third member of the rank-statistics family (spearman_corr,
+# mann_whitney_drift) and the most robust of the three for heavily
+# tied ordinal data.
+#
+# Computed WITHOUT pairing rows: both measures have tiny value
+# domains, so the (flag, quantity, discount) contingency grid (at
+# most |Q| x |D| cells per flag, ~550) carries everything. The
+# concordant count is sum(n_ij * P_ij) where P_ij is the 2-D
+# EXCLUSIVE prefix sum over the densified grid — two slim window
+# passes (cumulate over discount within quantity, then over quantity
+# at fixed discount); the discordant count uses the mirrored suffix.
+# All pair counts are exact DECIMAL(38,0) folds (a 100-TB group has
+# ~1e12 rows, so C ~ 1e24 overflows int64 — decimals don't); tau_b
+# is a fixed double expression (sqrt only, no log). Row-level data
+# is touched exactly once, by the map-side-combinable cell count.
+# ---------------------------------------------------------------------------
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("d"),
+    )
+    cells = li.groupBy("l_returnflag", "q", "d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # densify: every (q, d) combination per flag, zero-filled — the
+    # 2-D prefix windows need the full grid to cumulate correctly
+    qs = li.select("l_returnflag", "q").distinct()
+    ds = li.select("l_returnflag", "d").distinct()
+    dense = (
+        qs.join(ds, "l_returnflag")
+        .join(cells, ["l_returnflag", "q", "d"], "left")
+        .fillna(0, ["n"])
+    )
+    w_dlt = (
+        W.partitionBy("l_returnflag", "q")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_dgt = (
+        W.partitionBy("l_returnflag", "q")
+        .orderBy("d")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    pre = dense.select(
+        "l_returnflag",
+        "q",
+        "d",
+        "n",
+        F.coalesce(F.sum("n").over(w_dlt), F.lit(0)).alias("c_dlt"),
+        F.coalesce(F.sum("n").over(w_dgt), F.lit(0)).alias("c_dgt"),
+    )
+    w_qlt = (
+        W.partitionBy("l_returnflag", "d")
+        .orderBy("q")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    grid = pre.select(
+        "l_returnflag",
+        "q",
+        "d",
+        "n",
+        F.coalesce(F.sum("c_dlt").over(w_qlt), F.lit(0)).alias("p_conc"),
+        F.coalesce(F.sum("c_dgt").over(w_qlt), F.lit(0)).alias("p_disc"),
+    )
+
+    def dprod(a: str, b: str) -> Column:
+        return F.sum(
+            F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
+        ).cast("string").cast("double")
+
+    s = grid.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n_rows"),
+        dprod("n", "p_conc").alias("conc"),
+        dprod("n", "p_disc").alias("disc"),
+    )
+    # tie sums per variable: tq over quantity marginals, td over
+    # discount marginals — each a bounded-domain aggregate
+    def ties(colname: str, alias: str):
+        marg = li.groupBy("l_returnflag", colname).agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        return marg.groupBy("l_returnflag").agg(
+            (
+                F.sum(
+                    F.col("t").cast("decimal(19,0)")
+                    * (F.col("t") - F.lit(1)).cast("decimal(19,0)")
+                )
+                / F.lit(2)
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+            .alias(alias)
+        )
+
+    out = (
+        s.join(ties("q", "tie_q"), "l_returnflag")
+        .join(ties("d", "tie_d"), "l_returnflag")
+    )
+    n = F.col("n_rows").cast("double")
+    n0 = n * (n - F.lit(1.0)) / F.lit(2.0)
+    denom = (n0 - F.col("tie_q")) * (n0 - F.col("tie_d"))
+    return (
+        out.where(denom > 0)
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            ((F.col("conc") - F.col("disc")) / F.sqrt(denom)).alias("tau_b"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["kendall_tau"] = """
+WITH base AS (
+  SELECT l_returnflag, l_quantity AS q, l_discount AS d FROM lineitem
+), cells AS (
+  SELECT l_returnflag, q, d, COUNT(*) AS n FROM base GROUP BY 1, 2, 3
+), dense AS (
+  SELECT g.l_returnflag, g.q, g.d, COALESCE(c.n, 0) AS n
+  FROM (
+    SELECT qs.l_returnflag, qs.q, ds.d
+    FROM (SELECT DISTINCT l_returnflag, q FROM base) qs
+    JOIN (SELECT DISTINCT l_returnflag, d FROM base) ds
+      USING (l_returnflag)
+  ) g
+  LEFT JOIN cells c
+    ON c.l_returnflag = g.l_returnflag AND c.q = g.q AND c.d = g.d
+), pre AS (
+  SELECT l_returnflag, q, d, n,
+         COALESCE(SUM(n) OVER (PARTITION BY l_returnflag, q ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_dlt,
+         COALESCE(SUM(n) OVER (PARTITION BY l_returnflag, q ORDER BY d
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS c_dgt
+  FROM dense
+), grid AS (
+  SELECT l_returnflag, q, d, n,
+         COALESCE(SUM(c_dlt) OVER (PARTITION BY l_returnflag, d ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_conc,
+         COALESCE(SUM(c_dgt) OVER (PARTITION BY l_returnflag, d ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_disc
+  FROM pre
+), s AS (
+  SELECT l_returnflag, SUM(n) AS n_rows,
+         CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(p_conc AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS conc,
+         CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(p_disc AS DECIMAL(19,0)))
+              AS VARCHAR) AS DOUBLE) AS disc
+  FROM grid GROUP BY l_returnflag
+), tq AS (
+  SELECT l_returnflag,
+         CAST(CAST(CAST(SUM(CAST(t AS DECIMAL(19,0)) * CAST(t - 1 AS DECIMAL(19,0))) / 2
+              AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS tie_q
+  FROM (SELECT l_returnflag, q, COUNT(*) AS t FROM base GROUP BY 1, 2)
+  GROUP BY l_returnflag
+), td AS (
+  SELECT l_returnflag,
+         CAST(CAST(CAST(SUM(CAST(t AS DECIMAL(19,0)) * CAST(t - 1 AS DECIMAL(19,0))) / 2
+              AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS tie_d
+  FROM (SELECT l_returnflag, d, COUNT(*) AS t FROM base GROUP BY 1, 2)
+  GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+       conc AS concordant, disc AS discordant,
+       (conc - disc)
+         / sqrt((CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0) / 2.0 - tie_q)
+              * (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0) / 2.0 - tie_d)) AS tau_b
+FROM s JOIN tq USING (l_returnflag) JOIN td USING (l_returnflag)
+WHERE (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0) / 2.0 - tie_q)
+      * (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0) / 2.0 - tie_d) > 0
+ORDER BY l_returnflag
+"""
