@@ -1919,3 +1919,82 @@ FROM live
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def q_snapshot_checkpoint_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint + log-segment storage lifecycle audit (sources/
+    snaptable _store_form / _read_manifest — the Delta checkpoint,
+    Iceberg manifest-reuse property added so commit metadata is
+    O(files touched), not O(table files)): drive a 13-commit chain
+    (create + 12 bucketed appends), verify the STORED forms are what
+    the cadence promises (segments between checkpoints, a fresh
+    checkpoint at CHECKPOINT_INTERVAL, segments never carrying a file
+    list), then hash-check that time travel THROUGH a segment chain
+    and the head read across the checkpoint both materialize the
+    exact row sets the oracle replays in SQL."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_ckpt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders.filter(F.col("o_orderstatus") == "F"), table, [])
+    other = orders.filter(F.col("o_orderstatus") == "O")
+    for b in range(12):
+        st.append(other.filter(F.col("o_orderkey") % 12 == b), table)
+    versions = st._list_versions(table)
+    raws = {v: st._raw_manifest(table, v) for v in versions}
+    # v1 parentless checkpoint; v2..v10 segments (chain depth 1..9);
+    # v11 re-checkpoints at CHECKPOINT_INTERVAL=10; v12..v13 segments
+    forms_ok = (
+        not raws[1].get("segment")
+        and all(raws[v].get("segment") for v in range(2, 11))
+        and not raws[11].get("segment")
+        and all(raws[v].get("segment") for v in (12, 13))
+        and all("files" not in m for m in raws.values() if m.get("segment"))
+    )
+    rows = []
+    for v in (7, 13):
+        snap = st.read_snapshot(spark, table, version=v)
+        r = snap.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        ).collect()[0]
+        rows.append(
+            (
+                v,
+                bool(forms_ok),
+                r.n_orders,
+                None if r.sum_totalprice is None else float(r.sum_totalprice),
+            )
+        )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, stored_forms_ok boolean, n_orders bigint, "
+        "sum_totalprice double",
+    ).orderBy("version")
+
+
+ORACLE["snapshot_checkpoint_log"] = f"""
+SELECT 7 AS version, TRUE AS stored_forms_ok, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+WHERE o_orderstatus = 'F'
+   OR (o_orderstatus = 'O' AND o_orderkey % 12 <= 5)
+UNION ALL
+SELECT 13, TRUE, COUNT(*), {dsum_sql('o_totalprice')}
+FROM orders
+WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
+ORDER BY version
+"""

@@ -2028,3 +2028,173 @@ FROM marked
 GROUP BY event_type, day
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown — the deepest peak-to-trough fall of the cumulative
+# daily revenue curve: the risk statistic that complements
+# cusum_changepoint (level shift) and ewma_value (smoothing) with
+# worst-case path behavior. Running sum -> running max -> max gap, all
+# exact decimals; the fraction is a fixed double expression at the
+# end.
+#
+# Scale: the row-level table collapses to |distinct days| slim rows in
+# one map-side-combinable aggregate; the three windows run over that
+# bounded ladder only (the pinned payload-free SinglePartition shape
+# every calendar query here uses).
+# ---------------------------------------------------------------------------
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(18,2)").alias("r")
+    )
+    wrun = W.orderBy("o_orderdate").rowsBetween(W.unboundedPreceding, 0)
+    curve = daily.select(
+        "o_orderdate",
+        F.sum("r").over(wrun).cast("decimal(38,2)").alias("cum"),
+    )
+    peaked = curve.select(
+        "o_orderdate",
+        "cum",
+        F.max("cum").over(wrun).alias("peak"),
+        (F.max("cum").over(wrun) - F.col("cum"))
+        .cast("decimal(38,2)")
+        .alias("dd"),
+    )
+    ranked = peaked.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("dd").desc(), F.col("o_orderdate")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_days"),
+    )
+
+    def dbl(c: str) -> Column:
+        return F.col(c).cast("string").cast("double")
+
+    return ranked.where(F.col("rk") == 1).select(
+        F.col("o_orderdate").alias("trough_date"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        dbl("peak").alias("peak_cum"),
+        dbl("cum").alias("trough_cum"),
+        dbl("dd").alias("max_drawdown"),
+        F.when(F.col("peak") > 0, dbl("dd") / dbl("peak")).alias(
+            "drawdown_frac"
+        ),
+    )
+
+
+ORACLE["max_drawdown"] = """
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY o_orderdate
+), curve AS (
+  SELECT o_orderdate,
+         CAST(SUM(r) OVER (ORDER BY o_orderdate ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(38,2)) AS cum
+  FROM daily
+), peaked AS (
+  SELECT o_orderdate, cum,
+         MAX(cum) OVER (ORDER BY o_orderdate ROWS UNBOUNDED PRECEDING) AS peak,
+         CAST(MAX(cum) OVER (ORDER BY o_orderdate ROWS UNBOUNDED PRECEDING)
+              - cum AS DECIMAL(38,2)) AS dd
+  FROM curve
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY dd DESC, o_orderdate) AS rk,
+         COUNT(*) OVER () AS n_days
+  FROM peaked
+)
+SELECT o_orderdate AS trough_date,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(CAST(peak AS VARCHAR) AS DOUBLE) AS peak_cum,
+       CAST(CAST(cum AS VARCHAR) AS DOUBLE) AS trough_cum,
+       CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS max_drawdown,
+       CASE WHEN peak > 0
+            THEN CAST(CAST(dd AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(peak AS VARCHAR) AS DOUBLE) END AS drawdown_frac
+FROM ranked WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted anomaly days — daily revenue days whose
+# deviation from their OWN day-of-week mean exceeds 2 sigma of that
+# weekday's distribution: the residual screen seasonal_profile's raw
+# means can't do (a strong Saturday is normal; a Saturday-sized
+# Tuesday is the anomaly).
+#
+# Exactness: per-dow moment sums (count, sum, sum of squares) are
+# exact decimals; mean, variance, and z are fixed double expressions
+# of the transited totals (sqrt only). Scale: days ladder again —
+# the dow-stats frame is 7 rows, broadcast to the |days| slim frame.
+# ---------------------------------------------------------------------------
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(18,2)").alias("r")
+    ).select(
+        "o_orderdate",
+        F.expr("weekday(o_orderdate)").cast("int").alias("dow_iso0"),
+        "r",
+    )
+
+    def dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    dowstats = daily.groupBy("dow_iso0").agg(
+        F.count(F.lit(1)).alias("n_dow"),
+        dbl(F.sum("r").cast("decimal(38,2)")).alias("s_dow"),
+        dbl(
+            F.sum((F.col("r") * F.col("r")).cast("decimal(38,4)")).cast(
+                "decimal(38,4)"
+            )
+        ).alias("q_dow"),
+    )
+    n = F.col("n_dow").cast("double")
+    var = (n * F.col("q_dow") - F.col("s_dow") * F.col("s_dow")) / (
+        n * (n - F.lit(1.0))
+    )
+    z = (dbl(F.col("r")) - F.col("s_dow") / n) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(dowstats), "dow_iso0")
+        .where(F.col("n_dow") > 1)
+        .select(
+            "o_orderdate",
+            "dow_iso0",
+            dbl(F.col("r")).alias("revenue"),
+            (F.col("s_dow") / n).alias("expected"),
+            z.alias("z_score"),
+        )
+        .where((var > 0) & (F.abs(z) > 2.0))
+        .orderBy("o_orderdate")
+    )
+
+
+ORACLE["seasonal_anomaly"] = """
+WITH daily AS (
+  SELECT o_orderdate, CAST(isodow(o_orderdate) - 1 AS INT) AS dow_iso0,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY o_orderdate
+), dowstats AS (
+  SELECT dow_iso0, COUNT(*) AS n_dow,
+         CAST(CAST(CAST(SUM(r) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS s_dow,
+         CAST(CAST(CAST(SUM(CAST(r * r AS DECIMAL(38,4))) AS DECIMAL(38,4))
+              AS VARCHAR) AS DOUBLE) AS q_dow
+  FROM daily GROUP BY dow_iso0
+)
+SELECT o_orderdate, dow_iso0,
+       CAST(CAST(r AS VARCHAR) AS DOUBLE) AS revenue,
+       s_dow / CAST(n_dow AS DOUBLE) AS expected,
+       (CAST(CAST(r AS VARCHAR) AS DOUBLE) - s_dow / CAST(n_dow AS DOUBLE))
+         / sqrt((CAST(n_dow AS DOUBLE) * q_dow - s_dow * s_dow)
+                / (CAST(n_dow AS DOUBLE) * (CAST(n_dow AS DOUBLE) - 1.0))) AS z_score
+FROM daily JOIN dowstats USING (dow_iso0)
+WHERE n_dow > 1
+  AND (CAST(n_dow AS DOUBLE) * q_dow - s_dow * s_dow)
+      / (CAST(n_dow AS DOUBLE) * (CAST(n_dow AS DOUBLE) - 1.0)) > 0
+  AND abs((CAST(CAST(r AS VARCHAR) AS DOUBLE) - s_dow / CAST(n_dow AS DOUBLE))
+          / sqrt((CAST(n_dow AS DOUBLE) * q_dow - s_dow * s_dow)
+                 / (CAST(n_dow AS DOUBLE) * (CAST(n_dow AS DOUBLE) - 1.0)))) > 2.0
+ORDER BY o_orderdate
+"""
