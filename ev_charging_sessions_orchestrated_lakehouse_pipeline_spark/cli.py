@@ -70,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--sf-dir", required=True, help="fixture dir with documents.parquet")
     pl.add_argument("--table", required=True, help="snapshot table path for survivors")
 
+    pc = sub.add_parser(
+        "discover",
+        help="crawler-style discovery: infer schema + Hive partitions "
+        "from a Parquet prefix and register it as an external table "
+        "(re-run to pick up schema evolution)",
+    )
+    pc.add_argument("--path", required=True, help="parquet prefix to crawl")
+    pc.add_argument("--database", required=True)
+    pc.add_argument("--table-name", required=True)
+
     pt = sub.add_parser(
         "table",
         help="snapshot-table maintenance (OPTIMIZE / VACUUM / bloom "
@@ -94,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             "drop-branch",
             "fast-forward",
             "refs",
+            "enable-row-tracking",
         ],
     )
     pt.add_argument("--cluster-by", default=None, help="comma-separated sort cols")
@@ -139,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         "drop-branch",
         "fast-forward",
         "refs",
+        "enable-row-tracking",
     ):
         # metadata-only actions: no SparkSession needed
         from .sources import snaptable as st
@@ -213,6 +225,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"version": v}))
         elif args.action == "refs":
             print(json.dumps(st.list_refs(args.table)))
+        elif args.action == "enable-row-tracking":
+            v = st.enable_row_tracking(args.table)
+            print(json.dumps({"version": v}))
         else:
             print(json.dumps(st.history(args.table), default=str))
         return 0
@@ -278,6 +293,16 @@ def main(argv: list[str] | None = None) -> int:
 
             version, funnel = llm_prep(spark, args.sf_dir, args.table)
             print(json.dumps({"version": version, "funnel": funnel}))
+        elif args.cmd == "discover":
+            from .operators.gold import discover_table
+
+            fqn = discover_table(
+                spark, args.path, args.database, args.table_name
+            )
+            n_parts = len(
+                [f for f in spark.table(fqn).schema.fields]
+            )
+            print(json.dumps({"table": fqn, "n_columns": n_parts}))
         elif args.cmd == "table":
             from .sources import snaptable as st
 

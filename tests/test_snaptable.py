@@ -2910,3 +2910,33 @@ class TestRowTracking:
             .count()
             == 10
         )
+
+
+def test_cli_enable_row_tracking(spark, orders, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "cli_rt")
+    st.create_table(orders.limit(50).coalesce(1), t, [])
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli",
+            "table",
+            "--table",
+            t,
+            "enable-row-tracking",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert _json.loads(r.stdout) == {"version": 2}
+    ids = [
+        row._row_id
+        for row in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    ]
+    assert sorted(ids) == list(range(50))
