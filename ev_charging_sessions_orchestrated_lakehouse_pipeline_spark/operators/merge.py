@@ -1998,3 +1998,98 @@ FROM orders
 WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'
 ORDER BY version
 """
+
+
+def q_snapshot_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM retention lifecycle audit (sources/snaptable.vacuum —
+    Delta's retention window + Iceberg's tag-exempt ref retention):
+    build a 4-version chain, tag v2, vacuum retain_last=1, then
+    verify the whole retention contract in one hash-checked frame —
+    the tagged version stays readable (its manifest was a log SEGMENT
+    whose base expired, so vacuum must have rewritten it into a
+    self-contained checkpoint first: the round-9 chain-rewrite path),
+    the head stays intact, expired time travel refuses fast, and the
+    untagged expired manifests are actually gone."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_vac_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders.filter(F.col("o_orderstatus") == "F"), table, [])
+    st.append(orders.filter(F.col("o_orderstatus") == "P"), table)
+    st.create_tag(table, "audit", version=2)
+    st.append(
+        orders.filter(F.col("o_orderstatus") == "O")
+        .orderBy("o_orderkey")
+        .limit(100),
+        table,
+    )
+    st.append(
+        orders.filter(F.col("o_orderstatus") == "O")
+        .orderBy(F.desc("o_orderkey"))
+        .limit(100),
+        table,
+    )
+    st.vacuum(table, retain_last=1)
+    kept = st._list_versions(table)
+    try:
+        st.read_snapshot(spark, table, version=3)
+        refused = False
+    except ValueError:
+        refused = True
+    contract_ok = bool(refused and kept == [2, 4])
+    rows = []
+    for label, df in (
+        ("head", st.read_snapshot(spark, table)),
+        ("tagged", st.read_snapshot(spark, table, tag="audit")),
+    ):
+        r = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        ).collect()[0]
+        rows.append(
+            (
+                label,
+                contract_ok,
+                r.n_orders,
+                None if r.sum_totalprice is None else float(r.sum_totalprice),
+            )
+        )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "snapshot string, retention_ok boolean, n_orders bigint, "
+        "sum_totalprice double",
+    ).orderBy("snapshot")
+
+
+ORACLE["snapshot_vacuum_retention"] = f"""
+WITH o100 AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn_asc,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey DESC) AS rn_desc
+  FROM orders WHERE o_orderstatus = 'O'
+), head_rows AS (
+  SELECT o_totalprice FROM orders WHERE o_orderstatus IN ('F', 'P')
+  UNION ALL SELECT o_totalprice FROM o100 WHERE rn_asc <= 100
+  UNION ALL SELECT o_totalprice FROM o100 WHERE rn_desc <= 100
+)
+SELECT 'head' AS snapshot, TRUE AS retention_ok, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM head_rows
+UNION ALL
+SELECT 'tagged', TRUE, COUNT(*), {dsum_sql('o_totalprice')}
+FROM orders WHERE o_orderstatus IN ('F', 'P')
+ORDER BY snapshot
+"""
