@@ -2108,26 +2108,58 @@ def update_where(
         if not candidates:
             return head
         schema = StructType.fromJson(json.loads(prev["schema"]))
+        track = bool(prev.get("row_tracking"))
+        read_schema = schema
+        if track:
+            from pyspark.sql.types import LongType, StructField
+
+            read_schema = StructType(
+                list(schema.fields)
+                + [StructField(ROW_ID_COL, LongType(), True)]
+            )
         matched = _read_union(
             spark,
             table,
             candidates,
-            schema,
+            read_schema,
             dvs=prev.get("deletion_vectors"),
             keep_pos=True,
             mapping=prev.get("column_mapping"),
         ).filter(cond)
+        if track:
+            # preserved row tracking (Delta's row-tracking-preserved
+            # UPDATE): the rewritten rows carry their OLD stable ids,
+            # materialized into the new files like OPTIMIZE does
+            stats0 = prev.get("file_stats", {})
+            base_df = spark.createDataFrame(
+                [
+                    (_abs_uri(table, f), stats0.get(f, {}).get("base_row_id"))
+                    for f in candidates
+                ],
+                "___bf string, ___base long",
+            )
+            matched = matched.join(
+                F.broadcast(base_df),
+                matched["___f"] == base_df["___bf"],
+                "left",
+            ).withColumn(
+                ROW_ID_COL,
+                F.coalesce(
+                    F.col(ROW_ID_COL), F.col("___base") + F.col("___ri")
+                ),
+            )
         names = [f.name for f in schema.fields]
         # SET expressions cast to the DECLARED column type: a literal
         # like 1000.0 parses as DECIMAL and would otherwise silently
         # change the written physical type mid-table
         types = {f.name: f.dataType for f in schema.fields}
+        out_names = names + ([ROW_ID_COL] if track else [])
         updated = matched.select(
             *[
                 F.expr(set_exprs[c]).cast(types[c]).alias(c)
                 if c in set_exprs
                 else F.col(c)
-                for c in names
+                for c in out_names
             ]
         )
         # generated columns not explicitly SET recompute from their
@@ -2137,7 +2169,7 @@ def update_where(
         recompute = [c for c in gen if c not in set_exprs]
         if recompute:
             updated = updated.drop(*recompute)
-        updated = _apply_generated(updated, gen).select(*names)
+        updated = _apply_generated(updated, gen).select(*out_names)
         _validate_constraints(updated, prev.get("constraints", {}))
         hits = matched.select(
             F.col("___f").alias("f"), F.col("___ri").alias("p")
@@ -2151,6 +2183,10 @@ def update_where(
         }
         for r in hits:
             dvs.setdefault(abs_to_entry[r.f], set()).add(int(r.p))
+        new_stats = _collect_stats(table, new)
+        if track:
+            for e in new_stats.values():
+                e["materialized_row_ids"] = True
         return _commit(
             table,
             "update_dv",
@@ -2158,9 +2194,7 @@ def update_where(
             prev["partition_cols"],
             prev["schema"],
             head,
-            file_stats=_carry_stats(
-                prev, prev["files"], _collect_stats(table, new)
-            ),
+            file_stats=_carry_stats(prev, prev["files"], new_stats),
             constraints=prev.get("constraints", {}),
             deletion_vectors={f: sorted(ps) for f, ps in dvs.items()},
         )
@@ -2257,6 +2291,7 @@ def changes(
     table: str,
     from_version: int,
     to_version: int | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Change data feed (Delta CDF equivalent): every row-level change
     committed AFTER ``from_version`` up to and including
@@ -2272,6 +2307,16 @@ def changes(
     multiset effect is always exact:
     ``state(to) == state(from) - deletes + inserts`` (property-tested
     across every DML op in tests/test_snaptable.py).
+
+    ``with_row_ids=True`` (requires :func:`enable_row_tracking`) adds
+    the stable ``_row_id`` to every change row and upgrades the
+    labels to Delta's full CDF vocabulary: within a commit, a row id
+    that appears as BOTH delete and insert is an update —
+    relabeled ``update_preimage`` / ``update_postimage`` and pairable
+    by (_commit_version, _row_id) with no value diffing. This is the
+    payoff of preserved row tracking: update_where's DV path
+    materializes the OLD ids into its rewritten rows, so the pairing
+    is exact even though the row changed files.
 
     ``optimize`` commits are skipped entirely: compaction/Z-ORDER
     rewrites are content-identical by contract (optimize() verifies
@@ -2292,6 +2337,12 @@ def changes(
     to = head if to_version is None else to_version
     if to not in versions:
         raise ValueError(f"version {to} of {table} does not exist (head={head})")
+
+    if with_row_ids and not _read_manifest(table, to).get("row_tracking"):
+        raise ValueError(
+            f"{table} v{to} has no row tracking; call "
+            "enable_row_tracking(table) first"
+        )
 
     parts: list[DataFrame] = []
     prev = _read_manifest(table, from_version)
@@ -2314,8 +2365,10 @@ def changes(
                 # removed file's already-DV-deleted rows were never
                 # visible at `prev`, so they must not surface as
                 # deletes now (and inserts respect the new commit's)
-                batch = (
-                    _read_union(
+                if with_row_ids:
+                    body = _with_row_ids(spark, table, manifest, rel_paths)
+                else:
+                    body = _read_union(
                         spark,
                         table,
                         rel_paths,
@@ -2323,9 +2376,9 @@ def changes(
                         dvs=manifest.get("deletion_vectors"),
                         mapping=manifest.get("column_mapping"),
                     )
-                    .withColumn("_change_type", F.lit(change))
-                    .withColumn("_commit_version", F.lit(v).cast("bigint"))
-                )
+                batch = body.withColumn(
+                    "_change_type", F.lit(change)
+                ).withColumn("_commit_version", F.lit(v).cast("bigint"))
                 parts.append(batch)
             # merge-on-read deletes: positions newly added to a
             # still-present file's deletion vector ARE this commit's
@@ -2339,11 +2392,19 @@ def changes(
             delta = {f: ps for f, ps in delta.items() if ps}
             if delta:
                 schema = StructType.fromJson(json.loads(cur["schema"]))
+                read_schema = schema
+                if with_row_ids:
+                    from pyspark.sql.types import LongType, StructField
+
+                    read_schema = StructType(
+                        list(schema.fields)
+                        + [StructField(ROW_ID_COL, LongType(), True)]
+                    )
                 keyed = _read_union(
                     spark,
                     table,
                     sorted(delta),
-                    schema,
+                    read_schema,
                     keep_pos=True,
                     mapping=cur.get("column_mapping"),
                 )
@@ -2355,14 +2416,41 @@ def changes(
                 pos_df = spark.createDataFrame(
                     pos_rows, "___dvf string, ___dvp long"
                 )
-                dv_batch = (
-                    keyed.join(
-                        F.broadcast(pos_df),
-                        (keyed["___f"] == pos_df["___dvf"])
-                        & (keyed["___ri"] == pos_df["___dvp"]),
-                        "left_semi",
+                dv_batch = keyed.join(
+                    F.broadcast(pos_df),
+                    (keyed["___f"] == pos_df["___dvf"])
+                    & (keyed["___ri"] == pos_df["___dvp"]),
+                    "left_semi",
+                )
+                if with_row_ids:
+                    stats_c = cur.get("file_stats", {})
+                    base_df = spark.createDataFrame(
+                        [
+                            (
+                                _abs_uri(table, f),
+                                stats_c.get(f, {}).get("base_row_id"),
+                            )
+                            for f in sorted(delta)
+                        ],
+                        "___bf string, ___base long",
                     )
-                    .drop("___f", "___ri")
+                    dv_batch = (
+                        dv_batch.join(
+                            F.broadcast(base_df),
+                            dv_batch["___f"] == base_df["___bf"],
+                            "left",
+                        )
+                        .withColumn(
+                            "_row_id",
+                            F.coalesce(
+                                F.col(ROW_ID_COL),
+                                F.col("___base") + F.col("___ri"),
+                            ),
+                        )
+                        .drop(ROW_ID_COL, "___bf", "___base")
+                    )
+                dv_batch = (
+                    dv_batch.drop("___f", "___ri")
                     .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
                 )
@@ -2371,6 +2459,8 @@ def changes(
     if not parts:
         schema = StructType.fromJson(json.loads(prev["schema"]))
         empty = spark.createDataFrame([], schema)
+        if with_row_ids:
+            empty = empty.withColumn("_row_id", F.lit(0).cast("bigint"))
         return empty.withColumn("_change_type", F.lit("")).withColumn(
             "_commit_version", F.lit(0).cast("bigint")
         ).limit(0)
@@ -2379,6 +2469,30 @@ def changes(
         # allowMissingColumns: files predating a schema evolution
         # null-fill the newer columns, same as read_snapshot
         out = out.unionByName(p, allowMissingColumns=True)
+    if with_row_ids:
+        # Delta's full CDF vocabulary: a row id deleted AND inserted
+        # in the SAME commit is an update — pair pre/postimage by id.
+        # The window keys on (_commit_version, _row_id): maximal
+        # parallelism, no payload beyond the change rows themselves.
+        from pyspark.sql import Window as _W
+
+        wrid = _W.partitionBy("_commit_version", "_row_id")
+        is_upd = (
+            F.max((F.col("_change_type") == "insert").cast("int")).over(wrid)
+            + F.max((F.col("_change_type") == "delete").cast("int")).over(wrid)
+        ) == 2
+        out = out.withColumn(
+            "_change_type",
+            F.when(
+                is_upd & (F.col("_change_type") == "delete"),
+                F.lit("update_preimage"),
+            )
+            .when(
+                is_upd & (F.col("_change_type") == "insert"),
+                F.lit("update_postimage"),
+            )
+            .otherwise(F.col("_change_type")),
+        )
     return out
 
 

@@ -2940,3 +2940,76 @@ def test_cli_enable_row_tracking(spark, orders, tmp_path):
         for row in st.read_snapshot(spark, t, with_row_ids=True).collect()
     ]
     assert sorted(ids) == list(range(50))
+
+
+class TestRowIdCDF:
+    """Row-id-aware change data feed: update_where's DV path preserves
+    stable ids into its rewritten rows, and changes(with_row_ids=True)
+    upgrades delete+insert of the same id within a commit to Delta's
+    update_preimage/update_postimage pair."""
+
+    def _mk(self, spark, tmp_path, name):
+        t = str(tmp_path / name)
+        df = (
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(10)], "id int, v int"
+            )
+            .repartition(1)
+            .sortWithinPartitions("id")
+        )
+        st.create_table(df, t, [])
+        st.enable_row_tracking(t)
+        return t
+
+    def test_update_preserves_row_ids(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, "ridcdf_upd")
+        before = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        st.update_where(
+            spark, t, [("id", ">=", 7)], {"v": "v + 1"}, use_dv=True
+        )
+        after = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        }
+        assert after == before  # updated rows kept their ids
+        got = {
+            r.id: r.v for r in st.read_snapshot(spark, t).collect()
+        }
+        assert got == {i: i * 10 + (1 if i >= 7 else 0) for i in range(10)}
+
+    def test_cdf_pairs_updates_by_row_id(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, "ridcdf_pairs")
+        st.update_where(
+            spark, t, [("id", "=", 3)], {"v": "999"}, use_dv=True
+        )
+        st.delete_where(spark, t, [("id", "=", 5)], use_dv=True)
+        st.append(
+            spark.createDataFrame([(100, 0)], "id int, v int").coalesce(1), t
+        )
+        cdf = st.changes(spark, t, 2, with_row_ids=True).collect()
+        by_type = {}
+        for r in cdf:
+            by_type.setdefault(r._change_type, []).append(r)
+        pre = by_type.get("update_preimage", [])
+        post = by_type.get("update_postimage", [])
+        assert len(pre) == 1 and len(post) == 1
+        assert pre[0]._row_id == post[0]._row_id == 3
+        assert pre[0].v == 30 and post[0].v == 999
+        assert pre[0]._commit_version == post[0]._commit_version == 3
+        dels = by_type.get("delete", [])
+        assert [(r.id, r._row_id) for r in dels] == [(5, 5)]
+        ins = by_type.get("insert", [])
+        assert [(r.id, r._row_id) for r in ins] == [(100, 10)]
+
+    def test_cdf_without_tracking_refuses_row_ids(self, spark, tmp_path):
+        t = str(tmp_path / "ridcdf_gate")
+        st.create_table(spark.range(3).coalesce(1), t, [])
+        st.append(spark.range(3, 5).coalesce(1), t)
+        with pytest.raises(ValueError, match="row tracking"):
+            st.changes(spark, t, 1, with_row_ids=True)
+        # the plain file-diff CDF is untouched
+        got = st.changes(spark, t, 1).collect()
+        assert {r.id for r in got} == {3, 4}
