@@ -2093,3 +2093,125 @@ SELECT 'tagged', TRUE, COUNT(*), {dsum_sql('o_totalprice')}
 FROM orders WHERE o_orderstatus IN ('F', 'P')
 ORDER BY snapshot
 """
+
+
+def q_snapshot_cdf_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-id-aware change data feed lifecycle audit (sources/
+    snaptable changes(with_row_ids=True) + preserved row tracking):
+    update/delete/append a row-tracked table, then consume the CDF
+    and verify Delta's full change vocabulary — updates surface as
+    update_preimage/update_postimage PAIRED by stable _row_id (the
+    DV update path materializes old ids into its rewritten rows),
+    DV deletes carry the deleted rows' ids, and appended rows take
+    fresh ids off the high-water mark. The per-change-type aggregate
+    over (_row_id, o_totalprice) hash-checks ids and values at once;
+    ids are reproducible because every batch lands as one file
+    sorted by o_orderkey (see snapshot_row_tracking)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def one_file(df):
+        return df.repartition(1).sortWithinPartitions("o_orderkey")
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_cdfrid_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(one_file(orders.filter(F.col("o_orderstatus") == "F")), table, [])
+    st.enable_row_tracking(table)
+    st.update_where(
+        spark,
+        table,
+        [("o_totalprice", ">", 400000.0)],
+        {"o_totalprice": "o_totalprice + 1.0"},
+        use_dv=True,
+    )
+    # modulo predicates aren't in the pruning filter grammar; express
+    # the delete through the grammar-supported IN list instead
+    keys = [
+        r.o_orderkey
+        for r in orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderkey") % 97 == 0)
+        ).collect()  # bounded: ~1/97th of one status slice, ids only
+    ]
+    if keys:
+        st.delete_where(spark, table, [("o_orderkey", "in", keys)], use_dv=True)
+    st.append(
+        one_file(
+            orders.filter(F.col("o_orderstatus") == "O")
+            .orderBy("o_orderkey")
+            .limit(100)
+        ),
+        table,
+    )
+    cdf = st.changes(spark, table, 2, with_row_ids=True)
+    out = (
+        cdf.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_row_id").cast("bigint").alias("sum_rid"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .collect()  # bounded: one row per change type (<= 4)
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r._change_type,
+                r.n_rows,
+                r.sum_rid,
+                None if r.sum_price is None else float(r.sum_price),
+            )
+            for r in out
+        ],
+        "change_type string, n_rows bigint, sum_rid bigint, sum_price double",
+    ).orderBy("change_type")
+
+
+ORACLE["snapshot_cdf_rowid"] = f"""
+WITH f AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders WHERE o_orderstatus = 'F'
+), nf AS (
+  SELECT COUNT(*) AS n FROM f
+), upd AS (
+  SELECT * FROM f WHERE o_totalprice > 400000
+), del AS (
+  SELECT rid,
+         CASE WHEN o_totalprice > 400000 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS p
+  FROM f WHERE o_orderkey % 97 = 0
+), ins AS (
+  SELECT (SELECT n FROM nf) + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid,
+         o_totalprice AS p
+  FROM (SELECT * FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_orderkey LIMIT 100)
+), ch AS (
+  SELECT 'update_preimage' AS change_type, rid, o_totalprice AS p FROM upd
+  UNION ALL
+  SELECT 'update_postimage', rid, o_totalprice + 1.0 FROM upd
+  UNION ALL
+  SELECT 'delete', rid, p FROM del
+  UNION ALL
+  SELECT 'insert', rid, p FROM ins
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       CAST(SUM(rid) AS BIGINT) AS sum_rid,
+       {dsum_sql('p')} AS sum_price
+FROM ch
+GROUP BY change_type
+ORDER BY change_type
+"""
