@@ -1360,7 +1360,11 @@ LIMIT {TFIDF_TOPK}
 BPE_MERGE_ITERS = 5
 
 
-def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run BPE_MERGE_ITERS merge iterations; returns (persisted
+    word-frequency base, final segmented frame, merge list). Caller
+    must unpersist the base — after materializing anything derived
+    from the final frame."""
     docs = _docs(spark, sf_dir)
     wf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -1377,60 +1381,63 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = wf
     merges: list[tuple] = []
-    try:
-        for it in range(1, BPE_MERGE_ITERS + 1):
-            pc = (
-                cur.select(
-                    F.expr(
-                        "split(substring(seq, 2, length(seq) - 2), "
-                        "'\\\\|\\\\|')"
-                    ).alias("s"),
-                    "cnt",
-                )
-                .where(F.size("s") >= 2)
-                .select(
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(s) - 1), "
-                            "i -> struct(element_at(s, i) AS lhs, "
-                            "element_at(s, i + 1) AS rhs))"
-                        )
-                    ).alias("p"),
-                    "cnt",
-                )
-            )
-            best = (
-                pc.groupBy("p.lhs", "p.rhs")
-                .agg(F.sum("cnt").alias("n"))
-                .orderBy(F.desc("n"), "lhs", "rhs")
-                .limit(1)
-                .collect()  # bounded: exactly one row per iteration
-            )
-            if not best:
-                break
-            b = best[0]
-            merges.append((it, b.lhs, b.rhs, b.lhs + b.rhs, int(b.n)))
-            cur = cur.select(
-                F.replace(
-                    "seq",
-                    F.lit(f"|{b.lhs}||{b.rhs}|"),
-                    F.lit(f"|{b.lhs}{b.rhs}|"),
-                ).alias("seq"),
+    for it in range(1, BPE_MERGE_ITERS + 1):
+        pc = (
+            cur.select(
+                F.expr(
+                    "split(substring(seq, 2, length(seq) - 2), "
+                    "'\\\\|\\\\|')"
+                ).alias("s"),
                 "cnt",
             )
-    finally:
-        wf.unpersist()
+            .where(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, i) AS lhs, "
+                        "element_at(s, i + 1) AS rhs))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+        )
+        best = (
+            pc.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "lhs", "rhs")
+            .limit(1)
+            .collect()  # bounded: exactly one row per iteration
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((it, b.lhs, b.rhs, b.lhs + b.rhs, int(b.n)))
+        cur = cur.select(
+            F.replace(
+                "seq",
+                F.lit(f"|{b.lhs}||{b.rhs}|"),
+                F.lit(f"|{b.lhs}{b.rhs}|"),
+            ).alias("seq"),
+            "cnt",
+        )
+    return wf, cur, merges
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf, _cur, merges = _bpe_train(spark, sf_dir)
+    wf.unpersist()
     return spark.createDataFrame(
         merges,
         "iteration int, lhs string, rhs string, merged string, n bigint",
     ).orderBy("iteration")
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_ctes(k: int) -> str:
     """The same K bounded iterations, unrolled as a CTE chain (the
     oracle may enumerate what the engine loops over)."""
     parts = [
-        """wf0 AS (
+        """wf0 AS MATERIALIZED (
   SELECT substr(x, 1, length(x) - 1) AS seq, cnt FROM (
     SELECT '|' || regexp_replace(w, '(.)', '\\1||', 'g') AS x, cnt FROM (
       SELECT w, COUNT(*) AS cnt FROM (
@@ -1444,7 +1451,7 @@ def _bpe_oracle_sql(k: int) -> str:
     for i in range(1, k + 1):
         prev = f"wf{i - 1}"
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
   SELECT s[j] AS lhs, s[j + 1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
   FROM (
     SELECT string_split(substr(seq, 2, length(seq) - 2), '||') AS s,
@@ -1452,9 +1459,9 @@ def _bpe_oracle_sql(k: int) -> str:
              length(seq) - 2), '||')))) AS j
     FROM {prev}
   ) GROUP BY lhs, rhs
-), b{i} AS (
+), b{i} AS MATERIALIZED (
   SELECT lhs, rhs, n FROM p{i} ORDER BY n DESC, lhs, rhs LIMIT 1
-), wf{i} AS (
+), wf{i} AS MATERIALIZED (
   SELECT replace(seq,
                  '|' || (SELECT lhs FROM b{i}) || '||' ||
                    (SELECT rhs FROM b{i}) || '|',
@@ -1463,11 +1470,93 @@ def _bpe_oracle_sql(k: int) -> str:
   FROM {prev}
 )"""
         )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_oracle_sql(k: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {i} AS iteration, lhs, rhs, lhs || rhs AS merged, n FROM b{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY iteration"
+    return _bpe_ctes(k) + "\n" + union + "\nORDER BY iteration"
 
 
 ORACLE["bpe_merge_table"] = _bpe_oracle_sql(BPE_MERGE_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer application — the apply half of the train->apply
+# cycle: segment the corpus with the K merges bpe_merge_table just
+# learned and report the tokenizer's corpus-level statistics (symbol
+# vocabulary size, total tokens, tokens-per-character compression).
+# The number every tokenizer-training run watches: each merge round
+# must shrink total_tokens while growing n_symbols by one.
+#
+# Scale: identical to training — everything runs on the vocab-bounded
+# word-frequency frame; the corpus is touched once by the word count.
+# ---------------------------------------------------------------------------
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf, cur, _merges = _bpe_train(spark, sf_dir)
+    seg = cur.select(
+        F.expr(
+            "split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')"
+        ).alias("s"),
+        F.length(F.replace("seq", F.lit("|"), F.lit(""))).alias("chars"),
+        "cnt",
+    )
+    stats = seg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("total_words"),
+        F.sum(F.col("cnt") * F.size("s")).cast("bigint").alias("total_tokens"),
+        F.sum(F.col("cnt") * F.col("chars")).cast("bigint").alias("total_chars"),
+    )
+    nsym = seg.select(F.explode("s").alias("sym")).agg(
+        F.countDistinct("sym").cast("bigint").alias("n_symbols")
+    )
+    row = stats.crossJoin(nsym).collect()  # bounded: 1x1 rows
+    wf.unpersist()
+    if not row or row[0].n_words == 0:
+        return spark.createDataFrame(
+            [],
+            "n_words bigint, total_words bigint, total_tokens bigint, "
+            "total_chars bigint, n_symbols bigint, tokens_per_char double",
+        )
+    r = row[0]
+    return spark.createDataFrame(
+        [
+            (
+                r.n_words,
+                r.total_words,
+                r.total_tokens,
+                r.total_chars,
+                r.n_symbols,
+                float(r.total_tokens) / float(r.total_chars)
+                if r.total_chars
+                else None,
+            )
+        ],
+        "n_words bigint, total_words bigint, total_tokens bigint, "
+        "total_chars bigint, n_symbols bigint, tokens_per_char double",
+    )
+
+
+ORACLE["bpe_tokenize"] = (
+    _bpe_ctes(BPE_MERGE_ITERS)
+    + f"""
+, seg AS MATERIALIZED (
+  SELECT string_split(substr(seq, 2, length(seq) - 2), '||') AS s,
+         length(replace(seq, '|', '')) AS chars, cnt
+  FROM wf{BPE_MERGE_ITERS}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS total_words,
+       CAST(SUM(cnt * len(s)) AS BIGINT) AS total_tokens,
+       CAST(SUM(cnt * chars) AS BIGINT) AS total_chars,
+       (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+        FROM (SELECT UNNEST(s) AS sym FROM seg)) AS n_symbols,
+       CAST(CAST(SUM(cnt * len(s)) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(cnt * chars) AS BIGINT) AS DOUBLE) AS tokens_per_char
+FROM seg
+HAVING COUNT(*) > 0
+"""
+)
