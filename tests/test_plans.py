@@ -559,3 +559,36 @@ def test_lineitem_scan_prunes_columns(spark, sf_dir, name, max_cols):
             f"{name}: lineitem scan reads {ncols} columns (cap "
             f"{max_cols}): {line.strip()}"
         )
+
+
+def test_spearman_has_no_rank_windows(spark, sf_dir):
+    """VERDICT r8 regression pin: spearman_corr's ranks must come
+    from the contingency-ladder join-back, never from rank() windows
+    partitioned by the 3-value return flag (parallelism 3 at any
+    cluster size). The only windows allowed are cumulative sums over
+    the slim distinct-value ladders."""
+    plan = _formatted_plan(spark, QUERIES["spearman_corr"](spark, sf_dir))
+    assert "rank(" not in plan
+    # the ladder windows aggregate ct, never a payload measure
+    for block in plan.split("\n\n"):
+        lines = block.lstrip().splitlines()
+        if not lines or "Window" not in lines[0]:
+            continue
+        assert "sum(ct" in block, lines[0]
+
+
+def test_kendall_tau_never_pairs_rows(spark, sf_dir):
+    """kendall_tau computes pair counts from the densified grid —
+    the plan must contain no join of the row-level lineitem relation
+    with itself (only grid-sized joins) and no row-level window: the
+    lineitem scan feeds aggregates exclusively."""
+    plan = _formatted_plan(spark, QUERIES["kendall_tau"](spark, sf_dir))
+    # every window in the plan cumulates grid counts, not row payloads
+    for block in plan.split("\n\n"):
+        lines = block.lstrip().splitlines()
+        if not lines or "Window" not in lines[0]:
+            continue
+        assert "sum(n#" in block or "sum(c_" in block, lines[0]
+    # no cartesian/BNLJ anywhere (the densify join is an equi join)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
