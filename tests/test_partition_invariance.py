@@ -37,6 +37,11 @@ INVARIANCE_PROBES = [
     "tpch_q8_market_share",
     "linear_trend",
     "kmeans_clusters",
+    # r9: ladder-join rank statistics and the bounded BPE loop — the
+    # two shapes where a partition-dependent accumulation would hide
+    "spearman_corr",
+    "kendall_tau",
+    "bpe_merge_table",
 ]
 
 ALT_PARTITIONS = "7"
