@@ -127,7 +127,14 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="evlake-bench", driver_memory="48g")
+    # 16g, NOT "as much as the box has": G1 on a barely-pressured
+    # 48g heap postpones mixed collections for hundreds of queries,
+    # then every late query pays 2-3x in allocation stalls and
+    # never-cleaned broadcast/shuffle blocks (measured: tfidf_pairs
+    # 2.4 s fresh -> 8 s after ~200 queries at 48g; steady ~3.2 s at
+    # 16g because the heap stays self-tidying). sf0.1 peaks far
+    # below 16g, so the cap costs nothing.
+    spark = get_spark(app_name="evlake-bench", driver_memory="16g")
 
     qs = get_queries()
     if args.queries:
