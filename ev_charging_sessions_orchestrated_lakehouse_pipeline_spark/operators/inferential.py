@@ -642,3 +642,174 @@ WHERE (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0) / 2.0 - tie_q)
       * (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0) / 2.0 - tie_d) > 0
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test — does the USER conversion rate differ between
+# the two arms of a deterministic A/B split (arm = user_id % 2, the
+# standard hash-bucket experiment assignment)? The categorical
+# counterpart of welch_ttest (which compares means): pooled-proportion
+# z statistic, where a user converts if they logged >= 1 purchase.
+# One groupBy(user) -> any(purchase) pass (slim shuffle on the user
+# key), then one conditional aggregate -> one row; every input to the
+# z expression is an exact int64 count, so the statistic is a fixed
+# double expression (sqrt only) — nothing to drift at any scale.
+# ---------------------------------------------------------------------------
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arm = (F.col("user_id") % 2 == 0).cast("long")
+    s = users.agg(
+        F.sum(arm).alias("na"),
+        F.sum(arm * F.col("conv")).alias("ka"),
+        F.sum(F.lit(1) - arm).alias("nb"),
+        F.sum((F.lit(1) - arm) * F.col("conv")).alias("kb"),
+    )
+    na, ka = F.col("na").cast("double"), F.col("ka").cast("double")
+    nb, kb = F.col("nb").cast("double"), F.col("kb").cast("double")
+    pool = (ka + kb) / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return s.where((F.col("na") > 0) & (F.col("nb") > 0) & (se > 0)).select(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        (ka / na).alias("rate_a"),
+        (kb / nb).alias("rate_b"),
+        ((ka / na - kb / nb) / se).alias("z_score"),
+    )
+
+
+ORACLE["prop_ztest"] = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS ka,
+    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb,
+    SUM(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS kb
+  FROM users
+), d AS (
+  SELECT CAST(na AS BIGINT) AS na, CAST(ka AS BIGINT) AS ka,
+         CAST(nb AS BIGINT) AS nb, CAST(kb AS BIGINT) AS kb,
+         CAST(na AS DOUBLE) AS nad, CAST(ka AS DOUBLE) AS kad,
+         CAST(nb AS DOUBLE) AS nbd, CAST(kb AS DOUBLE) AS kbd
+  FROM s
+)
+SELECT na, ka, nb, kb,
+       kad / nad AS rate_a,
+       kbd / nbd AS rate_b,
+       (kad / nad - kbd / nbd)
+         / sqrt(((kad + kbd) / (nad + nbd)) * (1.0 - (kad + kbd) / (nad + nbd))
+                * (1.0 / nad + 1.0 / nbd)) AS z_score
+FROM d
+WHERE na > 0 AND nb > 0
+  AND sqrt(((kad + kbd) / (nad + nbd)) * (1.0 - (kad + kbd) / (nad + nbd))
+           * (1.0 / nad + 1.0 / nbd)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-factor OLS — revenue per lineitem regressed on quantity AND
+# discount jointly, per return flag: the multiple-regression upgrade
+# of linear_trend (simple regression), answering "what does a unit of
+# quantity buy holding discount fixed". Closed-form normal equations
+# for two centered regressors — beta = (Sqq*Sdy - Sqd*Sqy... solved
+# 2x2 — from exact decimal moment sums; coefficients are fixed double
+# expressions of the transited totals. One map-side-combinable
+# aggregate per flag; no matrix library, no iteration, no shuffle of
+# anything but the 10 moments.
+# ---------------------------------------------------------------------------
+def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def dsum(c: Column) -> Column:
+        return F.sum(c.cast(_D38)).cast("string").cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+    )
+    n = F.col("n_rows").cast("double")
+    # centered second moments (computed from raw sums, one fixed form)
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    intercept = (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / n
+    return (
+        s.where(det > 0)
+        .select(
+            "l_returnflag",
+            "n_rows",
+            b1.alias("beta_quantity"),
+            b2.alias("beta_discount"),
+            intercept.alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _ols_sql() -> str:
+    n = "CAST(n_rows AS DOUBLE)"
+    c11 = f"(s11 - s1 * s1 / {n})"
+    c22 = f"(s22 - s2 * s2 / {n})"
+    c12 = f"(s12 - s1 * s2 / {n})"
+    c1y = f"(s1y - s1 * sy / {n})"
+    c2y = f"(s2y - s2 * sy / {n})"
+    det = f"({c11} * {c22} - {c12} * {c12})"
+    b1 = f"(({c22} * {c1y} - {c12} * {c2y}) / {det})"
+    b2 = f"(({c11} * {c2y} - {c12} * {c1y}) / {det})"
+
+    def d38(expr: str) -> str:
+        return (
+            f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR)"
+            " AS DOUBLE)"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         {d38('l_quantity')} AS s1,
+         {d38('l_discount')} AS s2,
+         {d38('l_extendedprice')} AS sy,
+         {d38('l_quantity * l_quantity')} AS s11,
+         {d38('l_discount * l_discount')} AS s22,
+         {d38('l_quantity * l_discount')} AS s12,
+         {d38('l_quantity * l_extendedprice')} AS s1y,
+         {d38('l_discount * l_extendedprice')} AS s2y
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       {b1} AS beta_quantity,
+       {b2} AS beta_discount,
+       (sy - {b1} * s1 - {b2} * s2) / {n} AS intercept
+FROM s
+WHERE {det} > 0
+ORDER BY l_returnflag
+"""
+
+
+ORACLE["ols_two_factor"] = _ols_sql()
