@@ -561,21 +561,39 @@ def _commit(
     # row-id allocation (Delta row tracking): every NEW data file gets
     # a fresh contiguous id range [base, base + rows) off the table's
     # high-water mark, in sorted-path order (deterministic). Files a
-    # rewrite materialized ids into, and files re-added with an id
-    # range they already own (rollback), keep their entries.
+    # rewrite materialized ids into keep their entries; a file whose
+    # incoming stats LOST its id (rollback publishes the target's
+    # pre-tracking stats verbatim) reconciles from the parent first —
+    # rows must never change ids because history was restored.
     if manifest.get("row_tracking"):
         nxt = manifest.get("next_row_id")
         if nxt is None:
             nxt = int((par or {}).get("next_row_id") or 0)
         nxt = int(nxt)
-        for f in sorted(added):
+        par_stats = par.get("file_stats", {}) if par is not None else {}
+
+        def _lacks_id(e: dict) -> bool:
+            return "base_row_id" not in e and not e.get("materialized_row_ids")
+
+        for f in files:
+            e = stats.get(f) or {}
+            if not _lacks_id(e):
+                continue
+            pe = par_stats.get(f) or {}
+            if not _lacks_id(pe):
+                e = dict(e)
+                for k in ("base_row_id", "materialized_row_ids"):
+                    if k in pe:
+                        e[k] = pe[k]
+                stats[f] = e
+        for f in sorted(files):
             e = dict(stats.get(f) or {})
-            if "base_row_id" not in e and not e.get("materialized_row_ids"):
+            if _lacks_id(e):
                 if "rows" not in e:
                     e["rows"] = _file_rows(table, f)
                 e["base_row_id"] = nxt
                 nxt += int(e["rows"])
-            stats[f] = e
+                stats[f] = e
         manifest["next_row_id"] = nxt
     _publish(table, version, _store_form(table, parent, par, manifest, added, removed))
     return version

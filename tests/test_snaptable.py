@@ -416,6 +416,8 @@ _op = hst.one_of(
     hst.tuples(hst.just("rename"), hst.just(0)),
     hst.tuples(hst.just("replace_where"), _batch),
     hst.tuples(hst.just("widen"), hst.just(0)),
+    hst.tuples(hst.just("track"), hst.just(0)),
+    hst.tuples(hst.just("optimize"), hst.just(0)),
 )
 
 
@@ -465,6 +467,15 @@ def test_snaptable_model_equivalence(spark, tmp_path_factory, ops):
             new = "kk" if kname == "k" else "k"
             st.rename_column(t, kname, new)
             kname = new
+        elif op == "track":
+            # idempotent metadata-only commit; rows untouched
+            before = st.current_version(t)
+            st.enable_row_tracking(t)
+            if st.current_version(t) == before:
+                continue  # already tracked: no new version
+        elif op == "optimize":
+            # content-identical by contract; rows untouched
+            st.optimize(spark, t, files_per_partition=1)
         elif op == "widen":
             if wide:
                 with pytest.raises(ValueError, match="not a supported widening"):
@@ -502,6 +513,15 @@ def test_snaptable_model_equivalence(spark, tmp_path_factory, ops):
         assert dict(snap.dtypes)[kn] == ("bigint" if w else "int"), (v, kn, w)
         got = sorted(tuple(r) for r in snap.collect())
         assert got == sorted(expect), (v, got, expect)
+    head = st.current_version(t)
+    if st._read_manifest(t, head).get("row_tracking"):
+        # row-id invariant: unique, non-null, one per visible row
+        ids = [
+            r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        ]
+        assert len(ids) == len(states[head][1])
+        assert None not in ids and len(set(ids)) == len(ids)
 
 
 def test_data_skipping_scan_prunes_files_exactly(spark, orders, tmp_path):
@@ -3013,3 +3033,45 @@ class TestRowIdCDF:
         # the plain file-diff CDF is untouched
         got = st.changes(spark, t, 1).collect()
         assert {r.id for r in got} == {3, 4}
+
+
+def test_rollback_keeps_row_ids(spark, tmp_path):
+    """Rollback publishes the TARGET's stats verbatim — which predate
+    row tracking when restoring an early version. Carried files must
+    reconcile their id ranges from the parent (rows never change ids
+    because history was restored); files the target re-adds without a
+    range get fresh ids off the high-water mark."""
+    t = str(tmp_path / "rb_rt")
+    df = (
+        spark.createDataFrame([(i, i) for i in range(8)], "id int, v int")
+        .repartition(1)
+        .sortWithinPartitions("id")
+    )
+    st.create_table(df, t, [])  # v1: pre-tracking
+    st.enable_row_tracking(t)  # v2
+    st.append(
+        spark.createDataFrame([(8, 8)], "id int, v int").coalesce(1), t
+    )  # v3
+    ids_v3 = {
+        r.id: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    st.rollback(t, 1)  # v4: restore the pre-tracking file set
+    m = st._read_manifest(t, st.current_version(t))
+    assert m["row_tracking"]  # sticky
+    ids_v4 = {
+        r.id: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    # the carried file's rows kept their original ids, none are null
+    assert ids_v4 == {i: ids_v3[i] for i in range(8)}
+    assert all(v is not None for v in ids_v4.values())
+    # appends after the rollback still allocate off the high mark
+    st.append(
+        spark.createDataFrame([(9, 9)], "id int, v int").coalesce(1), t
+    )
+    got = {
+        r.id: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    assert got[9] == 9  # mark survived (8 rows + 1 append at v3)
