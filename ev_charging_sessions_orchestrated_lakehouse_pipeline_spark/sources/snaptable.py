@@ -133,6 +133,51 @@ CHECKPOINT_INTERVAL = 10
 #: stored-form-only keys a segment uses; stripped on materialization
 _SEGMENT_KEYS = ("segment", "base", "chain_depth", "add_files", "remove_files", "stats_removed")
 
+#: deletion vectors larger than this externalize to immutable sidecar
+#: files (Delta's DV-file design): the manifest then carries a tiny
+#: {"$dv": name, "n": count} ref instead of the position list, an
+#: UNCHANGED vector's ref is reused verbatim by every later commit,
+#: and vacuum reclaims sidecars no kept manifest references. Keeps
+#: heavy-delete tables from bloating every manifest (and every log
+#: segment) with O(deleted rows) JSON.
+DV_INLINE_MAX = 64
+
+
+def _resolve_dvs(table: str, dvs: dict) -> dict:
+    """Materialize sidecar refs into position lists (reader form)."""
+    out = {}
+    for f, val in dvs.items():
+        if isinstance(val, dict):
+            with open(os.path.join(_snap_dir(table), val["$dv"])) as fh:
+                out[f] = json.load(fh)
+        else:
+            out[f] = val
+    return out
+
+
+def _externalize_dvs(
+    table: str, version: int, dvs: dict, parent_raw: dict, parent_resolved: dict
+) -> dict:
+    """Commit-time DV storage form: reuse the parent's entry (inline
+    or ref) when the vector is unchanged, inline small vectors, write
+    a sidecar for large ones. Sidecars land BEFORE the manifest
+    publish — a lost race leaves an orphan vacuum reclaims."""
+    out = {}
+    for f, ps in dvs.items():
+        raw = parent_raw.get(f)
+        if raw is not None and parent_resolved.get(f) == ps:
+            out[f] = raw
+            continue
+        if len(ps) <= DV_INLINE_MAX:
+            out[f] = ps
+        else:
+            name = f"dv-v{version:08d}-{uuid.uuid4().hex[:12]}.json"
+            os.makedirs(_snap_dir(table), exist_ok=True)
+            with open(os.path.join(_snap_dir(table), name), "w") as fh:
+                json.dump(ps, fh)
+            out[f] = {"$dv": name, "n": len(ps)}
+    return out
+
 
 def _raw_manifest(table: str, version: int) -> dict:
     """The manifest exactly as stored (checkpoint or segment), no
@@ -157,6 +202,11 @@ def _read_manifest(table: str, version: int) -> dict:
             f"writer; upgrade before reading"
         )
     if not m.get("segment"):
+        if any(
+            isinstance(v, dict)
+            for v in (m.get("deletion_vectors") or {}).values()
+        ):
+            m["deletion_vectors"] = _resolve_dvs(table, m["deletion_vectors"])
         return m
     base = _read_manifest(table, m["base"])
     removed = set(m["remove_files"])
@@ -170,6 +220,11 @@ def _read_manifest(table: str, version: int) -> dict:
     out = {k: v for k, v in m.items() if k not in _SEGMENT_KEYS}
     out["files"] = kept + m["add_files"]
     out["file_stats"] = stats
+    if any(
+        isinstance(v, dict)
+        for v in (out.get("deletion_vectors") or {}).values()
+    ):
+        out["deletion_vectors"] = _resolve_dvs(table, out["deletion_vectors"])
     return out
 
 
@@ -595,6 +650,18 @@ def _commit(
                 nxt += int(e["rows"])
                 stats[f] = e
         manifest["next_row_id"] = nxt
+    if manifest["deletion_vectors"]:
+        manifest["deletion_vectors"] = _externalize_dvs(
+            table,
+            version,
+            manifest["deletion_vectors"],
+            (
+                _raw_manifest(table, parent).get("deletion_vectors") or {}
+                if parent is not None
+                else {}
+            ),
+            (par.get("deletion_vectors") or {}) if par is not None else {},
+        )
     _publish(table, version, _store_form(table, parent, par, manifest, added, removed))
     return version
 
@@ -3165,6 +3232,11 @@ def _rewrite_as_checkpoint(table: str, version: int) -> None:
     when a segment's chain is about to be expired out from under it.
     Content-identical to what every reader already saw."""
     full = _read_manifest(table, version)
+    # keep DV sidecar refs in stored form — materializing them inline
+    # here would re-bloat the checkpoint with O(deleted rows) JSON
+    raw_dvs = _raw_manifest(table, version).get("deletion_vectors")
+    if raw_dvs is not None:
+        full["deletion_vectors"] = raw_dvs
     final = _manifest_path(table, version)
     tmp = final + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as fh:
@@ -3245,11 +3317,29 @@ def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
     for f in victims:
         os.unlink(os.path.join(table, f))
         deleted += 1
+    # DV sidecars referenced by NO kept manifest are orphans too
+    # (superseded vectors, crashed commits, expired history)
+    dv_refs = set()
+    for v in versions:
+        for val in (
+            _raw_manifest(table, v).get("deletion_vectors") or {}
+        ).values():
+            if isinstance(val, dict):
+                dv_refs.add(val["$dv"])
+    dv_deleted = 0
+    for fn in os.listdir(_snap_dir(table)):
+        if fn.startswith("dv-") and fn.endswith(".json") and fn not in dv_refs:
+            os.unlink(os.path.join(_snap_dir(table), fn))
+            dv_deleted += 1
     # prune now-empty partition dirs so listings stay clean
     for dirpath, dirs, files in os.walk(_data_dir(table), topdown=False):
         if not dirs and not files and dirpath != _data_dir(table):
             os.rmdir(dirpath)
-    return {"expired_versions": expired, "deleted_files": deleted}
+    return {
+        "expired_versions": expired,
+        "deleted_files": deleted,
+        "deleted_dv_sidecars": dv_deleted,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -3075,3 +3075,70 @@ def test_rollback_keeps_row_ids(spark, tmp_path):
         for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
     }
     assert got[9] == 9  # mark survived (8 rows + 1 append at v3)
+
+
+class TestDVSidecars:
+    """Deletion vectors above DV_INLINE_MAX externalize to immutable
+    sidecar files (Delta's DV-file design): manifests carry tiny
+    refs, unchanged vectors reuse the parent's ref verbatim across
+    commits (including log segments), and vacuum reclaims sidecars no
+    kept manifest references."""
+
+    def test_large_dv_externalizes_and_reads_back(self, spark, tmp_path):
+        t = str(tmp_path / "dv_side")
+        st.create_table(
+            spark.range(0, 500).selectExpr("id", "id * 2 AS v").coalesce(1),
+            t,
+            [],
+        )
+        st.delete_where(spark, t, [("id", "<", 200)], use_dv=True)
+        raw = st._raw_manifest(t, 2)
+        (entry,) = raw["deletion_vectors"].values()
+        assert isinstance(entry, dict) and entry["n"] == 200
+        assert os.path.exists(
+            os.path.join(st._snap_dir(t), entry["$dv"])
+        )
+        # materialized form resolves to the position list
+        m = st._read_manifest(t, 2)
+        (ps,) = m["deletion_vectors"].values()
+        assert isinstance(ps, list) and len(ps) == 200
+        assert st.read_snapshot(spark, t).count() == 300
+
+    def test_unchanged_dv_ref_reused_across_commits(self, spark, tmp_path):
+        t = str(tmp_path / "dv_reuse")
+        st.create_table(spark.range(0, 500).coalesce(1), t, [])
+        st.delete_where(spark, t, [("id", "<", 100)], use_dv=True)
+        ref2 = next(iter(st._raw_manifest(t, 2)["deletion_vectors"].values()))
+        assert isinstance(ref2, dict)
+        st.append(spark.range(500, 510).coalesce(1), t)  # unrelated commit
+        ref3 = next(iter(st._raw_manifest(t, 3)["deletion_vectors"].values()))
+        assert ref3 == ref2  # verbatim reuse: no sidecar rewrite
+        # growing the vector writes a NEW sidecar; the old one orphans
+        st.delete_where(spark, t, [("id", "<", 150)], use_dv=True)
+        ref4 = next(iter(st._raw_manifest(t, 4)["deletion_vectors"].values()))
+        assert isinstance(ref4, dict) and ref4 != ref2
+        assert st.read_snapshot(spark, t).count() == 360
+
+    def test_vacuum_reclaims_orphan_sidecars(self, spark, tmp_path):
+        t = str(tmp_path / "dv_vac")
+        st.create_table(spark.range(0, 500).coalesce(1), t, [])
+        st.delete_where(spark, t, [("id", "<", 100)], use_dv=True)
+        st.delete_where(spark, t, [("id", "<", 200)], use_dv=True)
+        sidecars = [
+            f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
+        ]
+        assert len(sidecars) == 2
+        res = st.vacuum(t, retain_last=1)
+        kept = [
+            f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
+        ]
+        assert len(kept) == 1 and res["deleted_dv_sidecars"] == 1
+        assert st.read_snapshot(spark, t).count() == 300
+        # optimize materializes the DV away; vacuum then reclaims it
+        st.optimize(spark, t, files_per_partition=1)
+        res2 = st.vacuum(t, retain_last=1)
+        assert res2["deleted_dv_sidecars"] == 1
+        assert not [
+            f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
+        ]
+        assert st.read_snapshot(spark, t).count() == 300
