@@ -130,6 +130,7 @@ def stream_stream_attribution(
     purchases: DataFrame,
     window: str = "10 minutes",
     watermark: str = "20 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase joins
     the clicks of the same user in the preceding ``window`` — the
@@ -140,7 +141,14 @@ def stream_stream_attribution(
     (watermark + window) can never match a future purchase, so the
     state store evicts it — without the time-interval condition the
     join would buffer both streams forever. Works identically on
-    batch frames (Catalyst drops the stateful operator)."""
+    batch frames (Catalyst drops the stateful operator).
+
+    ``how="left_outer"`` is the UNCONVERTED-click feed: a click whose
+    interval closes with no purchase emits exactly once with null
+    purchase columns — and only once the watermark PROVES no future
+    purchase can match (the emission is watermark-driven, so the
+    outer rows trail the event time by watermark + window; bit-
+    matched against the batch left join in tests)."""
     c = clicks.select(
         F.col("user_id").alias("cu"),
         F.col("event_id").alias("click_id"),
@@ -160,6 +168,7 @@ def stream_stream_attribution(
         (F.col("cu") == F.col("pu"))
         & (F.col("pts") > F.col("cts"))
         & (F.col("pts") <= F.col("cts") + F.expr(f"INTERVAL {window}")),
+        how,
     ).select(
         F.col("cu").alias("user_id"),
         "click_id",

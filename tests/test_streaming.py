@@ -1232,3 +1232,83 @@ def test_watermark_drops_late_rows_and_matches_batch_twin(
     ]
     assert streamed == twin
     assert any(r[2] == "late_ok" for r in streamed)
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """how='left_outer' on the watermarked interval join: clicks with
+    no purchase inside their window must emit exactly once with null
+    purchase columns — only after the watermark proves no future
+    purchase can match — and the final set must bit-match the batch
+    left join over the same rows."""
+    import os
+    from datetime import datetime, timedelta
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        stream_stream_attribution,
+    )
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def row(eid, uid, minute):
+        return (eid, t0 + timedelta(minutes=minute), uid)
+
+    schema = "event_id long, ts timestamp, user_id long"
+    # user 1 converts inside the window; users 2 and 3 never do
+    clicks_1 = [row(101, 1, 0), row(102, 2, 1), row(103, 3, 2)]
+    purch_1 = [row(201, 1, 4)]
+    # sentinel rows advance BOTH watermarks far past every interval
+    clicks_2 = [row(109, 9, 600)]
+    purch_2 = [row(209, 9, 600)]
+
+    def write_batches(sub, batches):
+        src = str(tmp_path / sub)
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            f = os.path.join(src, f"b{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f)
+            for root, _dirs, files in os.walk(f):
+                for name in files:
+                    os.utime(os.path.join(root, name), (1000 + i, 1000 + i))
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    cs = write_batches("clicks", [clicks_1, clicks_2])
+    ps = write_batches("purchases", [purch_1, purch_2])
+    out = stream_stream_attribution(
+        cs, ps, window="10 minutes", watermark="10 minutes", how="left_outer"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("outer_attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "outer_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM outer_attr WHERE user_id <> 9"
+        ).collect()
+    )
+    batch = stream_stream_attribution(
+        spark.createDataFrame(clicks_1, schema),
+        spark.createDataFrame(purch_1, schema),
+        window="10 minutes",
+        how="left_outer",
+    )
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert streamed == expected
+    # the unmatched clicks surfaced exactly once, with null purchase
+    nulls = [r for r in streamed if r[2] is None]
+    assert sorted(r[1] for r in nulls) == [102, 103]
+    matched = [r for r in streamed if r[2] is not None]
+    assert [(r[0], r[1], r[2]) for r in matched] == [(1, 101, 201)]
