@@ -1510,11 +1510,12 @@ def enable_row_tracking(table: str) -> int:
     read), the manifest records the high-water mark, and the
     ``row-tracking`` reader feature gates older readers out. From
     here on every data-adding commit allocates fresh ranges, DV
-    deletes retire ids without touching survivors, and OPTIMIZE
-    preserves ids by materializing them into the rewritten files
-    (:data:`ROW_ID_COL`). Row-REWRITING ops (update_where, merge)
-    assign fresh ids to rewritten rows — the Delta default without
-    preserved-row-tracking writes. Idempotent."""
+    deletes retire ids without touching survivors, and OPTIMIZE and
+    the DV UPDATE path preserve ids by materializing them into the
+    rewritten files (:data:`ROW_ID_COL`). File-REWRITING ops
+    (update_where's rewrite path, merge) assign fresh ids to
+    rewritten rows — the Delta default without preserved-row-tracking
+    writes. Idempotent."""
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist")
