@@ -1235,3 +1235,99 @@ FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
 ORDER BY rrf_score DESC, vec_id
 LIMIT {RRF_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift — pairwise cosine between per-label mean embeddings:
+# the embedding-space drift monitor (did source B's vectors move away
+# from source A's?) that complements embedding_centroids (the means
+# themselves) and semantic_dedup (row-level pairs). Quantized-int
+# dimension sums make the centroids exact; the cross-dimension dot
+# products fold in sorted-dim order (the tfidf_pairs fixed-order IEEE
+# trick) so the doubles sum identically on both engines.
+#
+# Scale: centroids are a map-side-combinable (label, dim) aggregate —
+# the only thing shuffled is |labels| x |dims| slim rows; the pair
+# join runs on that tiny frame, never on vectors.
+# ---------------------------------------------------------------------------
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = F.floor(F.col("val").cast("double") * 1000)
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg((F.sum(q).cast("double") / F.count(q) / 1000).alias("m"))
+    )
+    a = cents.select(F.col("label").alias("la"), "dim", F.col("m").alias("ma"))
+    b = cents.select(F.col("label").alias("lb"), "dim", F.col("m").alias("mb"))
+    pairs = a.join(b, "dim").where(F.col("la") < F.col("lb"))
+
+    def fold(col: str) -> Column:
+        return F.expr(
+            f"aggregate(array_sort(collect_list({col})), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x.t)"
+        )
+
+    sums = (
+        pairs.select(
+            "la",
+            "lb",
+            F.struct("dim", (F.col("ma") * F.col("mb")).alias("t")).alias("dt"),
+            F.struct("dim", (F.col("ma") * F.col("ma")).alias("t")).alias("da"),
+            F.struct("dim", (F.col("mb") * F.col("mb")).alias("t")).alias("db"),
+        )
+        .groupBy("la", "lb")
+        .agg(
+            fold("dt").alias("dot"),
+            fold("da").alias("na2"),
+            fold("db").alias("nb2"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    return (
+        sums.where((F.col("na2") > 0) & (F.col("nb2") > 0))
+        .select(
+            "la",
+            "lb",
+            cos.alias("cosine"),
+            (F.lit(1.0) - cos).alias("drift"),
+        )
+        .orderBy("la", "lb")
+    )
+
+
+def _drift_fold_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+        f"list_sort(list({{'dim': dim, 't': {expr}}})), x -> x.t)), "
+        "(p, c) -> p + c)"
+    )
+
+
+ORACLE["centroid_drift"] = f"""
+WITH cents AS (
+  SELECT label, dim, CAST(SUM(q) AS DOUBLE) / COUNT(q) / 1000 AS m
+  FROM (
+    SELECT label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+    FROM embeddings
+  )
+  GROUP BY label, dim
+), pairs AS (
+  SELECT a.label AS la, b.label AS lb, a.dim AS dim, a.m AS ma, b.m AS mb
+  FROM cents a JOIN cents b ON a.dim = b.dim AND a.label < b.label
+), s AS (
+  SELECT la, lb,
+         {_drift_fold_sql('ma * mb')} AS dot,
+         {_drift_fold_sql('ma * ma')} AS na2,
+         {_drift_fold_sql('mb * mb')} AS nb2
+  FROM pairs GROUP BY la, lb
+)
+SELECT la, lb,
+       dot / (sqrt(na2) * sqrt(nb2)) AS cosine,
+       1.0 - dot / (sqrt(na2) * sqrt(nb2)) AS drift
+FROM s
+WHERE na2 > 0 AND nb2 > 0
+ORDER BY la, lb
+"""
