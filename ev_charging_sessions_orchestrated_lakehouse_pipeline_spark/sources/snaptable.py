@@ -555,7 +555,16 @@ def _commit(
         "version": version,
         "parent": parent,
         "operation": operation,
-        "committed_at": time.time(),
+        # in-commit timestamp, forced MONOTONIC past the parent's
+        # (Delta's inCommitTimestamps rule): TIMESTAMP AS OF resolves
+        # by committed_at order, so a backwards wall-clock step (NTP
+        # correction, clock skew between writers) must never make a
+        # LATER version look older than its parent
+        "committed_at": (
+            max(time.time(), par["committed_at"] + 1e-6)
+            if par is not None
+            else time.time()
+        ),
         "partition_cols": partition_cols,
         "schema": schema_json,
         "files": files,

@@ -3142,3 +3142,24 @@ class TestDVSidecars:
             f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
         ]
         assert st.read_snapshot(spark, t).count() == 300
+
+
+def test_commit_timestamps_monotonic_under_clock_skew(
+    spark, tmp_path, monkeypatch
+):
+    """Delta's inCommitTimestamps rule: TIMESTAMP AS OF resolves by
+    committed_at order, so a backwards wall-clock step between
+    commits must never make a later version look older."""
+    import time as _time
+
+    t = str(tmp_path / "ts_mono")
+    st.create_table(spark.range(3).coalesce(1), t, [])
+    real = _time.time()
+    monkeypatch.setattr(st.time, "time", lambda: real - 3600)  # clock jumps BACK
+    st.append(spark.range(3, 6).coalesce(1), t)
+    monkeypatch.undo()
+    m1 = st._read_manifest(t, 1)
+    m2 = st._read_manifest(t, 2)
+    assert m2["committed_at"] > m1["committed_at"]
+    # TIMESTAMP AS OF at v2's commit time resolves to v2, not v1
+    assert st.version_as_of(t, m2["committed_at"]) == 2
