@@ -2198,3 +2198,133 @@ WHERE n_dow > 1
                  / (CAST(n_dow AS DOUBLE) * (CAST(n_dow AS DOUBLE) - 1.0)))) > 2.0
 ORDER BY o_orderdate
 """
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoints — the hierarchical sequel to
+# cusum_changepoint: find the strongest level shift in the daily
+# revenue series, SPLIT there, and find the strongest shift inside
+# each half (each against its own segment mean). Two levels is the
+# classic binseg step a monitoring pipeline runs before fitting
+# per-regime baselines.
+#
+# Each segment's peak uses exactly cusum_changepoint's exact-decimal
+# algebra (n*r - t running sum, |s*|/n as the final fixed double).
+# The two split collects are 1-row driver actions (the bounded-
+# iteration pattern of kmeans/bpe); every window runs over the slim
+# |days| ladder, the row-level table is touched once by the daily
+# aggregate.
+# ---------------------------------------------------------------------------
+def _cusum_argmax(daily: DataFrame):
+    """(changepoint_date, n_days, peak) row of a (o_orderdate, r)
+    daily-revenue frame — None when the segment has < 2 days."""
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("r").cast("decimal(29,2)").alias("t"),
+    )
+    dev = (
+        (F.col("n") * F.col("r")).cast("decimal(29,2)") - F.col("t")
+    ).cast("decimal(30,2)")
+    wrun = W.orderBy("o_orderdate").rowsBetween(W.unboundedPreceding, 0)
+    ranked = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderdate",
+            "n",
+            F.sum(dev).over(wrun).cast("decimal(38,2)").alias("s_star"),
+        )
+        .select(
+            "*",
+            F.row_number()
+            .over(W.orderBy(F.abs(F.col("s_star")).desc(), F.col("o_orderdate")))
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderdate",
+            F.col("n").cast("bigint").alias("n_days"),
+            (
+                F.abs(F.col("s_star")).cast("string").cast("double")
+                / F.col("n").cast("string").cast("double")
+            ).alias("peak"),
+        )
+        .collect()  # bounded: exactly one row per segment
+    )
+    if not ranked or ranked[0].n_days < 2:
+        return None
+    return ranked[0]
+
+
+def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(18,2)").alias("r")
+    )
+    out: list[tuple] = []
+    top = _cusum_argmax(daily)
+    if top is not None:
+        out.append((1, "all", top.o_orderdate, top.n_days, top.peak))
+        for seg, frame in (
+            ("left", daily.where(F.col("o_orderdate") <= top.o_orderdate)),
+            ("right", daily.where(F.col("o_orderdate") > top.o_orderdate)),
+        ):
+            sub = _cusum_argmax(frame)
+            if sub is not None:
+                out.append((2, seg, sub.o_orderdate, sub.n_days, sub.peak))
+    return spark.createDataFrame(
+        out,
+        "level int, segment string, changepoint_date date, n_days bigint, "
+        "peak double",
+    ).orderBy("level", "segment")
+
+
+def _binseg_seg_sql(src: str) -> str:
+    """cusum argmax over a daily CTE named ``src`` (exact algebra of
+    ORACLE['cusum_changepoint'], emitting (date, n_days, peak))."""
+    return f"""
+  SELECT o_orderdate, CAST(n AS BIGINT) AS n_days,
+         CAST(CAST(abs(s_star) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS peak
+  FROM (
+    SELECT o_orderdate, n, s_star,
+           ROW_NUMBER() OVER (ORDER BY abs(s_star) DESC, o_orderdate) AS rk
+    FROM (
+      SELECT o_orderdate, n,
+             CAST(SUM(CAST(CAST(n * r AS DECIMAL(29,2)) - t AS DECIMAL(30,2)))
+                    OVER (ORDER BY o_orderdate ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,2)) AS s_star
+      FROM {src} CROSS JOIN (
+        SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               CAST(SUM(r) AS DECIMAL(29,2)) AS t
+        FROM {src}
+      )
+    )
+  )
+  WHERE rk = 1 AND n_days >= 2
+"""
+
+
+ORACLE["binseg_changepoints"] = f"""
+WITH daily AS MATERIALIZED (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY o_orderdate
+), c_all AS MATERIALIZED ({_binseg_seg_sql('daily')}
+), d_left AS MATERIALIZED (
+  SELECT * FROM daily
+  WHERE o_orderdate <= (SELECT o_orderdate FROM c_all)
+), d_right AS MATERIALIZED (
+  SELECT * FROM daily
+  WHERE o_orderdate > (SELECT o_orderdate FROM c_all)
+), c_left AS ({_binseg_seg_sql('d_left')}
+), c_right AS ({_binseg_seg_sql('d_right')}
+)
+SELECT 1 AS level, 'all' AS segment, o_orderdate AS changepoint_date,
+       n_days, peak
+FROM c_all
+UNION ALL
+SELECT 2, 'left', o_orderdate, n_days, peak FROM c_left
+UNION ALL
+SELECT 2, 'right', o_orderdate, n_days, peak FROM c_right
+ORDER BY level, segment
+"""
