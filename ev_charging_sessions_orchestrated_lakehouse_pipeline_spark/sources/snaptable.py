@@ -3615,3 +3615,54 @@ def fast_forward(table: str, name: str) -> int:
         raise
     drop_branch(table, name)
     return version
+
+
+def plan_compaction(
+    table: str, max_files_per_partition: int = 4
+) -> dict[tuple, int]:
+    """Small-file report: {partition values tuple: live file count}
+    for every partition over the threshold — pure manifest
+    arithmetic, no data read. The policy half of auto OPTIMIZE: at
+    100 TB you compact the partitions streaming ingest fragmented,
+    never the whole table."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    m = _read_manifest(table, head)
+    hive = _spec_names(m["partition_cols"])
+    counts: dict[tuple, int] = {}
+    for f in m["files"]:
+        key = tuple(sorted(_partition_values(f, hive).items()))
+        counts[key] = counts.get(key, 0) + 1
+    return {
+        k: n for k, n in counts.items() if n > max_files_per_partition
+    }
+
+
+def auto_compact(
+    spark: SparkSession,
+    table: str,
+    max_files_per_partition: int = 4,
+    files_per_partition: int = 1,
+) -> list[int]:
+    """Run partition-scoped OPTIMIZE on exactly the partitions
+    :func:`plan_compaction` flags, one commit per partition (each
+    atomic, each skippable by concurrent readers). Returns the
+    committed versions; empty when nothing is fragmented."""
+    versions: list[int] = []
+    for key in sorted(plan_compaction(table, max_files_per_partition)):
+        if not key:
+            # unpartitioned table: one full compaction is the answer
+            versions.append(
+                optimize(spark, table, files_per_partition=files_per_partition)
+            )
+            break
+        versions.append(
+            optimize(
+                spark,
+                table,
+                files_per_partition=files_per_partition,
+                partitions=dict(key),
+            )
+        )
+    return versions

@@ -3163,3 +3163,36 @@ def test_commit_timestamps_monotonic_under_clock_skew(
     assert m2["committed_at"] > m1["committed_at"]
     # TIMESTAMP AS OF at v2's commit time resolves to v2, not v1
     assert st.version_as_of(t, m2["committed_at"]) == 2
+
+
+def test_auto_compact_targets_only_fragmented_partitions(
+    spark, tmp_path
+):
+    """plan_compaction flags partitions over the file threshold from
+    manifest arithmetic alone; auto_compact OPTIMIZEs exactly those,
+    one atomic commit each, leaving healthy partitions untouched."""
+    t = str(tmp_path / "autocompact")
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "cold") for i in range(40)],
+        "id int, g string",
+    )
+    st.create_table(df.repartition(1), t, ["g"])
+    # fragment ONLY the hot partition with 5 tiny appends
+    for i in range(5):
+        st.append(
+            spark.createDataFrame(
+                [(100 + i, "hot")], "id int, g string"
+            ).coalesce(1),
+            t,
+        )
+    plan = st.plan_compaction(t, max_files_per_partition=4)
+    assert plan == {(("g", "hot"),): 6}
+    before = st._read_manifest(t, st.current_version(t))
+    cold_files = [f for f in before["files"] if "g=cold" in f]
+    versions = st.auto_compact(spark, t, max_files_per_partition=4)
+    assert len(versions) == 1
+    after = st._read_manifest(t, st.current_version(t))
+    assert [f for f in after["files"] if "g=cold" in f] == cold_files
+    assert len([f for f in after["files"] if "g=hot" in f]) == 1
+    assert st.read_snapshot(spark, t).count() == 45
+    assert st.plan_compaction(t, max_files_per_partition=4) == {}
