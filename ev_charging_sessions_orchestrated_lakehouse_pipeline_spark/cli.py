@@ -90,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "optimize",
+            "auto-compact",
             "vacuum",
             "bloom",
             "evolve",
@@ -316,6 +317,14 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     zorder=args.zorder,
                 )
+            elif args.action == "auto-compact":
+                vs = st.auto_compact(
+                    spark,
+                    args.table,
+                    files_per_partition=args.files_per_partition,
+                )
+                print(json.dumps({"versions": vs}))
+                return 0
             else:  # bloom
                 if not args.column:
                     p.error("bloom requires --column")
