@@ -2215,3 +2215,98 @@ FROM ch
 GROUP BY change_type
 ORDER BY change_type
 """
+
+
+def q_snapshot_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compaction policy lifecycle audit (sources/snaptable
+    plan_compaction/auto_compact over partition-scoped OPTIMIZE):
+    fragment ONE partition with five deterministic single-file
+    appends, let the policy flag and compact exactly that partition,
+    and hash-check that (a) the healthy partitions' files carried
+    untouched by reference, (b) the fragmented one collapsed to one
+    file, (c) the policy report is empty afterwards, and (d) the
+    visible rows are exactly the oracle's replay of the appends."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_ac_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(
+        orders.repartition(1).sortWithinPartitions("o_orderkey"),
+        table,
+        ["o_orderstatus"],
+    )
+    frag = orders.filter(F.col("o_orderstatus") == "F")
+    for b in range(5):
+        st.append(
+            frag.filter(F.col("o_orderkey") % 5 == b)
+            .repartition(1)
+            .sortWithinPartitions("o_orderkey"),
+            table,
+        )
+    plan = st.plan_compaction(table, max_files_per_partition=4)
+    flagged_only_f = list(plan) == [(("o_orderstatus", "F"),)]
+    before = st._read_manifest(table, st.current_version(table))
+    healthy_before = sorted(
+        f for f in before["files"] if "o_orderstatus=F" not in f
+    )
+    st.auto_compact(spark, table, max_files_per_partition=4)
+    after = st._read_manifest(table, st.current_version(table))
+    healthy_after = sorted(
+        f for f in after["files"] if "o_orderstatus=F" not in f
+    )
+    contract_ok = bool(
+        flagged_only_f
+        and healthy_after == healthy_before
+        and len([f for f in after["files"] if "o_orderstatus=F" in f]) == 1
+        and st.plan_compaction(table, max_files_per_partition=4) == {}
+    )
+    rows = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
+        .collect()  # bounded: one row per order status
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r.o_orderstatus,
+                contract_ok,
+                r.n_orders,
+                None if r.sum_totalprice is None else float(r.sum_totalprice),
+            )
+            for r in rows
+        ],
+        "o_orderstatus string, compact_ok boolean, n_orders bigint, "
+        "sum_totalprice double",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_auto_compact"] = f"""
+WITH visible AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderstatus = 'F'
+)
+SELECT o_orderstatus, TRUE AS compact_ok, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM visible
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -2328,3 +2328,66 @@ UNION ALL
 SELECT 2, 'right', o_orderdate, n_days, peak FROM c_right
 ORDER BY level, segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day median revenue — the robust companion of
+# rolling_revenue's trailing mean: per day, the exact median of the
+# trailing seven daily totals. Medians resist the single-day spikes
+# that drag a trailing mean, which is why ops dashboards plot both.
+#
+# Exactness: the window collects at most 7 exact DECIMAL(18,2) values
+# (sorted in-engine), and the median is emitted as TWICE-the-median
+# in exact decimals (odd: 2*mid, even: lo+hi) before one fixed /2.0
+# double step — decimal division semantics differ between engines,
+# decimal addition doesn't. Scale: the slim |days| ladder again; the
+# 7-element arrays never touch row-level data.
+# ---------------------------------------------------------------------------
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(18,2)").alias("r")
+    )
+    w7 = W.orderBy("o_orderdate").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("r").over(w7))
+    windowed = daily.select(
+        "o_orderdate",
+        F.col("r").cast("string").cast("double").alias("revenue"),
+        arr.alias("a"),
+    )
+    n = F.size("a")
+    lo = F.element_at("a", (n / 2).cast("int"))
+    hi = F.element_at("a", (n / 2 + 1).cast("int"))
+    mid = F.element_at("a", ((n + 1) / 2).cast("int"))
+    med2 = F.when(n % 2 == 1, (mid + mid).cast("decimal(19,2)")).otherwise(
+        (lo + hi).cast("decimal(19,2)")
+    )
+    return windowed.select(
+        "o_orderdate",
+        "revenue",
+        n.cast("int").alias("n_window"),
+        (med2.cast("string").cast("double") / F.lit(2.0)).alias("median_7d"),
+    ).orderBy("o_orderdate")
+
+
+ORACLE["rolling_median_7d"] = """
+WITH daily AS (
+  SELECT o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS DECIMAL(18,2)) AS r
+  FROM orders GROUP BY o_orderdate
+), win AS (
+  SELECT o_orderdate,
+         CAST(CAST(r AS VARCHAR) AS DOUBLE) AS revenue,
+         list_sort(list(r) OVER (ORDER BY o_orderdate
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+  FROM daily
+)
+SELECT o_orderdate, revenue,
+       CAST(len(a) AS INT) AS n_window,
+       CAST(CAST(CAST(CASE WHEN len(a) % 2 = 1
+                 THEN a[(len(a) + 1) // 2] + a[(len(a) + 1) // 2]
+                 ELSE a[len(a) // 2] + a[len(a) // 2 + 1]
+            END AS DECIMAL(19,2)) AS VARCHAR) AS DOUBLE) / 2.0 AS median_7d
+FROM win
+ORDER BY o_orderdate
+"""
