@@ -142,6 +142,13 @@ _SEGMENT_KEYS = ("segment", "base", "chain_depth", "add_files", "remove_files", 
 #: segment) with O(deleted rows) JSON.
 DV_INLINE_MAX = 64
 
+#: default age (seconds) below which vacuum will NOT reclaim an
+#: unreferenced data file or DV sidecar — the safety margin for
+#: writers that stage files before publishing the manifest (Delta
+#: VACUUM's retention window in miniature). Override per call with
+#: ``vacuum(..., grace_seconds=0)`` when no writer can be in flight.
+VACUUM_GRACE_SECONDS = 600.0
+
 
 def _resolve_dvs(table: str, dvs: dict) -> dict:
     """Materialize sidecar refs into position lists (reader form)."""
@@ -2411,7 +2418,10 @@ def changes(
     by (_commit_version, _row_id) with no value diffing. This is the
     payoff of preserved row tracking: update_where's DV path
     materializes the OLD ids into its rewritten rows, so the pairing
-    is exact even though the row changed files.
+    is exact even though the row changed files. Commits predating
+    :func:`enable_row_tracking` have no ids to pair — their change
+    rows surface with a null ``_row_id`` and keep the plain
+    insert/delete labels (never relabeled as update halves).
 
     ``optimize`` commits are skipped entirely: compaction/Z-ORDER
     rewrites are content-identical by contract (optimize() verifies
@@ -2569,13 +2579,25 @@ def changes(
         # in the SAME commit is an update — pair pre/postimage by id.
         # The window keys on (_commit_version, _row_id): maximal
         # parallelism, no payload beyond the change rows themselves.
+        # Rows from commits PREDATING enable_row_tracking carry a
+        # null _row_id; the window would lump them into one group and
+        # mass-relabel any mixed add/remove commit as unpairable
+        # update halves, so null-id rows are excluded from the
+        # relabel and keep their plain insert/delete labels.
         from pyspark.sql import Window as _W
 
         wrid = _W.partitionBy("_commit_version", "_row_id")
-        is_upd = (
-            F.max((F.col("_change_type") == "insert").cast("int")).over(wrid)
-            + F.max((F.col("_change_type") == "delete").cast("int")).over(wrid)
-        ) == 2
+        is_upd = F.col("_row_id").isNotNull() & (
+            (
+                F.max(
+                    (F.col("_change_type") == "insert").cast("int")
+                ).over(wrid)
+                + F.max(
+                    (F.col("_change_type") == "delete").cast("int")
+                ).over(wrid)
+            )
+            == 2
+        )
         out = out.withColumn(
             "_change_type",
             F.when(
@@ -3227,11 +3249,28 @@ def clone_table(src_table: str, dst_table: str) -> int:
         # the clone has no parent to inherit from, and some features
         # are not derivable from content (a widened source's files
         # are NARROW parquet under the wide schema) — carry the
-        # source head's full feature set explicitly
+        # source head's full feature set explicitly, and keep row
+        # tracking live (flag + id high-water mark travel with the
+        # reader feature, as Delta preserves through shallow clones:
+        # the cloned files' base_row_id stats stay valid, and new
+        # clone commits must allocate ids ABOVE the source's mark)
         extra=(
-            {"reader_features": prev["reader_features"]}
-            if prev.get("reader_features")
-            else None
+            {
+                **(
+                    {"reader_features": prev["reader_features"]}
+                    if prev.get("reader_features")
+                    else {}
+                ),
+                **(
+                    {
+                        "row_tracking": True,
+                        "next_row_id": int(prev.get("next_row_id") or 0),
+                    }
+                    if prev.get("row_tracking")
+                    else {}
+                ),
+            }
+            or None
         ),
     )
 
@@ -3256,12 +3295,31 @@ def _rewrite_as_checkpoint(table: str, version: int) -> None:
     os.replace(tmp, final)
 
 
-def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
+def vacuum(
+    table: str,
+    retain_last: int = 0,
+    dry_run: bool = False,
+    grace_seconds: float | None = None,
+) -> dict:
     """Reclaim space: delete data files referenced by NO retained
     manifest (covers orphans from crashed writes) and, when
     ``retain_last`` > 0, expire all but the last N manifests first
     (bounding time travel, like Delta's retention window). Never
     touches a file any kept manifest references. Returns counts.
+
+    ``grace_seconds`` (default :data:`VACUUM_GRACE_SECONDS`) is the
+    age threshold below which unreferenced files are NOT reclaimed —
+    the miniature of Delta VACUUM's retention window for tombstoned
+    files. Writers stage data files and DV sidecars on disk BEFORE
+    the manifest publish (:func:`_externalize_dvs`, the txn writers),
+    so with no threshold a concurrent vacuum could reclaim an
+    in-flight commit's files between staging and publish, leaving the
+    just-published manifest referencing nothing. Age is judged by
+    file mtime; manifest EXPIRY is unaffected (expiring history is
+    retention policy, not a race). Pass ``grace_seconds=0`` to force
+    immediate reclamation when no writer can be in flight (tests,
+    single-process maintenance windows — Delta's
+    ``retentionDurationCheck.enabled=false`` equivalent).
 
     Retention contract (matches Delta's semantics, pinned in
     tests/test_snaptable.py):
@@ -3286,6 +3344,15 @@ def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
     expiry — their manifests and the files those reference survive
     any ``retain_last``, the Iceberg ref-retention rule; drop the tag
     to let the version age out."""
+    grace = VACUUM_GRACE_SECONDS if grace_seconds is None else float(grace_seconds)
+    cutoff = time.time() - grace
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except FileNotFoundError:
+            return False
+
     versions = _list_versions(table)
     if not versions:
         return {"expired_versions": 0, "deleted_files": 0}
@@ -3315,7 +3382,11 @@ def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
     referenced: set[str] = set()
     for v in versions:
         referenced.update(_read_manifest(table, v)["files"])
-    victims = sorted(_list_data_files(table) - referenced)
+    victims = sorted(
+        f
+        for f in _list_data_files(table) - referenced
+        if _old_enough(os.path.join(table, f))
+    )
     if dry_run:
         return {
             "dry_run": True,
@@ -3338,7 +3409,12 @@ def vacuum(table: str, retain_last: int = 0, dry_run: bool = False) -> dict:
                 dv_refs.add(val["$dv"])
     dv_deleted = 0
     for fn in os.listdir(_snap_dir(table)):
-        if fn.startswith("dv-") and fn.endswith(".json") and fn not in dv_refs:
+        if (
+            fn.startswith("dv-")
+            and fn.endswith(".json")
+            and fn not in dv_refs
+            and _old_enough(os.path.join(_snap_dir(table), fn))
+        ):
             os.unlink(os.path.join(_snap_dir(table), fn))
             dv_deleted += 1
     # prune now-empty partition dirs so listings stay clean
@@ -3487,11 +3563,22 @@ def create_branch(table: str, name: str, version: int | None = None) -> str:
         generated=prev.get("generated") or {},
         # parentless fork: carry the fork point's feature set (same
         # reasoning as clone_table — widening is not content-derivable)
+        # plus live row tracking (flag + next_row_id), so branch
+        # commits keep allocating unique ids and with_row_ids reads
+        # work on the branch exactly as on the parent
         extra={
             "branch_of": {"fork_version": v},
             **(
                 {"reader_features": prev["reader_features"]}
                 if prev.get("reader_features")
+                else {}
+            ),
+            **(
+                {
+                    "row_tracking": True,
+                    "next_row_id": int(prev.get("next_row_id") or 0),
+                }
+                if prev.get("row_tracking")
                 else {}
             ),
         },
@@ -3602,6 +3689,19 @@ def fast_forward(table: str, name: str) -> int:
                 **(
                     {"reader_features": bman["reader_features"]}
                     if bman.get("reader_features")
+                    else {}
+                ),
+                # publish the branch's id high-water mark: the fork
+                # parent's next_row_id predates every id the branch
+                # allocated, and fast-forward is only legal while the
+                # parent is frozen at the fork, so the branch head's
+                # mark is the table-wide maximum
+                **(
+                    {
+                        "row_tracking": True,
+                        "next_row_id": int(bman.get("next_row_id") or 0),
+                    }
+                    if bman.get("row_tracking")
                     else {}
                 ),
             },

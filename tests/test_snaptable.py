@@ -91,7 +91,7 @@ def test_crashed_write_is_invisible_and_vacuumable(spark, orders, tmp_path):
     # simulate the crash: data lands, no manifest follows
     st._write_data(orders.limit(50), t, ["o_orderstatus"])
     assert st.read_snapshot(spark, t).count() == n  # readers unaffected
-    report = st.vacuum(t)
+    report = st.vacuum(t, grace_seconds=0)
     assert report["deleted_files"] > 0 and report["expired_versions"] == 0
     assert st.read_snapshot(spark, t).count() == n  # nothing referenced was lost
 
@@ -101,7 +101,7 @@ def test_vacuum_retention_expires_time_travel(spark, orders, tmp_path):
     st.create_table(orders, t, ["o_orderstatus"])
     st.overwrite_table(orders.limit(10), t)
     st.overwrite_table(orders.limit(20), t)
-    report = st.vacuum(t, retain_last=1)
+    report = st.vacuum(t, retain_last=1, grace_seconds=0)
     assert report["expired_versions"] == 2
     # v1's files were only referenced by expired manifests -> gone
     assert report["deleted_files"] > 0
@@ -254,7 +254,7 @@ def test_optimize_compacts_as_metadata_commit(spark, orders, tmp_path):
     assert snap.count() == n
     assert st.read_snapshot(spark, t, version=1).count() == n
     # clustering sorted rows within each file for stats selectivity
-    report = st.vacuum(t, retain_last=1)
+    report = st.vacuum(t, retain_last=1, grace_seconds=0)
     assert report["deleted_files"] == len(files_before)
     assert st.read_snapshot(spark, t).count() == n
 
@@ -738,7 +738,7 @@ def test_check_constraints_enforced_on_every_commit(spark, orders, tmp_path):
     with pytest.raises(st.ConstraintViolation, match="price_positive"):
         st.append(bad, t)
     assert st.current_version(t) == 1  # nothing published
-    st.vacuum(t)  # reclaims the rejected batch's orphans
+    st.vacuum(t, grace_seconds=0)  # reclaims the rejected batch's orphans
     assert st.read_snapshot(spark, t).count() == orders.count()
 
     # NULL passes (SQL CHECK): a null price row is NOT a violation
@@ -1094,7 +1094,7 @@ def test_vacuum_inflight_reader_errors_never_partial(spark, orders, tmp_path):
     stale = st.read_snapshot(spark, t, version=1)  # planned pre-vacuum
     assert stale.count() == 30  # still readable: files exist
 
-    report = st.vacuum(t, retain_last=1)
+    report = st.vacuum(t, retain_last=1, grace_seconds=0)
     assert report["expired_versions"] == 1 and report["deleted_files"] > 0
 
     from py4j.protocol import Py4JJavaError
@@ -1256,7 +1256,7 @@ def test_shallow_clone_zero_copy_and_independent_evolution(spark, orders, tmp_pa
     assert st.read_snapshot(spark, src_t).count() == n
     # ...and vacuuming the clone reclaims nothing it doesn't own
     src_files_before = st._list_data_files(src_t)
-    res = st.vacuum(dst_t, retain_last=1)
+    res = st.vacuum(dst_t, retain_last=1, grace_seconds=0)
     assert res["deleted_files"] == 0
     assert st._list_data_files(src_t) == src_files_before
     assert st.read_snapshot(spark, dst_t).count() == n + 50
@@ -1392,7 +1392,7 @@ def test_timestamp_as_of_time_travel(spark, orders, tmp_path):
     with pytest.raises(ValueError, match="at most one of"):
         st.read_snapshot(spark, t, version=1, as_of=1500.0)
 
-    st.vacuum(t, retain_last=1)
+    st.vacuum(t, retain_last=1, grace_seconds=0)
     with pytest.raises(ValueError, match="earliest retained: v3"):
         st.version_as_of(t, 2500.0)
 
@@ -1536,7 +1536,7 @@ def test_full_lifecycle_composition(spark, orders, tmp_path):
     st.rollback(t, v_before_ow)
     assert st.read_snapshot(spark, t).count() == n0
     assert st.read_snapshot(spark, clone).count() == n0  # still fine
-    st.vacuum(t, retain_last=2)
+    st.vacuum(t, retain_last=2, grace_seconds=0)
     assert st.read_snapshot(spark, t).count() == n0
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -1888,7 +1888,7 @@ def test_vacuum_dry_run_reports_without_deleting(spark, orders, tmp_path):
     st.create_table(orders, t, ["o_orderstatus"])
     st.overwrite_table(orders.limit(100), t)  # v1 files become expirable
     n_files_before = len(st._list_data_files(t))
-    report = st.vacuum(t, retain_last=1, dry_run=True)
+    report = st.vacuum(t, retain_last=1, dry_run=True, grace_seconds=0)
     assert report["dry_run"] is True
     assert report["expired_versions"] == 1
     assert report["deleted_files"] == len(report["files"]) > 0
@@ -1896,7 +1896,7 @@ def test_vacuum_dry_run_reports_without_deleting(spark, orders, tmp_path):
     assert len(st._list_data_files(t)) == n_files_before
     assert st.read_snapshot(spark, t, version=1).count() == orders.count()
     # the real vacuum deletes exactly the reported set
-    real = st.vacuum(t, retain_last=1)
+    real = st.vacuum(t, retain_last=1, grace_seconds=0)
     assert real["deleted_files"] == report["deleted_files"]
     assert real["expired_versions"] == 1
 
@@ -2171,7 +2171,7 @@ class TestRefs:
         st.overwrite_table(orders.limit(60), t)
         st.overwrite_table(orders.limit(30), t)
         st.create_tag(t, "keep", version=1)
-        res = st.vacuum(t, retain_last=1)
+        res = st.vacuum(t, retain_last=1, grace_seconds=0)
         # v2 expired; v1 survives via the tag, v3 via retain_last
         assert res["expired_versions"] == 1
         assert st.read_snapshot(spark, t, tag="keep").count() == 100
@@ -2179,7 +2179,7 @@ class TestRefs:
             st.read_snapshot(spark, t, version=2)
         # dropping the tag lets the version age out on the next vacuum
         st.drop_tag(t, "keep")
-        st.vacuum(t, retain_last=1)
+        st.vacuum(t, retain_last=1, grace_seconds=0)
         with pytest.raises(ValueError, match="does not exist"):
             st.read_snapshot(spark, t, version=1)
         assert st.read_snapshot(spark, t).count() == 30
@@ -2757,7 +2757,7 @@ class TestLogSegments:
         for i in range(1, 6):
             st.append(spark.range(10 * i, 10 * i + 10).coalesce(1), t)
         assert st._raw_manifest(t, 5).get("segment")
-        st.vacuum(t, retain_last=2)
+        st.vacuum(t, retain_last=2, grace_seconds=0)
         # kept versions 5 and 6: v5's chain went through expired
         # manifests, so it must now be a self-contained checkpoint
         assert st._list_versions(t) == [5, 6]
@@ -2774,7 +2774,7 @@ class TestLogSegments:
         for i in range(1, 8):
             st.append(spark.range(10 * i, 10 * i + 10).coalesce(1), t)
         st.create_tag(t, "audit", version=4)
-        st.vacuum(t, retain_last=2)
+        st.vacuum(t, retain_last=2, grace_seconds=0)
         assert st.read_snapshot(spark, t, version=4).count() == 40
         assert st.read_snapshot(spark, t).count() == 80
 
@@ -3128,7 +3128,7 @@ class TestDVSidecars:
             f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
         ]
         assert len(sidecars) == 2
-        res = st.vacuum(t, retain_last=1)
+        res = st.vacuum(t, retain_last=1, grace_seconds=0)
         kept = [
             f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
         ]
@@ -3136,7 +3136,7 @@ class TestDVSidecars:
         assert st.read_snapshot(spark, t).count() == 300
         # optimize materializes the DV away; vacuum then reclaims it
         st.optimize(spark, t, files_per_partition=1)
-        res2 = st.vacuum(t, retain_last=1)
+        res2 = st.vacuum(t, retain_last=1, grace_seconds=0)
         assert res2["deleted_dv_sidecars"] == 1
         assert not [
             f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
@@ -3196,3 +3196,166 @@ def test_auto_compact_targets_only_fragmented_partitions(
     assert len([f for f in after["files"] if "g=hot" in f]) == 1
     assert st.read_snapshot(spark, t).count() == 45
     assert st.plan_compaction(t, max_files_per_partition=4) == {}
+
+
+class TestRowTrackingAdviceFixes:
+    """Regression tests for the round-9 review findings: (1) CDF rows
+    from commits predating enable_row_tracking carry null _row_id and
+    must keep plain insert/delete labels — the relabel window must
+    never pair them as update halves; (2) clone_table/create_branch
+    carry the LIVE row-tracking state (flag + next_row_id), not just
+    the reader feature, so with_row_ids reads work on the fork and id
+    allocation never collides with the source's; (3) fast_forward
+    publishes the branch's id high-water mark back to the parent."""
+
+    def test_pre_tracking_commits_keep_plain_cdf_labels(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "rt_pre_cdf")
+        df = (
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(10)], "id int, v int"
+            )
+            .repartition(1)
+            .sortWithinPartitions("id")
+        )
+        st.create_table(df, t, [])  # v1: pre-tracking
+        # v2: rewrite commit (adds AND removes files) still pre-tracking
+        st.delete_where(spark, t, [("id", "<", 3)], use_dv=False)
+        st.enable_row_tracking(t)  # v3
+        st.append(
+            spark.createDataFrame([(100, 0)], "id int, v int").coalesce(1), t
+        )  # v4: tracked insert
+        cdf = st.changes(spark, t, 1, with_row_ids=True).collect()
+        v2 = [r for r in cdf if r._commit_version == 2]
+        # the pre-tracking rewrite has no ids — and is NEVER relabeled
+        assert v2 and all(r._row_id is None for r in v2)
+        assert {r._change_type for r in v2} == {"insert", "delete"}
+        dels = sorted(r.id for r in v2 if r._change_type == "delete")
+        ins = sorted(r.id for r in v2 if r._change_type == "insert")
+        assert dels == list(range(10)) and ins == list(range(3, 10))
+        # tracked commits still get ids (and plain labels here)
+        v4 = [r for r in cdf if r._commit_version == 4]
+        assert [(r.id, r._change_type, r._row_id) for r in v4] == [
+            (100, "insert", 7)
+        ]
+
+    def test_clone_preserves_row_tracking(self, spark, tmp_path):
+        src = str(tmp_path / "rt_clone_src")
+        dst = str(tmp_path / "rt_clone_dst")
+        df = (
+            spark.createDataFrame(
+                [(i, i) for i in range(6)], "id int, v int"
+            )
+            .repartition(1)
+            .sortWithinPartitions("id")
+        )
+        st.create_table(df, src, [])
+        st.enable_row_tracking(src)
+        src_ids = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, src, with_row_ids=True).collect()
+        }
+        st.clone_table(src, dst)
+        m = st._read_manifest(dst, 1)
+        assert m["row_tracking"] and m["next_row_id"] == 6
+        # with_row_ids works on the clone and borrowed files keep ids
+        got = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, dst, with_row_ids=True).collect()
+        }
+        assert got == src_ids
+        # new clone commits allocate ABOVE the source's mark
+        st.append(
+            spark.createDataFrame([(60, 0)], "id int, v int").coalesce(1),
+            dst,
+        )
+        got2 = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, dst, with_row_ids=True).collect()
+        }
+        assert got2[60] == 6 and len(set(got2.values())) == 7
+
+    def test_branch_preserves_row_tracking_and_ff_publishes_mark(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "rt_branch")
+        df = (
+            spark.createDataFrame(
+                [(i, i) for i in range(5)], "id int, v int"
+            )
+            .repartition(1)
+            .sortWithinPartitions("id")
+        )
+        st.create_table(df, t, [])
+        st.enable_row_tracking(t)
+        bp = st.create_branch(t, "audit")
+        bm = st._read_manifest(bp, 1)
+        assert bm["row_tracking"] and bm["next_row_id"] == 5
+        st.append(
+            spark.createDataFrame(
+                [(50, 0), (51, 0)], "id int, v int"
+            ).coalesce(1),
+            bp,
+        )
+        bids = {
+            r.id: r._row_id
+            for r in st.read_snapshot(spark, bp, with_row_ids=True).collect()
+        }
+        assert bids[50] == 5 and bids[51] == 6
+        st.fast_forward(t, "audit")
+        head = st._read_manifest(t, st.current_version(t))
+        assert head["row_tracking"] and head["next_row_id"] == 7
+        # a parent commit after the publish must not reuse branch ids
+        st.append(
+            spark.createDataFrame([(99, 0)], "id int, v int").coalesce(1), t
+        )
+        ids = [
+            r._row_id
+            for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+        ]
+        assert len(ids) == len(set(ids)) == 8
+
+
+class TestVacuumGrace:
+    """vacuum's unreferenced-file sweep must not reclaim files younger
+    than the grace window: writers stage data files and DV sidecars
+    BEFORE the manifest publish, so a zero-threshold sweep races
+    in-flight commits (round-9 review finding). Manifest EXPIRY is
+    retention policy and stays age-independent."""
+
+    def test_young_orphans_survive_default_grace(self, spark, tmp_path):
+        t = str(tmp_path / "vac_grace")
+        st.create_table(spark.range(5).coalesce(1), t, [])
+        # simulate an in-flight commit's staged artifacts
+        orphan = os.path.join(st._data_dir(t), "part-inflight.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"x")
+        sidecar = os.path.join(st._snap_dir(t), "dv-inflight-abc.json")
+        with open(sidecar, "w") as fh:
+            fh.write("[1]")
+        res = st.vacuum(t)  # default grace: both are brand-new -> kept
+        assert res["deleted_files"] == 0
+        assert res["deleted_dv_sidecars"] == 0
+        assert os.path.exists(orphan) and os.path.exists(sidecar)
+        # dry_run honors the same threshold
+        dry = st.vacuum(t, dry_run=True)
+        assert dry["deleted_files"] == 0
+        # aged past the window (mtime backdated), the sweep reclaims
+        old = os.path.getmtime(orphan) - st.VACUUM_GRACE_SECONDS - 1
+        os.utime(orphan, (old, old))
+        os.utime(sidecar, (old, old))
+        res2 = st.vacuum(t)
+        assert res2["deleted_files"] == 1
+        assert res2["deleted_dv_sidecars"] == 1
+        assert not os.path.exists(orphan) and not os.path.exists(sidecar)
+        assert st.read_snapshot(spark, t).count() == 5
+
+    def test_grace_zero_reclaims_immediately(self, spark, tmp_path):
+        t = str(tmp_path / "vac_grace0")
+        st.create_table(spark.range(5).coalesce(1), t, [])
+        orphan = os.path.join(st._data_dir(t), "part-orphan.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"x")
+        res = st.vacuum(t, grace_seconds=0)
+        assert res["deleted_files"] == 1 and not os.path.exists(orphan)
