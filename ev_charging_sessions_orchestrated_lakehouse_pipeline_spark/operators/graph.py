@@ -617,3 +617,192 @@ JOIN degree db ON db.src = e.dst
 ORDER BY jaccard DESC, e.src, e.dst
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling) — the standard dense-subgraph
+# primitive (Seidman 1983; Batagelj–Zaveršnik peeling): repeatedly
+# drop nodes of degree < K until no node is under the threshold. The
+# surviving subgraph is where community detection, spam filtering and
+# influence analysis start — the co-supply core is the set of
+# suppliers embedded in a densely interlocking supply web.
+#
+# The loop runs KCORE_ROUNDS fixed peeling rounds (deterministic and
+# exactly oracled whether or not the fixpoint is reached; on the
+# bounded TOP_EDGES graph it converges in fewer). Per round: ONE
+# groupBy over the current edge list for degrees + two broadcast semi
+# joins to drop edges touching a peeled node — at 100 TB the loop is
+# the same plan with per-round localCheckpoint lineage truncation
+# (the connected-components discipline, operators/dedup.py:431);
+# shuffle volume per round is O(|edges|) keys, no payload. The
+# oracle unrolls the identical recurrence as MATERIALIZED CTEs
+# (DuckDB inlines multiply-referenced CTEs exponentially otherwise).
+# ---------------------------------------------------------------------------
+KCORE_K = 4
+KCORE_ROUNDS = 6
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving KCORE_ROUNDS rounds of degree-< K peeling on
+    the co-supply graph, with their in-core degree."""
+    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
+    for _ in range(KCORE_ROUNDS):
+        both = edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        keep = (
+            both.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = edges.join(
+            F.broadcast(keep.withColumnRenamed("node", "src")), "src", "left_semi"
+        ).join(
+            F.broadcast(keep.withColumnRenamed("node", "dst")), "dst", "left_semi"
+        )
+        # re-project in (src, dst) order: a using-column join moves
+        # the key column first, and the next round's unionAll pairs
+        # columns BY POSITION — without this the "reversed" side
+        # would stack dst onto dst and degrees double-count one side.
+        # Then truncate lineage: each round references the previous
+        # frame ~4 times (degree union + two semi joins), so the lazy
+        # plan grows ~4^rounds and Catalyst analysis dominates. The
+        # frame is <= TOP_EDGES rows, so the per-round checkpoint is a
+        # kilobyte-sized job — the CC-loop discipline (dedup.py:431).
+        edges = edges.select("src", "dst").coalesce(1).localCheckpoint(eager=True)
+    both = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        both.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy(F.col("core_degree").desc(), "node")
+    )
+
+
+def _k_core_oracle() -> str:
+    step = """
+e{t1} AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM e{t0} e
+  JOIN (
+    SELECT node FROM (
+      SELECT src AS node, COUNT(*) AS deg FROM (
+        SELECT src, dst FROM e{t0}
+        UNION ALL SELECT dst, src FROM e{t0}
+      ) GROUP BY src
+    ) WHERE deg >= {k}
+  ) ka ON ka.node = e.src
+  JOIN (
+    SELECT node FROM (
+      SELECT src AS node, COUNT(*) AS deg FROM (
+        SELECT src, dst FROM e{t0}
+        UNION ALL SELECT dst, src FROM e{t0}
+      ) GROUP BY src
+    ) WHERE deg >= {k}
+  ) kb ON kb.node = e.dst
+)"""
+    iters = ",".join(
+        step.format(t0=t, t1=t + 1, k=KCORE_K) for t in range(KCORE_ROUNDS)
+    )
+    return f"""
+WITH {_EDGES_SQL},
+e0 AS MATERIALIZED (SELECT src, dst FROM edges),{iters}
+SELECT src AS node, COUNT(*) AS core_degree FROM (
+  SELECT src, dst FROM e{KCORE_ROUNDS}
+  UNION ALL SELECT dst, src FROM e{KCORE_ROUNDS}
+) GROUP BY src
+ORDER BY core_degree DESC, node
+"""
+
+
+ORACLE["k_core"] = _k_core_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multi-source bounded-hop BFS — hop distance from a seed set, the
+# Pregel frontier-expansion shape (reachability, blast-radius and
+# influence-propagation queries). Seeds are the BFS_SEEDS
+# highest-degree suppliers (ties to the lower key: a deterministic,
+# data-derived seed set at every scale factor); distances are the
+# minimum hop count within BFS_HOPS rounds.
+#
+# Per round: one join of the current distance frame against the
+# symmetric adjacency + a groupBy-min — the relaxation never carries
+# payload beyond (node, dist). On an unbounded graph the frontier
+# delta (only nodes improved last round) joins instead of the full
+# frame, and rounds checkpoint — here the TOP_EDGES bound keeps the
+# whole unrolled recurrence one lazy plan. Oracle: the identical
+# recurrence as chained MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+BFS_SEEDS = 5
+BFS_HOPS = 4
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram from the top-degree seed set: per hop,
+    how many suppliers are first reached at that distance."""
+    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
+    both = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), "src")
+        .limit(BFS_SEEDS)
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+    )
+    dist = seeds
+    for r in range(BFS_HOPS):
+        nxt = (
+            dist.join(both, dist.node == both.src)
+            .select(F.col("dst").alias("node"), F.lit(r + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # two refs per round -> 2^hops plan growth; truncate (frame is
+        # bounded by the TOP_EDGES node set)
+        dist = dist.coalesce(1).localCheckpoint(eager=True)
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _bfs_oracle() -> str:
+    step = """
+d{t1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{t0}
+    UNION ALL
+    SELECT b.dst AS node, d.dist + 1 AS dist
+    FROM d{t0} d JOIN both_dir b ON b.src = d.node
+  ) GROUP BY node
+)"""
+    iters = ",".join(step.format(t0=t, t1=t + 1) for t in range(BFS_HOPS))
+    return f"""
+WITH {_EDGES_SQL},
+both_dir AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+degree AS (SELECT src, COUNT(*) AS deg FROM both_dir GROUP BY src),
+d0 AS MATERIALIZED (
+  SELECT src AS node, 0 AS dist FROM degree
+  ORDER BY deg DESC, src LIMIT {BFS_SEEDS}
+),{iters}
+SELECT dist, COUNT(*) AS n_nodes,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM d{BFS_HOPS} GROUP BY dist ORDER BY dist
+"""
+
+
+ORACLE["bfs_hops"] = _bfs_oracle()
