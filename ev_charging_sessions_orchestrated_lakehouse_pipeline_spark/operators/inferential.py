@@ -813,3 +813,196 @@ ORDER BY l_returnflag
 
 
 ORACLE["ols_two_factor"] = _ols_sql()
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA — does mean l_quantity differ across return-flag
+# groups? The k-sample generalization of welch_ttest's two-sample
+# comparison (classic equal-variance F test). F = (SSB/(k-1)) /
+# (SSW/(N-k)) with SSB = sum_g S_g^2/n_g - S^2/N and
+# SSW = Q - sum_g S_g^2/n_g from raw power sums only.
+#
+# Exactness: l_quantity is integer-valued, so S_g = sum(x) and
+# Q = sum(x^2) are EXACT decimal sums (functions/oracle.py route);
+# every downstream op is deterministic IEEE double arithmetic on
+# those exact aggregates. The 3-term sum over groups folds the
+# flag-sorted array in identical order on both engines (same
+# discipline as the kaplan_meier factor fold) — never a float SUM()
+# whose accumulation order the engine picks.
+#
+# Scale: one map-side-combinable groupBy over k=|distinct flags|
+# keys; the k-row frame folds driver-free in one projection.
+# ---------------------------------------------------------------------------
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("l_quantity").cast(_D38))
+        .cast("string")
+        .cast("double")
+        .alias("s_g"),
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(_D38))
+        .cast("string")
+        .cast("double")
+        .alias("s"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(_D38))
+        .cast("string")
+        .cast("double")
+        .alias("q"),
+    )
+    folded = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_returnflag", (F.col("s_g") * F.col("s_g") / F.col("n_g").cast("double")).alias("t"))
+            )
+        ).alias("terms"),
+    ).select(
+        "k",
+        F.expr(
+            "aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)"
+        ).alias("sum_sq_over_n"),
+    )
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        (F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n").cast("double")).alias("ss_between"),
+        (F.col("q") - F.col("sum_sq_over_n")).alias("ss_within"),
+        (
+            (F.col("sum_sq_over_n") - F.col("s") * F.col("s") / F.col("n").cast("double"))
+            / (F.col("k") - F.lit(1)).cast("double")
+            / (
+                (F.col("q") - F.col("sum_sq_over_n"))
+                / (F.col("n") - F.col("k")).cast("double")
+            )
+        ).alias("f_stat"),
+    )
+
+
+ORACLE["anova_oneway"] = """
+WITH grp AS (
+  SELECT l_returnflag, COUNT(*) AS n_g,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) AS s_g
+  FROM lineitem GROUP BY l_returnflag
+), tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE) AS q
+  FROM lineitem
+), folded AS (
+  SELECT COUNT(*) AS k,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({'l_returnflag': l_returnflag,
+                           't': s_g * s_g / CAST(n_g AS DOUBLE)})),
+           x -> x.t)), (acc, x) -> acc + x) AS sum_sq_over_n
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+       sum_sq_over_n - s * s / CAST(n AS DOUBLE) AS ss_between,
+       q - sum_sq_over_n AS ss_within,
+       (sum_sq_over_n - s * s / CAST(n AS DOUBLE))
+         / CAST(k - 1 AS DOUBLE)
+         / ((q - sum_sq_over_n) / CAST(n - k AS DOUBLE)) AS f_stat
+FROM folded, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test — per return flag, the sample skewness
+# g1, excess kurtosis g2, and JB = n/6 * (g1^2 + g2^2/4): the
+# standard "is this residual distribution normal enough" gate for
+# regression diagnostics and anomaly thresholds (skewness_kurtosis
+# surfaces the moments; this adds the test statistic per group).
+#
+# Exactness: central moments expand into RAW power sums
+# (m_k from Q1..Q4 via the binomial expansion) — l_quantity is
+# integer-valued so Q_k = sum(x^k) are exact decimal sums (x^4 <=
+# 6.25e6 per row; DECIMAL(38,10) holds the total at any SF), and all
+# downstream arithmetic is deterministic IEEE double on exact inputs.
+# sqrt is the one libm call both engines implement correctly-rounded
+# (repo parity rule: sqrt safe, log/exp forbidden).
+#
+# Scale: one map-side-combinable groupBy over |distinct flags| keys
+# carrying four decimal accumulators — nothing else moves.
+# ---------------------------------------------------------------------------
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+
+    def psum(expr: Column, name: str) -> Column:
+        return (
+            F.sum(expr.cast(_D38)).cast("string").cast("double").alias(name)
+        )
+
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        psum(x, "q1"),
+        psum(x * x, "q2"),
+        psum(x * x * x, "q3"),
+        psum(x * x * x * x, "q4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("q1") / n
+    m2 = F.col("q2") / n - mu * mu
+    m3 = F.col("q3") / n - F.lit(3.0) * mu * F.col("q2") / n + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("q4") / n
+        - F.lit(4.0) * mu * F.col("q3") / n
+        + F.lit(6.0) * mu * mu * F.col("q2") / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return mom.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        g1.alias("skewness"),
+        g2.alias("excess_kurtosis"),
+        (n / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))).alias("jb_stat"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE["jarque_bera"] = """
+WITH mom AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) AS q1,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE) AS q2,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+              AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS q3,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+              * l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS q4
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         q1 / CAST(n AS DOUBLE) AS mu,
+         q2 / CAST(n AS DOUBLE)
+           - (q1 / CAST(n AS DOUBLE)) * (q1 / CAST(n AS DOUBLE)) AS m2,
+         q3 / CAST(n AS DOUBLE)
+           - 3.0 * (q1 / CAST(n AS DOUBLE)) * q2 / CAST(n AS DOUBLE)
+           + 2.0 * (q1 / CAST(n AS DOUBLE)) * (q1 / CAST(n AS DOUBLE))
+                 * (q1 / CAST(n AS DOUBLE)) AS m3,
+         q4 / CAST(n AS DOUBLE)
+           - 4.0 * (q1 / CAST(n AS DOUBLE)) * q3 / CAST(n AS DOUBLE)
+           + 6.0 * (q1 / CAST(n AS DOUBLE)) * (q1 / CAST(n AS DOUBLE))
+                 * q2 / CAST(n AS DOUBLE)
+           - 3.0 * (q1 / CAST(n AS DOUBLE)) * (q1 / CAST(n AS DOUBLE))
+                 * (q1 / CAST(n AS DOUBLE)) * (q1 / CAST(n AS DOUBLE)) AS m4
+  FROM mom
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       m3 / sqrt(m2 * m2 * m2) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS excess_kurtosis,
+       CAST(n AS DOUBLE) / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+         * (m3 / sqrt(m2 * m2 * m2))
+         + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0) AS jb_stat
+FROM m
+ORDER BY l_returnflag
+"""

@@ -2391,3 +2391,119 @@ SELECT o_orderdate, revenue,
 FROM win
 ORDER BY o_orderdate
 """
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — the additive twin of the
+# Kaplan-Meier curve above (same lifetable, same right-censoring
+# rule): H(t) = sum_{s<=t} d_s / n_s. Preferred over -ln(S(t)) for
+# hazard estimation (and the building block of Aalen-Johansen
+# competing-risk estimates); the repo's no-log() parity rule makes
+# the direct sum the exact route anyway.
+#
+# Exactness: each increment d_s/n_s is one deterministic double
+# division; the cumulative sum folds the duration-sorted increment
+# array prefix with IEEE + in identical order on both engines (the
+# kaplan_meier fold discipline with + instead of *) — a windowed
+# running SUM would NOT be exact cross-engine: DuckDB evaluates
+# windowed aggregates over a segment tree whose combine order differs
+# from Spark's sequential frame scan.
+#
+# Scale: identical to kaplan_meier — events collapse map-side to one
+# row per user, then to |distinct durations| lifetable cells.
+# ---------------------------------------------------------------------------
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    end = ev.agg(F.max("ts").alias("t_end"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.datediff(F.to_date("t1"), F.to_date("t0")).alias("dur"),
+            (
+                F.datediff(F.to_date("t_end"), F.to_date("t1"))
+                >= F.lit(KM_CENSOR_DAYS)
+            )
+            .cast("int")
+            .alias("event"),
+        )
+    )
+    cells = users.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("event").alias("d_events"),
+    )
+    wall = W.orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    n_risk = (
+        F.sum("n_at").over(wall)
+        - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))
+    )
+    lifetable = cells.select(
+        "dur",
+        "d_events",
+        n_risk.alias("n_risk"),
+        F.collect_list(
+            F.struct(
+                F.col("dur").alias("t"),
+                (
+                    F.col("d_events").cast("double")
+                    / n_risk.cast("double")
+                ).alias("h"),
+            )
+        )
+        .over(wall)
+        .alias("increments"),
+    )
+    cumh = F.expr(
+        "aggregate(filter(array_sort(increments), x -> x.t <= dur), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x.h)"
+    )
+    return lifetable.select(
+        F.col("dur").cast("bigint").alias("dur"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_events").cast("bigint").alias("n_events"),
+        cumh.alias("cum_hazard"),
+    ).orderBy("dur")
+
+
+ORACLE["nelson_aalen"] = f"""
+WITH ev AS (
+  SELECT user_id, ts FROM events
+), endt AS (
+  SELECT MAX(ts) AS t_end FROM ev
+), users AS (
+  SELECT date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS dur,
+         CASE WHEN date_diff('day', CAST(MAX(ts) AS DATE),
+                             CAST((SELECT t_end FROM endt) AS DATE))
+                   >= {KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS event
+  FROM ev GROUP BY user_id
+), cells AS (
+  SELECT dur, COUNT(*) AS n_at, SUM(event) AS d_events
+  FROM users GROUP BY dur
+), risk AS (
+  SELECT dur, d_events,
+         SUM(n_at) OVER ()
+           - COALESCE(SUM(n_at) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM cells
+), lifetable AS (
+  SELECT dur, d_events, n_risk,
+         list({{'t': dur,
+                'h': CAST(d_events AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE)}})
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS increments
+  FROM risk
+)
+SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_events AS BIGINT) AS n_events,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+         list_filter(list_sort(increments), x -> x.t <= dur), x -> x.h)),
+         (acc, x) -> acc + x) AS cum_hazard
+FROM lifetable
+ORDER BY dur
+"""
