@@ -153,3 +153,125 @@ LIMIT {CMS_TOPK}
 
 
 ORACLE["cms_heavy_hitters"] = _cms_oracle()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — built from first principles as
+# a pure DataFrame aggregation, EXACTLY oracled (unlike Spark's
+# approx_count_distinct HLL++, whose register layout is engine
+# internal and only contract-testable). Flajolet et al. 2007:
+#
+# - hash each key with the portable md5 family (hash60), split the 60
+#   bits into a register index (low HLL_P bits) and a 52-bit suffix w;
+#   the register's value is the rank = leading-zero count of w + 1,
+#   i.e. 53 - bitlength(w) (53 when w = 0).
+# - the sketch is ONE map-side-combinable groupBy over at most
+#   m = 2^HLL_P register keys per group — at 100 TB the shuffle
+#   carries m*partitions tiny partials, independent of row count, and
+#   two sketches merge by per-register MAX (the property that makes
+#   HLL the industry-standard distributed distinct counter).
+# - raw estimate E = alpha_m * m^2 / sum_j 2^-M_j. The harmonic-mean
+#   denominator is the one float-order hazard, so it is computed as
+#   an EXACT integer: sum_j 2^(53 - M_j) as int64 (<= m * 2^53 = 2^61)
+#   and E = alpha_m * m^2 * 2^53 / S — deterministic IEEE double ops
+#   on an exact integer, bit-identical on both engines. No
+#   small/large-range corrections (they need ln(); repo no-log rule) —
+#   the raw estimator's bias at n >> m is what the rel_err column
+#   surfaces honestly.
+#
+# q_hll_sketch: distinct users per event type, sketch estimate vs
+# exact, with the full register state folded through the oracle (any
+# hash/indexing/rank divergence moves a register and the hash check).
+# ---------------------------------------------------------------------------
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+
+
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    h = ev.select(
+        "event_type", hash60(F.col("u")).alias("h")
+    )
+    ranks = h.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("idx"),
+        F.when(F.shiftright("h", HLL_P) == 0, F.lit(53))
+        .otherwise(
+            F.lit(53) - F.length(F.conv(F.shiftright("h", HLL_P), 10, 2))
+        )
+        .alias("rank"),
+    )
+    regs = ranks.groupBy("event_type", "idx").agg(F.max("rank").alias("r"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(spark.range(HLL_M).select(F.col("id").alias("idx")))
+    )
+    filled = grid.join(regs, ["event_type", "idx"], "left").select(
+        "event_type", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+    )
+    s = filled.groupBy("event_type").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+        ).alias("s")
+    )
+    exact = ev.distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    # alpha_m * m^2 * 2^53 folded in PYTHON (IEEE double) and inlined
+    # as its round-trip repr: SQL numeric literals with a decimal
+    # point are DECIMAL in both engines, with different
+    # division/rounding semantics — string->double parsing is
+    # correctly rounded everywhere (the functions/oracle.py argument).
+    alpha_num = "CAST('4.2399330249068963e+20' AS DOUBLE)"
+    return (
+        s.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.expr(alpha_num) / F.col("s").cast("double")).alias("hll_est"),
+            (
+                (F.expr(alpha_num) / F.col("s").cast("double") - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["hll_sketch"] = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+), h AS (
+  SELECT event_type, {hash60_sql('u')} AS h FROM keys
+), ranks AS (
+  SELECT event_type, h % {HLL_M} AS idx,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN 53
+              ELSE 53 - length(bin(h >> {HLL_P})) END AS rank
+  FROM h
+), regs AS (
+  SELECT event_type, idx, MAX(rank) AS r FROM ranks GROUP BY 1, 2
+), grid AS (
+  SELECT et.event_type, g.range AS idx
+  FROM (SELECT DISTINCT event_type FROM keys) et, range({HLL_M}) g
+), filled AS (
+  SELECT grid.event_type, COALESCE(regs.r, 0) AS r
+  FROM grid LEFT JOIN regs
+    ON regs.event_type = grid.event_type AND regs.idx = grid.idx
+), s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS s
+  FROM filled GROUP BY 1
+), exact AS (
+  SELECT event_type, COUNT(*) AS n_exact FROM keys GROUP BY 1
+)
+SELECT s.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST('4.2399330249068963e+20' AS DOUBLE)
+         / CAST(s AS DOUBLE) AS hll_est,
+       (CAST('4.2399330249068963e+20' AS DOUBLE)
+         / CAST(s AS DOUBLE) - CAST(n_exact AS DOUBLE))
+         / CAST(n_exact AS DOUBLE) AS rel_err
+FROM s JOIN exact ON exact.event_type = s.event_type
+ORDER BY s.event_type
+"""

@@ -22,6 +22,12 @@ from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry i
 # or bloom_semi_join's residual semi-join would add a node and fail
 # here (ADVICE r4).
 BNLJ_ALLOWED = {
+    # 1-row global-totals aggregate broadcast into the F-stat projection
+    "anova_oneway": 1,
+    # 256-row register-index grid broadcast against the event types
+    "hll_sketch": 1,
+    # 1-row corpus-end aggregate broadcast (same shape as kaplan_meier)
+    "nelson_aalen": 1,
     "similarity_topk": 1,
     "knn_join": 1,
     "similarity_ivf": 2,
