@@ -2310,3 +2310,218 @@ FROM visible
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_snapshot_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY lifecycle audit
+    (sources/snaptable.enable_identity — Delta identity columns,
+    riding the row-tracking id machinery: metadata-only contiguous
+    per-file allocation off the table high-water mark, derived at
+    read time as start + step * row_id): create a deterministic
+    single-file table, enable identity (start=1000, step=2 over the
+    parquet row order = the write sort order), append a second sorted
+    batch (allocation continues above the mark), DV-delete a price
+    band (ids RETIRE, survivors keep theirs), OPTIMIZE (ids preserved
+    via materialization), and audit the surviving (key -> surrogate)
+    assignment. The oracle replays allocation as row_number() over
+    the same write orders — any divergence in ordering, continuation,
+    retirement, or post-OPTIMIZE stability moves a surrogate and the
+    hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_ident_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    b1 = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .orderBy("o_orderkey")
+        .limit(500)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    st.create_table(b1, table, [])
+    st.enable_identity(table, "order_sk", start=1000, step=2)
+    b2 = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .orderBy("o_orderkey")
+        .limit(300)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    st.append(b2, table)
+    st.delete_where(
+        spark, table, [("o_totalprice", "<", 50000.0)], use_dv=True
+    )
+    st.optimize(spark, table, files_per_partition=1)
+    final = st.read_snapshot(spark, table)
+    stats = final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("order_sk").cast("bigint").alias("n_sk"),
+        F.min("order_sk").alias("min_sk"),
+        F.max("order_sk").alias("max_sk"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).collect()
+    head = (
+        final.orderBy("order_sk")
+        .limit(5)
+        .select("order_sk", "o_orderkey")
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    rows = [
+        ("stats", r.n, r.n_sk, r.min_sk, r.max_sk, float(r.sum_price))
+        for r in stats
+        if r.n
+    ] + [
+        (f"sk_{i}", r.order_sk, r.o_orderkey, None, None, None)
+        for i, r in enumerate(head)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "row string, a bigint, b bigint, c bigint, d bigint, e double",
+    ).orderBy("row")
+
+
+ORACLE["snapshot_identity_columns"] = f"""
+WITH b1 AS (
+  SELECT o_orderkey, o_totalprice,
+         1000 + 2 * (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+           AS order_sk
+  FROM (
+    SELECT * FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey LIMIT 500
+  )
+), n1 AS (
+  SELECT COUNT(*) AS n FROM b1
+), b2 AS (
+  SELECT o_orderkey, o_totalprice,
+         1000 + 2 * ((SELECT n FROM n1)
+                     + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+           AS order_sk
+  FROM (
+    SELECT * FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_orderkey LIMIT 300
+  )
+), live AS (
+  SELECT * FROM (
+    SELECT * FROM b1 UNION ALL SELECT * FROM b2
+  ) WHERE o_totalprice >= 50000.0
+), stats AS (
+  SELECT 'stats' AS row, COUNT(*) AS a, COUNT(DISTINCT order_sk) AS b,
+         MIN(order_sk) AS c, MAX(order_sk) AS d,
+         {dsum_sql('o_totalprice')} AS e
+  FROM live HAVING COUNT(*) > 0
+), head AS (
+  SELECT 'sk_' || CAST(ROW_NUMBER() OVER (ORDER BY order_sk) - 1 AS VARCHAR)
+           AS row,
+         order_sk AS a, o_orderkey AS b,
+         CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d,
+         CAST(NULL AS DOUBLE) AS e
+  FROM live ORDER BY order_sk LIMIT 5
+)
+SELECT * FROM stats UNION ALL SELECT * FROM head
+ORDER BY row
+"""
+
+
+def q_snapshot_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION lifecycle audit
+    (sources/snaptable.merge_into(evolve_schema=True) — Delta's
+    automatic schema evolution on MERGE): the source carries a column
+    the target lacks (o_channel); the merge widens the committed
+    schema, matched rows take the source's values, surviving target
+    rows read null for the new column, and brand-new keys insert with
+    it populated. The oracle replays the whole-row upsert + widening
+    in SQL; the audit groups by the evolved column (null group
+    included) so a wrong null-fill, a dropped update, or a missed
+    insert all move the hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_mev_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, [])
+    upd = (
+        orders.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            F.lit("web").alias("o_channel"),
+        )
+    )
+    ins = (
+        orders.orderBy("o_orderkey")
+        .limit(50)
+        .select(
+            (F.col("o_orderkey") + F.lit(30_000_000)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(10.0).alias("o_totalprice"),
+            F.lit("app").alias("o_channel"),
+        )
+    )
+    st.merge_into(
+        spark, table, upd.unionByName(ins), ["o_orderkey"],
+        evolve_schema=True,
+    )
+    out = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.o_channel, r.n, None if r.sum_price is None else float(r.sum_price))
+            for r in out
+        ],
+        "o_channel string, n bigint, sum_price double",
+    ).orderBy("o_channel")
+
+
+ORACLE["snapshot_merge_evolution"] = f"""
+WITH src AS (
+  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+         'web' AS o_channel
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 30000000, 10.0, 'app'
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 50)
+), merged AS (
+  SELECT t.o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+  FROM orders t
+  WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_totalprice, o_channel FROM src
+)
+SELECT o_channel, COUNT(*) AS n, {dsum_sql('o_totalprice')} AS sum_price
+FROM merged
+GROUP BY o_channel
+ORDER BY o_channel
+"""

@@ -111,6 +111,7 @@ SUPPORTED_READER_FEATURES = frozenset(
         "hidden-partitioning",
         "type-widening",
         "row-tracking",
+        "identity-columns",
     }
 )
 
@@ -600,11 +601,16 @@ def _commit(
     # descendant commit carries the flag and the id high-water mark
     if par is not None and par.get("row_tracking") and "row_tracking" not in manifest:
         manifest["row_tracking"] = True
+    # identity specs are sticky the same way (they ride on row ids)
+    if par is not None and par.get("identity") and "identity" not in manifest:
+        manifest["identity"] = par["identity"]
     features = set(manifest.get("reader_features") or [])
     if par is not None:
         features |= set(par.get("reader_features") or [])
     if manifest.get("row_tracking"):
         features.add("row-tracking")
+    if manifest.get("identity"):
+        features.add("identity-columns")
     if manifest["deletion_vectors"]:
         features.add("deletion-vectors")
     if manifest.get("column_mapping") or manifest.get("retired_columns"):
@@ -915,6 +921,7 @@ def append(
     if head is None:
         raise ValueError(f"{table} does not exist; use create_table")
     prev = _read_manifest(table, head)
+    _guard_identity(prev, df)
     df = _apply_generated(df, prev.get("generated") or {})
     schema_json = _evolve_schema(prev["schema"], df, merge_schema)
     mapping = dict(prev.get("column_mapping") or {})
@@ -973,6 +980,7 @@ def overwrite_table(df: DataFrame, table: str) -> int:
     if head is None:
         return create_table(df, table)
     prev = _read_manifest(table, head)
+    _guard_identity(prev, df)
     df = _apply_generated(df, prev.get("generated") or {})
     _validate_constraints(df, prev.get("constraints", {}))
     new_names = {f.name for f in df.schema.fields}
@@ -1033,6 +1041,7 @@ def overwrite_partitions(
             f"spec (e.g. {legacy[0]}); run optimize() to migrate them to "
             f"{pcols} before dynamic partition overwrite"
         )
+    _guard_identity(prev, df)
     df = _apply_generated(df, prev.get("generated") or {})
     _validate_constraints(df, prev.get("constraints", {}))
     new = _write_data(df, table, pcols)
@@ -1499,13 +1508,28 @@ def read_snapshot(
     if v not in _list_versions(table):
         raise ValueError(f"version {v} of {table} does not exist (head={head})")
     manifest = _read_manifest(table, v)
-    if with_row_ids:
+    ident = manifest.get("identity")
+    if with_row_ids or ident:
         if not manifest.get("row_tracking"):
             raise ValueError(
                 f"{table} v{v} has no row tracking; call "
                 "enable_row_tracking(table) first"
             )
-        return _with_row_ids(spark, table, manifest, manifest["files"])
+        out = _with_row_ids(spark, table, manifest, manifest["files"])
+        if ident:
+            from pyspark.sql import functions as F
+
+            out = out.withColumn(
+                ident["col"],
+                (
+                    F.lit(int(ident["start"])).cast("bigint")
+                    + F.lit(int(ident["step"])).cast("bigint")
+                    * F.col("_row_id")
+                ),
+            )
+        if not with_row_ids:
+            out = out.drop("_row_id")
+        return out
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -1558,6 +1582,91 @@ def enable_row_tracking(table: str) -> int:
         deletion_vectors=prev.get("deletion_vectors", {}),
         extra={"row_tracking": True, "next_row_id": nxt},
     )
+
+
+def enable_identity(
+    table: str, col: str, start: int = 1, step: int = 1
+) -> int:
+    """GENERATED ALWAYS AS IDENTITY (Delta identity columns): adds a
+    surrogate-key column ``col`` whose value is
+    ``start + step * row_id``, riding on the row-tracking id
+    machinery — allocation is METADATA-ONLY (contiguous per-file
+    ranges off the table high-water mark, no data rewritten and no
+    global sort at any table size), values are unique by
+    construction, and they inherit row tracking's stability
+    guarantees verbatim: OPTIMIZE and the DV UPDATE path preserve
+    them, DV deletes retire them, rollback reconciles them. Unlike
+    Delta (which materializes identity values into data files), the
+    column derives at read time from the committed id ranges — the
+    observable contract (uniqueness, stability, monotone allocation
+    per commit) is the same, with zero write amplification.
+
+    Writers must NOT supply the column (the ALWAYS semantics);
+    :func:`append`/overwrite reject a frame carrying it. Readers are
+    gated by the ``identity-columns`` feature. Enabling is one
+    commit; idempotent for an identical spec, refused for a
+    conflicting one (same stance as re-pointing a tag)."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    spec = {"col": col, "start": int(start), "step": int(step)}
+    if prev.get("identity"):
+        if prev["identity"] == spec:
+            return head
+        raise ValueError(
+            f"{table} already has identity spec {prev['identity']}; "
+            "refusing to change it"
+        )
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    from pyspark.sql.types import StructType
+
+    names = {
+        f.name
+        for f in StructType.fromJson(json.loads(prev["schema"])).fields
+    }
+    if col in names:
+        raise ValueError(
+            f"column {col!r} already exists in {table}; identity columns "
+            "must introduce a new column"
+        )
+    stats = {f: dict(e) for f, e in prev.get("file_stats", {}).items()}
+    extra: dict = {"identity": spec}
+    if not prev.get("row_tracking"):
+        # first enablement allocates the id ranges exactly as
+        # enable_row_tracking does (sorted-path order, footer counts)
+        nxt = 0
+        for f in sorted(prev["files"]):
+            e = stats.setdefault(f, {})
+            if "rows" not in e:
+                e["rows"] = _file_rows(table, f)
+            e["base_row_id"] = nxt
+            nxt += int(e["rows"])
+        extra.update({"row_tracking": True, "next_row_id": nxt})
+    return _commit(
+        table,
+        "enable_identity",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=stats,
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        extra=extra,
+    )
+
+
+def _guard_identity(manifest: dict, df: DataFrame) -> None:
+    """GENERATED ALWAYS enforcement: incoming frames must not carry
+    the identity column — its values are allocated by the commit."""
+    ident = manifest.get("identity")
+    if ident and ident["col"] in df.columns:
+        raise ValueError(
+            f"column {ident['col']!r} is GENERATED ALWAYS AS IDENTITY; "
+            "writers must not supply it"
+        )
 
 
 def _with_row_ids(
@@ -2872,6 +2981,15 @@ def maintain_count_sum(
     )
 
 
+def restore_to_timestamp(table: str, ts) -> int:
+    """RESTORE TABLE ... TO TIMESTAMP AS OF: :func:`rollback` to the
+    newest version whose commit time is <= ``ts`` (Unix timestamp or
+    datetime — the :func:`version_as_of` resolution, including its
+    refusal to silently serve a younger snapshot when ``ts`` predates
+    retained history)."""
+    return rollback(table, version_as_of(table, ts))
+
+
 def rollback(table: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION: publish a new head whose file
     list duplicates ``version``'s. Nothing is rewritten or deleted —
@@ -3155,10 +3273,19 @@ def merge_into(
     keys: list[str],
     delete_col: str | None = None,
     broadcast_source: bool = False,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE INTO the snapshot table (upsert + optional delete,
     semantics of ``operators.merge.merge_upsert``), committed as a new
     version.
+
+    ``evolve_schema=True`` is Delta's MERGE WITH SCHEMA EVOLUTION:
+    source columns absent from the target widen the committed schema,
+    with surviving target rows reading null for them (the merge
+    output rewrites under the widened schema; carried files of
+    untouched partitions null-fill at read, same as append's
+    mergeSchema). Source frames MISSING target columns stay an error
+    either way — the whole-row-update contract needs full rows.
 
     Scale path: when the table is partitioned and the source carries
     the partition columns, only the partitions PRESENT IN THE SOURCE
@@ -3175,8 +3302,28 @@ def merge_into(
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist")
-    pcols = _read_manifest(table, head)["partition_cols"]
+    man = _read_manifest(table, head)
+    pcols = man["partition_cols"]
     target = read_snapshot(spark, table)
+    ident = (man.get("identity") or {}).get("col")
+    if ident:
+        if ident in source.columns:
+            raise ValueError(
+                f"column {ident!r} is GENERATED ALWAYS AS IDENTITY; "
+                "merge sources must not supply it"
+            )
+        # the read-side derivation added it to the target frame; the
+        # rewrite must not carry it (rewritten rows get fresh ids —
+        # the documented file-rewrite stance for row tracking)
+        target = target.drop(ident)
+    if evolve_schema:
+        from pyspark.sql import functions as F
+
+        for fld in source.schema.fields:
+            if fld.name not in target.columns and fld.name != delete_col:
+                target = target.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
     pruned = pcols and all(c in source.columns for c in pcols)
     if pruned:
         touched = [

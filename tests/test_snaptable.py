@@ -3359,3 +3359,105 @@ class TestVacuumGrace:
             fh.write(b"x")
         res = st.vacuum(t, grace_seconds=0)
         assert res["deleted_files"] == 1 and not os.path.exists(orphan)
+
+
+class TestIdentityColumns:
+    """GENERATED ALWAYS AS IDENTITY (snaptable.enable_identity):
+    metadata-only allocation on the row-tracking ranges, ALWAYS
+    write guard, stability through DV delete + OPTIMIZE, feature
+    gating, and the merge interplay (derived column never written)."""
+
+    def _mk(self, spark, tmp_path):
+        t = str(tmp_path / "ident")
+        df = (
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(8)], "id int, v int"
+            )
+            .repartition(1)
+            .sortWithinPartitions("id")
+        )
+        st.create_table(df, t, [])
+        st.enable_identity(t, "sk", start=1000, step=2)
+        return t
+
+    def test_assignment_and_continuation(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        got = sorted((r.id, r.sk) for r in st.read_snapshot(spark, t).collect())
+        assert got == [(i, 1000 + 2 * i) for i in range(8)]
+        st.append(
+            spark.createDataFrame([(100, 0)], "id int, v int").coalesce(1), t
+        )
+        got = dict(
+            (r.id, r.sk) for r in st.read_snapshot(spark, t).collect()
+        )
+        assert got[100] == 1016  # continues above the high-water mark
+        # idempotent re-enable; conflicting spec refused
+        assert st.enable_identity(t, "sk", 1000, 2) == st.current_version(t)
+        with pytest.raises(ValueError, match="identity spec"):
+            st.enable_identity(t, "sk", 1, 1)
+        # existing column name refused
+        t2 = str(tmp_path / "ident2")
+        st.create_table(
+            spark.createDataFrame([(1,)], "id int").coalesce(1), t2, []
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            st.enable_identity(t2, "id")
+
+    def test_always_guard_on_writers(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        bad = spark.createDataFrame([(9, 0, 5)], "id int, v int, sk long")
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            st.append(bad, t)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            st.overwrite_table(bad, t)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            st.merge_into(spark, t, bad, ["id"])
+
+    def test_stability_through_dv_delete_and_optimize(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        before = {
+            r.id: r.sk for r in st.read_snapshot(spark, t).collect()
+        }
+        st.delete_where(spark, t, [("id", "<", 3)], use_dv=True)
+        st.optimize(spark, t, files_per_partition=1)
+        after = {r.id: r.sk for r in st.read_snapshot(spark, t).collect()}
+        assert after == {i: before[i] for i in range(3, 8)}
+        # retired surrogates never reappear
+        st.append(
+            spark.createDataFrame([(200, 0)], "id int, v int").coalesce(1), t
+        )
+        sks = [r.sk for r in st.read_snapshot(spark, t).collect()]
+        assert len(sks) == len(set(sks))
+
+    def test_reader_feature_gate(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        m = st._raw_manifest(t, st.current_version(t))
+        assert "identity-columns" in m["reader_features"]
+
+    def test_merge_evolution_on_identity_table(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, 999, "web"), (300, 5, "app")], "id int, v int, ch string"
+        )
+        st.merge_into(spark, t, src, ["id"], evolve_schema=True)
+        got = {
+            r.id: (r.v, r.ch) for r in st.read_snapshot(spark, t).collect()
+        }
+        assert got[3] == (999, "web") and got[300] == (5, "app")
+        assert got[0] == (0, None)
+        sks = [r.sk for r in st.read_snapshot(spark, t).collect()]
+        assert len(sks) == len(set(sks))  # rewrite reassigns, stays unique
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    t = str(tmp_path / "restore_ts")
+    st.create_table(spark.range(3).coalesce(1), t, [])
+    st.append(spark.range(3, 6).coalesce(1), t)
+    ts_v2 = st._read_manifest(t, 2)["committed_at"]
+    st.append(spark.range(6, 9).coalesce(1), t)
+    v = st.restore_to_timestamp(t, ts_v2)
+    assert v == st.current_version(t)
+    assert st.read_snapshot(spark, t).count() == 6
+    # predating the first commit refuses (version_as_of contract)
+    with pytest.raises(ValueError):
+        st.restore_to_timestamp(t, 0.0)
