@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.oracle import davg, davg_sql, dsum, dsum_spark_sql, dsum_sql
+from ..functions.oracle import DEC, davg, davg_sql, dsum, dsum_spark_sql, dsum_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4235,4 +4235,318 @@ FROM cum c JOIN returns r USING (l_partkey)
 GROUP BY c.l_partkey
 ORDER BY returns_qty DESC, c.l_partkey
 LIMIT {FIFO_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market-basket analysis) — the directional
+# upgrade of q_copurchase_pairs: for every frequent part pair, both
+# rules A=>B and B=>A with support / confidence / lift, the Agrawal
+# et al. shapes every recommender and cross-sell report starts from.
+#
+# Scale: pair counts come from the SAME capped posting-list expansion
+# as copurchase_pairs (map-side pair generation, one shuffle on the
+# pair key); per-part order counts are one combinable groupBy; both
+# sides of the rule join broadcast the slim (part, count) frame. All
+# ratios are single deterministic double divisions of exact int64
+# counts — no float aggregation anywhere.
+# ---------------------------------------------------------------------------
+RULES_TOPK = 40
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    if n_orders == 0:
+        return spark.createDataFrame(
+            [],
+            "antecedent bigint, consequent bigint, n_together bigint, "
+            "support double, confidence double, lift double",
+        )
+    baskets = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= MIN_COOC)
+    )
+    counts = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_together",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_together",
+        )
+    )
+    ca = counts.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_part").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_part").alias("n_b")
+    )
+    nn = F.lit(float(n_orders))
+    return (
+        directed.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_together").cast("bigint").alias("n_together"),
+            (F.col("n_together").cast("double") / nn).alias("support"),
+            (
+                F.col("n_together").cast("double")
+                / F.col("n_a").cast("double")
+            ).alias("confidence"),
+            (
+                F.col("n_together").cast("double")
+                / F.col("n_a").cast("double")
+                / (F.col("n_b").cast("double") / nn)
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("confidence").desc(),
+            "antecedent",
+            "consequent",
+        )
+        .limit(RULES_TOPK)
+    )
+
+
+ORACLE["association_rules"] = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM op),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_together
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COOC}
+),
+counts AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1),
+directed AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_together FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, n_together FROM pairs
+)
+SELECT antecedent, consequent, CAST(n_together AS BIGINT) AS n_together,
+       CAST(n_together AS DOUBLE) / nn.n AS support,
+       CAST(n_together AS DOUBLE) / CAST(ca.n_part AS DOUBLE) AS confidence,
+       CAST(n_together AS DOUBLE) / CAST(ca.n_part AS DOUBLE)
+         / (CAST(cb.n_part AS DOUBLE) / nn.n) AS lift
+FROM directed
+JOIN counts ca ON ca.l_partkey = antecedent
+JOIN counts cb ON cb.l_partkey = consequent, nn
+ORDER BY lift DESC, confidence DESC, antecedent, consequent
+LIMIT {RULES_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily open-order backlog — the event-delta technique
+# (concurrent_peak's shape on the order lifecycle): an order OPENS at
+# o_orderdate and CLOSES the day after its last line ships; the
+# backlog curve is the running sum of +1/-1 deltas over the date
+# ladder, and the dollar backlog the running sum of +/- o_totalprice.
+# Per month: end-of-month depth and peak depth.
+#
+# Exactness: count deltas are int64 (running sums exact at any
+# order); value deltas accumulate in DECIMAL(25,10) through the
+# ordered window — exact, so the final double cast is deterministic.
+# Scale: orders collapse to 2 delta rows each (no per-day explode);
+# the window runs over |distinct dates| rows. The running-total
+# window over one unpartitioned ladder is the same pinned
+# single-partition payload-free exchange as concurrent_peak.
+# ---------------------------------------------------------------------------
+def q_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closed = li.groupBy("l_orderkey").agg(
+        F.date_add(F.to_date(F.max("l_shipdate")), 1).alias("close_date")
+    )
+    spans = orders.join(
+        closed, orders.o_orderkey == closed.l_orderkey, "inner"
+    ).select(F.to_date("o_orderdate").alias("open_date"), "close_date", "o_totalprice")
+    deltas = spans.select(
+        F.col("open_date").alias("d"),
+        F.lit(1).alias("dc"),
+        F.col("o_totalprice").alias("dv"),
+    ).unionAll(
+        spans.select(
+            F.col("close_date").alias("d"),
+            F.lit(-1).alias("dc"),
+            (-F.col("o_totalprice")).alias("dv"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("dc").alias("dc"),
+        F.sum(F.col("dv").cast(DEC)).alias("dv"),
+    )
+    wrun = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    curve = daily.select(
+        "d",
+        F.sum("dc").over(wrun).alias("backlog"),
+        F.sum("dv").over(wrun).cast("string").cast("double").alias("backlog_value"),
+    )
+    return (
+        curve.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.max("backlog").cast("bigint").alias("peak_backlog"),
+            F.max_by("backlog", "d").cast("bigint").alias("eom_backlog"),
+            F.max_by("backlog_value", "d").alias("eom_backlog_value"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE["open_order_backlog"] = """
+WITH closed AS (
+  SELECT l_orderkey,
+         CAST(MAX(l_shipdate) AS DATE) + INTERVAL 1 DAY AS close_date
+  FROM lineitem GROUP BY l_orderkey
+), spans AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_date,
+         CAST(close_date AS DATE) AS close_date, o_totalprice
+  FROM orders JOIN closed ON l_orderkey = o_orderkey
+), deltas AS (
+  SELECT open_date AS d, 1 AS dc, o_totalprice AS dv FROM spans
+  UNION ALL
+  SELECT close_date, -1, -o_totalprice FROM spans
+), daily AS (
+  SELECT d, SUM(dc) AS dc,
+         SUM(CAST(dv AS DECIMAL(25,10))) AS dv
+  FROM deltas GROUP BY d
+), curve AS (
+  SELECT d,
+         SUM(dc) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog,
+         CAST(CAST(SUM(dv) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+           AS DOUBLE) AS backlog_value
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m') AS month,
+       CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+       CAST(max_by(backlog, d) AS BIGINT) AS eom_backlog,
+       max_by(backlog_value, d) AS eom_backlog_value
+FROM curve
+GROUP BY 1
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# XYZ demand-variability classes — the forecastability half of
+# pareto_abc's ABC revenue ranking (together they form the classic
+# ABC/XYZ inventory matrix): per part, the coefficient of variation
+# of monthly demand INCLUDING zero months, then X (steady, cv < 0.5),
+# Y (variable, cv < 1.0), Z (erratic).
+#
+# Zero months are handled WITHOUT a part x month gap-fill join: the
+# global month count M is a 1-row broadcast, and mean/variance over
+# all M months derive from the observed months' exact sums alone
+# (sum over zeros is zero) — mean = S/M, var = Q/M - mean^2. S and Q
+# are exact decimal sums of integer-valued quantities, cv a
+# deterministic sqrt/divide; the classification is therefore exact.
+# Scale: one groupBy (part, month), one groupBy part, no ladder join.
+# ---------------------------------------------------------------------------
+def q_xyz_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            "l_partkey",
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            "l_quantity",
+        )
+        .groupBy("l_partkey", "month")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC))
+            .cast("string")
+            .cast("double")
+            .alias("q")
+        )
+    )
+    months = li.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).distinct().agg(F.count(F.lit(1)).alias("m"))
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.sum(F.col("q").cast(DEC)).cast("string").cast("double").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast(DEC))
+        .cast("string")
+        .cast("double")
+        .alias("qq"),
+    )
+    m = F.col("m").cast("double")
+    mean = F.col("s") / m
+    var = F.col("qq") / m - mean * mean
+    cv = F.sqrt(var) / mean
+    classed = per_part.crossJoin(F.broadcast(months)).select(
+        "l_partkey",
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+        cv.alias("cv"),
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min("cv").alias("min_cv"),
+            F.max("cv").alias("max_cv"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+ORACLE["xyz_demand_classes"] = """
+WITH monthly AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS VARCHAR)
+              AS DOUBLE) AS q
+  FROM lineitem GROUP BY 1, 2
+), months AS (
+  SELECT CAST(COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) AS DOUBLE) AS m
+  FROM lineitem
+), per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(q AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(q * q AS DECIMAL(25,10))) AS VARCHAR)
+              AS DOUBLE) AS qq
+  FROM monthly GROUP BY 1
+), classed AS (
+  SELECT l_partkey,
+         CASE WHEN sqrt(qq / m - (s / m) * (s / m)) / (s / m) < 0.5 THEN 'X'
+              WHEN sqrt(qq / m - (s / m) * (s / m)) / (s / m) < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         sqrt(qq / m - (s / m) * (s / m)) / (s / m) AS cv
+  FROM per_part, months
+)
+SELECT xyz_class, COUNT(*) AS n_parts, MIN(cv) AS min_cv, MAX(cv) AS max_cv,
+       MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey
+FROM classed
+GROUP BY 1
+ORDER BY xyz_class
 """

@@ -629,3 +629,65 @@ SELECT source, doc_id,
             THEN 'test' ELSE 'train' END AS split
 FROM ranked ORDER BY source, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Importance weights for domain rebalancing — the reweighting half of
+# dataset_mixture's subsampling: instead of DROPPING documents to hit
+# a target mixture, assign each source a sampling weight
+# target_share / observed_share (uniform target across sources, the
+# DoReMi-style baseline), clip at IW_CLIP to bound the variance a
+# rare domain could inject, and report the effective counts the
+# clipped weights realize. Training loaders consume exactly this
+# table to oversample rare domains without duplicating bytes.
+#
+# Exactness: every share/weight is a deterministic double ratio of
+# exact int64 counts; clipping is a comparison. Scale: one combinable
+# groupBy over |sources| keys + a 1-row total broadcast — nothing
+# else moves, at any corpus size.
+# ---------------------------------------------------------------------------
+IW_CLIP = 3.0
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_docs").alias("n"),
+    )
+    share = F.col("n_docs").cast("double") / F.col("n").cast("double")
+    raw = (F.lit(1.0) / F.col("k").cast("double")) / share
+    clipped = F.least(raw, F.lit(IW_CLIP))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            share.alias("source_share"),
+            raw.alias("raw_weight"),
+            clipped.alias("weight"),
+            (F.col("n_docs").cast("double") * clipped).alias("effective_n"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["importance_weights"] = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT COUNT(*) AS k, SUM(n_docs) AS n FROM per
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE) AS source_share,
+       (1.0 / CAST(k AS DOUBLE))
+         / (CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) AS raw_weight,
+       LEAST((1.0 / CAST(k AS DOUBLE))
+         / (CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)), {IW_CLIP}) AS weight,
+       CAST(n_docs AS DOUBLE) * LEAST((1.0 / CAST(k AS DOUBLE))
+         / (CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)), {IW_CLIP})
+         AS effective_n
+FROM per, tot
+ORDER BY source
+"""

@@ -24,6 +24,10 @@ from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry i
 BNLJ_ALLOWED = {
     # 1-row global-totals aggregate broadcast into the F-stat projection
     "anova_oneway": 1,
+    # 1-row (k, N) totals aggregate broadcast into the weight projection
+    "importance_weights": 1,
+    # 1-row global month-count aggregate broadcast into the cv projection
+    "xyz_demand_classes": 1,
     # 256-row register-index grid broadcast against the event types
     "hll_sketch": 1,
     # 1-row corpus-end aggregate broadcast (same shape as kaplan_meier)
