@@ -1635,3 +1635,51 @@ SELECT doc_id,
          AS cleaned_text
 FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup REPORT every
+    corpus curation run ends with: how many near-dup clusters of each
+    size exist, how many documents they absorb, and the dedup excess
+    (docs removable if each cluster keeps one representative). Rides
+    the canonical q_dedup_clusters components; the aggregation is two
+    bounded groupBys over the (doc, cluster) frame — at 100 TB the
+    histogram fits in a hand."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "dup_excess"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_size_hist_oracle() -> str:
+    body = ORACLE["dedup_clusters"].strip()
+    return f"""
+WITH clusters AS (
+{body}
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       cluster_size * COUNT(*) AS n_docs,
+       (cluster_size - 1) * COUNT(*) AS dup_excess
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+ORACLE["dedup_cluster_size_hist"] = _cluster_size_hist_oracle()

@@ -1331,3 +1331,162 @@ FROM s
 WHERE na2 > 0 AND nb2 > 0
 ORDER BY la, lb
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the quality gate every approximate index
+# needs before it replaces the exact path: for each query, brute-force
+# cosine top-K is the ground truth, the banded-LSH candidate set
+# (exact-cosine-verified, top-K of the collisions) is the contender,
+# and recall@K = |truth ∩ lsh| / K. Run this after retuning bands /
+# planes / thresholds; a recall drop means the S-curve moved.
+#
+# Exactness: both rankings are deterministic (cosines are sequential
+# folds, ties break on vec_id), so the intersection count — and the
+# one recall division — are exact. Scale: the brute half is the
+# documented small-query-set plan (corpus never shuffles, queries
+# broadcast); the LSH half shuffles only band signatures; the
+# intersection joins two <= K*|queries|-row frames.
+# ---------------------------------------------------------------------------
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "norm", F.sqrt(_dot("embedding", "embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    cosine = _dot("embedding", "qv") / (F.col("norm") * F.col("qn"))
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    truth = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+        # consumed twice (hit semi-join + per-query totals); without
+        # materialization the corpus-wide brute-force scan would run
+        # twice. <= K * |queries| rows.
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    banded = lsh_band_signatures(_emb(spark, sf_dir))
+    q_banded = banded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("band_id").alias("q_band_id"),
+        F.col("band_val").alias("q_band_val"),
+    )
+    pair_cos = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    candidates = (
+        banded.join(
+            F.broadcast(q_banded),
+            (F.col("band_id") == F.col("q_band_id"))
+            & (F.col("band_val") == F.col("q_band_val")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", pair_cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    hits = truth.join(
+        candidates,
+        (truth.query_id == candidates.query_id)
+        & (truth.vec_id == candidates.cand_id),
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    n_truth = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    return (
+        n_truth.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE["ann_recall_eval"] = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, vec_id,
+         {_dot_sql('embedding', 'qv')} /
+         (sqrt({_dot_sql('embedding', 'embedding')}) *
+          sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM embeddings, queries
+  WHERE vec_id <> query_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+banded AS (
+  SELECT vec_id, embedding,
+         unnest([0, 1, 2, 3]) AS band_id,
+         unnest([{_band_val_sql(0)},
+                 {_band_val_sql(1)},
+                 {_band_val_sql(2)},
+                 {_band_val_sql(3)}]) AS band_val
+  FROM embeddings
+), qb AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         band_id AS q_band_id, band_val AS q_band_val
+  FROM banded WHERE vec_id < 5
+), cand_pairs AS (
+  SELECT DISTINCT b.vec_id AS vec_id, q.query_id AS query_id,
+                  b.embedding AS embedding, q.qv AS qv
+  FROM banded b
+  JOIN qb q ON b.band_id = q.q_band_id AND b.band_val = q.q_band_val
+  WHERE b.vec_id <> q.query_id
+), cand_scored AS (
+  SELECT query_id, vec_id,
+         {_dot_sql('embedding', 'qv')} /
+         (sqrt({_dot_sql('embedding', 'embedding')}) *
+          sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM cand_pairs
+), candidates AS (
+  SELECT query_id, vec_id AS cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id) AS rank
+    FROM cand_scored
+  ) WHERE rank <= {TOP_K}
+),
+per_q AS (
+  SELECT t.query_id, COUNT(*) AS n_hit
+  FROM truth t
+  JOIN candidates c ON c.query_id = t.query_id AND c.cand_id = t.vec_id
+  GROUP BY t.query_id
+),
+n_truth AS (
+  SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY query_id
+)
+SELECT n_truth.query_id, CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE)
+         / CAST(n_truth AS DOUBLE) AS recall_at_k
+FROM n_truth LEFT JOIN per_q ON per_q.query_id = n_truth.query_id
+ORDER BY n_truth.query_id
+"""
