@@ -1006,3 +1006,160 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
 FROM m
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — the nonparametric significance twin of
+# theil_sen_trend's slope: S = sum over month pairs i<j of
+# sign(y_j - y_i) on the monthly revenue series, tie-corrected
+# variance, and the standardized Z. The standard "is this series
+# actually trending" gate for KPI monitoring (no normality or
+# linearity assumed).
+#
+# Exactness: monthly revenues are exact decimal sums cast once to
+# double; sign comparisons and the integer pair sums are exact; the
+# only float ops are the final /18 and the sqrt in Z. Scale: the
+# O(n^2) pair join runs over the MONTH ladder (bounded by the
+# calendar, not the data — ~84 rows at any SF), coalesced to one
+# partition; everything upstream is one map-side-combinable groupBy.
+# ---------------------------------------------------------------------------
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,10)"))
+            .cast("string")
+            .cast("double")
+            .alias("y")
+        )
+        .coalesce(1)
+    )
+    a = monthly.select(F.col("m").alias("mi"), F.col("y").alias("yi"))
+    b = monthly.select(F.col("m").alias("mj"), F.col("y").alias("yj"))
+    s = (
+        a.join(b, F.col("mi") < F.col("mj"))
+        .agg(
+            F.sum(
+                F.when(F.col("yj") > F.col("yi"), 1)
+                .when(F.col("yj") < F.col("yi"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        monthly.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1.0) * (2.0 * n + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    sd = F.sqrt(var_s)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("bigint").alias("n_periods"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        var_s.alias("var_s"),
+        z.alias("z"),
+    )
+
+
+ORACLE["mann_kendall_trend"] = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS VARCHAR)
+              AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT SUM(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat
+  FROM monthly a JOIN monthly b ON a.m < b.m
+), ties AS (
+  SELECT COUNT(*) AS n_distinct,
+         SUM(t * (t - 1) * (2 * t + 5)) AS tie_term,
+         SUM(t) AS n
+  FROM (SELECT y, COUNT(*) AS t FROM monthly GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n_periods, CAST(s_stat AS BIGINT) AS s_stat,
+       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+          * (2.0 * CAST(n AS DOUBLE) + 5.0)
+        - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s,
+       CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                - CAST(tie_term AS DOUBLE)) / 18.0)
+            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                - CAST(tie_term AS DOUBLE)) / 18.0)
+            ELSE 0.0 END AS z
+FROM s, ties
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grubbs outlier statistic — per return flag, G = max deviation from
+# the mean in standard-deviation units, the classic single-outlier
+# screen on grouped measures. No per-row float aggregation anywhere:
+# the extreme deviation is max(mean - min, max - mean) from the
+# group's exact MIN/MAX, and mean/sd come from exact decimal power
+# sums (l_quantity is integer-valued), so every output is a
+# deterministic function of exact aggregates. One combinable groupBy.
+# ---------------------------------------------------------------------------
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(_D38)).cast("string").cast("double").alias("s"),
+        F.sum((x * x).cast(_D38)).cast("string").cast("double").alias("q"),
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    sd = F.sqrt((F.col("q") - F.col("s") * F.col("s") / n) / (n - 1.0))
+    g = F.greatest(mean - F.col("mn"), F.col("mx") - mean) / sd
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        mean.alias("mean"),
+        sd.alias("sd"),
+        g.alias("g_stat"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE["grubbs_test"] = """
+WITH agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE) AS q,
+         MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       s / CAST(n AS DOUBLE) AS mean,
+       sqrt((q - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd,
+       GREATEST(s / CAST(n AS DOUBLE) - mn, mx - s / CAST(n AS DOUBLE))
+         / sqrt((q - s * s / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0)) AS g_stat
+FROM agg
+ORDER BY l_returnflag
+"""

@@ -2507,3 +2507,126 @@ SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
 FROM lifetable
 ORDER BY dur
 """
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation statistic — the regression-diagnostic
+# companion to linear_trend: fit daily revenue ~ day by OLS (exact
+# fixed-point sums, the linear_trend discipline), then
+# DW = sum (e_t - e_{t-1})^2 / sum e_t^2 over the day-ordered
+# residuals. DW ~ 2 means independent residuals; << 2 flags the
+# positive autocorrelation that invalidates naive trend confidence.
+#
+# Exactness: x is integer days since a fixed epoch, y exact cents
+# (decimal), the four OLS sums exact DECIMAL(38,0); residuals are
+# deterministic doubles, and both DW sums fold the day-sorted
+# residual array sequentially (the kaplan_meier fold discipline) —
+# an unordered SUM of float squares would be layout-dependent.
+# Scale: orders collapse to |distinct days| rows (calendar-bounded,
+# ~2.4k), and the folds run in one projection over that array.
+# ---------------------------------------------------------------------------
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    pts = daily.select(
+        F.datediff("d", F.lit("1992-01-01").cast("date"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.col("cents").alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("x").cast("double").alias("x"),
+                    F.col("y").cast("string").cast("double").alias("y"),
+                )
+            )
+        ).alias("pts"),
+    )
+    to_d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    slope = (nn * to_d("sxy") - to_d("sx") * to_d("sy")) / (
+        nn * to_d("sxx") - to_d("sx") * to_d("sx")
+    )
+    intercept = (to_d("sy") - slope * to_d("sx")) / nn
+    # bind slope/intercept as columns the transform can see
+    withres = agg.select(
+        "n",
+        slope.alias("slope_c"),
+        intercept.alias("icept"),
+        "pts",
+    ).select(
+        "n",
+        F.col("slope_c").alias("slope"),
+        F.expr(
+            "transform(pts, p -> p.y - (icept + slope_c * p.x))"
+        ).alias("e"),
+    )
+    den = F.expr(
+        "aggregate(e, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"
+    )
+    num = F.expr(
+        "aggregate(zip_with(slice(e, 2, size(e) - 1), "
+        "slice(e, 1, size(e) - 1), (p, q) -> p - q), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)"
+    )
+    return withres.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        "slope",
+        (num / den).alias("dw_stat"),
+    )
+
+
+ORACLE["durbin_watson"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) * 100
+              AS DECIMAL(38,0)) AS cents
+  FROM orders GROUP BY 1
+), pts AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', d) AS DECIMAL(38,0)) AS x,
+         cents AS y
+  FROM daily
+), agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+         list_sort(list({'x': CAST(x AS DOUBLE),
+                         'y': CAST(CAST(y AS VARCHAR) AS DOUBLE)})) AS pts
+  FROM pts
+), fitted AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS slope_c,
+         pts, sx, sy
+  FROM agg
+), resid AS (
+  SELECT n, slope_c,
+         list_transform(pts, p -> p.y -
+           ((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+             - slope_c * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+              / CAST(n AS DOUBLE)
+            + slope_c * p.x)) AS e
+  FROM fitted
+)
+SELECT CAST(n AS BIGINT) AS n_days, slope_c AS slope,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(list_zip(e[2:], e[:len(e)-1]),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))), (acc, v) -> acc + v)
+       / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(e, v -> v * v)), (acc, v) -> acc + v) AS dw_stat
+FROM resid
+"""

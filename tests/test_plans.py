@@ -30,6 +30,9 @@ BNLJ_ALLOWED = {
     "xyz_demand_classes": 1,
     # 256-row register-index grid broadcast against the event types
     "hll_sketch": 1,
+    # calendar-bounded month-ladder pair join (inequality condition)
+    # + the 1-row tie-correction aggregate broadcast
+    "mann_kendall_trend": 2,
     # 1-row corpus-end aggregate broadcast (same shape as kaplan_meier)
     "nelson_aalen": 1,
     "similarity_topk": 1,
