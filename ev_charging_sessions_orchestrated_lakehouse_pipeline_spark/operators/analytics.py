@@ -4550,3 +4550,210 @@ FROM classed
 GROUP BY 1
 ORDER BY xyz_class
 """
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index — monthly price level vs the base month using
+# base-month quantities as fixed weights: I_t = sum_p p_{p,t} q_{p,0}
+# / sum_p p_{p,0} q_{p,0} over parts traded in BOTH months. The
+# standard inflation / price-drift monitor for a product catalog.
+#
+# Exactness: per-(part, month) unit price is a ratio of exact decimal
+# sums; the cross-part weighted sums are FIXED-POINT — prices
+# quantized to micro-units (floor(p * 1e6), deterministic on a
+# deterministic double) and multiplied by integral base quantities,
+# so both index sums are exact DECIMAL(38,0) integer accumulations
+# (associative, layout-invariant) and the final division is one IEEE
+# op. The float-sum-order trap is structurally absent.
+# Scale: two combinable groupBys (part x month, then month) plus a
+# broadcast of the 1-row base-month aggregate and the base-month
+# weight frame (|parts in one month|).
+# ---------------------------------------------------------------------------
+def q_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pm = (
+        li.select(
+            "l_partkey",
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        .groupBy("l_partkey", "month")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("ext"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+        )
+        .select(
+            "l_partkey",
+            "month",
+            F.floor(
+                (
+                    F.col("ext").cast("string").cast("double")
+                    / F.col("qty").cast("string").cast("double")
+                )
+                * 1e6
+            )
+            .cast("decimal(38,0)")
+            .alias("p_micro"),
+            F.col("qty").cast("decimal(38,0)").alias("qty_int"),
+        )
+    )
+    base_month = pm.agg(F.min("month").alias("bm"))
+    base = (
+        pm.join(F.broadcast(base_month), pm.month == F.col("bm"))
+        .select(
+            "l_partkey",
+            F.col("p_micro").alias("p0_micro"),
+            F.col("qty_int").alias("q0"),
+        )
+    )
+    weighted = pm.join(F.broadcast(base), "l_partkey").groupBy("month").agg(
+        F.sum(F.col("p_micro") * F.col("q0")).alias("num"),
+        F.sum(F.col("p0_micro") * F.col("q0")).alias("den"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return weighted.select(
+        "month",
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        (
+            F.col("num").cast("string").cast("double")
+            / F.col("den").cast("string").cast("double")
+        ).alias("laspeyres_index"),
+    ).orderBy("month")
+
+
+ORACLE["price_index_laspeyres"] = """
+WITH pm AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(FLOOR(
+           (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10)))
+                 AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,10)))
+                 AS VARCHAR) AS DOUBLE)) * 1e6
+         ) AS DECIMAL(38,0)) AS p_micro,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,10))) AS DECIMAL(38,0))
+           AS qty_int
+  FROM lineitem GROUP BY 1, 2
+), bm AS (
+  SELECT MIN(month) AS bm FROM pm
+), base AS (
+  SELECT l_partkey, p_micro AS p0_micro, qty_int AS q0
+  FROM pm, bm WHERE month = bm
+)
+SELECT pm.month, COUNT(*) AS n_parts,
+       CAST(CAST(SUM(pm.p_micro * base.q0) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(base.p0_micro * base.q0) AS VARCHAR) AS DOUBLE)
+         AS laspeyres_index
+FROM pm JOIN base ON base.l_partkey = pm.l_partkey
+GROUP BY pm.month
+ORDER BY pm.month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join — the storage-level shuffle elimination
+# every recurring big-big join earns at 100 TB: write both sides
+# bucketed (and sorted) by the join key with Spark's bucketBy, and
+# the sort-merge join planner consumes the bucket layout directly —
+# NO Exchange on either side of the join (pinned in
+# tests/test_plans.py::test_bucketed_join_has_no_shuffle). On a
+# 1000-executor cluster this turns the nightly orders x lineitem
+# reconciliation from two full-table shuffles into a metadata-only
+# co-located read; the one-time bucketed write amortizes across every
+# downstream join on the same key.
+#
+# The query freezes its aggregate into a literal frame (the snapshot
+# lifecycle pattern) so the driver compares values, while the bucketed
+# tables themselves are per-(sf_dir) temp-named, overwritten
+# idempotently, and dropped after the read.
+# ---------------------------------------------------------------------------
+BUCKETS = 8
+
+
+def bucketed_pair(
+    spark: SparkSession, sf_dir: str, suffix: str
+) -> tuple[str, str]:
+    """Write orders/lineitem bucketed+sorted by the join key into the
+    session warehouse (idempotent overwrite); returns table names."""
+    ot, lt = f"evlake_bkt_orders_{suffix}", f"evlake_bkt_lineitem_{suffix}"
+    # a FRESH session's in-memory catalog has forgotten these tables
+    # while their warehouse directories persist on disk; saveAsTable
+    # then refuses (LOCATION_ALREADY_EXISTS) — drop both layers first
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable(ot)
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable(lt)
+    )
+    return ot, lt
+
+
+def bucketed_join_frame(spark: SparkSession, ot: str, lt: str) -> DataFrame:
+    """The co-located join plan over two bucketed tables (no Exchange
+    on either join side — asserted in tests/test_plans.py)."""
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        # MERGE hint: at fixture scale Catalyst would broadcast the
+        # small side, hiding the property under test — at 100 TB
+        # neither side broadcasts, and the SMJ-over-buckets plan (no
+        # Exchange, no Sort on either input) is the whole point
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ot, lt = bucketed_pair(spark, sf_dir, suffix)
+    try:
+        rows = bucketed_join_frame(spark, ot, lt).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, r.n_lines, float(r.revenue))
+            for r in rows
+        ],
+        "o_orderstatus string, n_lines bigint, revenue double",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["bucketed_join"] = f"""
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -605,3 +605,31 @@ def test_kendall_tau_never_pairs_rows(spark, sf_dir):
     # no cartesian/BNLJ anywhere (the densify join is an equi join)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The point of q_bucketed_join: both sides are bucketed+sorted by
+    the join key, so the sort-merge join consumes the bucket layout
+    with NO Exchange on either join input (the storage-co-located
+    join that removes both full-table shuffles from a recurring
+    big-big join). The aggregate after the join may still exchange —
+    only the join inputs are pinned."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.analytics import (
+        bucketed_join_frame,
+        bucketed_pair,
+    )
+
+    import re
+
+    ot, lt = bucketed_pair(spark, sf_dir, "plantest")
+    try:
+        plan = _formatted_plan(spark, bucketed_join_frame(spark, ot, lt))
+        assert "SortMergeJoin" in plan
+        # exactly ONE Exchange in the whole plan — the post-join
+        # partial->final aggregate; neither join input shuffles
+        exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+        assert len(exchanges) == 1, plan.split("\n\n")[0]
+        assert plan.count("Bucketed: true") == 2  # both scans bucketed
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
