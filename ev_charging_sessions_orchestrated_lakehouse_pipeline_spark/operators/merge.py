@@ -2525,3 +2525,80 @@ FROM merged
 GROUP BY o_channel
 ORDER BY o_channel
 """
+
+
+def q_snapshot_restore_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TIMESTAMP AS OF lifecycle audit
+    (sources/snaptable.restore_to_timestamp = rollback composed with
+    version_as_of's newest-commit-at-or-before resolution — Delta's
+    time-based RESTORE): build a 3-version chain, capture the REAL
+    commit timestamp of v2 from the manifest, advance the table, then
+    restore to that timestamp and verify (a) the restored head equals
+    v2's state exactly, (b) the restore is a NEW head (history
+    preserved, the bad commit still time-travelable), and (c) a
+    timestamp predating the first commit refuses rather than silently
+    serving a younger snapshot. The oracle replays v2's logical row
+    set; contract bits ride every row so a wrong resolution moves the
+    hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_rts_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders.filter(F.col("o_orderstatus") == "F"), table, [])
+    st.append(orders.filter(F.col("o_orderstatus") == "P"), table)  # v2
+    ts_v2 = st._read_manifest(table, 2)["committed_at"]
+    st.append(orders.filter(F.col("o_orderstatus") == "O"), table)  # v3
+    new_head = st.restore_to_timestamp(table, ts_v2)
+    try:
+        st.restore_to_timestamp(table, 0.0)
+        refused = False
+    except ValueError:
+        refused = True
+    contract_ok = bool(
+        refused
+        and new_head == 4
+        and st.current_version(table) == 4
+        # the pre-restore head is still reachable by version
+        and st.read_snapshot(spark, table, version=3).count()
+        >= st.read_snapshot(spark, table).count()
+    )
+    out = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, contract_ok, r.n, float(r.sum_price))
+            for r in out
+        ],
+        "o_orderstatus string, contract_ok boolean, n bigint, "
+        "sum_price double",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_restore_timestamp"] = f"""
+SELECT o_orderstatus, TRUE AS contract_ok, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

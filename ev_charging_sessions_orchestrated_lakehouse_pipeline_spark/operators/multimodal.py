@@ -494,3 +494,75 @@ SELECT doc_id,
        CAST(32000000 // rate AS BIGINT) AS duration_us
 FROM r
 """
+
+
+CHANNEL_STATS_SCHEMA = (
+    "doc_id long, r_sum long, g_sum long, b_sum long, "
+    "min_byte int, max_byte int"
+)
+
+
+def channel_stats(media: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics off the REAL P6 decode — the
+    image-pipeline feature-extraction shape (channel means feed
+    brightness/color-cast filters in a pretraining visual-data
+    curation pass): interleaved RGB raster -> per-channel sums +
+    global byte extrema, computed batch-wise in the same Arrow
+    mapInPandas path as decode_ppm_features (one Python round-trip
+    per ~10k-row batch, never per row)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_ppm(bytes(b)) for b in pdf["payload"]]
+            rasters = [d[3] for d in decoded]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "r_sum": pd.array(
+                        [sum(r[0::3]) for r in rasters], dtype="int64"
+                    ),
+                    "g_sum": pd.array(
+                        [sum(r[1::3]) for r in rasters], dtype="int64"
+                    ),
+                    "b_sum": pd.array(
+                        [sum(r[2::3]) for r in rasters], dtype="int64"
+                    ),
+                    "min_byte": pd.array(
+                        [min(r) for r in rasters], dtype="int32"
+                    ),
+                    "max_byte": pd.array(
+                        [max(r) for r in rasters], dtype="int32"
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=CHANNEL_STATS_SCHEMA
+    )
+
+
+def q_multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return channel_stats(synthesize_ppm(_docs(spark, sf_dir)))
+
+
+ORACLE["multimodal_channel_stats"] = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         (CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 4 + 1) AS w,
+         (CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 4 + 1) AS ht
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(repeat(h, 9), 2*i - 1, 2)) AS INT) AS byte,
+         (i - 1) % 3 AS ch
+  FROM m, LATERAL unnest(generate_series(1, w * ht * 3)) AS t(i)
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN ch = 0 THEN byte END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN ch = 1 THEN byte END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN ch = 2 THEN byte END) AS BIGINT) AS b_sum,
+       CAST(MIN(byte) AS INT) AS min_byte,
+       CAST(MAX(byte) AS INT) AS max_byte
+FROM px
+GROUP BY doc_id
+"""
