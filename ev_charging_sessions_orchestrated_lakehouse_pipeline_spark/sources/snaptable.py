@@ -962,7 +962,12 @@ def append(
     )
 
 
-def overwrite_table(df: DataFrame, table: str) -> int:
+def overwrite_table(
+    df: DataFrame,
+    table: str,
+    materialized_row_ids: bool = False,
+    next_row_id: int | None = None,
+) -> int:
     """Full-table replace: the new snapshot references only the new
     files; history (and time travel to it) is preserved.
 
@@ -983,7 +988,12 @@ def overwrite_table(df: DataFrame, table: str) -> int:
     _guard_identity(prev, df)
     df = _apply_generated(df, prev.get("generated") or {})
     _validate_constraints(df, prev.get("constraints", {}))
-    new_names = {f.name for f in df.schema.fields}
+    # materialized_row_ids: the frame carries ROW_ID_COL (preserved
+    # row tracking through a rewrite, e.g. merge_into) — the column
+    # lands in the data files but NEVER in the committed schema
+    new_names = {
+        f.name for f in df.schema.fields if f.name != ROW_ID_COL
+    }
     mapping = {
         logical: physical
         for logical, physical in (prev.get("column_mapping") or {}).items()
@@ -996,21 +1006,35 @@ def overwrite_table(df: DataFrame, table: str) -> int:
         if name in used_physical:
             mapping[name] = f"{name}__r{head + 1}"
     new = _write_data(df, table, prev["partition_cols"], mapping=mapping)
+    stats = _collect_stats(table, new)
+    if materialized_row_ids:
+        for e in stats.values():
+            e["materialized_row_ids"] = True
     return _commit(
         table,
         "overwrite",
         new,
         prev["partition_cols"],
-        df.schema.json(),
+        df.drop(ROW_ID_COL).schema.json(),
         head,
-        file_stats=_collect_stats(table, new),
+        file_stats=stats,
         constraints=prev.get("constraints", {}),
         column_mapping=mapping,
+        extra=(
+            {"next_row_id": int(next_row_id)}
+            if next_row_id is not None
+            else None
+        ),
     )
 
 
 def overwrite_partitions(
-    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    table: str,
+    txn: tuple[str, int] | None = None,
+    schema_json: str | None = None,
+    materialized_row_ids: bool = False,
+    next_row_id: int | None = None,
 ) -> int:
     """Dynamic partition overwrite — the reference's
     ``writeTo(...).overwritePartitions()`` (gold_etl.py:156): only
@@ -1052,21 +1076,33 @@ def overwrite_partitions(
         for f in prev["files"]
         if tuple(sorted(_partition_values(f, hive).items())) not in touched
     ]
+    new_stats = _collect_stats(table, new)
+    if materialized_row_ids:
+        for e in new_stats.values():
+            e["materialized_row_ids"] = True
     return _commit(
         table,
         "overwrite_partitions",
         sorted(kept + new),
         pcols,
-        prev["schema"],
+        # schema_json: widened schema from a schema-evolving MERGE —
+        # carried files of untouched partitions null-fill the new
+        # columns at read, exactly like append(merge_schema=True)
+        schema_json or prev["schema"],
         head,
         txn=txn,
-        file_stats=_carry_stats(prev, kept, _collect_stats(table, new)),
+        file_stats=_carry_stats(prev, kept, new_stats),
         constraints=prev.get("constraints", {}),
         deletion_vectors={
             f: ps
             for f, ps in prev.get("deletion_vectors", {}).items()
             if f in set(kept)
         },
+        extra=(
+            {"next_row_id": int(next_row_id)}
+            if next_row_id is not None
+            else None
+        ),
     )
 
 
@@ -1552,10 +1588,11 @@ def enable_row_tracking(table: str) -> int:
     here on every data-adding commit allocates fresh ranges, DV
     deletes retire ids without touching survivors, and OPTIMIZE and
     the DV UPDATE path preserve ids by materializing them into the
-    rewritten files (:data:`ROW_ID_COL`). File-REWRITING ops
-    (update_where's rewrite path, merge) assign fresh ids to
-    rewritten rows — the Delta default without preserved-row-tracking
-    writes. Idempotent."""
+    rewritten files (:data:`ROW_ID_COL`), as does :func:`merge_into`
+    (surviving and matched rows keep their ids; only inserts allocate
+    — Delta's preserved-row-tracking writes). update_where's rewrite
+    path assigns fresh ids to rewritten rows — the Delta default
+    without preservation; its DV path preserves. Idempotent."""
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist")
@@ -2530,7 +2567,10 @@ def changes(
     is exact even though the row changed files. Commits predating
     :func:`enable_row_tracking` have no ids to pair — their change
     rows surface with a null ``_row_id`` and keep the plain
-    insert/delete labels (never relabeled as update halves).
+    insert/delete labels (never relabeled as update halves). A
+    preserved-id file REWRITE (merge_into) surfaces every carried row
+    as a value-identical update pair — honest "rewritten in place"
+    semantics; consumers diffing values see exactly the real changes.
 
     ``optimize`` commits are skipped entirely: compaction/Z-ORDER
     rewrites are content-identical by contract (optimize() verifies
@@ -3304,7 +3344,19 @@ def merge_into(
         raise ValueError(f"{table} does not exist")
     man = _read_manifest(table, head)
     pcols = man["partition_cols"]
-    target = read_snapshot(spark, table)
+    track = bool(man.get("row_tracking"))
+    if track:
+        # PRESERVED row tracking through the merge rewrite (Delta's
+        # preserved-row-tracking writes): read the target's stable ids
+        # and materialize them into the rewritten files — surviving
+        # rows keep their ids, matched rows INHERIT their target id
+        # (so with_row_ids CDF pairs the merge's updates), and only
+        # genuine inserts allocate above the high-water mark
+        target = read_snapshot(
+            spark, table, with_row_ids=True
+        ).withColumnRenamed("_row_id", ROW_ID_COL)
+    else:
+        target = read_snapshot(spark, table)
     ident = (man.get("identity") or {}).get("col")
     if ident:
         if ident in source.columns:
@@ -3313,9 +3365,10 @@ def merge_into(
                 "merge sources must not supply it"
             )
         # the read-side derivation added it to the target frame; the
-        # rewrite must not carry it (rewritten rows get fresh ids —
-        # the documented file-rewrite stance for row tracking)
+        # rewrite must not carry it (it re-derives from the preserved
+        # row ids, so surviving AND matched rows keep their surrogate)
         target = target.drop(ident)
+    evolved_cols: list[str] = []
     if evolve_schema:
         from pyspark.sql import functions as F
 
@@ -3324,7 +3377,18 @@ def merge_into(
                 target = target.withColumn(
                     fld.name, F.lit(None).cast(fld.dataType)
                 )
+                evolved_cols.append(fld.name)
     pruned = pcols and all(c in source.columns for c in pcols)
+    if evolved_cols:
+        # a new logical name colliding with a still-claimed physical
+        # name (mapped or retired) needs the resurrection-guard
+        # remapping that only the full overwrite path implements —
+        # take it (correct, just unpruned) in that rare case
+        claimed = set((man.get("column_mapping") or {}).values()) | set(
+            man.get("retired_columns") or []
+        )
+        if any(c in claimed for c in evolved_cols):
+            pruned = False
     if pruned:
         touched = [
             tuple(r) for r in source.select(*pcols).distinct().collect()
@@ -3339,10 +3403,66 @@ def merge_into(
                 eq = e if eq is None else (eq & e)
             cond = eq if cond is None else (cond | eq)
         target = target.filter(cond)
-    merged = merge_upsert(target, source, keys, delete_col, broadcast_source)
+    next_mark: int | None = None
+    if track:
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as F
+
+        src = F.broadcast(source) if broadcast_source else source
+        kept = target.join(src.select(*keys), keys, "left_anti")
+        incoming = (
+            source.filter(~F.col(delete_col)).drop(delete_col)
+            if delete_col is not None
+            else source
+        )
+        # matched rows inherit the target id via one keyed equi-join
+        tids = target.select(*keys, ROW_ID_COL)
+        incoming = incoming.join(tids, keys, "left")
+        inserts = incoming.filter(F.col(ROW_ID_COL).isNull()).drop(
+            ROW_ID_COL
+        )
+        mark = int(man.get("next_row_id") or 0)
+        n_new = inserts.count()  # bounded: the merge batch's inserts
+        # deterministic fresh ids above the mark; the key-ordered
+        # window runs over the INSERT subset only (the small side of
+        # a CDC merge — bulk loads should use append, which allocates
+        # per-file ranges with no sort)
+        fresh = inserts.withColumn(
+            ROW_ID_COL,
+            F.row_number().over(_W.orderBy(*keys)).cast("long")
+            + F.lit(mark - 1).cast("long"),
+        )
+        merged = kept.unionByName(
+            incoming.filter(F.col(ROW_ID_COL).isNotNull())
+        ).unionByName(fresh)
+        next_mark = mark + int(n_new)
+    else:
+        merged = merge_upsert(
+            target, source, keys, delete_col, broadcast_source
+        )
     if pruned:
-        return overwrite_partitions(merged, table)
-    return overwrite_table(merged, table)
+        return overwrite_partitions(
+            merged,
+            table,
+            # evolution on the pruned path: commit the WIDENED schema
+            # (prev schema + the new columns, in the merged frame's
+            # order) so carried untouched-partition files null-fill —
+            # committing prev["schema"] here would silently drop the
+            # new columns from every read (regression-tested)
+            schema_json=(
+                merged.drop(ROW_ID_COL).schema.json()
+                if evolved_cols
+                else None
+            ),
+            materialized_row_ids=track,
+            next_row_id=next_mark,
+        )
+    return overwrite_table(
+        merged,
+        table,
+        materialized_row_ids=track,
+        next_row_id=next_mark,
+    )
 
 
 def clone_table(src_table: str, dst_table: str) -> int:

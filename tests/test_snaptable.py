@@ -3441,12 +3441,18 @@ class TestIdentityColumns:
         )
         st.merge_into(spark, t, src, ["id"], evolve_schema=True)
         got = {
-            r.id: (r.v, r.ch) for r in st.read_snapshot(spark, t).collect()
+            r.id: (r.v, r.ch, r.sk)
+            for r in st.read_snapshot(spark, t).collect()
         }
-        assert got[3] == (999, "web") and got[300] == (5, "app")
-        assert got[0] == (0, None)
-        sks = [r.sk for r in st.read_snapshot(spark, t).collect()]
-        assert len(sks) == len(set(sks))  # rewrite reassigns, stays unique
+        assert got[3][:2] == (999, "web") and got[300][:2] == (5, "app")
+        assert got[0][:2] == (0, None)
+        # preserved row tracking: survivors AND the matched row keep
+        # their surrogate through the merge; the insert allocates
+        # above the mark
+        assert got[3][2] == 1006 and got[0][2] == 1000
+        assert got[300][2] == 1016
+        sks = [v[2] for v in got.values()]
+        assert len(sks) == len(set(sks))
 
 
 def test_restore_to_timestamp(spark, tmp_path):
@@ -3461,3 +3467,67 @@ def test_restore_to_timestamp(spark, tmp_path):
     # predating the first commit refuses (version_as_of contract)
     with pytest.raises(ValueError):
         st.restore_to_timestamp(t, 0.0)
+
+
+def test_merge_evolution_on_partitioned_table(spark, tmp_path):
+    """Regression: the PRUNED merge path must commit the WIDENED
+    schema — before the fix it committed the parent schema, writing
+    the new column into files but dropping it from every read."""
+    t = str(tmp_path / "mev_part")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", i * 1.0) for i in range(10)],
+        "id int, g string, v double",
+    )
+    st.create_table(df, t, ["g"])
+    src = spark.createDataFrame(
+        [(1, "A", 99.0, "web"), (100, "A", 5.0, "app")],
+        "id int, g string, v double, ch string",
+    )
+    st.merge_into(spark, t, src, ["id"], evolve_schema=True)
+    out = st.read_snapshot(spark, t)
+    assert "ch" in out.columns
+    got = {r.id: (r.v, r.ch) for r in out.collect()}
+    assert got[1] == (99.0, "web") and got[100] == (5.0, "app")
+    # untouched partition (g='B') carried by reference, null-filled
+    assert got[0] == (0.0, None) and got[2] == (2.0, None)
+    assert out.count() == 11
+
+
+def test_merge_preserves_row_ids_and_cdf_pairs_updates(spark, tmp_path):
+    """Preserved row tracking through MERGE: survivors and matched
+    rows keep their stable ids (materialized into the rewrite), only
+    inserts allocate above the mark, and the row-id CDF pairs the
+    merge's changes by id — value-identical pairs mark carried rows
+    (rewritten in place), value-diffing pairs the real updates."""
+    t = str(tmp_path / "rt_merge_cdf")
+    df = (
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id int, v int")
+        .repartition(1)
+        .sortWithinPartitions("id")
+    )
+    st.create_table(df, t, [])
+    st.enable_row_tracking(t)  # v2: ids 0..7 in id order
+    src = spark.createDataFrame([(3, 999), (100, 1)], "id int, v int")
+    st.merge_into(spark, t, src, ["id"])  # v3
+    ids = {
+        r.id: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    assert ids == {**{i: i for i in range(8)}, 100: 8}
+    assert st._read_manifest(t, 3)["next_row_id"] == 9
+    cdf = st.changes(spark, t, 2, with_row_ids=True).collect()
+    pre = {r._row_id: r.v for r in cdf if r._change_type == "update_preimage"}
+    post = {
+        r._row_id: r.v for r in cdf if r._change_type == "update_postimage"
+    }
+    changed = {k for k in pre if pre[k] != post[k]}
+    assert changed == {3} and post[3] == 999
+    ins = [(r.id, r._row_id) for r in cdf if r._change_type == "insert"]
+    assert ins == [(100, 8)]
+    # idempotent replay: same source -> same ids, mark advances by 0
+    st.merge_into(spark, t, src, ["id"])
+    ids2 = {
+        r.id: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    assert ids2 == ids
