@@ -1163,3 +1163,354 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
 FROM agg
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — is the daily revenue series random
+# around its median, or does it cluster (momentum / regime) /
+# alternate (overcorrection)? The classic distribution-free
+# randomness screen that complements mann_kendall_trend (monotone
+# drift) with run-structure sensitivity.
+#
+# Exactness: daily revenues are exact decimal sums; the median is the
+# exact order statistic (average of the two middle values for even
+# n); run boundaries are integer sums of boolean lag-compares (order
+# within the window is the date order, and integer addition is
+# order-free anyway); mu/sigma/z are deterministic double arithmetic
+# on integer counts with one sqrt. Rows equal to the median are
+# excluded (standard practice). Scale: the series is
+# calendar-bounded (~2.4k rows); the lag window over it is the same
+# pinned single-partition payload-free exchange as the other ladder
+# queries.
+# ---------------------------------------------------------------------------
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,10)"))
+        .cast("string")
+        .cast("double")
+        .alias("y")
+    )
+    wrank = W.orderBy("y", "d")
+    ranked = daily.select(
+        "d", "y", F.row_number().over(wrank).alias("r")
+    )
+    nrow = daily.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(nrow))
+        .filter(
+            (F.col("r") * 2 == F.col("n") + 1)
+            | (F.col("r") * 2 == F.col("n"))
+            | (F.col("r") * 2 == F.col("n") + 2)
+        )
+        .agg((F.sum("y") / F.count(F.lit(1))).alias("med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("med"))
+        .select("d", (F.col("y") > F.col("med")).cast("int").alias("s"))
+    )
+    wlag = W.orderBy("d")
+    runs = signed.select(
+        "s", F.lag("s").over(wlag).alias("prev")
+    ).agg(
+        F.sum(
+            (F.col("prev").isNull() | (F.col("s") != F.col("prev"))).cast(
+                "int"
+            )
+        ).alias("n_runs"),
+        F.sum("s").alias("n1"),
+        F.sum((F.col("s") == 0).cast("int")).alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return runs.select(
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        mu.alias("expected_runs"),
+        ((F.col("n_runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+ORACLE["runs_test"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS VARCHAR)
+              AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT d, y, ROW_NUMBER() OVER (ORDER BY y, d) AS r,
+         COUNT(*) OVER () AS n
+  FROM daily
+), med AS (
+  SELECT SUM(y) / COUNT(*) AS med FROM ranked
+  WHERE (r * 2 = n + 1) OR (r * 2 = n) OR (r * 2 = n + 2)
+), signed AS (
+  SELECT d, CAST(y > med AS INT) AS s
+  FROM daily, med WHERE y <> med
+), runs AS (
+  SELECT SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+           AS n_runs,
+         SUM(s) AS n1, SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n2
+  FROM (SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signed)
+)
+SELECT CAST(n_runs AS BIGINT) AS n_runs, CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 AS expected_runs,
+       (CAST(n_runs AS DOUBLE)
+          - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+       / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+              / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z
+FROM runs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect sizes — for every pair of return-flag groups, the
+# standardized mean difference in l_quantity with the pooled standard
+# deviation: the practical-significance companion to anova_oneway's
+# F (which says "some group differs" without saying by how much).
+#
+# Exactness: group moments come from the same exact decimal power
+# sums as anova_oneway; the pair frame is a broadcast self-join of
+# the |flags|-row aggregate; every output is deterministic double
+# arithmetic with one sqrt. Nothing shuffles beyond the one
+# combinable groupBy.
+# ---------------------------------------------------------------------------
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(_D38)).cast("string").cast("double").alias("s"),
+        F.sum((x * x).cast(_D38)).cast("string").cast("double").alias("q"),
+    )
+    a = g.select(
+        F.col("l_returnflag").alias("flag_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = g.select(
+        F.col("l_returnflag").alias("flag_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    mean_a = F.col("sa") / na
+    mean_b = F.col("sb") / nb
+    ss_a = F.col("qa") - F.col("sa") * F.col("sa") / na
+    ss_b = F.col("qb") - F.col("sb") * F.col("sb") / nb
+    pooled = F.sqrt((ss_a + ss_b) / (na + nb - 2.0))
+    return (
+        a.join(F.broadcast(b), F.col("flag_a") < F.col("flag_b"))
+        .select(
+            "flag_a",
+            "flag_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            ((mean_a - mean_b) / pooled).alias("cohens_d"),
+        )
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+ORACLE["cohens_d"] = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE) AS q
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       (a.s / CAST(a.n AS DOUBLE) - b.s / CAST(b.n AS DOUBLE))
+         / sqrt(((a.q - a.s * a.s / CAST(a.n AS DOUBLE))
+                 + (b.q - b.s * b.s / CAST(b.n AS DOUBLE)))
+                / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0))
+         AS cohens_d
+FROM g a JOIN g b ON a.l_returnflag < b.l_returnflag
+ORDER BY flag_a, flag_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) test — are the group variances
+# equal? The gate anova_oneway's equal-variance assumption needs: a
+# one-way ANOVA F computed on z = |x - median_g| instead of x.
+#
+# Scale + exactness via the BOUNDED-DOMAIN LADDER (the spearman/
+# mann-whitney discipline): l_quantity has <= |domain| distinct
+# values, so per-group medians come from cumulative counts over the
+# (flag, value) ladder — never a rank() window partitioned by a
+# 3-value key (parallelism 3 at any cluster size, the round-8
+# spearman defect). The ladder also carries the rest: z is exact in
+# halves, z^2 in quarters, and the weighted power sums S_g = sum
+# cnt*z, Q_g = sum cnt*z^2 are exact decimal folds over ~150 ladder
+# rows. The F statistic is then the anova_oneway arithmetic on exact
+# aggregates, cross-group term folded in flag order.
+# ---------------------------------------------------------------------------
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ladder = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = W.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = ladder.select(
+        "l_returnflag",
+        "l_quantity",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_g"),
+    )
+    # median order statistics from the ladder: the value at rank
+    # floor((n+1)/2) and at rank floor(n/2)+1 is the one whose
+    # cumulative span covers that rank — two filters, no row sort
+    r1 = F.floor((F.col("n_g") + 1) / 2)
+    r2 = F.floor(F.col("n_g") / 2) + 1
+    v1 = cum.filter(
+        (F.col("cum") >= r1) & (F.col("cum") - F.col("cnt") < r1)
+    ).select("l_returnflag", F.col("l_quantity").alias("v1"))
+    v2 = cum.filter(
+        (F.col("cum") >= r2) & (F.col("cum") - F.col("cnt") < r2)
+    ).select("l_returnflag", F.col("l_quantity").alias("v2"))
+    medians = v1.join(v2, "l_returnflag").select(
+        "l_returnflag",
+        ((F.col("v1") + F.col("v2")) / 2.0).alias("med"),
+    )
+    z = F.abs(F.col("l_quantity") - F.col("med"))
+    zl = ladder.join(F.broadcast(medians), "l_returnflag").select(
+        "l_returnflag",
+        "cnt",
+        z.alias("z"),
+    )
+    grp = zl.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("n_g"),
+        F.sum((F.col("cnt") * F.col("z")).cast(_D38))
+        .cast("string")
+        .cast("double")
+        .alias("s_g"),
+        F.sum((F.col("cnt") * F.col("z") * F.col("z")).cast(_D38))
+        .cast("string")
+        .cast("double")
+        .alias("q_g"),
+    )
+    folded = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "l_returnflag",
+                    (
+                        F.col("s_g") * F.col("s_g")
+                        / F.col("n_g").cast("double")
+                    ).alias("t"),
+                    F.col("s_g").alias("s"),
+                    F.col("q_g").alias("q"),
+                )
+            )
+        ).alias("terms"),
+    ).select(
+        "k",
+        "n",
+        F.expr(
+            "aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)"
+        ).alias("ssn"),
+        F.expr(
+            "aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.s)"
+        ).alias("s"),
+        F.expr(
+            "aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.q)"
+        ).alias("q"),
+    )
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    ssb = F.col("ssn") - F.col("s") * F.col("s") / nn
+    ssw = F.col("q") - F.col("ssn")
+    return folded.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (ssb / (kk - 1.0) / (ssw / (nn - kk))).alias("f_stat"),
+    )
+
+
+ORACLE["levene_test"] = """
+WITH ladder AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_g
+  FROM ladder
+), v1 AS (
+  SELECT l_returnflag, l_quantity AS v1 FROM cum
+  WHERE cum >= FLOOR((n_g + 1) / 2) AND cum - cnt < FLOOR((n_g + 1) / 2)
+), v2 AS (
+  SELECT l_returnflag, l_quantity AS v2 FROM cum
+  WHERE cum >= FLOOR(n_g / 2) + 1 AND cum - cnt < FLOOR(n_g / 2) + 1
+), medians AS (
+  SELECT v1.l_returnflag, (v1 + v2) / 2.0 AS med
+  FROM v1 JOIN v2 ON v2.l_returnflag = v1.l_returnflag
+), grp AS (
+  SELECT ladder.l_returnflag, SUM(cnt) AS n_g,
+         CAST(CAST(SUM(CAST(cnt * ABS(l_quantity - med) AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE) AS s_g,
+         CAST(CAST(SUM(CAST(cnt * ABS(l_quantity - med)
+              * ABS(l_quantity - med) AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) AS q_g
+  FROM ladder JOIN medians ON medians.l_returnflag = ladder.l_returnflag
+  GROUP BY 1
+), folded AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({'l_returnflag': l_returnflag,
+                           't': s_g * s_g / CAST(n_g AS DOUBLE),
+                           's': s_g, 'q': q_g})),
+           x -> x.t)), (acc, v) -> acc + v) AS ssn,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({'l_returnflag': l_returnflag,
+                           't': s_g * s_g / CAST(n_g AS DOUBLE),
+                           's': s_g, 'q': q_g})),
+           x -> x.s)), (acc, v) -> acc + v) AS s,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({'l_returnflag': l_returnflag,
+                           't': s_g * s_g / CAST(n_g AS DOUBLE),
+                           's': s_g, 'q': q_g})),
+           x -> x.q)), (acc, v) -> acc + v) AS q
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+       ssn - s * s / CAST(n AS DOUBLE) AS ss_between,
+       q - ssn AS ss_within,
+       (ssn - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+         / ((q - ssn) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+         AS f_stat
+FROM folded
+"""

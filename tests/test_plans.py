@@ -33,6 +33,11 @@ BNLJ_ALLOWED = {
     # calendar-bounded month-ladder pair join (inequality condition)
     # + the 1-row tie-correction aggregate broadcast
     "mann_kendall_trend": 2,
+    # |flags|-row moment-aggregate inequality self-join (pair frame)
+    "cohens_d": 1,
+    # 1-row count broadcast into the median-rank filter + 1-row
+    # median broadcast into the sign projection
+    "runs_test": 2,
     # 1-row corpus-end aggregate broadcast (same shape as kaplan_meier)
     "nelson_aalen": 1,
     "similarity_topk": 1,
