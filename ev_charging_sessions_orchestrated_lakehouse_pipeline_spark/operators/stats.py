@@ -2630,3 +2630,252 @@ SELECT CAST(n AS BIGINT) AS n_days, slope_c AS slope,
            list_transform(e, v -> v * v)), (acc, v) -> acc + v) AS dw_stat
 FROM resid
 """
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — do two user cohorts (deterministic A/B arms:
+# user_id parity) have the same churn survival curve? The standard
+# two-sample survival comparison completing the kaplan_meier /
+# nelson_aalen family: at every event time, the observed group-1
+# events are compared to the hypergeometric expectation given the
+# groups' at-risk counts; Z = (O1 - E1) / sqrt(sum V).
+#
+# Exactness: the lifetable is integer counts on the duration ladder;
+# E and V terms are deterministic doubles folded in duration order
+# (the kaplan_meier fold discipline — engine-order float sums would
+# differ); O1 is an exact integer; one final sqrt. Scale: identical
+# to kaplan_meier — events collapse to one row per user, then to
+# |distinct durations| x 2 lifetable cells.
+# ---------------------------------------------------------------------------
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    end = ev.agg(F.max("ts").alias("t_end"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(end))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.datediff(F.to_date("t1"), F.to_date("t0")).alias("dur"),
+            (
+                F.datediff(F.to_date("t_end"), F.to_date("t1"))
+                >= F.lit(KM_CENSOR_DAYS)
+            )
+            .cast("int")
+            .alias("event"),
+        )
+    )
+    cells = users.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("a0"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("event") == 1), 1).otherwise(0)
+        ).alias("d1"),
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("event") == 1), 1).otherwise(0)
+        ).alias("d0"),
+    )
+    wall = W.orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    n1 = F.sum("a1").over(wall) - F.coalesce(F.sum("a1").over(wcum), F.lit(0))
+    n0 = F.sum("a0").over(wall) - F.coalesce(F.sum("a0").over(wcum), F.lit(0))
+    risk = cells.select(
+        "dur", "d1", "d0", n1.alias("n1"), n0.alias("n0")
+    ).filter(F.col("d1") + F.col("d0") > 0)
+    dt = (F.col("d1") + F.col("d0")).cast("double")
+    nt = (F.col("n1") + F.col("n0")).cast("double")
+    e1 = dt * F.col("n1").cast("double") / nt
+    v = F.when(
+        nt > 1.0,
+        dt
+        * (F.col("n1").cast("double") / nt)
+        * (F.col("n0").cast("double") / nt)
+        * (nt - dt)
+        / (nt - 1.0),
+    ).otherwise(F.lit(0.0))
+    terms = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.count(F.lit(1)).alias("n_times"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("dur").alias("t"), e1.alias("e"), v.alias("v")))
+        ).alias("terms"),
+    )
+    esum = F.expr("aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.e)")
+    vsum = F.expr("aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.v)")
+    return terms.select(
+        F.col("o1").cast("bigint").alias("observed_g1"),
+        F.col("n_times").cast("bigint").alias("n_event_times"),
+        esum.alias("expected_g1"),
+        ((F.col("o1").cast("double") - esum) / F.sqrt(vsum)).alias("z"),
+    )
+
+
+ORACLE["logrank_test"] = f"""
+WITH ev AS (SELECT user_id, ts FROM events),
+endt AS (SELECT MAX(ts) AS t_end FROM ev),
+users AS (
+  SELECT CAST(user_id % 2 AS INT) AS grp,
+         date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS dur,
+         CASE WHEN date_diff('day', CAST(MAX(ts) AS DATE),
+                             CAST((SELECT t_end FROM endt) AS DATE))
+                   >= {KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS event
+  FROM ev GROUP BY user_id
+), cells AS (
+  SELECT dur,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a1,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a0,
+         SUM(CASE WHEN grp = 1 AND event = 1 THEN 1 ELSE 0 END) AS d1,
+         SUM(CASE WHEN grp = 0 AND event = 1 THEN 1 ELSE 0 END) AS d0
+  FROM users GROUP BY dur
+), risk AS (
+  SELECT dur, d1, d0,
+         SUM(a1) OVER () - COALESCE(SUM(a1) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         SUM(a0) OVER () - COALESCE(SUM(a0) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+  FROM cells
+), terms AS (
+  SELECT SUM(d1) AS o1, COUNT(*) AS n_times,
+         list_sort(list({{'t': dur,
+           'e': CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                / CAST(n1 + n0 AS DOUBLE),
+           'v': CASE WHEN CAST(n1 + n0 AS DOUBLE) > 1.0
+                THEN CAST(d1 + d0 AS DOUBLE)
+                     * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                     * (CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                     * (CAST(n1 + n0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE))
+                     / (CAST(n1 + n0 AS DOUBLE) - 1.0)
+                ELSE 0.0 END}})) AS terms
+  FROM risk WHERE d1 + d0 > 0
+)
+SELECT CAST(o1 AS BIGINT) AS observed_g1,
+       CAST(n_times AS BIGINT) AS n_event_times,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(terms, x -> x.e)), (acc, v) -> acc + v)
+         AS expected_g1,
+       (CAST(o1 AS DOUBLE)
+        - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(terms, x -> x.e)), (acc, v) -> acc + v))
+       / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(terms, x -> x.v)), (acc, v) -> acc + v)) AS z
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength — how much of monthly revenue variance is
+# explained by the calendar month-of-year? Eta^2 = SSB/SST over the
+# 12 month-of-year groups of the monthly-revenue series (plus the
+# ANOVA F for significance) — the "is there real seasonality" gate
+# before fitting any seasonal model (seasonal_profile shows the
+# shape; this quantifies it).
+#
+# Exactness: monthly revenues are exact decimal sums cast once; group
+# power sums accumulate the ~84-row monthly ladder in DECIMAL (the
+# values are exact cents scaled — here folded as exact doubles
+# through the decimal route); the cross-group term folds the
+# month-sorted 12-entry array in fixed order. One sqrt-free formula.
+# ---------------------------------------------------------------------------
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    grp = monthly.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("cents").alias("s_g"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q_g"),
+    )
+    to_d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    folded = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "moy",
+                    (
+                        F.col("s_g").cast("string").cast("double")
+                        * F.col("s_g").cast("string").cast("double")
+                        / F.col("n_g").cast("double")
+                    ).alias("t"),
+                    F.col("s_g").cast("string").cast("double").alias("s"),
+                    F.col("q_g").cast("string").cast("double").alias("q"),
+                )
+            )
+        ).alias("terms"),
+    ).select(
+        "k",
+        "n",
+        F.expr("aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)").alias("ssn"),
+        F.expr("aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.s)").alias("s"),
+        F.expr("aggregate(terms, CAST(0 AS DOUBLE), (acc, x) -> acc + x.q)").alias("q"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    sst = F.col("q") - F.col("s") * F.col("s") / nn
+    ssb = F.col("ssn") - F.col("s") * F.col("s") / nn
+    return folded.select(
+        F.col("k").cast("bigint").alias("k_months"),
+        F.col("n").cast("bigint").alias("n_periods"),
+        (ssb / sst).alias("eta_sq"),
+        (
+            ssb / (kk - 1.0) / ((sst - ssb) / (nn - kk))
+        ).alias("f_stat"),
+    )
+
+
+ORACLE["seasonal_strength"] = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(month(o_orderdate) AS INT) AS moy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) * 100
+              AS DECIMAL(38,0)) AS cents
+  FROM orders GROUP BY 1, 2
+), grp AS (
+  SELECT moy, COUNT(*) AS n_g, SUM(cents) AS s_g,
+         SUM(cents * cents) AS q_g
+  FROM monthly GROUP BY moy
+), folded AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({'moy': moy,
+             't': CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                  / CAST(n_g AS DOUBLE),
+             's': CAST(CAST(s_g AS VARCHAR) AS DOUBLE),
+             'q': CAST(CAST(q_g AS VARCHAR) AS DOUBLE)})),
+           x -> x.t)), (acc, v) -> acc + v) AS ssn,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({'moy': moy,
+             't': CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                  / CAST(n_g AS DOUBLE),
+             's': CAST(CAST(s_g AS VARCHAR) AS DOUBLE),
+             'q': CAST(CAST(q_g AS VARCHAR) AS DOUBLE)})),
+           x -> x.s)), (acc, v) -> acc + v) AS s,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+           list_sort(list({'moy': moy,
+             't': CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                  / CAST(n_g AS DOUBLE),
+             's': CAST(CAST(s_g AS VARCHAR) AS DOUBLE),
+             'q': CAST(CAST(q_g AS VARCHAR) AS DOUBLE)})),
+           x -> x.q)), (acc, v) -> acc + v) AS q
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS k_months, CAST(n AS BIGINT) AS n_periods,
+       (ssn - s * s / CAST(n AS DOUBLE)) / (q - s * s / CAST(n AS DOUBLE))
+         AS eta_sq,
+       (ssn - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+         / ((q - ssn) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+FROM folded
+"""

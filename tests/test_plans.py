@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "xyz_demand_classes": 1,
     # 256-row register-index grid broadcast against the event types
     "hll_sketch": 1,
+    # 1-row corpus-end aggregate broadcast (the kaplan_meier shape)
+    "logrank_test": 1,
     # calendar-bounded month-ladder pair join (inequality condition)
     # + the 1-row tie-correction aggregate broadcast
     "mann_kendall_trend": 2,
