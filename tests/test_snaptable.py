@@ -3531,3 +3531,39 @@ def test_merge_preserves_row_ids_and_cdf_pairs_updates(spark, tmp_path):
         for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
     }
     assert ids2 == ids
+
+
+def test_merge_preserves_row_ids_on_partitioned_table(spark, tmp_path):
+    """Preserved-merge ids on the PRUNED path: only the touched
+    partition rewrites (with materialized ids); untouched partitions
+    carry by reference with their allocated ranges intact."""
+    t = str(tmp_path / "rt_merge_part")
+    df = (
+        spark.createDataFrame(
+            [(i, "A" if i < 4 else "B", i * 10) for i in range(8)],
+            "id int, g string, v int",
+        )
+        .repartition(1)
+        .sortWithinPartitions("id")
+    )
+    st.create_table(df, t, ["g"])
+    st.enable_row_tracking(t)
+    before = {
+        r.id: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    src = spark.createDataFrame(
+        [(1, "A", 999), (50, "A", 5)], "id int, g string, v int"
+    )
+    st.merge_into(spark, t, src, ["id"])
+    after = {
+        r.id: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    assert {k: v for k, v in after.items() if k != 50} == before
+    assert after[50] == max(before.values()) + 1
+    got = {r.id: r.v for r in st.read_snapshot(spark, t).collect()}
+    assert got[1] == 999 and got[50] == 5 and got[7] == 70
+    # the untouched partition's files carried by reference
+    m = st._read_manifest(t, st.current_version(t))
+    assert any("g=B" in f for f in m["files"])
