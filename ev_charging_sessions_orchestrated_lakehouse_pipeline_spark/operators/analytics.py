@@ -4607,7 +4607,10 @@ def q_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty_int").alias("q0"),
         )
     )
-    weighted = pm.join(F.broadcast(base), "l_partkey").groupBy("month").agg(
+    # NOT force-broadcast: the base-month weight frame is |parts in
+    # one month| — bounded at fixture scale but not at SF100k; the
+    # keyed equi-join lets AQE pick broadcast vs shuffle by size
+    weighted = pm.join(base, "l_partkey").groupBy("month").agg(
         F.sum(F.col("p_micro") * F.col("q0")).alias("num"),
         F.sum(F.col("p0_micro") * F.col("q0")).alias("den"),
         F.count(F.lit(1)).alias("n_parts"),
