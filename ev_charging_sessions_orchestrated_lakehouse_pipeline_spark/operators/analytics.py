@@ -4246,10 +4246,11 @@ LIMIT {FIFO_TOPK}
 #
 # Scale: pair counts come from the SAME capped posting-list expansion
 # as copurchase_pairs (map-side pair generation, one shuffle on the
-# pair key); per-part order counts are one combinable groupBy; both
-# sides of the rule join broadcast the slim (part, count) frame. All
-# ratios are single deterministic double divisions of exact int64
-# counts — no float aggregation anywhere.
+# pair key); per-part order counts are one combinable groupBy; the
+# rule joins against the slim (part, count) frame are keyed
+# equi-joins (AQE picks broadcast when the frame fits). All ratios
+# are single deterministic double divisions of exact int64 counts —
+# no float aggregation anywhere.
 # ---------------------------------------------------------------------------
 RULES_TOPK = 40
 
@@ -4303,9 +4304,11 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("consequent"), F.col("n_part").alias("n_b")
     )
     nn = F.lit(float(n_orders))
+    # count frames are |distinct parts|-sized — bounded here, not at
+    # SF100k; keyed equi-joins let AQE choose broadcast vs shuffle
     return (
-        directed.join(F.broadcast(ca), "antecedent")
-        .join(F.broadcast(cb), "consequent")
+        directed.join(ca, "antecedent")
+        .join(cb, "consequent")
         .select(
             "antecedent",
             "consequent",
