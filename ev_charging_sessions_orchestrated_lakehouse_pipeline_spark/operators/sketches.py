@@ -275,3 +275,128 @@ SELECT s.event_type, CAST(n_exact AS BIGINT) AS n_exact,
 FROM s JOIN exact ON exact.event_type = s.event_type
 ORDER BY s.event_type
 """
+
+
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes sketches the
+    distributed distinct-count currency: per-(event_type, month)
+    register sets merge across months by per-register MAX, and the
+    merged estimate must equal the directly-built whole-corpus
+    estimate EXACTLY (not approximately — max-merge is lossless by
+    construction). The query proves it per event type: build monthly
+    sketches, merge, build direct, compare. At 100 TB this is the
+    rollup pattern: daily partitions sketch independently (map-side,
+    m counters each), any time-range union is a metadata-cheap max —
+    no rescan of history.
+
+    Exactness: same md5 register derivation and exact-int64 harmonic
+    denominator as q_hll_sketch; `merge_lossless` rides every row so
+    any divergence between the merged and direct register sets moves
+    the hash."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    h = ev.select(
+        "event_type",
+        "month",
+        hash60(F.col("u")).alias("h"),
+    )
+    ranks = h.select(
+        "event_type",
+        "month",
+        (F.col("h") % HLL_M).alias("idx"),
+        F.when(F.shiftright("h", HLL_P) == 0, F.lit(53))
+        .otherwise(
+            F.lit(53) - F.length(F.conv(F.shiftright("h", HLL_P), 10, 2))
+        )
+        .alias("rank"),
+    )
+    monthly = ranks.groupBy("event_type", "month", "idx").agg(
+        F.max("rank").alias("r")
+    )
+    merged = monthly.groupBy("event_type", "idx").agg(
+        F.max("r").alias("r")
+    )
+    direct = ranks.groupBy("event_type", "idx").agg(
+        F.max("rank").alias("r")
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        types = regs.select("event_type").distinct()
+        grid = types.crossJoin(
+            F.broadcast(spark.range(HLL_M).select(F.col("id").alias("idx")))
+        )
+        filled = grid.join(regs, ["event_type", "idx"], "left").select(
+            "event_type", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+        )
+        return filled.groupBy("event_type").agg(
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+            ).alias(out)
+        )
+
+    alpha = "CAST('4.2399330249068963e+20' AS DOUBLE)"
+    sm = estimate(merged, "s_merged")
+    sd = estimate(direct, "s_direct")
+    return (
+        sm.join(sd, "event_type")
+        .select(
+            "event_type",
+            (F.expr(alpha) / F.col("s_merged").cast("double")).alias(
+                "est_merged"
+            ),
+            (F.expr(alpha) / F.col("s_direct").cast("double")).alias(
+                "est_direct"
+            ),
+            (F.col("s_merged") == F.col("s_direct")).alias("merge_lossless"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["hll_union"] = f"""
+WITH ev AS (
+  SELECT event_type, strftime(ts, '%Y-%m') AS month,
+         CAST(user_id AS VARCHAR) AS u
+  FROM events
+), ranks AS (
+  SELECT event_type, month,
+         {hash60_sql('u')} % {HLL_M} AS idx,
+         CASE WHEN ({hash60_sql('u')} >> {HLL_P}) = 0 THEN 53
+              ELSE 53 - length(bin({hash60_sql('u')} >> {HLL_P})) END AS rank
+  FROM ev
+), monthly AS (
+  SELECT event_type, month, idx, MAX(rank) AS r FROM ranks GROUP BY 1, 2, 3
+), merged AS (
+  SELECT event_type, idx, MAX(r) AS r FROM monthly GROUP BY 1, 2
+), direct AS (
+  SELECT event_type, idx, MAX(rank) AS r FROM ranks GROUP BY 1, 2
+), grid AS (
+  SELECT et.event_type, g.range AS idx
+  FROM (SELECT DISTINCT event_type FROM ev) et, range({HLL_M}) g
+), sm AS (
+  SELECT grid.event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - COALESCE(m.r, 0))) AS BIGINT)
+           AS s_merged
+  FROM grid LEFT JOIN merged m
+    ON m.event_type = grid.event_type AND m.idx = grid.idx
+  GROUP BY 1
+), sd AS (
+  SELECT grid.event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - COALESCE(d.r, 0))) AS BIGINT)
+           AS s_direct
+  FROM grid LEFT JOIN direct d
+    ON d.event_type = grid.event_type AND d.idx = grid.idx
+  GROUP BY 1
+)
+SELECT sm.event_type,
+       CAST('4.2399330249068963e+20' AS DOUBLE)
+         / CAST(s_merged AS DOUBLE) AS est_merged,
+       CAST('4.2399330249068963e+20' AS DOUBLE)
+         / CAST(s_direct AS DOUBLE) AS est_direct,
+       s_merged = s_direct AS merge_lossless
+FROM sm JOIN sd ON sd.event_type = sm.event_type
+ORDER BY sm.event_type
+"""

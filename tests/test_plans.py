@@ -30,6 +30,9 @@ BNLJ_ALLOWED = {
     "xyz_demand_classes": 1,
     # 256-row register-index grid broadcast against the event types
     "hll_sketch": 1,
+    # the same register grid, once per estimated sketch (merged +
+    # direct)
+    "hll_union": 2,
     # 1-row corpus-end aggregate broadcast (the kaplan_meier shape)
     "logrank_test": 1,
     # calendar-bounded month-ladder pair join (inequality condition)
