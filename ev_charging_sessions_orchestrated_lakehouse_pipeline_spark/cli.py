@@ -117,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
         help="vacuum: report victims without deleting",
     )
     pt.add_argument(
+        "--grace-seconds", type=float, default=None,
+        help="vacuum: age threshold below which unreferenced files "
+        "survive the sweep (default VACUUM_GRACE_SECONDS; 0 forces "
+        "immediate reclamation)",
+    )
+    pt.add_argument(
         "--column", default=None, help="bloom index / DDL target column"
     )
     pt.add_argument("--to", default=None, help="new name for rename-column")
@@ -163,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
                         args.table,
                         retain_last=args.retain_last,
                         dry_run=args.dry_run,
+                        grace_seconds=args.grace_seconds,
                     )
                 )
             )
