@@ -42,6 +42,12 @@ INVARIANCE_PROBES = [
     "spearman_corr",
     "kendall_tau",
     "bpe_merge_table",
+    # r10: the ordered-array residual fold, the median-ladder ANOVA,
+    # the integer-register sketch, and the checkpointed peeling loop
+    "durbin_watson",
+    "levene_test",
+    "hll_sketch",
+    "k_core",
 ]
 
 ALT_PARTITIONS = "7"
