@@ -3415,26 +3415,55 @@ def merge_into(
             if delete_col is not None
             else source
         )
-        # matched rows inherit the target id via one keyed equi-join
-        tids = target.select(*keys, ROW_ID_COL)
+        # matched rows inherit the target id via one keyed equi-join.
+        # Non-unique matches would corrupt the id invariant, so both
+        # sides are guarded: duplicate TARGET keys collapse to one id
+        # (min per key — matching merge_upsert, which replaces every
+        # duplicate with the single source row), and duplicate SOURCE
+        # rows matching one target key raise, Delta's "multiple source
+        # rows matched" error (two rows can't share one stable id).
+        kw = _W.partitionBy(*keys).orderBy(ROW_ID_COL)
+        tids = (
+            target.select(*keys, ROW_ID_COL)
+            .withColumn("__rn", F.row_number().over(kw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         incoming = incoming.join(tids, keys, "left")
+        matched = incoming.filter(F.col(ROW_ID_COL).isNotNull())
+        dup = (
+            matched.groupBy(ROW_ID_COL)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into on a row-tracked table: multiple source "
+                f"rows matched the same target key on {keys}; "
+                "deduplicate the source first (Delta raises here too)"
+            )
         inserts = incoming.filter(F.col(ROW_ID_COL).isNull()).drop(
             ROW_ID_COL
         )
         mark = int(man.get("next_row_id") or 0)
-        n_new = inserts.count()  # bounded: the merge batch's inserts
         # deterministic fresh ids above the mark; the key-ordered
         # window runs over the INSERT subset only (the small side of
         # a CDC merge — bulk loads should use append, which allocates
-        # per-file ranges with no sort)
+        # per-file ranges with no sort). The insert set is PINNED
+        # (localCheckpoint) before counting so the counted set and the
+        # written set are guaranteed identical even for a
+        # nondeterministic source (sample, unordered limit) — counting
+        # one evaluation and writing another could commit a
+        # next_row_id that lets later commits reuse ids.
         fresh = inserts.withColumn(
             ROW_ID_COL,
             F.row_number().over(_W.orderBy(*keys)).cast("long")
             + F.lit(mark - 1).cast("long"),
-        )
-        merged = kept.unionByName(
-            incoming.filter(F.col(ROW_ID_COL).isNotNull())
-        ).unionByName(fresh)
+        ).localCheckpoint(eager=True)
+        n_new = fresh.count()  # bounded: the merge batch's inserts
+        merged = kept.unionByName(matched).unionByName(fresh)
         next_mark = mark + int(n_new)
     else:
         merged = merge_upsert(
