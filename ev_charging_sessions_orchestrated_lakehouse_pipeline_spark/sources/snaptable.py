@@ -3152,6 +3152,12 @@ def optimize(
         df = read_snapshot(spark, table, with_row_ids=True).withColumnRenamed(
             "_row_id", ROW_ID_COL
         )
+        ident = (prev.get("identity") or {}).get("col")
+        if ident:
+            # the read derived the identity column; writing it would
+            # break enable_identity's metadata-only contract (it
+            # re-derives from the preserved row ids on every read)
+            df = df.drop(ident)
     else:
         df = read_snapshot(spark, table)
     n_before = df.count()
@@ -3418,18 +3424,26 @@ def merge_into(
         # matched rows inherit the target id via one keyed equi-join.
         # Non-unique matches would corrupt the id invariant, so both
         # sides are guarded: duplicate TARGET keys collapse to one id
-        # (min per key — matching merge_upsert, which replaces every
-        # duplicate with the single source row), and duplicate SOURCE
-        # rows matching one target key raise, Delta's "multiple source
-        # rows matched" error (two rows can't share one stable id).
-        kw = _W.partitionBy(*keys).orderBy(ROW_ID_COL)
+        # (min per key, a map-side-combinable aggregate — matching
+        # merge_upsert, which replaces every duplicate with the single
+        # source row), and duplicate SOURCE rows matching one target
+        # key raise, Delta's "multiple source rows matched" error (two
+        # rows can't share one stable id). The joined batch is PINNED
+        # ONCE (localCheckpoint — bounded: it's the merge batch, the
+        # small side of a CDC merge) so the dup probe, the insert
+        # count, and the written rows are guaranteed the same set even
+        # for a nondeterministic source (sample, unordered limit —
+        # counting one evaluation and writing another could commit a
+        # next_row_id that lets later commits reuse ids), and the
+        # target scan behind the join runs once, not three times.
         tids = (
             target.select(*keys, ROW_ID_COL)
-            .withColumn("__rn", F.row_number().over(kw))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .groupBy(*keys)
+            .agg(F.min(ROW_ID_COL).alias(ROW_ID_COL))
         )
-        incoming = incoming.join(tids, keys, "left")
+        incoming = incoming.join(tids, keys, "left").localCheckpoint(
+            eager=True
+        )
         matched = incoming.filter(F.col(ROW_ID_COL).isNotNull())
         dup = (
             matched.groupBy(ROW_ID_COL)
@@ -3448,21 +3462,15 @@ def merge_into(
             ROW_ID_COL
         )
         mark = int(man.get("next_row_id") or 0)
+        n_new = inserts.count()  # bounded: the merge batch's inserts
         # deterministic fresh ids above the mark; the key-ordered
-        # window runs over the INSERT subset only (the small side of
-        # a CDC merge — bulk loads should use append, which allocates
-        # per-file ranges with no sort). The insert set is PINNED
-        # (localCheckpoint) before counting so the counted set and the
-        # written set are guaranteed identical even for a
-        # nondeterministic source (sample, unordered limit) — counting
-        # one evaluation and writing another could commit a
-        # next_row_id that lets later commits reuse ids.
+        # window runs over the INSERT subset only (pinned above, so
+        # the counted and written sets are identical by construction)
         fresh = inserts.withColumn(
             ROW_ID_COL,
             F.row_number().over(_W.orderBy(*keys)).cast("long")
             + F.lit(mark - 1).cast("long"),
-        ).localCheckpoint(eager=True)
-        n_new = fresh.count()  # bounded: the merge batch's inserts
+        )
         merged = kept.unionByName(matched).unionByName(fresh)
         next_mark = mark + int(n_new)
     else:
@@ -3474,12 +3482,19 @@ def merge_into(
             merged,
             table,
             # evolution on the pruned path: commit the WIDENED schema
-            # (prev schema + the new columns, in the merged frame's
-            # order) so carried untouched-partition files null-fill —
+            # so carried untouched-partition files null-fill —
             # committing prev["schema"] here would silently drop the
-            # new columns from every read (regression-tested)
+            # new columns from every read (regression-tested). The
+            # widening goes through _evolve_schema (same gate as
+            # append's mergeSchema): a source that implicitly changed
+            # an EXISTING column's type must raise, not commit a type
+            # the carried files' physical schema contradicts.
             schema_json=(
-                merged.drop(ROW_ID_COL).schema.json()
+                _evolve_schema(
+                    man["schema"],
+                    merged.drop(ROW_ID_COL) if track else merged,
+                    merge_schema=True,
+                )
                 if evolved_cols
                 else None
             ),
@@ -3651,7 +3666,11 @@ def vacuum(
 
     versions = _list_versions(table)
     if not versions:
-        return {"expired_versions": 0, "deleted_files": 0}
+        return {
+            "expired_versions": 0,
+            "deleted_files": 0,
+            "skipped_young_files": 0,
+        }
     tagged = set(_tagged_versions(table).values())
     expired = 0
     expirable: list[int] = []
@@ -3678,16 +3697,21 @@ def vacuum(
     referenced: set[str] = set()
     for v in versions:
         referenced.update(_read_manifest(table, v)["files"])
+    unreferenced = _list_data_files(table) - referenced
     victims = sorted(
-        f
-        for f in _list_data_files(table) - referenced
-        if _old_enough(os.path.join(table, f))
+        f for f in unreferenced if _old_enough(os.path.join(table, f))
     )
+    # unreferenced files deferred by the grace window — reported so
+    # automation can tell "nothing to reclaim" from "deferred" (a
+    # crashed-write sweep returning deleted_files=0 is ambiguous
+    # otherwise)
+    skipped_young = len(unreferenced) - len(victims)
     if dry_run:
         return {
             "dry_run": True,
             "expired_versions": len(expirable),
             "deleted_files": len(victims),
+            "skipped_young_files": skipped_young,
             "files": victims,
         }
     deleted = 0
@@ -3721,6 +3745,7 @@ def vacuum(
         "expired_versions": expired,
         "deleted_files": deleted,
         "deleted_dv_sidecars": dv_deleted,
+        "skipped_young_files": skipped_young,
     }
 
 

@@ -3567,3 +3567,172 @@ def test_merge_preserves_row_ids_on_partitioned_table(spark, tmp_path):
     # the untouched partition's files carried by reference
     m = st._read_manifest(t, st.current_version(t))
     assert any("g=B" in f for f in m["files"])
+
+
+# ---------------------------------------------------------------------------
+# Round-11 ADVICE regressions: tracked-merge uniqueness guards, pinned
+# insert sets, pruned-path evolution type gate, identity metadata-only
+# OPTIMIZE, vacuum grace-window observability.
+# ---------------------------------------------------------------------------
+
+
+def test_merge_tracked_duplicate_source_keys_raise(spark, tmp_path):
+    """Two source rows matching ONE target key on a row-tracked table
+    must raise (Delta's 'multiple source rows matched') — silently
+    giving both the same stable _row_id would break the uniqueness
+    invariant CDF pairing and identity columns rely on."""
+    t = str(tmp_path / "rt_dup_src")
+    df = (
+        spark.createDataFrame([(i, i * 10) for i in range(4)], "id int, v int")
+        .repartition(1)
+        .sortWithinPartitions("id")
+    )
+    st.create_table(df, t, [])
+    st.enable_row_tracking(t)
+    src = spark.createDataFrame([(2, 7), (2, 8)], "id int, v int")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        st.merge_into(spark, t, src, ["id"])
+    # duplicate source keys that are pure INSERTS stay legal (no target
+    # row to pair with; each allocates its own fresh id)
+    src2 = spark.createDataFrame([(50, 1), (50, 2)], "id int, v int")
+    st.merge_into(spark, t, src2, ["id"])
+    ids = [r._row_id for r in st.read_snapshot(spark, t, with_row_ids=True).collect()]
+    assert len(ids) == len(set(ids)) == 6
+
+
+def test_merge_tracked_duplicate_target_keys_match_untracked(spark, tmp_path):
+    """Duplicate TARGET keys collapse to the single source row on the
+    untracked merge_upsert path; the tracked path must produce the
+    same row count (inheriting ONE id, the min per key), not fan the
+    matched source row out once per duplicate."""
+    t = str(tmp_path / "rt_dup_tgt")
+    dup = (
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (2, 21), (3, 30)], "id int, v int"
+        )
+        .repartition(1)
+        .sortWithinPartitions("id", "v")
+    )
+    st.create_table(dup, t, [])
+    st.enable_row_tracking(t)
+    src = spark.createDataFrame([(2, 999)], "id int, v int")
+    st.merge_into(spark, t, src, ["id"])
+    rows = st.read_snapshot(spark, t, with_row_ids=True).collect()
+    got = sorted((r.id, r.v) for r in rows)
+    assert got == [(1, 10), (2, 999), (3, 30)]  # merge_upsert semantics
+    ids = [r._row_id for r in rows]
+    assert len(ids) == len(set(ids))
+    # the matched row inherited the MIN of the duplicate pair's ids
+    assert {r._row_id for r in rows if r.id == 2} == {1}
+
+
+def test_merge_tracked_nondeterministic_source_pins_inserts(spark, tmp_path):
+    """A nondeterministic source must not commit a next_row_id that
+    disagrees with the ids actually written: the insert set is pinned
+    (localCheckpoint) before counting, so next_row_id == max(id)+1 and
+    ids stay unique even when every evaluation of the source differs."""
+    import random as _random
+
+    from pyspark.sql.types import BooleanType
+
+    t = str(tmp_path / "rt_nondet")
+    df = (
+        spark.createDataFrame([(i, i) for i in range(4)], "id int, v int")
+        .repartition(1)
+        .sortWithinPartitions("id")
+    )
+    st.create_table(df, t, [])
+    st.enable_row_tracking(t)
+    coin = F.udf(lambda: _random.random() < 0.5, BooleanType()).asNondeterministic()
+    base = spark.createDataFrame(
+        [(100 + i, i) for i in range(40)], "id int, v int"
+    )
+    st.merge_into(spark, t, base.filter(coin()), ["id"])
+    snap = st.read_snapshot(spark, t, with_row_ids=True).collect()
+    ids = [r._row_id for r in snap]
+    assert len(ids) == len(set(ids))
+    mark = st._read_manifest(t, st.current_version(t))["next_row_id"]
+    assert mark == max(ids) + 1
+    # and a follow-up merge allocates strictly above — no id reuse
+    st.merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(500, 1)], "id int, v int"),
+        ["id"],
+    )
+    snap2 = st.read_snapshot(spark, t, with_row_ids=True).collect()
+    ids2 = [r._row_id for r in snap2]
+    assert len(ids2) == len(set(ids2))
+    assert {r._row_id for r in snap2 if r.id == 500} == {mark}
+
+
+def test_merge_evolution_rejects_type_change_on_pruned_path(spark, tmp_path):
+    """The pruned (partition-rewrite) evolve path commits a widened
+    schema; a source that ALSO implicitly changes an existing column's
+    type (unionByName coercion) must raise the same type-conflict
+    error append's mergeSchema raises — committing the coerced type
+    would contradict the carried untouched-partition files' physical
+    schema."""
+    t = str(tmp_path / "evolve_typegate")
+    df = spark.createDataFrame(
+        [(i, "A" if i < 2 else "B", i) for i in range(4)],
+        "id int, g string, v int",
+    )
+    st.create_table(df, t, ["g"])
+    src = spark.createDataFrame(
+        [(1, "A", 2**40, "x")], "id int, g string, v long, w string"
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        st.merge_into(spark, t, src, ["id"], evolve_schema=True)
+    # untouched: same-type evolution still commits and carried files null-fill
+    ok = spark.createDataFrame(
+        [(1, "A", 99, "x")], "id int, g string, v int, w string"
+    )
+    st.merge_into(spark, t, ok, ["id"], evolve_schema=True)
+    got = {r.id: (r.v, r.w) for r in st.read_snapshot(spark, t).collect()}
+    assert got[1] == (99, "x") and got[3] == (3, None)
+
+
+def test_optimize_identity_stays_metadata_only(spark, tmp_path):
+    """OPTIMIZE on an identity table must not physically write the
+    derived identity column (enable_identity's documented
+    metadata-only contract): the rewritten parquet carries row ids,
+    the identity values re-derive at read."""
+    t = str(tmp_path / "ident_opt")
+    df = (
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id int, v int")
+        .repartition(2)
+    )
+    st.create_table(df, t, [])
+    st.enable_identity(t, "sk", start=1000, step=2)
+    before = {r.id: r.sk for r in st.read_snapshot(spark, t).collect()}
+    st.optimize(spark, t, files_per_partition=1)
+    m = st._read_manifest(t, st.current_version(t))
+    for f in m["files"]:
+        phys = spark.read.parquet(os.path.join(t, f)).schema.names
+        assert "sk" not in phys, f"identity column physically written in {f}"
+        assert st.ROW_ID_COL in phys  # ids ARE materialized
+    after = {r.id: r.sk for r in st.read_snapshot(spark, t).collect()}
+    assert after == before
+
+
+def test_vacuum_reports_skipped_young_files(spark, tmp_path):
+    """deleted_files=0 under the grace window is ambiguous for
+    automation; vacuum reports skipped_young_files so callers can tell
+    'nothing to reclaim' from 'deferred by grace'."""
+    t = str(tmp_path / "vac_young")
+    df = spark.createDataFrame([(1,)], "id int").coalesce(1)
+    st.create_table(df, t, [])
+    st.overwrite_table(spark.createDataFrame([(2,)], "id int").coalesce(1), t)
+    st.vacuum(t, retain_last=1, grace_seconds=0)  # expire history first
+    # orphan a fresh file: stage without publishing
+    orphan = os.path.join(st._data_dir(t), "part-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not yet published")
+    res = st.vacuum(t)  # default grace: too young to reclaim
+    assert res["deleted_files"] == 0 and res["skipped_young_files"] == 1
+    dry = st.vacuum(t, dry_run=True)
+    assert dry["skipped_young_files"] == 1 and dry["files"] == []
+    res2 = st.vacuum(t, grace_seconds=0)
+    assert res2["deleted_files"] == 1 and res2["skipped_young_files"] == 0
+    assert not os.path.exists(orphan)
