@@ -2602,3 +2602,134 @@ WHERE o_orderstatus IN ('F', 'P')
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_snapshot_concurrent_writers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Concurrent-writer commit reconciliation lifecycle audit
+    (sources/snaptable._try_rebase — the Delta/Iceberg
+    retry-with-revalidation protocol the reference gets for free from
+    Iceberg under Glue's ``max_concurrent_runs = 1`` guard,
+    infra/glue-jobs.tf; this engine needs no such guard): two REAL
+    interleaved writers dynamic-partition-overwrite DISJOINT
+    o_orderstatus partitions — a barrier forces both to compute
+    against the SAME parent version before either publishes, so the
+    loser's publish collides and must auto-rebase onto the winner's
+    head with no caller retry. The audit reads the merged head
+    (per-status counts + exact sums prove neither writer's rows were
+    lost or doubled), pins the head version (create + two commits =
+    3: the rebase landed as a real commit, not a silent drop), and
+    replays the merged log's CDF insert/delete counts from v1 — a
+    clobbered partition, a lost writer, or a double-applied rebase
+    all move the hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_ccw_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    st.create_table(orders, table, ["o_orderstatus"])
+    src_f = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    src_o = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(2.0)
+    )
+    orig_publish = st._publish
+    barrier = threading.Barrier(2, timeout=300)
+    lock = threading.Lock()
+    n_pub = [0]
+
+    def gated(tbl, version, manifest):
+        with lock:
+            n_pub[0] += 1
+            k = n_pub[0]
+        if k <= 2:  # both writers finish computing before either publishes
+            barrier.wait()
+        return orig_publish(tbl, version, manifest)
+
+    errs: list[BaseException] = []
+
+    def run(src):
+        try:
+            st.overwrite_partitions(src, table)
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    st._publish = gated
+    try:
+        threads = [
+            threading.Thread(target=run, args=(s,)) for s in (src_f, src_o)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        st._publish = orig_publish
+    if errs:
+        raise errs[0]
+    head = st.current_version(table)
+    agg = (
+        st.read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .collect()
+    )
+    cdf = (
+        st.changes(spark, table, 1)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    rows = [
+        (r.o_orderstatus, r.n, float(r.sum_price)) for r in agg
+    ] + [("head", int(head) if head else 0, None)] + [
+        (f"cdf_{r._change_type}", r.n, None) for r in cdf
+    ]
+    return spark.createDataFrame(
+        rows, "row string, n bigint, sum_price double"
+    ).orderBy("row")
+
+
+ORACLE["snapshot_concurrent_writers"] = f"""
+WITH final AS (
+  SELECT o_orderstatus,
+         CASE o_orderstatus
+           WHEN 'F' THEN o_totalprice + 1.0
+           WHEN 'O' THEN o_totalprice + 2.0
+           ELSE o_totalprice
+         END AS o_totalprice
+  FROM orders
+), agg AS (
+  SELECT o_orderstatus AS row, COUNT(*) AS n,
+         {dsum_sql('o_totalprice')} AS sum_price
+  FROM final GROUP BY o_orderstatus
+), extras AS (
+  SELECT 'head' AS row, 3 AS n, CAST(NULL AS DOUBLE) AS sum_price
+  UNION ALL
+  SELECT 'cdf_delete', COUNT(*), NULL FROM orders
+  WHERE o_orderstatus IN ('F', 'O')
+  UNION ALL
+  SELECT 'cdf_insert', COUNT(*), NULL FROM orders
+  WHERE o_orderstatus IN ('F', 'O')
+)
+SELECT * FROM agg UNION ALL SELECT * FROM extras
+ORDER BY row
+"""

@@ -30,9 +30,13 @@ Log-structured design (the same shape as the Delta/Iceberg logs):
   form into the same full dict. It is published with
   write-temp → ``os.link`` → unlink, which is atomic on POSIX and
   FAILS with ``FileExistsError`` if the version was concurrently
-  committed — optimistic concurrency, surfaced as
-  :class:`ConcurrentCommit` (caller re-reads and retries, the
-  Delta/Iceberg protocol).
+  committed — optimistic concurrency. A losing commit first attempts
+  AUTOMATIC RECONCILIATION (:func:`_try_rebase`, the Delta/Iceberg
+  retry-with-revalidation protocol): blind appends and logically
+  disjoint rewrites rebase onto the new head and publish with no
+  caller involvement; only TRUE conflicts surface as
+  :class:`ConcurrentCommit` (then the caller re-reads and retries,
+  e.g. via :func:`commit_with_retry`).
 - **Readers never list directories for state**: they read the highest
   committed manifest (or an explicit ``version=`` for time travel)
   and scan exactly the files it names, with ``basePath`` set so the
@@ -53,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -234,6 +239,12 @@ def _read_manifest(table: str, version: int) -> dict:
     ):
         out["deletion_vectors"] = _resolve_dvs(table, out["deletion_vectors"])
     return out
+
+
+# per-commit staging directories under data/ (see _write_data): files
+# move from here into their final partition dirs before the manifest
+# publish, so a staged file is never referenced by any manifest
+_STAGING_PREFIX = "_staging-"
 
 
 def _list_data_files(table: str) -> set[str]:
@@ -419,6 +430,187 @@ def _publish(table: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+# Commit-reconciliation policy by operation (Delta/Iceberg
+# retry-with-revalidation): how a LOSING commit may relate to files
+# the interleaved winners added.
+#   lenient    — winner additions never conflict (blind appends;
+#                OPTIMIZE, whose rewrite preserves exactly the rows of
+#                the files it removes, so a concurrent append's file
+#                simply carries through the rebase)
+#   partition  — winner additions conflict only inside the partitions
+#                this commit rewrites (overwrite_partitions / pruned
+#                MERGE: a concurrent append into a rewritten partition
+#                would be silently clobbered or missed — Delta's
+#                ConcurrentAppendException)
+#   strict     — any winner addition conflicts (predicate-scoped ops:
+#                full overwrite, DELETE/UPDATE/REPLACE WHERE — the
+#                loser's predicate was evaluated against the parent
+#                snapshot and file paths can't prove the new rows fall
+#                outside it)
+# Operations absent from the map never auto-rebase (DDL, refs,
+# rollback/restore, feature enablement — true metadata intents).
+_REBASE_POLICY = {
+    "append": "lenient",
+    "optimize": "lenient",
+    "overwrite_partitions": "partition",
+    "overwrite": "strict",
+    "replace_where": "strict",
+    "delete": "strict",
+    "update": "strict",
+    "delete_dv": "strict",
+    "update_dv": "strict",
+    "index": "strict",
+}
+
+
+def _norm_dvs(dvs: dict | None) -> dict:
+    return {f: sorted(ps) for f, ps in (dvs or {}).items() if ps}
+
+
+def _try_rebase(
+    table: str,
+    parent: int,
+    par: dict,
+    operation: str,
+    files: list[str],
+    file_stats: dict | None,
+    deletion_vectors: dict | None,
+    constraints: dict | None,
+    extra: dict | None,
+) -> tuple[int, list[str], dict, dict]:
+    """Re-read the head after a lost :func:`_publish` race and decide
+    whether the losing commit is LOGICALLY DISJOINT from everything
+    that won in between — if so, return rebased commit inputs
+    (new parent, file list, stats, deletion vectors) so :func:`_commit`
+    can retry without the caller recomputing anything; otherwise raise
+    :class:`ConcurrentCommit` naming the true conflict. The aggregated
+    parent→head diff is sufficient evidence: files are immutable and
+    uniquely named, so set arithmetic over (added, removed, DV deltas)
+    captures every winner's effect."""
+
+    def conflict(msg: str) -> None:
+        raise ConcurrentCommit(
+            f"true conflict on {table} ({operation}): {msg}"
+        )
+
+    policy = _REBASE_POLICY.get(operation)
+    if policy is None:
+        conflict("operation does not auto-rebase; re-read and retry")
+    head = current_version(table)
+    assert head is not None and head > parent
+    H = _read_manifest(table, head)
+    # metadata guards — any concurrent change to the table's logical
+    # definition is a conflict (Delta's MetadataChangedException):
+    # the loser's plan was built against the parent's definition
+    if H["partition_cols"] != par["partition_cols"]:
+        conflict("partition spec evolved concurrently")
+    if H["schema"] != par["schema"]:
+        conflict("schema changed concurrently")
+    if (H.get("constraints") or {}) != (par.get("constraints") or {}):
+        conflict("constraints changed concurrently")
+    for k in ("column_mapping", "retired_columns", "generated", "identity"):
+        if H.get(k) != par.get(k):
+            conflict(f"{k} changed concurrently")
+    if bool(H.get("row_tracking")) != bool(par.get("row_tracking")):
+        conflict("row tracking enabled concurrently")
+    if constraints is not None and (constraints or {}) != (
+        par.get("constraints") or {}
+    ):
+        conflict("constraint DDL does not auto-rebase")
+    par_files = set(par["files"])
+    h_files = set(H["files"])
+    added = [f for f in files if f not in par_files]
+    removed = par_files - set(files)
+    if set(added) & h_files:
+        conflict("commit re-references files a winner owns")
+    if not removed <= h_files:
+        conflict(
+            "files this commit rewrites were removed or rewritten "
+            "concurrently"
+        )
+    w_add = [f for f in H["files"] if f not in par_files]
+    if policy == "strict" and w_add:
+        conflict("rows were added concurrently under this commit's scope")
+    if policy == "partition" and w_add:
+        touched = {
+            frozenset(_path_values(f).items())
+            for f in list(removed) + added
+        }
+        for f in w_add:
+            if frozenset(_path_values(f).items()) in touched:
+                conflict(f"concurrent append into a rewritten partition ({f})")
+    par_dv = _norm_dvs(par.get("deletion_vectors"))
+    h_dv = _norm_dvs(H.get("deletion_vectors"))
+    l_dv = _norm_dvs(deletion_vectors)
+    for f in removed:
+        if h_dv.get(f) != par_dv.get(f):
+            conflict(
+                f"concurrent deletion vector on a file this commit rewrites ({f})"
+            )
+    # row-id allocation: a loser that PRE-ASSIGNED stable ids (explicit
+    # next_row_id or materialized id columns in its new files) cannot
+    # rebase past winners that also allocated — the ranges collide.
+    # Losers WITHOUT explicit allocation (plain appends) re-allocate
+    # off the new head's high-water mark in the retried commit.
+    if H.get("row_tracking"):
+        lost_alloc = int(H.get("next_row_id") or 0) != int(
+            par.get("next_row_id") or 0
+        )
+        explicit = (extra or {}).get("next_row_id") is not None or any(
+            ((file_stats or {}).get(f) or {}).get("materialized_row_ids")
+            for f in added
+        )
+        if explicit and lost_alloc:
+            conflict("row ids were allocated concurrently")
+    kept = [f for f in H["files"] if f not in removed]
+    kept_set = set(kept)
+    par_stats = par.get("file_stats") or {}
+    h_stats = H.get("file_stats") or {}
+    new_stats: dict = {}
+    for f in kept:
+        lf = (file_stats or {}).get(f)
+        if f in par_files and lf is not None and lf != par_stats.get(f):
+            # ops that rewrite kept files' METADATA in place
+            # (enable_row_tracking-style) carry intents file paths
+            # can't reconcile
+            conflict(f"commit mutates metadata of a kept file ({f})")
+        if f in h_stats:
+            new_stats[f] = h_stats[f]
+    for f in added:
+        e = dict((file_stats or {}).get(f) or {})
+        if not e.get("materialized_row_ids"):
+            e.pop("base_row_id", None)  # re-allocate off the new mark
+        new_stats[f] = e
+    # three-way DV merge per kept file: loser's delta applies iff the
+    # winners left that file's vector alone (and vice versa)
+    new_dv: dict = {}
+    for f, ps in l_dv.items():
+        if f in par_files and f in set(files) and ps != par_dv.get(f):
+            if f not in h_files:
+                conflict(
+                    f"concurrent rewrite of a file this commit adds deletes to ({f})"
+                )
+    for f in kept:
+        l, p, h = l_dv.get(f), par_dv.get(f), h_dv.get(f)
+        if f not in par_files:
+            if h:
+                new_dv[f] = h
+            continue
+        if l == p:
+            if h:
+                new_dv[f] = h
+        elif h == p:
+            if l:
+                new_dv[f] = l
+        else:
+            conflict(f"concurrent deletion vectors on {f}")
+    for f in added:
+        if l_dv.get(f):
+            new_dv[f] = l_dv[f]
+    new_files = kept + sorted(f for f in added if f not in kept_set)
+    return head, new_files, new_stats, new_dv
+
+
 def _head_mapping(table: str) -> dict:
     """The current head's column mapping {logical: physical} (empty
     before the table exists or when no rename/drop ever happened)."""
@@ -436,8 +628,14 @@ def _write_data(
 ) -> list[str]:
     """Write a commit's data files into the shared data/ tree and
     return the relative paths of exactly the files this write
-    produced (before/after listing diff — safe because part-file
-    names embed per-task UUIDs and files are immutable).
+    produced. The write STAGES into a per-commit temp directory and
+    renames each file into place (same filesystem — metadata-only
+    moves): attribution is exact by construction, so two writers
+    writing into the same table CONCURRENTLY can never claim each
+    other's files (a before/after listing diff would — the
+    reconciliation path in :func:`_try_rebase` depends on this).
+    Crashed writes leave an orphaned staging dir; :func:`vacuum`
+    sweeps those past the grace window.
 
     Under column mapping, files ALWAYS carry physical names — the
     incoming frame is logical, so mapped columns rename before the
@@ -463,16 +661,29 @@ def _write_data(
         df = df.select(
             *[df[c].alias(renames.get(c, c)) for c in df.columns]
         )
-    os.makedirs(_data_dir(table), exist_ok=True)
-    before = _list_data_files(table)
+    data = _data_dir(table)
+    os.makedirs(data, exist_ok=True)
+    stage = os.path.join(data, f"{_STAGING_PREFIX}{uuid.uuid4().hex}")
     if partition_cols:
         laid, hive_names = _layout_frame(df, partition_cols)
         writer = laid.write.mode("append").option("compression", "zstd")
         writer = writer.partitionBy(*hive_names)
     else:
         writer = df.write.mode("append").option("compression", "zstd")
-    writer.parquet(_data_dir(table))
-    return sorted(_list_data_files(table) - before)
+    writer.parquet(stage)
+    produced: list[str] = []
+    for dirpath, _dirs, files in os.walk(stage):
+        rel_dir = os.path.relpath(dirpath, stage)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            dst_dir = data if rel_dir == "." else os.path.join(data, rel_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f)
+            os.rename(os.path.join(dirpath, f), dst)
+            produced.append(os.path.relpath(dst, table))
+    shutil.rmtree(stage, ignore_errors=True)
+    return sorted(produced)
 
 
 def _collect_stats(table: str, rel_paths: list[str]) -> dict:
@@ -545,6 +756,7 @@ def _commit(
     retired_columns: list[str] | None = None,
     generated: dict | None = None,
     extra: dict | None = None,
+    _rebase_attempts: int = 3,
 ) -> int:
     version = (parent or 0) + 1
     par = _read_manifest(table, parent) if parent is not None else None
@@ -684,7 +896,51 @@ def _commit(
             ),
             (par.get("deletion_vectors") or {}) if par is not None else {},
         )
-    _publish(table, version, _store_form(table, parent, par, manifest, added, removed))
+    try:
+        _publish(
+            table, version, _store_form(table, parent, par, manifest, added, removed)
+        )
+    except ConcurrentCommit:
+        # automatic commit reconciliation (Delta/Iceberg
+        # retry-with-revalidation): when the interleaved winners are
+        # logically disjoint from this commit — blind appends always;
+        # rewrites when the touched files/partitions/vectors don't
+        # intersect — rebase onto the new head and retry, so disjoint
+        # concurrent writers need NO caller retry logic. True
+        # conflicts re-raise with the reason. Data files this attempt
+        # wrote are already on disk and carry into the rebased commit
+        # unchanged (they're immutable and uniquely named); only the
+        # manifest is recomputed.
+        if parent is None or _rebase_attempts <= 0:
+            raise
+        rb_parent, rb_files, rb_stats, rb_dvs = _try_rebase(
+            table,
+            parent,
+            par,
+            operation,
+            files,
+            file_stats,
+            deletion_vectors,
+            constraints,
+            extra,
+        )
+        return _commit(
+            table,
+            operation,
+            rb_files,
+            partition_cols,
+            schema_json,
+            rb_parent,
+            txn=txn,
+            file_stats=rb_stats,
+            constraints=constraints,
+            deletion_vectors=rb_dvs,
+            column_mapping=column_mapping,
+            retired_columns=retired_columns,
+            generated=generated,
+            extra=extra,
+            _rebase_attempts=_rebase_attempts - 1,
+        )
     return version
 
 

@@ -610,10 +610,11 @@ def test_two_independent_writers_exactly_one_wins_then_v3(spark, orders, tmp_pat
     """The optimistic-concurrency contract end-to-end with two REAL
     writers carrying distinct payloads: both read head v1; writer A
     publishes v2 while writer B's attempt is in flight; B's stale
-    commit (parent=v1) must LOSE with ConcurrentCommit; B's retry
-    re-reads the new head and lands a consistent v3 containing v1's
-    rows plus BOTH payloads exactly once. B's losing-attempt data
-    files stay invisible orphans (round-4 VERDICT item 7)."""
+    blind append AUTO-REBASES onto the new head (round-11 commit
+    reconciliation — no caller retry, no orphaned data files: the
+    rebased commit reuses the files B already wrote) and lands a
+    consistent v3 containing v1's rows plus BOTH payloads exactly
+    once."""
     t = _tbl(tmp_path)
     base = orders.orderBy("o_orderkey").limit(10)
     batch_a = orders.orderBy("o_orderkey").limit(15).subtract(base)
@@ -641,9 +642,9 @@ def test_two_independent_writers_exactly_one_wins_then_v3(spark, orders, tmp_pat
 
     v = st.commit_with_retry(writer_b)
     assert v == 3
-    assert attempts["n"] == 2  # exactly one losing attempt, one retry
+    assert attempts["n"] == 1  # the stale attempt rebased; no retry needed
     final = st.read_snapshot(spark, t)
-    assert final.count() == 10 + n_a + n_b  # B's orphans not visible
+    assert final.count() == 10 + n_a + n_b
     assert final.select("o_orderkey").distinct().count() == 10 + n_a + n_b
     # both payloads fully present in the merged head
     assert final.join(batch_a, "o_orderkey", "left_semi").count() == n_a
@@ -3736,3 +3737,270 @@ def test_vacuum_reports_skipped_young_files(spark, tmp_path):
     res2 = st.vacuum(t, grace_seconds=0)
     assert res2["deleted_files"] == 1 and res2["skipped_young_files"] == 0
     assert not os.path.exists(orphan)
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-commit reconciliation (snaptable._try_rebase): disjoint
+# writers auto-rebase with no caller retry; true conflicts still raise.
+# ---------------------------------------------------------------------------
+
+
+def _interleave(monkeypatch, winner_fn):
+    """Deterministic race: the NEXT _publish first lets ``winner_fn``
+    commit (it publishes through the original path), so the caller's
+    publish collides and exercises the rebase machinery."""
+    orig = st._publish
+    state = {"fired": False}
+
+    def inject(table, version, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            winner_fn()
+        return orig(table, version, manifest)
+
+    monkeypatch.setattr(st, "_publish", inject)
+    return state
+
+
+def _mk_part_table(spark, tmp_path, name="cc"):
+    t = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, "A" if i < 4 else "B", i * 10) for i in range(8)],
+        "id int, g string, v int",
+    ).coalesce(1)  # one file per partition: same-file tests need it
+    st.create_table(df, t, ["g"])
+    return t
+
+
+def test_concurrent_disjoint_partition_overwrites_both_commit(
+    spark, tmp_path
+):
+    """The flagship scenario: two interleaved writers overwriting
+    DISJOINT partitions both commit, neither needing caller retry —
+    the loser auto-rebases onto the winner's head."""
+    import threading
+
+    t = _mk_part_table(spark, tmp_path)
+    src_a = spark.createDataFrame(
+        [(100, "A", 1), (101, "A", 2)], "id int, g string, v int"
+    )
+    src_b = spark.createDataFrame(
+        [(200, "B", 3)], "id int, g string, v int"
+    )
+    orig = st._publish
+    barrier = threading.Barrier(2, timeout=120)
+    n_calls = [0]
+    lock = threading.Lock()
+
+    def gated(table, version, manifest):
+        with lock:
+            n_calls[0] += 1
+            k = n_calls[0]
+        if k <= 2:  # both writers finish computing before either publishes
+            barrier.wait()
+        return orig(table, version, manifest)
+
+    st._publish = gated
+    errs: list[BaseException] = []
+    try:
+        def run(src):
+            try:
+                st.overwrite_partitions(src, t)
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        th = [threading.Thread(target=run, args=(s,)) for s in (src_a, src_b)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join(timeout=300)
+    finally:
+        st._publish = orig
+    assert errs == []
+    assert st.current_version(t) == 3  # create + both writers
+    got = sorted((r.id, r.g) for r in st.read_snapshot(spark, t).collect())
+    assert got == [(100, "A"), (101, "A"), (200, "B")]
+    ops = [st._read_manifest(t, v)["operation"] for v in (2, 3)]
+    assert ops == ["overwrite_partitions", "overwrite_partitions"]
+
+
+def test_concurrent_same_partition_overwrite_true_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers rewriting the SAME partition: the loser's removed
+    files are gone at the new head — a true conflict, raised."""
+    t = _mk_part_table(spark, tmp_path)
+    winner_src = spark.createDataFrame(
+        [(100, "A", 1)], "id int, g string, v int"
+    )
+    loser_src = spark.createDataFrame(
+        [(300, "A", 9)], "id int, g string, v int"
+    )
+    _interleave(
+        monkeypatch, lambda: st.overwrite_partitions(winner_src, t)
+    )
+    with pytest.raises(st.ConcurrentCommit, match="true conflict"):
+        st.overwrite_partitions(loser_src, t)
+    # the winner's commit stands untouched
+    got = sorted((r.id, r.g) for r in st.read_snapshot(spark, t).collect())
+    assert got == [(4, "B"), (5, "B"), (6, "B"), (7, "B"), (100, "A")]
+
+
+def test_concurrent_blind_appends_both_commit(spark, tmp_path, monkeypatch):
+    t = _mk_part_table(spark, tmp_path)
+    w = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    l = spark.createDataFrame([(200, "B", 2)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w, t))
+    st.append(l, t)  # no exception: blind appends always rebase
+    assert st.current_version(t) == 3
+    ids = sorted(r.id for r in st.read_snapshot(spark, t).collect())
+    assert ids == list(range(8)) + [100, 200]
+
+
+def test_append_rebases_past_partition_overwrite(spark, tmp_path, monkeypatch):
+    """A blind append losing to a partition overwrite carries both
+    effects: the overwrite's rewrite AND the appended rows."""
+    t = _mk_part_table(spark, tmp_path)
+    w = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    l = spark.createDataFrame([(200, "A", 2)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.overwrite_partitions(w, t))
+    st.append(l, t)
+    got = sorted((r.id, r.g) for r in st.read_snapshot(spark, t).collect())
+    assert got == [
+        (4, "B"), (5, "B"), (6, "B"), (7, "B"), (100, "A"), (200, "A"),
+    ]
+
+
+def test_partition_overwrite_conflicts_with_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror image: an overwrite losing to an append INTO the
+    partition it rewrites must raise (the rewrite would silently
+    clobber the appended rows — Delta's ConcurrentAppendException)."""
+    t = _mk_part_table(spark, tmp_path)
+    w = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    l = spark.createDataFrame([(300, "A", 9)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w, t))
+    with pytest.raises(st.ConcurrentCommit, match="rewritten partition"):
+        st.overwrite_partitions(l, t)
+    # ... while an append into a DIFFERENT partition rebases fine
+    t2 = _mk_part_table(spark, tmp_path, "cc2")
+    w2 = spark.createDataFrame([(100, "B", 1)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w2, t2))
+    st.overwrite_partitions(l, t2)
+    got = sorted((r.id, r.g) for r in st.read_snapshot(spark, t2).collect())
+    assert got == [
+        (4, "B"), (5, "B"), (6, "B"), (7, "B"), (100, "B"), (300, "A"),
+    ]
+
+
+def test_concurrent_schema_change_is_true_conflict(spark, tmp_path, monkeypatch):
+    t = _mk_part_table(spark, tmp_path)
+    w = spark.createDataFrame(
+        [(100, "A", 1, "x")], "id int, g string, v int, w string"
+    )
+    l = spark.createDataFrame([(200, "B", 2)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w, t, merge_schema=True))
+    with pytest.raises(st.ConcurrentCommit, match="schema changed"):
+        st.append(l, t)
+
+
+def test_concurrent_dv_deletes_on_disjoint_files_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Two merge-on-read deletes touching DIFFERENT files: the loser
+    rebases and the final head carries BOTH deletion vectors."""
+    t = _mk_part_table(spark, tmp_path)  # g=A file and g=B file
+    _interleave(
+        monkeypatch,
+        lambda: st.delete_where(spark, t, [("id", "=", 1)], use_dv=True),
+    )
+    st.delete_where(spark, t, [("id", "=", 6)], use_dv=True)
+    assert st.current_version(t) == 3
+    ids = sorted(r.id for r in st.read_snapshot(spark, t).collect())
+    assert ids == [0, 2, 3, 4, 5, 7]
+
+
+def test_concurrent_dv_deletes_same_file_conflict(spark, tmp_path, monkeypatch):
+    t = _mk_part_table(spark, tmp_path)
+    _interleave(
+        monkeypatch,
+        lambda: st.delete_where(spark, t, [("id", "=", 1)], use_dv=True),
+    )
+    with pytest.raises(st.ConcurrentCommit, match="deletion vector"):
+        st.delete_where(spark, t, [("id", "=", 2)], use_dv=True)
+
+
+def test_optimize_rebases_past_concurrent_append(spark, tmp_path, monkeypatch):
+    """OPTIMIZE is row-preserving over exactly the files it removes,
+    so a concurrent append's file simply carries through the rebase."""
+    t = _mk_part_table(spark, tmp_path)
+    w = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w, t))
+    st.optimize(spark, t, files_per_partition=1)
+    ids = sorted(r.id for r in st.read_snapshot(spark, t).collect())
+    assert ids == list(range(8)) + [100]
+
+
+def test_full_overwrite_conflicts_with_any_concurrent_add(
+    spark, tmp_path, monkeypatch
+):
+    t = _mk_part_table(spark, tmp_path)
+    w = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    l = spark.createDataFrame([(0, "A", 0)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w, t))
+    with pytest.raises(st.ConcurrentCommit, match="added concurrently"):
+        st.overwrite_table(l, t)
+
+
+def test_tracked_appends_rebase_with_fresh_id_ranges(
+    spark, tmp_path, monkeypatch
+):
+    """On a row-tracked table, a rebased blind append RE-ALLOCATES its
+    id range off the new head's high-water mark — no collision with
+    the ids the winner allocated."""
+    t = _mk_part_table(spark, tmp_path)
+    st.enable_row_tracking(t)
+    w = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    l = spark.createDataFrame([(200, "B", 2)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w, t))
+    st.append(l, t)
+    rows = st.read_snapshot(spark, t, with_row_ids=True).collect()
+    ids = [r._row_id for r in rows]
+    assert len(ids) == len(set(ids)) == 10
+    m = st._read_manifest(t, st.current_version(t))
+    assert m["next_row_id"] == max(ids) + 1
+
+
+def test_tracked_merges_with_concurrent_allocation_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """Two tracked MERGEs both pre-allocate id ranges off the same
+    mark — a rebase would collide, so the loser raises."""
+    t = _mk_part_table(spark, tmp_path)
+    st.enable_row_tracking(t)
+    w = spark.createDataFrame([(500, "A", 1)], "id int, g string, v int")
+    l = spark.createDataFrame([(600, "B", 2)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.merge_into(spark, t, w, ["id"]))
+    with pytest.raises(st.ConcurrentCommit, match="row ids"):
+        st.merge_into(spark, t, l, ["id"])
+
+
+def test_rebase_replays_cleanly_and_bounds_attempts(spark, tmp_path, monkeypatch):
+    """The rebased manifest is a normal commit: time travel sees the
+    winner's version, CDF replays the merged log, and a pathological
+    always-colliding publish exhausts the bounded attempts."""
+    t = _mk_part_table(spark, tmp_path)
+    w = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    l = spark.createDataFrame([(200, "B", 2)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(w, t))
+    st.append(l, t)
+    # time travel: v2 is the winner's append alone
+    ids_v2 = sorted(r.id for r in st.read_snapshot(spark, t, version=2).collect())
+    assert ids_v2 == list(range(8)) + [100]
+    ins = [
+        r.id
+        for r in st.changes(spark, t, 1).collect()
+        if r._change_type == "insert"
+    ]
+    assert sorted(ins) == [100, 200]
