@@ -20,9 +20,18 @@ recorded one:
 The digest covers the oracle SQL too, so adding/strengthening an
 oracle (e.g. ``approx_distinct`` gaining a bounds oracle after two
 rows-only rounds) automatically re-queues the query for a real
-driver row. Helper-function edits below the ``q_`` body are the one
-blind spot; the full local parity suite (tests/test_oracle_parity.py)
-still runs every query every time and covers that.
+driver row. It also covers the ONE-LEVEL-DEEP transitive source of
+repo-local helpers the ``q_`` body references (module-level names
+and body-local ``from .. import`` bindings that resolve to package
+functions or string constants — e.g. ``hash60_sql``,
+``NORMALIZE_EXPR``): editing such a helper re-queues every query
+built on it (round-10 VERDICT's digest blind spot). Whole-MODULE
+references (``from ..sources import snaptable as st``) are
+deliberately NOT expanded — folding a 4,000-line engine module into
+every snapshot query's digest would flood the driver window on any
+engine edit; the full local parity suite
+(tests/test_oracle_parity.py) still runs every query every time and
+covers deeper edits.
 
 The file is regenerated mechanically by
 ``tools/refresh_verification_state.py`` from CORRECTNESS_r{N}.json +
@@ -31,7 +40,9 @@ the git snapshot commit the driver verified — never edited by hand.
 
 from __future__ import annotations
 
+import ast
 import hashlib
+import importlib
 import inspect
 import json
 import os
@@ -40,13 +51,107 @@ from collections.abc import Callable
 
 STATE_PATH = os.path.join(os.path.dirname(__file__), "verification_state.json")
 
+_PKG_PREFIX = __name__.split(".")[0] + "."
+
+
+def _helper_part(label: str, obj) -> str | None:
+    """A digestable fragment for a helper the query body references:
+    package-local functions contribute their source, string constants
+    (SQL/expr templates) their value. Modules, classes, and foreign
+    objects contribute nothing (see module docstring)."""
+    if inspect.isfunction(obj) and (
+        (getattr(obj, "__module__", "") or "").startswith(_PKG_PREFIX)
+    ):
+        try:
+            return label + "\x01" + textwrap.dedent(inspect.getsource(obj))
+        except (OSError, TypeError):
+            return None
+    if isinstance(obj, str):
+        return label + "\x01" + obj
+    return None
+
+
+def _referenced_helpers(fn: Callable) -> dict[str, object]:
+    """Helpers a function's body references: every module-level name
+    (resolved through ``fn.__globals__``) and every body-local
+    ``from X import y`` binding that resolves to a package function
+    or string constant. Best-effort — introspection failures degrade
+    to the body-only digest, never crash."""
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return {}
+    g = getattr(fn, "__globals__", {}) or {}
+    fn_mod = getattr(fn, "__module__", "") or ""
+    out: dict[str, object] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            if node.id in g:
+                out.setdefault(node.id, g[node.id])
+        elif isinstance(node, ast.ImportFrom):
+            try:
+                mod = importlib.import_module(
+                    "." * node.level + (node.module or ""),
+                    package=fn_mod.rsplit(".", 1)[0] if "." in fn_mod else fn_mod,
+                )
+            except Exception:  # noqa: BLE001 — best-effort resolution
+                continue
+            if not (getattr(mod, "__name__", "") or "").startswith(_PKG_PREFIX):
+                continue
+            for alias in node.names:
+                obj = getattr(mod, alias.name, None)
+                if obj is not None:
+                    out.setdefault(alias.asname or alias.name, obj)
+    return out
+
+
+# expansion bounds: helper graphs inside an operators module are a
+# handful of functions; the caps only guard against a pathological
+# cycle or an accidental whole-module pull
+_HELPER_DEPTH = 4
+_HELPER_CAP = 60
+
+
+def _helper_parts(fn: Callable) -> list[str]:
+    """Transitive digest fragments: package functions and string
+    constants reachable from the query body through direct name
+    references, expanded RECURSIVELY through package functions (e.g.
+    ``q_dedup_minhash_signatures`` → ``minhash_signatures_md5`` →
+    ``hash60_sql``) so an edit anywhere on the chain re-queues the
+    query. Modules are never expanded (see module docstring)."""
+    parts: dict[str, str] = {}
+    seen: set[int] = {id(fn)}
+    frontier: list[tuple[str, Callable]] = [("", fn)]
+    for _ in range(_HELPER_DEPTH):
+        nxt: list[tuple[str, Callable]] = []
+        for _label, f in frontier:
+            for name, obj in sorted(
+                _referenced_helpers(f).items(), key=lambda kv: kv[0]
+            ):
+                p = _helper_part(name, obj)
+                if p is None or name in parts:
+                    continue
+                parts[name] = p
+                if len(parts) >= _HELPER_CAP:
+                    return [parts[k] for k in sorted(parts)]
+                if inspect.isfunction(obj) and id(obj) not in seen:
+                    seen.add(id(obj))
+                    nxt.append((name, obj))
+        if not nxt:
+            break
+        frontier = nxt
+    return [parts[k] for k in sorted(parts)]
+
 
 def source_digest(fn: Callable, oracle_sql: str = "") -> str:
-    """Digest of a query's observable definition: its function source
-    plus its DuckDB oracle SQL (empty string for rows-only queries).
-    Either side changing invalidates prior driver evidence."""
+    """Digest of a query's observable definition: its function source,
+    its DuckDB oracle SQL (empty string for rows-only queries), and
+    the one-level-deep source of repo-local helpers it references.
+    Any of them changing invalidates prior driver evidence."""
     src = textwrap.dedent(inspect.getsource(fn))
-    return hashlib.sha256((src + "\x00" + oracle_sql).encode()).hexdigest()[:16]
+    blob = src + "\x00" + oracle_sql + "\x00" + "\x00".join(_helper_parts(fn))
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def load_state() -> dict[str, dict]:

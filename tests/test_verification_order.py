@@ -139,3 +139,84 @@ def test_order_function_is_deterministic_and_total():
     b = verification_order(qs, ors)
     assert a == b
     assert sorted(a) == sorted(qs)
+
+
+def _write_mod(path, helper_body):
+    path.write_text(
+        "CONST_EXPR = 'md5(x)'\n"
+        f"def helper(v):\n    return {helper_body}\n"
+        "def mid(v):\n    return helper(v) + 1\n"
+        "def q_fake(spark, sf_dir):\n"
+        "    from importlib import import_module  # foreign: ignored\n"
+        "    return mid(3), CONST_EXPR\n"
+    )
+
+
+def test_digest_covers_transitive_helpers(tmp_path, monkeypatch):
+    """Round-10 VERDICT digest blind spot: editing a helper BELOW the
+    q_ body (even two levels down, hash60_sql-style) must change the
+    query's digest and re-queue it — while editing an unreferenced
+    sibling must NOT."""
+    import importlib.util
+    import linecache
+    import sys
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans import (
+        verification as V,
+    )
+
+    mod_file = tmp_path / "fake_helpers_mod.py"
+    _write_mod(mod_file, "v * 2")
+
+    def load():
+        linecache.clearcache()
+        # the digest only expands package-local helpers; give the fake
+        # module a package-local name
+        pkg = V._PKG_PREFIX.rstrip(".")
+        name = f"{pkg}.operators.fake_helpers_mod"
+        spec = importlib.util.spec_from_file_location(name, mod_file)
+        m = importlib.util.module_from_spec(spec)
+        sys.modules.pop(name, None)
+        spec.loader.exec_module(m)
+        return m
+
+    m1 = load()
+    labels = [p.split("\x01")[0] for p in V._helper_parts(m1.q_fake)]
+    assert "mid" in labels and "helper" in labels and "CONST_EXPR" in labels
+    d1 = V.source_digest(m1.q_fake, "SELECT 1")
+    # editing the two-levels-down helper changes the digest
+    _write_mod(mod_file, "v * 3")
+    m2 = load()
+    d2 = V.source_digest(m2.q_fake, "SELECT 1")
+    assert d2 != d1
+    # ... and a stale-vs-state comparison would re-queue it
+    state = {"fake": {"round": 5, "digest": d1, "mode": "oracled"}}
+    order = verification_order(
+        {"fake": m2.q_fake}, {"fake": "SELECT 1"}, state=state
+    )
+    assert order == ["fake"]  # stale prefix (only member, but key(0...))
+    # identical source reproduces the digest (stability)
+    _write_mod(mod_file, "v * 2")
+    m3 = load()
+    assert V.source_digest(m3.q_fake, "SELECT 1") == d1
+
+
+def test_real_registry_digests_reach_known_helpers():
+    """The live chains the VERDICT named: minhash/text queries must
+    carry their hashing/normalization helpers in the digest, directly
+    or through the baked oracle text."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans import (
+        verification as V,
+    )
+
+    qs = get_queries()
+    labels = {
+        name: {p.split("\x01")[0] for p in V._helper_parts(qs[name])}
+        for name in ("leakfree_split", "dedup_minhash_signatures")
+    }
+    assert "hash60" in labels["leakfree_split"]  # q -> split_assign -> hash60
+    assert "minhash_signatures_md5" in labels["dedup_minhash_signatures"]
+    # hash60_sql edits flow through the ORACLE text itself (f-string
+    # baked at import), which source_digest already covers
+    ors = get_oracles()
+    assert "substr(md5(" in ors["dedup_minhash_signatures"].lower()
