@@ -2733,3 +2733,153 @@ WITH final AS (
 SELECT * FROM agg UNION ALL SELECT * FROM extras
 ORDER BY row
 """
+
+
+def q_ev_lineage_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full EV lakehouse lineage, bronze CSV -> silver -> gold AS AN
+    ACID SNAPSHOT TABLE (operators/silver.run_silver ->
+    operators/gold.run_gold(table_format="snapshot") — the reference's
+    two Glue jobs, jobs/ev_sessions_silver_etl_clean.py +
+    jobs/ev_sessions_gold_etl.py, composed end-to-end on the
+    manifest-log format): a synthetic bronze CSV derives
+    deterministically from ``orders`` keys (some rows carry the
+    two-zero-year quirk to exercise the F2 repair), the silver job
+    cleans/verifies/splits it, and the gold job runs TWICE on the
+    same input — the rerun must land as a second, idempotent,
+    time-travelable version (create + dynamic partition overwrite).
+    Contract bits pin head == 2, a clean 200/0 silver split, and
+    version-1 == version-2 content; the facility-type rollup of the
+    final snapshot (counts + exact sums of kWh, derived duration
+    minutes, guarded cost-per-kWh) replays the whole cleaning +
+    derivation chain against the DuckDB oracle."""
+    import datetime
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.gold import run_gold
+    from ..operators.silver import run_silver
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    out_schema = (
+        "facilityType string, n bigint, sum_kwh double, "
+        "sum_duration_min double, sum_cost_per_kwh double"
+    )
+    keys = [
+        r.k
+        for r in read_fixture(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .orderBy("k")
+        .limit(200)
+        .collect()  # bounded: 200 keys
+    ]
+    if not keys:
+        return spark.createDataFrame([], out_schema)
+    plats = ["android", "ios", "web"]
+    wdays = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+    header = (
+        "sessionId,kwhTotal,dollars,created,ended,startTime,endTime,"
+        "chargeTimeHrs,weekday,platform,distance,userId,stationId,"
+        "locationId,managerVehicle,facilityType,Mon,Tues,Wed,Thurs,"
+        "Fri,Sat,Sun,reportedZip"
+    )
+    lines = [header]
+    for k in keys:
+        created = datetime.datetime(2018, 3, 1 + k % 5, k % 24, k % 60, 0)
+        ended = created + datetime.timedelta(minutes=30 + k % 90)
+        c_str = created.strftime("%Y-%m-%d %H:%M:%S")
+        if k % 4 == 0:  # exercise the two-zero-year repair (F2)
+            c_str = "00" + c_str[2:]
+        lines.append(
+            f"{k},{5.0 + k % 10},{1.0 + k % 7},{c_str},"
+            f"{ended.strftime('%Y-%m-%d %H:%M:%S')},0,0,{1.0 + k % 3},"
+            f"{wdays[k % 7]},{plats[k % 3]},{2.5 + k % 5},{1000 + k % 50},"
+            f"{100 + k % 20},{10 + k % 5},{k % 2},{1 + k % 4},"
+            f"0,0,0,0,0,0,0,0"
+        )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_lineage_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    csv_path = os.path.join(root, "bronze.csv")
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    silver_path = os.path.join(root, "silver")
+    quarantine_path = os.path.join(root, "quarantine")
+    gold_table = os.path.join(root, "gold_snap")
+    res = run_silver(spark, csv_path, silver_path, quarantine_path)
+    run_gold(spark, silver_path, gold_table, table_format="snapshot")
+    run_gold(spark, silver_path, gold_table, table_format="snapshot")
+    head = st.current_version(gold_table)
+    v1 = st.read_snapshot(spark, gold_table, version=1)
+    v2 = st.read_snapshot(spark, gold_table, version=2)
+
+    def _state(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("kwhTotal").alias("s1"),
+            dsum("session_duration_minutes").alias("s2"),
+        ).collect()[0]
+        return (r.n, str(r.s1), str(r.s2))
+
+    contract_ok = (
+        head == 2
+        and res.good_count == len(keys)
+        and res.bad_count == 0
+        and _state(v1) == _state(v2)  # rerun idempotent, time travel intact
+    )
+    agg = (
+        v2.groupBy("facilityType")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("kwhTotal").alias("sum_kwh"),
+            dsum("session_duration_minutes").alias("sum_duration_min"),
+            dsum("avg_cost_per_kwh").alias("sum_cost_per_kwh"),
+        )
+        .collect()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    rows = [
+        (
+            r.facilityType,
+            r.n,
+            float(r.sum_kwh),
+            float(r.sum_duration_min),
+            float(r.sum_cost_per_kwh),
+        )
+        for r in agg
+    ] + [("_contract", 1 if contract_ok else 0, None, None, None)]
+    return spark.createDataFrame(rows, out_schema).orderBy("facilityType")
+
+
+ORACLE["ev_lineage_snapshot"] = f"""
+WITH ks AS (
+  SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 200
+), s AS (
+  SELECT
+    CASE 1 + (k % 4)
+      WHEN 1 THEN 'Manufacturing' WHEN 2 THEN 'Office'
+      WHEN 3 THEN 'Research and Development' ELSE 'Other'
+    END AS facilityType,
+    CAST(5.0 + (k % 10) AS DOUBLE) AS kwh,
+    CAST(30 + (k % 90) AS DOUBLE) AS dur,
+    CAST(1.0 + (k % 7) AS DOUBLE) / CAST(5.0 + (k % 10) AS DOUBLE)
+      AS cost_per_kwh
+  FROM ks
+), agg AS (
+  SELECT facilityType, COUNT(*) AS n,
+         {dsum_sql('kwh')} AS sum_kwh,
+         {dsum_sql('dur')} AS sum_duration_min,
+         {dsum_sql('cost_per_kwh')} AS sum_cost_per_kwh
+  FROM s GROUP BY facilityType
+)
+SELECT * FROM agg
+UNION ALL
+SELECT '_contract', 1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+ORDER BY facilityType
+"""

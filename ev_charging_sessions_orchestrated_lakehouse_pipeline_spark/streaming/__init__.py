@@ -13,6 +13,7 @@ from .ingest import (
     gold_stream,
     gold_stream_snapshot,
     silver_stream,
+    silver_stream_snapshot,
     stream_stream_attribution,
     session_windows,
     windowed_event_counts,
@@ -32,6 +33,7 @@ __all__ = [
     "gold_stream",
     "gold_stream_snapshot",
     "silver_stream",
+    "silver_stream_snapshot",
     "windowed_event_counts",
     "session_windows",
     "stateful_user_totals",

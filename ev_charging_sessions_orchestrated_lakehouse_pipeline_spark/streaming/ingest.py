@@ -85,6 +85,77 @@ def silver_stream(
     )
 
 
+def silver_stream_snapshot(
+    spark: SparkSession,
+    input_dir: str,
+    table: str,
+    quarantine_table: str,
+    checkpoint: str,
+    schema=None,
+    app_id: str = "silver_stream",
+    max_files_per_trigger: int = 16,
+    fault_injector=None,
+) -> StreamingQuery:
+    """Bronze CSV stream -> SILVER AS AN ACID SNAPSHOT TABLE: the
+    reference's incremental unit (partition re-run,
+    jobs/ev_sessions_gold_etl.py:156) upgraded to streaming. Same
+    clean/annotate/split pipeline as :func:`silver_stream`, but each
+    epoch lands as a snapshot-table append commit carrying
+    ``txn = (app_id, epoch_id)`` — the Delta idempotent-writer
+    protocol: a replayed epoch whose commit already published is
+    skipped via :func:`..sources.snaptable.txn_epoch`, so kill/replay
+    leaves the table state IDENTICAL (exactly-once), with every epoch
+    a time-travelable version and quarantine rows in their own
+    snapshot table under the same protocol (a crash BETWEEN the two
+    commits replays the epoch; the good-side txn check skips the
+    already-published half, the quarantine side completes — each
+    table exactly-once). Crash behavior is pinned by
+    tests/test_streaming.py.
+
+    ``fault_injector``: optional ``(epoch_id) -> None`` run between
+    the good-table commit and the quarantine commit / epoch
+    checkpoint — the worst-point crash seam."""
+    from ..operators.quality import annotate_rows, split_good_bad
+    from ..operators.silver import clean_sessions, silver_row_rules
+    from ..schemas import EV_BRONZE_SCHEMA
+    from ..sources import snaptable
+
+    bronze = (
+        spark.readStream.option("header", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(schema or EV_BRONZE_SCHEMA)
+        .csv(input_dir)
+    )
+
+    def _commit_epoch(df: DataFrame, tbl: str, txn, pcols) -> None:
+        done = snaptable.txn_epoch(tbl, txn[0])
+        if done is not None and txn[1] <= done:
+            return  # replay of an already-committed epoch for this table
+        if snaptable.current_version(tbl) is None:
+            snaptable.create_table(df, tbl, pcols, txn=txn)
+        else:
+            snaptable.append(df, tbl, txn=txn)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        silver = clean_sessions(batch_df)
+        annotated = annotate_rows(silver, silver_row_rules())
+        good, bad = split_good_bad(annotated)
+        txn = (app_id, int(epoch_id))
+        _commit_epoch(good, table, txn, ["event_date"])
+        if fault_injector is not None:
+            fault_injector(epoch_id)
+        # quarantine rows keep event_date as a plain column but the
+        # table is unpartitioned: rejects routinely carry null dates
+        _commit_epoch(bad, quarantine_table, txn, [])
+
+    return (
+        bronze.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "5 minutes",

