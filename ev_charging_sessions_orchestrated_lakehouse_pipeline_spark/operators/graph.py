@@ -412,31 +412,44 @@ LIMIT {TRI_TOPK}
 # ---------------------------------------------------------------------------
 # PageRank (fixed PR_ITERS iterations, deterministic to the bit)
 # ---------------------------------------------------------------------------
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top PR_TOPK suppliers by PageRank over the undirected co-supply
-    graph (each edge contributes both directions, so out-degree =
-    degree and there are no dangling nodes).
-
-    r_0(v) = 1/n;  r_{t+1}(v) = (1-d)/n + d * sum_{u~v} r_t(u)/deg(u)
-
-    Per iteration: one shuffle (contribution groupBy dst); the
-    contribution sum rides DECIMAL(25,10) so the result is invariant
-    to partitioning. The graph is TOP_EDGES-bounded by construction
-    (at ANY scale factor), so the whole PR_ITERS recurrence evaluates
-    as ONE lazy plan over the checkpointed single-partition adjacency
-    list — on an UNBOUNDED graph the per-round localCheckpoint
-    discipline (operators/dedup.py:431's CC loop) applies instead;
-    here each eager per-round checkpoint was a blocking job whose
-    scheduling overhead dwarfed the kilobytes of state it
-    materialized. The oracle unrolls the same recurrence as PR_ITERS
-    chained CTEs with textually identical arithmetic.
-    """
-    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
-    both = edges.unionAll(
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+def pagerank_ranks(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damp: float = PR_DAMP,
+    bounded: bool = True,
+    adj_partitions: int | None = None,
+) -> DataFrame:
+    """PageRank recurrence over an undirected edge list, with the two
+    scale regimes selected by ``bounded``:
+
+    * ``bounded=True`` (the TOP_EDGES co-supply graph): the adjacency
+      coalesces to one partition and checkpoints ONCE; the whole
+      fixed-iteration recurrence evaluates as one lazy plan — a
+      per-round eager checkpoint would be a blocking job whose
+      scheduling overhead dwarfs the kilobytes of state.
+    * ``bounded=False`` (the unbounded-graph path): the adjacency
+      stays PARTITIONED (hash on ``src``, ``adj_partitions`` when
+      given) and the rank frame localCheckpoints EVERY round — the
+      connected-components discipline (operators/dedup.py:550's CC
+      loop): lineage stays O(1) per round, per-round shuffle is
+      (node, rank) keys only, never payload, and the DECIMAL(25,10)
+      contribution ladder keeps the fixpoint bit-identical at any
+      partition count (pinned in tests/test_graph.py).
+    """
+    both = _symmetric(edges)
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    adj = both.join(deg, "src").coalesce(1).localCheckpoint(eager=True)
+    adj = both.join(deg, "src")
+    if bounded:
+        adj = adj.coalesce(1)
+    elif adj_partitions:
+        adj = adj.repartition(adj_partitions, "src")
+    adj = adj.localCheckpoint(eager=True)
 
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = (
@@ -449,7 +462,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contrib = (
             adj.join(
                 ranks.select(F.col("node").alias("src"), "rank", "n"), "src"
@@ -465,14 +478,36 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.select(
             "node",
             (
-                (1.0 - PR_DAMP) / F.col("n").cast("double")
-                + PR_DAMP * F.col("contrib")
+                (1.0 - damp) / F.col("n").cast("double")
+                + damp * F.col("contrib")
             ).alias("rank"),
             "n",
         )
+        if not bounded:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
 
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PR_TOPK suppliers by PageRank over the undirected co-supply
+    graph (each edge contributes both directions, so out-degree =
+    degree and there are no dangling nodes).
+
+    r_0(v) = 1/n;  r_{t+1}(v) = (1-d)/n + d * sum_{u~v} r_t(u)/deg(u)
+
+    Per iteration: one shuffle (contribution groupBy dst); the
+    contribution sum rides DECIMAL(25,10) so the result is invariant
+    to partitioning. The graph is TOP_EDGES-bounded by construction
+    (at ANY scale factor), so the query takes
+    :func:`pagerank_ranks`'s ``bounded=True`` regime; the same
+    function's ``bounded=False`` path serves unbounded graphs with a
+    partitioned adjacency and per-round checkpoints. The oracle
+    unrolls the same recurrence as PR_ITERS chained CTEs with
+    textually identical arithmetic.
+    """
+    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
     return (
-        ranks.select("node", "rank")
+        pagerank_ranks(edges)
         .orderBy(F.col("rank").desc(), "node")
         .limit(PR_TOPK)
     )
@@ -642,24 +677,38 @@ KCORE_K = 4
 KCORE_ROUNDS = 6
 
 
-def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nodes surviving KCORE_ROUNDS rounds of degree-< K peeling on
-    the co-supply graph, with their in-core degree."""
-    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
-    for _ in range(KCORE_ROUNDS):
-        both = edges.unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+def k_core_edges(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    bounded: bool = True,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """Iterative degree-< k peeling over an undirected edge list.
+
+    ``bounded=True`` (TOP_EDGES-sized graphs): the surviving-node
+    frame broadcasts into the two semi joins and the per-round
+    checkpoint coalesces to one partition — kilobyte-sized blocking
+    jobs. ``bounded=False``: ``keep`` is NOT broadcast (it is
+    O(nodes); AQE still promotes it when a round's survivors turn out
+    small) and the edge frame stays partitioned (hash on ``src``,
+    ``edge_partitions`` when given) through its per-round
+    localCheckpoint — the CC-loop discipline (operators/dedup.py:550):
+    lineage O(1) per round, per-round shuffle O(|edges|) keys."""
+    for _ in range(rounds):
         keep = (
-            both.groupBy("src")
+            _symmetric(edges)
+            .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
+            .filter(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
         )
+        if bounded:
+            keep = F.broadcast(keep)
         edges = edges.join(
-            F.broadcast(keep.withColumnRenamed("node", "src")), "src", "left_semi"
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
         ).join(
-            F.broadcast(keep.withColumnRenamed("node", "dst")), "dst", "left_semi"
+            keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
         )
         # re-project in (src, dst) order: a using-column join moves
         # the key column first, and the next round's unionAll pairs
@@ -667,15 +716,29 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would stack dst onto dst and degrees double-count one side.
         # Then truncate lineage: each round references the previous
         # frame ~4 times (degree union + two semi joins), so the lazy
-        # plan grows ~4^rounds and Catalyst analysis dominates. The
-        # frame is <= TOP_EDGES rows, so the per-round checkpoint is a
-        # kilobyte-sized job — the CC-loop discipline (dedup.py:431).
-        edges = edges.select("src", "dst").coalesce(1).localCheckpoint(eager=True)
-    both = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # plan grows ~4^rounds and Catalyst analysis dominates — the
+        # CC-loop discipline (dedup.py:431).
+        edges = edges.select("src", "dst")
+        if bounded:
+            edges = edges.coalesce(1)
+        elif edge_partitions:
+            edges = edges.repartition(edge_partitions, "src")
+        edges = edges.localCheckpoint(eager=True)
+    return edges
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving KCORE_ROUNDS rounds of degree-< K peeling on
+    the co-supply graph, with their in-core degree (the bounded
+    regime of :func:`k_core_edges`; ``bounded=False`` is the
+    unbounded-graph path with a partitioned edge frame and
+    non-broadcast survivor joins)."""
+    edges = k_core_edges(
+        shared_cosupply_edges(spark, sf_dir).select("src", "dst")
     )
     return (
-        both.groupBy(F.col("src").alias("node"))
+        _symmetric(edges)
+        .groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy(F.col("core_degree").desc(), "node")
     )
@@ -740,33 +803,73 @@ BFS_SEEDS = 5
 BFS_HOPS = 4
 
 
+def bfs_distances(
+    both: DataFrame,
+    seeds: DataFrame,
+    hops: int = BFS_HOPS,
+    bounded: bool = True,
+) -> DataFrame:
+    """Multi-source bounded-hop BFS over a symmetric adjacency
+    ``both`` (src, dst) from a ``seeds`` frame (node, dist=0).
+
+    ``bounded=True``: the full distance frame relaxes against the
+    adjacency each round and coalesces to one partition at its
+    checkpoint. ``bounded=False`` (the unbounded-graph path): only the
+    FRONTIER DELTA — nodes first reached last round — joins the
+    adjacency (the Pregel message-passing shape: per-round join cost
+    follows the frontier, not the visited set), the distance frame
+    stays partitioned through its per-round checkpoint, and the loop
+    exits early once a frontier comes back empty (one bounded
+    ``take(1)`` probe per round)."""
+    dist = seeds
+    if bounded:
+        for r in range(hops):
+            nxt = dist.join(both, dist.node == both.src).select(
+                F.col("dst").alias("node"), F.lit(r + 1).alias("dist")
+            )
+            dist = (
+                dist.unionAll(nxt)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # two refs per round -> 2^hops plan growth; truncate (frame
+            # is bounded by the TOP_EDGES node set)
+            dist = dist.coalesce(1).localCheckpoint(eager=True)
+        return dist
+    frontier = seeds.localCheckpoint(eager=True)
+    dist = frontier
+    for r in range(hops):
+        # unseen-only expansion: with monotone hop counts, first reach
+        # IS the minimum distance, so anti-joining the visited set
+        # preserves exactly the bounded path's min() semantics
+        reached = (
+            frontier.join(both, frontier.node == both.src)
+            .select(F.col("dst").alias("node"))
+            .join(dist.select("node"), "node", "left_anti")
+            .distinct()
+            .select("node", F.lit(r + 1).alias("dist"))
+        )
+        frontier = reached.localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break  # fixpoint before the hop budget: nothing new reached
+        dist = dist.unionAll(frontier).localCheckpoint(eager=True)
+    return dist
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-distance histogram from the top-degree seed set: per hop,
-    how many suppliers are first reached at that distance."""
+    how many suppliers are first reached at that distance (the
+    bounded regime of :func:`bfs_distances`; ``bounded=False`` is the
+    frontier-delta unbounded path)."""
     edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
-    both = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    both = _symmetric(edges)
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     seeds = (
         deg.orderBy(F.col("deg").desc(), "src")
         .limit(BFS_SEEDS)
         .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
     )
-    dist = seeds
-    for r in range(BFS_HOPS):
-        nxt = (
-            dist.join(both, dist.node == both.src)
-            .select(F.col("dst").alias("node"), F.lit(r + 1).alias("dist"))
-        )
-        dist = (
-            dist.unionAll(nxt)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        # two refs per round -> 2^hops plan growth; truncate (frame is
-        # bounded by the TOP_EDGES node set)
-        dist = dist.coalesce(1).localCheckpoint(eager=True)
+    dist = bfs_distances(both, seeds)
     return (
         dist.groupBy("dist")
         .agg(

@@ -174,3 +174,71 @@ def test_oriented_out_degree_bounded_by_rank(spark, sf_dir):
         lo = u if (deg[u], u) < (deg[v], v) else v
         hi = v if lo == u else u
         assert (deg[lo], lo) < (deg[hi], hi)
+
+
+# ---------------------------------------------------------------------------
+# Unbounded-scale regime (round-11 VERDICT item 2): the same family
+# functions with bounded=False keep state PARTITIONED through per-round
+# checkpoints and must produce bit-identical results on a
+# multi-partition adjacency.
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_unbounded_partition_invariant(spark, sf_dir):
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    bounded = {
+        (r.node, str(r.rank))
+        for r in G.pagerank_ranks(edges, bounded=True).collect()
+    }
+    unbounded = {
+        (r.node, str(r.rank))
+        for r in G.pagerank_ranks(
+            edges.repartition(8, "src"), bounded=False, adj_partitions=8
+        ).collect()
+    }
+    assert bounded == unbounded and len(bounded) > 0
+
+
+def test_k_core_unbounded_partition_invariant_and_no_forced_broadcast(
+    spark, sf_dir
+):
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    bounded = {
+        (r.src, r.dst) for r in G.k_core_edges(edges, bounded=True).collect()
+    }
+    un = G.k_core_edges(
+        edges.repartition(8, "src"), bounded=False, edge_partitions=8
+    )
+    assert {(r.src, r.dst) for r in un.collect()} == bounded
+    # the unbounded survivors frame keeps its partitioning (the
+    # checkpointed frame is NOT a coalesce(1) single partition)
+    assert un.rdd.getNumPartitions() == 8
+
+
+def test_bfs_unbounded_frontier_delta_matches_bounded(spark, sf_dir):
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    both = G._symmetric(edges)
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), "src")
+        .limit(G.BFS_SEEDS)
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+    )
+    bounded = {
+        (r.node, r.dist)
+        for r in G.bfs_distances(both, seeds, bounded=True).collect()
+    }
+    unbounded = {
+        (r.node, r.dist)
+        for r in G.bfs_distances(
+            both.repartition(8, "src"), seeds, bounded=False
+        ).collect()
+    }
+    assert bounded == unbounded and len(bounded) > 0
+    # early-exit sanity: a hop budget far past the diameter converges
+    # to the same reachable set instead of looping
+    big = {
+        (r.node, r.dist)
+        for r in G.bfs_distances(both, seeds, hops=50, bounded=False).collect()
+    }
+    assert {n for n, _ in big} >= {n for n, _ in bounded}
