@@ -924,6 +924,12 @@ def _commit(
             constraints,
             extra,
         )
+        # audit trail: a rebased commit names the parent it was
+        # ORIGINALLY computed against, so history() shows which
+        # versions went through reconciliation (Delta's
+        # readVersion-vs-commitVersion gap)
+        rb_extra = dict(extra or {})
+        rb_extra.setdefault("rebased_from", parent)
         return _commit(
             table,
             operation,
@@ -938,7 +944,7 @@ def _commit(
             column_mapping=column_mapping,
             retired_columns=retired_columns,
             generated=generated,
-            extra=extra,
+            extra=rb_extra,
             _rebase_attempts=_rebase_attempts - 1,
         )
     return version
@@ -2786,6 +2792,10 @@ def history(table: str) -> list[dict]:
             entry["metrics"] = m["metrics"]
         if m.get("reader_features"):
             entry["reader_features"] = m["reader_features"]
+        if m.get("rebased_from") is not None:
+            # commit reconciliation audit: the parent this commit was
+            # ORIGINALLY computed against before auto-rebase
+            entry["rebased_from"] = m["rebased_from"]
         out.append(entry)
     return out
 

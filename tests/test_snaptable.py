@@ -4004,3 +4004,54 @@ def test_rebase_replays_cleanly_and_bounds_attempts(spark, tmp_path, monkeypatch
         if r._change_type == "insert"
     ]
     assert sorted(ins) == [100, 200]
+
+
+def test_three_writer_chain_rebases_twice(spark, tmp_path, monkeypatch):
+    """A loser can lose AGAIN mid-rebase: with three stacked winners
+    the bounded retry chain lands the commit, history() records the
+    ORIGINAL parent in rebased_from, and every payload survives."""
+    t = _mk_part_table(spark, tmp_path)
+    w1 = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    w2 = spark.createDataFrame([(101, "A", 2)], "id int, g string, v int")
+    l = spark.createDataFrame([(200, "B", 3)], "id int, g string, v int")
+    orig = st._publish
+    state = {"n": 0}
+
+    def inject(table, version, manifest):
+        state["n"] += 1
+        if state["n"] == 1:
+            st.append(w1, t)  # wins round 1
+        elif state["n"] == 3:  # the loser's FIRST rebase attempt
+            st.append(w2, t)  # wins round 2
+        return orig(table, version, manifest)
+
+    monkeypatch.setattr(st, "_publish", inject)
+    st.append(l, t)
+    monkeypatch.setattr(st, "_publish", orig)
+    assert st.current_version(t) == 4
+    ids = sorted(r.id for r in st.read_snapshot(spark, t).collect())
+    assert ids == list(range(8)) + [100, 101, 200]
+    hist = {h["version"]: h for h in st.history(t)}
+    assert hist[4]["rebased_from"] == 1  # original parent, not v3
+    assert "rebased_from" not in hist[2] and "rebased_from" not in hist[3]
+
+
+def test_vacuum_reclaims_crashed_staging_dir(spark, tmp_path):
+    """A writer that dies mid-_write_data leaves a staging dir under
+    data/; vacuum reclaims its files past the grace window and prunes
+    the empty dir."""
+    t = str(tmp_path / "vac_staging")
+    st.create_table(
+        spark.createDataFrame([(1,)], "id int").coalesce(1), t, []
+    )
+    stage = os.path.join(st._data_dir(t), st._STAGING_PREFIX + "deadbeef")
+    os.makedirs(stage)
+    orphan = os.path.join(stage, "part-crashed.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"crashed write")
+    res = st.vacuum(t)  # young: deferred by the grace window
+    assert res["deleted_files"] == 0 and res["skipped_young_files"] == 1
+    res2 = st.vacuum(t, grace_seconds=0)
+    assert res2["deleted_files"] == 1
+    assert not os.path.exists(stage)  # empty staging dir pruned
+    assert st.read_snapshot(spark, t).count() == 1
