@@ -4055,3 +4055,25 @@ def test_vacuum_reclaims_crashed_staging_dir(spark, tmp_path):
     assert res2["deleted_files"] == 1
     assert not os.path.exists(stage)  # empty staging dir pruned
     assert st.read_snapshot(spark, t).count() == 1
+
+
+def test_single_rebase_spans_multiple_winners(spark, tmp_path, monkeypatch):
+    """The rebase validates against the AGGREGATED parent->head diff:
+    one losing append can jump a chain of two winner commits in a
+    single reconciliation."""
+    t = _mk_part_table(spark, tmp_path)
+    w1 = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    w2 = spark.createDataFrame([(101, "B", 2)], "id int, g string, v int")
+
+    def two_winners():
+        st.append(w1, t)   # v2
+        st.delete_where(spark, t, [("id", "=", 0)], use_dv=True)  # v3
+        st.append(w2, t)   # v4
+
+    _interleave(monkeypatch, two_winners)
+    l = spark.createDataFrame([(200, "B", 3)], "id int, g string, v int")
+    st.append(l, t)  # computed against v1, rebases across v2..v4
+    assert st.current_version(t) == 5
+    ids = sorted(r.id for r in st.read_snapshot(spark, t).collect())
+    assert ids == list(range(1, 8)) + [100, 101, 200]  # DV delete survives
+    assert {h["version"]: h for h in st.history(t)}[5]["rebased_from"] == 1
