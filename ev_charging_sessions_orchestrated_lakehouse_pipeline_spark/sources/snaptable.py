@@ -477,6 +477,7 @@ def _try_rebase(
     deletion_vectors: dict | None,
     constraints: dict | None,
     extra: dict | None,
+    txn: tuple[str, int] | None = None,
 ) -> tuple[int, list[str], dict, dict]:
     """Re-read the head after a lost :func:`_publish` race and decide
     whether the losing commit is LOGICALLY DISJOINT from everything
@@ -498,7 +499,21 @@ def _try_rebase(
         conflict("operation does not auto-rebase; re-read and retry")
     head = current_version(table)
     assert head is not None and head > parent
+    if head - parent > 64:
+        conflict("fell too far behind the head; re-read and retry")
     H = _read_manifest(table, head)
+    # idempotent-writer guard (Delta's txn appId/version check): if a
+    # WINNER already carries this writer's app_id at an epoch >= ours,
+    # the commit we're about to rebase is a replay that already landed
+    # — rebasing it would double-apply the batch
+    if txn is not None:
+        for v in range(parent + 1, head + 1):
+            t = _read_manifest(table, v).get("txn")
+            if t and t["app_id"] == txn[0] and int(t["epoch"]) >= int(txn[1]):
+                conflict(
+                    f"txn ({txn[0]}, {txn[1]}) already committed at v{v}; "
+                    "replay must be skipped, not rebased"
+                )
     # metadata guards — any concurrent change to the table's logical
     # definition is a conflict (Delta's MetadataChangedException):
     # the loser's plan was built against the parent's definition
@@ -923,6 +938,7 @@ def _commit(
             deletion_vectors,
             constraints,
             extra,
+            txn=txn,
         )
         # audit trail: a rebased commit names the parent it was
         # ORIGINALLY computed against, so history() shows which

@@ -4077,3 +4077,22 @@ def test_single_rebase_spans_multiple_winners(spark, tmp_path, monkeypatch):
     ids = sorted(r.id for r in st.read_snapshot(spark, t).collect())
     assert ids == list(range(1, 8)) + [100, 101, 200]  # DV delete survives
     assert {h["version"]: h for h in st.history(t)}[5]["rebased_from"] == 1
+
+
+def test_rebase_refuses_replayed_txn_epoch(spark, tmp_path, monkeypatch):
+    """Two writers sharing an (app_id, epoch): if the epoch already
+    committed in a winner, the loser's rebase must refuse (a replay
+    double-applies on rebase) — the Delta txn appId/version check
+    inside reconciliation."""
+    t = _mk_part_table(spark, tmp_path)
+    batch = spark.createDataFrame([(100, "A", 1)], "id int, g string, v int")
+    _interleave(monkeypatch, lambda: st.append(batch, t, txn=("app", 7)))
+    with pytest.raises(st.ConcurrentCommit, match="already committed"):
+        st.append(batch, t, txn=("app", 7))
+    # ... while a FRESH epoch from the same app rebases fine
+    t2 = _mk_part_table(spark, tmp_path, "txn2")
+    _interleave(monkeypatch, lambda: st.append(batch, t2, txn=("app", 7)))
+    nxt = spark.createDataFrame([(200, "B", 2)], "id int, g string, v int")
+    st.append(nxt, t2, txn=("app", 8))
+    assert st.txn_epoch(t2, "app") == 8
+    assert st.read_snapshot(spark, t2).count() == 10
