@@ -1683,3 +1683,48 @@ ORDER BY cluster_size
 
 
 ORACLE["dedup_cluster_size_hist"] = _cluster_size_hist_oracle()
+
+
+def q_dedup_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's SCALE CONTRACT as an oracled query: the
+    candidate-pair budget of the MAX_SHINGLE_DF-capped inverted index.
+    Generation cost is EXACTLY sum over kept posting lists of
+    C(df, 2) — the quantity the cap bounds (every df <= the cap), and
+    what tests/test_llm_ops.py measures equal to the physically
+    generated pair count at sf0.1. Surfacing it as a query makes the
+    budget checkable per-corpus before running the quadratic stage —
+    the planning probe a 100 TB dedup pass runs first."""
+    shingled = _shingled(spark, sf_dir)
+    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    lists = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_SHINGLE_DF))
+    )
+    return lists.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum(F.col("df") * (F.col("df") - F.lit(1)) / F.lit(2))
+        .cast("bigint")
+        .alias("pair_budget"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.lit(MAX_SHINGLE_DF).cast("bigint").alias("cap"),
+    )
+
+
+ORACLE["dedup_pair_budget"] = f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)}) AS shingles
+  FROM documents
+  WHERE len({word_shingles_sql(_TOKENS_SQL, SHINGLE_N)}) > 0
+),
+inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+lists AS (
+  SELECT shingle, COUNT(*) AS df FROM inv0 GROUP BY shingle
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {MAX_SHINGLE_DF}
+)
+SELECT COUNT(*) AS n_lists,
+       CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_budget,
+       CAST(MAX(df) AS BIGINT) AS max_df,
+       CAST({MAX_SHINGLE_DF} AS BIGINT) AS cap
+FROM lists
+"""

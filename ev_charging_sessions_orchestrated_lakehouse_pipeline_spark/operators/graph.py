@@ -909,3 +909,56 @@ FROM d{BFS_HOPS} GROUP BY dist ORDER BY dist
 
 
 ORACLE["bfs_hops"] = _bfs_oracle()
+
+
+def q_pagerank_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED-graph PageRank regime on the same co-supply
+    graph: partitioned adjacency (8-way hash on src) and per-round
+    rank checkpoints instead of the coalesced one-plan recurrence.
+    Shares :func:`q_pagerank`'s oracle verbatim — the DECIMAL(25,10)
+    contribution ladder makes the fixpoint bit-identical across the
+    two physical regimes (the partition-invariance property
+    tests/test_graph.py pins locally, here driver-checked)."""
+    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
+    return (
+        pagerank_ranks(
+            edges.repartition(8, "src"), bounded=False, adj_partitions=8
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(PR_TOPK)
+    )
+
+
+ORACLE["pagerank_unbounded"] = ORACLE["pagerank"]
+
+
+def q_bfs_hops_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED-graph BFS regime: frontier-delta expansion with
+    early exit over a partitioned adjacency (the Pregel
+    message-passing shape — per-round join cost follows the frontier,
+    not the visited set). Same histogram, same oracle as
+    :func:`q_bfs_hops`: unseen-only expansion with monotone hop
+    counts IS the min-distance semantics."""
+    edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
+    both = _symmetric(edges)
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), "src")
+        .limit(BFS_SEEDS)
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+    )
+    dist = bfs_distances(
+        both.repartition(8, "src"), seeds, bounded=False
+    )
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
+ORACLE["bfs_hops_frontier"] = _bfs_oracle()
