@@ -54,21 +54,34 @@ STATE_PATH = os.path.join(os.path.dirname(__file__), "verification_state.json")
 _PKG_PREFIX = __name__.split(".")[0] + "."
 
 
+_SRC_CACHE: dict[object, str | None] = {}
+
+
 def _helper_part(label: str, obj) -> str | None:
     """A digestable fragment for a helper the query body references:
-    package-local functions contribute their source, string constants
-    (SQL/expr templates) their value. Modules, classes, and foreign
-    objects contribute nothing (see module docstring)."""
+    package-local functions contribute their source (memoized — the
+    same few dozen helpers recur across 300 queries), string
+    constants (SQL/expr templates) their value. Modules, classes,
+    and foreign objects contribute nothing (see module docstring)."""
     if inspect.isfunction(obj) and (
         (getattr(obj, "__module__", "") or "").startswith(_PKG_PREFIX)
     ):
-        try:
-            return label + "\x01" + textwrap.dedent(inspect.getsource(obj))
-        except (OSError, TypeError):
-            return None
+        if obj not in _SRC_CACHE:
+            try:
+                _SRC_CACHE[obj] = textwrap.dedent(inspect.getsource(obj))
+            except (OSError, TypeError):
+                _SRC_CACHE[obj] = None
+        src = _SRC_CACHE[obj]
+        return None if src is None else label + "\x01" + src
     if isinstance(obj, str):
         return label + "\x01" + obj
     return None
+
+
+# memo keyed by the function OBJECT (module-level functions live for
+# the process; a reloaded module produces new objects, so edits can
+# never serve stale entries)
+_REF_CACHE: dict[object, dict[str, object]] = {}
 
 
 def _referenced_helpers(fn: Callable) -> dict[str, object]:
@@ -76,11 +89,17 @@ def _referenced_helpers(fn: Callable) -> dict[str, object]:
     (resolved through ``fn.__globals__``) and every body-local
     ``from X import y`` binding that resolves to a package function
     or string constant. Best-effort — introspection failures degrade
-    to the body-only digest, never crash."""
+    to the body-only digest, never crash. Memoized per function
+    object: 300 queries share a few dozen helpers, and the driver
+    recomputes the registry order on every start."""
+    hit = _REF_CACHE.get(fn)
+    if hit is not None:
+        return hit
     try:
         src = textwrap.dedent(inspect.getsource(fn))
         tree = ast.parse(src)
     except (OSError, TypeError, SyntaxError):
+        _REF_CACHE[fn] = {}
         return {}
     g = getattr(fn, "__globals__", {}) or {}
     fn_mod = getattr(fn, "__module__", "") or ""
@@ -103,6 +122,7 @@ def _referenced_helpers(fn: Callable) -> dict[str, object]:
                 obj = getattr(mod, alias.name, None)
                 if obj is not None:
                     out.setdefault(alias.asname or alias.name, obj)
+    _REF_CACHE[fn] = out
     return out
 
 
