@@ -2783,6 +2783,88 @@ def add_constraint(
     )
 
 
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> int:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: one pass over
+    the live snapshot computing table-level row count plus per-column
+    exact NDV and null count, published as a METADATA-ONLY commit
+    (``table_stats`` in the manifest, versioned like everything else —
+    a reader at VERSION AS OF sees the stats that version carried, or
+    none). These are the cardinalities a cost-based planner needs for
+    join ordering and broadcast decisions at 100 TB — per-FILE
+    min/max/nulls already live in ``file_stats`` for data skipping;
+    this is the table-level summary a planner reads without touching
+    any footer. The scan is ONE aggregate job (count + one
+    count_distinct + one null-count per column, all map-side partial),
+    not a per-column pass. ``columns`` defaults to every non-partition
+    top-level atomic column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import AtomicType
+
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    df = read_snapshot(spark, table)
+    if columns is None:
+        pnames = set(_spec_names(prev["partition_cols"]))
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in pnames and isinstance(f.dataType, AtomicType)
+        ]
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns {missing}; table has {df.columns}")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__ndv_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nulls_{c}")
+        )
+    row = df.agg(*aggs).collect()[0]  # bounded: one row of scalars
+    stats = {
+        "rows": int(row["__rows"]),
+        "computed_at_version": head,
+        "columns": {
+            c: {
+                "ndv": int(row[f"__ndv_{c}"]),
+                "nulls": int(row[f"__nulls_{c}"]),
+            }
+            for c in columns
+        },
+    }
+    return _commit(
+        table,
+        "analyze",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        extra={"table_stats": stats},
+    )
+
+
+def analyzed_stats(table: str, version: int | None = None) -> dict | None:
+    """The ANALYZE result a version carries (latest by default), or
+    None if that version predates any :func:`analyze_table`. Carrying
+    forward is deliberately NOT implied — a data-changing commit
+    after an ANALYZE drops the entry so a planner can never read
+    stale cardinalities as current. Complementary to
+    :func:`table_stats`, which folds exact COUNT/MIN/MAX from the
+    per-file footer index without any scan; NDV and null counts need
+    the one-pass scan ANALYZE runs."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    return _read_manifest(table, v).get("table_stats")
+
+
 def history(table: str) -> list[dict]:
     """Commit log, oldest first: version, parent, operation, file and
     partition counts, per-commit operation metrics (added/removed

@@ -4096,3 +4096,37 @@ def test_rebase_refuses_replayed_txn_epoch(spark, tmp_path, monkeypatch):
     st.append(nxt, t2, txn=("app", 8))
     assert st.txn_epoch(t2, "app") == 8
     assert st.read_snapshot(spark, t2).count() == 10
+
+
+def test_analyze_table_stats_versioned_and_dropped_on_change(spark, tmp_path):
+    """ANALYZE TABLE publishes table-level cardinalities as a
+    metadata-only version; a later data-changing commit DROPS them
+    (a planner must never read stale NDVs as current), while time
+    travel to the analyzed version still serves them."""
+    t = str(tmp_path / "analyze")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), None if i % 4 == 0 else i * 10) for i in range(12)],
+        "id int, g string, v int",
+    ).coalesce(1)
+    st.create_table(df, t, [])
+    v = st.analyze_table(spark, t)
+    assert v == 2
+    s = st.analyzed_stats(t)
+    assert s["rows"] == 12 and s["computed_at_version"] == 1
+    assert s["columns"]["id"] == {"ndv": 12, "nulls": 0}
+    assert s["columns"]["g"] == {"ndv": 3, "nulls": 0}
+    assert s["columns"]["v"] == {"ndv": 9, "nulls": 3}
+    # column subset + unknown column guard
+    st.analyze_table(spark, t, ["g"])
+    assert set(st.analyzed_stats(t)["columns"]) == {"g"}
+    with pytest.raises(ValueError, match="unknown columns"):
+        st.analyze_table(spark, t, ["nope"])
+    # a data change drops the stats; the analyzed version keeps them
+    st.append(spark.createDataFrame([(99, "x", 1)], "id int, g string, v int"), t)
+    assert st.analyzed_stats(t) is None
+    assert st.analyzed_stats(t, version=2)["rows"] == 12
+    # partition columns are excluded from the default column set
+    t2 = str(tmp_path / "analyze_part")
+    st.create_table(df, t2, ["g"])
+    st.analyze_table(spark, t2)
+    assert set(st.analyzed_stats(t2)["columns"]) == {"id", "v"}
