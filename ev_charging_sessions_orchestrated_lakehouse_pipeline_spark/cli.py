@@ -106,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
             "fast-forward",
             "refs",
             "enable-row-tracking",
+            "analyze",
+            "stats",
         ],
     )
     pt.add_argument("--cluster-by", default=None, help="comma-separated sort cols")
@@ -124,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pt.add_argument(
         "--column", default=None, help="bloom index / DDL target column"
+    )
+    pt.add_argument(
+        "--columns", default=None,
+        help="analyze: comma-separated column subset (default: all "
+        "non-partition atomic columns)",
     )
     pt.add_argument("--to", default=None, help="new name for rename-column")
     pt.add_argument(
@@ -158,10 +165,24 @@ def main(argv: list[str] | None = None) -> int:
         "fast-forward",
         "refs",
         "enable-row-tracking",
+        "stats",
     ):
         # metadata-only actions: no SparkSession needed
         from .sources import snaptable as st
 
+        if args.action == "stats":
+            import json as _json
+
+            print(
+                _json.dumps(
+                    {
+                        "table_stats": st.table_stats(args.table),
+                        "analyzed": st.analyzed_stats(args.table),
+                    },
+                    default=str,
+                )
+            )
+            return 0
         if args.action == "vacuum":
             print(
                 json.dumps(
@@ -323,6 +344,14 @@ def main(argv: list[str] | None = None) -> int:
                         args.cluster_by.split(",") if args.cluster_by else None
                     ),
                     zorder=args.zorder,
+                )
+            elif args.action == "analyze":
+                v = st.analyze_table(
+                    spark,
+                    args.table,
+                    columns=(
+                        args.columns.split(",") if args.columns else None
+                    ),
                 )
             elif args.action == "auto-compact":
                 vs = st.auto_compact(
