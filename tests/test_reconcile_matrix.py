@@ -1,0 +1,150 @@
+"""Exhaustive policy-matrix pin for concurrent-commit reconciliation
+(sources/snaptable._try_rebase).
+
+The directed tests in tests/test_snaptable.py exercise the flagship
+scenarios one by one; this file closes the space: EVERY ordered
+(winner, loser) pair over {append, partition overwrite, DELETE
+rewrite, DELETE via deletion vectors, OPTIMIZE} x {same partition,
+disjoint partitions} — 41 deterministic interleavings. For each pair
+the expected outcome is re-derived here from first principles
+(Delta/Iceberg conflict semantics), deliberately NOT by consulting
+snaptable's _REBASE_POLICY, so a policy regression cannot hide by
+changing both sides:
+
+* the loser COMMITS (auto-rebase, no caller retry) iff its scope is
+  logically disjoint from the winner's effect — and then the final
+  table must equal the pure-Python serial application winner->loser
+  on the row multiset (rebased != merely "did not crash");
+* otherwise the loser raises ConcurrentCommit and the table must be
+  EXACTLY the winner-only state (no half-applied rebase).
+
+Interleaving is deterministic and thread-free: the loser's _publish
+is intercepted to run the whole winner op first (both computed
+against the same parent), so the loser always collides and exercises
+the rebase machinery.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+    snaptable as st,
+)
+
+from tests.test_snaptable import _interleave, _mk_part_table
+
+SCHEMA = "id int, g string, v int"
+
+#: partial-delete thresholds: each deletes 2 of its partition's 4
+#: rows, so DELETE always touches (but never empties) exactly one file
+THR = {"A": 20, "B": 60}
+
+PARENT = [(i, "A" if i < 4 else "B", i * 10) for i in range(8)]
+
+
+def _run_op(spark, table: str, op: str, part: str | None) -> None:
+    if op == "app":
+        st.append(
+            spark.createDataFrame([(900, part, 5)], SCHEMA), table
+        )
+    elif op == "ovw":
+        st.overwrite_partitions(
+            spark.createDataFrame([(500, part, 9)], SCHEMA), table
+        )
+    elif op == "del":
+        st.delete_where(
+            spark, table, [("g", "=", part), ("v", "<", THR[part])]
+        )
+    elif op == "dvdel":
+        st.delete_where(
+            spark,
+            table,
+            [("g", "=", part), ("v", "<", THR[part])],
+            use_dv=True,
+        )
+    elif op == "opt":
+        st.optimize(spark, table)
+    else:  # pragma: no cover - parametrization typo guard
+        raise AssertionError(op)
+
+
+def _model(rows: list[tuple], op: str, part: str | None) -> list[tuple]:
+    """Row-multiset semantics of each op, independent of snaptable."""
+    if op == "app":
+        return rows + [(900, part, 5)]
+    if op == "ovw":
+        return [r for r in rows if r[1] != part] + [(500, part, 9)]
+    if op in ("del", "dvdel"):
+        return [r for r in rows if not (r[1] == part and r[2] < THR[part])]
+    return list(rows)  # optimize: content-identical by contract
+
+
+def _expect_commit(
+    wop: str, wpart: str | None, lop: str, lpart: str | None
+) -> bool:
+    """First-principles conflict matrix (winner committed first; can
+    the loser's commit be proven logically disjoint from file paths,
+    file identity, and DV deltas alone?)."""
+    if lop == "app":
+        # blind append: adds fresh files, removes nothing, reads nothing
+        return True
+    if lop == "ovw":
+        # partition-scoped: safe unless the winner rewrote the whole
+        # table (OPTIMIZE replaced the files this commit removes) or
+        # touched the overwritten partition (files OR its file's DVs)
+        return wop != "opt" and wpart != lpart
+    if lop == "opt":
+        # content-preserving rewrite of the parent's files: safe only
+        # under a winner that left every parent file (and its DV) alone
+        return wop == "app"
+    # del / dvdel: predicate-scoped — file paths can't prove a
+    # winner's new rows fall outside the predicate, so any winner
+    # that ADDS files conflicts; only a DV-delete on another
+    # partition's file is provably disjoint
+    return wop == "dvdel" and wpart != lpart
+
+
+def _cases():
+    parted = ("app", "ovw", "del", "dvdel")
+    cases = []
+    for wop, lop in itertools.product(parted, parted):
+        for rel in ("same", "disj"):
+            cases.append((wop, "A", lop, "A" if rel == "same" else "B"))
+    for op in parted:  # OPTIMIZE has no partition scope: one case each
+        cases.append(("opt", None, op, "A"))
+        cases.append((op, "A", "opt", None))
+    cases.append(("opt", None, "opt", None))
+    return cases
+
+
+def _fmt(c):
+    wop, wpart, lop, lpart = c
+    return f"W={wop}({wpart or '*'})-L={lop}({lpart or '*'})"
+
+
+@pytest.mark.parametrize("case", _cases(), ids=_fmt)
+def test_reconcile_policy_matrix(spark, tmp_path, monkeypatch, case):
+    wop, wpart, lop, lpart = case
+    t = _mk_part_table(spark, tmp_path)
+
+    _interleave(monkeypatch, lambda: _run_op(spark, t, wop, wpart))
+    expected = _expect_commit(wop, wpart, lop, lpart)
+    if expected:
+        _run_op(spark, t, lop, lpart)
+        assert st.current_version(t) == 3  # create + winner + rebased loser
+        # audit trail: the loser's commit names the parent it was
+        # ORIGINALLY computed against before the auto-rebase
+        assert st._read_manifest(t, 3).get("rebased_from") == 1
+        want = sorted(_model(_model(PARENT, wop, wpart), lop, lpart))
+    else:
+        with pytest.raises(st.ConcurrentCommit):
+            _run_op(spark, t, lop, lpart)
+        assert st.current_version(t) == 2  # winner only, no half-rebase
+        want = sorted(_model(PARENT, wop, wpart))
+    got = sorted(
+        (r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect()
+    )
+    assert got == want
