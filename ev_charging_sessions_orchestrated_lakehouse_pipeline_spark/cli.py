@@ -171,10 +171,8 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import snaptable as st
 
         if args.action == "stats":
-            import json as _json
-
             print(
-                _json.dumps(
+                json.dumps(
                     {
                         "table_stats": st.table_stats(args.table),
                         "analyzed": st.analyzed_stats(args.table),

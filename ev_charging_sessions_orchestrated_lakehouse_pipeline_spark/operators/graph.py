@@ -920,10 +920,11 @@ def q_pagerank_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     two physical regimes (the partition-invariance property
     tests/test_graph.py pins locally, here driver-checked)."""
     edges = shared_cosupply_edges(spark, sf_dir).select("src", "dst")
+    # the raw edge frame goes in as-is: pagerank_ranks repartitions
+    # the JOINED adjacency itself (a pre-repartition here would be a
+    # wasted extra shuffle — the symmetrizing union destroys it)
     return (
-        pagerank_ranks(
-            edges.repartition(8, "src"), bounded=False, adj_partitions=8
-        )
+        pagerank_ranks(edges, bounded=False, adj_partitions=8)
         .orderBy(F.col("rank").desc(), "node")
         .limit(PR_TOPK)
     )

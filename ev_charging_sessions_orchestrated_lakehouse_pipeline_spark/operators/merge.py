@@ -2653,6 +2653,11 @@ def q_snapshot_concurrent_writers(
     n_pub = [0]
 
     def gated(tbl, version, manifest):
+        # gate ONLY this query's table: an unrelated snapshot commit
+        # from elsewhere in the process must pass straight through,
+        # never count toward (or block at) this query's 2-party barrier
+        if tbl != table:
+            return orig_publish(tbl, version, manifest)
         with lock:
             n_pub[0] += 1
             k = n_pub[0]
@@ -2679,25 +2684,28 @@ def q_snapshot_concurrent_writers(
             t.join(timeout=600)
     finally:
         st._publish = orig_publish
-    if errs:
-        raise errs[0]
-    head = st.current_version(table)
-    agg = (
-        st.read_snapshot(spark, table)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            dsum("o_totalprice").alias("sum_price"),
+    try:
+        if errs:
+            raise errs[0]
+        head = st.current_version(table)
+        agg = (
+            st.read_snapshot(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    cdf = (
-        st.changes(spark, table, 1)
-        .groupBy("_change_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .collect()
-    )
-    shutil.rmtree(table, ignore_errors=True)
+        cdf = (
+            st.changes(spark, table, 1)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        )
+    finally:
+        # also on the error path: never leak the temp table across runs
+        shutil.rmtree(table, ignore_errors=True)
     rows = [
         (r.o_orderstatus, r.n, float(r.sum_price)) for r in agg
     ] + [("head", int(head) if head else 0, None)] + [

@@ -20,18 +20,20 @@ recorded one:
 The digest covers the oracle SQL too, so adding/strengthening an
 oracle (e.g. ``approx_distinct`` gaining a bounds oracle after two
 rows-only rounds) automatically re-queues the query for a real
-driver row. It also covers the ONE-LEVEL-DEEP transitive source of
-repo-local helpers the ``q_`` body references (module-level names
-and body-local ``from .. import`` bindings that resolve to package
+driver row. It also covers the transitive source of repo-local
+helpers the ``q_`` body references (module-level names and
+body-local ``from .. import`` bindings that resolve to package
 functions or string constants — e.g. ``hash60_sql``,
-``NORMALIZE_EXPR``): editing such a helper re-queues every query
+``NORMALIZE_EXPR``), expanded RECURSIVELY through package functions
+up to ``_HELPER_DEPTH`` (4) hops and ``_HELPER_CAP`` (60) fragments:
+editing a helper anywhere on such a chain re-queues every query
 built on it (round-10 VERDICT's digest blind spot). Whole-MODULE
 references (``from ..sources import snaptable as st``) are
 deliberately NOT expanded — folding a 4,000-line engine module into
 every snapshot query's digest would flood the driver window on any
 engine edit; the full local parity suite
 (tests/test_oracle_parity.py) still runs every query every time and
-covers deeper edits.
+covers those edits (and the rare chain deeper than the cap).
 
 The file is regenerated mechanically by
 ``tools/refresh_verification_state.py`` from CORRECTNESS_r{N}.json +
@@ -150,9 +152,31 @@ def _helper_parts(fn: Callable) -> list[str]:
                 _referenced_helpers(f).items(), key=lambda kv: kv[0]
             ):
                 p = _helper_part(name, obj)
-                if p is None or name in parts:
+                if p is None:
                     continue
-                parts[name] = p
+                key = name
+                if key in parts and parts[key] != p:
+                    # same bare name, DIFFERENT helper (another
+                    # module's same-named function/constant reachable
+                    # through the expansion): disambiguate so both
+                    # contribute — silently dropping the second would
+                    # re-open the blind spot for edits to it. Keyed
+                    # beyond the name only in this rare case so
+                    # collision-free queries keep their digests.
+                    if inspect.isfunction(obj):
+                        key = (
+                            f"{name}\x02{getattr(obj, '__module__', '')}"
+                            f".{getattr(obj, '__qualname__', '')}"
+                        )
+                    else:
+                        key = (
+                            name
+                            + "\x02"
+                            + hashlib.sha256(p.encode()).hexdigest()[:8]
+                        )
+                if key in parts:
+                    continue
+                parts[key] = p
                 if len(parts) >= _HELPER_CAP:
                     return [parts[k] for k in sorted(parts)]
                 if inspect.isfunction(obj) and id(obj) not in seen:
@@ -167,7 +191,8 @@ def _helper_parts(fn: Callable) -> list[str]:
 def source_digest(fn: Callable, oracle_sql: str = "") -> str:
     """Digest of a query's observable definition: its function source,
     its DuckDB oracle SQL (empty string for rows-only queries), and
-    the one-level-deep source of repo-local helpers it references.
+    the source of repo-local helpers reachable from the body
+    (recursive through package functions, see :func:`_helper_parts`).
     Any of them changing invalidates prior driver evidence."""
     src = textwrap.dedent(inspect.getsource(fn))
     blob = src + "\x00" + oracle_sql + "\x00" + "\x00".join(_helper_parts(fn))

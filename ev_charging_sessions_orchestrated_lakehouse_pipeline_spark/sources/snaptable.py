@@ -508,7 +508,9 @@ def _try_rebase(
     # — rebasing it would double-apply the batch
     if txn is not None:
         for v in range(parent + 1, head + 1):
-            t = _read_manifest(table, v).get("txn")
+            # raw read: txn lives in the stored segment, no need to
+            # materialize each winner's full file list
+            t = _raw_manifest(table, v).get("txn")
             if t and t["app_id"] == txn[0] and int(t["epoch"]) >= int(txn[1]):
                 conflict(
                     f"txn ({txn[0]}, {txn[1]}) already committed at v{v}; "
@@ -1104,13 +1106,23 @@ def txn_epoch(table: str, app_id: str) -> int | None:
     replaying writer must skip it instead of double-applying (see
     :func:`..streaming.ingest.gold_stream_snapshot`). Scans committed
     manifests only, so an epoch whose data files were written but
-    whose publish never happened correctly reports as NOT committed."""
-    best: int | None = None
-    for v in _list_versions(table):
-        t = _read_manifest(table, v).get("txn")
-        if t and t["app_id"] == app_id and (best is None or t["epoch"] > best):
-            best = t["epoch"]
-    return best
+    whose publish never happened correctly reports as NOT committed.
+
+    Cost: newest-first over STORED manifests (``txn`` lives in the
+    raw segment — no checkpoint-chain materialization), returning at
+    the writer's most recent commit. A streaming writer's last epoch
+    sits at/near the head, so the per-epoch check a foreachBatch sink
+    makes is O(1) manifest reads, not O(history) — the difference
+    between a stream's total metadata I/O staying linear vs going
+    quadratic in epochs. Correct because epochs are MONOTONE per
+    app_id (Delta's txn appId/version contract: "version must be
+    monotonically increasing" — foreachBatch epoch ids are), which
+    the replay guard in :func:`_try_rebase` already relies on."""
+    for v in reversed(_list_versions(table)):
+        t = _raw_manifest(table, v).get("txn")
+        if t and t["app_id"] == app_id:
+            return t["epoch"]
+    return None
 
 
 def current_version(table: str) -> int | None:
@@ -1245,6 +1257,7 @@ def overwrite_table(
     table: str,
     materialized_row_ids: bool = False,
     next_row_id: int | None = None,
+    parent_version: int | None = None,
 ) -> int:
     """Full-table replace: the new snapshot references only the new
     files; history (and time travel to it) is preserved.
@@ -1258,8 +1271,16 @@ def overwrite_table(
     RENAME a->b) gets a fresh physical alias, exactly as append's
     resurrection guard does. Carrying the mapping blind would commit a
     head whose read-side rename (physical->logical) targets a column
-    absent from the committed schema — an unreadable table."""
-    head = current_version(table)
+    absent from the committed schema — an unreadable table.
+
+    ``parent_version``: same contract as
+    :func:`overwrite_partitions` — the snapshot the rewrite was
+    computed against, so a commit landing inside the caller's
+    compute window collides and revalidates instead of being
+    silently built over."""
+    head = (
+        current_version(table) if parent_version is None else int(parent_version)
+    )
     if head is None:
         return create_table(df, table)
     prev = _read_manifest(table, head)
@@ -1313,6 +1334,7 @@ def overwrite_partitions(
     schema_json: str | None = None,
     materialized_row_ids: bool = False,
     next_row_id: int | None = None,
+    parent_version: int | None = None,
 ) -> int:
     """Dynamic partition overwrite — the reference's
     ``writeTo(...).overwritePartitions()`` (gold_etl.py:156): only
@@ -1320,8 +1342,18 @@ def overwrite_partitions(
     partitions carry over from the parent snapshot. Replaying the
     same batch converges to the same visible state (the rerun
     idempotency the reference relies on), with each replay a new
-    auditable version."""
-    head = current_version(table)
+    auditable version.
+
+    ``parent_version``: the snapshot this overwrite was COMPUTED
+    against, when the caller read the table earlier (``merge_into``'s
+    whole merge-compute window). Committing against that parent —
+    not a freshly re-read head — makes any commit that landed in
+    between collide at publish and revalidate through
+    :func:`_try_rebase`, instead of being silently built over (a
+    lost update inside the rewritten partitions)."""
+    head = (
+        current_version(table) if parent_version is None else int(parent_version)
+    )
     if head is None:
         raise ValueError(f"{table} does not exist; use create_table")
     prev = _read_manifest(table, head)
@@ -3723,10 +3755,10 @@ def merge_into(
         # (so with_row_ids CDF pairs the merge's updates), and only
         # genuine inserts allocate above the high-water mark
         target = read_snapshot(
-            spark, table, with_row_ids=True
+            spark, table, version=head, with_row_ids=True
         ).withColumnRenamed("_row_id", ROW_ID_COL)
     else:
-        target = read_snapshot(spark, table)
+        target = read_snapshot(spark, table, version=head)
     ident = (man.get("identity") or {}).get("col")
     if ident:
         if ident in source.columns:
@@ -3864,12 +3896,21 @@ def merge_into(
             ),
             materialized_row_ids=track,
             next_row_id=next_mark,
+            # commit against the head the WHOLE merge was computed on
+            # (target read, dup probe, insert count, id allocation):
+            # a commit landing anywhere inside that window must
+            # collide and revalidate via _try_rebase — re-reading the
+            # head here would silently build over it (lost update in
+            # the rewritten partitions; stale next_row_id overriding
+            # a winner's higher mark and re-issuing its row ids)
+            parent_version=head,
         )
     return overwrite_table(
         merged,
         table,
         materialized_row_ids=track,
         next_row_id=next_mark,
+        parent_version=head,
     )
 
 
@@ -4101,10 +4142,18 @@ def vacuum(
         ):
             os.unlink(os.path.join(_snap_dir(table), fn))
             dv_deleted += 1
-    # prune now-empty partition dirs so listings stay clean
-    for dirpath, dirs, files in os.walk(_data_dir(table), topdown=False):
-        if not dirs and not files and dirpath != _data_dir(table):
+    # prune now-empty partition dirs so listings stay clean. Attempt
+    # the rmdir instead of trusting the walk's `dirs` list: bottom-up,
+    # a parent's list still names children rmdir'd moments earlier, so
+    # a nested chain (a crashed PARTITIONED staging dir:
+    # _staging-X/g=A/) would otherwise take one vacuum pass per level.
+    for dirpath, _dirs, files in os.walk(_data_dir(table), topdown=False):
+        if files or dirpath == _data_dir(table):
+            continue
+        try:
             os.rmdir(dirpath)
+        except OSError:
+            pass  # still holds entries (e.g. files kept by the grace window)
     return {
         "expired_versions": expired,
         "deleted_files": deleted,

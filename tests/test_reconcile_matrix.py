@@ -148,3 +148,130 @@ def test_reconcile_policy_matrix(spark, tmp_path, monkeypatch, case):
         (r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Stale-parent commits (parent_version): an op computed against an
+# OLDER snapshot must collide and revalidate even when its publish
+# doesn't race — the head simply moved during the caller's compute
+# window. merge_into's whole merge (target read, dup probe, id
+# allocation) is such a window.
+# ---------------------------------------------------------------------------
+
+
+def test_overwrite_partitions_stale_parent_rebases_disjoint(spark, tmp_path):
+    t = _mk_part_table(spark, tmp_path)
+    st.append(spark.createDataFrame([(900, "B", 5)], SCHEMA), t)  # v2
+    v = st.overwrite_partitions(
+        spark.createDataFrame([(500, "A", 9)], SCHEMA), t, parent_version=1
+    )
+    assert v == 3
+    assert st._read_manifest(t, 3).get("rebased_from") == 1
+    got = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())
+    want = sorted(
+        [r for r in PARENT if r[1] == "B"] + [(900, "B", 5), (500, "A", 9)]
+    )
+    assert got == want
+
+
+def test_overwrite_partitions_stale_parent_conflicts_same_partition(
+    spark, tmp_path
+):
+    t = _mk_part_table(spark, tmp_path)
+    st.append(spark.createDataFrame([(900, "A", 5)], SCHEMA), t)  # v2, into A
+    with pytest.raises(st.ConcurrentCommit):
+        st.overwrite_partitions(
+            spark.createDataFrame([(500, "A", 9)], SCHEMA), t, parent_version=1
+        )
+    assert st.current_version(t) == 2  # the appended row survived
+
+
+def test_overwrite_table_stale_parent_conflicts_with_any_add(spark, tmp_path):
+    t = _mk_part_table(spark, tmp_path)
+    st.append(spark.createDataFrame([(900, "B", 5)], SCHEMA), t)  # v2
+    with pytest.raises(st.ConcurrentCommit):
+        st.overwrite_table(
+            spark.createDataFrame([(1, "A", 1)], SCHEMA), t, parent_version=1
+        )
+    assert st.current_version(t) == 2
+
+
+def _merge_source(spark, rows):
+    return spark.createDataFrame(rows, "id int, g string, v int")
+
+
+def _capture_and_commit_winner(monkeypatch, spark, winner_rows):
+    """Wrap overwrite_partitions so a winner append lands INSIDE
+    merge_into's compute window — after the merge computed against its
+    entry head, before its commit call — and capture the
+    parent_version merge_into threads down."""
+    orig = st.overwrite_partitions
+    seen: dict = {}
+
+    def wrapper(df, table, **kw):
+        seen.update(kw)
+        if winner_rows is not None:
+            st.append(_merge_source(spark, winner_rows), table)
+        return orig(df, table, **kw)
+
+    monkeypatch.setattr(st, "overwrite_partitions", wrapper)
+    return seen
+
+
+def test_merge_into_commits_against_entry_head(spark, tmp_path, monkeypatch):
+    """merge_into must pass the head it READ (and computed everything
+    against) down to the commit, not let it be re-read."""
+    t = _mk_part_table(spark, tmp_path)
+    seen = _capture_and_commit_winner(monkeypatch, spark, None)
+    st.merge_into(spark, t, _merge_source(spark, [(0, "A", 999)]), ["id"])
+    assert seen.get("parent_version") == 1
+
+
+def test_merge_into_mid_window_append_disjoint_rebases(
+    spark, tmp_path, monkeypatch
+):
+    """A winner appending into a partition the merge does NOT rewrite
+    lands mid-window: the merge's stale-parent commit collides,
+    rebases, and BOTH changes survive."""
+    t = _mk_part_table(spark, tmp_path)
+    _capture_and_commit_winner(monkeypatch, spark, [(900, "B", 5)])
+    st.merge_into(spark, t, _merge_source(spark, [(0, "A", 999)]), ["id"])
+    got = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())
+    assert (900, "B", 5) in got  # winner's append not silently dropped
+    assert (0, "A", 999) in got  # merge's update applied
+    assert st._read_manifest(t, 3).get("rebased_from") == 1
+
+
+def test_merge_into_mid_window_append_same_partition_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """A winner appending into a partition the merge REWRITES lands
+    mid-window: silently committing would drop the winner's row from
+    the rewritten partition (the lost update), so the merge must
+    raise instead."""
+    t = _mk_part_table(spark, tmp_path)
+    _capture_and_commit_winner(monkeypatch, spark, [(900, "A", 5)])
+    with pytest.raises(st.ConcurrentCommit):
+        st.merge_into(spark, t, _merge_source(spark, [(0, "A", 999)]), ["id"])
+    got = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())
+    assert (900, "A", 5) in got  # winner-only state, nothing half-applied
+    assert (0, "A", 0) in got  # merge's update NOT applied
+
+
+def test_merge_into_mid_window_id_allocation_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """On a row-tracked table, a winner that ALLOCATES row ids inside
+    the merge window must conflict — the merge pre-assigned fresh ids
+    off the stale high-water mark, and rebasing would re-issue the
+    winner's ids (the CDF/identity uniqueness invariant)."""
+    t = _mk_part_table(spark, tmp_path)
+    st.enable_row_tracking(t)  # v2
+    _capture_and_commit_winner(monkeypatch, spark, [(900, "B", 5)])
+    with pytest.raises(st.ConcurrentCommit, match="row ids"):
+        st.merge_into(
+            spark,
+            t,
+            _merge_source(spark, [(0, "A", 999), (42, "A", 1)]),
+            ["id"],
+        )

@@ -4057,6 +4057,28 @@ def test_vacuum_reclaims_crashed_staging_dir(spark, tmp_path):
     assert st.read_snapshot(spark, t).count() == 1
 
 
+def test_vacuum_prunes_nested_partitioned_staging_dir(spark, tmp_path):
+    """A crashed write on a PARTITIONED table leaves a nested staging
+    tree (data/_staging-X/g=A/part.parquet); ONE vacuum pass must
+    remove the whole chain — the bottom-up prune may not trust the
+    walk's stale ``dirs`` listing, or the parent survives a pass per
+    nesting level."""
+    t = str(tmp_path / "vac_staging_nested")
+    st.create_table(
+        spark.createDataFrame([(1, "A")], "id int, g string").coalesce(1),
+        t,
+        ["g"],
+    )
+    stage = os.path.join(st._data_dir(t), st._STAGING_PREFIX + "cafebabe")
+    os.makedirs(os.path.join(stage, "g=A"))
+    with open(os.path.join(stage, "g=A", "part-crashed.parquet"), "wb") as fh:
+        fh.write(b"crashed write")
+    res = st.vacuum(t, grace_seconds=0)
+    assert res["deleted_files"] == 1
+    assert not os.path.exists(stage)  # chain gone in a single pass
+    assert st.read_snapshot(spark, t).count() == 1
+
+
 def test_single_rebase_spans_multiple_winners(spark, tmp_path, monkeypatch):
     """The rebase validates against the AGGREGATED parent->head diff:
     one losing append can jump a chain of two winner commits in a

@@ -220,3 +220,67 @@ def test_real_registry_digests_reach_known_helpers():
     # baked at import), which source_digest already covers
     ors = get_oracles()
     assert "substr(md5(" in ors["dedup_minhash_signatures"].lower()
+
+
+def test_digest_disambiguates_same_named_helpers(tmp_path, monkeypatch):
+    """Two DISTINCT same-named helpers reachable from one query (its
+    own module's and another module's, pulled in through a transitive
+    function) must BOTH contribute to the digest — deduping fragments
+    by bare name would silently drop the second, re-opening the
+    round-10 blind spot for edits to it."""
+    import importlib.util
+    import linecache
+    import sys
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans import (
+        verification as V,
+    )
+
+    pkg = V._PKG_PREFIX.rstrip(".")
+    b_name = f"{pkg}.operators.fake_collide_b"
+    a_name = f"{pkg}.operators.fake_collide_a"
+    b_file = tmp_path / "fake_collide_b.py"
+    a_file = tmp_path / "fake_collide_a.py"
+
+    def write_b(body):
+        b_file.write_text(
+            f"def helper(v):\n    return {body}\n"
+            "def other_mid(v):\n    return helper(v) + 1\n"
+        )
+
+    a_file.write_text(
+        f"from {b_name} import other_mid\n"
+        "def helper(v):\n    return v * 2\n"
+        "def q_fake(spark, sf_dir):\n"
+        "    return helper(3), other_mid(4)\n"
+    )
+
+    def load():
+        linecache.clearcache()
+        mods = []
+        for name, path in ((b_name, b_file), (a_name, a_file)):
+            spec = importlib.util.spec_from_file_location(name, path)
+            m = importlib.util.module_from_spec(spec)
+            sys.modules[name] = m
+            spec.loader.exec_module(m)
+            mods.append(m)
+        for name in (a_name, b_name):
+            sys.modules.pop(name, None)
+        return mods[1]
+
+    write_b("v * 5")
+    m1 = load()
+    parts = V._helper_parts(m1.q_fake)
+    helper_srcs = {
+        p.split("\x01", 1)[1] for p in parts if p.split("\x01")[0] == "helper"
+    }
+    assert len(helper_srcs) == 2  # BOTH distinct same-named helpers present
+    d1 = V.source_digest(m1.q_fake, "")
+    # editing the OTHER module's same-named helper changes the digest
+    write_b("v * 7")
+    m2 = load()
+    assert V.source_digest(m2.q_fake, "") != d1
+    # identical source reproduces the digest (stability)
+    write_b("v * 5")
+    m3 = load()
+    assert V.source_digest(m3.q_fake, "") == d1
