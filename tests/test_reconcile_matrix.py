@@ -275,3 +275,58 @@ def test_merge_into_mid_window_id_allocation_conflicts(
             _merge_source(spark, [(0, "A", 999), (42, "A", 1)]),
             ["id"],
         )
+
+
+def test_two_concurrent_merges_disjoint_partitions_both_commit(
+    spark, tmp_path
+):
+    """The reference's real multi-job shape (two Glue runs MERGE-ing
+    different event_date partitions, gold_etl.py:156, which Iceberg
+    absorbs with retry-with-revalidation and Glue otherwise guards
+    with max_concurrent_runs=1): two genuinely concurrent merge_into
+    writers on DISJOINT partitions, barrier-forced to compute against
+    the same parent, must BOTH commit with no caller retry."""
+    import threading
+
+    t = _mk_part_table(spark, tmp_path)
+    orig = st._publish
+    barrier = threading.Barrier(2, timeout=120)
+    lock = threading.Lock()
+    n = [0]
+
+    def gated(table, version, manifest):
+        with lock:
+            n[0] += 1
+            k = n[0]
+        if k <= 2:
+            barrier.wait()
+        return orig(table, version, manifest)
+
+    errs: list[BaseException] = []
+
+    def run(rows):
+        try:
+            st.merge_into(spark, t, _merge_source(spark, rows), ["id"])
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    st._publish = gated
+    try:
+        threads = [
+            threading.Thread(target=run, args=(rows,))
+            for rows in ([(0, "A", 999), (100, "A", 1)], [(4, "B", 888)])
+        ]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=300)
+    finally:
+        st._publish = orig
+    assert errs == []
+    assert st.current_version(t) == 3  # create + both merges
+    got = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())
+    want = sorted(
+        [(0, "A", 999), (100, "A", 1), (4, "B", 888)]
+        + [r for r in PARENT if r[0] not in (0, 4)]
+    )
+    assert got == want
