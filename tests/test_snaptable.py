@@ -4152,3 +4152,128 @@ def test_analyze_table_stats_versioned_and_dropped_on_change(spark, tmp_path):
     st.create_table(df, t2, ["g"])
     st.analyze_table(spark, t2)
     assert set(st.analyzed_stats(t2)["columns"]) == {"id", "v"}
+
+
+# ---------------------------------------------------------------------------
+# refresh_count_sum_view: cursor-driven materialized-view refresh
+# (cursor rides the sink's txn — data + cursor in one atomic commit)
+# ---------------------------------------------------------------------------
+
+
+def _mk_ivm_source(spark, tmp_path):
+    t = str(tmp_path / "ivm_src")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(10)],
+        "id int, g string, v double",
+    ).coalesce(1)
+    st.create_table(df, t, [])
+    return t
+
+
+def _recompute(spark, source):
+    from pyspark.sql import functions as F
+
+    return {
+        (r.g, r.n, str(r.s))
+        for r in st.read_snapshot(spark, source)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(25,10)"))
+            .cast("decimal(38,10)")
+            .alias("s"),
+        )
+        .collect()
+    }
+
+
+def _sink_rows(spark, sink):
+    return {
+        (r.g, r.n, str(r.s))
+        for r in st.read_snapshot(spark, sink).collect()
+    }
+
+
+def test_refresh_count_sum_view_lifecycle(spark, tmp_path):
+    """full -> delta -> noop, each state bit-identical to a recompute
+    over the source's visible rows, with the cursor advancing inside
+    the sink's own commits."""
+    src = _mk_ivm_source(spark, tmp_path)
+    sink = str(tmp_path / "ivm_sink")
+    r1 = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    assert r1["mode"] == "full" and r1["to_version"] == 1
+    assert _sink_rows(spark, sink) == _recompute(spark, src)
+    # source churn: an append and a delete
+    st.append(
+        spark.createDataFrame([(100, "A", 5.5)], "id int, g string, v double"),
+        src,
+    )
+    st.delete_where(spark, src, [("v", "<", 3.0)])
+    r2 = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    assert r2["mode"] == "delta" and r2["from_version"] == 1
+    assert r2["to_version"] == 3
+    assert _sink_rows(spark, sink) == _recompute(spark, src)
+    r3 = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    assert r3["mode"] == "noop"
+    # stable sink schema across full and delta commits
+    s_field = [
+        f for f in st.read_snapshot(spark, sink).schema.fields if f.name == "s"
+    ][0]
+    assert str(s_field.dataType) == "DecimalType(38,10)"
+
+
+def test_refresh_count_sum_view_crash_at_publish_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the refresh AT the publish (commit never lands): the
+    cursor is unchanged, so the re-run re-applies the same delta to
+    the OLD aggregate and converges — no double-fold possible because
+    data and cursor share the commit."""
+    src = _mk_ivm_source(spark, tmp_path)
+    sink = str(tmp_path / "ivm_sink2")
+    st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    st.append(
+        spark.createDataFrame([(100, "B", 9.0)], "id int, g string, v double"),
+        src,
+    )
+    orig = st._publish
+    boom = {"armed": True}
+
+    def crashing(table, version, manifest):
+        if boom["armed"] and table == sink:
+            boom["armed"] = False
+            raise RuntimeError("simulated crash at publish")
+        return orig(table, version, manifest)
+
+    monkeypatch.setattr(st, "_publish", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    # replay: cursor still at v1, delta re-applies cleanly
+    r = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    assert r["mode"] == "delta"
+    assert _sink_rows(spark, sink) == _recompute(spark, src)
+    # and once landed, a further replay no-ops
+    assert st.refresh_count_sum_view(spark, src, sink, ["g"], "v")["mode"] == "noop"
+
+
+def test_refresh_count_sum_view_expired_cursor_full_rebuild(
+    spark, tmp_path
+):
+    """Source retention expired the cursor's snapshot between
+    refreshes: the refresh falls back to a FULL rebuild instead of
+    failing — correctness never depends on history retention."""
+    src = _mk_ivm_source(spark, tmp_path)
+    sink = str(tmp_path / "ivm_sink3")
+    st.refresh_count_sum_view(spark, src, sink, ["g"], "v")  # cursor = v1
+    for i in range(3):
+        st.append(
+            spark.createDataFrame(
+                [(200 + i, "A", 1.0)], "id int, g string, v double"
+            ),
+            src,
+        )
+    st.vacuum(src, retain_last=1, grace_seconds=0)  # v1 expired
+    assert 1 not in st._list_versions(src)
+    r = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    assert r["mode"] == "full"
+    assert _sink_rows(spark, sink) == _recompute(spark, src)
