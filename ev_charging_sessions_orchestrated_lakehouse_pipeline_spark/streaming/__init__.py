@@ -7,6 +7,11 @@ ingest through the SAME silver transform/quality chain via
 events stream.
 """
 
+from .cdf_source import (
+    SnapshotStreamDataSource,
+    read_snapshot_stream,
+    register_snapshot_stream,
+)
 from .ingest import (
     corpus_prep_stream,
     dedup_stream,
@@ -27,6 +32,9 @@ from .stateful import (
 )
 
 __all__ = [
+    "SnapshotStreamDataSource",
+    "read_snapshot_stream",
+    "register_snapshot_stream",
     "stream_stream_attribution",
     "corpus_prep_stream",
     "dedup_stream",

@@ -1,0 +1,256 @@
+"""Structured Streaming SOURCE over the snapshot table's commit log —
+the Delta streaming-source model (DeltaSource's reservoir-version
+offsets) rebuilt on the Python DataSource API (Spark 4):
+
+    register_snapshot_stream(spark)
+    df = read_snapshot_stream(spark, table)          # readStream
+    df.writeStream.trigger(availableNow=True)...
+
+Offsets are COMMIT VERSIONS (``{"version": N}`` = every commit <= N
+consumed), so resume-from-checkpoint replays a deterministic range of
+immutable manifests — exactly-once across kill/restart with no
+source-side state. Commits stream as their ADDED files (one input
+partition per file, the parallelism unit, like Delta's file-based
+streaming batches), each row tagged ``_commit_version``.
+
+Semantics match Delta's source contract:
+
+* append commits stream their new rows;
+* OPTIMIZE commits are skipped entirely (content-identical by
+  contract — no rows to stream, like Delta's no-data compaction
+  commits);
+* a commit that REMOVES files or touches deletion vectors is an
+  error by default (a pure append feed cannot represent it), or
+  skipped wholesale with ``skipChangeCommits=true`` — Delta's
+  ``skipChangeCommits`` option verbatim. Full row-level change
+  consumption belongs to the batch change feed
+  (:func:`..sources.snaptable.changes`) and the cursor-driven
+  :func:`..sources.snaptable.refresh_count_sum_view`.
+
+Scale: the driver plans each micro-batch from manifest DIFFS (tiny,
+O(files touched)); executors read only the added files via Arrow
+batches — no full-table listing, no payload through the driver. At
+100 TB this is the "tail the table" primitive: downstream silver/gold
+streams consume exactly the new files of each commit.
+
+Reference lineage: upgrades the reference's incremental unit — Glue
+job re-runs per partition (jobs/ev_sessions_gold_etl.py:156) — to
+continuous consumption, the same step Delta users take when moving a
+batch MERGE pipeline onto a streaming source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SOURCE_NAME = "snapshot_stream"
+COMMIT_COL = "_commit_version"
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One added data file of one commit: everything the executor
+    needs, precomputed driver-side (no package imports on workers)."""
+
+    path: str  # absolute parquet path (physical column names inside)
+    version: int
+    renames: dict  # physical -> logical column renames for this file
+    part_values: list  # [(logical col, string value), ...] from the path
+    schema_ddl: str  # declared source schema as a StructType json
+
+
+def _manifest_chain(table: str):
+    # local import: the module is pickled BY VALUE to python workers
+    # (register_snapshot_stream), which must not drag the engine in
+    from ..sources import snaptable as st
+
+    return st
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options: dict) -> None:
+        # DSv2 hands options through a case-insensitive map; normalize
+        opts = {k.lower(): v for k, v in options.items()}
+        self._table = opts.get("path") or opts.get("table")
+        if not self._table:
+            raise ValueError("snapshot_stream needs .load(<table path>)")
+        self._skip_changes = str(
+            opts.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+        self._starting = str(opts.get("startingversion", "earliest"))
+        self._schema_json = schema.json()
+        self._schema_names = [f.name for f in schema.fields]
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        st = _manifest_chain(self._table)
+        versions = st._list_versions(self._table)
+        if not versions:
+            raise ValueError(f"{self._table} does not exist")
+        if self._starting == "earliest":
+            return {"version": versions[0] - 1}
+        if self._starting == "latest":
+            return {"version": versions[-1]}
+        return {"version": int(self._starting) - 1}
+
+    def latestOffset(self) -> dict:
+        st = _manifest_chain(self._table)
+        head = st.current_version(self._table)
+        return {"version": int(head or 0)}
+
+    # -- planning (driver) ----------------------------------------------
+    def partitions(self, start: dict, end: dict):
+        st = _manifest_chain(self._table)
+        lo, hi = int(start["version"]), int(end["version"])
+        out: list[_FilePartition] = []
+        prev = None
+        for v in st._list_versions(self._table):
+            if v > hi:
+                break
+            if v <= lo:
+                if v == lo:
+                    prev = st._read_manifest(self._table, v)
+                continue
+            cur = st._read_manifest(self._table, v)
+            if prev is None and cur.get("parent") is not None:
+                prev = st._read_manifest(self._table, cur["parent"])
+            out.extend(self._plan_commit(st, prev, cur, v))
+            prev = cur
+        return out
+
+    def _plan_commit(self, st, prev, cur, version: int):
+        if cur["operation"] == "optimize":
+            return []  # content-identical rewrite: nothing to stream
+        before = set(prev["files"]) if prev else set()
+        added = [f for f in cur["files"] if f not in before]
+        removed = before - set(cur["files"])
+        dv_before = st._norm_dvs((prev or {}).get("deletion_vectors"))
+        dv_now = st._norm_dvs(cur.get("deletion_vectors"))
+        if removed or dv_before != dv_now:
+            if self._skip_changes:
+                return []  # Delta's skipChangeCommits: drop wholesale
+            raise ValueError(
+                f"commit v{version} of {self._table} "
+                f"({cur['operation']}) rewrites or deletes existing "
+                "rows; a streaming source is an append feed — use "
+                "skipChangeCommits=true to ignore such commits, or "
+                "consume the batch change feed (snaptable.changes)"
+            )
+        mapping = cur.get("column_mapping") or {}
+        renames = {phys: logical for logical, phys in mapping.items()}
+        pcols = st._spec_names(cur["partition_cols"])
+        parts = []
+        for f in added:
+            pv = st._partition_values(f, pcols)
+            parts.append(
+                _FilePartition(
+                    path=os.path.join(self._table, f),
+                    version=version,
+                    renames=renames,
+                    part_values=[
+                        (c, pv[c])
+                        for c in pcols
+                        if c in pv and c in self._schema_names
+                    ],
+                    schema_ddl=self._schema_json,
+                )
+            )
+        return parts
+
+    # -- execution (workers) ---------------------------------------------
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(
+            StructType.fromJson(json.loads(partition.schema_ddl))
+        )
+        tbl = pq.read_table(partition.path)
+        if partition.renames:
+            tbl = tbl.rename_columns(
+                [partition.renames.get(c, c) for c in tbl.column_names]
+            )
+        n = tbl.num_rows
+        for col, sval in partition.part_values:
+            tbl = tbl.append_column(col, pa.array([sval] * n, pa.string()))
+        tbl = tbl.append_column(
+            COMMIT_COL, pa.array([partition.version] * n, pa.int64())
+        )
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:  # schema widened after this file was written: null-fill
+                cols.append(pa.nulls(n, field.type))
+        for batch in pa.table(cols, schema=target).to_batches():
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+class SnapshotStreamDataSource(DataSource):
+    """``spark.readStream.format("snapshot_stream").load(table)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self):
+        from pyspark.sql.types import LongType, StructType
+
+        st = _manifest_chain(self.options["path"])
+        head = st.current_version(self.options["path"])
+        if head is None:
+            raise ValueError(f"{self.options['path']} does not exist")
+        man = st._read_manifest(self.options["path"], head)
+        base = StructType.fromJson(json.loads(man["schema"]))
+        return base.add(COMMIT_COL, LongType())
+
+    def streamReader(self, schema) -> SnapshotStreamReader:
+        return SnapshotStreamReader(schema, dict(self.options))
+
+
+def register_snapshot_stream(spark) -> None:
+    """Register the source for this session. The module (and the
+    engine modules its planning path touches) pickle BY VALUE so
+    python workers never need the repo on their import path."""
+    import cloudpickle
+
+    import ev_charging_sessions_orchestrated_lakehouse_pipeline_spark as pkg
+
+    from ..sources import snaptable
+    from . import cdf_source
+
+    for m in (cdf_source, snaptable, pkg):
+        cloudpickle.register_pickle_by_value(m)
+    spark.dataSource.register(SnapshotStreamDataSource)
+
+
+def read_snapshot_stream(
+    spark,
+    table: str,
+    starting_version: int | str = "earliest",
+    skip_change_commits: bool = False,
+):
+    """Streaming DataFrame over the table's commit log (see module
+    docstring for semantics)."""
+    return (
+        spark.readStream.format(SOURCE_NAME)
+        .option("startingVersion", str(starting_version))
+        .option("skipChangeCommits", str(skip_change_commits).lower())
+        .load(table)
+    )

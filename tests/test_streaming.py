@@ -1377,3 +1377,112 @@ def test_silver_stream_snapshot_kill_and_replay_state_identical(spark, tmp_path)
     # txn high-water marks recorded per table
     assert st.txn_epoch(table, "silver_stream") == 2
     assert st.txn_epoch(qtable, "silver_stream") == 2
+
+
+# ---------------------------------------------------------------------------
+# snapshot_stream: Structured Streaming SOURCE over the commit log
+# (streaming/cdf_source.py — the Delta streaming-source model on the
+# Python DataSource API: version offsets, file-per-partition reads)
+# ---------------------------------------------------------------------------
+
+
+def _mk_stream_table(spark, tmp_path):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "cdf_src_tbl")
+    st.create_table(
+        spark.createDataFrame(
+            [(1, "A", 10), (2, "B", 20)], "id int, g string, v int"
+        ).coalesce(1),
+        t,
+        ["g"],
+    )
+    st.append(spark.createDataFrame([(3, "A", 30)], "id int, g string, v int"), t)
+    return t
+
+
+def _drain(spark, table, ckpt, out, **opts):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        read_snapshot_stream,
+        register_snapshot_stream,
+    )
+
+    register_snapshot_stream(spark)
+    q = (
+        read_snapshot_stream(spark, table, **opts)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+
+def test_snapshot_stream_source_exactly_once_resume(spark, tmp_path):
+    """Version-offset resume: a restarted stream consumes ONLY the
+    commits after its checkpointed offset — no replays, no gaps —
+    and OPTIMIZE commits stream nothing (content-identical)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = _mk_stream_table(spark, tmp_path)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    rows1 = _drain(spark, t, ckpt, out)
+    assert rows1 == [(1, "A", 10, 1), (2, "B", 20, 1), (3, "A", 30, 2)]
+    st.append(spark.createDataFrame([(4, "B", 40)], "id int, g string, v int"), t)
+    st.optimize(spark, t)  # must contribute zero rows
+    rows2 = _drain(spark, t, ckpt, out)
+    assert rows2 == rows1 + [(4, "B", 40, 3)]
+
+
+def test_snapshot_stream_source_change_commit_errors_then_skips(
+    spark, tmp_path
+):
+    """A commit that rewrites/deletes rows fails the append feed by
+    default (Delta's contract); skipChangeCommits=true drops that
+    commit wholesale and the stream continues with later appends."""
+    import pytest as _pytest
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _mk_stream_table(spark, tmp_path)
+    st.delete_where(spark, t, [("v", "<", 15)])  # v3: change commit
+    st.append(spark.createDataFrame([(5, "A", 50)], "id int, g string, v int"), t)
+    with _pytest.raises(StreamingQueryException, match="skipChangeCommits"):
+        _drain(spark, t, str(tmp_path / "c1"), str(tmp_path / "o1"))
+    rows = _drain(
+        spark,
+        t,
+        str(tmp_path / "c2"),
+        str(tmp_path / "o2"),
+        skip_change_commits=True,
+    )
+    # delete commit dropped wholesale; appends before and after stream
+    assert rows == [
+        (1, "A", 10, 1),
+        (2, "B", 20, 1),
+        (3, "A", 30, 2),
+        (5, "A", 50, 4),
+    ]
+
+
+def test_snapshot_stream_source_starting_version(spark, tmp_path):
+    """startingVersion=N streams commits >= N only — the 'tail from
+    here' entry point for a consumer that bootstrapped elsewhere."""
+    t = _mk_stream_table(spark, tmp_path)
+    rows = _drain(
+        spark,
+        t,
+        str(tmp_path / "c"),
+        str(tmp_path / "o"),
+        starting_version=2,
+    )
+    assert rows == [(3, "A", 30, 2)]
