@@ -1486,3 +1486,72 @@ def test_snapshot_stream_source_starting_version(spark, tmp_path):
         starting_version=2,
     )
     assert rows == [(3, "A", 30, 2)]
+
+
+def test_streaming_medallion_through_snapshot_tables(spark, tmp_path):
+    """The full medallion with the LAKE FORMAT as the streaming
+    fabric: bronze CSV -> silver ACID snapshot table (foreachBatch
+    sink, txn epochs) -> `snapshot_stream` SOURCE tails the silver
+    commit log -> gold per-site aggregate — and an incremental second
+    leg: new bronze files land, the gold restart consumes exactly the
+    new silver commits. End state must equal the batch gold over the
+    silver table's head."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        read_snapshot_stream,
+        register_snapshot_stream,
+        silver_stream_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    lines = open(SAMPLE_CSV).read().splitlines()
+    header, rows = lines[0], lines[1:]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "part0.csv").write_text("\n".join([header, *rows[:1500]]) + "\n")
+
+    silver = str(tmp_path / "silver_snap")
+    quarantine = str(tmp_path / "quarantine_snap")
+
+    def run_silver():
+        q = silver_stream_snapshot(
+            spark, str(indir), silver, quarantine, str(tmp_path / "ck_silver")
+        )
+        q.awaitTermination(180)
+
+    def run_gold():
+        register_snapshot_stream(spark)
+        q = (
+            read_snapshot_stream(spark, silver)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "gold_feed"))
+            .option("checkpointLocation", str(tmp_path / "ck_gold"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return (
+            spark.read.parquet(str(tmp_path / "gold_feed"))
+            .groupBy("stationId")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        )
+
+    run_silver()
+    first = {(r.stationId, r.n_sessions) for r in run_gold().collect()}
+    assert sum(n for _, n in first) > 0
+
+    # second leg: more bronze arrives; both streams resume incrementally
+    (indir / "part1.csv").write_text("\n".join([header, *rows[1500:]]) + "\n")
+    run_silver()
+    final = {(r.stationId, r.n_sessions) for r in run_gold().collect()}
+
+    batch = {
+        (r.stationId, r.n_sessions)
+        for r in st.read_snapshot(spark, silver)
+        .groupBy("stationId")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .collect()
+    }
+    assert final == batch  # streaming fabric == batch truth, end to end
