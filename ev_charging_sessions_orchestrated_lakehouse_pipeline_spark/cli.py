@@ -108,7 +108,23 @@ def main(argv: list[str] | None = None) -> int:
             "enable-row-tracking",
             "analyze",
             "stats",
+            "refresh-view",
         ],
+    )
+    pt.add_argument(
+        "--sink", default=None,
+        help="refresh-view: path of the materialized aggregate table",
+    )
+    pt.add_argument(
+        "--keys", default=None,
+        help="refresh-view: comma-separated group-by key columns",
+    )
+    pt.add_argument(
+        "--sum-col", default=None, help="refresh-view: column to SUM"
+    )
+    pt.add_argument(
+        "--app-id", default="ivm",
+        help="refresh-view: cursor identity (the sink txn app_id)",
     )
     pt.add_argument("--cluster-by", default=None, help="comma-separated sort cols")
     pt.add_argument("--zorder", action="store_true")
@@ -358,6 +374,21 @@ def main(argv: list[str] | None = None) -> int:
                     files_per_partition=args.files_per_partition,
                 )
                 print(json.dumps({"versions": vs}))
+                return 0
+            elif args.action == "refresh-view":
+                if not (args.sink and args.keys and args.sum_col):
+                    p.error(
+                        "refresh-view requires --sink, --keys and --sum-col"
+                    )
+                res = st.refresh_count_sum_view(
+                    spark,
+                    args.table,
+                    args.sink,
+                    args.keys.split(","),
+                    args.sum_col,
+                    app_id=args.app_id,
+                )
+                print(json.dumps(res))
                 return 0
             else:  # bloom
                 if not args.column:
