@@ -111,7 +111,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         st = _manifest_chain(self._table)
         lo, hi = int(start["version"]), int(end["version"])
         out: list[_FilePartition] = []
-        prev = None
+        prev = last = None
         for v in st._list_versions(self._table):
             if v > hi:
                 break
@@ -123,7 +123,37 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if prev is None and cur.get("parent") is not None:
                 prev = st._read_manifest(self._table, cur["parent"])
             out.extend(self._plan_commit(st, prev, cur, v))
-            prev = cur
+            prev = last = cur
+        if out:
+            # physical->logical renames resolve under the batch END
+            # version's column mapping, for EVERY file in the range:
+            # files always carry the physical name the mapping tracks,
+            # so a file written BEFORE a rename still surfaces under
+            # the current logical name (and the resolution is
+            # deterministic per offset range — replays see the same
+            # manifests). A rename/drop of a DECLARED column inside
+            # the range is a schema change the fixed-schema stream
+            # cannot represent: fail like Delta and ask for a restart.
+            mapping = last.get("column_mapping") or {}
+            import json as _json
+
+            end_names = {
+                f["name"]
+                for f in _json.loads(last["schema"])["fields"]
+            }
+            gone = (
+                set(self._schema_names) - {COMMIT_COL} - end_names
+            )
+            if gone:
+                raise ValueError(
+                    f"column(s) {sorted(gone)} of {self._table} were "
+                    "renamed or dropped inside this micro-batch; the "
+                    "stream's schema is fixed at start — restart the "
+                    "stream to pick up the new schema"
+                )
+            renames = {phys: logical for logical, phys in mapping.items()}
+            for part in out:
+                part.renames = renames
         return out
 
     def _plan_commit(self, st, prev, cur, version: int):
@@ -144,8 +174,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "skipChangeCommits=true to ignore such commits, or "
                 "consume the batch change feed (snaptable.changes)"
             )
-        mapping = cur.get("column_mapping") or {}
-        renames = {phys: logical for logical, phys in mapping.items()}
         pcols = st._spec_names(cur["partition_cols"])
         parts = []
         for f in added:
@@ -154,7 +182,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 _FilePartition(
                     path=os.path.join(self._table, f),
                     version=version,
-                    renames=renames,
+                    renames={},  # filled in partitions() from the END mapping
                     part_values=[
                         (c, pv[c])
                         for c in pcols

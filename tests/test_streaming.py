@@ -1555,3 +1555,25 @@ def test_streaming_medallion_through_snapshot_tables(spark, tmp_path):
         .collect()
     }
     assert final == batch  # streaming fabric == batch truth, end to end
+
+
+def test_snapshot_stream_source_reads_logical_names_after_rename(
+    spark, tmp_path
+):
+    """RENAME COLUMN mid-stream: files written before AND after the
+    rename carry different physical names (column mapping); the
+    source must surface the logical name for both — each file reads
+    under ITS commit's mapping."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "cdf_renamed")
+    st.create_table(
+        spark.createDataFrame([(1, 10)], "id int, val int").coalesce(1), t, []
+    )
+    st.rename_column(t, "val", "value")  # metadata-only commit
+    st.append(spark.createDataFrame([(2, 20)], "id int, value int"), t)
+    rows = _drain(spark, t, str(tmp_path / "ck"), str(tmp_path / "out"))
+    # pre-rename file surfaces under the logical name too
+    assert rows == [(1, 10, 1), (2, 20, 3)]
