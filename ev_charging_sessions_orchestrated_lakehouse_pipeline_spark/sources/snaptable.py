@@ -2069,8 +2069,20 @@ def _abs_uri(table: str, rel_or_abs: str) -> str:
     Must be ABSOLUTE regardless of how the caller spelled ``table``:
     Spark's ``_metadata.file_path`` is always an absolute file: URI,
     so a relative table path here would make every DV anti-join and
-    bloom file mapping silently match nothing."""
-    return "file:" + os.path.abspath(os.path.join(table, rel_or_abs))
+    bloom file mapping silently match nothing.
+
+    And it must be URI-ENCODED exactly as Spark encodes it (Java URI
+    path rules: UTF-8 bytes outside unreserved + sub-delims + ':@/'
+    become uppercase %XX): a hive-escaped partition dir like
+    ``g=x%3Ay`` surfaces in ``_metadata.file_path`` as ``g=x%253Ay``
+    and ``g=a b`` as ``g=a%20b`` — matching the RAW disk path would
+    silently miss every file under such a directory, nulling row-id
+    derivation and (worse) letting DV-deleted rows resurface
+    (regression-tested with ':', ' ' and NULL partition values)."""
+    from urllib.parse import quote
+
+    path = os.path.abspath(os.path.join(table, rel_or_abs))
+    return "file:" + quote(path, safe="-_.~!$&'()*+,;=:@/")
 
 
 def _apply_dvs(spark, df, table: str, dvs: dict):

@@ -61,10 +61,30 @@ class _FilePartition(InputPartition):
     needs, precomputed driver-side (no package imports on workers)."""
 
     path: str  # absolute parquet path (physical column names inside)
+    rel: str  # table-relative path (stats lookups in the END manifest)
     version: int
     renames: dict  # physical -> logical column renames for this file
-    part_values: list  # [(logical col, string value), ...] from the path
+    part_values: list  # [(logical col, decoded value | None), ...]
     schema_ddl: str  # declared source schema as a StructType json
+    # GENERATED ALWAYS AS IDENTITY derivation for this file:
+    # (col, start, step, base_row_id | None); base None means the file
+    # materializes ROW_ID_COL and ids come from that column instead
+    identity: tuple | None = None
+
+
+#: hive writes a null partition value as this sentinel directory name
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _decode_hive(raw: str):
+    """Partition value as Spark's partition discovery would surface
+    it: percent-unescaped, null sentinel -> None (batch/stream reads
+    of the same table must agree on values like 'a:b' or NULL)."""
+    if raw == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(raw)
 
 
 def _manifest_chain(table: str):
@@ -75,13 +95,24 @@ def _manifest_chain(table: str):
     return st
 
 
+def _opt_path(options: dict) -> str:
+    """The table path from DSv2's case-insensitive option map —
+    ``.load(path)`` or ``.option("table", path)``."""
+    opts = {k.lower(): v for k, v in options.items()}
+    table = opts.get("path") or opts.get("table")
+    if not table:
+        raise ValueError(
+            "snapshot_stream needs .load(<table path>) or "
+            '.option("table", <table path>)'
+        )
+    return table
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options: dict) -> None:
         # DSv2 hands options through a case-insensitive map; normalize
         opts = {k.lower(): v for k, v in options.items()}
-        self._table = opts.get("path") or opts.get("table")
-        if not self._table:
-            raise ValueError("snapshot_stream needs .load(<table path>)")
+        self._table = _opt_path(options)
         self._skip_changes = str(
             opts.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
@@ -96,7 +127,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if not versions:
             raise ValueError(f"{self._table} does not exist")
         if self._starting == "earliest":
-            return {"version": versions[0] - 1}
+            # the earliest KEPT manifest is a self-contained
+            # checkpoint; "bootstrap" marks that NOTHING was consumed
+            # yet, so if its diff base expired (vacuum retain_last)
+            # the whole snapshot legitimately streams as adds
+            return {"version": versions[0] - 1, "bootstrap": True}
         if self._starting == "latest":
             return {"version": versions[-1]}
         return {"version": int(self._starting) - 1}
@@ -110,9 +145,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         st = _manifest_chain(self._table)
         lo, hi = int(start["version"]), int(end["version"])
+        versions = st._list_versions(self._table)
         out: list[_FilePartition] = []
         prev = last = None
-        for v in st._list_versions(self._table):
+        for v in versions:
             if v > hi:
                 break
             if v <= lo:
@@ -121,7 +157,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 continue
             cur = st._read_manifest(self._table, v)
             if prev is None and cur.get("parent") is not None:
-                prev = st._read_manifest(self._table, cur["parent"])
+                try:
+                    prev = st._read_manifest(self._table, cur["parent"])
+                except OSError:
+                    # the diff base expired (vacuum retain_last). A
+                    # BOOTSTRAP offset consumed nothing, and the
+                    # earliest kept manifest is a self-contained
+                    # checkpoint — its whole snapshot streams as adds.
+                    # Any other offset has consumed rows whose diff
+                    # base is gone: fail loudly (Delta's
+                    # offset-out-of-retention error), never re-stream.
+                    if start.get("bootstrap") and v == versions[0]:
+                        prev = None
+                    else:
+                        raise ValueError(
+                            f"offset v{lo} of {self._table} expired: "
+                            f"v{cur['parent']} was vacuumed (earliest "
+                            f"kept is v{versions[0]}); restart the "
+                            "stream with a fresh checkpoint"
+                        ) from None
             out.extend(self._plan_commit(st, prev, cur, v))
             prev = last = cur
         if out:
@@ -135,12 +189,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # the range is a schema change the fixed-schema stream
             # cannot represent: fail like Delta and ask for a restart.
             mapping = last.get("column_mapping") or {}
-            import json as _json
-
             end_names = {
-                f["name"]
-                for f in _json.loads(last["schema"])["fields"]
+                f["name"] for f in json.loads(last["schema"])["fields"]
             }
+            if last.get("identity"):
+                # derived, not in the manifest schema — still present
+                end_names.add(last["identity"]["col"])
             gone = (
                 set(self._schema_names) - {COMMIT_COL} - end_names
             )
@@ -152,8 +206,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "stream to pick up the new schema"
                 )
             renames = {phys: logical for logical, phys in mapping.items()}
+            # identity resolves from the END manifest too: a file
+            # written BEFORE enable_identity has no ids in ITS commit,
+            # but the end manifest's stats carry base_row_id for every
+            # live file — the stream must surface the same surrogate
+            # keys the batch read derives
+            ident = last.get("identity")
+            end_stats = last.get("file_stats") or {}
             for part in out:
                 part.renames = renames
+                if ident and part.identity is None:
+                    e = end_stats.get(part.rel) or {}
+                    base = e.get("base_row_id")
+                    if base is None and not e.get("materialized_row_ids"):
+                        raise ValueError(
+                            f"file {part.rel} of {self._table} has no "
+                            "row-id allocation at v"
+                            f"{last['version']}; cannot derive identity "
+                            f"column {ident['col']!r} for the stream"
+                        )
+                    part.identity = (
+                        ident["col"],
+                        int(ident["start"]),
+                        int(ident["step"]),
+                        None if base is None else int(base),
+                    )
         return out
 
     def _plan_commit(self, st, prev, cur, version: int):
@@ -181,10 +258,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
             parts.append(
                 _FilePartition(
                     path=os.path.join(self._table, f),
+                    rel=f,
                     version=version,
                     renames={},  # filled in partitions() from the END mapping
                     part_values=[
-                        (c, pv[c])
+                        (c, _decode_hive(pv[c]))
                         for c in pcols
                         if c in pv and c in self._schema_names
                     ],
@@ -209,6 +287,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 [partition.renames.get(c, c) for c in tbl.column_names]
             )
         n = tbl.num_rows
+        if partition.identity is not None:
+            col, start, step, base = partition.identity
+            if base is None:  # materialized stable ids in the file
+                rid = tbl.column("_rt_row_id").to_numpy(zero_copy_only=False)
+                tbl = tbl.drop_columns(["_rt_row_id"])
+            else:
+                import numpy as np
+
+                rid = base + np.arange(n, dtype="int64")
+            tbl = tbl.append_column(
+                col, pa.array(start + step * rid, pa.int64())
+            )
         for col, sval in partition.part_values:
             tbl = tbl.append_column(col, pa.array([sval] * n, pa.string()))
         tbl = tbl.append_column(
@@ -240,12 +330,18 @@ class SnapshotStreamDataSource(DataSource):
     def schema(self):
         from pyspark.sql.types import LongType, StructType
 
-        st = _manifest_chain(self.options["path"])
-        head = st.current_version(self.options["path"])
+        table = _opt_path(self.options)
+        st = _manifest_chain(table)
+        head = st.current_version(table)
         if head is None:
-            raise ValueError(f"{self.options['path']} does not exist")
-        man = st._read_manifest(self.options["path"], head)
+            raise ValueError(f"{table} does not exist")
+        man = st._read_manifest(table, head)
         base = StructType.fromJson(json.loads(man["schema"]))
+        ident = man.get("identity")
+        if ident:
+            # part of the table's logical contract: every batch read
+            # surfaces the derived surrogate key, so the stream must too
+            base = base.add(ident["col"], LongType())
         return base.add(COMMIT_COL, LongType())
 
     def streamReader(self, schema) -> SnapshotStreamReader:

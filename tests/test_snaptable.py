@@ -4277,3 +4277,33 @@ def test_refresh_count_sum_view_expired_cursor_full_rebuild(
     r = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
     assert r["mode"] == "full"
     assert _sink_rows(spark, sink) == _recompute(spark, src)
+
+
+def test_escaped_partition_values_row_ids_and_dvs(spark, tmp_path):
+    """Hive-escaped partition dirs (':' -> %3A, ' ' -> %20 in the
+    file URI) must not break _metadata.file_path matching: row-id /
+    identity derivation must cover every file, and DV deletes must
+    actually delete (a missed match silently RESURFACES deleted
+    rows)."""
+    t = str(tmp_path / "escaped_parts")
+    st.create_table(
+        spark.createDataFrame(
+            [(1, "x:y", 10), (2, "a b", 20), (3, None, 30), (4, "plain", 40)],
+            "id int, g string, v int",
+        ).coalesce(1),
+        t,
+        ["g"],
+    )
+    st.enable_row_tracking(t)
+    st.enable_identity(t, "sk", start=100, step=1)
+    got = {
+        (r.id, r.g, r.sk)
+        for r in st.read_snapshot(spark, t).collect()
+    }
+    assert all(sk is not None for _, _, sk in got)  # every file matched
+    assert {g for _, g, _ in got} == {"x:y", "a b", None, "plain"}
+    # DV delete inside an escaped partition must stick
+    st.delete_where(spark, t, [("id", "=", 1)], use_dv=True)
+    left = {(r.id, r.g) for r in st.read_snapshot(spark, t).collect()}
+    assert (1, "x:y") not in left  # a URI mismatch would resurface it
+    assert len(left) == 3

@@ -1577,3 +1577,86 @@ def test_snapshot_stream_source_reads_logical_names_after_rename(
     rows = _drain(spark, t, str(tmp_path / "ck"), str(tmp_path / "out"))
     # pre-rename file surfaces under the logical name too
     assert rows == [(1, 10, 1), (2, 20, 3)]
+
+
+def test_snapshot_stream_source_hive_decoding_matches_batch(
+    spark, tmp_path
+):
+    """Escaped and NULL partition values must surface exactly as the
+    batch read surfaces them — 'a:b' stays 'a:b' (not 'a%3Ab') and
+    the hive null sentinel becomes a real NULL."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "cdf_hive")
+    st.create_table(
+        spark.createDataFrame(
+            [(1, "a:b", 10), (2, None, 20)], "id int, g string, v int"
+        ).coalesce(1),
+        t,
+        ["g"],
+    )
+    rows = _drain(spark, t, str(tmp_path / "ck"), str(tmp_path / "out"))
+    batch = sorted(
+        (r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect()
+    )
+    assert [(i, g, v) for i, g, v, _ in rows] == batch
+    assert ("a:b" in {g for _, g, _ in batch}) and (
+        None in {g for _, g, _ in batch}
+    )
+
+
+def test_snapshot_stream_source_surfaces_identity_column(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY is part of the table's logical
+    contract: the stream must derive the surrogate key exactly as the
+    batch read does."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "cdf_ident")
+    st.create_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, v int").coalesce(1),
+        t,
+        [],
+    )
+    st.enable_row_tracking(t)
+    st.enable_identity(t, "sk", start=100, step=2)
+    st.append(spark.createDataFrame([(3, 30)], "id int, v int"), t)
+    rows = _drain(spark, t, str(tmp_path / "ck"), str(tmp_path / "out"))
+    batch = sorted(
+        (r.id, r.v, r.sk) for r in st.read_snapshot(spark, t).collect()
+    )
+    assert sorted((i, v, sk) for i, v, sk, _ in rows) == batch
+
+
+def test_snapshot_stream_source_vacuumed_history(spark, tmp_path):
+    """A fresh earliest start on a vacuumed table bootstraps from the
+    earliest kept checkpoint (full snapshot as adds); a checkpointed
+    offset whose diff base was vacuumed fails with a clear
+    out-of-retention error, never re-streams."""
+    import pytest as _pytest
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = str(tmp_path / "cdf_vac")
+    st.create_table(
+        spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1), t, []
+    )
+    ck1, out1 = str(tmp_path / "ck1"), str(tmp_path / "out1")
+    _drain(spark, t, ck1, out1)  # consumed through v1
+    for i in (2, 3, 4):
+        st.append(spark.createDataFrame([(i, i * 10)], "id int, v int"), t)
+    st.vacuum(t, retain_last=2, grace_seconds=0)  # keeps v3, v4 only
+    assert st._list_versions(t) == [3, 4]
+    # fresh earliest start: bootstrap = v3's full snapshot + v4's adds
+    rows = _drain(spark, t, str(tmp_path / "ck2"), str(tmp_path / "out2"))
+    batch = sorted((r.id, r.v) for r in st.read_snapshot(spark, t).collect())
+    assert sorted((i, v) for i, v, _ in rows) == batch
+    # resume of the OLD checkpoint (offset v1): diff base expired
+    with _pytest.raises(StreamingQueryException, match="expired"):
+        _drain(spark, t, ck1, out1)
