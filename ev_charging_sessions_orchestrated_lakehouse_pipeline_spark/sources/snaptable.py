@@ -2071,18 +2071,46 @@ def _abs_uri(table: str, rel_or_abs: str) -> str:
     so a relative table path here would make every DV anti-join and
     bloom file mapping silently match nothing.
 
-    And it must be URI-ENCODED exactly as Spark encodes it (Java URI
-    path rules: UTF-8 bytes outside unreserved + sub-delims + ':@/'
-    become uppercase %XX): a hive-escaped partition dir like
-    ``g=x%3Ay`` surfaces in ``_metadata.file_path`` as ``g=x%253Ay``
-    and ``g=a b`` as ``g=a%20b`` — matching the RAW disk path would
-    silently miss every file under such a directory, nulling row-id
-    derivation and (worse) letting DV-deleted rows resurface
-    (regression-tested with ':', ' ' and NULL partition values)."""
+    And it must be URI-ENCODED exactly as Spark encodes it (Java
+    URI path rules, verified empirically against
+    ``_metadata.file_path``): disallowed ASCII become uppercase %XX
+    (``g=x%3Ay`` surfaces as ``g=x%253Ay``, ``g=a b`` as
+    ``g=a%20b``), non-ASCII LETTERS stay RAW (``g=Genève``,
+    ``g=東京`` — java.net.URI's "other" category is permitted), but
+    non-ASCII SPACE and control chars UTF-8-%-encode (U+00A0 ->
+    ``%C2%A0``). Matching the raw disk path (or blanket
+    percent-encoding) would silently miss files under such
+    directories, nulling row-id derivation and (worse) letting
+    DV-deleted rows resurface (regression-tested with ':', ' ',
+    NULL, 'Genève' and U+00A0 partition values)."""
+    path = os.path.abspath(os.path.join(table, rel_or_abs))
+    return "file:" + _java_uri_quote(path)
+
+
+_URI_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "-_.~!$&'()*+,;=:@/"
+)
+
+
+def _java_uri_quote(path: str) -> str:
+    """java.net.URI path quoting (what Hadoop Path.toUri / Spark's
+    _metadata.file_path applies): ASCII outside the permitted set and
+    Unicode space (Zs/Zl/Zp) / ISO-control chars %-encode their UTF-8
+    bytes uppercase; every other non-ASCII char passes through raw."""
+    import unicodedata
     from urllib.parse import quote
 
-    path = os.path.abspath(os.path.join(table, rel_or_abs))
-    return "file:" + quote(path, safe="-_.~!$&'()*+,;=:@/")
+    out = []
+    for ch in path:
+        o = ord(ch)
+        if o < 0x80:
+            out.append(ch if ch in _URI_SAFE else f"%{o:02X}")
+        elif o <= 0x9F or unicodedata.category(ch) in ("Zs", "Zl", "Zp"):
+            out.append(quote(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _apply_dvs(spark, df, table: str, dvs: dict):

@@ -37,6 +37,14 @@ Reference lineage: upgrades the reference's incremental unit — Glue
 job re-runs per partition (jobs/ev_sessions_gold_etl.py:156) — to
 continuous consumption, the same step Delta users take when moving a
 batch MERGE pipeline onto a streaming source.
+
+Trigger note: Spark's Python streaming sources don't implement the
+``Trigger.AvailableNow`` admission protocol, so an availableNow
+query logs a warning and falls back to SINGLE-BATCH execution —
+one micro-batch from the checkpointed offset to the current head,
+then stop. For this source that is semantically identical (offsets
+are versions; one batch covers the same range), which the
+drain-restart tests rely on.
 """
 
 from __future__ import annotations
@@ -66,10 +74,14 @@ class _FilePartition(InputPartition):
     renames: dict  # physical -> logical column renames for this file
     part_values: list  # [(logical col, decoded value | None), ...]
     schema_ddl: str  # declared source schema as a StructType json
-    # GENERATED ALWAYS AS IDENTITY derivation for this file:
-    # (col, start, step, base_row_id | None); base None means the file
-    # materializes ROW_ID_COL and ids come from that column instead
+    # GENERATED ALWAYS AS IDENTITY derivation for this file: (col,
+    # start, step, base_row_id | None, row_id_col); base None means
+    # the file materializes row_id_col and ids come from that column
     identity: tuple | None = None
+    # deleted row positions to filter out (bootstrap snapshots only)
+    dv_positions: list | None = None
+    # the adding commit's row-id allocation entry (subset of stats)
+    add_alloc: dict | None = None
 
 
 #: hive writes a null partition value as this sentinel directory name
@@ -156,6 +168,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     prev = st._read_manifest(self._table, v)
                 continue
             cur = st._read_manifest(self._table, v)
+            snapshot_mode = False
             if prev is None and cur.get("parent") is not None:
                 try:
                     prev = st._read_manifest(self._table, cur["parent"])
@@ -163,12 +176,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     # the diff base expired (vacuum retain_last). A
                     # BOOTSTRAP offset consumed nothing, and the
                     # earliest kept manifest is a self-contained
-                    # checkpoint — its whole snapshot streams as adds.
+                    # checkpoint — its whole LIVE snapshot streams as
+                    # adds (whatever operation wrote it, DVs applied).
                     # Any other offset has consumed rows whose diff
                     # base is gone: fail loudly (Delta's
                     # offset-out-of-retention error), never re-stream.
                     if start.get("bootstrap") and v == versions[0]:
-                        prev = None
+                        snapshot_mode = True
                     else:
                         raise ValueError(
                             f"offset v{lo} of {self._table} expired: "
@@ -176,7 +190,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
                             f"kept is v{versions[0]}); restart the "
                             "stream with a fresh checkpoint"
                         ) from None
-            out.extend(self._plan_commit(st, prev, cur, v))
+            if snapshot_mode:
+                out.extend(self._plan_snapshot(st, cur, v))
+            else:
+                out.extend(self._plan_commit(st, prev, cur, v))
             prev = last = cur
         if out:
             # physical->logical renames resolve under the batch END
@@ -215,8 +232,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
             end_stats = last.get("file_stats") or {}
             for part in out:
                 part.renames = renames
-                if ident and part.identity is None:
-                    e = end_stats.get(part.rel) or {}
+                if ident:
+                    # resolution order: the ADDING commit's allocation
+                    # (survives the file being compacted away later in
+                    # the same range), else the end manifest's stats
+                    # (covers files written BEFORE enable_identity,
+                    # which got their ids at enablement)
+                    e = part.add_alloc or end_stats.get(part.rel) or {}
                     base = e.get("base_row_id")
                     if base is None and not e.get("materialized_row_ids"):
                         raise ValueError(
@@ -230,6 +252,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         int(ident["start"]),
                         int(ident["step"]),
                         None if base is None else int(base),
+                        st.ROW_ID_COL,  # physical materialized-id column
                     )
         return out
 
@@ -251,25 +274,47 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "skipChangeCommits=true to ignore such commits, or "
                 "consume the batch change feed (snaptable.changes)"
             )
+        return [
+            self._mk_part(st, cur, f, version) for f in added
+        ]
+
+    def _plan_snapshot(self, st, cur, version: int):
+        """Bootstrap after vacuumed history: the earliest kept
+        manifest is a self-contained checkpoint, so its entire LIVE
+        row set streams as adds — whatever operation wrote it
+        (optimize, DV delete, ...), with deletion vectors applied
+        per file on the executor (the positions ride the partition)."""
+        dvs = st._norm_dvs(cur.get("deletion_vectors"))
+        return [
+            self._mk_part(st, cur, f, version, dv_positions=dvs.get(f))
+            for f in cur["files"]
+        ]
+
+    def _mk_part(self, st, cur, f, version, dv_positions=None):
         pcols = st._spec_names(cur["partition_cols"])
-        parts = []
-        for f in added:
-            pv = st._partition_values(f, pcols)
-            parts.append(
-                _FilePartition(
-                    path=os.path.join(self._table, f),
-                    rel=f,
-                    version=version,
-                    renames={},  # filled in partitions() from the END mapping
-                    part_values=[
-                        (c, _decode_hive(pv[c]))
-                        for c in pcols
-                        if c in pv and c in self._schema_names
-                    ],
-                    schema_ddl=self._schema_json,
-                )
-            )
-        return parts
+        pv = st._partition_values(f, pcols)
+        # the adding commit's row-id allocation, when it has one — the
+        # most durable identity source (see partitions()'s post-pass)
+        e = (cur.get("file_stats") or {}).get(f) or {}
+        add_alloc = {
+            k: e[k]
+            for k in ("base_row_id", "materialized_row_ids")
+            if k in e
+        } or None
+        return _FilePartition(
+            path=os.path.join(self._table, f),
+            rel=f,
+            version=version,
+            renames={},  # filled in partitions() from the END mapping
+            part_values=[
+                (c, _decode_hive(pv[c]))
+                for c in pcols
+                if c in pv and c in self._schema_names
+            ],
+            schema_ddl=self._schema_json,
+            dv_positions=sorted(dv_positions) if dv_positions else None,
+            add_alloc=add_alloc,
+        )
 
     # -- execution (workers) ---------------------------------------------
     def read(self, partition: _FilePartition):
@@ -288,10 +333,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             )
         n = tbl.num_rows
         if partition.identity is not None:
-            col, start, step, base = partition.identity
+            # BEFORE any DV filter: with base allocation the id is
+            # base + ORIGINAL parquet row index
+            col, start, step, base, rid_col = partition.identity
             if base is None:  # materialized stable ids in the file
-                rid = tbl.column("_rt_row_id").to_numpy(zero_copy_only=False)
-                tbl = tbl.drop_columns(["_rt_row_id"])
+                rid = tbl.column(rid_col).to_numpy(zero_copy_only=False)
+                tbl = tbl.drop_columns([rid_col])
             else:
                 import numpy as np
 
@@ -299,6 +346,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
             tbl = tbl.append_column(
                 col, pa.array(start + step * rid, pa.int64())
             )
+        if partition.dv_positions:
+            import numpy as np
+
+            mask = np.ones(n, dtype=bool)
+            mask[np.asarray(partition.dv_positions, dtype="int64")] = False
+            tbl = tbl.filter(pa.array(mask))
+            n = tbl.num_rows
         for col, sval in partition.part_values:
             tbl = tbl.append_column(col, pa.array([sval] * n, pa.string()))
         tbl = tbl.append_column(

@@ -4288,7 +4288,14 @@ def test_escaped_partition_values_row_ids_and_dvs(spark, tmp_path):
     t = str(tmp_path / "escaped_parts")
     st.create_table(
         spark.createDataFrame(
-            [(1, "x:y", 10), (2, "a b", 20), (3, None, 30), (4, "plain", 40)],
+            [
+                (1, "x:y", 10),
+                (2, "a b", 20),
+                (3, None, 30),
+                (4, "plain", 40),
+                (5, "Genève", 50),  # non-ASCII letter: URI keeps it RAW
+                (6, "nb\xa0sp", 60),  # U+00A0 Zs: URI encodes %C2%A0
+            ],
             "id int, g string, v int",
         ).coalesce(1),
         t,
@@ -4301,9 +4308,13 @@ def test_escaped_partition_values_row_ids_and_dvs(spark, tmp_path):
         for r in st.read_snapshot(spark, t).collect()
     }
     assert all(sk is not None for _, _, sk in got)  # every file matched
-    assert {g for _, g, _ in got} == {"x:y", "a b", None, "plain"}
+    assert {g for _, g, _ in got} == {
+        "x:y", "a b", None, "plain", "Genève", "nb\xa0sp",
+    }
     # DV delete inside an escaped partition must stick
     st.delete_where(spark, t, [("id", "=", 1)], use_dv=True)
+    st.delete_where(spark, t, [("id", "=", 5)], use_dv=True)
     left = {(r.id, r.g) for r in st.read_snapshot(spark, t).collect()}
     assert (1, "x:y") not in left  # a URI mismatch would resurface it
-    assert len(left) == 3
+    assert (5, "Genève") not in left  # ditto for the raw non-ASCII dir
+    assert len(left) == 4

@@ -1660,3 +1660,66 @@ def test_snapshot_stream_source_vacuumed_history(spark, tmp_path):
     # resume of the OLD checkpoint (offset v1): diff base expired
     with _pytest.raises(StreamingQueryException, match="expired"):
         _drain(spark, t, ck1, out1)
+
+
+def test_snapshot_stream_bootstrap_optimize_and_dv_snapshot(spark, tmp_path):
+    """Bootstrap after vacuum must stream the earliest kept
+    manifest's LIVE rows whatever operation wrote it: an OPTIMIZE
+    checkpoint is not 'nothing to stream', and a DV-carrying
+    checkpoint streams with the deleted positions filtered out."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "cdf_boot")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "id int, v int"
+        ).coalesce(1),
+        t,
+        [],
+    )
+    st.append(spark.createDataFrame([(6, 60)], "id int, v int"), t)  # v2
+    st.delete_where(spark, t, [("id", "<", 2)], use_dv=True)  # v3: DVs
+    st.optimize(spark, t)  # v4: materializes DVs away
+    st.append(spark.createDataFrame([(7, 70)], "id int, v int"), t)  # v5
+    # earliest kept carries DVs (v3): bootstrap must apply them
+    st.vacuum(t, retain_last=3, grace_seconds=0)
+    assert st._list_versions(t) == [3, 4, 5]
+    rows = _drain(spark, t, str(tmp_path / "ck1"), str(tmp_path / "o1"))
+    batch = sorted((r.id, r.v) for r in st.read_snapshot(spark, t).collect())
+    assert sorted((i, v) for i, v, _ in rows) == batch
+    assert not any(i in (0, 1) for i, _, _ in rows)  # DV-deleted filtered
+    # earliest kept is the OPTIMIZE commit (v4): bootstrap = its snapshot
+    st.vacuum(t, retain_last=2, grace_seconds=0)
+    assert st._list_versions(t) == [4, 5]
+    rows2 = _drain(spark, t, str(tmp_path / "ck2"), str(tmp_path / "o2"))
+    assert sorted((i, v) for i, v, _ in rows2) == batch
+
+
+def test_snapshot_stream_identity_survives_same_batch_compaction(
+    spark, tmp_path
+):
+    """A file appended and then OPTIMIZE-compacted away inside one
+    micro-batch: identity must resolve from the ADDING commit's
+    allocation (the end manifest no longer carries the file), not
+    wedge the stream."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "cdf_ident_opt")
+    st.create_table(
+        spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1), t, []
+    )
+    st.enable_row_tracking(t)
+    st.enable_identity(t, "sk", start=100, step=1)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    _drain(spark, t, ck, out)  # consumed through enablement
+    st.append(spark.createDataFrame([(2, 20)], "id int, v int"), t)
+    st.optimize(spark, t)  # rewrites the appended file away
+    rows = _drain(spark, t, ck, out)
+    batch = sorted(
+        (r.id, r.v, r.sk) for r in st.read_snapshot(spark, t).collect()
+    )
+    assert sorted((i, v, sk) for i, v, sk, _ in rows) == batch
