@@ -234,10 +234,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 part.renames = renames
                 if ident:
                     # resolution order: the ADDING commit's allocation
-                    # (survives the file being compacted away later in
-                    # the same range), else the end manifest's stats
-                    # (covers files written BEFORE enable_identity,
-                    # which got their ids at enablement)
+                    # (present for every post-tracking add, so the file
+                    # may be compacted away later in the same range),
+                    # else the end manifest's stats (covers files
+                    # written BEFORE enable_identity, which got their
+                    # ids at enablement — but only while still live at
+                    # the range end; a pre-tracking file removed
+                    # in-range has no allocation anywhere and fails
+                    # loudly below)
                     e = part.add_alloc or end_stats.get(part.rel) or {}
                     base = e.get("base_row_id")
                     if base is None and not e.get("materialized_row_ids"):
@@ -274,8 +278,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "skipChangeCommits=true to ignore such commits, or "
                 "consume the batch change feed (snaptable.changes)"
             )
+        pcols = st._spec_names(cur["partition_cols"])
         return [
-            self._mk_part(st, cur, f, version) for f in added
+            self._mk_part(st, cur, pcols, f, version) for f in added
         ]
 
     def _plan_snapshot(self, st, cur, version: int):
@@ -285,13 +290,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
         (optimize, DV delete, ...), with deletion vectors applied
         per file on the executor (the positions ride the partition)."""
         dvs = st._norm_dvs(cur.get("deletion_vectors"))
+        pcols = st._spec_names(cur["partition_cols"])
         return [
-            self._mk_part(st, cur, f, version, dv_positions=dvs.get(f))
+            self._mk_part(
+                st, cur, pcols, f, version, dv_positions=dvs.get(f)
+            )
             for f in cur["files"]
         ]
 
-    def _mk_part(self, st, cur, f, version, dv_positions=None):
-        pcols = st._spec_names(cur["partition_cols"])
+    def _mk_part(self, st, cur, pcols, f, version, dv_positions=None):
         pv = st._partition_values(f, pcols)
         # the adding commit's row-id allocation, when it has one — the
         # most durable identity source (see partitions()'s post-pass)
@@ -312,7 +319,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if c in pv and c in self._schema_names
             ],
             schema_ddl=self._schema_json,
-            dv_positions=sorted(dv_positions) if dv_positions else None,
+            # _norm_dvs already sorts; carry the list through as-is
+            dv_positions=dv_positions or None,
             add_alloc=add_alloc,
         )
 
