@@ -129,6 +129,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
             opts.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
         self._starting = str(opts.get("startingversion", "earliest"))
+        # admission control (Delta's maxFilesPerTrigger): cap how many
+        # DATA FILES a micro-batch may cover, advancing the end offset
+        # whole versions at a time (offsets are versions). 0/absent =
+        # unbounded. Scope (a Python-source API reality, measured):
+        # the engine's FIRST latestOffset of a run arrives before the
+        # reader has seen any offset (initialOffset may not have been
+        # consulted yet, and after a checkpoint restart it never is),
+        # so the first micro-batch of each run is uncapped — capping
+        # it blind could move the end offset BEHIND a checkpointed
+        # start and re-stream consumed commits. partitions() then
+        # seeds the cursor, and every later batch of the run is
+        # bounded — the 24/7 load-smoothing contract.
+        self._max_files = int(opts.get("maxfilespertrigger", 0) or 0)
+        self._cursor: int | None = None
         self._schema_json = schema.json()
         self._schema_names = [f.name for f in schema.fields]
 
@@ -143,20 +157,50 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # checkpoint; "bootstrap" marks that NOTHING was consumed
             # yet, so if its diff base expired (vacuum retain_last)
             # the whole snapshot legitimately streams as adds
-            return {"version": versions[0] - 1, "bootstrap": True}
-        if self._starting == "latest":
-            return {"version": versions[-1]}
-        return {"version": int(self._starting) - 1}
+            off = {"version": versions[0] - 1, "bootstrap": True}
+        elif self._starting == "latest":
+            off = {"version": versions[-1]}
+        else:
+            off = {"version": int(self._starting) - 1}
+        self._cursor = off["version"]
+        return off
 
     def latestOffset(self) -> dict:
         st = _manifest_chain(self._table)
-        head = st.current_version(self._table)
-        return {"version": int(head or 0)}
+        head = int(st.current_version(self._table) or 0)
+        if not self._max_files or self._cursor is None or head <= self._cursor:
+            return {"version": head}
+        # advance whole versions until the file budget is spent; always
+        # make progress (at least one version) so a single commit
+        # larger than the budget still streams
+        budget = self._max_files
+        spent = 0
+        end = self._cursor
+        prev = None
+        for v in st._list_versions(self._table):
+            if v > head:
+                break
+            if v <= self._cursor:
+                if v == self._cursor:
+                    prev = st._read_manifest(self._table, v)
+                continue
+            cur = st._read_manifest(self._table, v)
+            before = set(prev["files"]) if prev is not None else set()
+            n_added = sum(1 for f in cur["files"] if f not in before)
+            if end > self._cursor and spent + n_added > budget:
+                break
+            spent += n_added
+            end = v
+            prev = cur
+        return {"version": end}
 
     # -- planning (driver) ----------------------------------------------
     def partitions(self, start: dict, end: dict):
         st = _manifest_chain(self._table)
         lo, hi = int(start["version"]), int(end["version"])
+        # (re-)seed the admission cursor — after a checkpoint restart
+        # this is the first place the engine reveals the offsets
+        self._cursor = max(hi, self._cursor or hi)
         versions = st._list_versions(self._table)
         out: list[_FilePartition] = []
         prev = last = None
@@ -431,12 +475,17 @@ def read_snapshot_stream(
     table: str,
     starting_version: int | str = "earliest",
     skip_change_commits: bool = False,
+    max_files_per_trigger: int = 0,
 ):
     """Streaming DataFrame over the table's commit log (see module
-    docstring for semantics)."""
+    docstring for semantics). ``max_files_per_trigger`` bounds each
+    micro-batch's file count (whole versions at a time; 0 =
+    unbounded) — starting a stream against a 100 TB backlog without
+    it plans the entire history as one batch."""
     return (
         spark.readStream.format(SOURCE_NAME)
         .option("startingVersion", str(starting_version))
         .option("skipChangeCommits", str(skip_change_commits).lower())
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(table)
     )

@@ -1723,3 +1723,52 @@ def test_snapshot_stream_identity_survives_same_batch_compaction(
         (r.id, r.v, r.sk) for r in st.read_snapshot(spark, t).collect()
     )
     assert sorted((i, v, sk) for i, v, sk, _ in rows) == batch
+
+
+def test_snapshot_stream_max_files_per_trigger_bounds_batches(
+    spark, tmp_path
+):
+    """Admission control (maxFilesPerTrigger): once the run's cursor
+    is seeded, every later micro-batch covers whole versions within
+    the file budget, and a single oversized commit still advances
+    (never stalls). Driven at the reader protocol level in the
+    engine's real call order — latestOffset BEFORE any offset is
+    known (uncapped by design: capping blind could regress a
+    checkpointed offset), then partitions() seeding the cursor, then
+    bounded latestOffset calls."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamDataSource,
+    )
+
+    t = str(tmp_path / "cdf_rate")
+    st.create_table(
+        spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1), t, []
+    )
+    ds = SnapshotStreamDataSource({"path": t, "maxFilesPerTrigger": "1"})
+    r = ds.streamReader(ds.schema())
+    # first latestOffset of the run: cursor unknown -> uncapped head
+    assert r.latestOffset() == {"version": 1}
+    r.partitions({"version": 0}, {"version": 1})  # batch runs, cursor = 1
+    # backlog lands: 3 single-file commits + 1 two-file commit
+    for i in (2, 3, 4):
+        st.append(spark.createDataFrame([(i, i * 10)], "id int, v int"), t)
+    st.append(
+        spark.createDataFrame(
+            [(5, 50), (6, 60)], "id int, v int"
+        ).repartition(2),
+        t,
+    )
+    # bounded advance: one single-file version per trigger
+    assert r.latestOffset() == {"version": 2}
+    r.partitions({"version": 1}, {"version": 2})
+    assert r.latestOffset() == {"version": 3}
+    r.partitions({"version": 2}, {"version": 3})
+    assert r.latestOffset() == {"version": 4}
+    r.partitions({"version": 3}, {"version": 4})
+    # the 2-file commit exceeds the budget but must still advance
+    assert r.latestOffset() == {"version": 5}
+    r.partitions({"version": 4}, {"version": 5})
+    assert r.latestOffset() == {"version": 5}  # caught up
