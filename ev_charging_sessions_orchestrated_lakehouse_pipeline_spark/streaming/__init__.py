@@ -11,6 +11,7 @@ from .cdf_source import (
     SnapshotStreamDataSource,
     read_snapshot_stream,
     register_snapshot_stream,
+    write_snapshot_stream,
 )
 from .ingest import (
     corpus_prep_stream,
@@ -35,6 +36,7 @@ __all__ = [
     "SnapshotStreamDataSource",
     "read_snapshot_stream",
     "register_snapshot_stream",
+    "write_snapshot_stream",
     "stream_stream_attribution",
     "corpus_prep_stream",
     "dedup_stream",

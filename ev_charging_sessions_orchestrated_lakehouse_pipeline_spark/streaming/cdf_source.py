@@ -56,7 +56,9 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SOURCE_NAME = "snapshot_stream"
@@ -426,6 +428,208 @@ class SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
+#: Spark's ExternalCatalogUtils.escapePathName character set (the
+#: Hive partition-path escaping) — the writer must land values in the
+#: SAME directory names Spark's own partitioned writes produce
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {
+    "\x7f"
+}
+
+
+def _hive_escape(value) -> str:
+    if value is None:
+        return _HIVE_NULL
+    s = str(value)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s
+    )
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    """Files one task staged: [(staged_abs_path, final_rel_path)]."""
+
+    files: list
+
+
+class SnapshotStreamWriter(DataSourceStreamWriter):
+    """Per-epoch EXACTLY-ONCE sink into a snapshot table — the Delta
+    streaming-sink protocol at the DataSource level
+    (``df.writeStream.format("snapshot_stream")``), replacing the
+    foreachBatch boilerplate:
+
+    * executors write their rows as Parquet into a per-task STAGING
+      directory under the table's data/ tree (pyarrow, grouped by
+      partition value, Spark-compatible hive path escaping) —
+      invisible until the manifest publishes; a crashed task's files
+      are vacuum-reclaimed orphans;
+    * the driver's ``commit(messages, batchId)`` renames staged files
+      into their final partition dirs, collects footer stats (the
+      same data-skipping index batch writes get), and publishes ONE
+      append commit carrying ``txn = (app_id, batchId)`` — the
+      idempotent-writer handshake: a REPLAYED epoch whose commit
+      already published is detected via txn_epoch and skipped (its
+      staged files are removed), so kill/replay converges bit-for-bit;
+    * a lost publish race auto-rebases (appends are always disjoint —
+      :func:`..sources.snaptable._try_rebase`).
+
+    Contract: the table must already exist (create it with
+    ``create_table`` or let :func:`write_snapshot_stream` do it);
+    incoming columns must match the table schema; tables with CHECK
+    constraints or generated columns are refused — those are
+    evaluated by Spark expressions the executor-side Arrow path
+    cannot run (use the foreachBatch helpers for them)."""
+
+    def __init__(self, schema, options: dict) -> None:
+        st = _manifest_chain("")
+        self._table = _opt_path(options)
+        opts = {k.lower(): v for k, v in options.items()}
+        self._app_id = opts.get("appid", "snapshot_stream_writer")
+        head = st.current_version(self._table)
+        if head is None:
+            raise ValueError(
+                f"{self._table} does not exist; create it first "
+                "(snaptable.create_table or write_snapshot_stream)"
+            )
+        man = st._read_manifest(self._table, head)
+        if man.get("constraints"):
+            raise ValueError(
+                "snapshot_stream sink cannot validate CHECK "
+                f"constraints {sorted(man['constraints'])}; use the "
+                "foreachBatch helpers (silver_stream_snapshot)"
+            )
+        if man.get("generated") or man.get("identity"):
+            raise ValueError(
+                "snapshot_stream sink cannot evaluate generated/"
+                "identity columns; use the foreachBatch helpers"
+            )
+        table_cols = [
+            f["name"] for f in json.loads(man["schema"])["fields"]
+        ]
+        incoming = [f.name for f in schema.fields]
+        if sorted(incoming) != sorted(table_cols):
+            raise ValueError(
+                f"stream schema {incoming} does not match table "
+                f"schema {table_cols}"
+            )
+        self._schema_json = man["schema"]
+        self._pcols = st._spec_names(man["partition_cols"])
+        mapping = man.get("column_mapping") or {}
+        self._renames = {
+            logical: phys
+            for logical, phys in mapping.items()
+            if logical != phys
+        }
+        self._data_dir = st._data_dir(self._table)
+        self._staging_prefix = st._STAGING_PREFIX
+
+    # -- executors --------------------------------------------------------
+    def write(self, iterator) -> "_WriteResult":
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        # group this task's rows by partition value; the body writes
+        # under the TABLE-schema-derived arrow types (from_pylist
+        # casts/validates), so the files' physical types match what
+        # batch reads and _read_union expect — a pandas round-trip
+        # would silently widen ints and poison nullable columns
+        groups: dict = {}
+        for r in iterator:
+            d = r.asDict()
+            key = tuple(d.pop(c) for c in self._pcols)
+            groups.setdefault(key, []).append(d)
+        if not groups:
+            return _WriteResult(files=[])
+        full = StructType.fromJson(json.loads(self._schema_json))
+        body_schema = to_arrow_schema(
+            StructType([f for f in full.fields if f.name not in self._pcols])
+        )
+        stage = os.path.join(
+            self._data_dir, self._staging_prefix + _uuid.uuid4().hex
+        )
+        out = []
+        for key, dicts in groups.items():
+            hive = [
+                f"{c}={_hive_escape(v)}"
+                for c, v in zip(self._pcols, key)
+            ]
+            tbl = pa.Table.from_pylist(dicts, schema=body_schema)
+            if self._renames:
+                tbl = tbl.rename_columns(
+                    [self._renames.get(c, c) for c in tbl.column_names]
+                )
+            fname = f"part-{_uuid.uuid4().hex}.parquet"
+            # manifest entries are TABLE-relative and data lives under
+            # data/ (matching _write_data's layout)
+            final_rel = os.path.join("data", *hive, fname)
+            staged_abs = os.path.join(stage, *hive, fname)
+            os.makedirs(os.path.dirname(staged_abs), exist_ok=True)
+            pq.write_table(tbl, staged_abs)
+            out.append((staged_abs, final_rel))
+        return _WriteResult(files=out)
+
+    # -- driver -----------------------------------------------------------
+    def _staged(self, messages):
+        return [
+            pair
+            for m in messages
+            if m is not None
+            for pair in m.files
+        ]
+
+    def _cleanup(self, staged) -> None:
+        import shutil
+
+        stages = set()
+        for staged_abs, _rel in staged:
+            p = staged_abs
+            while not os.path.basename(p).startswith(self._staging_prefix):
+                p = os.path.dirname(p)
+            stages.add(p)
+        for s in stages:
+            shutil.rmtree(s, ignore_errors=True)
+
+    def commit(self, messages, batchId: int) -> None:
+        st = _manifest_chain(self._table)
+        staged = self._staged(messages)
+        done = st.txn_epoch(self._table, self._app_id)
+        if done is not None and batchId <= done:
+            self._cleanup(staged)  # replayed epoch: already durable
+            return
+        if not staged:
+            return  # empty batch: nothing to publish (epochs may gap)
+        rels = []
+        for staged_abs, rel in staged:
+            final = os.path.join(self._table, rel)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.rename(staged_abs, final)
+            rels.append(rel)
+        self._cleanup(staged)  # empty husk dirs
+        head = st.current_version(self._table)
+        prev = st._read_manifest(self._table, head)
+        st._commit(
+            self._table,
+            "append",
+            sorted(prev["files"] + rels),
+            prev["partition_cols"],
+            self._schema_json,
+            head,
+            txn=(self._app_id, int(batchId)),
+            file_stats=st._carry_stats(
+                prev, prev["files"], st._collect_stats(self._table, rels)
+            ),
+            constraints=prev.get("constraints", {}),
+            deletion_vectors=prev.get("deletion_vectors", {}),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(self._staged(messages))
+
+
 class SnapshotStreamDataSource(DataSource):
     """``spark.readStream.format("snapshot_stream").load(table)``."""
 
@@ -452,6 +656,15 @@ class SnapshotStreamDataSource(DataSource):
 
     def streamReader(self, schema) -> SnapshotStreamReader:
         return SnapshotStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> SnapshotStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "snapshot_stream sink is append-only (outputMode "
+                "'append'); use foreachBatch + overwrite_partitions "
+                "for complete-mode semantics"
+            )
+        return SnapshotStreamWriter(schema, dict(self.options))
 
 
 def register_snapshot_stream(spark) -> None:
@@ -489,3 +702,34 @@ def read_snapshot_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(table)
     )
+
+
+def write_snapshot_stream(
+    spark,
+    df,
+    table: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    app_id: str = "snapshot_stream_writer",
+    available_now: bool = True,
+):
+    """Start the exactly-once snapshot sink for a streaming frame
+    (:class:`SnapshotStreamWriter`), creating the table (empty, with
+    ``partition_cols``) if it does not exist yet — table creation
+    needs a live SparkSession, which only this driver-side helper
+    has. Returns the StreamingQuery."""
+    from ..sources import snaptable as st
+
+    if st.current_version(table) is None:
+        st.create_table(
+            spark.createDataFrame([], df.schema), table, partition_cols or []
+        )
+    w = (
+        df.writeStream.format(SOURCE_NAME)
+        .option("table", table)
+        .option("appId", app_id)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start(table)

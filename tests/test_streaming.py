@@ -1772,3 +1772,129 @@ def test_snapshot_stream_max_files_per_trigger_bounds_batches(
     assert r.latestOffset() == {"version": 5}
     r.partitions({"version": 4}, {"version": 5})
     assert r.latestOffset() == {"version": 5}  # caught up
+
+
+# ---------------------------------------------------------------------------
+# snapshot_stream SINK (streaming/cdf_source.SnapshotStreamWriter):
+# df.writeStream.format("snapshot_stream") — per-epoch exactly-once
+# append commits, replacing the foreachBatch boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_stream_sink_end_to_end_and_resume(spark, tmp_path):
+    """File-source stream -> snapshot sink: each run's batches land
+    as txn-tagged append commits; a restarted stream consumes only
+    new input; partition values with hive-special chars land in
+    Spark-compatible dirs and read back exactly."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        register_snapshot_stream,
+        write_snapshot_stream,
+    )
+
+    register_snapshot_stream(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "x:y", 10), (2, "B", 20)], "id int, g string, v int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("id int, g string, v int").parquet(
+        str(src)
+    )
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    q = write_snapshot_stream(spark, stream, t, ck, partition_cols=["g"])
+    q.awaitTermination(180)
+    got = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())
+    assert got == [(1, "x:y", 10), (2, "B", 20)]
+    assert st.txn_epoch(t, "snapshot_stream_writer") == 0
+    # restart: only the new input file streams, as the next epoch
+    spark.createDataFrame(
+        [(3, "A", 30)], "id int, g string, v int"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = write_snapshot_stream(spark, stream, t, ck, partition_cols=["g"])
+    q.awaitTermination(180)
+    got2 = sorted(
+        (r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect()
+    )
+    assert got2 == [(1, "x:y", 10), (2, "B", 20), (3, "A", 30)]
+    assert st.txn_epoch(t, "snapshot_stream_writer") == 1
+    import glob
+
+    assert glob.glob(t + "/data/_staging-*") == []  # staging all cleaned
+
+
+def test_snapshot_stream_sink_replayed_epoch_skipped(spark, tmp_path):
+    """The exactly-once core at the writer protocol level: a REPLAYED
+    commit (same batchId, fresh staged files — the engine re-running
+    an epoch whose commit already published) must publish nothing and
+    reclaim its staged files."""
+    from pyspark.sql import Row
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamDataSource,
+    )
+
+    t = str(tmp_path / "tbl")
+    st.create_table(
+        spark.createDataFrame([], "id int, g string, v int"), t, ["g"]
+    )
+    ds = SnapshotStreamDataSource({"path": t})
+    w = ds.streamWriter(
+        spark.createDataFrame([], "id int, g string, v int").schema, False
+    )
+    m1 = w.write(iter([Row(id=1, g="A", v=10), Row(id=2, g="B", v=20)]))
+    w.commit([m1], 0)
+    assert st.current_version(t) == 2
+    rows = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())
+    assert rows == [(1, "A", 10), (2, "B", 20)]
+    # replay of epoch 0: fresh staged files, same batchId
+    m2 = w.write(iter([Row(id=1, g="A", v=10), Row(id=2, g="B", v=20)]))
+    w.commit([m2], 0)
+    assert st.current_version(t) == 2  # nothing published
+    import glob
+
+    assert glob.glob(t + "/data/_staging-*") == []
+    # abort cleans staged files too
+    m3 = w.write(iter([Row(id=9, g="A", v=90)]))
+    w.abort([m3, None], 1)
+    assert glob.glob(t + "/data/_staging-*") == []
+    assert st.current_version(t) == 2
+
+
+def test_snapshot_stream_sink_refusals(spark, tmp_path):
+    """Contract gates: missing table, CHECK constraints, schema
+    mismatch, and complete/overwrite mode all refuse loudly."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamDataSource,
+    )
+
+    schema = spark.createDataFrame([], "id int, v int").schema
+    ds = SnapshotStreamDataSource({"path": str(tmp_path / "absent")})
+    with pytest.raises(ValueError, match="does not exist"):
+        ds.streamWriter(schema, False)
+
+    t = str(tmp_path / "con")
+    st.create_table(spark.createDataFrame([(1, 1)], "id int, v int"), t, [])
+    st.add_constraint(spark, t, "v_pos", "v > 0")
+    ds = SnapshotStreamDataSource({"path": t})
+    with pytest.raises(ValueError, match="CHECK"):
+        ds.streamWriter(schema, False)
+
+    t2 = str(tmp_path / "plain")
+    st.create_table(spark.createDataFrame([(1, 1)], "id int, v int"), t2, [])
+    ds = SnapshotStreamDataSource({"path": t2})
+    with pytest.raises(ValueError, match="does not match"):
+        ds.streamWriter(
+            spark.createDataFrame([], "id int, OTHER int").schema, False
+        )
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(schema, True)
