@@ -437,7 +437,9 @@ _HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {
 
 
 def _hive_escape(value) -> str:
-    if value is None:
+    # Spark's getPartitionValueString maps null AND the empty string
+    # to the default-partition sentinel (both read back as NULL)
+    if value is None or str(value) == "":
         return _HIVE_NULL
     s = str(value)
     return "".join(
@@ -484,7 +486,30 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         st = _manifest_chain("")
         self._table = _opt_path(options)
         opts = {k.lower(): v for k, v in options.items()}
-        self._app_id = opts.get("appid", "snapshot_stream_writer")
+        # txn identity: explicit appId, else derived from the
+        # checkpoint location — Delta's sink keys its txn on the
+        # query/checkpoint for the same reason: a FIXED default shared
+        # by every caller would make one query's epochs look like
+        # another's replays (silently dropped batches). A fresh
+        # checkpoint means a fresh identity and reprocessing, exactly
+        # like Delta.
+        app_id = opts.get("appid")
+        if not app_id:
+            ckpt = opts.get("checkpointlocation")
+            if not ckpt:
+                raise ValueError(
+                    "snapshot_stream sink needs option 'appId' or "
+                    "'checkpointLocation' to key its exactly-once txn"
+                )
+            import hashlib
+
+            app_id = (
+                "snapshot_stream_writer_"
+                + hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[
+                    :16
+                ]
+            )
+        self._app_id = app_id
         head = st.current_version(self._table)
         if head is None:
             raise ValueError(
@@ -503,16 +528,34 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 "snapshot_stream sink cannot evaluate generated/"
                 "identity columns; use the foreachBatch helpers"
             )
-        table_cols = [
-            f["name"] for f in json.loads(man["schema"])["fields"]
-        ]
-        incoming = [f.name for f in schema.fields]
-        if sorted(incoming) != sorted(table_cols):
+        if any("(" in str(e) for e in man["partition_cols"]):
             raise ValueError(
-                f"stream schema {incoming} does not match table "
-                f"schema {table_cols}"
+                "snapshot_stream sink cannot materialize hidden-"
+                f"partitioning transforms {man['partition_cols']}; "
+                "use the batch writers / foreachBatch helpers"
+            )
+        table_types = {
+            f["name"]: f["type"]
+            for f in json.loads(man["schema"])["fields"]
+        }
+        incoming = {
+            f.name: json.loads(f.json())["type"] for f in schema.fields
+        }
+        if incoming != table_types:
+            raise ValueError(
+                f"stream schema {sorted(incoming.items())} does not "
+                f"match table schema {sorted(table_types.items())} "
+                "(names AND types)"
             )
         self._schema_json = man["schema"]
+        self._init_meta = {
+            "schema": man["schema"],
+            "constraints": man.get("constraints") or {},
+            "column_mapping": man.get("column_mapping") or {},
+            "partition_cols": man["partition_cols"],
+            "generated": man.get("generated") or {},
+            "identity": man.get("identity"),
+        }
         self._pcols = st._spec_names(man["partition_cols"])
         mapping = man.get("column_mapping") or {}
         self._renames = {
@@ -602,6 +645,33 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             return
         if not staged:
             return  # empty batch: nothing to publish (epochs may gap)
+        head = st.current_version(self._table)
+        prev = st._read_manifest(self._table, head)
+        # metadata-change guard (Delta's MetadataChangedException for
+        # a QUIESCENT change — racing ones are caught by _try_rebase):
+        # schema/constraint/mapping/partition DDL committed between
+        # epochs invalidates what the executors wrote and what this
+        # sink validated at start; republishing the init-time schema
+        # would silently REVERT the DDL, and skipping a new CHECK
+        # constraint would publish unvalidated rows under it.
+        now_meta = {
+            "schema": prev["schema"],
+            "constraints": prev.get("constraints") or {},
+            "column_mapping": prev.get("column_mapping") or {},
+            "partition_cols": prev["partition_cols"],
+            "generated": prev.get("generated") or {},
+            "identity": prev.get("identity"),
+        }
+        if now_meta != self._init_meta:
+            self._cleanup(staged)
+            changed = sorted(
+                k for k in now_meta if now_meta[k] != self._init_meta[k]
+            )
+            raise ValueError(
+                f"{self._table} metadata changed mid-stream "
+                f"({', '.join(changed)}); restart the stream to pick "
+                "up the new table definition"
+            )
         rels = []
         for staged_abs, rel in staged:
             final = os.path.join(self._table, rel)
@@ -609,8 +679,6 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             os.rename(staged_abs, final)
             rels.append(rel)
         self._cleanup(staged)  # empty husk dirs
-        head = st.current_version(self._table)
-        prev = st._read_manifest(self._table, head)
         st._commit(
             self._table,
             "append",
@@ -710,14 +778,16 @@ def write_snapshot_stream(
     table: str,
     checkpoint: str,
     partition_cols: list[str] | None = None,
-    app_id: str = "snapshot_stream_writer",
+    app_id: str | None = None,
     available_now: bool = True,
 ):
     """Start the exactly-once snapshot sink for a streaming frame
     (:class:`SnapshotStreamWriter`), creating the table (empty, with
     ``partition_cols``) if it does not exist yet — table creation
     needs a live SparkSession, which only this driver-side helper
-    has. Returns the StreamingQuery."""
+    has. The txn identity defaults to a digest of the checkpoint
+    location (one logical writer per checkpoint, like Delta); pass
+    ``app_id`` to name it explicitly. Returns the StreamingQuery."""
     from ..sources import snaptable as st
 
     if st.current_version(table) is None:
@@ -727,9 +797,10 @@ def write_snapshot_stream(
     w = (
         df.writeStream.format(SOURCE_NAME)
         .option("table", table)
-        .option("appId", app_id)
         .option("checkpointLocation", checkpoint)
     )
+    if app_id:
+        w = w.option("appId", app_id)
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start(table)

@@ -1805,22 +1805,26 @@ def test_snapshot_stream_sink_end_to_end_and_resume(spark, tmp_path):
     )
     t = str(tmp_path / "tbl")
     ck = str(tmp_path / "ck")
-    q = write_snapshot_stream(spark, stream, t, ck, partition_cols=["g"])
+    q = write_snapshot_stream(
+        spark, stream, t, ck, partition_cols=["g"], app_id="sink_e2e"
+    )
     q.awaitTermination(180)
     got = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())
     assert got == [(1, "x:y", 10), (2, "B", 20)]
-    assert st.txn_epoch(t, "snapshot_stream_writer") == 0
+    assert st.txn_epoch(t, "sink_e2e") == 0
     # restart: only the new input file streams, as the next epoch
     spark.createDataFrame(
         [(3, "A", 30)], "id int, g string, v int"
     ).coalesce(1).write.mode("append").parquet(str(src))
-    q = write_snapshot_stream(spark, stream, t, ck, partition_cols=["g"])
+    q = write_snapshot_stream(
+        spark, stream, t, ck, partition_cols=["g"], app_id="sink_e2e"
+    )
     q.awaitTermination(180)
     got2 = sorted(
         (r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect()
     )
     assert got2 == [(1, "x:y", 10), (2, "B", 20), (3, "A", 30)]
-    assert st.txn_epoch(t, "snapshot_stream_writer") == 1
+    assert st.txn_epoch(t, "sink_e2e") == 1
     import glob
 
     assert glob.glob(t + "/data/_staging-*") == []  # staging all cleaned
@@ -1844,7 +1848,7 @@ def test_snapshot_stream_sink_replayed_epoch_skipped(spark, tmp_path):
     st.create_table(
         spark.createDataFrame([], "id int, g string, v int"), t, ["g"]
     )
-    ds = SnapshotStreamDataSource({"path": t})
+    ds = SnapshotStreamDataSource({"path": t, "appId": "sink_proto"})
     w = ds.streamWriter(
         spark.createDataFrame([], "id int, g string, v int").schema, False
     )
@@ -1878,23 +1882,93 @@ def test_snapshot_stream_sink_refusals(spark, tmp_path):
     )
 
     schema = spark.createDataFrame([], "id int, v int").schema
-    ds = SnapshotStreamDataSource({"path": str(tmp_path / "absent")})
+    ds = SnapshotStreamDataSource(
+        {"path": str(tmp_path / "absent"), "appId": "x"}
+    )
     with pytest.raises(ValueError, match="does not exist"):
         ds.streamWriter(schema, False)
 
     t = str(tmp_path / "con")
     st.create_table(spark.createDataFrame([(1, 1)], "id int, v int"), t, [])
     st.add_constraint(spark, t, "v_pos", "v > 0")
-    ds = SnapshotStreamDataSource({"path": t})
+    ds = SnapshotStreamDataSource({"path": t, "appId": "x"})
     with pytest.raises(ValueError, match="CHECK"):
         ds.streamWriter(schema, False)
 
     t2 = str(tmp_path / "plain")
     st.create_table(spark.createDataFrame([(1, 1)], "id int, v int"), t2, [])
-    ds = SnapshotStreamDataSource({"path": t2})
+    ds = SnapshotStreamDataSource({"path": t2, "appId": "x"})
     with pytest.raises(ValueError, match="does not match"):
         ds.streamWriter(
             spark.createDataFrame([], "id int, OTHER int").schema, False
         )
     with pytest.raises(ValueError, match="append-only"):
         ds.streamWriter(schema, True)
+
+
+def test_snapshot_stream_sink_metadata_change_and_gates(spark, tmp_path):
+    """Mid-stream DDL fails the epoch commit instead of silently
+    reverting the DDL or skipping a new CHECK constraint (Delta's
+    MetadataChangedException for quiescent changes); hidden
+    partitioning, type mismatches, and a missing txn identity refuse
+    at setup; an empty-string partition value lands in the hive
+    default-partition dir like Spark's own writes."""
+    from pyspark.sql import Row
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamDataSource,
+        _hive_escape,
+    )
+
+    t = str(tmp_path / "meta")
+    st.create_table(
+        spark.createDataFrame([], "id int, g string, v int"), t, ["g"]
+    )
+    schema = spark.createDataFrame([], "id int, g string, v int").schema
+    ds = SnapshotStreamDataSource({"path": t, "appId": "meta_guard"})
+    w = ds.streamWriter(schema, False)
+    m = w.write(iter([Row(id=1, g="A", v=10)]))
+    w.commit([m], 0)
+    # DDL lands between epochs: next commit must fail, not clobber
+    st.add_constraint(spark, t, "v_pos", "v > 0")
+    m2 = w.write(iter([Row(id=2, g="B", v=-5)]))
+    with pytest.raises(ValueError, match="metadata changed mid-stream"):
+        w.commit([m2], 1)
+    import glob
+
+    assert glob.glob(t + "/data/_staging-*") == []  # staged reclaimed
+    rows = sorted((r.id, r.v) for r in st.read_snapshot(spark, t).collect())
+    assert rows == [(1, 10)]  # the unvalidated row never published
+
+    # hidden-partitioning transform spec: refuse at setup
+    th = str(tmp_path / "hidden")
+    st.create_table(
+        spark.createDataFrame([(1, 7)], "k int, v int"), th, ["bucket(4,k)"]
+    )
+    ds2 = SnapshotStreamDataSource({"path": th, "appId": "x"})
+    with pytest.raises(ValueError, match="hidden-partitioning"):
+        ds2.streamWriter(spark.createDataFrame([], "k int, v int").schema, False)
+
+    # same names, different TYPE: refuse at setup, not mid-epoch
+    tp = str(tmp_path / "typed")
+    st.create_table(
+        spark.createDataFrame([], "id int, g string, v int"), tp, ["g"]
+    )
+    ds3 = SnapshotStreamDataSource({"path": tp, "appId": "x"})
+    with pytest.raises(ValueError, match="names AND types"):
+        ds3.streamWriter(
+            spark.createDataFrame([], "id int, g string, v string").schema,
+            False,
+        )
+
+    # no appId and no checkpointLocation: no txn identity to key on
+    ds4 = SnapshotStreamDataSource({"path": tp})
+    with pytest.raises(ValueError, match="appId"):
+        ds4.streamWriter(schema, False)
+
+    # empty string joins None in the hive default partition
+    assert _hive_escape("") == "__HIVE_DEFAULT_PARTITION__"
+    assert _hive_escape(None) == "__HIVE_DEFAULT_PARTITION__"
