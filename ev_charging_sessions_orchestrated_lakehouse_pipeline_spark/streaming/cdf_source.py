@@ -1,10 +1,12 @@
-"""Structured Streaming SOURCE over the snapshot table's commit log —
-the Delta streaming-source model (DeltaSource's reservoir-version
-offsets) rebuilt on the Python DataSource API (Spark 4):
+"""Structured Streaming SOURCE and SINK over the snapshot table —
+the Delta streaming source/sink pair (DeltaSource's reservoir-version
+offsets; DeltaSink's txn-tagged epoch commits) rebuilt on the Python
+DataSource API (Spark 4):
 
     register_snapshot_stream(spark)
     df = read_snapshot_stream(spark, table)          # readStream
     df.writeStream.trigger(availableNow=True)...
+    write_snapshot_stream(spark, df2, other_table, ckpt)  # sink
 
 Offsets are COMMIT VERSIONS (``{"version": N}`` = every commit <= N
 consumed), so resume-from-checkpoint replays a deterministic range of
