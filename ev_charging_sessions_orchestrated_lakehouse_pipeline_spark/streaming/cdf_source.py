@@ -65,6 +65,7 @@ from pyspark.sql.datasource import (
 
 SOURCE_NAME = "snapshot_stream"
 COMMIT_COL = "_commit_version"
+CHANGE_COL = "_change_type"
 
 
 @dataclass
@@ -82,8 +83,14 @@ class _FilePartition(InputPartition):
     # start, step, base_row_id | None, row_id_col); base None means
     # the file materializes row_id_col and ids come from that column
     identity: tuple | None = None
-    # deleted row positions to filter out (bootstrap snapshots only)
+    # deletion-vector row positions: EXCLUDED from the file's rows by
+    # default (bootstrap snapshots, CDF sides reading under their own
+    # vectors), or with dv_select=True the ONLY rows read (a kept
+    # file's newly-masked positions = this commit's MoR deletes)
     dv_positions: list | None = None
+    dv_select: bool = False
+    # CDF row label this file contributes ("insert" | "delete")
+    change: str = "insert"
     # the adding commit's row-id allocation entry (subset of stats)
     add_alloc: dict | None = None
 
@@ -132,6 +139,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._skip_changes = str(
             opts.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
+        # Delta's streaming readChangeFeed: stream EVERY commit's
+        # row-level changes (_change_type insert|delete, the batch
+        # changes() vocabulary) instead of an append-only feed —
+        # rewrites and deletes become data, not errors
+        self._cdf = str(opts.get("readchangefeed", "false")).lower() in (
+            "true",
+            "1",
+        )
+        if self._cdf and self._skip_changes:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits are mutually "
+                "exclusive: one streams change commits, the other "
+                "drops them"
+            )
         self._starting = str(opts.get("startingversion", "earliest"))
         # admission control (Delta's maxFilesPerTrigger): cap how many
         # DATA FILES a micro-batch may cover, advancing the end offset
@@ -261,7 +282,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # derived, not in the manifest schema — still present
                 end_names.add(last["identity"]["col"])
             gone = (
-                set(self._schema_names) - {COMMIT_COL} - end_names
+                set(self._schema_names)
+                - {COMMIT_COL, CHANGE_COL}
+                - end_names
             )
             if gone:
                 raise ValueError(
@@ -313,9 +336,46 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return []  # content-identical rewrite: nothing to stream
         before = set(prev["files"]) if prev else set()
         added = [f for f in cur["files"] if f not in before]
-        removed = before - set(cur["files"])
+        removed = sorted(before - set(cur["files"]))
         dv_before = st._norm_dvs((prev or {}).get("deletion_vectors"))
         dv_now = st._norm_dvs(cur.get("deletion_vectors"))
+        pcols = st._spec_names(cur["partition_cols"])
+        if self._cdf:
+            # the batch changes() vocabulary, planned as partitions:
+            # added files -> inserts (under the commit's own DVs),
+            # removed files -> deletes (under the PARENT's DVs — rows
+            # already masked there were never visible, so they are
+            # not deletes now), kept files' NEW DV positions -> MoR
+            # deletes (read exactly those positions)
+            parts = [
+                self._mk_part(
+                    st, cur, pcols, f, version,
+                    dv_positions=dv_now.get(f),
+                )
+                for f in added
+            ]
+            parts += [
+                self._mk_part(
+                    st, prev, pcols, f, version,
+                    dv_positions=dv_before.get(f),
+                    change="delete",
+                )
+                for f in removed
+            ]
+            for f in sorted(set(cur["files"]) & before):
+                delta = sorted(
+                    set(dv_now.get(f, [])) - set(dv_before.get(f, []))
+                )
+                if delta:
+                    parts.append(
+                        self._mk_part(
+                            st, cur, pcols, f, version,
+                            dv_positions=delta,
+                            dv_select=True,
+                            change="delete",
+                        )
+                    )
+            return parts
         if removed or dv_before != dv_now:
             if self._skip_changes:
                 return []  # Delta's skipChangeCommits: drop wholesale
@@ -323,10 +383,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 f"commit v{version} of {self._table} "
                 f"({cur['operation']}) rewrites or deletes existing "
                 "rows; a streaming source is an append feed — use "
-                "skipChangeCommits=true to ignore such commits, or "
-                "consume the batch change feed (snaptable.changes)"
+                "skipChangeCommits=true to ignore such commits, "
+                "readChangeFeed=true to stream them as change rows, "
+                "or consume the batch change feed (snaptable.changes)"
             )
-        pcols = st._spec_names(cur["partition_cols"])
         return [
             self._mk_part(st, cur, pcols, f, version) for f in added
         ]
@@ -346,11 +406,24 @@ class SnapshotStreamReader(DataSourceStreamReader):
             for f in cur["files"]
         ]
 
-    def _mk_part(self, st, cur, pcols, f, version, dv_positions=None):
+    def _mk_part(
+        self,
+        st,
+        manifest,
+        pcols,
+        f,
+        version,
+        dv_positions=None,
+        dv_select=False,
+        change="insert",
+    ):
+        """``manifest`` is the side the file reads under: the commit
+        for inserts/kept files, the PARENT for removed files (its
+        stats hold the file's row-id allocation)."""
         pv = st._partition_values(f, pcols)
-        # the adding commit's row-id allocation, when it has one — the
-        # most durable identity source (see partitions()'s post-pass)
-        e = (cur.get("file_stats") or {}).get(f) or {}
+        # that side's row-id allocation, when it has one — the most
+        # durable identity source (see partitions()'s post-pass)
+        e = (manifest.get("file_stats") or {}).get(f) or {}
         add_alloc = {
             k: e[k]
             for k in ("base_row_id", "materialized_row_ids")
@@ -369,6 +442,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
             schema_ddl=self._schema_json,
             # _norm_dvs already sorts; carry the list through as-is
             dv_positions=dv_positions or None,
+            dv_select=dv_select,
+            change=change,
             add_alloc=add_alloc,
         )
 
@@ -405,12 +480,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if partition.dv_positions:
             import numpy as np
 
-            mask = np.ones(n, dtype=bool)
-            mask[np.asarray(partition.dv_positions, dtype="int64")] = False
-            tbl = tbl.filter(pa.array(mask))
+            # exclude the masked positions — or, with dv_select, keep
+            # ONLY them (a commit's merge-on-read deletes)
+            keep = np.full(n, not partition.dv_select, dtype=bool)
+            keep[np.asarray(partition.dv_positions, dtype="int64")] = (
+                partition.dv_select
+            )
+            tbl = tbl.filter(pa.array(keep))
             n = tbl.num_rows
         for col, sval in partition.part_values:
             tbl = tbl.append_column(col, pa.array([sval] * n, pa.string()))
+        if CHANGE_COL in target.names:  # readChangeFeed mode
+            tbl = tbl.append_column(
+                CHANGE_COL, pa.array([partition.change] * n, pa.string())
+            )
         tbl = tbl.append_column(
             COMMIT_COL, pa.array([partition.version] * n, pa.int64())
         )
@@ -722,6 +805,11 @@ class SnapshotStreamDataSource(DataSource):
             # part of the table's logical contract: every batch read
             # surfaces the derived surrogate key, so the stream must too
             base = base.add(ident["col"], LongType())
+        opts = {k.lower(): v for k, v in self.options.items()}
+        if str(opts.get("readchangefeed", "false")).lower() in ("true", "1"):
+            from pyspark.sql.types import StringType
+
+            base = base.add(CHANGE_COL, StringType())
         return base.add(COMMIT_COL, LongType())
 
     def streamReader(self, schema) -> SnapshotStreamReader:
@@ -759,17 +847,23 @@ def read_snapshot_stream(
     starting_version: int | str = "earliest",
     skip_change_commits: bool = False,
     max_files_per_trigger: int = 0,
+    read_change_feed: bool = False,
 ):
     """Streaming DataFrame over the table's commit log (see module
     docstring for semantics). ``max_files_per_trigger`` bounds each
     micro-batch's file count (whole versions at a time; 0 =
     unbounded) — starting a stream against a 100 TB backlog without
-    it plans the entire history as one batch."""
+    it plans the entire history as one batch. ``read_change_feed``
+    streams row-level changes (``_change_type`` insert|delete, the
+    batch :func:`..sources.snaptable.changes` vocabulary) instead of
+    the append-only feed — the streaming leg of incremental view
+    maintenance."""
     return (
         spark.readStream.format(SOURCE_NAME)
         .option("startingVersion", str(starting_version))
         .option("skipChangeCommits", str(skip_change_commits).lower())
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("readChangeFeed", str(read_change_feed).lower())
         .load(table)
     )
 

@@ -1972,3 +1972,64 @@ def test_snapshot_stream_sink_metadata_change_and_gates(spark, tmp_path):
     # empty string joins None in the hive default partition
     assert _hive_escape("") == "__HIVE_DEFAULT_PARTITION__"
     assert _hive_escape(None) == "__HIVE_DEFAULT_PARTITION__"
+
+
+def test_snapshot_stream_read_change_feed_matches_batch_cdf(
+    spark, tmp_path
+):
+    """readChangeFeed=true: the stream's change rows over a range of
+    append / rewrite-DELETE / MoR-DELETE / overwrite commits must
+    equal the batch change feed (snaptable.changes) row-for-row, and
+    the net effect replays the final state."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "cdf_feed")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, "A" if i < 3 else "B", i * 10) for i in range(6)],
+            "id int, g string, v int",
+        ).coalesce(1),
+        t,
+        ["g"],
+    )
+    st.append(spark.createDataFrame([(6, "A", 60)], "id int, g string, v int"), t)
+    st.delete_where(spark, t, [("v", "<", 20)])  # rewrite delete
+    st.delete_where(spark, t, [("id", "=", 4)], use_dv=True)  # MoR delete
+    st.overwrite_partitions(
+        spark.createDataFrame([(9, "B", 90)], "id int, g string, v int"), t
+    )
+    st.optimize(spark, t)  # must contribute nothing
+
+    rows = _drain(
+        spark,
+        t,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        read_change_feed=True,
+    )
+    stream_cdf = sorted(
+        (r[0], r[1], r[2], r[3], r[4]) for r in rows
+    )  # id, g, v, _change_type, _commit_version
+    batch = sorted(
+        (r.id, r.g, r.v, r._change_type, r._commit_version)
+        for r in st.changes(spark, t, 1).collect()
+    )
+    # the stream starts at v1, so v1's create surfaces as inserts too
+    # (batch changes(from=1) EXCLUDES v1); add them for the compare
+    v1_inserts = sorted(
+        (r.id, r.g, r.v, "insert", 1)
+        for r in st.read_snapshot(spark, t, version=1).collect()
+    )
+    assert stream_cdf == sorted(batch + v1_inserts)
+    # net-effect replay: inserts minus deletes == final state
+    from collections import Counter
+
+    net = Counter()
+    for i, g, v, ch, _cv in stream_cdf:
+        net[(i, g, v)] += 1 if ch == "insert" else -1
+    final = Counter(
+        (r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect()
+    )
+    assert {k: c for k, c in net.items() if c} == dict(final)
