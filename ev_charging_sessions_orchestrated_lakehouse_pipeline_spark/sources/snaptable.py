@@ -3072,17 +3072,39 @@ def changes(
                     "_change_type", F.lit(change)
                 ).withColumn("_commit_version", F.lit(v).cast("bigint"))
                 parts.append(batch)
-            # merge-on-read deletes: positions newly added to a
-            # still-present file's deletion vector ARE this commit's
-            # deleted rows — read exactly those positions
+            # merge-on-read DV deltas on still-present files, BOTH
+            # directions: positions newly ADDED to a vector are this
+            # commit's deleted rows; positions REMOVED from a vector
+            # (rollback/restore past a MoR delete) are re-inserted
+            # rows — omitting the shrink side would silently break
+            # the net-effect invariant (state(to) == state(from) -
+            # deletes + inserts) exactly where only DVs changed.
             prev_dv = prev.get("deletion_vectors", {})
             cur_dv = cur.get("deletion_vectors", {})
-            delta = {
-                f: sorted(set(cur_dv.get(f, [])) - set(prev_dv.get(f, [])))
-                for f in set(cur["files"]) & set(prev["files"])
-            }
-            delta = {f: ps for f, ps in delta.items() if ps}
-            if delta:
+            kept_both = set(cur["files"]) & set(prev["files"])
+            for delta, dv_change in (
+                (
+                    {
+                        f: sorted(
+                            set(cur_dv.get(f, [])) - set(prev_dv.get(f, []))
+                        )
+                        for f in kept_both
+                    },
+                    "delete",
+                ),
+                (
+                    {
+                        f: sorted(
+                            set(prev_dv.get(f, [])) - set(cur_dv.get(f, []))
+                        )
+                        for f in kept_both
+                    },
+                    "insert",
+                ),
+            ):
+                delta = {f: ps for f, ps in delta.items() if ps}
+                if not delta:
+                    continue
                 schema = StructType.fromJson(json.loads(cur["schema"]))
                 read_schema = schema
                 if with_row_ids:
@@ -3143,7 +3165,7 @@ def changes(
                     )
                 dv_batch = (
                     dv_batch.drop("___f", "___ri")
-                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_change_type", F.lit(dv_change))
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
                 )
                 parts.append(dv_batch)

@@ -22,11 +22,15 @@ Semantics match Delta's source contract:
   contract — no rows to stream, like Delta's no-data compaction
   commits);
 * a commit that REMOVES files or touches deletion vectors is an
-  error by default (a pure append feed cannot represent it), or
-  skipped wholesale with ``skipChangeCommits=true`` — Delta's
-  ``skipChangeCommits`` option verbatim. Full row-level change
-  consumption belongs to the batch change feed
-  (:func:`..sources.snaptable.changes`) and the cursor-driven
+  error by default (a pure append feed cannot represent it), skipped
+  wholesale with ``skipChangeCommits=true`` (Delta's option
+  verbatim), or — with ``readChangeFeed=true`` — streamed as
+  ROW-LEVEL CHANGES: ``_change_type`` insert|delete in the batch
+  :func:`..sources.snaptable.changes` vocabulary (added files as
+  inserts, removed files as deletes under the parent's DVs, kept
+  files' DV deltas as position-selected MoR deletes or rollback
+  re-inserts), pinned row-for-row equal to the batch feed. The
+  cursor-driven batch consumer is
   :func:`..sources.snaptable.refresh_count_sum_view`.
 
 Scale: the driver plans each micro-batch from manifest DIFFS (tiny,
@@ -118,6 +122,13 @@ def _manifest_chain(table: str):
     return st
 
 
+def _opt_bool(opts: dict, name: str) -> bool:
+    """Truthiness of an already-lowercased option map entry — ONE
+    parse shared by the reader and schema() so they can never
+    disagree about a mode."""
+    return str(opts.get(name, "false")).lower() in ("true", "1")
+
+
 def _opt_path(options: dict) -> str:
     """The table path from DSv2's case-insensitive option map —
     ``.load(path)`` or ``.option("table", path)``."""
@@ -136,17 +147,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # DSv2 hands options through a case-insensitive map; normalize
         opts = {k.lower(): v for k, v in options.items()}
         self._table = _opt_path(options)
-        self._skip_changes = str(
-            opts.get("skipchangecommits", "false")
-        ).lower() in ("true", "1")
+        self._skip_changes = _opt_bool(opts, "skipchangecommits")
         # Delta's streaming readChangeFeed: stream EVERY commit's
         # row-level changes (_change_type insert|delete, the batch
         # changes() vocabulary) instead of an append-only feed —
         # rewrites and deletes become data, not errors
-        self._cdf = str(opts.get("readchangefeed", "false")).lower() in (
-            "true",
-            "1",
-        )
+        self._cdf = _opt_bool(opts, "readchangefeed")
         if self._cdf and self._skip_changes:
             raise ValueError(
                 "readChangeFeed and skipChangeCommits are mutually "
@@ -170,6 +176,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._cursor: int | None = None
         self._schema_json = schema.json()
         self._schema_names = [f.name for f in schema.fields]
+        if self._cdf and CHANGE_COL not in self._schema_names:
+            # a user-supplied .schema() without the label column would
+            # stream deletes indistinguishable from inserts
+            raise ValueError(
+                f"readChangeFeed=true needs the {CHANGE_COL!r} column "
+                "in the stream schema; omit .schema() to use the "
+                "source-provided one"
+            )
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -211,10 +225,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 continue
             cur = st._read_manifest(self._table, v)
             before = set(prev["files"]) if prev is not None else set()
-            n_added = sum(1 for f in cur["files"] if f not in before)
-            if end > self._cursor and spent + n_added > budget:
+            n = sum(1 for f in cur["files"] if f not in before)
+            if self._cdf:
+                # change-feed batches also READ removed files (deletes)
+                # and DV-delta files (MoR deletes / un-deletes) — a
+                # delete-heavy commit must spend the budget too
+                cur_set = set(cur["files"])
+                n += sum(1 for f in before if f not in cur_set)
+                dv_b = st._norm_dvs(
+                    (prev or {}).get("deletion_vectors")
+                )
+                dv_n = st._norm_dvs(cur.get("deletion_vectors"))
+                n += sum(
+                    1
+                    for f in before & cur_set
+                    if dv_b.get(f) != dv_n.get(f)
+                )
+            if end > self._cursor and spent + n > budget:
                 break
-            spent += n_added
+            spent += n
             end = v
             prev = cur
         return {"version": end}
@@ -363,18 +392,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 for f in removed
             ]
             for f in sorted(set(cur["files"]) & before):
-                delta = sorted(
-                    set(dv_now.get(f, [])) - set(dv_before.get(f, []))
-                )
-                if delta:
-                    parts.append(
-                        self._mk_part(
-                            st, cur, pcols, f, version,
-                            dv_positions=delta,
-                            dv_select=True,
-                            change="delete",
+                now = set(dv_now.get(f, []))
+                was = set(dv_before.get(f, []))
+                # both DV directions: grown vector = MoR deletes,
+                # shrunk vector (rollback/restore past a MoR delete)
+                # = re-inserted rows — dropping the shrink side would
+                # silently break the net-effect replay
+                for positions, change in (
+                    (sorted(now - was), "delete"),
+                    (sorted(was - now), "insert"),
+                ):
+                    if positions:
+                        parts.append(
+                            self._mk_part(
+                                st, cur, pcols, f, version,
+                                dv_positions=positions,
+                                dv_select=True,
+                                change=change,
+                            )
                         )
-                    )
             return parts
         if removed or dv_before != dv_now:
             if self._skip_changes:
@@ -806,7 +842,7 @@ class SnapshotStreamDataSource(DataSource):
             # surfaces the derived surrogate key, so the stream must too
             base = base.add(ident["col"], LongType())
         opts = {k.lower(): v for k, v in self.options.items()}
-        if str(opts.get("readchangefeed", "false")).lower() in ("true", "1"):
+        if _opt_bool(opts, "readchangefeed"):
             from pyspark.sql.types import StringType
 
             base = base.add(CHANGE_COL, StringType())

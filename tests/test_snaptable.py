@@ -4318,3 +4318,39 @@ def test_escaped_partition_values_row_ids_and_dvs(spark, tmp_path):
     assert (1, "x:y") not in left  # a URI mismatch would resurface it
     assert (5, "Genève") not in left  # ditto for the raw non-ASCII dir
     assert len(left) == 4
+
+
+def test_changes_emits_undelete_on_dv_shrink(spark, tmp_path):
+    """Rollback/restore past a MERGE-ON-READ delete shrinks a kept
+    file's deletion vector without touching the file list; the change
+    feed must emit the resurrected positions as INSERTS — dropping
+    the shrink side silently breaks the net-effect invariant exactly
+    where only DVs changed."""
+    t = str(tmp_path / "dv_shrink")
+    st.create_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, v int").coalesce(1),
+        t,
+        [],
+    )
+    st.delete_where(spark, t, [("id", "=", 1)], use_dv=True)  # v2
+    st.rollback(t, 1)  # v3: DV shrinks, same files
+    feed = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in st.changes(spark, t, 1).collect()
+    )
+    assert feed == [(1, "delete", 2), (1, "insert", 3)]
+    # net effect from EVERY offset equals the final state
+    from collections import Counter
+
+    final = dict(Counter((r.id, r.v) for r in st.read_snapshot(spark, t).collect()))
+    for frm in (1, 2):
+        net = dict(
+            Counter(
+                (r.id, r.v)
+                for r in st.read_snapshot(spark, t, version=frm).collect()
+            )
+        )
+        for r in st.changes(spark, t, frm).collect():
+            k = (r.id, r.v)
+            net[k] = net.get(k, 0) + (1 if r._change_type == "insert" else -1)
+        assert {k: c for k, c in net.items() if c} == final, frm

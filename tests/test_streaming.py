@@ -2033,3 +2033,44 @@ def test_snapshot_stream_read_change_feed_matches_batch_cdf(
         (r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect()
     )
     assert {k: c for k, c in net.items() if c} == dict(final)
+
+
+def test_snapshot_stream_cdf_undelete_and_schema_gate(spark, tmp_path):
+    """The stream CDF mirrors the batch feed's DV-shrink handling
+    (rollback past a MoR delete re-inserts the row), and a
+    user-supplied schema missing _change_type refuses at setup
+    instead of streaming unlabeled deletes."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamReader,
+    )
+
+    t = str(tmp_path / "cdf_undel")
+    st.create_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, v int").coalesce(1),
+        t,
+        [],
+    )
+    st.delete_where(spark, t, [("id", "=", 1)], use_dv=True)
+    st.rollback(t, 1)
+    rows = _drain(
+        spark,
+        t,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        read_change_feed=True,
+    )
+    stream_cdf = sorted((r[0], r[2], r[3]) for r in rows)
+    batch = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in st.changes(spark, t, 1).collect()
+    ) + [(1, "insert", 1), (2, "insert", 1)]  # v1 create, stream-only
+    assert stream_cdf == sorted(batch)
+
+    schema = spark.createDataFrame(
+        [], "id int, v int, _commit_version long"
+    ).schema
+    with pytest.raises(ValueError, match="_change_type"):
+        SnapshotStreamReader(schema, {"path": t, "readChangeFeed": "true"})
