@@ -63,12 +63,19 @@ import sys, json, inspect, hashlib, textwrap
 sys.path.insert(0, sys.argv[1])
 from {pkg}.plans.registry import get_queries, get_oracles
 qs, ors = get_queries(), get_oracles()
-out = {{}}
-for name, fn in qs.items():
-    src = textwrap.dedent(inspect.getsource(fn))
-    out[name] = hashlib.sha256(
-        (src + "\x00" + ors.get(name, "")).encode()
-    ).hexdigest()[:16]
+try:
+    # Use the snapshot commit's OWN digest definition (it gained
+    # transitive-helper coverage in round 11); falling back to the
+    # body+oracle form only for pre-r11 snapshots that predate it.
+    from {pkg}.plans.verification import source_digest
+    out = {{n: source_digest(fn, ors.get(n, "")) for n, fn in qs.items()}}
+except ImportError:
+    out = {{}}
+    for name, fn in qs.items():
+        src = textwrap.dedent(inspect.getsource(fn))
+        out[name] = hashlib.sha256(
+            (src + "\x00" + ors.get(name, "")).encode()
+        ).hexdigest()[:16]
 print(json.dumps(out))
 """.format(pkg=PKG)
 
