@@ -109,7 +109,15 @@ def main(argv: list[str] | None = None) -> int:
             "analyze",
             "stats",
             "refresh-view",
+            "register-view",
         ],
+    )
+    pt.add_argument(
+        "--sql",
+        default=None,
+        help="register-view: statement to run against the registered "
+        "view (the ad-hoc SQL-on-snapshot endpoint); rows print as "
+        "JSON lines",
     )
     pt.add_argument(
         "--sink", default=None,
@@ -374,6 +382,21 @@ def main(argv: list[str] | None = None) -> int:
                     files_per_partition=args.files_per_partition,
                 )
                 print(json.dumps({"versions": vs}))
+                return 0
+            elif args.action == "register-view":
+                if not args.name:
+                    p.error("register-view requires --name")
+                fqn = st.register_snapshot_view(
+                    spark,
+                    args.table,
+                    args.name,
+                    version=args.version,
+                )
+                out = {"view": fqn, "version": args.version}
+                if args.sql:
+                    rows = spark.sql(args.sql).collect()
+                    out["rows"] = [r.asDict(recursive=True) for r in rows]
+                print(json.dumps(out, default=str))
                 return 0
             elif args.action == "refresh-view":
                 if not (args.sink and args.keys and args.sum_col):

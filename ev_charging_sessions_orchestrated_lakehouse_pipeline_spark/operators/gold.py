@@ -75,15 +75,18 @@ def run_gold(
     the rerun stays idempotent in visible state AND every run becomes
     an auditable, time-travelable snapshot, which is the actual
     Iceberg-v2 semantics of the reference's fact table
-    (gold_etl.py:147-150). Catalog registration (``database``) applies
-    to the parquet path only: a Hive table over the snapshot data tree
-    would see every version's files at once."""
+    (gold_etl.py:147-150). With ``database`` the snapshot head is
+    registered as the session view ``<database>_<table>`` via
+    :func:`..sources.snaptable.register_snapshot_view` — the
+    SQL-on-ACID surface the reference serves through
+    Athena-on-Iceberg (gold_etl.py:159-160). A Hive TABLE over the
+    snapshot data tree is still refused implicitly (it would see
+    every version's files at once); the view plans the committed
+    manifest's exact file list instead."""
     from ..sources.writers import overwrite_partitions
 
     if table_format not in ("parquet", "snapshot"):
         raise ValueError(f"unknown table_format {table_format!r}")
-    if table_format == "snapshot" and database:
-        raise ValueError("catalog registration requires table_format='parquet'")
 
     df = spark.read.parquet(silver_path).select(*EV_GOLD_SELECT_COLS)
     if event_date:
@@ -101,6 +104,13 @@ def run_gold(
             snaptable.create_table(df_gold, gold_path, ["event_date"])
         else:
             snaptable.overwrite_partitions(df_gold, gold_path)
+        if database:
+            fqn = snaptable.register_snapshot_view(
+                spark, gold_path, f"{database}_{table}"
+            )
+            # post-write verification through the SQL surface
+            # (reference A2, gold_etl.py:159-160)
+            spark.sql(f"SELECT COUNT(*) AS cnt FROM {fqn}").collect()
         return row_count
     overwrite_partitions(df_gold, gold_path, ["event_date"])
 

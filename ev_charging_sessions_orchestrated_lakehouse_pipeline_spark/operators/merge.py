@@ -33,7 +33,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.oracle import dsum, dsum_sql
+from ..functions.oracle import dsum, dsum_spark_sql, dsum_sql
 
 ORACLE: dict[str, str] = {}
 
@@ -2647,7 +2647,6 @@ def q_snapshot_concurrent_writers(
     src_o = orders.filter(F.col("o_orderstatus") == "O").withColumn(
         "o_totalprice", F.col("o_totalprice") + F.lit(2.0)
     )
-    orig_publish = st._publish
     barrier = threading.Barrier(2, timeout=300)
     lock = threading.Lock()
     n_pub = [0]
@@ -2657,13 +2656,12 @@ def q_snapshot_concurrent_writers(
         # from elsewhere in the process must pass straight through,
         # never count toward (or block at) this query's 2-party barrier
         if tbl != table:
-            return orig_publish(tbl, version, manifest)
+            return
         with lock:
             n_pub[0] += 1
             k = n_pub[0]
         if k <= 2:  # both writers finish computing before either publishes
             barrier.wait()
-        return orig_publish(tbl, version, manifest)
 
     errs: list[BaseException] = []
 
@@ -2673,7 +2671,8 @@ def q_snapshot_concurrent_writers(
         except BaseException as e:  # noqa: BLE001 — surfaced below
             errs.append(e)
 
-    st._publish = gated
+    # the engine's documented injection seam — no internals swapped
+    st.pre_publish_hook = gated
     try:
         threads = [
             threading.Thread(target=run, args=(s,)) for s in (src_f, src_o)
@@ -2683,7 +2682,7 @@ def q_snapshot_concurrent_writers(
         for t in threads:
             t.join(timeout=600)
     finally:
-        st._publish = orig_publish
+        st.pre_publish_hook = None
     try:
         if errs:
             raise errs[0]
@@ -2740,6 +2739,87 @@ WITH final AS (
 )
 SELECT * FROM agg UNION ALL SELECT * FROM extras
 ORDER BY row
+"""
+
+
+def q_snapshot_sql_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL over ACID snapshot tables incl. time travel
+    (sources/snaptable.register_snapshot_view) — the surface the
+    reference serves through Athena-on-Iceberg
+    (jobs/ev_sessions_gold_etl.py:159-160, README.md:41: analysts
+    query the committed fact table, and Iceberg's VERSION AS OF
+    reaches history). Builds a two-version table from ``orders``
+    (v1 = full table partitioned by o_orderstatus; v2 = DV-backed
+    row-level DELETE of low-price rows — merge-on-read, no file
+    rewritten), registers the HEAD and the PINNED v1 as session
+    views, and audits both through ONE ``spark.sql`` statement. The
+    oracle replays each version's visible row set, so what's
+    hash-checked is the whole chain: manifest resolution ->
+    DV anti-join in the view's plan -> SQL over the registered name.
+    Bounded collect (≤6 rows) because the table lives in a run-scoped
+    temp dir that must not outlive the call."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_sqlv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        st.create_table(orders, table, ["o_orderstatus"])
+        st.delete_where(
+            spark, table, [("o_totalprice", "<", 20000.0)], use_dv=True
+        )
+        head_view = st.register_snapshot_view(spark, table, "snap_sql_head")
+        v1_view = st.register_snapshot_view(
+            spark, table, "snap_sql_v1", version=1
+        )
+        rows = spark.sql(
+            f"""
+            SELECT 'head' AS snapshot, o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   {dsum_spark_sql('o_totalprice')} AS sum_totalprice
+            FROM {head_view} GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'v1', o_orderstatus, COUNT(*),
+                   {dsum_spark_sql('o_totalprice')}
+            FROM {v1_view} GROUP BY o_orderstatus
+            """
+        ).collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        spark.catalog.dropTempView("snap_sql_head")
+        spark.catalog.dropTempView("snap_sql_v1")
+    return spark.createDataFrame(
+        [
+            (r.snapshot, r.o_orderstatus, r.n_orders, float(r.sum_totalprice))
+            for r in rows
+        ],
+        "snapshot string, o_orderstatus string, n_orders bigint, "
+        "sum_totalprice double",
+    ).orderBy("snapshot", "o_orderstatus")
+
+
+ORACLE["snapshot_sql_endpoint"] = f"""
+SELECT 'head' AS snapshot, o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+WHERE o_totalprice >= 20000.0
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'v1', o_orderstatus, COUNT(*), {dsum_sql('o_totalprice')}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY snapshot, o_orderstatus
 """
 
 

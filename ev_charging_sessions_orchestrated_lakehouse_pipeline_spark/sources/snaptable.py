@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -409,10 +410,23 @@ def _file_spec(rel_path: str) -> tuple[str, ...]:
     return tuple(sorted(_path_values(rel_path)))
 
 
+# Injection seam for interleaving tests: when set, called with
+# (table, version, manifest) immediately BEFORE each manifest publish.
+# It may block (barrier two writers so both compute against the same
+# parent) or raise (simulate a crash at the publish point); it cannot
+# alter the commit. This exists so concurrency tests and the
+# `snapshot_concurrent_writers` registry query never have to swap
+# engine internals like `_publish` itself.
+pre_publish_hook = None
+
+
 def _publish(table: str, version: int, manifest: dict) -> None:
     """Atomic, collision-detecting manifest publish (write-temp +
     hard-link). A lost race raises :class:`ConcurrentCommit` and
     leaves no partial state."""
+    hook = pre_publish_hook
+    if hook is not None:
+        hook(table, version, manifest)
     os.makedirs(_snap_dir(table), exist_ok=True)
     final = _manifest_path(table, version)
     tmp = final + f".{uuid.uuid4().hex}.tmp"
@@ -777,6 +791,21 @@ def _commit(
 ) -> int:
     version = (parent or 0) + 1
     par = _read_manifest(table, parent) if parent is not None else None
+    # per-app_id epoch monotonicity is a documented CONTRACT (replay
+    # detection in txn_epoch/_try_rebase depends on newest-commit-wins)
+    # but was only checked after a publish collision: a writer that
+    # committed a lower epoch on the conflict-free path silently
+    # rewound the cursor. Enforce it up front so a non-monotone writer
+    # fails loudly instead of corrupting replay detection.
+    if txn is not None and parent is not None:
+        prior = txn_epoch(table, txn[0], at_version=parent)
+        if prior is not None and int(txn[1]) <= prior:
+            raise ValueError(
+                f"non-monotone txn epoch for app_id {txn[0]!r}: "
+                f"{int(txn[1])} <= committed {prior} (epochs must "
+                "strictly increase per writer; a replayed epoch should "
+                "be skipped via txn_epoch, not re-committed)"
+            )
     # column mapping / retired physical names / generated-column
     # definitions carry forward from the parent automatically so no
     # commit path can silently lose them — only the DDL entry points
@@ -1099,7 +1128,9 @@ def _apply_generated(df: DataFrame, generated: dict[str, str]) -> DataFrame:
     return df
 
 
-def txn_epoch(table: str, app_id: str) -> int | None:
+def txn_epoch(
+    table: str, app_id: str, at_version: int | None = None
+) -> int | None:
     """Highest epoch this writer (``app_id``) has durably committed —
     the Delta-style idempotent-writer handshake. A streaming epoch
     whose id is <= this value already landed in some version; the
@@ -1117,8 +1148,19 @@ def txn_epoch(table: str, app_id: str) -> int | None:
     quadratic in epochs. Correct because epochs are MONOTONE per
     app_id (Delta's txn appId/version contract: "version must be
     monotonically increasing" — foreachBatch epoch ids are), which
-    the replay guard in :func:`_try_rebase` already relies on."""
-    for v in reversed(_list_versions(table)):
+    the replay guard in :func:`_try_rebase` already relies on — and
+    which :func:`_commit` now ENFORCES on the conflict-free path: a
+    writer presenting an epoch <= its last committed one is rejected
+    instead of silently rewinding the cursor.
+
+    ``at_version``: answer as of that snapshot instead of the head —
+    a reader that pins its base version can read the matching cursor
+    atomically even while newer commits land (the
+    :func:`refresh_count_sum_view` race fix)."""
+    versions = _list_versions(table)
+    if at_version is not None:
+        versions = [v for v in versions if v <= at_version]
+    for v in reversed(versions):
         t = _raw_manifest(table, v).get("txn")
         if t and t["app_id"] == app_id:
             return t["epoch"]
@@ -1889,6 +1931,54 @@ def read_snapshot(
         dvs=manifest.get("deletion_vectors"),
         mapping=manifest.get("column_mapping"),
     )
+
+
+def register_snapshot_view(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    tag: str | None = None,
+    with_row_ids: bool = False,
+    global_view: bool = False,
+) -> str:
+    """Register a snapshot table in the session catalog so
+    ``spark.sql`` reaches it — the SQL-on-ACID-table surface the
+    reference serves through Athena-on-Iceberg
+    (jobs/ev_sessions_gold_etl.py:159-160, README.md:41). Returns the
+    name to use in SQL (``global_temp.<name>`` for a global view).
+
+    The view is created over :func:`read_snapshot`, so time travel
+    composes: ``version=`` / ``as_of=`` / ``tag=`` pin an historical
+    snapshot; the default pins the CURRENT head. Either way the view
+    plans the manifest's exact file list — snapshot isolation: commits
+    landing after registration are NOT visible through the view
+    (re-register to advance, exactly like re-running the query in
+    Delta). DVs, column mapping, and row tracking all apply because
+    the read path is shared.
+
+    Scale: registration is a metadata operation (one manifest read,
+    no data); queries over the view get normal Catalyst pruning and
+    filter pushdown into the parquet scan of the manifest's files."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"invalid view name {name!r}: must be a bare SQL identifier "
+            "(temp views are session-scoped and unqualified)"
+        )
+    df = read_snapshot(
+        spark,
+        table,
+        version=version,
+        as_of=as_of,
+        tag=tag,
+        with_row_ids=with_row_ids,
+    )
+    if global_view:
+        df.createOrReplaceGlobalTempView(name)
+        return f"global_temp.{name}"
+    df.createOrReplaceTempView(name)
+    return name
 
 
 def enable_row_tracking(table: str) -> int:
@@ -3521,17 +3611,31 @@ def refresh_count_sum_view(
     head = current_version(source_table)
     if head is None:
         raise ValueError(f"{source_table} does not exist")
-    cursor = txn_epoch(sink_table, app_id)
+    # Pin the SINK read atomically: cursor, delta base, and commit
+    # parent all come from the same sink snapshot. Reading the cursor
+    # and base at whatever the head happens to be, then committing
+    # without a parent pin, left a window where a concurrent
+    # same-app_id refresher publishing in between was silently built
+    # over (no publish collision -> the rebase txn guard never ran)
+    # and its delta double-applied.
+    sink_head = current_version(sink_table)
+    cursor = txn_epoch(sink_table, app_id, at_version=sink_head)
 
     def pin_schema(df):
         # stable sink schema across refreshes: Spark's decimal sum /
         # addition rules would otherwise widen `s` one digit per delta
         # refresh (35,10 -> 36,10 -> ...) — a schema-evolving commit
-        # every round for no information
+        # every round for no information. Precision 37, not 38: the
+        # delta refresh adds a (35,10) sum to it, and (37,10)+(35,10)
+        # needs precision max(27,25)+10+1 = 38 — exactly at Spark's
+        # cap, so the addition stays exact. At (38,10) the same sum
+        # needed 39 and triggered allowPrecisionLoss down to (38,9),
+        # rounding the 10th fractional digit every refresh and
+        # breaking the bit-identical-to-recompute invariant.
         return df.select(
             *keys,
             F.col("n").cast("bigint").alias("n"),
-            F.col("s").cast("decimal(38,10)").alias("s"),
+            F.col("s").cast("decimal(37,10)").alias("s"),
         )
 
     def full_agg():
@@ -3568,7 +3672,7 @@ def refresh_count_sum_view(
             maintain_count_sum(
                 spark,
                 source_table,
-                read_snapshot(spark, sink_table),
+                read_snapshot(spark, sink_table, version=sink_head),
                 keys,
                 sum_col,
                 cursor,
@@ -3576,7 +3680,12 @@ def refresh_count_sum_view(
             )
         )
         mode, frm = "delta", cursor
-    v = overwrite_table(rolled, sink_table, txn=(app_id, head))
+    # parent_version=sink_head: a racing same-app_id refresher that
+    # published after our cursor read now COLLIDES, and _try_rebase's
+    # txn replay guard rejects the double-apply instead of rebasing.
+    v = overwrite_table(
+        rolled, sink_table, parent_version=sink_head, txn=(app_id, head)
+    )
     return {
         "mode": mode,
         "from_version": frm,

@@ -289,7 +289,6 @@ def test_two_concurrent_merges_disjoint_partitions_both_commit(
     import threading
 
     t = _mk_part_table(spark, tmp_path)
-    orig = st._publish
     barrier = threading.Barrier(2, timeout=120)
     lock = threading.Lock()
     n = [0]
@@ -300,7 +299,6 @@ def test_two_concurrent_merges_disjoint_partitions_both_commit(
             k = n[0]
         if k <= 2:
             barrier.wait()
-        return orig(table, version, manifest)
 
     errs: list[BaseException] = []
 
@@ -310,7 +308,7 @@ def test_two_concurrent_merges_disjoint_partitions_both_commit(
         except BaseException as exc:  # noqa: BLE001 — surfaced below
             errs.append(exc)
 
-    st._publish = gated
+    st.pre_publish_hook = gated
     try:
         threads = [
             threading.Thread(target=run, args=(rows,))
@@ -321,7 +319,7 @@ def test_two_concurrent_merges_disjoint_partitions_both_commit(
         for x in threads:
             x.join(timeout=300)
     finally:
-        st._publish = orig
+        st.pre_publish_hook = None
     assert errs == []
     assert st.current_version(t) == 3  # create + both merges
     got = sorted((r.id, r.g, r.v) for r in st.read_snapshot(spark, t).collect())

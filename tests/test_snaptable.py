@@ -232,8 +232,14 @@ def test_run_gold_snapshot_format_rerun_and_time_travel(spark, tmp_path):
         "overwrite_partitions",
     ]
     assert st.read_snapshot(spark, gold_path, version=1).count() == 2330
-    with pytest.raises(ValueError, match="parquet"):
-        run_gold(spark, silver, gold_path, database="db", table_format="snapshot")
+    # database + snapshot: the head registers as a session SQL view
+    # (the Athena-on-Iceberg surface) instead of being refused
+    n3 = run_gold(spark, silver, gold_path, database="db", table_format="snapshot")
+    assert n3 == 2330
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM db_fact_ev_session"
+    ).collect()[0].n == 2330
+    spark.catalog.dropTempView("db_fact_ev_session")
 
 
 def test_optimize_compacts_as_metadata_commit(spark, orders, tmp_path):
@@ -4215,11 +4221,13 @@ def test_refresh_count_sum_view_lifecycle(spark, tmp_path):
     assert _sink_rows(spark, sink) == _recompute(spark, src)
     r3 = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
     assert r3["mode"] == "noop"
-    # stable sink schema across full and delta commits
+    # stable sink schema across full and delta commits; (37,10) so the
+    # delta addition (37,10)+(35,10) needs exactly precision 38 and
+    # stays exact (38 would need 39 -> allowPrecisionLoss -> (38,9))
     s_field = [
         f for f in st.read_snapshot(spark, sink).schema.fields if f.name == "s"
     ][0]
-    assert str(s_field.dataType) == "DecimalType(38,10)"
+    assert str(s_field.dataType) == "DecimalType(37,10)"
 
 
 def test_refresh_count_sum_view_crash_at_publish_converges(
@@ -4277,6 +4285,162 @@ def test_refresh_count_sum_view_expired_cursor_full_rebuild(
     r = st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
     assert r["mode"] == "full"
     assert _sink_rows(spark, sink) == _recompute(spark, src)
+
+
+def test_register_snapshot_view_sql_and_time_travel(spark, orders, tmp_path):
+    """spark.sql reaches snapshot tables through registered views:
+    head + pinned-version views coexist, time travel composes, DV
+    deletes apply through the view's plan, and snapshot isolation
+    holds (commits after registration are invisible until
+    re-registered)."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    n_all = orders.count()
+    st.delete_where(spark, t, [("o_totalprice", "<", 50000.0)], use_dv=True)
+    n_head = orders.filter(F.col("o_totalprice") >= 50000.0).count()
+
+    name = st.register_snapshot_view(spark, t, "sv_head")
+    assert name == "sv_head"
+    v1 = st.register_snapshot_view(spark, t, "sv_v1", version=1)
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_head").collect()[0].n == n_head
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {v1}").collect()[0].n == n_all
+    # joins across views work like any SQL relation
+    joined = spark.sql(
+        "SELECT COUNT(*) AS n FROM sv_v1 a LEFT ANTI JOIN sv_head b "
+        "ON a.o_orderkey = b.o_orderkey"
+    ).collect()[0]
+    assert joined.n == n_all - n_head
+    # snapshot isolation: a commit AFTER registration is invisible
+    st.append(orders.limit(5), t)
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_head").collect()[0].n == n_head
+    # re-register to advance to the new head
+    st.register_snapshot_view(spark, t, "sv_head")
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM sv_head").collect()[0].n
+        == n_head + 5
+    )
+    # global temp view gets the qualified name back
+    g = st.register_snapshot_view(spark, t, "sv_g", global_view=True)
+    assert g == "global_temp.sv_g"
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {g}").collect()[0].n == n_head + 5
+    with pytest.raises(ValueError, match="identifier"):
+        st.register_snapshot_view(spark, t, "bad-name; DROP")
+    spark.catalog.dropTempView("sv_head")
+    spark.catalog.dropTempView("sv_v1")
+    spark.catalog.dropGlobalTempView("sv_g")
+
+
+def test_cli_register_view_runs_sql(spark, orders, tmp_path, capsys, monkeypatch):
+    """CLI `table register-view --sql`: the ad-hoc SQL-on-snapshot
+    endpoint registers the view and prints the statement's rows."""
+    import json as _json
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli import main
+
+    # the CLI stops its session on exit; keep the shared test session
+    monkeypatch.setattr(spark.__class__, "stop", lambda self: None)
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(100).coalesce(1), t, [])
+    rc = main(
+        [
+            "table",
+            "--table",
+            t,
+            "register-view",
+            "--name",
+            "cli_view",
+            "--sql",
+            "SELECT COUNT(*) AS n FROM cli_view",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["view"] == "cli_view"
+    assert out["rows"] == [{"n": 100}]
+    spark.catalog.dropTempView("cli_view")
+
+
+def test_refresh_concurrent_same_app_id_collides(spark, tmp_path, monkeypatch):
+    """A concurrent refresher with the same app_id publishing between
+    our cursor read and our commit must COLLIDE (parent_version pin ->
+    rebase txn replay guard), not be silently built over with the
+    delta double-applied."""
+    src = _mk_ivm_source(spark, tmp_path)
+    sink = str(tmp_path / "ivm_sink_race")
+    st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    st.append(
+        spark.createDataFrame([(100, "A", 7.0)], "id int, g string, v double"),
+        src,
+    )
+    orig_read = st.read_snapshot
+    fired = {}
+
+    def racy_read(spark_, table, version=None, **kw):
+        if table == sink and not fired:
+            fired["x"] = True
+            # the concurrent refresher lands the SAME delta first
+            st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+        return orig_read(spark_, table, version=version, **kw)
+
+    monkeypatch.setattr(st, "read_snapshot", racy_read)
+    with pytest.raises(st.ConcurrentCommit):
+        st.refresh_count_sum_view(spark, src, sink, ["g"], "v")
+    monkeypatch.setattr(st, "read_snapshot", orig_read)
+    # the inner refresher's result stands; no double-fold happened
+    assert _sink_rows(spark, sink) == _recompute(spark, src)
+    assert st.refresh_count_sum_view(spark, src, sink, ["g"], "v")["mode"] == "noop"
+
+
+def test_refresh_tenth_decimal_digit_survives_delta(spark, tmp_path):
+    """Inputs using the full 10 fractional digits the (25,10) source
+    cast permits must survive a DELTA refresh bit-identically. Under
+    a (38,10) sink pin the delta addition needed precision 39 and
+    Spark's allowPrecisionLoss rounded to (38,9), zeroing the 10th
+    digit every refresh."""
+    t = str(tmp_path / "ivm_src_tiny")
+    st.create_table(
+        spark.createDataFrame(
+            [(1, "A", 1e-10)], "id int, g string, v double"
+        ).coalesce(1),
+        t,
+        [],
+    )
+    sink = str(tmp_path / "ivm_sink_tiny")
+    st.refresh_count_sum_view(spark, t, sink, ["g"], "v")
+    st.append(
+        spark.createDataFrame([(2, "A", 1e-10)], "id int, g string, v double"),
+        t,
+    )
+    r = st.refresh_count_sum_view(spark, t, sink, ["g"], "v")
+    assert r["mode"] == "delta"
+    from decimal import Decimal
+
+    [(g, n, s)] = list(_sink_rows(spark, sink))
+    assert (g, n) == ("A", 2)
+    assert Decimal(s) == Decimal("2e-10")  # 10th digit intact, not 0
+    assert _sink_rows(spark, sink) == _recompute(spark, t)
+
+
+def test_commit_rejects_non_monotone_epoch(spark, tmp_path):
+    """Epoch monotonicity per app_id is enforced on the conflict-free
+    path, not just after a publish collision: committing an epoch <=
+    the writer's last committed one fails loudly instead of silently
+    rewinding the replay cursor."""
+    t = str(tmp_path / "mono_epoch")
+    df = spark.createDataFrame([(1, "a")], "id int, g string").coalesce(1)
+    st.create_table(df, t, [], txn=("w", 5))
+    with pytest.raises(ValueError, match="non-monotone txn epoch"):
+        st.append(df, t, txn=("w", 5))
+    with pytest.raises(ValueError, match="non-monotone txn epoch"):
+        st.append(df, t, txn=("w", 4))
+    st.append(df, t, txn=("w", 6))  # strictly increasing: fine
+    assert st.txn_epoch(t, "w") == 6
+    # other writers are independent
+    st.append(df, t, txn=("w2", 1))
+    assert st.txn_epoch(t, "w") == 6
+    assert st.txn_epoch(t, "w2") == 1
+    # at_version answers as of a pinned snapshot
+    assert st.txn_epoch(t, "w", at_version=1) == 5
 
 
 def test_escaped_partition_values_row_ids_and_dvs(spark, tmp_path):
