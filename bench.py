@@ -28,7 +28,7 @@ from this exact loop):
   (BASELINE.md), which made every round's bench sprout spurious
   ">2x baseline" flags on unchanged code. Each query whose
   single-pass time exceeds 2x its committed floor
-  (BASELINE_BENCH_r04.json, recorded min-of-4 idle) is re-run up to
+  (FLOORS.json, recorded min-of-4 idle) is re-run up to
   MAX_EXTRA_RUNS more times and the MIN is reported — the same
   min-of-N procedure that round 4 used by hand to clear round 3's
   flags, now applied mechanically inside the run. Queries without a
@@ -64,7 +64,7 @@ MAX_EXTRA_RUNS = 3
 #: covers that band too (same methodology, lower trigger).
 RETIME_FACTOR = 1.5
 FLOORS_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH_r04.json"
+    os.path.dirname(os.path.abspath(__file__)), "FLOORS.json"
 )
 
 

@@ -1699,15 +1699,19 @@ FROM u
 
 
 def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Protocol-gating lifecycle audit (sources/snaptable reader
-    features — the Delta readerFeatures model): exercise DV delete,
-    RENAME COLUMN, and TYPE WIDENING on one table and verify (live
-    booleans) that the head manifest lists exactly the features its
-    content requires, that the flags are STICKY across a later plain
-    append, and that a forged manifest demanding an unknown future
-    feature refuses both reads and commits. The final per-status
-    aggregate (through the renamed, widened, DV-filtered head)
-    hash-matches a SQL replay."""
+    """Protocol-gating lifecycle audit (sources/snaptable reader AND
+    writer features — the Delta readerFeatures/writerFeatures model):
+    exercise DV delete, RENAME COLUMN, TYPE WIDENING, and a CHECK
+    constraint on one table and verify (live booleans) that the head
+    manifest lists exactly the reader features its content requires,
+    that writer features carry the same set PLUS check-constraints (a
+    pure writer obligation readers never evaluate), that the flags are
+    STICKY across a later plain append, that a forged manifest
+    demanding an unknown future READER feature refuses both reads and
+    commits, and that one demanding an unknown future WRITER feature
+    still READS but refuses commits. The final per-status aggregate
+    (through the renamed, widened, DV-filtered head) hash-matches a
+    SQL replay."""
     import hashlib
     import json as _json
     import os
@@ -1729,7 +1733,9 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "evlake_snap_proto_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
     shutil.rmtree(table, ignore_errors=True)
-    st.create_table(orders, table, [])
+    st.create_table(
+        orders, table, [], constraints={"price_nonneg": "o_totalprice >= 0"}
+    )
     st.delete_where(spark, table, [("o_totalprice", ">", 400000.0)], use_dv=True)
     st.rename_column(table, "o_orderpriority", "priority")
     st.widen_column(table, "o_custkey", "long")
@@ -1741,6 +1747,9 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column-mapping",
         "type-widening",
     }
+    writer_features_exact = set(head.get("writer_features") or []) == (
+        feats | {"check-constraints"}
+    )
 
     forged = os.path.join(
         tempfile.gettempdir(),
@@ -1765,6 +1774,31 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         future_commit_refused = True
 
+    # forged WRITER feature: reads stay allowed, commits refuse
+    forged_w = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_forgew_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(forged_w, ignore_errors=True)
+    st.create_table(orders.limit(5), forged_w, [])
+    wpath = st._manifest_path(forged_w, 1)
+    mw = _json.load(open(wpath))
+    mw["writer_features"] = ["vector-clock-commits"]
+    os.unlink(wpath)
+    with open(wpath, "w") as fh:
+        _json.dump(mw, fh)
+    try:
+        future_writer_read_ok = (
+            st.read_snapshot(spark, forged_w).count() == 5
+        )
+    except ValueError:
+        future_writer_read_ok = False
+    try:
+        st.append(orders.limit(1), forged_w)
+        future_writer_commit_refused = False
+    except ValueError:
+        future_writer_commit_refused = True
+
     audit = (
         st.read_snapshot(spark, table)
         .groupBy("o_orderstatus")
@@ -1777,6 +1811,7 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(forged, ignore_errors=True)
+    shutil.rmtree(forged_w, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
@@ -1784,22 +1819,28 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r.n_orders,
                 float(r.sum_totalprice),
                 features_exact,
+                writer_features_exact,
                 future_read_refused,
                 future_commit_refused,
+                future_writer_read_ok,
+                future_writer_commit_refused,
             )
             for r in audit
         ],
         "o_orderstatus string, n_orders bigint, sum_totalprice double, "
-        "features_exact boolean, future_read_refused boolean, "
-        "future_commit_refused boolean",
+        "features_exact boolean, writer_features_exact boolean, "
+        "future_read_refused boolean, future_commit_refused boolean, "
+        "future_writer_read_ok boolean, "
+        "future_writer_commit_refused boolean",
     ).orderBy("o_orderstatus")
 
 
 ORACLE["snapshot_protocol"] = f"""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        {dsum_sql('o_totalprice')} AS sum_totalprice,
-       TRUE AS features_exact, TRUE AS future_read_refused,
-       TRUE AS future_commit_refused
+       TRUE AS features_exact, TRUE AS writer_features_exact,
+       TRUE AS future_read_refused, TRUE AS future_commit_refused,
+       TRUE AS future_writer_read_ok, TRUE AS future_writer_commit_refused
 FROM orders
 WHERE NOT (o_totalprice > 400000.0)
 GROUP BY o_orderstatus

@@ -121,6 +121,29 @@ SUPPORTED_READER_FEATURES = frozenset(
     }
 )
 
+#: writer feature flags this engine implements (Delta ships reader AND
+#: writer feature lists): a feature constrains WRITERS when committing
+#: requires upholding an invariant a plain reader never touches —
+#: CHECK constraints must be validated, generated/identity columns
+#: computed, row ids allocated above the high-water mark, DV/mapping/
+#: widening manifests kept coherent. An engine missing a writer flag
+#: may still READ the table (reader gating is separate) but must
+#: refuse to COMMIT: a writer that can read a row-tracked table yet
+#: doesn't understand id allocation would commit id-corrupting
+#: manifests.
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "check-constraints",
+        "deletion-vectors",
+        "column-mapping",
+        "generated-columns",
+        "hidden-partitioning",
+        "type-widening",
+        "row-tracking",
+        "identity-columns",
+    }
+)
+
 #: physical column carrying MATERIALIZED row ids in files rewritten by
 #: OPTIMIZE on a row-tracked table (Delta's materialized row-ID
 #: column): never part of the table schema, invisible to normal reads
@@ -146,7 +169,10 @@ _SEGMENT_KEYS = ("segment", "base", "chain_depth", "add_files", "remove_files", 
 #: UNCHANGED vector's ref is reused verbatim by every later commit,
 #: and vacuum reclaims sidecars no kept manifest references. Keeps
 #: heavy-delete tables from bloating every manifest (and every log
-#: segment) with O(deleted rows) JSON.
+#: segment) with O(deleted rows) JSON. Sidecars are written in the
+#: compact ``.dvb`` run-length binary form (Delta uses RoaringBitmap
+#: for the same reason — see :func:`_encode_dv_binary`); ``.json``
+#: int-list sidecars from older commits remain readable.
 DV_INLINE_MAX = 64
 
 #: default age (seconds) below which vacuum will NOT reclaim an
@@ -157,13 +183,87 @@ DV_INLINE_MAX = 64
 VACUUM_GRACE_SECONDS = 600.0
 
 
+#: binary DV sidecar magic (version 1): run-length + varint encoding
+DV_BINARY_MAGIC = b"DVB1"
+
+
+def _put_varint(buf: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _get_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return n, pos
+        shift += 7
+
+
+def _encode_dv_binary(positions) -> bytes:
+    """Compact binary deletion vector: sorted positions as
+    (gap, run_length-1) varint pairs — the run-length + delta shape
+    RoaringBitmap exploits, in a dependency-free form. A DENSE delete
+    (contiguous row positions, the common bulk-delete pattern) costs
+    a few bytes per RUN regardless of row count, vs O(deleted rows)
+    of JSON text; scattered singles cost 2-3 bytes each vs ~9. Layout:
+    magic 'DVB1', varint count, then pairs."""
+    ps = sorted(positions)
+    out = bytearray(DV_BINARY_MAGIC)
+    _put_varint(out, len(ps))
+    prev_end = 0
+    i = 0
+    while i < len(ps):
+        j = i
+        while j + 1 < len(ps) and ps[j + 1] == ps[j] + 1:
+            j += 1
+        _put_varint(out, ps[i] - prev_end)
+        _put_varint(out, j - i)
+        prev_end = ps[j] + 1
+        i = j + 1
+    return bytes(out)
+
+
+def _decode_dv_binary(data: bytes) -> list[int]:
+    if data[: len(DV_BINARY_MAGIC)] != DV_BINARY_MAGIC:
+        raise ValueError("not a DVB1 deletion-vector sidecar")
+    pos = len(DV_BINARY_MAGIC)
+    count, pos = _get_varint(data, pos)
+    out: list[int] = []
+    cur = 0
+    while len(out) < count:
+        gap, pos = _get_varint(data, pos)
+        run, pos = _get_varint(data, pos)
+        start = cur + gap
+        out.extend(range(start, start + run + 1))
+        cur = start + run + 1
+    return out
+
+
 def _resolve_dvs(table: str, dvs: dict) -> dict:
-    """Materialize sidecar refs into position lists (reader form)."""
+    """Materialize sidecar refs into position lists (reader form).
+    Binary ``.dvb`` sidecars (current writer) and the JSON int-list
+    form older commits wrote both resolve — tables never need a
+    rewrite to stay readable."""
     out = {}
     for f, val in dvs.items():
         if isinstance(val, dict):
-            with open(os.path.join(_snap_dir(table), val["$dv"])) as fh:
-                out[f] = json.load(fh)
+            path = os.path.join(_snap_dir(table), val["$dv"])
+            if val["$dv"].endswith(".dvb"):
+                with open(path, "rb") as fh:
+                    out[f] = _decode_dv_binary(fh.read())
+            else:
+                with open(path) as fh:
+                    out[f] = json.load(fh)
         else:
             out[f] = val
     return out
@@ -185,10 +285,10 @@ def _externalize_dvs(
         if len(ps) <= DV_INLINE_MAX:
             out[f] = ps
         else:
-            name = f"dv-v{version:08d}-{uuid.uuid4().hex[:12]}.json"
+            name = f"dv-v{version:08d}-{uuid.uuid4().hex[:12]}.dvb"
             os.makedirs(_snap_dir(table), exist_ok=True)
-            with open(os.path.join(_snap_dir(table), name), "w") as fh:
-                json.dump(ps, fh)
+            with open(os.path.join(_snap_dir(table), name), "wb") as fh:
+                fh.write(_encode_dv_binary(ps))
             out[f] = {"$dv": name, "n": len(ps)}
     return out
 
@@ -765,6 +865,10 @@ def _collect_stats(table: str, rel_paths: list[str]) -> dict:
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
         out[rel] = {
             "rows": md.num_rows,
+            # physical file size (Delta's add.size): byte-based stream
+            # admission (maxBytesPerTrigger) and compaction sizing read
+            # it from the manifest instead of stat-ing 100 TB of files
+            "bytes": os.path.getsize(os.path.join(table, rel)),
             "min": mins,
             "max": maxs,
             "nulls": nulls,
@@ -791,6 +895,20 @@ def _commit(
 ) -> int:
     version = (parent or 0) + 1
     par = _read_manifest(table, parent) if parent is not None else None
+    # writer-feature gate (Delta's writerFeatures): committing onto a
+    # table whose invariants this engine doesn't implement corrupts
+    # them (ids, constraints, generated values). Reads stay allowed —
+    # only _read_manifest's reader gate restricts those.
+    if par is not None:
+        unknown_w = (
+            set(par.get("writer_features") or []) - SUPPORTED_WRITER_FEATURES
+        )
+        if unknown_w:
+            raise ValueError(
+                f"{table} v{parent} requires writer feature(s) this engine "
+                f"does not implement: {sorted(unknown_w)} — reading is "
+                "allowed, committing is not; upgrade before writing"
+            )
     # per-app_id epoch monotonicity is a documented CONTRACT (replay
     # detection in txn_epoch/_try_rebase depends on newest-commit-wins)
     # but was only checked after a publish collision: a writer that
@@ -879,6 +997,17 @@ def _commit(
         features.add("hidden-partitioning")
     if features:
         manifest["reader_features"] = sorted(features)
+    # writer features accrue sticky like reader features; everything
+    # in the reader set also obligates writers, plus CHECK constraints
+    # (pure writer obligation — readers never evaluate them)
+    wfeatures = set(manifest.get("writer_features") or [])
+    if par is not None:
+        wfeatures |= set(par.get("writer_features") or [])
+    wfeatures |= features
+    if manifest["constraints"]:
+        wfeatures.add("check-constraints")
+    if wfeatures:
+        manifest["writer_features"] = sorted(wfeatures)
     # operation metrics (Delta's operationMetrics): file-set diff vs
     # the parent plus row counts from the footer-stats index — pure
     # driver-side set arithmetic, no data read
@@ -1797,7 +1926,10 @@ def widen_column(table: str, col: str, new_type: str) -> int:
         deletion_vectors=prev.get("deletion_vectors", {}),
         column_mapping=prev.get("column_mapping") or {},
         retired_columns=prev.get("retired_columns") or [],
-        extra={"reader_features": ["type-widening"]},
+        extra={
+            "reader_features": ["type-widening"],
+            "writer_features": ["type-widening"],
+        },
     )
 
 
@@ -3054,6 +3186,8 @@ def history(table: str) -> list[dict]:
             entry["metrics"] = m["metrics"]
         if m.get("reader_features"):
             entry["reader_features"] = m["reader_features"]
+        if m.get("writer_features"):
+            entry["writer_features"] = m["writer_features"]
         if m.get("rebased_from") is not None:
             # commit reconciliation audit: the parent this commit was
             # ORIGINALLY computed against before auto-rebase
@@ -4255,6 +4389,11 @@ def clone_table(src_table: str, dst_table: str) -> int:
                     else {}
                 ),
                 **(
+                    {"writer_features": prev["writer_features"]}
+                    if prev.get("writer_features")
+                    else {}
+                ),
+                **(
                     {
                         "row_tracking": True,
                         "next_row_id": int(prev.get("next_row_id") or 0),
@@ -4413,7 +4552,7 @@ def vacuum(
     for fn in os.listdir(_snap_dir(table)):
         if (
             fn.startswith("dv-")
-            and fn.endswith(".json")
+            and fn.endswith((".json", ".dvb"))
             and fn not in dv_refs
             and _old_enough(os.path.join(_snap_dir(table), fn))
         ):
@@ -4585,6 +4724,11 @@ def create_branch(table: str, name: str, version: int | None = None) -> str:
                 else {}
             ),
             **(
+                {"writer_features": prev["writer_features"]}
+                if prev.get("writer_features")
+                else {}
+            ),
+            **(
                 {
                     "row_tracking": True,
                     "next_row_id": int(prev.get("next_row_id") or 0),
@@ -4700,6 +4844,11 @@ def fast_forward(table: str, name: str) -> int:
                 **(
                     {"reader_features": bman["reader_features"]}
                     if bman.get("reader_features")
+                    else {}
+                ),
+                **(
+                    {"writer_features": bman["writer_features"]}
+                    if bman.get("writer_features")
                     else {}
                 ),
                 # publish the branch's id high-water mark: the fork

@@ -173,6 +173,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # seeds the cursor, and every later batch of the run is
         # bounded — the 24/7 load-smoothing contract.
         self._max_files = int(opts.get("maxfilespertrigger", 0) or 0)
+        # byte-based admission (Delta's maxBytesPerTrigger, a soft
+        # max): cap each micro-batch's cumulative DATA FILE bytes,
+        # composing with maxFilesPerTrigger — the batch ends when
+        # EITHER budget would be exceeded. File sizes come from the
+        # manifest's per-file stats ("bytes", a metadata read), so at
+        # 100 TB — where file sizes vary by orders of magnitude and a
+        # file-count cap alone admits wildly uneven batches — the
+        # byte cap smooths load without stat-ing the lake. A single
+        # file larger than the budget still forms its own batch
+        # (always-progress, same as the file cap).
+        self._max_bytes = int(opts.get("maxbytespertrigger", 0) or 0)
         self._cursor: int | None = None
         self._schema_json = schema.json()
         self._schema_names = [f.name for f in schema.fields]
@@ -204,16 +215,36 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._cursor = off["version"]
         return off
 
+    def _file_bytes(self, manifest: dict, f: str) -> int:
+        """A data file's size: the manifest stat when recorded
+        (steady state — no filesystem call), os.path.getsize as the
+        fallback for files committed before the bytes stat existed."""
+        import os
+
+        e = (manifest.get("file_stats") or {}).get(f) or {}
+        if "bytes" in e:
+            return int(e["bytes"])
+        try:
+            return os.path.getsize(os.path.join(self._table, f))
+        except OSError:
+            return 0
+
     def latestOffset(self) -> dict:
         st = _manifest_chain(self._table)
         head = int(st.current_version(self._table) or 0)
-        if not self._max_files or self._cursor is None or head <= self._cursor:
+        if (
+            not (self._max_files or self._max_bytes)
+            or self._cursor is None
+            or head <= self._cursor
+        ):
             return {"version": head}
-        # advance whole versions until the file budget is spent; always
-        # make progress (at least one version) so a single commit
-        # larger than the budget still streams
+        # advance whole versions until a budget is spent; always make
+        # progress (at least one version) so a single commit larger
+        # than the budget still streams
         budget = self._max_files
+        budget_b = self._max_bytes
         spent = 0
+        spent_b = 0
         end = self._cursor
         prev = None
         for v in st._list_versions(self._table):
@@ -225,25 +256,37 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 continue
             cur = st._read_manifest(self._table, v)
             before = set(prev["files"]) if prev is not None else set()
-            n = sum(1 for f in cur["files"] if f not in before)
+            added = [f for f in cur["files"] if f not in before]
+            n = len(added)
+            b = sum(self._file_bytes(cur, f) for f in added)
             if self._cdf:
                 # change-feed batches also READ removed files (deletes)
                 # and DV-delta files (MoR deletes / un-deletes) — a
                 # delete-heavy commit must spend the budget too
                 cur_set = set(cur["files"])
-                n += sum(1 for f in before if f not in cur_set)
+                removed = [f for f in before if f not in cur_set]
+                n += len(removed)
+                b += sum(
+                    self._file_bytes(prev or {}, f) for f in removed
+                )
                 dv_b = st._norm_dvs(
                     (prev or {}).get("deletion_vectors")
                 )
                 dv_n = st._norm_dvs(cur.get("deletion_vectors"))
-                n += sum(
-                    1
+                dv_delta = [
+                    f
                     for f in before & cur_set
                     if dv_b.get(f) != dv_n.get(f)
-                )
-            if end > self._cursor and spent + n > budget:
+                ]
+                n += len(dv_delta)
+                b += sum(self._file_bytes(cur, f) for f in dv_delta)
+            if end > self._cursor and (
+                (budget and spent + n > budget)
+                or (budget_b and spent_b + b > budget_b)
+            ):
                 break
             spent += n
+            spent_b += b
             end = v
             prev = cur
         return {"version": end}
@@ -883,13 +926,18 @@ def read_snapshot_stream(
     starting_version: int | str = "earliest",
     skip_change_commits: bool = False,
     max_files_per_trigger: int = 0,
+    max_bytes_per_trigger: int = 0,
     read_change_feed: bool = False,
 ):
     """Streaming DataFrame over the table's commit log (see module
     docstring for semantics). ``max_files_per_trigger`` bounds each
     micro-batch's file count (whole versions at a time; 0 =
     unbounded) — starting a stream against a 100 TB backlog without
-    it plans the entire history as one batch. ``read_change_feed``
+    it plans the entire history as one batch.
+    ``max_bytes_per_trigger`` caps cumulative data-file BYTES per
+    batch (manifest stats, no filesystem stat) and composes with the
+    file cap — Delta's pairing: file sizes vary by orders of
+    magnitude at scale, so a count cap alone admits uneven batches. ``read_change_feed``
     streams row-level changes (``_change_type`` insert|delete, the
     batch :func:`..sources.snaptable.changes` vocabulary) instead of
     the append-only feed — the streaming leg of incremental view
@@ -899,6 +947,7 @@ def read_snapshot_stream(
         .option("startingVersion", str(starting_version))
         .option("skipChangeCommits", str(skip_change_commits).lower())
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("maxBytesPerTrigger", str(max_bytes_per_trigger))
         .option("readChangeFeed", str(read_change_feed).lower())
         .load(table)
     )

@@ -84,7 +84,7 @@ def test_committed_floors_file_covers_every_registered_query():
     to min-of-2 in driver runs."""
     b = _load_bench()
     floors = b.load_floors()
-    assert floors, "BASELINE_BENCH_r04.json missing or empty"
+    assert floors, "FLOORS.json missing or empty"
     from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry import (
         get_queries,
     )

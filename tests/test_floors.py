@@ -8,7 +8,7 @@ so a missing floor quietly degrades the benchmark methodology for
 that query. This test turns the invariant from discipline into a
 failure: add a query without running
 ``python bench.py --queries <name> --repeat 4`` and recording the
-result in BASELINE_BENCH_r04.json, and the suite goes red.
+result in FLOORS.json, and the suite goes red.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.plans.registry i
 
 FLOORS_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "BASELINE_BENCH_r04.json",
+    "FLOORS.json",
 )
 
 #: floor line items that are deliberately not registry queries

@@ -2671,6 +2671,79 @@ class TestReaderFeatures:
         assert dict(st.read_snapshot(spark, bp).dtypes)["qty"] == "bigint"
 
 
+class TestWriterFeatures:
+    """writer_features gating (Delta's writerFeatures twin of
+    TestReaderFeatures): writer flags accrue from content + the
+    check-constraints writer-only obligation, stick across plain
+    commits, and a manifest demanding an unknown future WRITER
+    feature still reads but refuses commits."""
+
+    def test_writer_features_accrue_and_stick(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(
+            orders, t, [], constraints={"nonneg": "o_totalprice >= 0"}
+        )
+        m = st._read_manifest(t, 1)
+        # constraints are a pure writer obligation: writer flag only
+        assert m.get("writer_features") == ["check-constraints"]
+        assert not m.get("reader_features")
+        st.delete_where(
+            spark, t, [("o_totalprice", ">", 400000.0)], use_dv=True
+        )
+        st.append(st.read_snapshot(spark, t).limit(1), t)  # plain commit
+        m = st._read_manifest(t, st.current_version(t))
+        assert {"check-constraints", "deletion-vectors"} <= set(
+            m["writer_features"]
+        )
+        # every reader feature also obligates writers
+        assert set(m.get("reader_features") or []) <= set(m["writer_features"])
+
+    def test_unknown_writer_feature_reads_but_refuses_commits(
+        self, spark, orders, tmp_path
+    ):
+        import json as _json
+
+        t = _tbl(tmp_path)
+        st.create_table(orders.limit(10), t, [])
+        path = st._manifest_path(t, 1)
+        m = _json.load(open(path))
+        m["writer_features"] = ["vector-clock-commits"]
+        os.unlink(path)
+        with open(path, "w") as fh:
+            _json.dump(m, fh)
+        # reads are fine — reader gating is separate
+        assert st.read_snapshot(spark, t).count() == 10
+        # commits refuse loudly, naming the missing feature
+        with pytest.raises(ValueError, match="vector-clock-commits"):
+            st.append(orders.limit(1), t)
+        with pytest.raises(ValueError, match="vector-clock-commits"):
+            st.delete_where(spark, t, [("o_totalprice", ">", 0.0)])
+
+    def test_widen_and_clone_carry_writer_features(self, spark, tmp_path):
+        src = str(tmp_path / "wf_src")
+        dst = str(tmp_path / "wf_dst")
+        df = spark.createDataFrame([(1, 10), (2, 20)], "id int, qty int")
+        st.create_table(df, src, [])
+        st.widen_column(src, "qty", "long")
+        assert "type-widening" in (
+            st._read_manifest(src, 2).get("writer_features") or []
+        )
+        st.clone_table(src, dst)
+        assert "type-widening" in (
+            st._read_manifest(dst, 1).get("writer_features") or []
+        )
+
+    def test_fast_forward_carries_writer_features(self, spark, tmp_path):
+        t = str(tmp_path / "wf_ff")
+        df = spark.createDataFrame([(1, 10)], "id int, qty int")
+        st.create_table(df, t, [])
+        bp = st.create_branch(t, "wap")
+        st.widen_column(bp, "qty", "long")
+        st.fast_forward(t, "wap")
+        m = st._read_manifest(t, st.current_version(t))
+        assert "type-widening" in (m.get("writer_features") or [])
+
+
 class TestLogSegments:
     """Checkpoint + log-segment storage (snaptable.py _store_form /
     _read_manifest): steady-state commit metadata must be O(files
@@ -3149,6 +3222,89 @@ class TestDVSidecars:
             f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
         ]
         assert st.read_snapshot(spark, t).count() == 300
+
+
+class TestBinaryDVSidecars:
+    """Compact ``.dvb`` sidecar encoding (run-length + varint — the
+    RoaringBitmap shape Delta uses): lossless round-trip, ≥10x
+    smaller than the JSON int-list form on a dense delete, and old
+    ``.json`` sidecars stay readable without any table rewrite."""
+
+    def test_roundtrip_property(self):
+        import random
+
+        rng = random.Random(42)
+        cases = [
+            [0],
+            [7],
+            list(range(1000)),  # fully dense
+            list(range(0, 2000, 2)),  # alternating
+            sorted(rng.sample(range(10**6), 500)),  # sparse scattered
+            sorted(rng.sample(range(100), 99)),  # dense with one hole
+            [0, 1, 2, 10**12, 10**12 + 1],  # huge positions
+        ]
+        for ps in cases:
+            blob = st._encode_dv_binary(ps)
+            assert st._decode_dv_binary(blob) == sorted(ps)
+
+    def test_dense_delete_sidecar_much_smaller_than_json(self):
+        import json as _json
+
+        ps = list(range(100_000))  # dense bulk delete
+        blob = st._encode_dv_binary(ps)
+        json_size = len(_json.dumps(ps))
+        assert len(blob) * 10 <= json_size, (len(blob), json_size)
+        # scattered singles carry irreducible entropy but still beat
+        # the text form (varint deltas vs ~9-char decimals + commas)
+        import random
+
+        sparse = sorted(random.Random(7).sample(range(10**7), 10_000))
+        blob_s = st._encode_dv_binary(sparse)
+        assert len(blob_s) * 2 <= len(_json.dumps(sparse))
+
+    def test_writer_emits_dvb_sidecars(self, spark, tmp_path):
+        t = str(tmp_path / "dvb_new")
+        st.create_table(spark.range(0, 500).coalesce(1), t, [])
+        st.delete_where(spark, t, [("id", "<", 200)], use_dv=True)
+        (entry,) = st._raw_manifest(t, 2)["deletion_vectors"].values()
+        assert entry["$dv"].endswith(".dvb")
+        assert st.read_snapshot(spark, t).count() == 300
+
+    def test_legacy_json_sidecar_still_reads(self, spark, tmp_path):
+        """A table whose sidecar predates the binary form (JSON int
+        list) resolves through the same path: no rewrite needed."""
+        import json as _json
+
+        t = str(tmp_path / "dvb_legacy")
+        st.create_table(spark.range(0, 500).coalesce(1), t, [])
+        st.delete_where(spark, t, [("id", "<", 200)], use_dv=True)
+        raw = st._raw_manifest(t, 2)
+        (f,) = raw["deletion_vectors"]
+        entry = raw["deletion_vectors"][f]
+        # rewrite the sidecar in the pre-r12 JSON form
+        ps = st._decode_dv_binary(
+            open(os.path.join(st._snap_dir(t), entry["$dv"]), "rb").read()
+        )
+        legacy = entry["$dv"][: -len(".dvb")] + ".json"
+        with open(os.path.join(st._snap_dir(t), legacy), "w") as fh:
+            _json.dump(ps, fh)
+        os.unlink(os.path.join(st._snap_dir(t), entry["$dv"]))
+        mpath = st._manifest_path(t, 2)
+        m = _json.load(open(mpath))
+        m["deletion_vectors"][f] = {"$dv": legacy, "n": len(ps)}
+        os.unlink(mpath)
+        with open(mpath, "w") as fh:
+            _json.dump(m, fh)
+        assert st.read_snapshot(spark, t).count() == 300
+        # and vacuum sweeps orphaned legacy sidecars too
+        st.delete_where(spark, t, [("id", "<", 250)], use_dv=True)
+        res = st.vacuum(t, retain_last=1, grace_seconds=0)
+        assert res["deleted_dv_sidecars"] == 1
+        assert not [
+            fn
+            for fn in os.listdir(st._snap_dir(t))
+            if fn.endswith(".json") and fn.startswith("dv-")
+        ]
 
 
 def test_commit_timestamps_monotonic_under_clock_skew(

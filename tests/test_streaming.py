@@ -1774,6 +1774,112 @@ def test_snapshot_stream_max_files_per_trigger_bounds_batches(
     assert r.latestOffset() == {"version": 5}  # caught up
 
 
+def test_snapshot_stream_max_bytes_per_trigger_bounds_batches(
+    spark, tmp_path
+):
+    """Byte-based admission (maxBytesPerTrigger, composing with
+    maxFilesPerTrigger — Delta's pairing): batches advance whole
+    versions within the BYTE budget read from manifest stats, a
+    single file larger than the budget still forms its own batch,
+    and a byte-capped drain lands exactly the uncapped row set."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamDataSource,
+    )
+
+    t = str(tmp_path / "cdf_bytes")
+    st.create_table(
+        spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1), t, []
+    )
+    for i in (2, 3, 4):
+        st.append(
+            spark.createDataFrame(
+                [(i, i * 10)], "id int, v int"
+            ).coalesce(1),
+            t,
+        )
+    st.append(
+        spark.createDataFrame(
+            [(5, 50), (6, 60)], "id int, v int"
+        ).repartition(2),
+        t,
+    )
+    # per-version byte cost from the manifest stats (no fs stat)
+    m2 = st._read_manifest(t, 2)
+    m1_files = set(st._read_manifest(t, 1)["files"])
+    [f2] = [f for f in m2["files"] if f not in m1_files]
+    one_file = int(m2["file_stats"][f2]["bytes"])
+
+    # budget = one file's bytes -> one single-file version per batch
+    ds = SnapshotStreamDataSource(
+        {"path": t, "maxBytesPerTrigger": str(one_file)}
+    )
+    r = ds.streamReader(ds.schema())
+    assert r.latestOffset() == {"version": 5}  # first call: uncapped
+    r.partitions({"version": 0}, {"version": 1})  # cursor = 1
+    assert r.latestOffset() == {"version": 2}
+    r.partitions({"version": 1}, {"version": 2})
+    assert r.latestOffset() == {"version": 3}
+    r.partitions({"version": 2}, {"version": 3})
+    assert r.latestOffset() == {"version": 4}
+    r.partitions({"version": 3}, {"version": 4})
+    # v5's two files exceed the budget but must still advance
+    assert r.latestOffset() == {"version": 5}
+    r.partitions({"version": 4}, {"version": 5})
+    assert r.latestOffset() == {"version": 5}  # caught up
+
+    # composition: a generous byte budget with maxFilesPerTrigger=1
+    # lets the FILE cap bind (v5 alone: 2 files > 1 but advances)
+    ds2 = SnapshotStreamDataSource(
+        {
+            "path": t,
+            "maxFilesPerTrigger": "1",
+            "maxBytesPerTrigger": str(one_file * 100),
+        }
+    )
+    r2 = ds2.streamReader(ds2.schema())
+    r2.partitions({"version": 0}, {"version": 1})
+    assert r2.latestOffset() == {"version": 2}
+    # and a tight byte budget binds even with a generous file cap
+    ds3 = SnapshotStreamDataSource(
+        {
+            "path": t,
+            "maxFilesPerTrigger": "100",
+            "maxBytesPerTrigger": str(one_file),
+        }
+    )
+    r3 = ds3.streamReader(ds3.schema())
+    r3.partitions({"version": 0}, {"version": 1})
+    assert r3.latestOffset() == {"version": 2}
+
+    # end-to-end: byte-capped drain + resume lands the uncapped rows
+    capped = _drain(
+        spark,
+        t,
+        str(tmp_path / "ckpt_b"),
+        str(tmp_path / "out_b"),
+        max_bytes_per_trigger=one_file,
+    )
+    uncapped = _drain(
+        spark, t, str(tmp_path / "ckpt_u"), str(tmp_path / "out_u")
+    )
+    assert capped == uncapped
+    # byte-capped RESUME replays identically: new commit, same budget
+    st.append(
+        spark.createDataFrame([(7, 70)], "id int, v int").coalesce(1), t
+    )
+    resumed = _drain(
+        spark,
+        t,
+        str(tmp_path / "ckpt_b"),
+        str(tmp_path / "out_b"),
+        max_bytes_per_trigger=one_file,
+    )
+    assert resumed == capped + [(7, 70, 6)]
+
+
 # ---------------------------------------------------------------------------
 # snapshot_stream SINK (streaming/cdf_source.SnapshotStreamWriter):
 # df.writeStream.format("snapshot_stream") — per-epoch exactly-once
