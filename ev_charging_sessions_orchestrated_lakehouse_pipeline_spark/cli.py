@@ -137,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--cluster-by", default=None, help="comma-separated sort cols")
     pt.add_argument("--zorder", action="store_true")
     pt.add_argument("--files-per-partition", type=int, default=1)
+    pt.add_argument(
+        "--target-file-bytes", type=int, default=None,
+        help="optimize/auto-compact: size output files by bytes "
+        "(ceil(live_bytes/target) files) instead of a fixed count",
+    )
     pt.add_argument("--retain-last", type=int, default=0)
     pt.add_argument(
         "--dry-run", action="store_true",
@@ -366,6 +371,7 @@ def main(argv: list[str] | None = None) -> int:
                         args.cluster_by.split(",") if args.cluster_by else None
                     ),
                     zorder=args.zorder,
+                    target_file_bytes=args.target_file_bytes,
                 )
             elif args.action == "analyze":
                 v = st.analyze_table(
@@ -380,6 +386,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark,
                     args.table,
                     files_per_partition=args.files_per_partition,
+                    target_file_bytes=args.target_file_bytes,
                 )
                 print(json.dumps({"versions": vs}))
                 return 0

@@ -3911,6 +3911,26 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
     return key
 
 
+def _live_file_bytes(table: str, manifest: dict, files) -> int:
+    """Total physical bytes of ``files`` from manifest stats (the
+    per-file ``bytes`` stat every commit records), falling back to a
+    filesystem stat only for files committed before the stat existed.
+    At 100 TB this is the difference between sizing a compaction from
+    metadata and stat-ing a million objects."""
+    stats = manifest.get("file_stats") or {}
+    total = 0
+    for f in files:
+        e = stats.get(f) or {}
+        if "bytes" in e:
+            total += int(e["bytes"])
+        else:
+            try:
+                total += os.path.getsize(os.path.join(table, f))
+            except OSError:
+                pass
+    return total
+
+
 def optimize(
     spark: SparkSession,
     table: str,
@@ -3918,6 +3938,7 @@ def optimize(
     cluster_by: list[str] | None = None,
     zorder: bool = False,
     partitions: dict | None = None,
+    target_file_bytes: int | None = None,
 ) -> int:
     """OPTIMIZE [ZORDER BY] as a metadata commit — the snapshot-native
     replacement for the rename-swap dance in
@@ -3937,12 +3958,30 @@ def optimize(
     space, so footer-stats pruning (:func:`scan`) bites on EVERY
     clustered column, not just the sort prefix — the real ZORDER BY
     semantics. Files split by key range (repartitionByRange on the
-    key) so distinct files cover distinct key ranges."""
+    key) so distinct files cover distinct key ranges.
+
+    ``target_file_bytes`` sizes the rewrite by BYTES instead of a
+    fixed file count (Delta's OPTIMIZE targetFileSize): the output
+    file count becomes ceil(live_bytes / target), with live bytes
+    read from the manifest's per-file stats — no filesystem stat. On
+    a partitioned table it applies per partition, so pass
+    ``partitions=`` (one scope) or use
+    :func:`auto_compact`'s byte-aware sweep; a table-wide single
+    count would over-split small partitions and under-split big
+    ones."""
     head = current_version(table)
     if head is None:
         raise ValueError(f"{table} does not exist")
     prev = _read_manifest(table, head)
     pcols = prev["partition_cols"]
+    if target_file_bytes is not None and target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    if target_file_bytes and pcols and not partitions and not zorder:
+        raise ValueError(
+            "target_file_bytes on a partitioned table is a per-partition "
+            "size: pass partitions= for one scope, or use "
+            "auto_compact(target_file_bytes=...) for the sweep"
+        )
     if partitions:
         # OPTIMIZE WHERE — partition-scoped compaction: at 100 TB you
         # compact yesterday's hot partitions, never the whole table.
@@ -3950,8 +3989,13 @@ def optimize(
         # (files, stats, deletion vectors) carries by reference.
         return _optimize_partitions(
             spark, table, prev, head, partitions, files_per_partition,
-            cluster_by, zorder,
+            cluster_by, zorder, target_file_bytes=target_file_bytes,
         )
+    if target_file_bytes:
+        import math
+
+        total = _live_file_bytes(table, prev, prev["files"])
+        files_per_partition = max(1, math.ceil(total / target_file_bytes))
     track = bool(prev.get("row_tracking"))
     if track:
         # preserve stable row ids across the rewrite by MATERIALIZING
@@ -4037,12 +4081,15 @@ def _optimize_partitions(
     files_per_partition: int,
     cluster_by: list[str] | None,
     zorder: bool,
+    target_file_bytes: int | None = None,
 ) -> int:
     """Partition-scoped OPTIMIZE: rewrite only the files whose
     directory values match ``partitions`` (identity partition columns
     of the CURRENT spec; old-spec files never match and carry over
     untouched). Deletion vectors of rewritten files materialize; DVs
-    and stats of carried files survive by reference."""
+    and stats of carried files survive by reference.
+    ``target_file_bytes`` overrides ``files_per_partition`` with
+    ceil(matched_bytes / target) from manifest stats."""
     from pyspark.sql.types import StructType
 
     if zorder:
@@ -4064,6 +4111,15 @@ def _optimize_partitions(
     ]
     if not cand:
         return head  # nothing matches: metadata no-op
+    if target_file_bytes:
+        import math
+
+        files_per_partition = max(
+            1,
+            math.ceil(
+                _live_file_bytes(table, prev, cand) / target_file_bytes
+            ),
+        )
     carried = [f for f in prev["files"] if f not in set(cand)]
     schema = StructType.fromJson(json.loads(prev["schema"]))
     track = bool(prev.get("row_tracking"))
@@ -4899,22 +4955,72 @@ def plan_compaction(
     }
 
 
+def plan_compaction_bytes(
+    table: str, target_file_bytes: int
+) -> dict[tuple, int]:
+    """Byte-aware small-file report (the policy half of Delta's
+    auto-compaction with targetFileSize): for each partition, the
+    ideal file count is ceil(live_bytes / target); a partition is
+    flagged when it holds MORE files than that (its files are smaller
+    than target on average). Returns {partition values tuple: ideal
+    count}. Pure manifest arithmetic — bytes come from the per-file
+    ``bytes`` stat, so planning a 100 TB sweep reads zero data and
+    stats zero files."""
+    import math
+
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    m = _read_manifest(table, head)
+    hive = _spec_names(m["partition_cols"])
+    groups: dict[tuple, list[str]] = {}
+    for f in m["files"]:
+        key = tuple(sorted(_partition_values(f, hive).items()))
+        groups.setdefault(key, []).append(f)
+    out: dict[tuple, int] = {}
+    for key, files in groups.items():
+        ideal = max(
+            1, math.ceil(_live_file_bytes(table, m, files) / target_file_bytes)
+        )
+        if len(files) > ideal:
+            out[key] = ideal
+    return out
+
+
 def auto_compact(
     spark: SparkSession,
     table: str,
     max_files_per_partition: int = 4,
     files_per_partition: int = 1,
+    target_file_bytes: int | None = None,
 ) -> list[int]:
     """Run partition-scoped OPTIMIZE on exactly the partitions
     :func:`plan_compaction` flags, one commit per partition (each
     atomic, each skippable by concurrent readers). Returns the
-    committed versions; empty when nothing is fragmented."""
+    committed versions; empty when nothing is fragmented.
+
+    ``target_file_bytes`` switches both the POLICY and the SIZING to
+    bytes (:func:`plan_compaction_bytes`): partitions whose files
+    average under the target compact to ceil(bytes/target) files —
+    Delta's targetFileSize pairing, which a count threshold alone
+    can't express when file sizes vary by orders of magnitude."""
     versions: list[int] = []
-    for key in sorted(plan_compaction(table, max_files_per_partition)):
+    if target_file_bytes:
+        plan = plan_compaction_bytes(table, target_file_bytes)
+    else:
+        plan = plan_compaction(table, max_files_per_partition)
+    for key in sorted(plan):
         if not key:
             # unpartitioned table: one full compaction is the answer
             versions.append(
-                optimize(spark, table, files_per_partition=files_per_partition)
+                optimize(
+                    spark,
+                    table,
+                    files_per_partition=files_per_partition,
+                    target_file_bytes=target_file_bytes,
+                )
             )
             break
         versions.append(
@@ -4923,6 +5029,7 @@ def auto_compact(
                 table,
                 files_per_partition=files_per_partition,
                 partitions=dict(key),
+                target_file_bytes=target_file_bytes,
             )
         )
     return versions

@@ -3307,6 +3307,72 @@ class TestBinaryDVSidecars:
         ]
 
 
+class TestTargetFileBytes:
+    """Byte-sized compaction (Delta's OPTIMIZE targetFileSize): the
+    output file count derives from manifest byte stats — planning
+    reads zero data — and the byte-aware auto_compact flags exactly
+    the partitions whose files average under target."""
+
+    def test_optimize_unpartitioned_by_bytes(self, spark, tmp_path):
+        t = str(tmp_path / "tfb_flat")
+        st.create_table(spark.range(0, 20_000).repartition(8), t, [])
+        m = st._read_manifest(t, 1)
+        total = st._live_file_bytes(t, m, m["files"])
+        assert total > 0 and len(m["files"]) == 8
+        # target = half the table -> 2 output files
+        v = st.optimize(spark, t, target_file_bytes=(total + 1) // 2)
+        files = st._read_manifest(t, v)["files"]
+        assert len(files) == 2
+        assert st.read_snapshot(spark, t).count() == 20_000
+        # a huge target -> single file
+        v2 = st.optimize(spark, t, target_file_bytes=total * 100)
+        assert len(st._read_manifest(t, v2)["files"]) == 1
+
+    def test_partitioned_requires_scope_or_sweep(self, spark, orders, tmp_path):
+        t = _tbl(tmp_path)
+        st.create_table(orders, t, ["o_orderstatus"])
+        with pytest.raises(ValueError, match="per-partition"):
+            st.optimize(spark, t, target_file_bytes=10**6)
+        # scoped to one partition it works
+        v = st.optimize(
+            spark,
+            t,
+            partitions={"o_orderstatus": "F"},
+            target_file_bytes=10**12,
+        )
+        m = st._read_manifest(t, v)
+        f_files = [f for f in m["files"] if "o_orderstatus=F" in f]
+        assert len(f_files) == 1
+
+    def test_auto_compact_by_bytes_flags_fragmented_partitions(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "tfb_auto")
+        df = spark.range(0, 10_000).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS g"
+        )
+        # partition A fragmented into many small files; B compact
+        st.create_table(
+            df.filter("g = 'A'").repartition(8), t, ["g"]
+        )
+        st.append(df.filter("g = 'B'").coalesce(1), t)
+        m = st._read_manifest(t, 2)
+        a_files = [f for f in m["files"] if "g=A" in f]
+        a_bytes = st._live_file_bytes(t, m, a_files)
+        target = a_bytes  # A's 8 files fit in one target-sized file
+        plan = st.plan_compaction_bytes(t, target)
+        assert plan == {(("g", "A"),): 1}
+        versions = st.auto_compact(spark, t, target_file_bytes=target)
+        assert len(versions) == 1
+        m2 = st._read_manifest(t, versions[0])
+        assert len([f for f in m2["files"] if "g=A" in f]) == 1
+        assert len([f for f in m2["files"] if "g=B" in f]) == 1  # untouched
+        assert st.read_snapshot(spark, t).count() == 10_000
+        # idempotent: nothing left to compact at this target
+        assert st.plan_compaction_bytes(t, target) == {}
+        assert st.auto_compact(spark, t, target_file_bytes=target) == []
+
+
 def test_commit_timestamps_monotonic_under_clock_skew(
     spark, tmp_path, monkeypatch
 ):
