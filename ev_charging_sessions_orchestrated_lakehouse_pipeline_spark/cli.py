@@ -131,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
         "--sum-col", default=None, help="refresh-view: column to SUM"
     )
     pt.add_argument(
+        "--minmax-col", default=None,
+        help="refresh-view: maintain COUNT/MIN/MAX of this column "
+        "instead of COUNT/SUM",
+    )
+    pt.add_argument(
         "--app-id", default="ivm",
         help="refresh-view: cursor identity (the sink txn app_id)",
     )
@@ -406,18 +411,33 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(out, default=str))
                 return 0
             elif args.action == "refresh-view":
-                if not (args.sink and args.keys and args.sum_col):
+                if not (
+                    args.sink
+                    and args.keys
+                    and (args.sum_col or args.minmax_col)
+                ):
                     p.error(
-                        "refresh-view requires --sink, --keys and --sum-col"
+                        "refresh-view requires --sink, --keys and one of "
+                        "--sum-col / --minmax-col"
                     )
-                res = st.refresh_count_sum_view(
-                    spark,
-                    args.table,
-                    args.sink,
-                    args.keys.split(","),
-                    args.sum_col,
-                    app_id=args.app_id,
-                )
+                if args.minmax_col:
+                    res = st.refresh_minmax_view(
+                        spark,
+                        args.table,
+                        args.sink,
+                        args.keys.split(","),
+                        args.minmax_col,
+                        app_id=args.app_id,
+                    )
+                else:
+                    res = st.refresh_count_sum_view(
+                        spark,
+                        args.table,
+                        args.sink,
+                        args.keys.split(","),
+                        args.sum_col,
+                        app_id=args.app_id,
+                    )
                 print(json.dumps(res))
                 return 0
             else:  # bloom

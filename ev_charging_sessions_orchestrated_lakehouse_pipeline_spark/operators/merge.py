@@ -2783,6 +2783,93 @@ ORDER BY row
 """
 
 
+def q_snapshot_incremental_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of the NON-self-maintainable
+    aggregates (sources/snaptable.maintain_minmax): per-group
+    COUNT/MIN/MAX materialized at v1 rolls forward through a
+    row-level DELETE that removes several groups' maxima and an
+    append that sets new minima. Inserts fold as pure deltas
+    (least/greatest); the delete forces the Gupta-Mumick bounded
+    rescan of exactly the groups whose extreme was deleted — the
+    oracle recomputes from scratch over the final row set, so the
+    hash match is the maintenance-equals-recompute theorem for the
+    rescan path too. Bounded driver collect (50 groups); run-scoped
+    temp dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("g"),
+        "o_totalprice",
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_snap_mm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    try:
+        st.create_table(orders, table, [])
+        base = (
+            st.read_snapshot(spark, table, version=1)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("o_totalprice").alias("mn"),
+                F.max("o_totalprice").alias("mx"),
+            )
+        )
+        # remove a handful of global maxima (touches few groups)
+        st.delete_where(spark, table, [("o_totalprice", ">", 520000.0)])
+        # and append rows that set NEW minima in their groups
+        st.append(
+            orders.filter(F.col("o_orderkey") % 89 == 7).select(
+                (F.col("o_orderkey") + F.lit(5000000)).alias("o_orderkey"),
+                "g",
+                (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+            ),
+            table,
+        )
+        rows = (
+            st.maintain_minmax(
+                spark, table, base, ["g"], "o_totalprice", from_version=1
+            )
+            .orderBy("g")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.g, r.n, float(r.mn), float(r.mx)) for r in rows],
+        "g bigint, n_orders bigint, min_price double, max_price double",
+    ).orderBy("g")
+
+
+ORACLE["snapshot_incremental_minmax"] = """
+WITH final_state AS (
+  SELECT o_orderkey, CAST(o_custkey % 50 AS BIGINT) AS g, o_totalprice
+  FROM orders
+  WHERE NOT (o_totalprice > 520000.0)
+  UNION ALL
+  SELECT o_orderkey + 5000000, CAST(o_custkey % 50 AS BIGINT), o_totalprice * 0.5
+  FROM orders WHERE o_orderkey % 89 = 7
+)
+SELECT g, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM final_state
+GROUP BY g
+ORDER BY g
+"""
+
+
 def q_snapshot_sql_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL over ACID snapshot tables incl. time travel
     (sources/snaptable.register_snapshot_view) — the surface the

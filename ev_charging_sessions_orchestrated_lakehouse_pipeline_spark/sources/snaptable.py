@@ -3511,7 +3511,15 @@ def table_stats(table: str, version: int | None = None) -> dict:
             mins[col] = min(per_file_min)
         if files and all(v is not None for v in per_file_max):
             maxs[col] = max(per_file_max)
-    return {"rows": rows, "min": mins, "max": maxs}
+    return {
+        "rows": rows,
+        "min": mins,
+        "max": maxs,
+        # physical footprint from the per-file bytes stat (files
+        # committed before the stat existed fall back to a local stat)
+        "total_bytes": _live_file_bytes(table, manifest, files),
+        "n_files": len(files),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -3705,6 +3713,102 @@ def maintain_count_sum(
     )
 
 
+def maintain_minmax(
+    spark: SparkSession,
+    table: str,
+    base_agg: DataFrame,
+    keys: list[str],
+    col: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental maintenance for per-key COUNT + MIN + MAX — the
+    NON-self-maintainable half of IVM theory that
+    :func:`maintain_count_sum` (invertible aggregates) cannot cover:
+    an insert can only improve an extreme (``least``/``greatest``
+    fold, pure delta), but deleting the current extreme invalidates
+    it, and no algebra recovers the runner-up from the aggregate
+    alone. The classical answer (Gupta & Mumick's bounded rescan) is
+    what this implements: fold inserts into candidates, detect the
+    groups whose DELETED values touch their candidate extreme, and
+    re-aggregate ONLY those groups from the target snapshot.
+
+    ``base_agg``: columns ``keys + [n, mn, mx]`` materialized at
+    ``from_version``. Returns the same shape rolled to
+    ``to_version`` (default head), equal to a full recompute —
+    bit-exact, since MIN/MAX select values rather than do arithmetic.
+
+    Scale: the delta aggregation shuffles only changed rows; the
+    rescan reads only the affected GROUPS' rows (a semi-join the
+    optimizer sizes — changed-group keys are bounded by the churn,
+    not the table), so a 0.1% churn that never deletes an extreme
+    costs the same as count/sum maintenance, and one that does pays
+    per affected group, never a table rescan."""
+    from pyspark.sql import functions as F
+
+    v_to = to_version if to_version is not None else current_version(table)
+    feed = changes(spark, table, from_version, v_to)
+    is_insert = F.col("_change_type") == "insert"
+    c = F.col(col)
+    delta = feed.groupBy(*keys).agg(
+        F.sum(F.when(is_insert, F.lit(1)).otherwise(F.lit(-1)))
+        .cast("bigint")
+        .alias("_dn"),
+        F.min(F.when(is_insert, c)).alias("_imn"),
+        F.max(F.when(is_insert, c)).alias("_imx"),
+        F.min(F.when(~is_insert, c)).alias("_dmn"),
+        F.max(F.when(~is_insert, c)).alias("_dmx"),
+    )
+    merged = base_agg.join(delta, on=keys, how="full_outer")
+    n_new = (
+        F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+    ).cast("bigint")
+    # least/greatest skip nulls, so a key missing on either side folds
+    # to the present side's extreme
+    cand_mn = F.least(F.col("mn"), F.col("_imn"))
+    cand_mx = F.greatest(F.col("mx"), F.col("_imx"))
+    # a deleted value AT the candidate extreme may have been its last
+    # witness (duplicates are unknowable from the aggregate) -> rescan
+    # that group; strictly-interior deletes can never move an extreme
+    needs_rescan = F.coalesce(
+        (F.col("_dmn") <= cand_mn) | (F.col("_dmx") >= cand_mx), F.lit(False)
+    )
+    rolled = (
+        merged.select(
+            *keys,
+            n_new.alias("n"),
+            cand_mn.alias("mn"),
+            cand_mx.alias("mx"),
+            needs_rescan.alias("_rescan"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    rescan_keys = rolled.filter(F.col("_rescan")).select(*keys)
+    rescan_agg = (
+        read_snapshot(spark, table, version=v_to)
+        .join(rescan_keys, on=keys, how="left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.min(c).alias("_rmn"),
+            F.max(c).alias("_rmx"),
+        )
+    )
+    out = (
+        rolled.join(rescan_agg, on=keys, how="left")
+        .select(
+            *keys,
+            F.col("n"),
+            F.when(F.col("_rescan"), F.col("_rmn"))
+            .otherwise(F.col("mn"))
+            .alias("mn"),
+            F.when(F.col("_rescan"), F.col("_rmx"))
+            .otherwise(F.col("mx"))
+            .alias("mx"),
+        )
+    )
+    return out
+
+
 def refresh_count_sum_view(
     spark: SparkSession,
     source_table: str,
@@ -3817,6 +3921,99 @@ def refresh_count_sum_view(
     # parent_version=sink_head: a racing same-app_id refresher that
     # published after our cursor read now COLLIDES, and _try_rebase's
     # txn replay guard rejects the double-apply instead of rebasing.
+    v = overwrite_table(
+        rolled, sink_table, parent_version=sink_head, txn=(app_id, head)
+    )
+    return {
+        "mode": mode,
+        "from_version": frm,
+        "to_version": head,
+        "sink_version": v,
+    }
+
+
+def refresh_minmax_view(
+    spark: SparkSession,
+    source_table: str,
+    sink_table: str,
+    keys: list[str],
+    col: str,
+    app_id: str = "ivm_minmax",
+) -> dict:
+    """Cursor-driven refresh for the per-key COUNT/MIN/MAX view —
+    :func:`refresh_count_sum_view`'s twin over
+    :func:`maintain_minmax`, sharing the same exactly-once protocol:
+    the cursor rides the sink's commit as ``txn = (app_id,
+    source_version)``, the sink read (cursor + delta base + commit
+    parent) is pinned to ONE snapshot, and ``parent_version`` makes a
+    racing same-app_id refresher collide instead of double-applying.
+    Falls back to a FULL rebuild when retention expired the cursor's
+    snapshot. Returns the same mode dict.
+
+    Scale: the steady-state refresh pays the change-feed delta plus
+    the bounded per-group rescan for deleted extremes
+    (maintain_minmax's contract) — never a source rescan."""
+    from pyspark.sql import functions as F
+
+    head = current_version(source_table)
+    if head is None:
+        raise ValueError(f"{source_table} does not exist")
+    sink_head = current_version(sink_table)
+    cursor = txn_epoch(sink_table, app_id, at_version=sink_head)
+
+    def pin_schema(df):
+        # mn/mx are selections of source values (no arithmetic), so
+        # only n needs a type pin for a stable sink schema
+        return df.select(
+            *keys,
+            F.col("n").cast("bigint").alias("n"),
+            F.col("mn").alias("mn"),
+            F.col("mx").alias("mx"),
+        )
+
+    def full_agg():
+        c = F.col(col)
+        return pin_schema(
+            read_snapshot(spark, source_table, version=head)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(c).alias("mn"),
+                F.max(c).alias("mx"),
+            )
+        )
+
+    if cursor is None:
+        v = create_table(full_agg(), sink_table, [], txn=(app_id, head))
+        return {
+            "mode": "full",
+            "from_version": None,
+            "to_version": head,
+            "sink_version": v,
+        }
+    if cursor >= head:
+        return {
+            "mode": "noop",
+            "from_version": cursor,
+            "to_version": head,
+            "sink_version": current_version(sink_table),
+        }
+    if cursor not in _list_versions(source_table):
+        rolled = full_agg()
+        mode, frm = "full", None
+    else:
+        rolled = pin_schema(
+            maintain_minmax(
+                spark,
+                source_table,
+                read_snapshot(spark, sink_table, version=sink_head),
+                keys,
+                col,
+                cursor,
+                head,
+            )
+        )
+        mode, frm = "delta", cursor
     v = overwrite_table(
         rolled, sink_table, parent_version=sink_head, txn=(app_id, head)
     )

@@ -1081,6 +1081,8 @@ def test_table_stats_is_truly_metadata_only(spark, orders, tmp_path):
     assert s["max"]["o_totalprice"] == expected.mx
     # strings are deliberately absent (parquet may truncate their stats)
     assert "o_orderstatus" not in s["min"] and "o_orderpriority" not in s["max"]
+    # physical footprint answers from the manifest too (data dir gone)
+    assert s["total_bytes"] > 0 and s["n_files"] >= 3
 
 
 def test_vacuum_inflight_reader_errors_never_partial(spark, orders, tmp_path):
@@ -4580,6 +4582,171 @@ def test_cli_register_view_runs_sql(spark, orders, tmp_path, capsys, monkeypatch
     assert out["view"] == "cli_view"
     assert out["rows"] == [{"n": 100}]
     spark.catalog.dropTempView("cli_view")
+
+
+class TestMaintainMinMax:
+    """maintain_minmax: the non-self-maintainable IVM case. Inserts
+    fold as deltas; deletes touching a group's extreme trigger the
+    bounded per-group rescan; every path must equal a recompute."""
+
+    def _mk(self, spark, tmp_path, rows, name="mm"):
+        t = str(tmp_path / name)
+        st.create_table(
+            spark.createDataFrame(rows, "id int, g string, v double").coalesce(1),
+            t,
+            [],
+        )
+        return t
+
+    def _base(self, spark, t):
+        return (
+            st.read_snapshot(spark, t, version=1)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+        )
+
+    def _roll(self, spark, t, base):
+        got = {
+            r.g: (r.n, r.mn, r.mx)
+            for r in st.maintain_minmax(
+                spark, t, base, ["g"], "v", from_version=1
+            ).collect()
+        }
+        want = {
+            r.g: (r.n, r.mn, r.mx)
+            for r in st.read_snapshot(spark, t)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+        return got
+
+    def test_delete_extreme_forces_correct_rescan(self, spark, tmp_path):
+        t = self._mk(
+            spark, tmp_path,
+            [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0), (4, "b", 2.0)],
+        )
+        base = self._base(spark, t)
+        st.delete_where(spark, t, [("v", ">", 8.0)])  # a's max gone
+        got = self._roll(spark, t, base)
+        assert got["a"] == (2, 1.0, 5.0)  # runner-up recovered
+        assert got["b"] == (1, 2.0, 2.0)  # untouched group intact
+
+    def test_duplicate_extreme_survives_single_delete(self, spark, tmp_path):
+        """Two rows share the max; deleting ONE must keep the max —
+        unknowable from the aggregate alone, proven via the rescan."""
+        t = self._mk(
+            spark, tmp_path,
+            [(1, "a", 9.0), (2, "a", 9.0), (3, "a", 1.0)],
+            "mm_dup",
+        )
+        base = self._base(spark, t)
+        st.delete_where(spark, t, [("id", "=", 1)])
+        got = self._roll(spark, t, base)
+        assert got["a"] == (2, 1.0, 9.0)
+
+    def test_insert_only_is_pure_delta(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, [(1, "a", 5.0)], "mm_ins")
+        base = self._base(spark, t)
+        st.append(
+            spark.createDataFrame(
+                [(2, "a", 1.0), (3, "c", 7.0)], "id int, g string, v double"
+            ),
+            t,
+        )
+        got = self._roll(spark, t, base)
+        assert got["a"] == (2, 1.0, 5.0)
+        assert got["c"] == (1, 7.0, 7.0)  # brand-new group
+
+    def test_insert_then_delete_within_window(self, spark, tmp_path):
+        """A value inserted AND deleted inside the window must not
+        leak into the extremes (candidate came from the insert, the
+        delete touches it -> rescan)."""
+        t = self._mk(spark, tmp_path, [(1, "a", 5.0)], "mm_iw")
+        base = self._base(spark, t)
+        st.append(
+            spark.createDataFrame(
+                [(2, "a", 99.0)], "id int, g string, v double"
+            ),
+            t,
+        )
+        st.delete_where(spark, t, [("id", "=", 2)])
+        got = self._roll(spark, t, base)
+        assert got["a"] == (1, 5.0, 5.0)
+
+    def test_group_fully_deleted_drops(self, spark, tmp_path):
+        t = self._mk(
+            spark, tmp_path, [(1, "a", 5.0), (2, "b", 3.0)], "mm_gone"
+        )
+        base = self._base(spark, t)
+        st.delete_where(spark, t, [("g", "=", "a")])
+        got = self._roll(spark, t, base)
+        assert set(got) == {"b"}
+
+
+def test_refresh_minmax_view_lifecycle(spark, tmp_path):
+    """full -> delta -> noop for the COUNT/MIN/MAX view, each state
+    identical to a recompute, including a delta that deletes a
+    group's extreme (the rescan path) — same atomic-cursor protocol
+    as the count/sum view."""
+    src = _mk_ivm_source(spark, tmp_path)  # g in {A,B}, v = float(i)
+    sink = str(tmp_path / "ivm_mm_sink")
+
+    def recompute():
+        return {
+            (r.g, r.n, r.mn, r.mx)
+            for r in st.read_snapshot(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+
+    def sink_rows():
+        return {
+            (r.g, r.n, r.mn, r.mx)
+            for r in st.read_snapshot(spark, sink).collect()
+        }
+
+    r1 = st.refresh_minmax_view(spark, src, sink, ["g"], "v")
+    assert r1["mode"] == "full"
+    assert sink_rows() == recompute()
+    # churn: new max for B, then delete A's max (rescan path)
+    st.append(
+        spark.createDataFrame(
+            [(100, "B", 99.0)], "id int, g string, v double"
+        ),
+        src,
+    )
+    st.delete_where(spark, src, [("v", "=", 8.0)])  # A's max (8.0)
+    r2 = st.refresh_minmax_view(spark, src, sink, ["g"], "v")
+    assert r2["mode"] == "delta" and r2["from_version"] == 1
+    assert sink_rows() == recompute()
+    assert st.refresh_minmax_view(spark, src, sink, ["g"], "v")["mode"] == "noop"
+    # vacuum the cursor away -> full rebuild fallback
+    for i in range(3):
+        st.append(
+            spark.createDataFrame(
+                [(200 + i, "A", 1.0)], "id int, g string, v double"
+            ),
+            src,
+        )
+    st.vacuum(src, retain_last=1, grace_seconds=0)
+    r3 = st.refresh_minmax_view(spark, src, sink, ["g"], "v")
+    assert r3["mode"] == "full"
+    assert sink_rows() == recompute()
 
 
 def test_refresh_concurrent_same_app_id_collides(spark, tmp_path, monkeypatch):
