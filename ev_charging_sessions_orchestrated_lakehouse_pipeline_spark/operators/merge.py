@@ -44,6 +44,7 @@ def merge_upsert(
     keys: list[str],
     delete_col: str | None = None,
     broadcast_source: bool = False,
+    not_matched_by_source_delete: bool | str | None = None,
 ) -> DataFrame:
     """MERGE INTO semantics: source rows replace matched target rows
     (whole-row update), unmatched source rows are inserted, unmatched
@@ -51,10 +52,28 @@ def merge_upsert(
     ``source``, rows where it is true delete their match instead
     (and are not inserted) — the full upsert/delete CDC contract.
 
+    ``not_matched_by_source_delete`` is Delta's WHEN NOT MATCHED BY
+    SOURCE THEN DELETE — the full-sync mirror clause: target rows
+    with no key match in the source are deleted (``True``) or deleted
+    when they satisfy a SQL condition (a string, e.g. ``"status =
+    'open'"``); matched rows still update as usual. By definition the
+    clause examines EVERY unmatched target row, so it is a whole-
+    table contract (no partition pruning — same as Delta).
+
     Idempotent by construction: applying the same source twice leaves
     the same table (pinned in tests/test_merge.py)."""
     src = F.broadcast(source) if broadcast_source else source
     kept = target.join(src.select(*keys), keys, "left_anti")
+    if not_matched_by_source_delete is True:
+        kept = kept.limit(0)
+    elif not_matched_by_source_delete:
+        # null condition -> clause doesn't apply -> the row SURVIVES
+        # (Delta's tri-state WHEN semantics), hence the coalesce
+        kept = kept.filter(
+            ~F.coalesce(
+                F.expr(not_matched_by_source_delete), F.lit(False)
+            )
+        )
     if delete_col is not None:
         incoming = source.filter(~F.col(delete_col)).drop(delete_col)
     else:

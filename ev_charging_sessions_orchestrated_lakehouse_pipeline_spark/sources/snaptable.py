@@ -4380,6 +4380,7 @@ def merge_into(
     delete_col: str | None = None,
     broadcast_source: bool = False,
     evolve_schema: bool = False,
+    not_matched_by_source_delete: bool | str | None = None,
 ) -> int:
     """MERGE INTO the snapshot table (upsert + optional delete,
     semantics of ``operators.merge.merge_upsert``), committed as a new
@@ -4402,7 +4403,14 @@ def merge_into(
     key whose partition value changed in the source would leave its
     old row behind in the unread partition (the same caveat real
     table formats document). Unpartitioned tables (or sources without
-    the partition columns) fall back to a full-table merge commit."""
+    the partition columns) fall back to a full-table merge commit.
+
+    ``not_matched_by_source_delete`` is Delta's WHEN NOT MATCHED BY
+    SOURCE THEN DELETE (True = delete every unmatched target row; a
+    SQL string = delete those satisfying it, null condition
+    survives). The clause examines every unmatched target row by
+    definition, so it disables partition pruning for the commit —
+    a full-sync mirror is inherently a whole-table statement."""
     from ..operators.merge import merge_upsert
 
     head = current_version(table)
@@ -4444,7 +4452,11 @@ def merge_into(
                     fld.name, F.lit(None).cast(fld.dataType)
                 )
                 evolved_cols.append(fld.name)
-    pruned = pcols and all(c in source.columns for c in pcols)
+    pruned = (
+        pcols
+        and all(c in source.columns for c in pcols)
+        and not_matched_by_source_delete is None
+    )
     if evolved_cols:
         # a new logical name colliding with a still-claimed physical
         # name (mapped or retired) needs the resurrection-guard
@@ -4476,6 +4488,14 @@ def merge_into(
 
         src = F.broadcast(source) if broadcast_source else source
         kept = target.join(src.select(*keys), keys, "left_anti")
+        if not_matched_by_source_delete is True:
+            kept = kept.limit(0)
+        elif not_matched_by_source_delete:
+            kept = kept.filter(
+                ~F.coalesce(
+                    F.expr(not_matched_by_source_delete), F.lit(False)
+                )
+            )
         incoming = (
             source.filter(~F.col(delete_col)).drop(delete_col)
             if delete_col is not None
@@ -4535,7 +4555,12 @@ def merge_into(
         next_mark = mark + int(n_new)
     else:
         merged = merge_upsert(
-            target, source, keys, delete_col, broadcast_source
+            target,
+            source,
+            keys,
+            delete_col,
+            broadcast_source,
+            not_matched_by_source_delete=not_matched_by_source_delete,
         )
     if pruned:
         return overwrite_partitions(

@@ -45,6 +45,78 @@ def test_merge_deletes(spark):
     assert got == {(1, "a"), (2, "B"), (4, "D")}
 
 
+def test_merge_not_matched_by_source_delete_all(spark):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (True): the full-sync
+    mirror — the table becomes exactly the source's row set."""
+    target = _df(spark, [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    source = _df(spark, [(2, "B"), (4, "D")], ["k", "v"])
+    got = {
+        tuple(r)
+        for r in merge_upsert(
+            target, source, ["k"], not_matched_by_source_delete=True
+        ).collect()
+    }
+    assert got == {(2, "B"), (4, "D")}
+
+
+def test_merge_not_matched_by_source_delete_conditional(spark):
+    """Conditional clause: only unmatched target rows satisfying the
+    condition delete; a NULL condition means the clause does not
+    apply (the row survives) — Delta's tri-state WHEN semantics."""
+    target = _df(
+        spark,
+        [(1, "stale"), (2, "b"), (3, "fresh"), (5, None)],
+        ["k", "v"],
+    )
+    source = _df(spark, [(2, "B")], ["k", "v"])
+    got = {
+        tuple(r)
+        for r in merge_upsert(
+            target,
+            source,
+            ["k"],
+            not_matched_by_source_delete="v = 'stale'",
+        ).collect()
+    }
+    # k=1 deleted (condition true); k=3 survives (false); k=5 survives
+    # (NULL condition); k=2 updated
+    assert got == {(2, "B"), (3, "fresh"), (5, None)}
+
+
+def test_snapshot_merge_not_matched_by_source(spark, tmp_path):
+    """merge_into full-sync on the table format: the clause disables
+    partition pruning (every unmatched row must be examined) and the
+    committed head mirrors the source exactly; row-tracked tables
+    keep matched rows' stable ids."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    t = str(tmp_path / "mm_sync")
+    st.create_table(
+        _df(spark, [(1, "A", "a"), (2, "A", "b"), (3, "B", "c")], ["k", "g", "v"]),
+        t,
+        ["g"],
+    )
+    st.enable_row_tracking(t)
+    ids0 = {
+        r.k: r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    # source only carries partition A rows, but the clause is global:
+    # B's unmatched row must delete even though B isn't in the source
+    src = _df(spark, [(2, "A", "B2"), (9, "A", "new")], ["k", "g", "v"])
+    st.merge_into(
+        spark, t, src, ["k"], not_matched_by_source_delete=True
+    )
+    rows = {
+        (r.k, r.g, r.v): r._row_id
+        for r in st.read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    assert set(rows) == {(2, "A", "B2"), (9, "A", "new")}
+    assert rows[(2, "A", "B2")] == ids0[2]  # matched row kept its id
+
+
 def test_compaction_latest_wins_with_tiebreak(spark):
     log = _df(
         spark,
