@@ -2113,6 +2113,36 @@ def register_snapshot_view(
     return name
 
 
+def register_changes_view(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    from_version: int,
+    to_version: int | None = None,
+    global_view: bool = False,
+) -> str:
+    """Register the table's change feed as a session SQL view — the
+    Delta ``table_changes('t', from, to)`` SQL surface, composing
+    with :func:`register_snapshot_view`: an analyst can join the
+    feed against the snapshot views in one ``spark.sql`` statement
+    (e.g. audit which rows a window of commits touched). The view
+    pins the [from_version, to_version] window at registration;
+    re-register to advance. Columns are the batch :func:`changes`
+    vocabulary (row payload + ``_change_type`` + ``_commit_version``).
+    """
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"invalid view name {name!r}: must be a bare SQL identifier "
+            "(temp views are session-scoped and unqualified)"
+        )
+    df = changes(spark, table, from_version, to_version)
+    if global_view:
+        df.createOrReplaceGlobalTempView(name)
+        return f"global_temp.{name}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def enable_row_tracking(table: str) -> int:
     """Turn on Delta-style ROW TRACKING as a metadata-only commit:
     every current file gets a contiguous stable-id range (in sorted

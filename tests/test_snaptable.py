@@ -4554,6 +4554,41 @@ def test_register_snapshot_view_sql_and_time_travel(spark, orders, tmp_path):
     spark.catalog.dropGlobalTempView("sv_g")
 
 
+def test_register_changes_view_sql(spark, orders, tmp_path):
+    """table_changes-style SQL over the change feed: the registered
+    view matches the batch changes() frame and joins against a
+    snapshot view in one statement."""
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(50).coalesce(1), t, [])
+    st.delete_where(spark, t, [("o_totalprice", ">", 200000.0)])
+    st.append(orders.limit(5).coalesce(1), t)
+    cv = st.register_changes_view(spark, t, "cv_feed", 1)
+    sv = st.register_snapshot_view(spark, t, "cv_snap")
+    batch = (
+        st.changes(spark, t, 1)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    got = {
+        r._change_type: r.n
+        for r in spark.sql(
+            f"SELECT _change_type, COUNT(*) AS n FROM {cv} GROUP BY 1"
+        ).collect()
+    }
+    assert got == {r._change_type: r["count"] for r in batch}
+    # cross-view join: every current row's latest change is an insert
+    n = spark.sql(
+        f"""SELECT COUNT(*) AS n FROM {sv} s
+            LEFT ANTI JOIN (SELECT o_orderkey FROM {cv}
+                            WHERE _change_type = 'insert') c
+            ON s.o_orderkey = c.o_orderkey"""
+    ).collect()[0].n
+    assert n == 0
+    spark.catalog.dropTempView("cv_feed")
+    spark.catalog.dropTempView("cv_snap")
+
+
 def test_cli_register_view_runs_sql(spark, orders, tmp_path, capsys, monkeypatch):
     """CLI `table register-view --sql`: the ad-hoc SQL-on-snapshot
     endpoint registers the view and prints the statement's rows."""
