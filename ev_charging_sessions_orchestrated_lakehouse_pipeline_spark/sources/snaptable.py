@@ -4411,6 +4411,7 @@ def merge_into(
     broadcast_source: bool = False,
     evolve_schema: bool = False,
     not_matched_by_source_delete: bool | str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE INTO the snapshot table (upsert + optional delete,
     semantics of ``operators.merge.merge_upsert``), committed as a new
@@ -4596,6 +4597,7 @@ def merge_into(
         return overwrite_partitions(
             merged,
             table,
+            txn=txn,
             # evolution on the pruned path: commit the WIDENED schema
             # so carried untouched-partition files null-fill —
             # committing prev["schema"] here would silently drop the
@@ -4630,6 +4632,7 @@ def merge_into(
         materialized_row_ids=track,
         next_row_id=next_mark,
         parent_version=head,
+        txn=txn,
     )
 
 

@@ -14,6 +14,7 @@ from .cdf_source import (
     write_snapshot_stream,
 )
 from .ingest import (
+    cdc_merge_stream,
     corpus_prep_stream,
     dedup_stream,
     gold_stream,
@@ -33,6 +34,7 @@ from .stateful import (
 )
 
 __all__ = [
+    "cdc_merge_stream",
     "SnapshotStreamDataSource",
     "read_snapshot_stream",
     "register_snapshot_stream",

@@ -323,6 +323,92 @@ def gold_stream_snapshot(
     )
 
 
+def cdc_merge_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    keys: list[str],
+    delete_col: str | None = None,
+    app_id: str = "cdc_merge_stream",
+    order_cols: list[str] | None = None,
+    fault_injector=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC APPLY CHANGES INTO a snapshot table: each epoch
+    MERGEs its batch (upsert by ``keys``; rows with ``delete_col``
+    true delete their match) with TRUE exactly-once across crashes —
+    the epoch's merge commits ``txn = (app_id, epoch_id)`` atomically
+    with its data, and a replayed epoch whose commit already
+    published is skipped via :func:`..sources.snaptable.txn_epoch`
+    (the Delta idempotent-writer protocol; same machinery as
+    :func:`gold_stream_snapshot`, composed with MERGE instead of
+    append). The DLT APPLY CHANGES surface re-expressed on the
+    engine's own table format.
+
+    ``order_cols``: when a batch may carry SEVERAL changes for one
+    key (a busy CDC feed), the latest by ``(order_cols)`` wins within
+    the batch before merging (:func:`..operators.merge.
+    compact_changelog` — include a unique tiebreak column); without
+    it, multi-change batches would hit merge's duplicate-key
+    contract. Cross-batch ordering is the stream's arrival order,
+    as in every CDC apply.
+
+    Scale: each epoch pays one merge — partition-pruned when the
+    table is partitioned and the batch carries the partition columns
+    (only touched partitions rewrite), and the txn check is O(1)
+    manifest reads at the head."""
+    from ..operators.merge import compact_changelog
+    from ..sources import snaptable
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = snaptable.txn_epoch(table, app_id)
+        if done is not None and epoch_id <= done:
+            return  # replay of an already-committed epoch
+        batch = batch_df
+        if order_cols:
+            batch = compact_changelog(batch, keys, order_cols)
+            # ordering/meta columns (sequence numbers, source LSNs)
+            # are batch plumbing, not table payload — drop the ones
+            # the target schema doesn't carry before the whole-row
+            # merge
+            import json as _json
+
+            head = snaptable.current_version(table)
+            target_cols = {
+                f["name"]
+                for f in _json.loads(
+                    snaptable._read_manifest(table, head)["schema"]
+                )["fields"]
+            }
+            extra = [
+                c
+                for c in order_cols
+                if c not in target_cols and c != delete_col
+            ]
+            if extra:
+                batch = batch.drop(*extra)
+        if batch.isEmpty():
+            return
+        snaptable.merge_into(
+            spark,
+            table,
+            batch,
+            keys,
+            delete_col=delete_col,
+            txn=(app_id, int(epoch_id)),
+        )
+        if fault_injector is not None:
+            fault_injector(epoch_id)
+
+    w = source_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def corpus_prep_stream(
     spark: SparkSession,
     input_dir: str,

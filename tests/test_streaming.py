@@ -1379,6 +1379,131 @@ def test_silver_stream_snapshot_kill_and_replay_state_identical(spark, tmp_path)
     assert st.txn_epoch(qtable, "silver_stream") == 2
 
 
+def test_cdc_merge_stream_exactly_once_with_crash(spark, tmp_path):
+    """Streaming CDC APPLY CHANGES INTO the snapshot table: per-epoch
+    MERGE with txn exactly-once. Three single-file epochs (upsert,
+    upsert+delete, insert); the injected fault crashes AFTER epoch
+    1's merge commits but BEFORE its checkpoint — the restart must
+    skip the committed epoch (txn replay guard) and finish, landing
+    exactly the sequential-apply state with no doubles or losses."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        cdc_merge_stream,
+    )
+
+    table = str(tmp_path / "cdc_tgt")
+    st.create_table(
+        spark.createDataFrame(
+            [(1, "a", False), (2, "b", False), (3, "c", False)],
+            "k int, v string, is_delete boolean",
+        ).select("k", "v").coalesce(1),
+        table,
+        [],
+    )
+    # three CDC files, mtime-ordered so the file source replays in order
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    batches = [
+        [(2, "B1", False), (4, "D", False)],          # upserts
+        [(3, None, True), (4, "D2", False)],          # delete + update
+        [(5, "E", False)],                            # insert
+    ]
+    schema = "k int, v string, is_delete boolean"
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"cdc_stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = next(
+            p for p in stage.iterdir() if p.name.endswith(".parquet")
+        )
+        dst = src / f"b{i}.parquet"
+        part.rename(dst)
+        _os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src))
+        )
+
+    ckpt = str(tmp_path / "cdc_ckpt")
+    seen = []
+
+    def crash_second(epoch_id):
+        seen.append(epoch_id)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash: merge committed, epoch not")
+
+    q = cdc_merge_stream(
+        spark, stream(), table, ckpt, ["k"],
+        delete_col="is_delete", fault_injector=crash_second,
+    )
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    q2 = cdc_merge_stream(
+        spark, stream(), table, ckpt, ["k"], delete_col="is_delete"
+    )
+    q2.awaitTermination(180)
+    got = {(r.k, r.v) for r in st.read_snapshot(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B1"), (4, "D2"), (5, "E")}
+    # commit count proves no epoch applied twice: create + 3 merges
+    assert st.current_version(table) == 4
+    assert st.txn_epoch(table, "cdc_merge_stream") == 2
+
+
+def test_cdc_merge_stream_compacts_multi_change_batches(spark, tmp_path):
+    """A single batch carrying several changes for one key applies
+    latest-wins via order_cols before the merge."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        cdc_merge_stream,
+    )
+
+    table = str(tmp_path / "cdc_multi_tgt")
+    st.create_table(
+        spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1),
+        table,
+        [],
+    )
+    src = tmp_path / "cdc_multi_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "x", False, 1), (1, "y", False, 2), (2, "n", False, 1)],
+        "k int, v string, is_delete boolean, seq int",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = cdc_merge_stream(
+        spark,
+        spark.readStream.schema(
+            "k int, v string, is_delete boolean, seq int"
+        ).parquet(str(src)),
+        table,
+        str(tmp_path / "cdc_multi_ckpt"),
+        ["k"],
+        delete_col="is_delete",
+        order_cols=["seq"],
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.k, r.v)
+        for r in st.read_snapshot(spark, table).select("k", "v").collect()
+    }
+    assert got == {(1, "y"), (2, "n")}
+
+
 # ---------------------------------------------------------------------------
 # snapshot_stream: Structured Streaming SOURCE over the commit log
 # (streaming/cdf_source.py — the Delta streaming-source model on the
