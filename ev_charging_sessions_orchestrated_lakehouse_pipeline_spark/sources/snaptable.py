@@ -3812,6 +3812,11 @@ def maintain_minmax(
             needs_rescan.alias("_rescan"),
         )
         .filter(F.col("n") > 0)
+        # the rolled delta feeds BOTH the rescan-key probe and the
+        # final output; without pinning, the change-feed scan + delta
+        # aggregation would run twice. Sized by the AGGREGATE's
+        # cardinality (the view being maintained), never the source.
+        .localCheckpoint(eager=False)
     )
     rescan_keys = rolled.filter(F.col("_rescan")).select(*keys)
     rescan_agg = (
