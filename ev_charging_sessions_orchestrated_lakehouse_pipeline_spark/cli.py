@@ -116,8 +116,8 @@ def main(argv: list[str] | None = None) -> int:
         "--sql",
         default=None,
         help="register-view: statement to run against the registered "
-        "view (the ad-hoc SQL-on-snapshot endpoint); rows print as "
-        "JSON lines",
+        "view (the ad-hoc SQL-on-snapshot endpoint); prints one JSON "
+        "object with the view name and a 'rows' array",
     )
     pt.add_argument(
         "--sink", default=None,
@@ -419,6 +419,11 @@ def main(argv: list[str] | None = None) -> int:
                     p.error(
                         "refresh-view requires --sink, --keys and one of "
                         "--sum-col / --minmax-col"
+                    )
+                if args.sum_col and args.minmax_col:
+                    p.error(
+                        "--sum-col and --minmax-col are mutually "
+                        "exclusive; pick one view kind per sink"
                     )
                 if args.minmax_col:
                     res = st.refresh_minmax_view(

@@ -38,6 +38,23 @@ from ..functions.oracle import dsum, dsum_spark_sql, dsum_sql
 ORACLE: dict[str, str] = {}
 
 
+def apply_not_matched_by_source(
+    kept: DataFrame, clause: bool | str | None
+) -> DataFrame:
+    """Apply WHEN NOT MATCHED BY SOURCE THEN DELETE to the unmatched
+    target rows: ``True`` deletes them all, a SQL condition string
+    deletes those satisfying it — with a NULL condition meaning the
+    clause does not apply, so the row SURVIVES (Delta's tri-state
+    WHEN semantics; hence the coalesce). Shared by
+    :func:`merge_upsert` and the snapshot format's row-tracked merge
+    so the semantics can never diverge."""
+    if clause is True:
+        return kept.limit(0)
+    if clause:
+        return kept.filter(~F.coalesce(F.expr(clause), F.lit(False)))
+    return kept
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -63,17 +80,10 @@ def merge_upsert(
     Idempotent by construction: applying the same source twice leaves
     the same table (pinned in tests/test_merge.py)."""
     src = F.broadcast(source) if broadcast_source else source
-    kept = target.join(src.select(*keys), keys, "left_anti")
-    if not_matched_by_source_delete is True:
-        kept = kept.limit(0)
-    elif not_matched_by_source_delete:
-        # null condition -> clause doesn't apply -> the row SURVIVES
-        # (Delta's tri-state WHEN semantics), hence the coalesce
-        kept = kept.filter(
-            ~F.coalesce(
-                F.expr(not_matched_by_source_delete), F.lit(False)
-            )
-        )
+    kept = apply_not_matched_by_source(
+        target.join(src.select(*keys), keys, "left_anti"),
+        not_matched_by_source_delete,
+    )
     if delete_col is not None:
         incoming = source.filter(~F.col(delete_col)).drop(delete_col)
     else:

@@ -966,6 +966,33 @@ def _commit(
         manifest["generated"] = generated
     if txn is not None:
         manifest["txn"] = {"app_id": txn[0], "epoch": int(txn[1])}
+    # per-table txn high-water index (Delta's setTransactions in the
+    # checkpoint): carried on every manifest so txn_epoch is an O(1)
+    # head lookup instead of an O(history) scan. A pre-index parent
+    # (old table, or a commit published by an older writer) seeds the
+    # index with ONE scan of its chain; every later commit just
+    # carries + updates the map (size = #writer identities, tiny).
+    txn_index: dict | None = (
+        dict(par["txn_index"])
+        if par is not None and par.get("txn_index") is not None
+        else None
+    )
+    if txn_index is None and parent is not None:
+        txn_index = {}
+        for v in _list_versions(table):
+            if v > parent:
+                break
+            t = _raw_manifest(table, v).get("txn")
+            if t:
+                txn_index[t["app_id"]] = int(t["epoch"])
+    if txn is not None:
+        if txn_index is None:
+            txn_index = {}
+        txn_index[txn[0]] = int(txn[1])
+    # an EMPTY map is stored too: it marks "indexed, no txns", so
+    # later commits and txn_epoch never rescan a txn-free history
+    if txn_index is not None:
+        manifest["txn_index"] = txn_index
     if extra:
         manifest.update(extra)
     # protocol versioning (Delta readerFeatures model): a feature is
@@ -1285,10 +1312,23 @@ def txn_epoch(
     ``at_version``: answer as of that snapshot instead of the head —
     a reader that pins its base version can read the matching cursor
     atomically even while newer commits land (the
-    :func:`refresh_count_sum_view` race fix)."""
+    :func:`refresh_count_sum_view` race fix).
+
+    Cost: O(1) on current tables — every commit since round 12
+    carries a ``txn_index`` map (app_id -> latest epoch), Delta's
+    setTransactions-in-checkpoint design, seeded by a one-time
+    history scan at the first indexed commit — so the answer is a
+    head-manifest lookup. Pre-index tables (no commit carries the
+    map yet) fall back to the newest-first manifest scan."""
     versions = _list_versions(table)
     if at_version is not None:
         versions = [v for v in versions if v <= at_version]
+    if not versions:
+        return None
+    idx = _raw_manifest(table, versions[-1]).get("txn_index")
+    if idx is not None:
+        e = idx.get(app_id)
+        return None if e is None else int(e)
     for v in reversed(versions):
         t = _raw_manifest(table, v).get("txn")
         if t and t["app_id"] == app_id:
@@ -2065,6 +2105,22 @@ def read_snapshot(
     )
 
 
+def _register_df_view(df, name: str, global_view: bool) -> str:
+    """Shared tail of the register_*_view surfaces: identifier
+    validation + temp/global-temp registration, returning the name
+    to use in SQL."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"invalid view name {name!r}: must be a bare SQL identifier "
+            "(temp views are session-scoped and unqualified)"
+        )
+    if global_view:
+        df.createOrReplaceGlobalTempView(name)
+        return f"global_temp.{name}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def register_snapshot_view(
     spark: SparkSession,
     table: str,
@@ -2093,11 +2149,6 @@ def register_snapshot_view(
     Scale: registration is a metadata operation (one manifest read,
     no data); queries over the view get normal Catalyst pruning and
     filter pushdown into the parquet scan of the manifest's files."""
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        raise ValueError(
-            f"invalid view name {name!r}: must be a bare SQL identifier "
-            "(temp views are session-scoped and unqualified)"
-        )
     df = read_snapshot(
         spark,
         table,
@@ -2106,11 +2157,7 @@ def register_snapshot_view(
         tag=tag,
         with_row_ids=with_row_ids,
     )
-    if global_view:
-        df.createOrReplaceGlobalTempView(name)
-        return f"global_temp.{name}"
-    df.createOrReplaceTempView(name)
-    return name
+    return _register_df_view(df, name, global_view)
 
 
 def register_changes_view(
@@ -2130,17 +2177,9 @@ def register_changes_view(
     re-register to advance. Columns are the batch :func:`changes`
     vocabulary (row payload + ``_change_type`` + ``_commit_version``).
     """
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
-        raise ValueError(
-            f"invalid view name {name!r}: must be a bare SQL identifier "
-            "(temp views are session-scoped and unqualified)"
-        )
-    df = changes(spark, table, from_version, to_version)
-    if global_view:
-        df.createOrReplaceGlobalTempView(name)
-        return f"global_temp.{name}"
-    df.createOrReplaceTempView(name)
-    return name
+    return _register_df_view(
+        changes(spark, table, from_version, to_version), name, global_view
+    )
 
 
 def enable_row_tracking(table: str) -> int:
@@ -3945,7 +3984,14 @@ def refresh_count_sum_view(
             maintain_count_sum(
                 spark,
                 source_table,
-                read_snapshot(spark, sink_table, version=sink_head),
+                # pin the BASE to (37,10) too: a sink created by the
+                # pre-r12 code stored s as decimal(38,10), and adding
+                # the (35,10) delta to THAT would trip the very
+                # allowPrecisionLoss rounding the pin exists to
+                # avoid — once, on the first post-upgrade refresh
+                pin_schema(
+                    read_snapshot(spark, sink_table, version=sink_head)
+                ),
                 keys,
                 sum_col,
                 cursor,
@@ -4491,7 +4537,9 @@ def merge_into(
     pruned = (
         pcols
         and all(c in source.columns for c in pcols)
-        and not_matched_by_source_delete is None
+        # falsy (None/False) = clause off; True or a condition string
+        # = the global clause, which must see every partition
+        and not not_matched_by_source_delete
     )
     if evolved_cols:
         # a new logical name colliding with a still-claimed physical
@@ -4522,16 +4570,13 @@ def merge_into(
         from pyspark.sql import Window as _W
         from pyspark.sql import functions as F
 
+        from ..operators.merge import apply_not_matched_by_source
+
         src = F.broadcast(source) if broadcast_source else source
-        kept = target.join(src.select(*keys), keys, "left_anti")
-        if not_matched_by_source_delete is True:
-            kept = kept.limit(0)
-        elif not_matched_by_source_delete:
-            kept = kept.filter(
-                ~F.coalesce(
-                    F.expr(not_matched_by_source_delete), F.lit(False)
-                )
-            )
+        kept = apply_not_matched_by_source(
+            target.join(src.select(*keys), keys, "left_anti"),
+            not_matched_by_source_delete,
+        )
         incoming = (
             source.filter(~F.col(delete_col)).drop(delete_col)
             if delete_col is not None
@@ -5266,6 +5311,8 @@ def auto_compact(
     average under the target compact to ceil(bytes/target) files —
     Delta's targetFileSize pairing, which a count threshold alone
     can't express when file sizes vary by orders of magnitude."""
+    import math
+
     versions: list[int] = []
     if target_file_bytes:
         plan = plan_compaction_bytes(table, target_file_bytes)
@@ -5273,15 +5320,35 @@ def auto_compact(
         plan = plan_compaction(table, max_files_per_partition)
     for key in sorted(plan):
         if not key:
-            # unpartitioned table: one full compaction is the answer
-            versions.append(
-                optimize(
-                    spark,
-                    table,
-                    files_per_partition=files_per_partition,
-                    target_file_bytes=target_file_bytes,
+            # the empty key is the unpartitioned table itself, OR
+            # old-spec files a partition evolution left behind (no
+            # hive dirs under the current spec). Either way one
+            # FULL-table optimize is the answer — it migrates
+            # old-spec files into the current layout and supersedes
+            # every other planned scope, so stop after it. On a
+            # partitioned table the byte target sizes the whole
+            # rewrite (per-partition scoping can't address dir-less
+            # files).
+            if target_file_bytes:
+                m = _read_manifest(table, current_version(table))
+                n = max(
+                    1,
+                    math.ceil(
+                        _live_file_bytes(table, m, m["files"])
+                        / target_file_bytes
+                    ),
                 )
-            )
+                versions.append(
+                    optimize(spark, table, files_per_partition=n)
+                )
+            else:
+                versions.append(
+                    optimize(
+                        spark,
+                        table,
+                        files_per_partition=files_per_partition,
+                    )
+                )
             break
         versions.append(
             optimize(

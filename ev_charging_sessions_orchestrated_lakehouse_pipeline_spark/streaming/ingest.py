@@ -361,6 +361,17 @@ def cdc_merge_stream(
     from ..operators.merge import compact_changelog
     from ..sources import snaptable
 
+    if snaptable.current_version(table) is None:
+        # fail at stream START with the real contract, not a
+        # confusing first-epoch crash inside foreachBatch: a merge
+        # target's partitioning is a design decision the stream
+        # cannot infer (unlike gold_stream_snapshot's fixed layout)
+        raise ValueError(
+            f"{table} does not exist; create it first "
+            "(snaptable.create_table) — cdc_merge_stream cannot "
+            "infer the target's partitioning"
+        )
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         done = snaptable.txn_epoch(table, app_id)
         if done is not None and epoch_id <= done:

@@ -3346,6 +3346,31 @@ class TestTargetFileBytes:
         f_files = [f for f in m["files"] if "o_orderstatus=F" in f]
         assert len(f_files) == 1
 
+    def test_auto_compact_by_bytes_handles_old_spec_files(
+        self, spark, tmp_path
+    ):
+        """Files a partition evolution left behind (no hive dirs under
+        the current spec) group under the empty key; the byte-aware
+        sweep must compact them via a sized full-table optimize, not
+        crash on the partitioned-table guard."""
+        t = str(tmp_path / "tfb_evolve")
+        df = spark.range(0, 4_000).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS g"
+        )
+        st.create_table(df.repartition(6), t, [])  # unpartitioned spec
+        st.evolve_partitioning(t, ["g"])  # metadata-only: files stay dir-less
+        m = st._read_manifest(t, st.current_version(t))
+        assert m["partition_cols"] == ["g"]
+        total = st._live_file_bytes(t, m, m["files"])
+        plan = st.plan_compaction_bytes(t, total)
+        assert plan == {(): 1}
+        versions = st.auto_compact(spark, t, target_file_bytes=total)
+        assert len(versions) == 1
+        m2 = st._read_manifest(t, versions[0])
+        # the rewrite migrated rows into the current hive layout
+        assert all("g=" in f for f in m2["files"])
+        assert st.read_snapshot(spark, t).count() == 4_000
+
     def test_auto_compact_by_bytes_flags_fragmented_partitions(
         self, spark, tmp_path
     ):
@@ -4726,6 +4751,45 @@ class TestMaintainMinMax:
         st.delete_where(spark, t, [("g", "=", "a")])
         got = self._roll(spark, t, base)
         assert set(got) == {"b"}
+
+
+def test_txn_index_carried_seeded_and_legacy_fallback(spark, tmp_path):
+    """txn_epoch is an O(1) head lookup on indexed tables (Delta's
+    setTransactions-in-checkpoint): every commit carries the
+    app_id -> latest-epoch map; a pre-index history seeds the map at
+    the first indexed commit so historical cursors are never lost;
+    manifests with no index at all still answer via the legacy
+    scan."""
+    import json as _json
+
+    df = spark.createDataFrame([(1, "a")], "id int, g string").coalesce(1)
+    t = str(tmp_path / "txn_idx")
+    st.create_table(df, t, [], txn=("w", 1))
+    st.append(df, t, txn=("w", 2))
+    st.append(df, t, txn=("u", 7))
+    st.append(df, t)  # txn-less commit still carries the map
+    head = st.current_version(t)
+    idx = st._raw_manifest(t, head)["txn_index"]
+    assert idx == {"w": 2, "u": 7}
+    assert st.txn_epoch(t, "w") == 2
+    assert st.txn_epoch(t, "u") == 7
+    assert st.txn_epoch(t, "nobody") is None
+    # at_version resolves against THAT version's index
+    assert st.txn_epoch(t, "u", at_version=2) is None
+
+    # legacy table: strip the index from every manifest -> fallback
+    # scan still answers; the next commit re-seeds the full map
+    for v in st._list_versions(t):
+        p = st._manifest_path(t, v)
+        m = _json.load(open(p))
+        m.pop("txn_index", None)
+        os.unlink(p)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    assert st.txn_epoch(t, "w") == 2  # legacy scan
+    st.append(df, t, txn=("u", 8))
+    re_idx = st._raw_manifest(t, st.current_version(t))["txn_index"]
+    assert re_idx == {"w": 2, "u": 8}  # seeded history + new epoch
 
 
 def test_refresh_minmax_view_lifecycle(spark, tmp_path):
