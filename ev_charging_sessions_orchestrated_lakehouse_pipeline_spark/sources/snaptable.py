@@ -1048,6 +1048,15 @@ def _commit(
         "num_output_rows": sum(
             stats[f]["rows"] for f in added if f in stats and "rows" in stats[f]
         ),
+        # byte deltas from the stats index (Delta's numAddedBytes /
+        # numRemovedBytes) — pure manifest arithmetic
+        "num_added_bytes": sum(
+            stats[f]["bytes"] for f in added if f in stats and "bytes" in stats[f]
+        ),
+        "num_removed_bytes": sum(
+            (par or {}).get("file_stats", {}).get(f, {}).get("bytes", 0)
+            for f in removed
+        ),
     }
     # row-id allocation (Delta row tracking): every NEW data file gets
     # a fresh contiguous id range [base, base + rows) off the table's
@@ -4888,11 +4897,20 @@ def vacuum(
     # crashed-write sweep returning deleted_files=0 is ambiguous
     # otherwise)
     skipped_young = len(unreferenced) - len(victims)
+
+    def _sz(f: str) -> int:
+        try:
+            return os.path.getsize(os.path.join(table, f))
+        except OSError:
+            return 0
+
+    victim_bytes = sum(_sz(f) for f in victims)
     if dry_run:
         return {
             "dry_run": True,
             "expired_versions": len(expirable),
             "deleted_files": len(victims),
+            "reclaimable_bytes": victim_bytes,
             "skipped_young_files": skipped_young,
             "files": victims,
         }
@@ -4934,6 +4952,7 @@ def vacuum(
     return {
         "expired_versions": expired,
         "deleted_files": deleted,
+        "reclaimed_bytes": victim_bytes,
         "deleted_dv_sidecars": dv_deleted,
         "skipped_young_files": skipped_young,
     }

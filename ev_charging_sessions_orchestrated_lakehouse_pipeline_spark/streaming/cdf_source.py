@@ -160,6 +160,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "drops them"
             )
         self._starting = str(opts.get("startingversion", "earliest"))
+        # Delta's startingTimestamp twin: resolve to the newest
+        # version committed at/before the timestamp (version_as_of's
+        # rules, incl. its refusal to serve a younger snapshot when
+        # the timestamp predates retained history). Mutually
+        # exclusive with startingVersion, like Delta.
+        self._starting_ts = opts.get("startingtimestamp")
+        if self._starting_ts is not None and "startingversion" in opts:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive"
+            )
         # admission control (Delta's maxFilesPerTrigger): cap how many
         # DATA FILES a micro-batch may cover, advancing the end offset
         # whole versions at a time (offsets are versions). 0/absent =
@@ -202,7 +213,24 @@ class SnapshotStreamReader(DataSourceStreamReader):
         versions = st._list_versions(self._table)
         if not versions:
             raise ValueError(f"{self._table} does not exist")
-        if self._starting == "earliest":
+        if self._starting_ts is not None:
+            # Delta's contract: stream every change committed AT OR
+            # AFTER the timestamp. A timestamp predating retained
+            # history degrades to the earliest-with-bootstrap start;
+            # one past the head starts empty and waits for commits.
+            ts = float(self._starting_ts)
+            later = [
+                v
+                for v in versions
+                if st._read_manifest(self._table, v)["committed_at"] >= ts
+            ]
+            if later and later[0] == versions[0]:
+                off = {"version": versions[0] - 1, "bootstrap": True}
+            elif later:
+                off = {"version": later[0] - 1}
+            else:
+                off = {"version": versions[-1]}
+        elif self._starting == "earliest":
             # the earliest KEPT manifest is a self-contained
             # checkpoint; "bootstrap" marks that NOTHING was consumed
             # yet, so if its diff base expired (vacuum retain_last)
@@ -928,6 +956,7 @@ def read_snapshot_stream(
     max_files_per_trigger: int = 0,
     max_bytes_per_trigger: int = 0,
     read_change_feed: bool = False,
+    starting_timestamp: float | None = None,
 ):
     """Streaming DataFrame over the table's commit log (see module
     docstring for semantics). ``max_files_per_trigger`` bounds each
@@ -942,10 +971,14 @@ def read_snapshot_stream(
     batch :func:`..sources.snaptable.changes` vocabulary) instead of
     the append-only feed — the streaming leg of incremental view
     maintenance."""
+    r = spark.readStream.format(SOURCE_NAME)
+    if starting_timestamp is not None:
+        # startingVersion deliberately NOT set (mutually exclusive)
+        r = r.option("startingTimestamp", str(starting_timestamp))
+    else:
+        r = r.option("startingVersion", str(starting_version))
     return (
-        spark.readStream.format(SOURCE_NAME)
-        .option("startingVersion", str(starting_version))
-        .option("skipChangeCommits", str(skip_change_commits).lower())
+        r.option("skipChangeCommits", str(skip_change_commits).lower())
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .option("maxBytesPerTrigger", str(max_bytes_per_trigger))
         .option("readChangeFeed", str(read_change_feed).lower())

@@ -93,6 +93,7 @@ def test_crashed_write_is_invisible_and_vacuumable(spark, orders, tmp_path):
     assert st.read_snapshot(spark, t).count() == n  # readers unaffected
     report = st.vacuum(t, grace_seconds=0)
     assert report["deleted_files"] > 0 and report["expired_versions"] == 0
+    assert report["reclaimed_bytes"] > 0
     assert st.read_snapshot(spark, t).count() == n  # nothing referenced was lost
 
 
@@ -2626,6 +2627,9 @@ class TestReaderFeatures:
         assert m2["num_output_rows"] == 25
         # the delete rewrote at least one file and removed at least one
         assert m3["num_removed_files"] >= 1
+        # byte deltas ride the stats index (Delta's numAdded/RemovedBytes)
+        assert m1["num_added_bytes"] > 0 and m1["num_removed_bytes"] == 0
+        assert m3["num_removed_bytes"] > 0
 
     def test_clone_carries_reader_features(self, spark, tmp_path):
         """A shallow clone of a widened table MUST carry

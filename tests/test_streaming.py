@@ -1899,6 +1899,46 @@ def test_snapshot_stream_max_files_per_trigger_bounds_batches(
     assert r.latestOffset() == {"version": 5}  # caught up
 
 
+def test_snapshot_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp (Delta's twin of startingVersion): the
+    stream begins at the first commit AT OR AFTER the timestamp; a
+    timestamp past the head starts empty; predating history degrades
+    to the earliest-bootstrap start; combining both options errors."""
+    import pytest as _pytest
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamDataSource,
+    )
+
+    t = _mk_stream_table(spark, tmp_path)  # v1 create, v2 append
+    ts2 = st._read_manifest(t, 2)["committed_at"]
+
+    def init(**opts):
+        ds = SnapshotStreamDataSource({"path": t, **opts})
+        return ds.streamReader(ds.schema()).initialOffset()
+
+    # exactly v2's commit time -> start AT v2
+    assert init(startingTimestamp=str(ts2)) == {"version": 1}
+    # just after v2 -> nothing at/after yet: wait for future commits
+    assert init(startingTimestamp=str(ts2 + 1.0)) == {"version": 2}
+    # before everything -> earliest with bootstrap semantics
+    assert init(startingTimestamp="0") == {"version": 0, "bootstrap": True}
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        init(startingTimestamp=str(ts2), startingVersion="1")
+    # end-to-end: drain from ts2 lands only v2's rows
+    rows = _drain(
+        spark,
+        t,
+        str(tmp_path / "ckpt_ts"),
+        str(tmp_path / "out_ts"),
+        starting_timestamp=ts2,
+    )
+    assert rows == [(3, "A", 30, 2)]
+
+
 def test_snapshot_stream_max_bytes_per_trigger_bounds_batches(
     spark, tmp_path
 ):
