@@ -4796,6 +4796,56 @@ def test_txn_index_carried_seeded_and_legacy_fallback(spark, tmp_path):
     assert re_idx == {"w": 2, "u": 8}  # seeded history + new epoch
 
 
+def test_txn_index_merges_across_concurrent_rebase(spark, tmp_path):
+    """Two barrier-synchronized txn writers (different app_ids): the
+    loser auto-rebases onto the winner, and the final head's
+    txn_index must carry BOTH cursors — the rebase recomputes the
+    index from the new parent."""
+    import threading
+
+    df = spark.createDataFrame([(1, "a")], "id int, g string").coalesce(1)
+    t = str(tmp_path / "txn_idx_ccw")
+    st.create_table(df, t, [])
+    barrier = threading.Barrier(2, timeout=120)
+    lock = threading.Lock()
+    n = [0]
+
+    def gated(table, version, manifest):
+        if table != t:
+            return
+        with lock:
+            n[0] += 1
+            k = n[0]
+        if k <= 2:
+            barrier.wait()
+
+    errs: list[BaseException] = []
+
+    def run(app, epoch):
+        try:
+            st.append(df, t, txn=(app, epoch))
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    st.pre_publish_hook = gated
+    try:
+        threads = [
+            threading.Thread(target=run, args=a)
+            for a in (("w1", 5), ("w2", 9))
+        ]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=300)
+    finally:
+        st.pre_publish_hook = None
+    assert errs == []
+    assert st.current_version(t) == 3  # create + both appends
+    idx = st._raw_manifest(t, 3)["txn_index"]
+    assert idx == {"w1": 5, "w2": 9}
+    assert st.txn_epoch(t, "w1") == 5 and st.txn_epoch(t, "w2") == 9
+
+
 def test_refresh_minmax_view_lifecycle(spark, tmp_path):
     """full -> delta -> noop for the COUNT/MIN/MAX view, each state
     identical to a recompute, including a delta that deletes a
