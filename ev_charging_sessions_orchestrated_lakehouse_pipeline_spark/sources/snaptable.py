@@ -4860,6 +4860,8 @@ def vacuum(
         return {
             "expired_versions": 0,
             "deleted_files": 0,
+            "reclaimed_bytes": 0,
+            "deleted_dv_sidecars": 0,
             "skipped_young_files": 0,
         }
     tagged = set(_tagged_versions(table).values())
@@ -4935,6 +4937,14 @@ def vacuum(
             and fn not in dv_refs
             and _old_enough(os.path.join(_snap_dir(table), fn))
         ):
+            # sidecar bytes count toward reclaimed space too — a
+            # merge-on-read-heavy table frees mostly sidecars
+            try:
+                victim_bytes += os.path.getsize(
+                    os.path.join(_snap_dir(table), fn)
+                )
+            except OSError:
+                pass
             os.unlink(os.path.join(_snap_dir(table), fn))
             dv_deleted += 1
     # prune now-empty partition dirs so listings stay clean. Attempt

@@ -160,11 +160,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "drops them"
             )
         self._starting = str(opts.get("startingversion", "earliest"))
-        # Delta's startingTimestamp twin: resolve to the newest
-        # version committed at/before the timestamp (version_as_of's
-        # rules, incl. its refusal to serve a younger snapshot when
-        # the timestamp predates retained history). Mutually
-        # exclusive with startingVersion, like Delta.
+        # Delta's startingTimestamp twin: the stream begins at the
+        # FIRST commit at or after the timestamp (see initialOffset).
+        # A timestamp predating retained history degrades to the
+        # earliest-bootstrap start; one past the head starts empty.
+        # Mutually exclusive with startingVersion, like Delta.
         self._starting_ts = opts.get("startingtimestamp")
         if self._starting_ts is not None and "startingversion" in opts:
             raise ValueError(
@@ -219,15 +219,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # history degrades to the earliest-with-bootstrap start;
             # one past the head starts empty and waits for commits.
             ts = float(self._starting_ts)
+            # committed_at is stored verbatim on the raw (segment)
+            # form and is forced monotonic at commit time, so raw
+            # reads suffice — materializing every manifest here would
+            # reconstruct full file maps and DV sidecars per version
+            # just to read one float
             later = [
                 v
                 for v in versions
-                if st._read_manifest(self._table, v)["committed_at"] >= ts
+                if st._raw_manifest(self._table, v)["committed_at"] >= ts
             ]
             if later and later[0] == versions[0]:
                 off = {"version": versions[0] - 1, "bootstrap": True}
             elif later:
-                off = {"version": later[0] - 1}
+                # the offset must name a RETAINED version: vacuum with
+                # tags leaves numeric gaps, and later[0] - 1 could be
+                # an expired manifest no restart can ever read. The
+                # previous retained version collapses the gap into one
+                # net diff, same as the vacuumed-history batch path.
+                off = {"version": versions[versions.index(later[0]) - 1]}
             else:
                 off = {"version": versions[-1]}
         elif self._starting == "earliest":
@@ -973,7 +983,11 @@ def read_snapshot_stream(
     maintenance."""
     r = spark.readStream.format(SOURCE_NAME)
     if starting_timestamp is not None:
-        # startingVersion deliberately NOT set (mutually exclusive)
+        if starting_version != "earliest":
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive"
+            )
         r = r.option("startingTimestamp", str(starting_timestamp))
     else:
         r = r.option("startingVersion", str(starting_version))

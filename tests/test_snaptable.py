@@ -3219,6 +3219,7 @@ class TestDVSidecars:
             f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
         ]
         assert len(kept) == 1 and res["deleted_dv_sidecars"] == 1
+        assert res["reclaimed_bytes"] > 0  # sidecar bytes count too
         assert st.read_snapshot(spark, t).count() == 300
         # optimize materializes the DV away; vacuum then reclaims it
         st.optimize(spark, t, files_per_partition=1)

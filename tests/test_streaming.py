@@ -1928,6 +1928,17 @@ def test_snapshot_stream_starting_timestamp(spark, tmp_path):
     assert init(startingTimestamp="0") == {"version": 0, "bootstrap": True}
     with _pytest.raises(Exception, match="mutually exclusive"):
         init(startingTimestamp=str(ts2), startingVersion="1")
+    # the helper rejects combining both start options
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        read_snapshot_stream,
+        register_snapshot_stream,
+    )
+
+    register_snapshot_stream(spark)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        read_snapshot_stream(
+            spark, t, starting_version=1, starting_timestamp=ts2
+        )
     # end-to-end: drain from ts2 lands only v2's rows
     rows = _drain(
         spark,
@@ -1937,6 +1948,51 @@ def test_snapshot_stream_starting_timestamp(spark, tmp_path):
         starting_timestamp=ts2,
     )
     assert rows == [(3, "A", 30, 2)]
+
+
+def test_snapshot_stream_starting_timestamp_across_retention_gap(
+    spark, tmp_path
+):
+    """A tag + vacuum leaves numeric gaps in retained versions; a
+    timestamp landing inside the gap must start from the previous
+    RETAINED version (one collapsed net diff), not the expired
+    numeric predecessor — which no restart could ever read."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming.cdf_source import (
+        SnapshotStreamDataSource,
+    )
+
+    t = str(tmp_path / "ts_gap")
+    st.create_table(
+        spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1), t, []
+    )
+    st.create_tag(t, "keep", version=1)
+    for i in (2, 3, 4, 5):
+        st.append(
+            spark.createDataFrame([(i, i * 10)], "id int, v int").coalesce(1),
+            t,
+        )
+    st.vacuum(t, retain_last=2, grace_seconds=0)
+    versions = st._list_versions(t)
+    assert versions == [1, 4, 5]  # tag keeps v1; v2/v3 expired
+    ts_in_gap = st._raw_manifest(t, 4)["committed_at"]
+    ds = SnapshotStreamDataSource(
+        {"path": t, "startingTimestamp": str(ts_in_gap)}
+    )
+    r = ds.streamReader(ds.schema())
+    off = r.initialOffset()
+    assert off == {"version": 1}  # previous RETAINED version, no gap
+    # and the batch actually plans (v1 -> v4 collapsed net diff + v5)
+    rows = _drain(
+        spark,
+        t,
+        str(tmp_path / "ckpt_gap"),
+        str(tmp_path / "out_gap"),
+        starting_timestamp=ts_in_gap,
+    )
+    assert {(r_[0], r_[1]) for r_ in rows} == {(2, 20), (3, 30), (4, 40), (5, 50)}
 
 
 def test_snapshot_stream_max_bytes_per_trigger_bounds_batches(
