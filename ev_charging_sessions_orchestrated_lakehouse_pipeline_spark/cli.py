@@ -110,7 +110,17 @@ def main(argv: list[str] | None = None) -> int:
             "stats",
             "refresh-view",
             "register-view",
+            "add-constraint",
+            "drop-constraint",
         ],
+    )
+    pt.add_argument(
+        "--expr", default=None,
+        help="add-constraint: boolean SQL expression to enforce",
+    )
+    pt.add_argument(
+        "--if-exists", action="store_true",
+        help="drop-constraint: no error when the name is absent",
     )
     pt.add_argument(
         "--sql",
@@ -200,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         "refs",
         "enable-row-tracking",
         "stats",
+        "drop-constraint",
     ):
         # metadata-only actions: no SparkSession needed
         from .sources import snaptable as st
@@ -288,6 +299,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(st.list_refs(args.table)))
         elif args.action == "enable-row-tracking":
             v = st.enable_row_tracking(args.table)
+            print(json.dumps({"version": v}))
+        elif args.action == "drop-constraint":
+            if not args.name:
+                p.error("drop-constraint requires --name")
+            v = st.drop_constraint(
+                args.table, args.name, if_exists=args.if_exists
+            )
             print(json.dumps({"version": v}))
         else:
             print(json.dumps(st.history(args.table), default=str))
@@ -394,6 +412,12 @@ def main(argv: list[str] | None = None) -> int:
                     target_file_bytes=args.target_file_bytes,
                 )
                 print(json.dumps({"versions": vs}))
+                return 0
+            elif args.action == "add-constraint":
+                if not (args.name and args.expr):
+                    p.error("add-constraint requires --name and --expr")
+                v = st.add_constraint(spark, args.table, args.name, args.expr)
+                print(json.dumps({"version": v}))
                 return 0
             elif args.action == "register-view":
                 if not args.name:

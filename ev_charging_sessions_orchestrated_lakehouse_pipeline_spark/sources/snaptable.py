@@ -1799,6 +1799,67 @@ def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
             )
 
 
+def add_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta's CHECK-constraint DDL):
+    validates EXISTING rows first — one aggregation pass over the
+    current snapshot, SQL CHECK semantics (NULL passes) — then
+    records the constraint in a metadata-only commit. Every future
+    data-adding commit enforces it. Adding a name that already exists
+    raises, like Delta."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    cons = dict(prev.get("constraints") or {})
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists on {table} "
+            f"({cons[name]}); drop it first"
+        )
+    _validate_constraints(read_snapshot(spark, table, version=head), {name: expr})
+    cons[name] = expr
+    return _commit(
+        table,
+        "add_constraint",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=cons,
+        deletion_vectors=prev.get("deletion_vectors", {}),
+    )
+
+
+def drop_constraint(table: str, name: str, if_exists: bool = False) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only removal. A missing
+    name raises unless ``if_exists`` (Delta's IF EXISTS), in which
+    case the head is returned unchanged."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    cons = dict(prev.get("constraints") or {})
+    if name not in cons:
+        if if_exists:
+            return head
+        raise ValueError(f"no constraint {name!r} on {table}")
+    del cons[name]
+    return _commit(
+        table,
+        "drop_constraint",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=cons,
+        deletion_vectors=prev.get("deletion_vectors", {}),
+    )
+
+
 def rename_column(table: str, old: str, new: str) -> int:
     """Delta-column-mapping-style RENAME COLUMN as a METADATA-ONLY
     commit: no data file is touched at any table size. The manifest's

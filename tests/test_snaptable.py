@@ -4758,6 +4758,47 @@ class TestMaintainMinMax:
         assert set(got) == {"b"}
 
 
+def test_add_drop_constraint_ddl(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT: add validates existing rows
+    first (one agg pass; NULL passes, SQL CHECK semantics), records
+    the constraint metadata-only, and future commits enforce it;
+    drop is metadata-only with IF EXISTS semantics; duplicate adds
+    raise."""
+    t = str(tmp_path / "con_ddl")
+    st.create_table(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 5.0)], "id int, v double"
+        ).coalesce(1),
+        t,
+        [],
+    )
+    # existing rows violate -> refused, nothing committed
+    with pytest.raises(st.ConstraintViolation):
+        st.add_constraint(spark, t, "v_big", "v > 6.0")
+    assert st.current_version(t) == 1
+    # NULL passes (SQL CHECK), so v >= 5 holds for (10, NULL, 5)
+    v = st.add_constraint(spark, t, "v_min", "v >= 5.0")
+    assert v == 2
+    assert st._read_manifest(t, 2)["constraints"] == {"v_min": "v >= 5.0"}
+    with pytest.raises(ValueError, match="already exists"):
+        st.add_constraint(spark, t, "v_min", "v >= 0.0")
+    # future commits enforce it
+    with pytest.raises(st.ConstraintViolation):
+        st.append(
+            spark.createDataFrame([(4, 1.0)], "id int, v double"), t
+        )
+    st.append(spark.createDataFrame([(4, 7.0)], "id int, v double"), t)
+    # drop: metadata-only; IF EXISTS tolerates absence
+    v2 = st.drop_constraint(t, "v_min")
+    assert st._read_manifest(t, v2)["constraints"] == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        st.drop_constraint(t, "v_min")
+    assert st.drop_constraint(t, "v_min", if_exists=True) == v2
+    # enforcement really ended
+    st.append(spark.createDataFrame([(5, 1.0)], "id int, v double"), t)
+    assert st.read_snapshot(spark, t).count() == 5
+
+
 def test_txn_index_carried_seeded_and_legacy_fallback(spark, tmp_path):
     """txn_epoch is an O(1) head lookup on indexed tables (Delta's
     setTransactions-in-checkpoint): every commit carries the
