@@ -112,7 +112,17 @@ def main(argv: list[str] | None = None) -> int:
             "register-view",
             "add-constraint",
             "drop-constraint",
+            "set-property",
+            "unset-property",
+            "properties",
         ],
+    )
+    pt.add_argument(
+        "--property",
+        action="append",
+        default=None,
+        metavar="K=V",
+        help="set-property: property assignment (repeatable)",
     )
     pt.add_argument(
         "--expr", default=None,
@@ -211,6 +221,9 @@ def main(argv: list[str] | None = None) -> int:
         "enable-row-tracking",
         "stats",
         "drop-constraint",
+        "set-property",
+        "unset-property",
+        "properties",
     ):
         # metadata-only actions: no SparkSession needed
         from .sources import snaptable as st
@@ -300,6 +313,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "enable-row-tracking":
             v = st.enable_row_tracking(args.table)
             print(json.dumps({"version": v}))
+        elif args.action == "set-property":
+            if not args.property:
+                p.error("set-property requires --property K=V (repeatable)")
+            props = dict(kv.split("=", 1) for kv in args.property)
+            v = st.set_table_properties(args.table, props)
+            print(json.dumps({"version": v, "properties": st.table_properties(args.table)}))
+        elif args.action == "unset-property":
+            if not args.name:
+                p.error("unset-property requires --name")
+            v = st.unset_table_properties(args.table, [args.name])
+            print(json.dumps({"version": v, "properties": st.table_properties(args.table)}))
+        elif args.action == "properties":
+            print(json.dumps(st.table_properties(args.table)))
         elif args.action == "drop-constraint":
             if not args.name:
                 p.error("drop-constraint requires --name")

@@ -563,6 +563,21 @@ def _publish(table: str, version: int, manifest: dict) -> None:
 #                outside it)
 # Operations absent from the map never auto-rebase (DDL, refs,
 # rollback/restore, feature enablement — true metadata intents).
+#: operations an appendOnly table refuses (they remove or rewrite
+#: rows); everything else — create/append/OPTIMIZE/DDL/refs — stays
+#: allowed, matching Delta's delta.appendOnly contract
+_ROW_REMOVING_OPS = frozenset(
+    {
+        "delete",
+        "update",
+        "delete_dv",
+        "update_dv",
+        "overwrite",
+        "overwrite_partitions",
+        "replace_where",
+    }
+)
+
 _REBASE_POLICY = {
     "append": "lenient",
     "optimize": "lenient",
@@ -928,6 +943,7 @@ def _commit(
     # definitions carry forward from the parent automatically so no
     # commit path can silently lose them — only the DDL entry points
     # (rename/drop/clone/create) pass them explicitly
+    properties = None
     if par is not None:
         if column_mapping is None:
             column_mapping = par.get("column_mapping")
@@ -935,6 +951,21 @@ def _commit(
             retired_columns = par.get("retired_columns")
         if generated is None:
             generated = par.get("generated")
+        properties = par.get("properties")
+    # appendOnly table property (Delta's delta.appendOnly): rows may
+    # never be deleted or updated — any row-removing operation is
+    # refused at the single commit gate. Metadata ops, appends, and
+    # OPTIMIZE (row-preserving by contract) stay allowed.
+    if (
+        properties
+        and str(properties.get("appendOnly", "")).lower() == "true"
+        and operation in _ROW_REMOVING_OPS
+    ):
+        raise ValueError(
+            f"{table} is appendOnly (table property): operation "
+            f"{operation!r} would remove or rewrite rows; unset the "
+            "property first"
+        )
     manifest = {
         "version": version,
         "parent": parent,
@@ -1014,6 +1045,8 @@ def _commit(
         features.add("row-tracking")
     if manifest.get("identity"):
         features.add("identity-columns")
+    if properties and "properties" not in manifest:
+        manifest["properties"] = properties
     if manifest["deletion_vectors"]:
         features.add("deletion-vectors")
     if manifest.get("column_mapping") or manifest.get("retired_columns"):
@@ -1797,6 +1830,78 @@ def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
                 f"cannot {verb} column {col!r}: part of generated column "
                 f"{gcol!r} (GENERATED AS {expr})"
             )
+
+
+def table_properties(table: str) -> dict:
+    """The head's table-property map (empty when none set)."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    return dict(_read_manifest(table, head).get("properties") or {})
+
+
+def set_table_properties(table: str, props: dict) -> int:
+    """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the table's
+    property map in a metadata-only commit. Properties carry forward
+    on every commit automatically. Behavioral properties the engine
+    enforces:
+
+    * ``appendOnly`` = "true" — row-removing operations (DELETE/
+      UPDATE/overwrites/REPLACE WHERE/MERGE rewrites) are refused at
+      the commit gate (Delta's ``delta.appendOnly``); appends,
+      OPTIMIZE, and DDL stay allowed.
+    * ``vacuum.graceSeconds`` — per-table default for
+      :func:`vacuum`'s grace window (Delta's
+      ``deletedFileRetentionDuration`` in miniature).
+
+    Everything else is opaque user metadata carried verbatim."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    merged = dict(prev.get("properties") or {})
+    merged.update({str(k): str(v) for k, v in props.items()})
+    return _commit(
+        table,
+        "set_properties",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        extra={"properties": merged},
+    )
+
+
+def unset_table_properties(
+    table: str, keys: list[str], if_exists: bool = True
+) -> int:
+    """ALTER TABLE UNSET TBLPROPERTIES: remove ``keys`` metadata-only.
+    Missing keys raise unless ``if_exists`` (the SQL default)."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    props = dict(prev.get("properties") or {})
+    missing = [k for k in keys if k not in props]
+    if missing and not if_exists:
+        raise ValueError(f"no such table properties on {table}: {missing}")
+    for k in keys:
+        props.pop(k, None)
+    return _commit(
+        table,
+        "unset_properties",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        extra={"properties": props},
+    )
 
 
 def add_constraint(
@@ -4907,7 +5012,20 @@ def vacuum(
     expiry — their manifests and the files those reference survive
     any ``retain_last``, the Iceberg ref-retention rule; drop the tag
     to let the version age out."""
-    grace = VACUUM_GRACE_SECONDS if grace_seconds is None else float(grace_seconds)
+    if grace_seconds is None:
+        # per-table default (SET TBLPROPERTIES vacuum.graceSeconds),
+        # falling back to the engine-wide constant
+        head_v = current_version(table)
+        prop = (
+            (_read_manifest(table, head_v).get("properties") or {}).get(
+                "vacuum.graceSeconds"
+            )
+            if head_v is not None
+            else None
+        )
+        grace = VACUUM_GRACE_SECONDS if prop is None else float(prop)
+    else:
+        grace = float(grace_seconds)
     cutoff = time.time() - grace
 
     def _old_enough(path: str) -> bool:

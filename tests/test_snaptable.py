@@ -4758,6 +4758,55 @@ class TestMaintainMinMax:
         assert set(got) == {"b"}
 
 
+def test_table_properties_append_only_and_vacuum_grace(spark, tmp_path):
+    """SET/UNSET TBLPROPERTIES: properties carry forward on every
+    commit; appendOnly refuses row-removing operations at the commit
+    gate while appends/OPTIMIZE/DDL stay allowed; vacuum.graceSeconds
+    becomes the table's default grace window."""
+    t = str(tmp_path / "props")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id int, v double"
+        ).coalesce(1),
+        t,
+        [],
+    )
+    assert st.table_properties(t) == {}
+    v = st.set_table_properties(t, {"appendOnly": "true", "owner": "etl"})
+    assert st.table_properties(t) == {"appendOnly": "true", "owner": "etl"}
+    # appends and OPTIMIZE still allowed; the property survives both
+    st.append(spark.createDataFrame([(100, 1.0)], "id int, v double"), t)
+    st.optimize(spark, t, files_per_partition=1)
+    assert st.table_properties(t)["appendOnly"] == "true"
+    # row-removing operations refuse at the commit gate
+    with pytest.raises(ValueError, match="appendOnly"):
+        st.delete_where(spark, t, [("v", ">", 5.0)])
+    with pytest.raises(ValueError, match="appendOnly"):
+        st.delete_where(spark, t, [("v", ">", 5.0)], use_dv=True)
+    with pytest.raises(ValueError, match="appendOnly"):
+        st.overwrite_table(
+            spark.createDataFrame([(1, 1.0)], "id int, v double"), t
+        )
+    n = st.read_snapshot(spark, t).count()
+    assert n == 21  # nothing was removed
+    # unset: deletes work again
+    st.unset_table_properties(t, ["appendOnly"])
+    st.delete_where(spark, t, [("id", "=", 100)])
+    assert st.read_snapshot(spark, t).count() == 20
+    assert st.table_properties(t) == {"owner": "etl"}
+    with pytest.raises(ValueError, match="no such table properties"):
+        st.unset_table_properties(t, ["nope"], if_exists=False)
+    # vacuum grace default from the property: fresh orphans survive
+    st.set_table_properties(t, {"vacuum.graceSeconds": "3600"})
+    st._write_data(
+        spark.createDataFrame([(999, 9.0)], "id int, v double"), t, []
+    )  # simulated crashed write, seconds old
+    rep = st.vacuum(t)  # no grace arg -> property applies
+    assert rep["deleted_files"] == 0 and rep["skipped_young_files"] > 0
+    rep2 = st.vacuum(t, grace_seconds=0)  # explicit arg overrides
+    assert rep2["deleted_files"] > 0
+
+
 def test_add_drop_constraint_ddl(spark, tmp_path):
     """ALTER TABLE ADD/DROP CONSTRAINT: add validates existing rows
     first (one agg pass; NULL passes, SQL CHECK semantics), records
