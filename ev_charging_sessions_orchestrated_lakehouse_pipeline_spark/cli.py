@@ -316,6 +316,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "set-property":
             if not args.property:
                 p.error("set-property requires --property K=V (repeatable)")
+            bad = [kv for kv in args.property if "=" not in kv]
+            if bad:
+                p.error(f"--property expects K=V, got: {', '.join(bad)}")
             props = dict(kv.split("=", 1) for kv in args.property)
             v = st.set_table_properties(args.table, props)
             print(json.dumps({"version": v, "properties": st.table_properties(args.table)}))

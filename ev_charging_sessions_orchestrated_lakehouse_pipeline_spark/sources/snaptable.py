@@ -216,8 +216,13 @@ def _encode_dv_binary(positions) -> bytes:
     (contiguous row positions, the common bulk-delete pattern) costs
     a few bytes per RUN regardless of row count, vs O(deleted rows)
     of JSON text; scattered singles cost 2-3 bytes each vs ~9. Layout:
-    magic 'DVB1', varint count, then pairs."""
-    ps = sorted(positions)
+    magic 'DVB1', varint count, then pairs. Positions are deduped
+    defensively: a duplicate would make the gap varint negative and
+    the encoder spin forever — this is the durable sidecar format, so
+    it must not trust its caller."""
+    ps = sorted(set(positions))
+    if ps and ps[0] < 0:
+        raise ValueError(f"negative row position {ps[0]} in deletion vector")
     out = bytearray(DV_BINARY_MAGIC)
     _put_varint(out, len(ps))
     prev_end = 0
@@ -959,7 +964,15 @@ def _commit(
     if (
         properties
         and str(properties.get("appendOnly", "")).lower() == "true"
-        and operation in _ROW_REMOVING_OPS
+        and (
+            operation in _ROW_REMOVING_OPS
+            # RESTORE/rollback re-publishes an older file set, which
+            # removes every row appended since — Delta's
+            # delta.appendOnly refuses RESTORE for the same reason
+            # (it commits row-removing RemoveFiles)
+            or operation.startswith("rollback_to_v")
+            or operation.startswith("restore_to_")
+        )
     ):
         raise ValueError(
             f"{table} is appendOnly (table property): operation "
@@ -3295,34 +3308,6 @@ def update_where(
     return _rewrite_matching_files(spark, table, filters, transform)
 
 
-def add_constraint(
-    spark: SparkSession, table: str, name: str, expr: str
-) -> int:
-    """ALTER TABLE ADD CONSTRAINT: validate the CURRENT snapshot
-    against ``expr`` first (existing data must already satisfy it —
-    Delta's behavior), then publish a metadata-only version whose
-    constraint set includes it. Every later commit enforces it."""
-    head = current_version(table)
-    if head is None:
-        raise ValueError(f"{table} does not exist")
-    prev = _read_manifest(table, head)
-    if name in prev.get("constraints", {}):
-        raise ValueError(f"constraint {name!r} already exists on {table}")
-    _validate_constraints(read_snapshot(spark, table), {name: expr})
-    cons = dict(prev.get("constraints", {}), **{name: expr})
-    return _commit(
-        table,
-        f"add_constraint_{name}",
-        prev["files"],
-        prev["partition_cols"],
-        prev["schema"],
-        head,
-        file_stats=prev.get("file_stats", {}),
-        constraints=cons,
-        deletion_vectors=prev.get("deletion_vectors", {}),
-    )
-
-
 def analyze_table(
     spark: SparkSession, table: str, columns: list[str] | None = None
 ) -> int:
@@ -5086,21 +5071,11 @@ def vacuum(
             return 0
 
     victim_bytes = sum(_sz(f) for f in victims)
-    if dry_run:
-        return {
-            "dry_run": True,
-            "expired_versions": len(expirable),
-            "deleted_files": len(victims),
-            "reclaimable_bytes": victim_bytes,
-            "skipped_young_files": skipped_young,
-            "files": victims,
-        }
-    deleted = 0
-    for f in victims:
-        os.unlink(os.path.join(table, f))
-        deleted += 1
     # DV sidecars referenced by NO kept manifest are orphans too
-    # (superseded vectors, crashed commits, expired history)
+    # (superseded vectors, crashed commits, expired history); computed
+    # BEFORE the dry_run branch so reclaimable_bytes reports them —
+    # a merge-on-read-heavy table frees mostly sidecars, and a dry run
+    # that omits them under-reports exactly where it matters
     dv_refs = set()
     for v in versions:
         for val in (
@@ -5108,24 +5083,41 @@ def vacuum(
         ).values():
             if isinstance(val, dict):
                 dv_refs.add(val["$dv"])
+    dv_victims = []
+    if os.path.isdir(_snap_dir(table)):
+        for fn in sorted(os.listdir(_snap_dir(table))):
+            if (
+                fn.startswith("dv-")
+                and fn.endswith((".json", ".dvb"))
+                and fn not in dv_refs
+                and _old_enough(os.path.join(_snap_dir(table), fn))
+            ):
+                dv_victims.append(fn)
+    dv_bytes = 0
+    for fn in dv_victims:
+        try:
+            dv_bytes += os.path.getsize(os.path.join(_snap_dir(table), fn))
+        except OSError:
+            pass
+    if dry_run:
+        return {
+            "dry_run": True,
+            "expired_versions": len(expirable),
+            "deleted_files": len(victims),
+            "reclaimable_bytes": victim_bytes + dv_bytes,
+            "reclaimable_dv_sidecars": len(dv_victims),
+            "skipped_young_files": skipped_young,
+            "files": victims,
+        }
+    deleted = 0
+    for f in victims:
+        os.unlink(os.path.join(table, f))
+        deleted += 1
+    victim_bytes += dv_bytes
     dv_deleted = 0
-    for fn in os.listdir(_snap_dir(table)):
-        if (
-            fn.startswith("dv-")
-            and fn.endswith((".json", ".dvb"))
-            and fn not in dv_refs
-            and _old_enough(os.path.join(_snap_dir(table), fn))
-        ):
-            # sidecar bytes count toward reclaimed space too — a
-            # merge-on-read-heavy table frees mostly sidecars
-            try:
-                victim_bytes += os.path.getsize(
-                    os.path.join(_snap_dir(table), fn)
-                )
-            except OSError:
-                pass
-            os.unlink(os.path.join(_snap_dir(table), fn))
-            dv_deleted += 1
+    for fn in dv_victims:
+        os.unlink(os.path.join(_snap_dir(table), fn))
+        dv_deleted += 1
     # prune now-empty partition dirs so listings stay clean. Attempt
     # the rmdir instead of trusting the walk's `dirs` list: bottom-up,
     # a parent's list still names children rmdir'd moments earlier, so

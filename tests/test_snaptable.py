@@ -5151,3 +5151,104 @@ def test_changes_emits_undelete_on_dv_shrink(spark, tmp_path):
             k = (r.id, r.v)
             net[k] = net.get(k, 0) + (1 if r._change_type == "insert" else -1)
         assert {k: c for k, c in net.items() if c} == final, frm
+
+
+def test_append_only_gates_rollback_and_restore(spark, tmp_path):
+    """appendOnly must also refuse RESTORE/rollback: re-publishing an
+    older file set removes every row appended since, exactly the
+    mutation the property forbids (Delta's delta.appendOnly likewise
+    blocks RESTORE because it commits row-removing RemoveFiles)."""
+    t = str(tmp_path / "ao_restore")
+    st.create_table(
+        spark.createDataFrame([(1, 1.0)], "id int, v double").coalesce(1), t, []
+    )
+    st.append(spark.createDataFrame([(2, 2.0)], "id int, v double"), t)
+    st.set_table_properties(t, {"appendOnly": "true"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        st.rollback(t, 1)
+    with pytest.raises(ValueError, match="appendOnly"):
+        st.restore_to_timestamp(t, st._read_manifest(t, 1)["committed_at"])
+    assert st.read_snapshot(spark, t).count() == 2
+    # unset -> restore works again
+    st.unset_table_properties(t, ["appendOnly"])
+    st.rollback(t, 1)
+    assert st.read_snapshot(spark, t).count() == 1
+
+
+def test_dv_binary_encoder_defensive():
+    """The durable .dvb sidecar encoder must not trust its caller:
+    duplicate positions previously made the gap varint negative and
+    the encoder spin forever; negatives are refused outright."""
+    # duplicates dedup to one logical position set
+    enc = st._encode_dv_binary([5, 5, 2, 9, 2])
+    assert st._decode_dv_binary(enc) == [2, 5, 9]
+    # dense run stays compact and round-trips
+    enc2 = st._encode_dv_binary(list(range(1000)) + [500, 501])
+    assert st._decode_dv_binary(enc2) == list(range(1000))
+    assert len(enc2) < 16
+    with pytest.raises(ValueError, match="negative"):
+        st._encode_dv_binary([3, -1])
+
+
+def test_vacuum_dry_run_counts_dv_sidecar_bytes(spark, tmp_path):
+    """VACUUM DRY RUN's reclaimable_bytes must include orphaned DV
+    sidecar bytes — on a merge-on-read-heavy table most reclaimable
+    space IS sidecars, and the dry run must match what the real run
+    then reclaims."""
+    t = str(tmp_path / "dv_vac")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(3000)], "id int, v double"
+        ).coalesce(1),
+        t,
+        [],
+    )
+    # two DV deletes, each large enough to externalize as a sidecar;
+    # the second supersedes the first's vector -> v2's sidecar is an
+    # orphan once history is truncated
+    st.delete_where(spark, t, [("id", "<", 1200)], use_dv=True)
+    st.delete_where(spark, t, [("id", "<", 2400)], use_dv=True)
+    sidecars = [
+        f for f in os.listdir(st._snap_dir(t)) if f.startswith("dv-")
+    ]
+    assert len(sidecars) >= 2  # both vectors externalized
+    dry = st.vacuum(t, retain_last=1, dry_run=True, grace_seconds=0)
+    assert dry["reclaimable_dv_sidecars"] >= 1
+    real = st.vacuum(t, retain_last=1, grace_seconds=0)
+    assert real["deleted_dv_sidecars"] == dry["reclaimable_dv_sidecars"]
+    assert real["reclaimed_bytes"] == dry["reclaimable_bytes"]
+    # table still reads correctly after the sweep
+    assert st.read_snapshot(spark, t).count() == 600
+
+
+def test_cli_set_property_rejects_malformed(spark, orders, tmp_path, monkeypatch):
+    """`table set-property --property K` (no '=') must exit with an
+    argparse error, not an unhandled ValueError traceback."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli import main
+
+    monkeypatch.setattr(spark.__class__, "stop", lambda self: None)
+    t = _tbl(tmp_path)
+    st.create_table(orders.limit(10).coalesce(1), t, [])
+    with pytest.raises(SystemExit):
+        main(["table", "--table", t, "set-property", "--property", "ownerETL"])
+    # well-formed still works
+    rc = main(
+        ["table", "--table", t, "set-property", "--property", "owner=etl"]
+    )
+    assert rc == 0
+    assert st.table_properties(t)["owner"] == "etl"
+
+
+def test_add_constraint_single_definition():
+    """Exactly one add_constraint must exist in the module — a
+    shadowing duplicate made the improved r12 implementation dead
+    code (ADVICE r12)."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(st))
+    defs = [
+        n for n in ast.walk(tree)
+        if isinstance(n, ast.FunctionDef) and n.name == "add_constraint"
+    ]
+    assert len(defs) == 1
