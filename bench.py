@@ -148,8 +148,28 @@ def main() -> None:
         assert not unknown, f"unknown queries: {unknown}"
         qs = {k: qs[k] for k in wanted}
 
-    # warmup: JVM, codegen, parquet footer caches
-    run_query(spark, get_queries()["pricing_summary"], sf_dir)
+    # UNTIMED PRIMING PASS (round 13): one warmup query was not
+    # enough — r11/r12 driver runs both showed their >2x-floor sets
+    # confined to the alphabetically-FIRST queries (disjoint sets
+    # across runs, a-e prefixes only): the first few timed queries
+    # were still paying JIT/codegen warm-up for execution paths the
+    # single scan+agg warmup never touched. Prime each major engine
+    # path once, untimed: scan+shuffle+agg (pricing_summary), window
+    # exec (topk_orders_per_segment), sort-within-partition + lag
+    # (sessionize), Arrow mapInPandas (multimodal_decode_ppm),
+    # broadcast join + TakeOrderedAndProject (knn_join), and the
+    # snapshot-table commit/manifest path (snapshot_time_travel).
+    all_qs = get_queries()
+    for prime in (
+        "pricing_summary",
+        "topk_orders_per_segment",
+        "sessionize",
+        "multimodal_decode_ppm",
+        "knn_join",
+        "snapshot_time_travel",
+    ):
+        if prime in all_qs:
+            run_query(spark, all_qs[prime], sf_dir)
 
     floors = load_floors()
     timings: dict[str, float] = {}
@@ -173,7 +193,19 @@ def main() -> None:
         timings["shared_cosupply_edges_build"] = round(time.perf_counter() - t0, 4)
         n_runs["shared_cosupply_edges_build"] = 1
 
-    for name in sorted(qs):
+    # Deterministic SHUFFLED execution order (round 13, with the
+    # priming pass above): alphabetical order meant any residual
+    # start-of-run cost (or an external harness tick early in the
+    # window) always landed on the same a-e prefix, which made
+    # round-over-round ">2x floor" sets look like regressions in
+    # specific queries when they were artifacts of run POSITION.
+    # A fixed-seed shuffle keeps runs reproducible while spreading
+    # positional noise across the whole alphabet.
+    import random
+
+    order = sorted(qs)
+    random.Random(13).shuffle(order)
+    for name in order:
         best, runs = timed_min(spark, qs[name], sf_dir, floors.get(name), args.repeat)
         timings[name] = round(best, 4)
         n_runs[name] = runs

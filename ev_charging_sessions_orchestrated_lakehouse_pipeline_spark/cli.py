@@ -115,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             "set-property",
             "unset-property",
             "properties",
+            "sql",
         ],
     )
     pt.add_argument(
@@ -137,7 +138,20 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="register-view: statement to run against the registered "
         "view (the ad-hoc SQL-on-snapshot endpoint); prints one JSON "
-        "object with the view name and a 'rows' array",
+        "object with the view name and a 'rows' array. "
+        "sql: the management/query statement to execute (repeatable "
+        "via --statement)",
+    )
+    pt.add_argument(
+        "--statement",
+        action="append",
+        default=None,
+        metavar="SQL",
+        help="sql: statement to execute (repeatable, run in order); "
+        "--table is the WAREHOUSE ROOT bare table names resolve "
+        "against — every snapshot table under it is pre-registered "
+        "as a view, so statements can query by name. Quoted/"
+        "backquoted paths inside statements bypass the root.",
     )
     pt.add_argument(
         "--sink", default=None,
@@ -447,6 +461,28 @@ def main(argv: list[str] | None = None) -> int:
                     p.error("add-constraint requires --name and --expr")
                 v = st.add_constraint(spark, args.table, args.name, args.expr)
                 print(json.dumps({"version": v}))
+                return 0
+            elif args.action == "sql":
+                stmts = list(args.statement or [])
+                if args.sql:
+                    stmts.append(args.sql)
+                if not stmts:
+                    p.error("sql requires --statement (or --sql)")
+                from .sources import ddl as snapddl
+
+                snapddl.register_all_tables(spark, args.table)
+                outs = []
+                for stmt in stmts:
+                    rows = snapddl.execute_sql(
+                        spark, stmt, warehouse=args.table
+                    ).collect()
+                    outs.append(
+                        {
+                            "statement": stmt,
+                            "rows": [r.asDict(recursive=True) for r in rows],
+                        }
+                    )
+                print(json.dumps(outs, default=str))
                 return 0
             elif args.action == "register-view":
                 if not args.name:

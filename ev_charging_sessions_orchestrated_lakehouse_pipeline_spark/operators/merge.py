@@ -3128,3 +3128,154 @@ SELECT '_contract', 1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE)
 ORDER BY facilityType
 """
+
+
+def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table management driven ENTIRELY through SQL *text*
+    (sources/ddl.execute_sql) — the reference's SQL-first table
+    surface (jobs/ev_sessions_gold_etl.py:127-150: CREATE/ALTER ...
+    TBLPROPERTIES against the Glue catalog). The lifecycle:
+    properties and a CHECK constraint via ALTER TABLE, an append the
+    constraint admits, RESTORE TO VERSION (dropping a bad batch),
+    a second append, RENAME COLUMN (metadata-only), OPTIMIZE,
+    ANALYZE, VACUUM — every step a text statement resolved against a
+    warehouse root by bare table name (ddl.register_all_tables, the
+    Glue-durability bootstrap). The final rollup replays the whole
+    chain against the oracle: which rows each statement left visible,
+    under which column name; contract columns pin the analyze row
+    count and the exact history operation sequence, so a silently
+    misrouted statement hash-mismatches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import ddl as snapddl
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_ddl_sql_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    t = os.path.join(wh, "facts")
+
+    def run(stmt: str):
+        return snapddl.execute_sql(spark, stmt, warehouse=wh)
+
+    try:
+        base = orders.filter(F.col("o_orderkey") % 7 == 0)
+        st.create_table(base, t, [])  # v1
+        run("ALTER TABLE facts SET TBLPROPERTIES ('owner'='sql')")  # v2
+        run(
+            "ALTER TABLE facts ADD CONSTRAINT price_nonneg "
+            "CHECK (o_totalprice >= 0)"
+        )  # v3
+        # bad batch lands (passes the constraint but is wrong data)...
+        bad = base.select(
+            (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
+            F.lit("X").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+        st.append(bad.filter(F.col("o_orderkey") % 3 == 0), t)  # v4
+        # ...and is rolled back through SQL text
+        run("RESTORE TABLE facts TO VERSION AS OF 3")  # v5
+        # a negative-price batch must be REFUSED by the SQL-added
+        # constraint (nothing published)
+        neg = spark.createDataFrame(
+            [(9000001, "X", -5.0)],
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        )
+        try:
+            st.append(neg, t)
+            constraint_enforced = False
+        except st.ConstraintViolation:
+            constraint_enforced = True
+        good = base.select(
+            (F.col("o_orderkey") + 6000000).alias("o_orderkey"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+        )
+        st.append(good.filter(F.col("o_orderkey") % 2 == 0), t)  # v6
+        # rename refuses while a CHECK constraint references the
+        # column (correctly — the expression would silently break),
+        # so the lifecycle drops it through SQL first
+        try:
+            run("ALTER TABLE facts RENAME COLUMN o_totalprice TO price")
+            rename_guard_ok = False
+        except ValueError:
+            rename_guard_ok = True
+        run("ALTER TABLE facts DROP CONSTRAINT price_nonneg")  # v7
+        run("ALTER TABLE facts RENAME COLUMN o_totalprice TO price")  # v8
+        run("OPTIMIZE facts")  # v9
+        run("ANALYZE TABLE facts COMPUTE STATISTICS FOR COLUMNS price")  # v10
+        run("VACUUM facts RETAIN 0 HOURS")
+        ops = [r.operation for r in run("DESCRIBE HISTORY facts").collect()]
+        ops_expected = [
+            "create",
+            "set_properties",
+            "add_constraint",
+            "append",
+            "rollback_to_v3",
+            "append",
+            "drop_constraint",
+            "rename_column",
+            "optimize",
+            "analyze",
+        ]
+        stats = st._read_manifest(t, st.current_version(t))["table_stats"]
+        detail = run("DESCRIBE DETAIL facts").collect()[0]
+        view = st.register_snapshot_view(spark, t, "ddl_sql_facts")
+        rows = spark.sql(
+            f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {dsum_spark_sql('price')} AS sum_price
+            FROM {view} GROUP BY o_orderstatus
+            """
+        ).collect()
+        total = sum(r.n for r in rows)
+        contract_ok = bool(
+            constraint_enforced
+            and rename_guard_ok
+            and ops == ops_expected
+            and stats["rows"] == total
+            and detail.properties == '{"owner": "sql"}'
+            and detail.constraints == "{}"
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView("ddl_sql_facts")
+        except Exception:
+            pass
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, r.n, float(r.sum_price), contract_ok)
+            for r in rows
+        ],
+        "o_orderstatus string, n bigint, sum_price double, contract_ok boolean",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_ddl_sql"] = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+), final_state AS (
+  SELECT o_orderstatus, o_totalprice AS price FROM base
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice * 2.0
+  FROM base WHERE (o_orderkey + 6000000) % 2 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('price')} AS sum_price,
+       TRUE AS contract_ok
+FROM final_state
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -1,0 +1,389 @@
+"""SQL-*text* management surface for snapshot tables.
+
+The reference manages its lakehouse tables entirely through
+``spark.sql`` DDL text (``CREATE TABLE ... USING iceberg ...
+TBLPROPERTIES``, ALTER/OPTIMIZE statements —
+jobs/ev_sessions_gold_etl.py:127-150), and its analysts reach the
+catalog by NAME, durably, through Glue (README.md:41).  The snapshot
+format's management operations have been Python-API/CLI only:
+:func:`execute_sql` closes that gap by routing the standard
+lakehouse-DDL statement shapes to the existing, tested snapshot
+functions, and :func:`register_all_tables` gives a fresh session
+Glue-like one-call durable catalog bootstrap — every snapshot table
+under a warehouse root becomes addressable from ``spark.sql`` by its
+directory name.
+
+Design notes (and why this is NOT a SQL parser):
+
+* The grammar below is the fixed, documented statement vocabulary of
+  the lakehouse-management surface (Delta/Iceberg's ALTER TABLE /
+  OPTIMIZE / VACUUM / RESTORE / DESCRIBE shapes).  Each statement is
+  matched by an anchored regex and dispatched to the single
+  authoritative implementation in :mod:`snaptable` — there is exactly
+  one code path per operation, so SQL text and the Python API can
+  never diverge semantically.
+* Anything that is NOT a management statement falls through to
+  ``spark.sql`` untouched, so one entry point serves both queries
+  (over views from :func:`register_all_tables` /
+  ``register_snapshot_view``) and management.
+* Every statement returns a DataFrame (possibly a one-row status
+  frame), matching ``spark.sql``'s contract so callers can treat the
+  endpoint uniformly.
+
+Scale: every routed operation is metadata-bounded on the driver
+(manifest reads + one commit); the heavy ones (OPTIMIZE's rewrite,
+ANALYZE's scan) run as normal distributed Spark jobs inside the
+routed function.  Nothing here touches data on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import snaptable as st
+
+__all__ = ["execute_sql", "register_all_tables", "resolve_table"]
+
+#: table identifier inside a statement: `backquoted path`, 'quoted
+#: path', "quoted path", or a bare [dotted] identifier resolved
+#: against the warehouse root
+_IDENT = r"(`[^`]+`|'[^']+'|\"[^\"]+\"|[A-Za-z_][\w.]*)"
+
+
+def resolve_table(ident: str, warehouse: str | None = None) -> str:
+    """Resolve a statement's table identifier to a snapshot-table
+    path.  Quoted/backquoted identifiers and anything containing a
+    path separator are taken as paths verbatim (the ``delta.`/path/``
+    idiom without the scheme prefix); a bare name needs ``warehouse``
+    and resolves to ``<warehouse>/<name>`` — the Glue-database model
+    where a database IS a storage prefix."""
+    t = ident.strip()
+    if t[:1] in "`'\"" and t[-1:] == t[:1]:
+        return t[1:-1]
+    if os.sep in t:
+        return t
+    if warehouse is None:
+        raise ValueError(
+            f"bare table name {t!r} needs a warehouse root to resolve "
+            "against (pass warehouse=, or quote a full path)"
+        )
+    return os.path.join(warehouse, t)
+
+
+def _row_df(spark: SparkSession, d: dict) -> DataFrame:
+    """One-row status DataFrame with stable lexicographic column
+    order and JSON-encoded nested values (statement results must be
+    schema-stable across runs)."""
+    cols = sorted(d)
+    vals = tuple(
+        json.dumps(d[c], default=str) if isinstance(d[c], (dict, list)) else d[c]
+        for c in cols
+    )
+    return spark.createDataFrame([vals], cols)
+
+
+def _parse_tblproperties(body: str) -> dict[str, str]:
+    """``'k'='v', k2=v2`` — quoted or bare keys/values."""
+    props: dict[str, str] = {}
+    for part in _split_top_level(body):
+        if "=" not in part:
+            raise ValueError(f"TBLPROPERTIES expects k=v pairs, got {part!r}")
+        k, v = part.split("=", 1)
+        props[_unquote(k)] = _unquote(v)
+    return props
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas not inside quotes (property values may carry
+    commas)."""
+    out, cur, q = [], [], None
+    for ch in body:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == ",":
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if s[:1] in "'\"`" and s[-1:] == s[:1]:
+        return s[1:-1]
+    return s
+
+
+def _cols_list(body: str) -> list[str]:
+    return [_unquote(c) for c in body.split(",") if c.strip()]
+
+
+# ---------------------------------------------------------------------------
+# statement grammar — anchored, case-insensitive, whitespace-tolerant
+# ---------------------------------------------------------------------------
+
+_F = re.IGNORECASE | re.DOTALL
+
+
+def _m(pattern: str, sql: str):
+    return re.fullmatch(pattern, sql.strip().rstrip(";").strip(), _F)
+
+
+def execute_sql(
+    spark: SparkSession, statement: str, warehouse: str | None = None
+) -> DataFrame:
+    """Run one SQL statement against the lakehouse: management DDL
+    (the Delta/Iceberg ALTER TABLE / OPTIMIZE / VACUUM / RESTORE /
+    ANALYZE / DESCRIBE vocabulary, routed to :mod:`snaptable`) or —
+    fallthrough — any ordinary Spark SQL over the session catalog.
+    Always returns a DataFrame.  The statement shapes mirror the
+    reference's SQL-first table management
+    (jobs/ev_sessions_gold_etl.py:127-150):
+
+    * ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``
+    * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name``
+    * ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)``
+    * ``ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)``
+    * ``ALTER TABLE t RENAME COLUMN old TO new``
+    * ``ALTER TABLE t DROP COLUMN c``
+    * ``ALTER TABLE t ALTER COLUMN c TYPE newtype`` (type widening)
+    * ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+    * ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
+    * ``RESTORE TABLE t TO VERSION AS OF n``
+    * ``RESTORE TABLE t TO TIMESTAMP AS OF <unix-seconds or 'ts'>``
+    * ``ANALYZE TABLE t COMPUTE STATISTICS FOR {ALL COLUMNS|COLUMNS c1, ...}``
+    * ``DESCRIBE HISTORY t``
+    * ``DESCRIBE DETAIL t``
+
+    ``t`` is a backquoted/quoted path or a bare name resolved against
+    ``warehouse`` (see :func:`resolve_table`)."""
+
+    def tbl(ident: str) -> str:
+        return resolve_table(ident, warehouse)
+
+    s = statement
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)",
+        s,
+    )
+    if m:
+        v = st.add_constraint(spark, tbl(m.group(1)), m.group(2), m.group(3).strip())
+        return _row_df(spark, {"operation": "add_constraint", "version": v})
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)",
+        s,
+    )
+    if m:
+        v = st.drop_constraint(tbl(m.group(1)), m.group(3), if_exists=bool(m.group(2)))
+        return _row_df(spark, {"operation": "drop_constraint", "version": v})
+
+    m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+SET\s+TBLPROPERTIES\s*\((.+)\)", s)
+    if m:
+        t = tbl(m.group(1))
+        v = st.set_table_properties(t, _parse_tblproperties(m.group(2)))
+        return _row_df(
+            spark,
+            {
+                "operation": "set_properties",
+                "version": v,
+                "properties": st.table_properties(t),
+            },
+        )
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+UNSET\s+TBLPROPERTIES\s*"
+        rf"(IF\s+EXISTS\s+)?\((.+)\)",
+        s,
+    )
+    if m:
+        t = tbl(m.group(1))
+        v = st.unset_table_properties(
+            t, _cols_list(m.group(3)), if_exists=bool(m.group(2))
+        )
+        return _row_df(
+            spark,
+            {
+                "operation": "unset_properties",
+                "version": v,
+                "properties": st.table_properties(t),
+            },
+        )
+
+    m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", s)
+    if m:
+        v = st.rename_column(tbl(m.group(1)), m.group(2), m.group(3))
+        return _row_df(spark, {"operation": "rename_column", "version": v})
+
+    m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+COLUMN\s+(\w+)", s)
+    if m:
+        v = st.drop_column(tbl(m.group(1)), m.group(2))
+        return _row_df(spark, {"operation": "drop_column", "version": v})
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w(),\s]+)",
+        s,
+    )
+    if m:
+        v = st.widen_column(tbl(m.group(1)), m.group(2), m.group(3).strip().lower())
+        return _row_df(spark, {"operation": "widen_column", "version": v})
+
+    m = _m(rf"OPTIMIZE\s+{_IDENT}(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?", s)
+    if m:
+        zcols = _cols_list(m.group(2)) if m.group(2) else None
+        v = st.optimize(
+            spark, tbl(m.group(1)), cluster_by=zcols, zorder=bool(zcols)
+        )
+        return _row_df(spark, {"operation": "optimize", "version": v})
+
+    m = _m(
+        rf"VACUUM\s+{_IDENT}"
+        rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?",
+        s,
+    )
+    if m:
+        grace = float(m.group(2)) * 3600.0 if m.group(2) else None
+        rep = st.vacuum(
+            tbl(m.group(1)), dry_run=bool(m.group(3)), grace_seconds=grace
+        )
+        return _row_df(spark, {"operation": "vacuum", **rep})
+
+    m = _m(rf"RESTORE\s+TABLE\s+{_IDENT}\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)", s)
+    if m:
+        v = st.rollback(tbl(m.group(1)), int(m.group(2)))
+        return _row_df(spark, {"operation": "restore", "version": v})
+
+    m = _m(
+        rf"RESTORE\s+TABLE\s+{_IDENT}\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"
+        rf"('[^']+'|\d+(?:\.\d+)?)",
+        s,
+    )
+    if m:
+        raw = m.group(2)
+        ts: object
+        if raw.startswith("'"):
+            import datetime
+
+            ts = datetime.datetime.fromisoformat(_unquote(raw))
+        else:
+            ts = float(raw)
+        v = st.restore_to_timestamp(tbl(m.group(1)), ts)
+        return _row_df(spark, {"operation": "restore", "version": v})
+
+    m = _m(
+        rf"ANALYZE\s+TABLE\s+{_IDENT}\s+COMPUTE\s+STATISTICS\s+FOR\s+"
+        rf"(ALL\s+COLUMNS|COLUMNS\s+.+)",
+        s,
+    )
+    if m:
+        spec = m.group(2)
+        cols = (
+            None
+            if re.fullmatch(r"ALL\s+COLUMNS", spec, _F)
+            else _cols_list(re.sub(r"^COLUMNS\s+", "", spec, flags=_F))
+        )
+        v = st.analyze_table(spark, tbl(m.group(1)), columns=cols)
+        return _row_df(spark, {"operation": "analyze", "version": v})
+
+    m = _m(rf"DESCRIBE\s+HISTORY\s+{_IDENT}", s)
+    if m:
+        hist = st.history(tbl(m.group(1)))
+        return spark.createDataFrame(
+            [
+                (
+                    h["version"],
+                    h["parent"],
+                    h["operation"],
+                    float(h["committed_at"]),
+                    h["n_files"],
+                    h["n_partitions"],
+                    json.dumps(h.get("metrics"), sort_keys=True)
+                    if h.get("metrics")
+                    else None,
+                )
+                for h in hist
+            ],
+            "version int, parent int, operation string, committed_at double, "
+            "n_files int, n_partitions int, metrics string",
+        )
+
+    m = _m(rf"DESCRIBE\s+DETAIL\s+{_IDENT}", s)
+    if m:
+        t = tbl(m.group(1))
+        head = st.current_version(t)
+        if head is None:
+            raise ValueError(f"{t} does not exist")
+        man = st._read_manifest(t, head)
+        return _row_df(
+            spark,
+            {
+                "location": t,
+                "version": head,
+                "n_files": len(man["files"]),
+                "partition_cols": man["partition_cols"],
+                "properties": man.get("properties") or {},
+                "constraints": man.get("constraints") or {},
+                "reader_features": sorted(man.get("reader_features") or []),
+                "writer_features": sorted(man.get("writer_features") or []),
+            },
+        )
+
+    # not a management statement: ordinary Spark SQL over the session
+    # catalog (snapshot views registered via register_all_tables /
+    # register_snapshot_view, temp views, built-in functions, ...)
+    return spark.sql(statement)
+
+
+def _is_snapshot_table(path: str) -> bool:
+    d = os.path.join(path, st.SNAPSHOT_DIR)
+    if not os.path.isdir(d):
+        return False
+    return any(re.fullmatch(r"v\d{8}\.json", f) for f in os.listdir(d))
+
+
+def register_all_tables(
+    spark: SparkSession,
+    warehouse_root: str,
+    global_views: bool = False,
+    prefix: str = "",
+) -> dict[str, str]:
+    """Glue-catalog-style session bootstrap: scan ``warehouse_root``
+    for snapshot tables (any direct subdirectory holding a manifest
+    log) and register each at its HEAD as a SQL view named after its
+    directory — one call and a FRESH session reaches every table by
+    name from ``spark.sql``, the durability the reference gets from
+    the Glue catalog (README.md:41; Terraform-provisioned database).
+
+    Returns ``{table_name: registered_view_name}``.  Metadata-only:
+    one manifest read per table, no data touched.  ``global_views``
+    registers ``global_temp`` views (visible to every session of the
+    same Spark application — the closest in-process analogue of a
+    shared catalog); ``prefix`` namespaces the view names
+    (``prefix="gold_"`` → ``gold_ev_sessions``).  Views pin the head
+    AT REGISTRATION (snapshot isolation); call again to advance, like
+    re-running a query in Delta."""
+    if not os.path.isdir(warehouse_root):
+        raise ValueError(f"warehouse root {warehouse_root!r} does not exist")
+    out: dict[str, str] = {}
+    for entry in sorted(os.listdir(warehouse_root)):
+        path = os.path.join(warehouse_root, entry)
+        if not _is_snapshot_table(path):
+            continue
+        name = prefix + re.sub(r"\W", "_", entry)
+        out[entry] = st.register_snapshot_view(
+            spark, path, name, global_view=global_views
+        )
+    return out
