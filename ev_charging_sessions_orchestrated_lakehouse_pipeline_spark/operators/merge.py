@@ -106,6 +106,110 @@ def compact_changelog(
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Rebuild SCD Type-2 history for the keys a change batch touches
+    — the pure-DataFrame core shared by the batch path and the
+    streaming APPLY CHANGES ... STORED AS SCD TYPE 2 surface
+    (streaming/ingest.cdc_scd2_stream), so the two can never diverge.
+
+    ``history``: the CURRENT SCD2 rows for (at least) the affected
+    keys — columns ``keys + attrs + valid_from + valid_to +
+    is_current`` — possibly empty. ``changes``: the new change rows —
+    ``keys + attrs + ts_col`` plus optional ``tiebreak`` (within-batch
+    ordering for same-timestamp changes) and ``delete_col`` (true =
+    the key is deleted at ``ts_col``).
+
+    The rebuild treats every existing history row as a CHANGE POINT
+    (its ``valid_from`` + payload), derives TOMBSTONE points for
+    interval ends no successor row explains (a prior delete — a mid-
+    history gap or an open-ended last close), unions the new change
+    points, and re-derives runs: consecutive equal payloads collapse
+    (null-safe struct compare), ``valid_to`` = next point's timestamp,
+    tombstone points close intervals without opening one. Because
+    existing rows re-emerge with the SAME ``(keys, valid_from)``
+    identity, the output diffs against the input with a plain join —
+    late-arriving changes (older than the current row) splice into
+    the middle of history correctly instead of being dropped.
+
+    At equal timestamps, history points order BEFORE new change
+    points (nulls-first tiebreak), so a re-delivered change at an
+    existing boundary overrides rather than duplicates.
+
+    Scale: two same-sorted windows over ``keys`` — Catalyst plans ONE
+    Exchange+Sort (the :func:`scd2` property, pinned in
+    tests/test_merge.py); cost is proportional to the affected keys'
+    history + the batch, never the full table."""
+    TOMB = "__scd2_tombstone"
+    TB = "__scd2_tb"
+    tb_type = changes.schema[tiebreak].dataType if tiebreak else None
+
+    def _tb_null():
+        return (
+            F.lit(None).cast(tb_type) if tb_type else F.lit(None).cast("int")
+        ).alias(TB)
+
+    attr_types = {f.name: f.dataType for f in history.schema.fields}
+    hist_pts = history.select(
+        *keys,
+        *attrs,
+        F.col("valid_from").alias(ts_col),
+        _tb_null(),
+        F.lit(False).alias(TOMB),
+    )
+    # a closed interval whose end no same-key row STARTS at = a
+    # delete happened there (gap or tail close)
+    ends = history.filter(F.col("valid_to").isNotNull()).select(
+        *keys, "valid_to"
+    )
+    starts = history.select(*keys, F.col("valid_from").alias("valid_to"))
+    tomb_pts = ends.join(starts, [*keys, "valid_to"], "left_anti").select(
+        *keys,
+        *[F.lit(None).cast(attr_types[a]).alias(a) for a in attrs],
+        F.col("valid_to").alias(ts_col),
+        _tb_null(),
+        F.lit(True).alias(TOMB),
+    )
+    is_del = F.col(delete_col) if delete_col else F.lit(False)
+    ch_pts = changes.select(
+        *keys,
+        # null the payload on delete rows so a delete followed by a
+        # re-insert of the same values still registers as two runs
+        *[F.when(~is_del, F.col(a)).alias(a) for a in attrs],
+        F.col(ts_col),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast(
+            tb_type if tb_type else "int"
+        ).alias(TB),
+        is_del.alias(TOMB),
+    )
+    pts = hist_pts.unionByName(tomb_pts).unionByName(ch_pts)
+    w = W.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), F.col(TB).asc_nulls_first()
+    )
+    payload = F.struct(*[F.col(a) for a in attrs], F.col(TOMB))
+    collapsed = pts.withColumn("_prev", F.lag(payload).over(w)).filter(
+        ~payload.eqNullSafe(F.col("_prev"))
+    )
+    return (
+        collapsed.withColumn("valid_to", F.lead(ts_col).over(w))
+        .filter(~F.col(TOMB))
+        .select(
+            *keys,
+            *attrs,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
 def scd2(
     changes: DataFrame,
     key: str,

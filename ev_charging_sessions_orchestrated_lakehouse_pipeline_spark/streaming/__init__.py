@@ -15,6 +15,7 @@ from .cdf_source import (
 )
 from .ingest import (
     cdc_merge_stream,
+    cdc_scd2_stream,
     corpus_prep_stream,
     dedup_stream,
     gold_stream,
@@ -35,6 +36,7 @@ from .stateful import (
 
 __all__ = [
     "cdc_merge_stream",
+    "cdc_scd2_stream",
     "SnapshotStreamDataSource",
     "read_snapshot_stream",
     "register_snapshot_stream",

@@ -420,6 +420,109 @@ def cdc_merge_stream(
     return w.start()
 
 
+def cdc_scd2_stream(
+    spark: SparkSession,
+    source_stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str] | None = None,
+    tiebreak: str | None = None,
+    delete_col: str | None = None,
+    app_id: str = "cdc_scd2_stream",
+    fault_injector=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming APPLY CHANGES INTO ... STORED AS SCD TYPE 2 (the DLT
+    surface): the target snapshot table keeps the FULL history — one
+    row per (key, run of equal attributes) with ``valid_from`` /
+    ``valid_to`` / ``is_current`` — and each epoch splices its change
+    batch in via the shared rebuild core
+    (:func:`..operators.merge.scd2_apply`, also the batch path — the
+    equivalence is asserted in tests). Per epoch, bounded to the
+    batch's keys:
+
+    1. the affected keys' existing history rows are read (semi join —
+       never the full table into the driver),
+    2. the rebuild re-derives those keys' intervals from existing
+       change points + the batch (so LATE data splices into the
+       middle of history, deletes close intervals via tombstones,
+       re-inserts open new ones),
+    3. the diff lands as ONE merge commit on ``(keys, valid_from)``:
+       rebuilt rows upsert, rows the rebuild no longer contains (a
+       late change collapsed a run) delete — atomic with
+       ``txn = (app_id, epoch_id)``, so crash replay is exactly-once
+       (the same Delta idempotent-writer protocol as
+       :func:`cdc_merge_stream`).
+
+    ``attrs`` defaults to every stream column that is not a key /
+    timestamp / tiebreak / delete flag. The target table must exist
+    with columns ``keys + attrs + valid_from + valid_to + is_current``
+    (create it empty first — partitioning is a design decision the
+    stream cannot infer; same contract as :func:`cdc_merge_stream`).
+
+    Scale: each epoch pays one semi-joined history read + two
+    same-sorted windows over the affected keys + one merge; state
+    lives in the TABLE, not stream state — no unbounded
+    applyInPandasWithState store."""
+    from ..operators.merge import scd2_apply
+    from ..sources import snaptable
+
+    if snaptable.current_version(table) is None:
+        raise ValueError(
+            f"{table} does not exist; create it first "
+            "(snaptable.create_table with columns keys + attrs + "
+            "valid_from + valid_to + is_current) — cdc_scd2_stream "
+            "cannot infer the target's partitioning"
+        )
+    if attrs is None:
+        skip = set(keys) | {ts_col} | {c for c in (tiebreak, delete_col) if c}
+        attrs = [c for c in source_stream.columns if c not in skip]
+
+    DEL = "__scd2_delete"
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = snaptable.txn_epoch(table, app_id)
+        if done is not None and epoch_id <= done:
+            return  # replay of an already-committed epoch
+        if batch_df.isEmpty():
+            return
+        affected = batch_df.select(*keys).distinct()
+        existing = snaptable.read_snapshot(spark, table).join(
+            affected, keys, "left_semi"
+        )
+        rebuilt = scd2_apply(
+            existing, batch_df, keys, attrs, ts_col, tiebreak, delete_col
+        )
+        out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+        gone = existing.select(*out_cols).join(
+            rebuilt.select(*keys, "valid_from"),
+            [*keys, "valid_from"],
+            "left_anti",
+        )
+        src = rebuilt.select(*out_cols).withColumn(
+            DEL, F.lit(False)
+        ).unionByName(gone.withColumn(DEL, F.lit(True)))
+        snaptable.merge_into(
+            spark,
+            table,
+            src,
+            [*keys, "valid_from"],
+            delete_col=DEL,
+            txn=(app_id, int(epoch_id)),
+        )
+        if fault_injector is not None:
+            fault_injector(epoch_id)
+
+    w = source_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def corpus_prep_stream(
     spark: SparkSession,
     input_dir: str,

@@ -2401,3 +2401,199 @@ def test_snapshot_stream_cdf_undelete_and_schema_gate(spark, tmp_path):
     ).schema
     with pytest.raises(ValueError, match="_change_type"):
         SnapshotStreamReader(schema, {"path": t, "readChangeFeed": "true"})
+
+
+def _scd2_write_cdc_files(spark, tmp_path, batches, schema, dirname="scd2_in"):
+    """mtime-ordered single-file CDC batches for a file-source stream."""
+    import os as _os
+    import time as _time
+
+    src = tmp_path / dirname
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"{dirname}_stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        dst = src / f"b{i}.parquet"
+        part.rename(dst)
+        _os.utime(dst, (now + 100 * i, now + 100 * i))
+    return src
+
+
+def _scd2_target(spark, tmp_path, name="scd2_tgt"):
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+
+    table = str(tmp_path / name)
+    st.create_table(
+        spark.createDataFrame(
+            [],
+            "k int, v string, valid_from int, valid_to int, is_current boolean",
+        ).coalesce(1),
+        table,
+        [],
+    )
+    return table
+
+
+def test_cdc_scd2_stream_matches_batch_twin(spark, tmp_path):
+    """APPLY CHANGES ... STORED AS SCD TYPE 2: the same change feed,
+    split across three epochs, must land BIT-EQUAL to the batch
+    scd2() twin run once over the whole feed — including run
+    collapse (consecutive equal attrs) and same-ts tiebreaks."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.merge import (
+        scd2,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        cdc_scd2_stream,
+    )
+
+    schema = "k int, v string, ts int, seq int"
+    batches = [
+        [(1, "a", 10, 0), (2, "x", 10, 1)],
+        [(1, "b", 20, 0), (1, "b", 25, 1), (2, "x", 30, 0)],  # repeat collapses
+        [(1, "c", 40, 0), (2, "y", 40, 1), (3, "m", 5, 0)],
+    ]
+    src = _scd2_write_cdc_files(spark, tmp_path, batches, schema)
+    table = _scd2_target(spark, tmp_path)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src))
+        )
+
+    q = cdc_scd2_stream(
+        spark, stream(), table, str(tmp_path / "ck"), ["k"], "ts",
+        tiebreak="seq",
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in st.read_snapshot(spark, table).collect()
+    )
+    all_changes = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2(all_changes, "k", "v", "ts", "seq").collect()
+    )
+    assert got == want
+    # spot-pin the collapse + interval chain for key 1
+    assert [(v, f, t) for k, v, f, t, _ in got if k == 1] == [
+        ("a", 10, 20), ("b", 20, 40), ("c", 40, None)
+    ]
+
+
+def test_cdc_scd2_stream_delete_reinsert_and_late_data(spark, tmp_path):
+    """Deletes close intervals (tombstones survive epoch boundaries:
+    a re-insert in a LATER epoch opens a fresh interval, never
+    resurrects the closed one), and a late-arriving middle change
+    splices into history — the previous row's valid_to moves."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        cdc_scd2_stream,
+    )
+
+    schema = "k int, v string, ts int, seq int, is_delete boolean"
+    batches = [
+        [(1, "a", 10, 0, False), (2, "p", 10, 0, False)],
+        [(1, None, 20, 0, True)],                      # delete k=1 at 20
+        [(1, "a", 30, 0, False)],                      # re-insert same value
+        [(2, "q", 15, 0, False)],                      # LATE: splices mid-history
+    ]
+    src = _scd2_write_cdc_files(spark, tmp_path, batches, schema)
+    table = _scd2_target(spark, tmp_path)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src))
+        )
+
+    q = cdc_scd2_stream(
+        spark, stream(), table, str(tmp_path / "ck"), ["k"], "ts",
+        attrs=["v"], tiebreak="seq", delete_col="is_delete",
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in st.read_snapshot(spark, table).collect()
+    )
+    assert got == [
+        (1, "a", 10, 20, False),   # closed by the delete
+        (1, "a", 30, None, True),  # re-insert = NEW interval (no resurrect)
+        (2, "p", 10, 15, False),   # late change moved this valid_to
+        (2, "q", 15, None, True),
+    ]
+
+
+def test_cdc_scd2_stream_exactly_once_with_crash(spark, tmp_path):
+    """Crash AFTER epoch 1's merge commit but BEFORE its checkpoint:
+    the restart must skip the committed epoch (txn replay guard) and
+    land exactly the sequential-apply history."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        snaptable as st,
+    )
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        cdc_scd2_stream,
+    )
+
+    schema = "k int, v string, ts int, seq int"
+    batches = [
+        [(1, "a", 10, 0)],
+        [(1, "b", 20, 0)],
+        [(1, "c", 30, 0)],
+    ]
+    src = _scd2_write_cdc_files(spark, tmp_path, batches, schema)
+    table = _scd2_target(spark, tmp_path)
+    ckpt = str(tmp_path / "ck")
+    seen = []
+
+    def crash_second(epoch_id):
+        seen.append(epoch_id)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash: merge committed, epoch not")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src))
+        )
+
+    q = cdc_scd2_stream(
+        spark, stream(), table, ckpt, ["k"], "ts", tiebreak="seq",
+        fault_injector=crash_second,
+    )
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    q2 = cdc_scd2_stream(spark, stream(), table, ckpt, ["k"], "ts", tiebreak="seq")
+    q2.awaitTermination(180)
+    got = sorted(
+        (r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in st.read_snapshot(spark, table).collect()
+    )
+    assert got == [
+        ("a", 10, 20, False), ("b", 20, 30, False), ("c", 30, None, True)
+    ]
+    # create + 3 merges, no double-applied epoch
+    assert st.current_version(table) == 4
+    assert st.txn_epoch(table, "cdc_scd2_stream") == 2
