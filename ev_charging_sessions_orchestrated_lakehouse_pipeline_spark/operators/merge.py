@@ -1884,6 +1884,32 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats | {"check-constraints"}
     )
 
+    # DROP FEATURE (protocol downgrade, r13): refused while a live
+    # file carries a DV; after OPTIMIZE purges the DVs (and rewrites
+    # the widened column's files wide) BOTH flags drop; a later DV
+    # delete re-accrues deletion-vectors content-driven
+    try:
+        st.drop_feature(table, "deletion-vectors")
+        drop_refused_while_live = False
+    except ValueError:
+        drop_refused_while_live = True
+    st.optimize(spark, table, files_per_partition=2)
+    st.drop_feature(table, "deletion-vectors")
+    st.drop_feature(table, "type-widening")
+    after_drop = st._read_manifest(table, st.current_version(table))
+    dropped_ok = set(after_drop.get("reader_features") or []) == {
+        "column-mapping"
+    }
+    st.delete_where(spark, table, [("o_totalprice", "<", 5000.0)], use_dv=True)
+    rehead = st._read_manifest(table, st.current_version(table))
+    drop_then_reaccrue_ok = bool(
+        dropped_ok
+        and set(rehead.get("reader_features") or [])
+        == {"column-mapping", "deletion-vectors"}
+        and set(rehead.get("writer_features") or [])
+        == {"column-mapping", "deletion-vectors", "check-constraints"}
+    )
+
     forged = os.path.join(
         tempfile.gettempdir(),
         "evlake_snap_forge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
@@ -1957,6 +1983,8 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
                 future_commit_refused,
                 future_writer_read_ok,
                 future_writer_commit_refused,
+                drop_refused_while_live,
+                drop_then_reaccrue_ok,
             )
             for r in audit
         ],
@@ -1964,7 +1992,8 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "features_exact boolean, writer_features_exact boolean, "
         "future_read_refused boolean, future_commit_refused boolean, "
         "future_writer_read_ok boolean, "
-        "future_writer_commit_refused boolean",
+        "future_writer_commit_refused boolean, "
+        "drop_refused_while_live boolean, drop_then_reaccrue_ok boolean",
     ).orderBy("o_orderstatus")
 
 
@@ -1973,9 +2002,10 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
        {dsum_sql('o_totalprice')} AS sum_totalprice,
        TRUE AS features_exact, TRUE AS writer_features_exact,
        TRUE AS future_read_refused, TRUE AS future_commit_refused,
-       TRUE AS future_writer_read_ok, TRUE AS future_writer_commit_refused
+       TRUE AS future_writer_read_ok, TRUE AS future_writer_commit_refused,
+       TRUE AS drop_refused_while_live, TRUE AS drop_then_reaccrue_ok
 FROM orders
-WHERE NOT (o_totalprice > 400000.0)
+WHERE NOT (o_totalprice > 400000.0) AND NOT (o_totalprice < 5000.0)
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """

@@ -154,6 +154,7 @@ def execute_sql(
 
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``
     * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name``
+    * ``ALTER TABLE t DROP FEATURE feature-name`` (protocol downgrade)
     * ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)``
     * ``ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)``
     * ``ALTER TABLE t RENAME COLUMN old TO new``
@@ -222,6 +223,11 @@ def execute_sql(
                 "properties": st.table_properties(t),
             },
         )
+
+    m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+FEATURE\s+([\w-]+)", s)
+    if m:
+        v = st.drop_feature(tbl(m.group(1)), m.group(2))
+        return _row_df(spark, {"operation": "drop_feature", "version": v})
 
     m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", s)
     if m:

@@ -912,6 +912,7 @@ def _commit(
     generated: dict | None = None,
     extra: dict | None = None,
     _rebase_attempts: int = 3,
+    _drop_features: frozenset | set | None = None,
 ) -> int:
     version = (parent or 0) + 1
     par = _read_manifest(table, parent) if parent is not None else None
@@ -1054,20 +1055,37 @@ def _commit(
     features = set(manifest.get("reader_features") or [])
     if par is not None:
         features |= set(par.get("reader_features") or [])
-    if manifest.get("row_tracking"):
-        features.add("row-tracking")
-    if manifest.get("identity"):
-        features.add("identity-columns")
     if properties and "properties" not in manifest:
         manifest["properties"] = properties
+    # content-driven requirements, tracked SEPARATELY from the sticky
+    # parent union so DROP FEATURE can tell "still needed by this
+    # commit's content" from "merely inherited"
+    content_feats = set()
+    if manifest.get("row_tracking"):
+        content_feats.add("row-tracking")
+    if manifest.get("identity"):
+        content_feats.add("identity-columns")
     if manifest["deletion_vectors"]:
-        features.add("deletion-vectors")
+        content_feats.add("deletion-vectors")
     if manifest.get("column_mapping") or manifest.get("retired_columns"):
-        features.add("column-mapping")
+        content_feats.add("column-mapping")
     if manifest.get("generated"):
-        features.add("generated-columns")
+        content_feats.add("generated-columns")
     if any("(" in c for c in partition_cols):
-        features.add("hidden-partitioning")
+        content_feats.add("hidden-partitioning")
+    features |= content_feats
+    # DROP FEATURE (protocol downgrade): the drop commit subtracts the
+    # flag AFTER the sticky union but never a flag this commit's OWN
+    # content still requires (drop_feature validates up front and
+    # raises a clean error; this is the belt-and-braces backstop)
+    if _drop_features:
+        still = content_feats & set(_drop_features)
+        if still:
+            raise ValueError(
+                f"cannot drop feature(s) {sorted(still)}: the commit's "
+                "content still requires them"
+            )
+        features -= set(_drop_features)
     if features:
         manifest["reader_features"] = sorted(features)
     # writer features accrue sticky like reader features; everything
@@ -1079,6 +1097,16 @@ def _commit(
     wfeatures |= features
     if manifest["constraints"]:
         wfeatures.add("check-constraints")
+    if _drop_features:
+        # reader-backed flags were validated above; the pure writer
+        # flag (check-constraints) validates here via its own
+        # content-driven re-add
+        if "check-constraints" in _drop_features and manifest["constraints"]:
+            raise ValueError(
+                "cannot drop feature(s) ['check-constraints']: the "
+                "commit's content still requires them"
+            )
+        wfeatures -= set(_drop_features)
     if wfeatures:
         manifest["writer_features"] = sorted(wfeatures)
     # operation metrics (Delta's operationMetrics): file-set diff vs
@@ -1914,6 +1942,175 @@ def unset_table_properties(
         constraints=prev.get("constraints", {}),
         deletion_vectors=prev.get("deletion_vectors", {}),
         extra={"properties": props},
+    )
+
+
+#: arrow type rendering per Spark atomic type, for the type-widening
+#: live-file check (only the widenable families matter)
+_ARROW_OF_SPARK = {
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float",
+    "double": "double",
+}
+
+
+def _live_files_need_widening(table: str, man: dict) -> list[str]:
+    """Files whose PHYSICAL parquet type is narrower than the manifest
+    schema — the content that obligates the ``type-widening`` feature.
+    Footer metadata reads only (no data); bounded by the live file
+    count, acceptable for a rare admin operation."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    mapping = man.get("column_mapping") or {}
+    wide_cols = {}
+    for f in schema.fields:
+        # typeName(): "long"/"integer"/..., NOT simpleString()'s SQL
+        # rendering ("bigint"); decimals keep (p,s) via simpleString
+        tn = f.dataType.typeName()
+        if tn == "decimal":
+            wide_cols[mapping.get(f.name, f.name)] = f.dataType.simpleString()
+        elif tn in _ARROW_OF_SPARK:
+            wide_cols[mapping.get(f.name, f.name)] = tn
+    if not wide_cols:
+        return []
+    offenders = []
+    for rel in man["files"]:
+        fsch = pq.read_schema(os.path.join(table, rel))
+        for phys, simple in wide_cols.items():
+            if phys not in fsch.names:
+                continue  # absent column null-fills; no promotion needed
+            got = str(fsch.field(phys).type)
+            want = (
+                _ARROW_OF_SPARK.get(simple)
+                or simple.replace("decimal", "decimal128")
+            )
+            if got != want:
+                offenders.append(rel)
+                break
+    return offenders
+
+
+def drop_feature(table: str, feature: str) -> int:
+    """ALTER TABLE ... DROP FEATURE (Delta's protocol DOWNGRADE): the
+    only path by which the sticky reader/writer feature sets shrink.
+    Refused while any LIVE manifest element at head still needs the
+    flag — the caller must first purge the content (rewrite DVs away
+    via OPTIMIZE, drop constraints, evolve partitioning back, ...);
+    the error names the blocking content. On success, a metadata-only
+    commit publishes head feature lists without the flag, so older
+    engines that lack the feature can read/write from here on.
+
+    History is NOT rewritten: time travel to pre-drop versions still
+    gates on their own manifests (feature gating here is per-manifest,
+    which is exactly why no Delta-style history-truncation wait is
+    needed — an old reader asking for an old version SHOULD be
+    refused).
+
+    Per-feature live-content checks:
+
+    * ``deletion-vectors`` — any live DV (purge: OPTIMIZE rewrites
+      merge-on-read files)
+    * ``check-constraints`` — any constraint (DROP CONSTRAINT first)
+    * ``column-mapping`` — any logical->physical rename or retired
+      column (irreversible without a table rewrite, like Delta)
+    * ``generated-columns`` / ``identity-columns`` — any declared spec
+    * ``row-tracking`` — the flag itself (ids ride every commit)
+    * ``hidden-partitioning`` — any transform in the CURRENT spec
+      (evolve_partitioning back to plain columns first)
+    * ``type-widening`` — any live file whose physical type is
+      narrower than the schema (OPTIMIZE rewrites them wide)
+    """
+    known = SUPPORTED_READER_FEATURES | SUPPORTED_WRITER_FEATURES
+    if feature not in known:
+        raise ValueError(
+            f"unknown feature {feature!r}; this engine knows {sorted(known)}"
+        )
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    present = set(prev.get("reader_features") or []) | set(
+        prev.get("writer_features") or []
+    )
+    if feature not in present:
+        return head  # idempotent: nothing to drop
+    blockers: list[str] = []
+    if feature == "deletion-vectors" and prev.get("deletion_vectors"):
+        blockers = [
+            f"{len(prev['deletion_vectors'])} live deletion vector(s); "
+            "run optimize() to materialize the deletes first"
+        ]
+    elif feature == "check-constraints" and prev.get("constraints"):
+        blockers = [
+            f"constraints {sorted(prev['constraints'])}; drop them first"
+        ]
+    elif feature == "column-mapping":
+        mapping = prev.get("column_mapping") or {}
+        renamed = {k: v for k, v in mapping.items() if k != v}
+        if renamed or prev.get("retired_columns"):
+            blockers = [
+                "live column mapping "
+                f"(renamed: {sorted(renamed)}, retired: "
+                f"{prev.get('retired_columns') or []}); a physical "
+                "rewrite under logical names would be required"
+            ]
+    elif feature == "generated-columns" and prev.get("generated"):
+        blockers = [f"generated columns {sorted(prev['generated'])}"]
+    elif feature == "identity-columns" and prev.get("identity"):
+        blockers = [f"identity spec on {prev['identity'].get('col')!r}"]
+    elif feature == "row-tracking" and prev.get("identity"):
+        # dropping row tracking DISABLES tracking (the metadata turns
+        # inert — Delta likewise allows the downgrade), but identity
+        # columns are VALUES DERIVED FROM row ids: they must go first
+        blockers = [
+            f"identity column {prev['identity'].get('col')!r} rides on "
+            "row ids; drop identity-columns first"
+        ]
+    elif feature == "hidden-partitioning" and any(
+        "(" in c for c in prev["partition_cols"]
+    ):
+        blockers = [
+            f"current partition spec {prev['partition_cols']} uses "
+            "transforms; evolve_partitioning to plain columns first"
+        ]
+    elif feature == "type-widening":
+        offenders = _live_files_need_widening(table, prev)
+        if offenders:
+            blockers = [
+                f"{len(offenders)} live file(s) carry narrower physical "
+                "types than the schema (e.g. "
+                f"{offenders[0]}); optimize() rewrites them wide"
+            ]
+    if blockers:
+        raise ValueError(
+            f"cannot drop feature {feature!r} from {table}: {blockers[0]}"
+        )
+    drop = {feature}
+    # a reader feature obligates writers too, so dropping it clears
+    # both lists; row_tracking's manifest flag must not re-stick
+    extra = {}
+    if feature == "row-tracking":
+        extra["row_tracking"] = False
+    return _commit(
+        table,
+        f"drop_feature_{feature}",
+        prev["files"],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        column_mapping=prev.get("column_mapping"),
+        retired_columns=prev.get("retired_columns"),
+        generated=prev.get("generated"),
+        extra=extra or None,
+        _drop_features=drop,
     )
 
 

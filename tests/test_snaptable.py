@@ -5252,3 +5252,141 @@ def test_add_constraint_single_definition():
         if isinstance(n, ast.FunctionDef) and n.name == "add_constraint"
     ]
     assert len(defs) == 1
+
+
+class TestDropFeature:
+    """ALTER TABLE ... DROP FEATURE (protocol downgrade): the only
+    path by which the sticky feature sets shrink. Matrix: refuse
+    while live content needs the flag, succeed after the content is
+    purged, re-accrue on re-use, leave history gating intact."""
+
+    def _feats(self, t):
+        head = st.current_version(t)
+        m = st._read_manifest(t, head)
+        return set(m.get("reader_features") or []), set(
+            m.get("writer_features") or []
+        )
+
+    def test_deletion_vectors_purge_then_drop(self, spark, tmp_path):
+        t = str(tmp_path / "df_dv")
+        st.create_table(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(200)], "id int, v double"
+            ).coalesce(1),
+            t,
+            [],
+        )
+        st.delete_where(spark, t, [("id", "<", 50)], use_dv=True)
+        rf, wf = self._feats(t)
+        assert "deletion-vectors" in rf and "deletion-vectors" in wf
+        # refused while a live file carries a DV
+        with pytest.raises(ValueError, match="live deletion vector"):
+            st.drop_feature(t, "deletion-vectors")
+        # OPTIMIZE materializes the deletes; then the drop lands
+        st.optimize(spark, t, files_per_partition=1)
+        v = st.drop_feature(t, "deletion-vectors")
+        rf, wf = self._feats(t)
+        assert "deletion-vectors" not in rf and "deletion-vectors" not in wf
+        assert st._read_manifest(t, v)["operation"] == (
+            "drop_feature_deletion-vectors"
+        )
+        # data unchanged; history still gates per-manifest
+        assert st.read_snapshot(spark, t).count() == 150
+        assert "deletion-vectors" in (
+            st._read_manifest(t, 2).get("reader_features") or []
+        )
+        # re-use re-accrues the flag (content-driven, like Delta)
+        st.delete_where(spark, t, [("id", "=", 60)], use_dv=True)
+        rf, _ = self._feats(t)
+        assert "deletion-vectors" in rf
+        # idempotent no-op when absent
+        t2 = str(tmp_path / "df_plain")
+        st.create_table(
+            spark.createDataFrame([(1,)], "id int").coalesce(1), t2, []
+        )
+        assert st.drop_feature(t2, "deletion-vectors") == 1
+
+    def test_check_constraints_and_unknown(self, spark, tmp_path):
+        t = str(tmp_path / "df_con")
+        st.create_table(
+            spark.createDataFrame([(1, 5.0)], "id int, v double").coalesce(1),
+            t,
+            [],
+        )
+        st.add_constraint(spark, t, "v_pos", "v > 0")
+        with pytest.raises(ValueError, match="drop them first"):
+            st.drop_feature(t, "check-constraints")
+        st.drop_constraint(t, "v_pos")
+        st.drop_feature(t, "check-constraints")
+        _, wf = self._feats(t)
+        assert "check-constraints" not in wf
+        with pytest.raises(ValueError, match="unknown feature"):
+            st.drop_feature(t, "time-travel-plus")
+
+    def test_column_mapping_blocked_while_renamed(self, spark, tmp_path):
+        t = str(tmp_path / "df_cm")
+        st.create_table(
+            spark.createDataFrame([(1, "x")], "id int, name string").coalesce(1),
+            t,
+            [],
+        )
+        st.rename_column(t, "name", "label")
+        with pytest.raises(ValueError, match="live column mapping"):
+            st.drop_feature(t, "column-mapping")
+
+    def test_row_tracking_drop_disables_and_identity_blocks(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "df_rt")
+        st.create_table(
+            spark.createDataFrame([(1,), (2,)], "id int").coalesce(1), t, []
+        )
+        st.enable_row_tracking(t)
+        st.enable_identity(t, "sk")
+        with pytest.raises(ValueError, match="rides on row ids"):
+            st.drop_feature(t, "row-tracking")
+        with pytest.raises(ValueError, match="identity spec"):
+            st.drop_feature(t, "identity-columns")
+        # without identity, row tracking downgrades cleanly
+        t2 = str(tmp_path / "df_rt2")
+        st.create_table(
+            spark.createDataFrame([(1,), (2,)], "id int").coalesce(1), t2, []
+        )
+        st.enable_row_tracking(t2)
+        st.drop_feature(t2, "row-tracking")
+        rf, wf = self._feats(t2)
+        assert "row-tracking" not in rf and "row-tracking" not in wf
+        head = st.current_version(t2)
+        assert st._read_manifest(t2, head)["row_tracking"] is False
+        # appends after the downgrade no longer require the feature
+        st.append(spark.createDataFrame([(3,)], "id int"), t2)
+        rf, _ = self._feats(t2)
+        assert "row-tracking" not in rf
+
+    def test_type_widening_requires_rewrite(self, spark, tmp_path):
+        t = str(tmp_path / "df_tw")
+        st.create_table(
+            spark.createDataFrame([(1, 5)], "id int, v int").coalesce(1), t, []
+        )
+        st.widen_column(t, "v", "bigint")
+        rf, _ = self._feats(t)
+        assert "type-widening" in rf
+        with pytest.raises(ValueError, match="narrower physical"):
+            st.drop_feature(t, "type-widening")
+        st.optimize(spark, t, files_per_partition=1)  # rewrites wide
+        st.drop_feature(t, "type-widening")
+        rf, wf = self._feats(t)
+        assert "type-widening" not in rf and "type-widening" not in wf
+        assert [r.v for r in st.read_snapshot(spark, t).collect()] == [5]
+
+    def test_hidden_partitioning_blocked_by_spec(self, spark, tmp_path):
+        t = str(tmp_path / "df_hp")
+        st.create_table(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(8)], "id int, v double"
+            ).coalesce(1),
+            t,
+            ["bucket(4,id)"],
+        )
+        with pytest.raises(ValueError, match="transforms"):
+            st.drop_feature(t, "hidden-partitioning")

@@ -189,3 +189,23 @@ def test_cli_table_sql_action(spark, wh, capsys, monkeypatch):
     assert st.table_properties(os.path.join(wh, "facts")) == {"owner": "cli"}
     for v in ("facts", "dims"):
         spark.catalog.dropTempView(v)
+
+
+def test_execute_sql_drop_feature(spark, wh):
+    """ALTER TABLE ... DROP FEATURE routes to snaptable.drop_feature:
+    refused while live DVs need the flag, lands after OPTIMIZE."""
+    t = os.path.join(wh, "facts")
+    st.delete_where(spark, t, [("id", "<", 5)], use_dv=True)
+    with pytest.raises(ValueError, match="live deletion vector"):
+        ddl.execute_sql(
+            spark, "ALTER TABLE facts DROP FEATURE deletion-vectors",
+            warehouse=wh,
+        )
+    st.optimize(spark, t, files_per_partition=1)
+    r = ddl.execute_sql(
+        spark, "ALTER TABLE facts DROP FEATURE deletion-vectors",
+        warehouse=wh,
+    ).collect()[0]
+    assert r.operation == "drop_feature"
+    head = st._read_manifest(t, st.current_version(t))
+    assert "deletion-vectors" not in (head.get("reader_features") or [])
