@@ -400,3 +400,128 @@ SELECT sm.event_type,
 FROM sm JOIN sd ON sd.event_type = sm.event_type
 ORDER BY sm.event_type
 """
+
+
+def q_snapshot_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-SKETCH IVM riding the snapshot change feed
+    (sources/snaptable.refresh_hll_view over maintain_hll): a
+    distinct-count materialized view whose state is per-group HLL
+    REGISTERS, refreshed through the same txn cursor as the
+    count/sum and min/max views. Lifecycle: source table from
+    ``orders`` (g = custkey % 5, distinct keys = order keys), full
+    sink build at v1, churn (a spread DELETE that removes register
+    witnesses + an APPEND of fresh keys), then a DELTA refresh —
+    inserts fold by per-idx max (hll_union's lossless-merge
+    property), delete-suspicious groups pay the bounded Gupta-Mumick
+    rescan. Contract columns pin: the delta path actually ran
+    (mode='delta'), the maintained registers are BIT-EQUAL to a
+    recompute on the final snapshot, and a third refresh no-ops. The
+    per-group estimate + exact count replay in DuckDB from the same
+    md5 register algebra, so the whole maintained sketch is
+    value-oracled, not contract-oracled."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 5).cast("int").alias("g"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_ivm_hll_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    try:
+        st.create_table(orders, src, [])
+        r1 = st.refresh_hll_view(spark, src, sink, ["g"], "o_orderkey")
+        # churn: a whole-group delete (every register witness gone ->
+        # rescan returns empty, the group drops) + an append whose
+        # fresh keys repopulate every group including the deleted one
+        st.delete_where(spark, src, [("g", "=", 2)])
+        st.append(
+            orders.filter(F.col("o_orderkey") % 11 == 3).select(
+                (F.col("o_orderkey") + 7000000).alias("o_orderkey"),
+                ((F.col("o_orderkey") + 1) % 5).cast("int").alias("g"),
+            ),
+            src,
+        )
+        r2 = st.refresh_hll_view(spark, src, sink, ["g"], "o_orderkey")
+        r3 = st.refresh_hll_view(spark, src, sink, ["g"], "o_orderkey")
+        maintained = st.read_snapshot(spark, sink)
+        recomputed = st.hll_regs(st.read_snapshot(spark, src), ["g"], "o_orderkey")
+        diff = (
+            maintained.select("g", "idx", "r")
+            .exceptAll(recomputed.select("g", "idx", "r"))
+            .unionAll(
+                recomputed.select("g", "idx", "r").exceptAll(
+                    maintained.select("g", "idx", "r")
+                )
+            )
+            .count()
+        )
+        contract_ok = bool(
+            r1["mode"] == "full"
+            and r2["mode"] == "delta"
+            and r3["mode"] == "noop"
+            and diff == 0
+        )
+        est = st.hll_estimate(maintained, ["g"])
+        exact = (
+            st.read_snapshot(spark, src)
+            .groupBy("g")
+            .agg(F.count_distinct("o_orderkey").alias("n_exact"))
+        )
+        rows = (
+            est.join(exact, "g")
+            .select("g", "n_exact", "hll_est")
+            .orderBy("g")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.g, r.n_exact, float(r.hll_est), contract_ok) for r in rows],
+        "g int, n_exact bigint, hll_est double, contract_ok boolean",
+    ).orderBy("g")
+
+
+ORACLE["snapshot_incremental_hll"] = f"""
+WITH final_state AS (
+  SELECT o_orderkey, CAST(o_custkey % 5 AS INT) AS g FROM orders
+  WHERE CAST(o_custkey % 5 AS INT) <> 2
+  UNION ALL
+  SELECT o_orderkey + 7000000, CAST((o_orderkey + 1) % 5 AS INT)
+  FROM orders WHERE o_orderkey % 11 = 3
+), keys AS (
+  SELECT DISTINCT g, CAST(o_orderkey AS VARCHAR) AS u FROM final_state
+), h AS (
+  SELECT g, {hash60_sql('u')} AS h FROM keys
+), ranks AS (
+  SELECT g, h % {HLL_M} AS idx,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN 53
+              ELSE 53 - length(bin(h >> {HLL_P})) END AS rank
+  FROM h
+), regs AS (
+  SELECT g, idx, MAX(rank) AS r FROM ranks GROUP BY 1, 2
+), s AS (
+  SELECT g,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+         + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS s
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT g, COUNT(*) AS n_exact FROM keys GROUP BY 1
+)
+SELECT s.g, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST('4.2399330249068963e+20' AS DOUBLE) / CAST(s AS DOUBLE)
+         AS hll_est,
+       TRUE AS contract_ok
+FROM s JOIN exact ON exact.g = s.g
+ORDER BY s.g
+"""

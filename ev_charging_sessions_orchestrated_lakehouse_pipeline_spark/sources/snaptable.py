@@ -4463,6 +4463,230 @@ def refresh_minmax_view(
     }
 
 
+#: HLL sketch geometry for the incremental distinct-count view family
+#: (matches operators/sketches.py's oracled HLL: 2^8 registers, 60-bit
+#: portable md5 hashes, rank = leading-zero count of the 52-bit suffix)
+HLL_VIEW_P = 8
+HLL_VIEW_M = 1 << HLL_VIEW_P
+
+
+def hll_regs(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Sparse per-group HyperLogLog registers ``keys + [idx, r]`` of
+    ``col`` (cast to string, portable md5 hash60 — the exact register
+    algebra the oracled ``hll_sketch`` query pins; absent idx means
+    register 0). ONE map-side-combinable groupBy over at most
+    |groups| * 2^P register keys — at 100 TB the shuffle carries tiny
+    partials, independent of row count."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60
+
+    h = df.select(
+        *keys, hash60(F.col(col).cast("string")).alias("_h")
+    )
+    ranks = h.select(
+        *keys,
+        (F.col("_h") % HLL_VIEW_M).alias("idx"),
+        F.when(F.shiftright("_h", HLL_VIEW_P) == 0, F.lit(53))
+        .otherwise(
+            F.lit(53) - F.length(F.conv(F.shiftright("_h", HLL_VIEW_P), 10, 2))
+        )
+        .alias("rank"),
+    )
+    return ranks.groupBy(*keys, "idx").agg(F.max("rank").alias("r"))
+
+
+def hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Distinct-count estimate per group from sparse registers: the
+    raw Flajolet estimator with the harmonic denominator computed as
+    an EXACT int64 (absent registers contribute 2^53), so the double
+    arithmetic is order-independent and bit-identical across engines
+    (the sketches.py argument). Returns ``keys + [hll_est]``."""
+    from pyspark.sql import functions as F
+
+    s = regs.groupBy(*keys).agg(
+        (
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+            )
+            + (F.lit(HLL_VIEW_M).cast("bigint") - F.count(F.lit(1)))
+            * F.lit(1 << 53).cast("bigint")
+        ).alias("_s")
+    )
+    alpha_num = "CAST('4.2399330249068963e+20' AS DOUBLE)"
+    return s.select(
+        *keys,
+        (F.expr(alpha_num) / F.col("_s").cast("double")).alias("hll_est"),
+    )
+
+
+def maintain_hll(
+    spark: SparkSession,
+    table: str,
+    base_regs: DataFrame,
+    keys: list[str],
+    col: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental maintenance for per-group HLL registers — the
+    MERGEABLE-SKETCH member of the IVM family
+    (:func:`maintain_count_sum` covers invertible aggregates,
+    :func:`maintain_minmax` selections; HLL registers are per-idx
+    MAXes, so they fold losslessly under INSERTS — the
+    ``hll_union`` lossless-merge property — and hit the same
+    non-invertible wall as MIN/MAX under deletes).
+
+    ``base_regs``: sparse registers ``keys + [idx, r]`` materialized
+    at ``from_version``. Returns the same shape rolled to
+    ``to_version``, BIT-EQUAL to :func:`hll_regs` recomputed on the
+    target snapshot (registers are integer selections; no float).
+
+    Gupta-Mumick bounded rescan, the minmax shape: inserts fold into
+    candidate registers by per-idx max; a DELETED value whose rank
+    REACHES its candidate register may have been the register's last
+    witness (duplicates unknowable from the sketch), so its whole
+    GROUP re-sketches from the target snapshot — strictly-interior
+    deletes (rank below the register) can never move a max and cost
+    nothing. Groups whose rows all vanish drop (the final delete
+    always attains the register, forcing the rescan that returns
+    empty).
+
+    Scale: the delta shuffles only changed rows' (group, idx, rank)
+    partials; the rescan reads only affected GROUPS (left-semi the
+    optimizer sizes); neither ever rescans the table."""
+    from pyspark.sql import functions as F
+
+    v_to = to_version if to_version is not None else current_version(table)
+    feed = changes(spark, table, from_version, v_to)
+    pts = hll_regs(
+        feed.withColumn("_ct", F.col("_change_type")).select(
+            *keys, col, "_ct"
+        ),
+        [*keys, "_ct"],
+        col,
+    )
+    ins = (
+        pts.filter(F.col("_ct") == "insert")
+        .groupBy(*keys, "idx")
+        .agg(F.max("r").alias("_ir"))
+    )
+    dels = (
+        pts.filter(F.col("_ct") == "delete")
+        .groupBy(*keys, "idx")
+        .agg(F.max("r").alias("_dr"))
+    )
+    folded = (
+        base_regs.join(ins, [*keys, "idx"], "full_outer")
+        .select(
+            *keys,
+            "idx",
+            F.greatest(F.col("r"), F.col("_ir")).alias("r"),
+        )
+        # reused by the suspicious-group probe AND the final union;
+        # sized by the sketch (|groups| * m), never the source
+        .localCheckpoint(eager=False)
+    )
+    suspicious = (
+        dels.join(folded, [*keys, "idx"], "left")
+        .filter(
+            F.col("r").isNull() | (F.col("_dr") >= F.col("r"))
+        )
+        .select(*keys)
+        .distinct()
+    )
+    kept = folded.join(suspicious, keys, "left_anti")
+    rescan = hll_regs(
+        read_snapshot(spark, table, version=v_to).join(
+            suspicious, keys, "left_semi"
+        ),
+        keys,
+        col,
+    )
+    return kept.unionByName(rescan)
+
+
+def refresh_hll_view(
+    spark: SparkSession,
+    source_table: str,
+    sink_table: str,
+    keys: list[str],
+    col: str,
+    app_id: str = "ivm_hll",
+) -> dict:
+    """Cursor-driven refresh for the per-group HLL-register view —
+    :func:`refresh_minmax_view`'s twin over :func:`maintain_hll`,
+    same exactly-once protocol: cursor = ``txn(app_id,
+    source_version)`` riding the sink commit, sink reads pinned to
+    one snapshot, ``parent_version`` collides racing refreshers,
+    full rebuild when retention expired the cursor. The sink stores
+    SPARSE registers (``keys + idx + r``) — any engine can derive the
+    distinct-count estimate with :func:`hll_estimate`, and two sinks
+    over disjoint sources union losslessly by per-idx max."""
+    from pyspark.sql import functions as F
+
+    head = current_version(source_table)
+    if head is None:
+        raise ValueError(f"{source_table} does not exist")
+    sink_head = current_version(sink_table)
+    cursor = txn_epoch(sink_table, app_id, at_version=sink_head)
+
+    def pin_schema(df):
+        return df.select(
+            *keys,
+            F.col("idx").cast("bigint").alias("idx"),
+            F.col("r").cast("int").alias("r"),
+        )
+
+    def full_regs():
+        return pin_schema(
+            hll_regs(
+                read_snapshot(spark, source_table, version=head), keys, col
+            )
+        )
+
+    if cursor is None:
+        v = create_table(full_regs(), sink_table, [], txn=(app_id, head))
+        return {
+            "mode": "full",
+            "from_version": None,
+            "to_version": head,
+            "sink_version": v,
+        }
+    if cursor >= head:
+        return {
+            "mode": "noop",
+            "from_version": cursor,
+            "to_version": head,
+            "sink_version": current_version(sink_table),
+        }
+    if cursor not in _list_versions(source_table):
+        rolled = full_regs()
+        mode, frm = "full", None
+    else:
+        rolled = pin_schema(
+            maintain_hll(
+                spark,
+                source_table,
+                read_snapshot(spark, sink_table, version=sink_head),
+                keys,
+                col,
+                cursor,
+                head,
+            )
+        )
+        mode, frm = "delta", cursor
+    v = overwrite_table(
+        rolled, sink_table, parent_version=sink_head, txn=(app_id, head)
+    )
+    return {
+        "mode": mode,
+        "from_version": frm,
+        "to_version": head,
+        "sink_version": v,
+    }
+
+
 def restore_to_timestamp(table: str, ts) -> int:
     """RESTORE TABLE ... TO TIMESTAMP AS OF: :func:`rollback` to the
     newest version whose commit time is <= ``ts`` (Unix timestamp or

@@ -90,3 +90,50 @@ def test_dv_binary_codec_roundtrip(positions):
     assert st._decode_dv_binary(st._encode_dv_binary(positions)) == sorted(
         positions
     )
+
+
+# same churn grammar as minmax, but the tracked aggregate is the HLL
+# register sketch: tiny key grid so register collisions, duplicate
+# witnesses, and base/insert/delete overlaps are LIKELY
+_HROW = hs.tuples(hs.integers(0, 2), hs.sampled_from(["a", "b", "c", "d", "e"]))
+_HBASE = hs.lists(_HROW, min_size=1, max_size=8)
+_HINSERTS = hs.lists(_HROW, min_size=0, max_size=5)
+_HDEL = hs.tuples(hs.integers(0, 2), hs.sampled_from(["a", "c", "e", "zz"]))
+
+
+@given(base=_HBASE, inserts=_HINSERTS, dele=_HDEL)
+@_SETTINGS
+def test_maintain_hll_equals_recompute(
+    spark, tmp_path_factory, base, inserts, dele
+):
+    """maintain_hll == hll_regs recompute on every churn shape —
+    register sets compared EXACTLY (sparse (g, idx, r) tuples), the
+    same bit-equality contract as minmax. Deletes drop every row of
+    one group at-or-above a key threshold, the shape that removes
+    register witnesses (sometimes the whole group)."""
+    tmp = tmp_path_factory.mktemp("hllprop")
+    t = str(tmp / "t")
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, g, k) for i, (g, k) in enumerate(rows)],
+            "id int, g int, k string",
+        ).coalesce(1)
+
+    st.create_table(frame(base), t, [])
+    base_regs = st.hll_regs(st.read_snapshot(spark, t, version=1), ["g"], "k")
+    g_del, kthr = dele
+    st.delete_where(spark, t, [("g", "=", g_del), ("k", ">=", kthr)])
+    if inserts:
+        st.append(frame(inserts), t)
+    got = sorted(
+        (r.g, r.idx, r.r)
+        for r in st.maintain_hll(
+            spark, t, base_regs, ["g"], "k", from_version=1
+        ).collect()
+    )
+    want = sorted(
+        (r.g, r.idx, r.r)
+        for r in st.hll_regs(st.read_snapshot(spark, t), ["g"], "k").collect()
+    )
+    assert got == want

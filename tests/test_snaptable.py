@@ -5390,3 +5390,64 @@ class TestDropFeature:
         )
         with pytest.raises(ValueError, match="transforms"):
             st.drop_feature(t, "hidden-partitioning")
+
+
+def test_refresh_hll_view_lifecycle(spark, tmp_path):
+    """full -> delta -> noop for the HLL-register view (mergeable-
+    sketch IVM): every state's register set BIT-EQUAL to a recompute,
+    including a delta whose delete removes register witnesses (the
+    bounded-rescan path) and the expired-cursor full-rebuild
+    fallback — same atomic-cursor protocol as count/sum and minmax."""
+    src = _mk_ivm_source(spark, tmp_path)  # g in {A,B}, v = float(i)
+    sink = str(tmp_path / "ivm_hll_sink")
+
+    def recompute():
+        return sorted(
+            (r.g, r.idx, r.r)
+            for r in st.hll_regs(
+                st.read_snapshot(spark, src), ["g"], "v"
+            ).collect()
+        )
+
+    def sink_regs():
+        return sorted(
+            (r.g, r.idx, r.r)
+            for r in st.read_snapshot(spark, sink).collect()
+        )
+
+    r1 = st.refresh_hll_view(spark, src, sink, ["g"], "v")
+    assert r1["mode"] == "full"
+    assert sink_regs() == recompute()
+    # churn: fresh values for B, delete half of A (register witnesses)
+    st.append(
+        spark.createDataFrame(
+            [(100 + i, "B", 50.0 + i) for i in range(5)],
+            "id int, g string, v double",
+        ),
+        src,
+    )
+    st.delete_where(spark, src, [("g", "=", "A"), ("v", ">=", 4.0)])
+    r2 = st.refresh_hll_view(spark, src, sink, ["g"], "v")
+    assert r2["mode"] == "delta" and r2["from_version"] == 1
+    assert sink_regs() == recompute()
+    assert st.refresh_hll_view(spark, src, sink, ["g"], "v")["mode"] == "noop"
+    # estimate is derivable from the sink alone and sane
+    est = {
+        r.g: r.hll_est
+        for r in st.hll_estimate(
+            st.read_snapshot(spark, sink), ["g"]
+        ).collect()
+    }
+    assert set(est) == {"A", "B"} and all(v > 0 for v in est.values())
+    # vacuum the cursor away -> full rebuild fallback
+    for i in range(3):
+        st.append(
+            spark.createDataFrame(
+                [(300 + i, "A", 1.0)], "id int, g string, v double"
+            ),
+            src,
+        )
+    st.vacuum(src, retain_last=1, grace_seconds=0)
+    r3 = st.refresh_hll_view(spark, src, sink, ["g"], "v")
+    assert r3["mode"] == "full"
+    assert sink_regs() == recompute()
