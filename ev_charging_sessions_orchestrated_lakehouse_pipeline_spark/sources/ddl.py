@@ -98,9 +98,10 @@ def _parse_tblproperties(body: str) -> dict[str, str]:
 
 
 def _split_top_level(body: str) -> list[str]:
-    """Split on commas not inside quotes (property values may carry
-    commas)."""
-    out, cur, q = [], [], None
+    """Split on commas not inside quotes or parentheses (property
+    values may carry commas; UPDATE SET expressions carry function
+    calls)."""
+    out, cur, q, depth = [], [], None, 0
     for ch in body:
         if q:
             cur.append(ch)
@@ -109,7 +110,13 @@ def _split_top_level(body: str) -> list[str]:
         elif ch in "'\"":
             q = ch
             cur.append(ch)
-        elif ch == ",":
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
             out.append("".join(cur).strip())
             cur = []
         else:
@@ -128,6 +135,81 @@ def _unquote(s: str) -> str:
 
 def _cols_list(body: str) -> list[str]:
     return [_unquote(c) for c in body.split(",") if c.strip()]
+
+
+def _parse_literal(tok: str):
+    t = tok.strip()
+    if t[:1] in "'\"":
+        return _unquote(t)
+    low = t.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        raise ValueError(f"unsupported literal {tok!r} in WHERE clause")
+
+
+#: one conjunct of the supported WHERE grammar
+_CONJ = re.compile(
+    r"\s*(\w+)\s*(?:"
+    r"(IS\s+NOT\s+NULL)|(IS\s+NULL)"
+    r"|(IN)\s*\(([^)]*)\)"
+    r"|(>=|<=|!=|<>|=|>|<)\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)"
+    r")\s*",
+    re.IGNORECASE,
+)
+
+
+def parse_where(clause: str) -> list[tuple]:
+    """Parse a CONJUNCTIVE WHERE clause into the filter-tuple form
+    the snapshot DML takes (``[(col, op, val), ...]``) — deliberately
+    restricted to ``col OP literal [AND ...]`` / ``IS [NOT] NULL`` /
+    ``IN (...)`` because these tuples drive the format's FILE-LEVEL
+    DATA SKIPPING (snaptable._prune_files): an opaque predicate would
+    force reading every file, which at 100 TB defeats the point of
+    stats. Disjunctions or expressions raise with a pointer to the
+    Python API (which accepts arbitrary Column predicates via
+    DataFrame rewrite)."""
+    out: list[tuple] = []
+    rest = clause.strip()
+    while rest:
+        m = _CONJ.match(rest)
+        if not m:
+            raise ValueError(
+                f"unsupported WHERE fragment {rest!r}: SQL DML supports "
+                "conjunctions of col OP literal / IS [NOT] NULL / "
+                "IN (...) (these drive file-level data skipping); use "
+                "the Python API for arbitrary predicates"
+            )
+        col = m.group(1)
+        if m.group(2):
+            out.append((col, "notnull", None))
+        elif m.group(3):
+            out.append((col, "isnull", None))
+        elif m.group(4):
+            out.append(
+                (col, "in", [_parse_literal(v) for v in m.group(5).split(",")])
+            )
+        else:
+            op = "!=" if m.group(6) == "<>" else m.group(6)
+            out.append((col, op, _parse_literal(m.group(7))))
+        rest = rest[m.end():]
+        if rest:
+            am = re.match(r"AND\s+", rest, re.IGNORECASE)
+            if not am:
+                raise ValueError(
+                    f"unsupported WHERE connective at {rest!r}: only AND "
+                    "is supported (disjunctions don't prune files)"
+                )
+            rest = rest[am.end():]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +234,14 @@ def execute_sql(
     reference's SQL-first table management
     (jobs/ev_sessions_gold_etl.py:127-150):
 
+    * ``CREATE TABLE [IF NOT EXISTS] t [USING snapshot] [PARTITIONED
+      BY (c1, ...)] [TBLPROPERTIES (...)] AS SELECT ...`` — the
+      reference's CTAS shape (jobs/ev_sessions_gold_etl.py:127-150)
+    * ``INSERT INTO t SELECT ... | VALUES ...``
+    * ``DELETE FROM t [WHERE <conjunctive predicate>]``
+    * ``UPDATE t SET c = expr [, ...] [WHERE <conjunctive predicate>]``
+      — WHERE grammar is the skipping-friendly conjunctive subset
+      (see :func:`parse_where`)
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``
     * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name``
     * ``ALTER TABLE t DROP FEATURE feature-name`` (protocol downgrade)
@@ -175,6 +265,79 @@ def execute_sql(
         return resolve_table(ident, warehouse)
 
     s = statement
+
+    m = _m(
+        rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}"
+        rf"(?:\s+USING\s+snapshot)?"
+        rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?"
+        rf"(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?"
+        rf"\s+AS\s+(SELECT\s+.+)",
+        s,
+    )
+    if m:
+        t = tbl(m.group(2))
+        if st.current_version(t) is not None:
+            if m.group(1):
+                return _row_df(
+                    spark,
+                    {
+                        "operation": "create_table",
+                        "version": st.current_version(t),
+                        "skipped": "exists",
+                    },
+                )
+            raise ValueError(f"{t} already exists (use IF NOT EXISTS)")
+        pcols = _cols_list(m.group(3)) if m.group(3) else []
+        v = st.create_table(spark.sql(m.group(5)), t, pcols)
+        if m.group(4):
+            v = st.set_table_properties(t, _parse_tblproperties(m.group(4)))
+        return _row_df(spark, {"operation": "create_table", "version": v})
+
+    m = _m(rf"INSERT\s+INTO\s+{_IDENT}\s+(SELECT\s+.+|VALUES\s*.+)", s)
+    if m:
+        t = tbl(m.group(1))
+        body = m.group(2)
+        if re.match(r"VALUES", body, re.IGNORECASE):
+            df = spark.sql(f"SELECT * FROM ({body})")
+        else:
+            df = spark.sql(body)
+        head = st.current_version(t)
+        if head is None:
+            raise ValueError(f"{t} does not exist")
+        target = st.read_snapshot(spark, t).schema
+        if len(df.columns) != len(target.fields):
+            raise ValueError(
+                f"INSERT arity mismatch: {t} has {len(target.fields)} "
+                f"columns, statement supplies {len(df.columns)}"
+            )
+        # positional bind + implicit cast to the target types — the
+        # standard SQL INSERT coercion (a VALUES literal 0 is int,
+        # the table column may be bigint)
+        from pyspark.sql import functions as F
+
+        aligned = df.toDF(*[f.name for f in target.fields]).select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+        v = st.append(aligned, t)
+        return _row_df(spark, {"operation": "insert", "version": v})
+
+    m = _m(rf"DELETE\s+FROM\s+{_IDENT}(?:\s+WHERE\s+(.+))?", s)
+    if m:
+        filters = parse_where(m.group(2)) if m.group(2) else []
+        v = st.delete_where(spark, tbl(m.group(1)), filters)
+        return _row_df(spark, {"operation": "delete", "version": v})
+
+    m = _m(rf"UPDATE\s+{_IDENT}\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?", s)
+    if m:
+        set_exprs = {}
+        for part in _split_top_level(m.group(2)):
+            if "=" not in part:
+                raise ValueError(f"UPDATE SET expects col = expr, got {part!r}")
+            c, e = part.split("=", 1)
+            set_exprs[c.strip()] = e.strip()
+        filters = parse_where(m.group(3)) if m.group(3) else []
+        v = st.update_where(spark, tbl(m.group(1)), filters, set_exprs)
+        return _row_df(spark, {"operation": "update", "version": v})
 
     m = _m(
         rf"ALTER\s+TABLE\s+{_IDENT}\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)",

@@ -209,3 +209,61 @@ def test_execute_sql_drop_feature(spark, wh):
     assert r.operation == "drop_feature"
     head = st._read_manifest(t, st.current_version(t))
     assert "deletion-vectors" not in (head.get("reader_features") or [])
+
+
+def test_execute_sql_ctas_insert_delete_update(spark, wh):
+    """The reference's CTAS shape plus SQL DML end-to-end: CREATE
+    TABLE ... PARTITIONED BY ... TBLPROPERTIES AS SELECT, INSERT INTO
+    (SELECT and VALUES), DELETE/UPDATE with the conjunctive WHERE
+    grammar — every statement routed to the snapshot implementations
+    (partitioning, properties, and version history all observable)."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    ddl.register_all_tables(spark, wh)
+    r = run(
+        "CREATE TABLE gold_rollup USING snapshot PARTITIONED BY (g) "
+        "TBLPROPERTIES ('tier'='gold') AS "
+        "SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM facts GROUP BY g"
+    ).collect()[0]
+    assert r.operation == "create_table"
+    t = os.path.join(wh, "gold_rollup")
+    assert st.table_properties(t) == {"tier": "gold"}
+    man = st._read_manifest(t, st.current_version(t))
+    assert man["partition_cols"] == ["g"]
+    assert st.read_snapshot(spark, t).count() == 3
+
+    # IF NOT EXISTS tolerates; plain CREATE refuses
+    assert (
+        run(
+            "CREATE TABLE IF NOT EXISTS gold_rollup AS SELECT 1 AS x"
+        ).collect()[0].skipped
+        == "exists"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        run("CREATE TABLE gold_rollup AS SELECT 1 AS x")
+
+    run("INSERT INTO gold_rollup VALUES ('g9', 0, 0.0)")
+    run(
+        "INSERT INTO gold_rollup "
+        "SELECT concat(g, '_copy'), COUNT(*), SUM(v) FROM facts GROUP BY g"
+    )
+    assert st.read_snapshot(spark, t).count() == 7
+    with pytest.raises(ValueError, match="arity"):
+        run("INSERT INTO gold_rollup VALUES (1, 2)")
+
+    run("UPDATE gold_rollup SET sv = round(sv * 2.0, 1) WHERE g = 'g9' AND n <= 0")
+    assert (
+        st.read_snapshot(spark, t).filter(F.col("g") == "g9").collect()[0].sv
+        == 0.0
+    )
+    run("DELETE FROM gold_rollup WHERE g IN ('g9') AND n IS NOT NULL")
+    assert st.read_snapshot(spark, t).count() == 6
+    ops = [h["operation"] for h in st.history(t)]
+    assert ops == ["create", "set_properties", "append", "append",
+                   "update", "delete"]
+    # unsupported predicate shapes fail loudly, pointing at the API
+    with pytest.raises(ValueError, match="only AND"):
+        run("DELETE FROM gold_rollup WHERE g = 'a' OR g = 'b'")
+    with pytest.raises(ValueError, match="unsupported WHERE"):
+        run("DELETE FROM gold_rollup WHERE length(g) = 2")
+    for v in ("facts", "dims"):
+        spark.catalog.dropTempView(v)
