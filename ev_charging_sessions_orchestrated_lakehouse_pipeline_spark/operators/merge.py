@@ -3348,6 +3348,28 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         run("ALTER TABLE facts RENAME COLUMN o_totalprice TO price")  # v8
         run("OPTIMIZE facts")  # v9
         run("ANALYZE TABLE facts COMPUTE STATISTICS FOR COLUMNS price")  # v10
+        # SQL DML leg (r13): INSERT (subquery over the re-registered
+        # head view), UPDATE/DELETE through the skipping-friendly
+        # conjunctive WHERE grammar, and whole-row MERGE — each one a
+        # text statement routed to the snapshot DML
+        snapddl.register_all_tables(spark, wh)
+        run(
+            "INSERT INTO facts SELECT o_orderkey + 90000000, "
+            "o_orderstatus, price FROM facts WHERE o_orderkey % 1000 = 0"
+        )  # v11
+        run(
+            "UPDATE facts SET price = price * 1.1 "
+            "WHERE o_orderstatus = 'F' AND price < 50000"
+        )  # v12
+        run("DELETE FROM facts WHERE price > 500000")  # v13
+        snapddl.register_all_tables(spark, wh)  # advance view to head
+        run(
+            "MERGE INTO facts USING (SELECT o_orderkey, o_orderstatus, "
+            "price * 0.5 AS price FROM facts WHERE o_orderkey % 5 = 0) "
+            "AS s ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )  # v14
         run("VACUUM facts RETAIN 0 HOURS")
         ops = [r.operation for r in run("DESCRIBE HISTORY facts").collect()]
         ops_expected = [
@@ -3361,8 +3383,16 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rename_column",
             "optimize",
             "analyze",
+            "append",  # INSERT INTO
+            "update",
+            "delete",
+            "overwrite",  # MERGE INTO
         ]
-        stats = st._read_manifest(t, st.current_version(t))["table_stats"]
+        # stats were computed at the ANALYZE version (v10), BEFORE the
+        # DML leg — pin them against that version's row count (stats
+        # are a versioned artifact, not a live view)
+        stats = st._read_manifest(t, 10)["table_stats"]
+        v10_rows = st.read_snapshot(spark, t, version=10).count()
         detail = run("DESCRIBE DETAIL facts").collect()[0]
         view = st.register_snapshot_view(spark, t, "ddl_sql_facts")
         rows = spark.sql(
@@ -3372,21 +3402,21 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {view} GROUP BY o_orderstatus
             """
         ).collect()
-        total = sum(r.n for r in rows)
         contract_ok = bool(
             constraint_enforced
             and rename_guard_ok
             and ops == ops_expected
-            and stats["rows"] == total
+            and stats["rows"] == v10_rows
             and detail.properties == '{"owner": "sql"}'
             and detail.constraints == "{}"
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-        try:
-            spark.catalog.dropTempView("ddl_sql_facts")
-        except Exception:
-            pass
+        for vname in ("ddl_sql_facts", "facts"):
+            try:
+                spark.catalog.dropTempView(vname)
+            except Exception:
+                pass
     return spark.createDataFrame(
         [
             (r.o_orderstatus, r.n, float(r.sum_price), contract_ok)
@@ -3400,16 +3430,38 @@ ORACLE["snapshot_ddl_sql"] = f"""
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice
   FROM orders WHERE o_orderkey % 7 = 0
-), final_state AS (
-  SELECT o_orderstatus, o_totalprice AS price FROM base
+), s1 AS (
+  -- create + valid append + rename(o_totalprice -> price)
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM base
   UNION ALL
-  SELECT o_orderstatus, o_totalprice * 2.0
+  SELECT o_orderkey + 6000000, o_orderstatus, o_totalprice * 2.0
   FROM base WHERE (o_orderkey + 6000000) % 2 = 0
+), s2 AS (
+  -- INSERT INTO ... SELECT
+  SELECT * FROM s1
+  UNION ALL
+  SELECT o_orderkey + 90000000, o_orderstatus, price
+  FROM s1 WHERE o_orderkey % 1000 = 0
+), s3 AS (
+  -- UPDATE ... SET price = price * 1.1 WHERE status='F' AND price<50000
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' AND price < 50000
+              THEN price * 1.1 ELSE price END AS price
+  FROM s2
+), s4 AS (
+  -- DELETE FROM ... WHERE price > 500000
+  SELECT * FROM s3 WHERE NOT (price > 500000)
+), s5 AS (
+  -- MERGE matched-update: halve prices of keys % 5 = 0
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN price * 0.5 ELSE price END
+           AS price
+  FROM s4
 )
 SELECT o_orderstatus, COUNT(*) AS n,
        {dsum_sql('price')} AS sum_price,
        TRUE AS contract_ok
-FROM final_state
+FROM s5
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """

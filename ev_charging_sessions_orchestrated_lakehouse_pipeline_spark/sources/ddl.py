@@ -43,6 +43,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import snaptable as st
 
@@ -242,6 +243,11 @@ def execute_sql(
     * ``UPDATE t SET c = expr [, ...] [WHERE <conjunctive predicate>]``
       — WHERE grammar is the skipping-friendly conjunctive subset
       (see :func:`parse_where`)
+    * ``MERGE INTO t USING src|(<subquery>) [AS] s ON t.k = s.k [AND
+      ...] WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE, WHEN NOT
+      MATCHED THEN INSERT *, WHEN NOT MATCHED BY SOURCE [AND c] THEN
+      DELETE`` — whole-row semantics (Delta's ``SET *``/``INSERT *``
+      idiom); column-level clauses need the Python API
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``
     * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name``
     * ``ALTER TABLE t DROP FEATURE feature-name`` (protocol downgrade)
@@ -313,8 +319,6 @@ def execute_sql(
         # positional bind + implicit cast to the target types — the
         # standard SQL INSERT coercion (a VALUES literal 0 is int,
         # the table column may be bigint)
-        from pyspark.sql import functions as F
-
         aligned = df.toDF(*[f.name for f in target.fields]).select(
             *[F.col(f.name).cast(f.dataType) for f in target.fields]
         )
@@ -338,6 +342,110 @@ def execute_sql(
         filters = parse_where(m.group(3)) if m.group(3) else []
         v = st.update_where(spark, tbl(m.group(1)), filters, set_exprs)
         return _row_df(spark, {"operation": "update", "version": v})
+
+    m = _m(
+        rf"MERGE\s+INTO\s+{_IDENT}\s+USING\s+"
+        rf"(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_]\w*)"
+        rf"(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.+)",
+        s,
+    )
+    if m:
+        t = tbl(m.group(1))
+        src_sql, alias, on, clauses = (
+            m.group(2),
+            m.group(3),
+            m.group(4),
+            m.group(5),
+        )
+        src = (
+            spark.sql(src_sql[1:-1])
+            if src_sql.startswith("(")
+            else spark.table(src_sql)
+        )
+        # ON: conjunction of same-named equi-joins (t.k = s.k) — the
+        # form merge keys take; anything else can't drive the pruned
+        # partition-rewrite path and raises
+        keys = []
+        for conj in re.split(r"\s+AND\s+", on, flags=_F):
+            em = re.fullmatch(
+                r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", conj
+            )
+            if not em or em.group(2) != em.group(4):
+                raise ValueError(
+                    f"unsupported MERGE ON fragment {conj!r}: use "
+                    "conjunctions of target.k = source.k with matching "
+                    "column names (merge keys); arbitrary join "
+                    "conditions need the Python API"
+                )
+            keys.append(em.group(2))
+        delete_col = None
+        nmbs: bool | str | None = None
+        rest = clauses
+        saw_update = saw_insert = False
+        clause_re = re.compile(
+            r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+            r"(?:\s+AND\s+(.+?))?\s+THEN\s+"
+            r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*",
+            _F,
+        )
+        while rest.strip():
+            cm = clause_re.match(rest.strip())
+            if not cm:
+                raise ValueError(
+                    f"unsupported MERGE clause at {rest.strip()[:60]!r}: "
+                    "supported forms are WHEN MATCHED [AND c] THEN "
+                    "UPDATE SET * | DELETE, WHEN NOT MATCHED THEN "
+                    "INSERT *, WHEN NOT MATCHED BY SOURCE [AND c] THEN "
+                    "DELETE (column-level clauses need the Python API)"
+                )
+            kind = re.sub(r"\s+", " ", cm.group(1).upper())
+            cond, action = cm.group(2), cm.group(3).upper()
+            action = re.sub(r"\s+", " ", action)
+            if kind == "MATCHED" and action == "UPDATE SET *":
+                saw_update = True
+            elif kind == "NOT MATCHED" and action == "INSERT *":
+                saw_insert = True
+            elif kind == "MATCHED" and action == "DELETE":
+                # a matched-delete condition rides the source as a
+                # marker column (merge_into's delete_col protocol)
+                delete_col = "__merge_sql_delete"
+                pred = (
+                    F.expr(re.sub(rf"\b{alias}\.", "", cond))
+                    if cond
+                    else F.lit(True)
+                )
+                src = src.withColumn(delete_col, F.coalesce(pred, F.lit(False)))
+            elif kind == "NOT MATCHED BY SOURCE" and action == "DELETE":
+                nmbs = re.sub(rf"\b{alias}\.", "", cond) if cond else True
+            else:
+                raise ValueError(
+                    f"unsupported MERGE combination: WHEN {kind} THEN "
+                    f"{action}"
+                )
+            rest = rest.strip()[cm.end():]
+        if not (saw_update and saw_insert) and delete_col is None:
+            raise ValueError(
+                "MERGE needs WHEN MATCHED THEN UPDATE SET * and/or "
+                "WHEN NOT MATCHED THEN INSERT * (whole-row semantics)"
+            )
+        # source columns the target schema doesn't carry are batch
+        # plumbing (CDC flags, sequence numbers) — drop them before
+        # the whole-row merge, keeping the delete marker
+        target_cols = set(st.read_snapshot(spark, t).columns)
+        extra = [
+            c for c in src.columns if c not in target_cols and c != delete_col
+        ]
+        if extra:
+            src = src.drop(*extra)
+        v = st.merge_into(
+            spark,
+            t,
+            src,
+            keys,
+            delete_col=delete_col,
+            not_matched_by_source_delete=nmbs,
+        )
+        return _row_df(spark, {"operation": "merge", "version": v})
 
     m = _m(
         rf"ALTER\s+TABLE\s+{_IDENT}\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)",

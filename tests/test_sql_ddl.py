@@ -267,3 +267,58 @@ def test_execute_sql_ctas_insert_delete_update(spark, wh):
         run("DELETE FROM gold_rollup WHERE length(g) = 2")
     for v in ("facts", "dims"):
         spark.catalog.dropTempView(v)
+
+
+def test_execute_sql_merge_into(spark, wh):
+    """MERGE INTO via SQL text: whole-row upsert + conditional
+    matched-delete + NOT MATCHED BY SOURCE DELETE, all routed to
+    snaptable.merge_into (one commit, pruned rewrite path)."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    # source: updates g0, deletes g2, inserts g7; g1 untouched
+    spark.createDataFrame(
+        [("g0", "ALPHA", False), ("g2", None, True), ("g7", "eta", False)],
+        "g string, label string, is_del boolean",
+    ).createOrReplaceTempView("dim_updates")
+    r = run(
+        "MERGE INTO dims USING (SELECT g, label FROM dim_updates "
+        "WHERE NOT is_del) AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert r.operation == "merge"
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got == {"g0": "ALPHA", "g1": "beta", "g2": "gamma", "g7": "eta"}
+    # conditional matched-delete via marker source
+    run(
+        "MERGE INTO dims USING dim_updates AS s ON t.g = s.g "
+        "WHEN MATCHED AND s.is_del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert "g2" not in got and got["g0"] == "ALPHA" and "is_del" not in got
+    # NOT MATCHED BY SOURCE DELETE prunes rows the source omits
+    spark.createDataFrame(
+        [("g0", "ALPHA")], "g string, label string"
+    ).createOrReplaceTempView("dim_keep")
+    run(
+        "MERGE INTO dims USING dim_keep AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert {r.g for r in st.read_snapshot(spark, t).collect()} == {"g0"}
+    # unsupported shapes raise with pointers
+    with pytest.raises(ValueError, match="MERGE ON"):
+        run(
+            "MERGE INTO dims USING dim_keep AS s ON t.g > s.g "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="column-level"):
+        run(
+            "MERGE INTO dims USING dim_keep AS s ON t.g = s.g "
+            "WHEN MATCHED THEN UPDATE SET label = 'x'"
+        )
+    spark.catalog.dropTempView("dim_updates")
+    spark.catalog.dropTempView("dim_keep")
