@@ -3465,3 +3465,70 @@ FROM s5
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 incremental-apply contract, value-oracled:
+    ``scd2_apply(scd2(first), late)`` equals a window replay over the
+    RETAINED change points (the first batch's run starts) plus the
+    late batch — the core the streaming APPLY CHANGES ... STORED AS
+    SCD TYPE 2 surface (streaming/ingest.cdc_scd2_stream) rides.
+    The late batch is the INTERLEAVED third of the feed
+    (event_id % 3 == 0), so most changes splice into the MIDDLE of
+    already-built history: existing rows' valid_to must move,
+    equal-payload neighbors must re-collapse, and same-ts collisions
+    must break history-point-first (the nulls-first tiebreak).
+
+    Retained points, NOT the raw first batch, are the honest replay
+    base: SCD2 history stores one row per run, so a first-batch
+    change that collapsed into its predecessor's run is gone — a late
+    splice between two collapsed points cannot resurrect it (DLT's
+    stored-versions semantics; the docstring of :func:`scd2_apply`
+    states the same). The oracle derives the run starts with the same
+    LAG window, unions the late points (history points order first at
+    equal ts via NULLS FIRST), and re-derives runs — any divergence
+    in the rebuild algebra hash-mismatches."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    first = ev.filter(F.col("event_id") % 3 != 0)
+    late = ev.filter(F.col("event_id") % 3 == 0)
+    hist = scd2(first, "user_id", "event_type", "ts", "event_id")
+    return scd2_apply(
+        hist, late, ["user_id"], ["event_type"], "ts", tiebreak="event_id"
+    ).orderBy("user_id", "valid_from")
+
+
+ORACLE["scd2_incremental"] = """
+WITH first AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_id % 3 <> 0
+), marked1 AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM first
+), points AS (
+  SELECT user_id, event_type, ts, CAST(NULL AS BIGINT) AS tb
+  FROM marked1 WHERE prev IS DISTINCT FROM event_type
+  UNION ALL
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_id % 3 = 0
+), marked2 AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, tb ASC NULLS FIRST) AS prev
+  FROM points
+), changed AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM marked2
+  WHERE prev IS DISTINCT FROM event_type
+)
+SELECT a.user_id, a.event_type,
+       a.ts AS valid_from,
+       b.ts AS valid_to,
+       b.ts IS NULL AS is_current
+FROM changed a
+LEFT JOIN changed b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+ORDER BY a.user_id, valid_from
+"""
