@@ -263,6 +263,8 @@ def execute_sql(
     * ``ANALYZE TABLE t COMPUTE STATISTICS FOR {ALL COLUMNS|COLUMNS c1, ...}``
     * ``DESCRIBE HISTORY t``
     * ``DESCRIBE DETAIL t``
+    * ``SHOW TABLES [IN '<root>']`` / ``SHOW TBLPROPERTIES t``
+    * ``DROP TABLE [IF EXISTS] t`` (refuses non-snapshot directories)
 
     ``t`` is a backquoted/quoted path or a bare name resolved against
     ``warehouse`` (see :func:`resolve_table`)."""
@@ -574,6 +576,43 @@ def execute_sql(
         )
         v = st.analyze_table(spark, tbl(m.group(1)), columns=cols)
         return _row_df(spark, {"operation": "analyze", "version": v})
+
+    m = _m(r"SHOW\s+TABLES(?:\s+IN\s+(\S+))?", s)
+    if m:
+        root = _unquote(m.group(1)) if m.group(1) else warehouse
+        if root is None:
+            raise ValueError("SHOW TABLES needs a warehouse (IN '<root>')")
+        rows = []
+        for entry in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            path = os.path.join(root, entry)
+            if _is_snapshot_table(path):
+                rows.append((entry, path, st.current_version(path)))
+        return spark.createDataFrame(
+            rows, "tableName string, location string, version int"
+        )
+
+    m = _m(rf"SHOW\s+TBLPROPERTIES\s+{_IDENT}", s)
+    if m:
+        props = st.table_properties(tbl(m.group(1)))
+        return spark.createDataFrame(
+            sorted(props.items()) or [], "key string, value string"
+        )
+
+    m = _m(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_IDENT}", s)
+    if m:
+        t = tbl(m.group(2))
+        if st.current_version(t) is None:
+            if m.group(1):
+                return _row_df(
+                    spark, {"operation": "drop_table", "skipped": "absent"}
+                )
+            raise ValueError(f"{t} does not exist (or is not a snapshot table)")
+        # refuses anything that isn't a snapshot table: the manifest
+        # check above is the guard against rm -rf'ing an arbitrary dir
+        import shutil
+
+        shutil.rmtree(t)
+        return _row_df(spark, {"operation": "drop_table", "location": t})
 
     m = _m(rf"DESCRIBE\s+HISTORY\s+{_IDENT}", s)
     if m:

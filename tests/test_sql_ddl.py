@@ -322,3 +322,24 @@ def test_execute_sql_merge_into(spark, wh):
         )
     spark.catalog.dropTempView("dim_updates")
     spark.catalog.dropTempView("dim_keep")
+
+
+def test_execute_sql_show_and_drop_table(spark, wh):
+    """SHOW TABLES / SHOW TBLPROPERTIES / DROP TABLE round out the
+    catalog statements; DROP refuses non-snapshot directories."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    rows = run("SHOW TABLES").collect()
+    assert [(r.tableName, r.version) for r in rows] == [("dims", 1), ("facts", 1)]
+    run("ALTER TABLE dims SET TBLPROPERTIES ('owner'='x', 'a'='1')")
+    props = {r.key: r.value for r in run("SHOW TBLPROPERTIES dims").collect()}
+    assert props == {"owner": "x", "a": "1"}
+    # DROP TABLE: guard, IF EXISTS, effect
+    os.makedirs(os.path.join(wh, "random_dir"))
+    with pytest.raises(ValueError, match="not a snapshot table"):
+        run("DROP TABLE random_dir")
+    assert (
+        run("DROP TABLE IF EXISTS random_dir").collect()[0].skipped == "absent"
+    )
+    run("DROP TABLE dims")
+    assert not os.path.exists(os.path.join(wh, "dims"))
+    assert [r.tableName for r in run("SHOW TABLES").collect()] == ["facts"]
