@@ -643,3 +643,37 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
+
+
+def test_scd2_apply_windows_share_one_exchange(spark):
+    """scd2_apply's two windows (lag run-collapse, lead interval
+    close) share ONE Exchange+Sort over the point union — the same
+    single-shuffle property pinned for scd2. The only other
+    exchanges in the plan are the tombstone anti-join's two sides
+    (keys + valid_to), which is the inherent cost of detecting
+    prior deletes. A regression that re-sorts or re-shuffles between
+    the windows doubles the rebuild's cost at every streaming epoch."""
+    import re
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "a", 10, 20, False), (1, "b", 20, None, True)],
+        "k int, v string, valid_from int, valid_to int, is_current boolean",
+    )
+    ch = spark.createDataFrame(
+        [(1, "c", 30, 0)], "k int, v string, ts int, seq int"
+    )
+    plan = _formatted_plan(
+        spark, scd2_apply(hist, ch, ["k"], ["v"], "ts", tiebreak="seq")
+    )
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 3, plan.split("\n\n")[0]  # window + anti-join x2
+    windows = re.findall(r"^\(\d+\) Window", plan, re.M)
+    assert len(windows) == 2
+    # both windows partition on the keys and there is exactly ONE
+    # keys-only exchange feeding them (the other two carry the
+    # anti-join's composite key)
+    assert len(re.findall(r"hashpartitioning\(k#\d+, \d+\)", plan)) == 1
