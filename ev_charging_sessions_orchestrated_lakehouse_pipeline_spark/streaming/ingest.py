@@ -482,6 +482,14 @@ def cdc_scd2_stream(
 
     DEL = "__scd2_delete"
 
+    #: epochs whose distinct key set fits under this bound push the
+    #: keys into the stats-skipping scan as IN filters — at 100 TB a
+    #: CDC epoch touching a few thousand keys then reads a handful of
+    #: files instead of the whole table (a plain semi join cannot
+    #: prune files; this is the same move Delta's MERGE makes with
+    #: min/max file skipping on the merge keys)
+    KEY_PUSHDOWN_MAX = 10_000
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         done = snaptable.txn_epoch(table, app_id)
         if done is not None and epoch_id <= done:
@@ -489,9 +497,22 @@ def cdc_scd2_stream(
         if batch_df.isEmpty():
             return
         affected = batch_df.select(*keys).distinct()
-        existing = snaptable.read_snapshot(spark, table).join(
-            affected, keys, "left_semi"
-        )
+        # bounded collect BY CONSTRUCTION: capped at the pushdown
+        # limit + 1, never the full key set
+        sample = affected.limit(KEY_PUSHDOWN_MAX + 1).collect()
+        if len(sample) <= KEY_PUSHDOWN_MAX and not any(
+            r[k] is None for r in sample for k in keys
+        ):
+            flt = [
+                (k, "in", sorted({r[k] for r in sample})) for k in keys
+            ]
+            # per-column INs prune files; the semi join restores
+            # exactness for multi-key tuples (conjunction of INs is
+            # a superset of the tuple set)
+            base = snaptable.scan(spark, table, flt)
+        else:
+            base = snaptable.read_snapshot(spark, table)
+        existing = base.join(affected, keys, "left_semi")
         rebuilt = scd2_apply(
             existing, batch_df, keys, attrs, ts_col, tiebreak, delete_col
         )
