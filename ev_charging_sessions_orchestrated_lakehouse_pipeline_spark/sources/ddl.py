@@ -277,7 +277,9 @@ def execute_sql(
     m = _m(
         rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}"
         rf"(?:\s+USING\s+snapshot)?"
-        rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?"
+        # one paren nesting level so hidden-partitioning transforms
+        # (days(ts), bucket(4, id)) parse
+        rf"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))+)\))?"
         rf"(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?"
         rf"\s+AS\s+(SELECT\s+.+)",
         s,
@@ -295,7 +297,14 @@ def execute_sql(
                     },
                 )
             raise ValueError(f"{t} already exists (use IF NOT EXISTS)")
-        pcols = _cols_list(m.group(3)) if m.group(3) else []
+        # paren-aware split: bucket(4, id) holds a top-level-looking
+        # comma inside its own parens
+        pcols = (
+            [p.replace(" ", "") if "(" in p else p
+             for p in _split_top_level(m.group(3))]
+            if m.group(3)
+            else []
+        )
         v = st.create_table(spark.sql(m.group(5)), t, pcols)
         if m.group(4):
             v = st.set_table_properties(t, _parse_tblproperties(m.group(4)))

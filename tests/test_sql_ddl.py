@@ -343,3 +343,21 @@ def test_execute_sql_show_and_drop_table(spark, wh):
     run("DROP TABLE dims")
     assert not os.path.exists(os.path.join(wh, "dims"))
     assert [r.tableName for r in run("SHOW TABLES").collect()] == ["facts"]
+
+
+def test_execute_sql_ctas_hidden_partitioning(spark, wh):
+    """CTAS with a TRANSFORM partition spec (hidden partitioning):
+    bucket(4, id) must survive the statement parse — the transform's
+    own parens and comma are not statement structure."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    ddl.register_all_tables(spark, wh)
+    run(
+        "CREATE TABLE bucketed USING snapshot "
+        "PARTITIONED BY (bucket(4, id)) AS SELECT id, v FROM facts"
+    )
+    t = os.path.join(wh, "bucketed")
+    man = st._read_manifest(t, 1)
+    assert man["partition_cols"] == ["bucket(4,id)"]
+    assert st.read_snapshot(spark, t).count() == 40
+    for v in ("facts", "dims"):
+        spark.catalog.dropTempView(v)
