@@ -251,6 +251,7 @@ def execute_sql(
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``
     * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name``
     * ``ALTER TABLE t DROP FEATURE feature-name`` (protocol downgrade)
+    * ``ALTER TABLE t CLUSTER BY (c1, ...) | NONE`` (liquid clustering)
     * ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)``
     * ``ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)``
     * ``ALTER TABLE t RENAME COLUMN old TO new``
@@ -505,6 +506,14 @@ def execute_sql(
                 "properties": st.table_properties(t),
             },
         )
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+CLUSTER\s+BY\s+(?:NONE|\(([^)]+)\))", s
+    )
+    if m:
+        cols = _cols_list(m.group(2)) if m.group(2) else None
+        v = st.set_clustering(tbl(m.group(1)), cols)
+        return _row_df(spark, {"operation": "cluster_by", "version": v})
 
     m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+FEATURE\s+([\w-]+)", s)
     if m:

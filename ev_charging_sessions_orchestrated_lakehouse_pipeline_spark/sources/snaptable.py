@@ -1894,6 +1894,9 @@ def set_table_properties(table: str, props: dict) -> int:
     * ``vacuum.graceSeconds`` — per-table default for
       :func:`vacuum`'s grace window (Delta's
       ``deletedFileRetentionDuration`` in miniature).
+    * ``clusterBy`` — comma-joined clustering keys every
+      :func:`optimize` applies by default (set via
+      :func:`set_clustering`, Delta's liquid-clustering surface).
 
     Everything else is opaque user metadata carried verbatim."""
     head = current_version(table)
@@ -2112,6 +2115,39 @@ def drop_feature(table: str, feature: str) -> int:
         extra=extra or None,
         _drop_features=drop,
     )
+
+
+def set_clustering(table: str, cols: list[str] | None) -> int:
+    """ALTER TABLE ... CLUSTER BY (Delta liquid clustering's
+    declaration surface): record the table's clustering keys as the
+    ``clusterBy`` property so every later :func:`optimize` (and
+    :func:`auto_compact` pass over it) re-applies the layout without
+    the caller re-stating keys — the layout policy travels WITH the
+    table, exactly like partitioning. Metadata-only; no data moves
+    until the next OPTIMIZE. ``cols=None`` / empty = CLUSTER BY NONE
+    (unsets). Refused for partition columns (constant within a
+    partition directory — clustering them is a no-op that would
+    silently waste the sort) and unknown columns."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    if not cols:
+        return unset_table_properties(table, ["clusterBy"], if_exists=True)
+    prev = _read_manifest(table, head)
+    schema = json.loads(prev["schema"])
+    names = {f["name"] for f in schema["fields"]}
+    unknown = [c for c in cols if c not in names]
+    if unknown:
+        raise ValueError(f"unknown clustering columns {unknown}; table has {sorted(names)}")
+    pnames = set(_spec_names(prev["partition_cols"]))
+    overlap = [c for c in cols if c in pnames]
+    if overlap:
+        raise ValueError(
+            f"clustering columns {overlap} are partition columns — "
+            "constant within each partition directory, clustering "
+            "them is a no-op"
+        )
+    return set_table_properties(table, {"clusterBy": ",".join(cols)})
 
 
 def add_constraint(
@@ -4827,8 +4863,21 @@ def optimize(
     ``partitions=`` (one scope) or use
     :func:`auto_compact`'s byte-aware sweep; a table-wide single
     count would over-split small partitions and under-split big
-    ones."""
+    ones.
+
+    LIQUID-STYLE DEFAULT CLUSTERING: when ``cluster_by`` is omitted
+    and the table carries a ``clusterBy`` table property (set via
+    :func:`set_clustering` / ``ALTER TABLE ... CLUSTER BY``), OPTIMIZE
+    clusters by those keys automatically (Z-ORDER for 2+, linear for
+    one) — Delta's liquid-clustering surface: the layout policy lives
+    on the TABLE, and every maintenance pass re-applies it without the
+    caller re-stating keys."""
     head = current_version(table)
+    if cluster_by is None and head is not None:
+        declared = (table_properties(table) or {}).get("clusterBy")
+        if declared:
+            cluster_by = [c for c in declared.split(",") if c]
+            zorder = len(cluster_by) > 1
     if head is None:
         raise ValueError(f"{table} does not exist")
     prev = _read_manifest(table, head)

@@ -5451,3 +5451,50 @@ def test_refresh_hll_view_lifecycle(spark, tmp_path):
     r3 = st.refresh_hll_view(spark, src, sink, ["g"], "v")
     assert r3["mode"] == "full"
     assert sink_regs() == recompute()
+
+
+def test_liquid_clustering_declaration(spark, tmp_path):
+    """ALTER TABLE ... CLUSTER BY (liquid clustering's declaration
+    surface): the clusterBy property makes every later OPTIMIZE apply
+    the layout without re-stating keys — pruning on the clustered
+    column must improve after a default OPTIMIZE; CLUSTER BY NONE
+    unsets; unknown/partition columns refuse."""
+    t = str(tmp_path / "liquid")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, i % 97, float(i)) for i in range(4000)],
+            "id int, k int, v double",
+        ).repartition(8),  # shuffled layout: k spread across all files
+        t,
+        [],
+    )
+    with pytest.raises(ValueError, match="unknown clustering"):
+        st.set_clustering(t, ["nope"])
+    st.set_clustering(t, ["k"])
+    assert st.table_properties(t)["clusterBy"] == "k"
+    # default OPTIMIZE picks the declared keys: files split by k range
+    st.optimize(spark, t, files_per_partition=4)
+    man = st._read_manifest(t, st.current_version(t))
+    pruned = st._prune_files(t, man, [("k", "=", 5)])
+    assert len(pruned) < len(man["files"])  # stats now prune
+    assert st.read_snapshot(spark, t).count() == 4000
+    # CLUSTER BY NONE unsets; next optimize does not cluster
+    st.set_clustering(t, None)
+    assert "clusterBy" not in st.table_properties(t)
+    # partition columns refuse
+    tp = str(tmp_path / "liquid_p")
+    st.create_table(
+        spark.createDataFrame([(1, "a", 1.0)], "id int, g string, v double"),
+        tp,
+        ["g"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        st.set_clustering(tp, ["g"])
+    # SQL-text routing
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import ddl
+
+    r = ddl.execute_sql(spark, f"ALTER TABLE `{t}` CLUSTER BY (k, id)")
+    assert r.collect()[0].operation == "cluster_by"
+    assert st.table_properties(t)["clusterBy"] == "k,id"
+    ddl.execute_sql(spark, f"ALTER TABLE `{t}` CLUSTER BY NONE")
+    assert "clusterBy" not in st.table_properties(t)
