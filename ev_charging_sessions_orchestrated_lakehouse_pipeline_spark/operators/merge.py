@@ -3532,3 +3532,94 @@ FROM changed a
 LEFT JOIN changed b ON a.user_id = b.user_id AND b.rn = a.rn + 1
 ORDER BY a.user_id, valid_from
 """
+
+
+def q_snapshot_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid-clustering lifecycle (sources/snaptable.set_clustering +
+    optimize's clusterBy default — Delta liquid clustering's
+    declare-once surface): declare clustering keys as table metadata
+    through SQL text, run a PLAIN `OPTIMIZE` (no keys restated), and
+    verify the layout actually changed query behavior — the file-level
+    stats pruning contract (`files_pruned_lt_total`), plus guards
+    (unknown column refused, CLUSTER BY NONE unsets). The final
+    per-band aggregate replays the table content in DuckDB, so the
+    rewrite's row preservation is value-checked, not just counted."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import ddl as snapddl
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1000).cast("int").alias("cust_band"),
+        "o_totalprice",
+    )
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_liquid_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    t = os.path.join(wh, "facts")
+
+    def run(stmt: str):
+        return snapddl.execute_sql(spark, stmt, warehouse=wh)
+
+    try:
+        # shuffled layout: cust_band spread across every file
+        st.create_table(orders.repartition(8), t, [])
+        try:
+            run("ALTER TABLE facts CLUSTER BY (no_such_col)")
+            unknown_refused = False
+        except ValueError:
+            unknown_refused = True
+        run("ALTER TABLE facts CLUSTER BY (cust_band)")
+        declared = st.table_properties(t).get("clusterBy") == "cust_band"
+        before = st._read_manifest(t, st.current_version(t))
+        pruned_before = len(
+            st._prune_files(t, before, [("cust_band", "=", 7)])
+        )
+        # no cluster_by restated — optimize must pick up the declared
+        # keys; 8 output files so range-split pruning is observable
+        st.optimize(spark, t, files_per_partition=8)
+        after = st._read_manifest(t, st.current_version(t))
+        pruned_after = len(st._prune_files(t, after, [("cust_band", "=", 7)]))
+        files_pruned_lt_total = bool(
+            pruned_before == len(before["files"])  # shuffled: no pruning
+            and pruned_after < len(after["files"])  # clustered: pruning
+        )
+        run("ALTER TABLE facts CLUSTER BY NONE")
+        unset_ok = "clusterBy" not in st.table_properties(t)
+        contract_ok = bool(
+            unknown_refused and declared and files_pruned_lt_total and unset_ok
+        )
+        rows = (
+            st.read_snapshot(spark, t)
+            .groupBy((F.col("cust_band") % 10).alias("band"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+            .orderBy("band")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.band, r.n, float(r.sum_price), contract_ok) for r in rows],
+        "band int, n bigint, sum_price double, contract_ok boolean",
+    ).orderBy("band")
+
+
+ORACLE["snapshot_liquid_clustering"] = f"""
+SELECT CAST((o_custkey % 1000) % 10 AS INT) AS band, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       TRUE AS contract_ok
+FROM orders
+GROUP BY band
+ORDER BY band
+"""
