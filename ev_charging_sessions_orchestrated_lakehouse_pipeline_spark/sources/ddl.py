@@ -239,6 +239,10 @@ def execute_sql(
       BY (c1, ...)] [TBLPROPERTIES (...)] AS SELECT ...`` — the
       reference's CTAS shape (jobs/ev_sessions_gold_etl.py:127-150)
     * ``INSERT INTO t SELECT ... | VALUES ...``
+    * ``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+      [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS
+      ('force'='true')]`` — idempotent file ingest (loaded files skip
+      on re-run)
     * ``DELETE FROM t [WHERE <conjunctive predicate>]``
     * ``UPDATE t SET c = expr [, ...] [WHERE <conjunctive predicate>]``
       — WHERE grammar is the skipping-friendly conjunctive subset
@@ -310,6 +314,29 @@ def execute_sql(
         if m.group(4):
             v = st.set_table_properties(t, _parse_tblproperties(m.group(4)))
         return _row_df(spark, {"operation": "create_table", "version": v})
+
+    m = _m(
+        rf"COPY\s+INTO\s+{_IDENT}\s+FROM\s+('[^']+'|\"[^\"]+\")"
+        rf"\s+FILEFORMAT\s*=\s*(\w+)"
+        rf"(?:\s+PATTERN\s*=\s*('[^']+'|\"[^\"]+\"))?"
+        rf"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?"
+        rf"(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?",
+        s,
+    )
+    if m:
+        copts = _parse_tblproperties(m.group(6)) if m.group(6) else {}
+        rep = st.copy_into(
+            spark,
+            tbl(m.group(1)),
+            _unquote(m.group(2)),
+            file_format=m.group(3).lower(),
+            pattern=_unquote(m.group(4)) if m.group(4) else None,
+            options=_parse_tblproperties(m.group(5)) if m.group(5) else None,
+            force=str(copts.get("force", "")).lower() == "true",
+        )
+        if rep["version"] is None:  # nothing new: report the head
+            rep["version"] = st.current_version(tbl(m.group(1)))
+        return _row_df(spark, {"operation": "copy_into", **rep})
 
     m = _m(rf"INSERT\s+INTO\s+{_IDENT}\s+(SELECT\s+.+|VALUES\s*.+)", s)
     if m:

@@ -585,6 +585,7 @@ _ROW_REMOVING_OPS = frozenset(
 
 _REBASE_POLICY = {
     "append": "lenient",
+    "copy_into": "lenient",
     "optimize": "lenient",
     "overwrite_partitions": "partition",
     "overwrite": "strict",
@@ -1494,6 +1495,8 @@ def append(
     table: str,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    _operation: str = "append",
+    _extra: dict | None = None,
 ) -> int:
     """Append-only commit: previous snapshot's files plus the new
     ones. ``merge_schema=True`` lets the batch add columns (schema
@@ -1533,7 +1536,7 @@ def append(
     new = _write_data(df, table, prev["partition_cols"], mapping=mapping)
     return _commit(
         table,
-        "append",
+        _operation,
         sorted(prev["files"] + new),
         prev["partition_cols"],
         schema_json,
@@ -1543,6 +1546,7 @@ def append(
         constraints=prev.get("constraints", {}),
         deletion_vectors=prev.get("deletion_vectors", {}),
         column_mapping=mapping,
+        extra=_extra,
     )
 
 
@@ -2115,6 +2119,93 @@ def drop_feature(table: str, feature: str) -> int:
         extra=extra or None,
         _drop_features=drop,
     )
+
+
+def copied_files(table: str) -> set[str]:
+    """Source paths every COPY INTO commit in retained history has
+    loaded — the idempotence ledger :func:`copy_into` checks. O(raw
+    manifest reads over history); vacuum-expired history forgets its
+    entries (the same retention caveat Delta's COPY INTO documents)."""
+    out: set[str] = set()
+    for v in _list_versions(table):
+        out.update(_raw_manifest(table, v).get("copy_sources") or [])
+    return out
+
+
+def copy_into(
+    spark: SparkSession,
+    table: str,
+    source: str,
+    file_format: str = "parquet",
+    pattern: str | None = None,
+    options: dict | None = None,
+    force: bool = False,
+    merge_schema: bool = False,
+) -> dict:
+    """COPY INTO (Databricks/Delta's idempotent file-ingest statement):
+    load files from ``source`` into the snapshot table, SKIPPING every
+    file a previous COPY INTO already loaded — re-running the same
+    command after a partial failure or on a growing landing directory
+    ingests exactly the new files, no dedup query needed. The loaded
+    ledger is the ``copy_sources`` list each copy commit records in
+    its manifest (:func:`copied_files`); one COPY = one atomic commit,
+    so a crash mid-copy loads nothing and retries cleanly.
+
+    ``pattern``: glob over file names (COPY INTO's PATTERN clause).
+    ``options``: reader options (e.g. ``{"header": "true"}`` for CSV;
+    pass a DDL ``schema`` option for schema'd CSV reads).
+    ``force=True`` reloads files already in the ledger (COPY_OPTIONS
+    ('force'='true')). Returns {loaded_files, skipped_files, version}
+    (version None when nothing new).
+
+    Scale: the ledger check is driver-side set arithmetic over
+    manifest metadata; the read is one normal distributed scan of
+    ONLY the new files."""
+    import fnmatch
+    import glob as _glob
+
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist; use create_table")
+    src = source.rstrip("/")
+    names = sorted(
+        p
+        for p in _glob.glob(os.path.join(src, "**"), recursive=True)
+        if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+    )
+    if pattern:
+        names = [
+            p for p in names if fnmatch.fnmatch(os.path.relpath(p, src), pattern)
+        ]
+    already = set() if force else copied_files(table)
+    new = [p for p in names if p not in already]
+    if not new:
+        return {
+            "loaded_files": 0,
+            "skipped_files": len(names),
+            "version": None,
+        }
+    reader = spark.read.format(file_format)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if "schema" in (options or {}):
+        reader = spark.read.format(file_format).schema(options["schema"])
+        for k, v in options.items():
+            if k != "schema":
+                reader = reader.option(k, v)
+    df = reader.load(new)
+    v = append(
+        df,
+        table,
+        merge_schema=merge_schema,
+        _operation="copy_into",
+        _extra={"copy_sources": new},
+    )
+    return {
+        "loaded_files": len(new),
+        "skipped_files": len(names) - len(new),
+        "version": v,
+    }
 
 
 def set_clustering(table: str, cols: list[str] | None) -> int:

@@ -361,3 +361,52 @@ def test_execute_sql_ctas_hidden_partitioning(spark, wh):
     assert st.read_snapshot(spark, t).count() == 40
     for v in ("facts", "dims"):
         spark.catalog.dropTempView(v)
+
+
+def test_copy_into_idempotent_ingest(spark, wh, tmp_path):
+    """COPY INTO: first run loads everything, re-run loads nothing,
+    a NEW landing file loads exactly itself, a mid-run crash loads
+    nothing (one atomic commit), PATTERN filters, force reloads."""
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def drop(name, rows):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "id int, v double").coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        part.rename(land / name)
+
+    drop("a.parquet", [(1, 1.0), (2, 2.0)])
+    drop("b.parquet", [(3, 3.0)])
+    t = os.path.join(wh, "ingest")
+    st.create_table(
+        spark.createDataFrame([], "id int, v double").coalesce(1), t, []
+    )
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    r1 = run(
+        f"COPY INTO ingest FROM '{land}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert (r1.loaded_files, r1.skipped_files) == (2, 0)
+    assert st.read_snapshot(spark, t).count() == 3
+    # idempotent re-run: nothing loads, version unchanged
+    r2 = run(
+        f"COPY INTO ingest FROM '{land}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert (r2.loaded_files, r2.skipped_files) == (0, 2)
+    assert r2.version == r1.version
+    # a new landing file loads exactly itself
+    drop("c.parquet", [(4, 4.0)])
+    r3 = st.copy_into(spark, t, str(land))
+    assert (r3["loaded_files"], r3["skipped_files"]) == (1, 2)
+    assert st.read_snapshot(spark, t).count() == 4
+    # history records the op and ledger
+    assert [h["operation"] for h in st.history(t)][1:] == [
+        "copy_into", "copy_into"
+    ]
+    assert len(st.copied_files(t)) == 3
+    # PATTERN filters; force reloads (duplicates by design)
+    r4 = st.copy_into(spark, t, str(land), pattern="a.*", force=True)
+    assert r4["loaded_files"] == 1
+    assert st.read_snapshot(spark, t).count() == 6
