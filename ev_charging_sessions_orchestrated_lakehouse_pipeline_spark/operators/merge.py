@@ -3623,3 +3623,99 @@ FROM orders
 GROUP BY band
 ORDER BY band
 """
+
+
+def q_snapshot_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO lifecycle (sources/snaptable.copy_into — the
+    idempotent landing-directory ingest the reference's S3->Glue
+    trigger pattern needs): two landing files load in one atomic
+    commit, an immediate re-run loads ZERO (the per-commit source
+    ledger), a third file arriving later loads exactly itself, and a
+    PATTERN-filtered copy into a second table takes only the matching
+    file. Contract columns pin the loaded/skipped arithmetic and the
+    op sequence; the final rollup value-checks that idempotence never
+    duplicated a row."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_copyinto_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    land = os.path.join(root, "landing")
+    os.makedirs(land)
+
+    def drop(name: str, df) -> None:
+        stage = os.path.join(root, "stage_" + name)
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.rename(os.path.join(stage, part), os.path.join(land, name))
+
+    t = os.path.join(root, "facts")
+    t2 = os.path.join(root, "f_only")
+    try:
+        drop("batch_a.parquet", orders.filter(F.col("o_orderkey") % 3 == 0))
+        drop("batch_b.parquet", orders.filter(F.col("o_orderkey") % 3 == 1))
+        st.create_table(orders.limit(0), t, [])
+        r1 = st.copy_into(spark, t, land)
+        r2 = st.copy_into(spark, t, land)  # idempotent re-run
+        drop("batch_c.parquet", orders.filter(F.col("o_orderkey") % 3 == 2))
+        r3 = st.copy_into(spark, t, land)  # only the new file
+        st.create_table(orders.limit(0), t2, [])
+        r4 = st.copy_into(spark, t2, land, pattern="batch_a.*")
+        ops = [h["operation"] for h in st.history(t)]
+        contract_ok = bool(
+            (r1["loaded_files"], r1["skipped_files"]) == (2, 0)
+            and (r2["loaded_files"], r2["skipped_files"]) == (0, 2)
+            and r2["version"] is None
+            and (r3["loaded_files"], r3["skipped_files"]) == (1, 2)
+            # pattern scopes the candidate set BEFORE skip counting:
+            # non-matching files are out of scope, not "skipped"
+            and (r4["loaded_files"], r4["skipped_files"]) == (1, 0)
+            and ops == ["create", "copy_into", "copy_into"]
+            and len(st.copied_files(t)) == 3
+        )
+        rows = (
+            st.read_snapshot(spark, t)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        n_pattern = st.read_snapshot(spark, t2).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, r.n, float(r.sum_price), n_pattern, contract_ok)
+            for r in rows
+        ],
+        "o_orderstatus string, n bigint, sum_price double, "
+        "n_pattern bigint, contract_ok boolean",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_copy_into"] = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+         AS n_pattern,
+       TRUE AS contract_ok
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -410,3 +410,71 @@ def test_copy_into_idempotent_ingest(spark, wh, tmp_path):
     r4 = st.copy_into(spark, t, str(land), pattern="a.*", force=True)
     assert r4["loaded_files"] == 1
     assert st.read_snapshot(spark, t).count() == 6
+
+
+def test_parse_where_roundtrip_property():
+    """Property: any clause BUILT from the documented grammar parses
+    back to exactly its tuples (hypothesis sweep over conjunct
+    shapes, operators, literal types, and whitespace)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hs
+
+    ident = hs.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+    lit = hs.one_of(
+        hs.integers(-10**6, 10**6),
+        hs.floats(
+            allow_nan=False, allow_infinity=False, width=32,
+            min_value=-1e6, max_value=1e6,
+        ).map(lambda f: round(f, 3)),
+        hs.from_regex(r"[A-Za-z0-9_ .:-]{0,12}", fullmatch=True),
+        hs.booleans(),
+    )
+    op = hs.sampled_from([">=", "<=", "!=", "=", ">", "<"])
+    conj = hs.one_of(
+        hs.tuples(ident, hs.just("isnull"), hs.none()),
+        hs.tuples(ident, hs.just("notnull"), hs.none()),
+        hs.tuples(ident, hs.just("in"), hs.lists(lit, min_size=1, max_size=4)),
+        hs.tuples(ident, op, lit),
+    )
+
+    def render(c):
+        col, o, v = c
+        if o == "isnull":
+            return f"{col} IS NULL"
+        if o == "notnull":
+            return f"{col} IS NOT NULL"
+
+        def rv(x):
+            if isinstance(x, bool):
+                return "TRUE" if x else "FALSE"
+            if isinstance(x, str):
+                return "'" + x + "'"
+            return repr(x)
+
+        if o == "in":
+            return f"{col} IN ({', '.join(rv(x) for x in v)})"
+        return f"{col} {o} {rv(v)}"
+
+    from hypothesis import HealthCheck
+
+    @given(conjs=hs.lists(conj, min_size=1, max_size=5))
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(conjs):
+        clause = " AND ".join(render(c) for c in conjs)
+        got = ddl.parse_where(clause)
+        want = [
+            (col, o, v if not isinstance(v, float) else v)
+            for col, o, v in conjs
+        ]
+        # int-valued floats parse back as ints (3.0 renders "3.0" ->
+        # float; repr keeps the dot, so floats stay floats)
+        assert len(got) == len(want)
+        for (gc, go, gv), (wc, wo, wv) in zip(got, want):
+            assert (gc, go) == (wc, wo)
+            if isinstance(wv, list):
+                assert gv == wv
+            else:
+                assert gv == wv
+
+    check()
