@@ -116,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
             "unset-property",
             "properties",
             "sql",
+            "cluster-by",
+            "copy-into",
+            "drop-feature",
         ],
     )
     pt.add_argument(
@@ -168,6 +171,36 @@ def main(argv: list[str] | None = None) -> int:
         "--minmax-col", default=None,
         help="refresh-view: maintain COUNT/MIN/MAX of this column "
         "instead of COUNT/SUM",
+    )
+    pt.add_argument(
+        "--hll-col", default=None,
+        help="refresh-view: column whose per-key DISTINCT COUNT the "
+        "HLL-register view tracks",
+    )
+    pt.add_argument(
+        "--cluster-columns", default=None,
+        help="cluster-by: comma-separated clustering keys (omit to "
+        "unset, CLUSTER BY NONE)",
+    )
+    pt.add_argument(
+        "--source", default=None,
+        help="copy-into: landing directory to ingest from",
+    )
+    pt.add_argument(
+        "--file-format", default="parquet",
+        help="copy-into: source file format (parquet/csv/json)",
+    )
+    pt.add_argument(
+        "--pattern", default=None,
+        help="copy-into: glob over source-relative file names",
+    )
+    pt.add_argument(
+        "--force", action="store_true",
+        help="copy-into: reload files already in the ledger",
+    )
+    pt.add_argument(
+        "--feature", default=None,
+        help="drop-feature: reader/writer feature flag to downgrade",
     )
     pt.add_argument(
         "--app-id", default="ivm",
@@ -238,6 +271,8 @@ def main(argv: list[str] | None = None) -> int:
         "set-property",
         "unset-property",
         "properties",
+        "cluster-by",
+        "drop-feature",
     ):
         # metadata-only actions: no SparkSession needed
         from .sources import snaptable as st
@@ -343,6 +378,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"version": v, "properties": st.table_properties(args.table)}))
         elif args.action == "properties":
             print(json.dumps(st.table_properties(args.table)))
+        elif args.action == "cluster-by":
+            cols = (
+                args.cluster_columns.split(",")
+                if args.cluster_columns
+                else None
+            )
+            v = st.set_clustering(args.table, cols)
+            print(
+                json.dumps(
+                    {"version": v, "properties": st.table_properties(args.table)}
+                )
+            )
+        elif args.action == "drop-feature":
+            if not args.feature:
+                p.error("drop-feature requires --feature")
+            v = st.drop_feature(args.table, args.feature)
+            print(json.dumps({"version": v}))
         elif args.action == "drop-constraint":
             if not args.name:
                 p.error("drop-constraint requires --name")
@@ -462,6 +514,19 @@ def main(argv: list[str] | None = None) -> int:
                 v = st.add_constraint(spark, args.table, args.name, args.expr)
                 print(json.dumps({"version": v}))
                 return 0
+            elif args.action == "copy-into":
+                if not args.source:
+                    p.error("copy-into requires --source")
+                rep = st.copy_into(
+                    spark,
+                    args.table,
+                    args.source,
+                    file_format=args.file_format,
+                    pattern=args.pattern,
+                    force=args.force,
+                )
+                print(json.dumps(rep))
+                return 0
             elif args.action == "sql":
                 stmts = list(args.statement or [])
                 if args.sql:
@@ -500,21 +565,30 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(out, default=str))
                 return 0
             elif args.action == "refresh-view":
-                if not (
-                    args.sink
-                    and args.keys
-                    and (args.sum_col or args.minmax_col)
-                ):
+                picked = [
+                    c for c in (args.sum_col, args.minmax_col, args.hll_col)
+                    if c
+                ]
+                if not (args.sink and args.keys and picked):
                     p.error(
                         "refresh-view requires --sink, --keys and one of "
-                        "--sum-col / --minmax-col"
+                        "--sum-col / --minmax-col / --hll-col"
                     )
-                if args.sum_col and args.minmax_col:
+                if len(picked) > 1:
                     p.error(
-                        "--sum-col and --minmax-col are mutually "
+                        "--sum-col / --minmax-col / --hll-col are mutually "
                         "exclusive; pick one view kind per sink"
                     )
-                if args.minmax_col:
+                if args.hll_col:
+                    res = st.refresh_hll_view(
+                        spark,
+                        args.table,
+                        args.sink,
+                        args.keys.split(","),
+                        args.hll_col,
+                        app_id=args.app_id,
+                    )
+                elif args.minmax_col:
                     res = st.refresh_minmax_view(
                         spark,
                         args.table,

@@ -478,3 +478,56 @@ def test_parse_where_roundtrip_property():
                 assert gv == wv
 
     check()
+
+
+def test_cli_r13_actions(spark, wh, tmp_path, capsys, monkeypatch):
+    """CLI plumbing for the r13 surfaces: cluster-by (metadata-only,
+    no Spark), drop-feature, copy-into, refresh-view --hll-col."""
+    import json as _json
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli import main
+
+    monkeypatch.setattr(spark.__class__, "stop", lambda self: None)
+    t = os.path.join(wh, "facts")
+
+    rc = main(["table", "--table", t, "cluster-by", "--cluster-columns", "v"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["properties"]["clusterBy"] == "v"
+    main(["table", "--table", t, "cluster-by"])  # unset
+    capsys.readouterr()
+    assert "clusterBy" not in st.table_properties(t)
+
+    # copy-into a fresh table
+    land = tmp_path / "cli_land"
+    land.mkdir()
+    stage = tmp_path / "cli_stage"
+    spark.createDataFrame([(1, 2.0)], "id int, v double").coalesce(1).write.parquet(str(stage))
+    next(p for p in stage.iterdir() if p.name.endswith(".parquet")).rename(
+        land / "x.parquet"
+    )
+    t2 = os.path.join(wh, "cli_ingest")
+    st.create_table(spark.createDataFrame([], "id int, v double").coalesce(1), t2, [])
+    rc = main(
+        ["table", "--table", t2, "copy-into", "--source", str(land)]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["loaded_files"] == 1
+    assert st.read_snapshot(spark, t2).count() == 1
+
+    # refresh-view --hll-col
+    sink = os.path.join(wh, "cli_hll_sink")
+    rc = main(
+        ["table", "--table", t, "refresh-view", "--sink", sink,
+         "--keys", "g", "--hll-col", "id"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "full"
+    assert st.read_snapshot(spark, sink).count() > 0
+
+    # drop-feature (metadata-only path) on a table without the flag:
+    # idempotent no-op returns the head
+    rc = main(["table", "--table", t, "drop-feature", "--feature", "deletion-vectors"])
+    assert rc == 0
