@@ -585,7 +585,6 @@ _ROW_REMOVING_OPS = frozenset(
 
 _REBASE_POLICY = {
     "append": "lenient",
-    "copy_into": "lenient",
     "optimize": "lenient",
     "overwrite_partitions": "partition",
     "overwrite": "strict",
@@ -2158,14 +2157,21 @@ def copy_into(
     ('force'='true')). Returns {loaded_files, skipped_files, version}
     (version None when nothing new).
 
+    Concurrency: ``copy_into`` deliberately has NO auto-rebase policy
+    — a racing commit (another COPY, an append, anything) makes the
+    loser's publish raise, and the retry here RE-READS THE LEDGER
+    before reloading, so two copies racing over the same landing
+    directory can never double-load a file (the hazard a lenient
+    rebase would create: both compute against the same parent's
+    ledger and both land).
+
     Scale: the ledger check is driver-side set arithmetic over
     manifest metadata; the read is one normal distributed scan of
     ONLY the new files."""
     import fnmatch
     import glob as _glob
 
-    head = current_version(table)
-    if head is None:
+    if current_version(table) is None:
         raise ValueError(f"{table} does not exist; use create_table")
     src = source.rstrip("/")
     names = sorted(
@@ -2177,35 +2183,42 @@ def copy_into(
         names = [
             p for p in names if fnmatch.fnmatch(os.path.relpath(p, src), pattern)
         ]
-    already = set() if force else copied_files(table)
-    new = [p for p in names if p not in already]
-    if not new:
+    last_err: Exception | None = None
+    for _attempt in range(5):
+        already = set() if force else copied_files(table)
+        new = [p for p in names if p not in already]
+        if not new:
+            return {
+                "loaded_files": 0,
+                "skipped_files": len(names),
+                "version": None,
+            }
+        reader = spark.read.format(file_format)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        if "schema" in (options or {}):
+            reader = spark.read.format(file_format).schema(options["schema"])
+            for k, v in options.items():
+                if k != "schema":
+                    reader = reader.option(k, v)
+        df = reader.load(new)
+        try:
+            v = append(
+                df,
+                table,
+                merge_schema=merge_schema,
+                _operation="copy_into",
+                _extra={"copy_sources": new},
+            )
+        except ConcurrentCommit as e:
+            last_err = e  # loser: re-read the ledger and retry
+            continue
         return {
-            "loaded_files": 0,
-            "skipped_files": len(names),
-            "version": None,
+            "loaded_files": len(new),
+            "skipped_files": len(names) - len(new),
+            "version": v,
         }
-    reader = spark.read.format(file_format)
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    if "schema" in (options or {}):
-        reader = spark.read.format(file_format).schema(options["schema"])
-        for k, v in options.items():
-            if k != "schema":
-                reader = reader.option(k, v)
-    df = reader.load(new)
-    v = append(
-        df,
-        table,
-        merge_schema=merge_schema,
-        _operation="copy_into",
-        _extra={"copy_sources": new},
-    )
-    return {
-        "loaded_files": len(new),
-        "skipped_files": len(names) - len(new),
-        "version": v,
-    }
+    raise last_err
 
 
 def set_clustering(table: str, cols: list[str] | None) -> int:

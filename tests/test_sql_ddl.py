@@ -531,3 +531,50 @@ def test_cli_r13_actions(spark, wh, tmp_path, capsys, monkeypatch):
     # idempotent no-op returns the head
     rc = main(["table", "--table", t, "drop-feature", "--feature", "deletion-vectors"])
     assert rc == 0
+
+
+def test_copy_into_concurrent_race_never_double_loads(spark, wh, tmp_path):
+    """Two COPY INTOs racing over the same landing directory: the
+    publish barrier (pre_publish_hook seam) makes both compute
+    against the SAME parent ledger; the loser must collide (no
+    lenient rebase for copy commits), re-read the ledger, and load
+    ZERO — never the duplicate a rebase would land."""
+    import threading
+
+    land = tmp_path / "race_land"
+    land.mkdir()
+    stage = tmp_path / "race_stage"
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, v double"
+    ).coalesce(1).write.parquet(str(stage))
+    next(p for p in stage.iterdir() if p.name.endswith(".parquet")).rename(
+        land / "batch.parquet"
+    )
+    t = os.path.join(wh, "race_ingest")
+    st.create_table(
+        spark.createDataFrame([], "id int, v double").coalesce(1), t, []
+    )
+    barrier = threading.Barrier(2, timeout=60)
+    seen = []
+
+    def hook(table, version, manifest):
+        if manifest.get("operation") == "copy_into" and len(seen) < 2:
+            seen.append(version)
+            barrier.wait()  # both writers reach the publish together
+
+    results = {}
+
+    def run(name):
+        results[name] = st.copy_into(spark, t, str(land))
+
+    st.pre_publish_hook = hook
+    try:
+        t1 = threading.Thread(target=run, args=("a",))
+        t2 = threading.Thread(target=run, args=("b",))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+    finally:
+        st.pre_publish_hook = None
+    loads = sorted(r["loaded_files"] for r in results.values())
+    assert loads == [0, 1], results  # one winner, loser skipped on retry
+    assert st.read_snapshot(spark, t).count() == 10  # no duplicates
+    assert len(st.copied_files(t)) == 1
