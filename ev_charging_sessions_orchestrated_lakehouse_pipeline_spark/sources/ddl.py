@@ -236,8 +236,9 @@ def execute_sql(
     (jobs/ev_sessions_gold_etl.py:127-150):
 
     * ``CREATE TABLE [IF NOT EXISTS] t [USING snapshot] [PARTITIONED
-      BY (c1, ...)] [TBLPROPERTIES (...)] AS SELECT ...`` — the
-      reference's CTAS shape (jobs/ev_sessions_gold_etl.py:127-150)
+      BY (c1, ...)] [CLUSTER BY (c1, ...)] [TBLPROPERTIES (...)]
+      AS SELECT ...`` — the reference's CTAS shape
+      (jobs/ev_sessions_gold_etl.py:127-150) + liquid declaration
     * ``INSERT INTO t SELECT ... | VALUES ...``
     * ``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
       [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS
@@ -285,6 +286,7 @@ def execute_sql(
         # one paren nesting level so hidden-partitioning transforms
         # (days(ts), bucket(4, id)) parse
         rf"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))+)\))?"
+        rf"(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?"
         rf"(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?"
         rf"\s+AS\s+(SELECT\s+.+)",
         s,
@@ -310,9 +312,11 @@ def execute_sql(
             if m.group(3)
             else []
         )
-        v = st.create_table(spark.sql(m.group(5)), t, pcols)
-        if m.group(4):
-            v = st.set_table_properties(t, _parse_tblproperties(m.group(4)))
+        v = st.create_table(spark.sql(m.group(6)), t, pcols)
+        if m.group(4):  # CLUSTER BY at creation (liquid tables)
+            v = st.set_clustering(t, _cols_list(m.group(4)))
+        if m.group(5):
+            v = st.set_table_properties(t, _parse_tblproperties(m.group(5)))
         return _row_df(spark, {"operation": "create_table", "version": v})
 
     m = _m(

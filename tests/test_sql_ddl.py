@@ -578,3 +578,20 @@ def test_copy_into_concurrent_race_never_double_loads(spark, wh, tmp_path):
     assert loads == [0, 1], results  # one winner, loser skipped on retry
     assert st.read_snapshot(spark, t).count() == 10  # no duplicates
     assert len(st.copied_files(t)) == 1
+
+
+def test_ctas_cluster_by(spark, wh):
+    """Liquid table declared at creation: CTAS ... CLUSTER BY records
+    the keys; later plain OPTIMIZE applies them."""
+    ddl.register_all_tables(spark, wh)
+    ddl.execute_sql(
+        spark,
+        "CREATE TABLE liquid_ctas CLUSTER BY (v) "
+        "TBLPROPERTIES ('tier'='gold') AS SELECT id, v FROM facts",
+        warehouse=wh,
+    )
+    t = os.path.join(wh, "liquid_ctas")
+    props = st.table_properties(t)
+    assert props == {"clusterBy": "v", "tier": "gold"}
+    for v in ("facts", "dims"):
+        spark.catalog.dropTempView(v)
