@@ -583,9 +583,15 @@ def execute_sql(
         s,
     )
     if m:
-        grace = float(m.group(2)) * 3600.0 if m.group(2) else None
+        # RETAIN n HOURS is Delta's retention window: it bounds BOTH
+        # time travel (age-based manifest expiry) and the unreferenced-
+        # file grace (files younger than the window survive the sweep)
+        hours = float(m.group(2)) if m.group(2) else None
         rep = st.vacuum(
-            tbl(m.group(1)), dry_run=bool(m.group(3)), grace_seconds=grace
+            tbl(m.group(1)),
+            dry_run=bool(m.group(3)),
+            grace_seconds=hours * 3600.0 if hours is not None else None,
+            retain_hours=hours,
         )
         return _row_df(spark, {"operation": "vacuum", **rep})
 

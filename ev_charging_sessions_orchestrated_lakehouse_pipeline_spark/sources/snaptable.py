@@ -5527,6 +5527,7 @@ def vacuum(
     retain_last: int = 0,
     dry_run: bool = False,
     grace_seconds: float | None = None,
+    retain_hours: float | None = None,
 ) -> dict:
     """Reclaim space: delete data files referenced by NO retained
     manifest (covers orphans from crashed writes) and, when
@@ -5561,6 +5562,14 @@ def vacuum(
       to stay ``false`` (the default; the session factory never
       flips it — flipping it would convert this race into silently
       wrong answers, exactly what Delta's VACUUM docs warn about).
+
+    ``retain_hours`` (Delta's ``VACUUM ... RETAIN n HOURS``):
+    AGE-based history expiry — every non-tagged version except the
+    head whose commit time predates the window expires, composing
+    with ``retain_last`` (a version expires if either policy retires
+    it). Commit timestamps are forced monotonic, so the aged set is
+    always a prefix of history and the segment-chain rewrite below
+    stays correct.
 
     ``dry_run=True`` (Delta's VACUUM DRY RUN): report what WOULD be
     expired/deleted — including the victim file list — touching
@@ -5605,9 +5614,29 @@ def vacuum(
     tagged = set(_tagged_versions(table).values())
     expired = 0
     expirable: list[int] = []
-    if retain_last > 0 and len(versions) > retain_last:
+    # retain_hours (Delta's VACUUM ... RETAIN n HOURS): AGE-based
+    # history expiry — versions whose commit time predates the window
+    # expire (head always survives), composing with the count-based
+    # retain_last (a version expires if EITHER policy retires it)
+    if retain_hours is not None and len(versions) > 1:
+        age_cut = time.time() - float(retain_hours) * 3600.0
+        aged = [
+            v
+            for v in versions[:-1]  # the head never ages out
+            if v not in tagged
+            and _raw_manifest(table, v)["committed_at"] < age_cut
+        ]
+        keep_n = retain_last if retain_last > 0 else len(versions)
+        count_based = (
+            [v for v in versions[:-keep_n] if v not in tagged]
+            if len(versions) > keep_n
+            else []
+        )
+        expirable = sorted(set(aged) | set(count_based))
+    elif retain_last > 0 and len(versions) > retain_last:
         expirable = [v for v in versions[:-retain_last] if v not in tagged]
-        kept = sorted(set(versions[-retain_last:]) | tagged)
+    if expirable:
+        kept = sorted(set(versions) - set(expirable))
         if not dry_run:
             # a kept SEGMENT whose diff chain passes through an
             # expiring manifest must be materialized into a
