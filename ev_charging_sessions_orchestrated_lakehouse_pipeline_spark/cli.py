@@ -80,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--database", required=True)
     pc.add_argument("--table-name", required=True)
 
+    pm = sub.add_parser(
+        "maintenance",
+        help="policy-driven warehouse sweep: apply each snapshot "
+        "table's declared maintenance.* properties (auto-compact, "
+        "age-based vacuum, analyze) in one cron-able pass",
+    )
+    pm.add_argument("--lake", required=True, help="warehouse root directory")
+    pm.add_argument(
+        "--dry-run", action="store_true",
+        help="report compaction plans and vacuum audits, touch nothing",
+    )
+
     pt = sub.add_parser(
         "table",
         help="snapshot-table maintenance (OPTIMIZE / VACUUM / bloom "
@@ -477,6 +489,15 @@ def main(argv: list[str] | None = None) -> int:
                 [f for f in spark.table(fqn).schema.fields]
             )
             print(json.dumps({"table": fqn, "n_columns": n_parts}))
+        elif args.cmd == "maintenance":
+            from .sources.maintenance import run_maintenance
+
+            print(
+                json.dumps(
+                    run_maintenance(spark, args.lake, dry_run=args.dry_run),
+                    default=str,
+                )
+            )
         elif args.cmd == "table":
             from .sources import snaptable as st
 
