@@ -595,3 +595,18 @@ def test_ctas_cluster_by(spark, wh):
     assert props == {"clusterBy": "v", "tier": "gold"}
     for v in ("facts", "dims"):
         spark.catalog.dropTempView(v)
+
+
+def test_register_all_tables_global_views(spark, wh):
+    """global_views=True registers global_temp views (the in-process
+    shared-catalog analogue): reachable via the global_temp database
+    from any session of the application."""
+    reg = ddl.register_all_tables(spark, wh, global_views=True)
+    assert reg == {"dims": "global_temp.dims", "facts": "global_temp.facts"}
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM global_temp.facts f "
+        "JOIN global_temp.dims d ON f.g = d.g"
+    ).collect()[0].n
+    assert n == 40
+    for v in ("facts", "dims"):
+        spark.catalog.dropGlobalTempView(v)
