@@ -2077,13 +2077,31 @@ def drop_feature(table: str, feature: str) -> int:
             f"identity column {prev['identity'].get('col')!r} rides on "
             "row ids; drop identity-columns first"
         ]
-    elif feature == "hidden-partitioning" and any(
-        "(" in c for c in prev["partition_cols"]
-    ):
-        blockers = [
-            f"current partition spec {prev['partition_cols']} uses "
-            "transforms; evolve_partitioning to plain columns first"
-        ]
+    elif feature == "hidden-partitioning":
+        if any("(" in c for c in prev["partition_cols"]):
+            blockers = [
+                f"current partition spec {prev['partition_cols']} uses "
+                "transforms; evolve_partitioning to plain columns first"
+            ]
+        else:
+            # partition EVOLUTION may have left live files under a
+            # historical spec's transform directories (<col>_day=,
+            # <col>_bucket=) — reading those still needs the feature;
+            # OPTIMIZE migrates them into the current layout
+            legacy = [
+                f
+                for f in prev["files"]
+                if any(
+                    re.match(r"\w+_(day|bucket)=", seg)
+                    for seg in f.split("/")[:-1]
+                )
+            ]
+            if legacy:
+                blockers = [
+                    f"{len(legacy)} live file(s) still sit under a "
+                    "historical transform spec's directories (e.g. "
+                    f"{legacy[0]}); optimize() migrates them first"
+                ]
     elif feature == "type-widening":
         offenders = _live_files_need_widening(table, prev)
         if offenders:

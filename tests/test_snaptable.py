@@ -5539,3 +5539,26 @@ def test_vacuum_retain_hours_age_based_expiry(spark, tmp_path):
     # — tagged versions survive BOTH policies
     rep3 = st.vacuum(t, retain_last=1, retain_hours=0.0, grace_seconds=0)
     assert st._list_versions(t) == [2, 5]
+
+
+def test_drop_feature_hidden_partitioning_legacy_files(spark, tmp_path):
+    """Partition evolution to a plain spec is NOT enough to drop
+    hidden-partitioning: live files under the historical transform
+    directories still need the feature to read. OPTIMIZE migrates
+    them; then the drop lands."""
+    t = str(tmp_path / "hp_drop")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id int, v double"
+        ).coalesce(1),
+        t,
+        ["bucket(4,id)"],
+    )
+    st.evolve_partitioning(t, [])
+    with pytest.raises(ValueError, match="historical transform"):
+        st.drop_feature(t, "hidden-partitioning")
+    st.optimize(spark, t, files_per_partition=1)  # migrates old-spec files
+    st.drop_feature(t, "hidden-partitioning")
+    head = st._read_manifest(t, st.current_version(t))
+    assert "hidden-partitioning" not in (head.get("reader_features") or [])
+    assert st.read_snapshot(spark, t).count() == 8
