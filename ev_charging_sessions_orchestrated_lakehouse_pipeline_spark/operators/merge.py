@@ -3370,7 +3370,10 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )  # v14
-        run("VACUUM facts RETAIN 0 HOURS")
+        # plain VACUUM (no RETAIN): sweeps orphans only — RETAIN n
+        # HOURS now expires history by AGE (r13), which would delete
+        # the very versions the contract below reads
+        run("VACUUM facts")
         ops = [r.operation for r in run("DESCRIBE HISTORY facts").collect()]
         ops_expected = [
             "create",
@@ -3520,7 +3523,8 @@ WITH first AS (
   FROM points
 ), changed AS (
   SELECT user_id, event_type, ts,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, tb ASC NULLS FIRST) AS rn
   FROM marked2
   WHERE prev IS DISTINCT FROM event_type
 )

@@ -161,7 +161,7 @@ def _parse_literal(tok: str):
 _CONJ = re.compile(
     r"\s*(\w+)\s*(?:"
     r"(IS\s+NOT\s+NULL)|(IS\s+NULL)"
-    r"|(IN)\s*\(([^)]*)\)"
+    r"|(IN)\s*\(((?:[^()']|'[^']*')*)\)"
     r"|(>=|<=|!=|<>|=|>|<)\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)"
     r")\s*",
     re.IGNORECASE,
@@ -195,8 +195,13 @@ def parse_where(clause: str) -> list[tuple]:
         elif m.group(3):
             out.append((col, "isnull", None))
         elif m.group(4):
+            # quote-aware split: a quoted IN literal may carry commas
             out.append(
-                (col, "in", [_parse_literal(v) for v in m.group(5).split(",")])
+                (
+                    col,
+                    "in",
+                    [_parse_literal(v) for v in _split_top_level(m.group(5))],
+                )
             )
         else:
             op = "!=" if m.group(6) == "<>" else m.group(6)
@@ -249,10 +254,14 @@ def execute_sql(
       — WHERE grammar is the skipping-friendly conjunctive subset
       (see :func:`parse_where`)
     * ``MERGE INTO t USING src|(<subquery>) [AS] s ON t.k = s.k [AND
-      ...] WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE, WHEN NOT
-      MATCHED THEN INSERT *, WHEN NOT MATCHED BY SOURCE [AND c] THEN
-      DELETE`` — whole-row semantics (Delta's ``SET *``/``INSERT *``
-      idiom); column-level clauses need the Python API
+      ...] WHEN MATCHED THEN UPDATE SET * | [AND c] THEN DELETE, WHEN
+      NOT MATCHED THEN INSERT *, WHEN NOT MATCHED BY SOURCE [AND c]
+      THEN DELETE`` — whole-row semantics (Delta's ``SET *``/
+      ``INSERT *`` idiom). Conditions are allowed only on DELETE
+      clauses (matched-delete conditions evaluate on SOURCE rows,
+      by-source ones on TARGET rows; cross-alias references are
+      rejected); conditional UPDATE/INSERT and column-level clauses
+      need the Python API — filter the source subquery instead
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``
     * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name``
     * ``ALTER TABLE t DROP FEATURE feature-name`` (protocol downgrade)
@@ -409,6 +418,7 @@ def execute_sql(
         # form merge keys take; anything else can't drive the pruned
         # partition-rewrite path and raises
         keys = []
+        target_alias = None
         for conj in re.split(r"\s+AND\s+", on, flags=_F):
             em = re.fullmatch(
                 r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", conj
@@ -420,7 +430,27 @@ def execute_sql(
                     "column names (merge keys); arbitrary join "
                     "conditions need the Python API"
                 )
+            # either side may be the source alias; the other qualifier
+            # names the target
+            q1, q2 = em.group(1), em.group(3)
+            target_alias = q1 if q2 == alias else q2
             keys.append(em.group(2))
+
+        def _unqualify(cond: str, evaluated_on: str) -> str:
+            """Strip the alias the condition's frame provides; a
+            reference to the OTHER side's alias cannot be evaluated
+            there and must be rejected, not silently misresolved."""
+            keep = alias if evaluated_on == "source" else target_alias
+            other = target_alias if evaluated_on == "source" else alias
+            if other and re.search(rf"\b{other}\.", cond):
+                raise ValueError(
+                    f"MERGE condition {cond!r} references the "
+                    f"{'target' if evaluated_on == 'source' else 'source'}"
+                    f" alias {other!r}, but this clause is evaluated on "
+                    f"the {evaluated_on} rows only; rewrite it over "
+                    f"{evaluated_on} columns (alias {keep!r})"
+                )
+            return re.sub(rf"\b{keep}\.", "", cond) if keep else cond
         delete_col = None
         nmbs: bool | str | None = None
         rest = clauses
@@ -445,31 +475,53 @@ def execute_sql(
             cond, action = cm.group(2), cm.group(3).upper()
             action = re.sub(r"\s+", " ", action)
             if kind == "MATCHED" and action == "UPDATE SET *":
+                if cond:
+                    # whole-row merge has no conditional-update form:
+                    # honoring it would need per-row clause dispatch —
+                    # refuse loudly instead of updating every match
+                    raise ValueError(
+                        "WHEN MATCHED AND <cond> THEN UPDATE SET * is "
+                        "not supported (whole-row merge updates every "
+                        "match); filter the SOURCE subquery instead"
+                    )
                 saw_update = True
             elif kind == "NOT MATCHED" and action == "INSERT *":
+                if cond:
+                    raise ValueError(
+                        "WHEN NOT MATCHED AND <cond> THEN INSERT * is "
+                        "not supported; filter the SOURCE subquery "
+                        "instead"
+                    )
                 saw_insert = True
             elif kind == "MATCHED" and action == "DELETE":
                 # a matched-delete condition rides the source as a
-                # marker column (merge_into's delete_col protocol)
+                # marker column (merge_into's delete_col protocol) —
+                # it is evaluated on SOURCE rows
                 delete_col = "__merge_sql_delete"
                 pred = (
-                    F.expr(re.sub(rf"\b{alias}\.", "", cond))
+                    F.expr(_unqualify(cond, "source"))
                     if cond
                     else F.lit(True)
                 )
                 src = src.withColumn(delete_col, F.coalesce(pred, F.lit(False)))
             elif kind == "NOT MATCHED BY SOURCE" and action == "DELETE":
-                nmbs = re.sub(rf"\b{alias}\.", "", cond) if cond else True
+                # evaluated on the TARGET rows the source did not match
+                nmbs = _unqualify(cond, "target") if cond else True
             else:
                 raise ValueError(
                     f"unsupported MERGE combination: WHEN {kind} THEN "
                     f"{action}"
                 )
             rest = rest.strip()[cm.end():]
-        if not (saw_update and saw_insert) and delete_col is None:
+        if not (saw_update and saw_insert):
+            # merge_into is an upsert: matched rows update and
+            # unmatched source rows insert UNCONDITIONALLY, so a
+            # statement omitting either clause would still get both
+            # behaviors — refuse rather than silently exceed the text
             raise ValueError(
-                "MERGE needs WHEN MATCHED THEN UPDATE SET * and/or "
-                "WHEN NOT MATCHED THEN INSERT * (whole-row semantics)"
+                "MERGE needs BOTH WHEN MATCHED THEN UPDATE SET * and "
+                "WHEN NOT MATCHED THEN INSERT * (whole-row upsert "
+                "semantics; delete clauses are optional additions)"
             )
         # source columns the target schema doesn't carry are batch
         # plumbing (CDC flags, sequence numbers) — drop them before

@@ -1874,6 +1874,18 @@ def _guard_column_ddl(prev: dict, col: str, verb: str) -> None:
                 f"cannot {verb} column {col!r}: part of generated column "
                 f"{gcol!r} (GENERATED AS {expr})"
             )
+    # a DROPPED clustering key would make every later default OPTIMIZE
+    # (and the maintenance sweep) fail on a nonexistent column; RENAME
+    # rewrites the property instead (see rename_column), and widening
+    # keeps the name so clustering stays valid
+    if verb == "drop":
+        declared = (prev.get("properties") or {}).get("clusterBy", "")
+        if col in [c for c in declared.split(",") if c]:
+            raise ValueError(
+                f"cannot drop column {col!r}: it is a declared "
+                f"clustering key (clusterBy={declared}); CLUSTER BY "
+                "NONE or re-declare without it first"
+            )
 
 
 def table_properties(table: str) -> dict:
@@ -1991,9 +2003,10 @@ def _live_files_need_widening(table: str, man: dict) -> list[str]:
             if phys not in fsch.names:
                 continue  # absent column null-fills; no promotion needed
             got = str(fsch.field(phys).type)
-            want = (
-                _ARROW_OF_SPARK.get(simple)
-                or simple.replace("decimal", "decimal128")
+            want = _ARROW_OF_SPARK.get(simple) or (
+                # pyarrow renders "decimal128(10, 2)" WITH a space;
+                # Spark's simpleString is "decimal(10,2)" without
+                simple.replace("decimal", "decimal128").replace(",", ", ")
             )
             if got != want:
                 offenders.append(rel)
@@ -2371,6 +2384,16 @@ def rename_column(table: str, old: str, new: str) -> int:
             for f in schema.fields
         ]
     )
+    # a renamed clustering key follows the rename IN THE SAME COMMIT —
+    # a stale clusterBy would fail every later default OPTIMIZE
+    extra = None
+    props = dict(prev.get("properties") or {})
+    declared = [c for c in props.get("clusterBy", "").split(",") if c]
+    if old in declared:
+        props["clusterBy"] = ",".join(
+            new if c == old else c for c in declared
+        )
+        extra = {"properties": props}
     return _commit(
         table,
         "rename_column",
@@ -2383,6 +2406,7 @@ def rename_column(table: str, old: str, new: str) -> int:
         deletion_vectors=prev.get("deletion_vectors", {}),
         column_mapping=mapping,
         retired_columns=prev.get("retired_columns") or [],
+        extra=extra,
     )
 
 
@@ -4634,12 +4658,18 @@ def hll_regs(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     algebra the oracled ``hll_sketch`` query pins; absent idx means
     register 0). ONE map-side-combinable groupBy over at most
     |groups| * 2^P register keys — at 100 TB the shuffle carries tiny
-    partials, independent of row count."""
+    partials, independent of row count.
+
+    NULLs are EXCLUDED before hashing (COUNT(DISTINCT col) semantics
+    — and hash60(NULL) is NULL, which would otherwise smuggle an
+    (idx=NULL, r=NULL) register row past every equi-join in
+    :func:`maintain_hll` and skew :func:`hll_estimate`'s
+    absent-register count)."""
     from pyspark.sql import functions as F
 
     from ..functions.hashing import hash60
 
-    h = df.select(
+    h = df.filter(F.col(col).isNotNull()).select(
         *keys, hash60(F.col(col).cast("string")).alias("_h")
     )
     ranks = h.select(

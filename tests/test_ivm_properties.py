@@ -95,10 +95,12 @@ def test_dv_binary_codec_roundtrip(positions):
 # same churn grammar as minmax, but the tracked aggregate is the HLL
 # register sketch: tiny key grid so register collisions, duplicate
 # witnesses, and base/insert/delete overlaps are LIKELY
-_HROW = hs.tuples(hs.integers(0, 2), hs.sampled_from(["a", "b", "c", "d", "e"]))
+_HROW = hs.tuples(hs.integers(0, 2), hs.sampled_from(["a", "b", "c", "d", "e", None]))
 _HBASE = hs.lists(_HROW, min_size=1, max_size=8)
 _HINSERTS = hs.lists(_HROW, min_size=0, max_size=5)
 _HDEL = hs.tuples(hs.integers(0, 2), hs.sampled_from(["a", "c", "e", "zz"]))
+# None keys ride along: hll_regs must EXCLUDE them (count-distinct
+# semantics) on both the maintained and recomputed sides
 
 
 @given(base=_HBASE, inserts=_HINSERTS, dele=_HDEL)

@@ -5562,3 +5562,51 @@ def test_drop_feature_hidden_partitioning_legacy_files(spark, tmp_path):
     head = st._read_manifest(t, st.current_version(t))
     assert "hidden-partitioning" not in (head.get("reader_features") or [])
     assert st.read_snapshot(spark, t).count() == 8
+
+
+def test_drop_feature_type_widening_decimal(spark, tmp_path):
+    """Decimal precision widening: the footer check must compare
+    pyarrow's 'decimal128(12, 2)' rendering correctly (it inserts a
+    space Spark's simpleString lacks) — a clean decimal table drops
+    the feature after rewrite, and is NOT flagged forever."""
+    t = str(tmp_path / "dec_tw")
+    st.create_table(
+        spark.createDataFrame([(1,)], "id int")
+        .selectExpr("id", "CAST(5.25 AS DECIMAL(10,2)) AS amt")
+        .coalesce(1),
+        t,
+        [],
+    )
+    st.widen_column(t, "amt", "decimal(12,2)")
+    with pytest.raises(ValueError, match="narrower physical"):
+        st.drop_feature(t, "type-widening")
+    st.optimize(spark, t, files_per_partition=1)  # rewrites wide
+    st.drop_feature(t, "type-widening")
+    head = st._read_manifest(t, st.current_version(t))
+    assert "type-widening" not in (head.get("reader_features") or [])
+    assert str(st.read_snapshot(spark, t).collect()[0].amt) == "5.25"
+
+
+def test_clustering_keys_follow_column_ddl(spark, tmp_path):
+    """Review fixes (r13): RENAME COLUMN rewrites a declared
+    clustering key in the same commit; DROP COLUMN refuses while the
+    column is a clustering key — a stale clusterBy would fail every
+    later default OPTIMIZE and the maintenance sweep."""
+    t = str(tmp_path / "clust_ddl")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id int, v double"
+        ).coalesce(1),
+        t,
+        [],
+    )
+    st.set_clustering(t, ["v"])
+    st.rename_column(t, "v", "val")
+    assert st.table_properties(t)["clusterBy"] == "val"
+    st.optimize(spark, t)  # default clustering resolves post-rename
+    assert st.read_snapshot(spark, t).count() == 10
+    with pytest.raises(ValueError, match="clustering key"):
+        st.drop_column(t, "val")
+    st.set_clustering(t, None)
+    st.drop_column(t, "val")  # allowed once undeclared
+    assert "val" not in st.read_snapshot(spark, t).columns

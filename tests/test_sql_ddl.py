@@ -610,3 +610,55 @@ def test_register_all_tables_global_views(spark, wh):
     assert n == 40
     for v in ("facts", "dims"):
         spark.catalog.dropGlobalTempView(v)
+
+
+def test_merge_condition_semantics(spark, wh):
+    """Review fixes (r13): conditional UPDATE SET * / INSERT * are
+    REFUSED (whole-row merge can't honor them — silently updating
+    every match would be wrong data); delete conditions evaluate on
+    the correct side with cross-alias references rejected; a
+    target-qualified NOT MATCHED BY SOURCE condition works."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    spark.createDataFrame(
+        [("g0", "ALPHA")], "g string, label string"
+    ).createOrReplaceTempView("m_src")
+    with pytest.raises(ValueError, match="UPDATE SET \\* is"):
+        run(
+            "MERGE INTO dims USING m_src AS s ON t.g = s.g "
+            "WHEN MATCHED AND s.label = 'x' THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="INSERT \\* is"):
+        run(
+            "MERGE INTO dims USING m_src AS s ON t.g = s.g "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.label = 'x' THEN INSERT *"
+        )
+    # matched-delete cond referencing the TARGET alias: rejected
+    with pytest.raises(ValueError, match="evaluated on the source"):
+        run(
+            "MERGE INTO dims USING m_src AS s ON t.g = s.g "
+            "WHEN MATCHED AND t.label = 'beta' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    # by-source cond with the target alias: stripped and applied to
+    # target rows — only non-matching rows satisfying it delete
+    run(
+        "MERGE INTO dims USING m_src AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.label = 'beta' THEN DELETE"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(
+        spark, os.path.join(wh, "dims")).collect()}
+    assert got == {"g0": "ALPHA", "g2": "gamma"}  # g1/beta deleted
+    spark.catalog.dropTempView("m_src")
+
+
+def test_in_list_quoted_commas(spark, wh):
+    """A quoted IN literal carrying a comma parses as ONE value."""
+    flt = ddl.parse_where("city IN ('San Jose, CA', 'NYC') AND n >= 2")
+    assert flt == [
+        ("city", "in", ["San Jose, CA", "NYC"]),
+        ("n", ">=", 2),
+    ]
