@@ -3517,7 +3517,7 @@ WITH first AS (
   SELECT user_id, event_type, ts, event_id FROM events
   WHERE event_id % 3 = 0
 ), marked2 AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, tb,
          LAG(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, tb ASC NULLS FIRST) AS prev
   FROM points
