@@ -161,7 +161,7 @@ def _parse_literal(tok: str):
 _CONJ = re.compile(
     r"\s*(\w+)\s*(?:"
     r"(IS\s+NOT\s+NULL)|(IS\s+NULL)"
-    r"|(IN)\s*\(((?:[^()']|'[^']*')*)\)"
+    r"|(IN)\s*\(((?:[^()'\"]|'[^']*'|\"[^\"]*\")*)\)"
     r"|(>=|<=|!=|<>|=|>|<)\s*('[^']*'|\"[^\"]*\"|[\w.+-]+)"
     r")\s*",
     re.IGNORECASE,
@@ -196,13 +196,13 @@ def parse_where(clause: str) -> list[tuple]:
             out.append((col, "isnull", None))
         elif m.group(4):
             # quote-aware split: a quoted IN literal may carry commas
-            out.append(
-                (
-                    col,
-                    "in",
-                    [_parse_literal(v) for v in _split_top_level(m.group(5))],
+            vals = _split_top_level(m.group(5))
+            if not vals:
+                raise ValueError(
+                    f"empty IN list for column {col!r}: matches nothing "
+                    "by definition — almost certainly a statement bug"
                 )
-            )
+            out.append((col, "in", [_parse_literal(v) for v in vals]))
         else:
             op = "!=" if m.group(6) == "<>" else m.group(6)
             out.append((col, op, _parse_literal(m.group(7))))
@@ -436,13 +436,26 @@ def execute_sql(
             target_alias = q1 if q2 == alias else q2
             keys.append(em.group(2))
 
+        _LIT = r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\""
+
+        def _sub_outside_literals(pattern: str, repl: str, text: str) -> str:
+            """re.sub applied only OUTSIDE string literals — an alias
+            prefix inside a quoted value is data, not a reference."""
+            parts = re.split(f"({_LIT})", text)
+            return "".join(
+                p if p[:1] in "'\"" else re.sub(pattern, repl, p)
+                for p in parts
+            )
+
         def _unqualify(cond: str, evaluated_on: str) -> str:
-            """Strip the alias the condition's frame provides; a
-            reference to the OTHER side's alias cannot be evaluated
-            there and must be rejected, not silently misresolved."""
+            """Strip the alias the condition's frame provides (outside
+            string literals); a reference to the OTHER side's alias
+            cannot be evaluated there and must be rejected, not
+            silently misresolved."""
             keep = alias if evaluated_on == "source" else target_alias
             other = target_alias if evaluated_on == "source" else alias
-            if other and re.search(rf"\b{other}\.", cond):
+            stripped = re.sub(_LIT, "''", cond)
+            if other and re.search(rf"\b{other}\.", stripped):
                 raise ValueError(
                     f"MERGE condition {cond!r} references the "
                     f"{'target' if evaluated_on == 'source' else 'source'}"
@@ -450,11 +463,16 @@ def execute_sql(
                     f"the {evaluated_on} rows only; rewrite it over "
                     f"{evaluated_on} columns (alias {keep!r})"
                 )
-            return re.sub(rf"\b{keep}\.", "", cond) if keep else cond
+            return (
+                _sub_outside_literals(rf"\b{keep}\.", "", cond)
+                if keep
+                else cond
+            )
         delete_col = None
         nmbs: bool | str | None = None
         rest = clauses
         saw_update = saw_insert = False
+        matched_closed = False  # an unconditional MATCHED clause seen
         clause_re = re.compile(
             r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
             r"(?:\s+AND\s+(.+?))?\s+THEN\s+"
@@ -474,6 +492,20 @@ def execute_sql(
             kind = re.sub(r"\s+", " ", cm.group(1).upper())
             cond, action = cm.group(2), cm.group(3).upper()
             action = re.sub(r"\s+", " ", action)
+            # SQL MERGE clauses evaluate in order, first match wins:
+            # a MATCHED clause after an UNCONDITIONAL matched clause
+            # is unreachable — refuse, like Spark/Delta's analyzer
+            if kind == "MATCHED":
+                if matched_closed:
+                    raise ValueError(
+                        f"unreachable MERGE clause 'WHEN MATCHED"
+                        f"{' AND ' + cond if cond else ''} THEN {action}': "
+                        "an earlier unconditional WHEN MATCHED clause "
+                        "already consumes every matched row (clauses "
+                        "evaluate in order, first match wins)"
+                    )
+                if not cond:
+                    matched_closed = True
             if kind == "MATCHED" and action == "UPDATE SET *":
                 if cond:
                     # whole-row merge has no conditional-update form:

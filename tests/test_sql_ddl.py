@@ -662,3 +662,41 @@ def test_in_list_quoted_commas(spark, wh):
         ("city", "in", ["San Jose, CA", "NYC"]),
         ("n", ">=", 2),
     ]
+
+
+def test_merge_review2_semantics(spark, wh):
+    """Second review pass fixes: unreachable MATCHED clauses after an
+    unconditional one refuse (first-match-wins); alias prefixes inside
+    string literals are data (neither rewritten nor falsely rejected);
+    double-quoted IN literals with apostrophes parse; empty IN raises."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    spark.createDataFrame(
+        [("g0", "t.legacy"), ("g9", "new")], "g string, label string"
+    ).createOrReplaceTempView("m2_src")
+    # unreachable clause ordering
+    with pytest.raises(ValueError, match="unreachable"):
+        run(
+            "MERGE INTO dims USING m2_src AS s ON t.g = s.g "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.label = 'x' THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    # alias text inside a literal: matched-delete cond comparing to
+    # the literal 't.legacy' must not be rejected or rewritten — the
+    # g0 row carries exactly that label and must delete
+    run(
+        "MERGE INTO dims USING m2_src AS s ON t.g = s.g "
+        "WHEN MATCHED AND s.label = 't.legacy' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(
+        spark, os.path.join(wh, "dims")).collect()}
+    assert "g0" not in got and got["g9"] == "new"
+    # WHERE grammar: double-quoted literal with apostrophe; empty IN
+    assert ddl.parse_where("name IN (\"O'Brien\", 'x')") == [
+        ("name", "in", ["O'Brien", "x"])
+    ]
+    with pytest.raises(ValueError, match="empty IN"):
+        ddl.parse_where("c IN ()")
+    spark.catalog.dropTempView("m2_src")
