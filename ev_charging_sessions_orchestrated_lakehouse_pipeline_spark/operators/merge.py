@@ -141,7 +141,11 @@ def scd2_apply(
 
     At equal timestamps, history points order BEFORE new change
     points (nulls-first tiebreak), so a re-delivered change at an
-    existing boundary overrides rather than duplicates.
+    existing boundary overrides rather than duplicates. Two HISTORY
+    points of one key can never share a timestamp — run starts are
+    strictly increasing per key by construction (each row's
+    valid_from is the previous row's valid_to boundary or later), so
+    the null tiebreak among history points is never exercised.
 
     Scale: two same-sorted windows over ``keys`` — Catalyst plans ONE
     Exchange+Sort (the :func:`scd2` property, pinned in
