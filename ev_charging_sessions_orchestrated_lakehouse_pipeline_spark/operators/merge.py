@@ -3727,3 +3727,105 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q_snapshot_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven maintenance sweep (sources/maintenance.py — the
+    managed-lakehouse auto-upkeep surface): a fragmented table
+    declares its policies through SQL TBLPROPERTIES (auto-compact
+    with a per-partition cap, age-based vacuum, analyze), a
+    policy-free sibling sits beside it, and ONE run_maintenance pass
+    applies exactly what each declares. Contract columns pin: the
+    dry-run audit flags the fragmentation but commits nothing, the
+    real pass compacts to the cap / sweeps superseded files / lands
+    stats, the policy-free table is untouched, and a second pass
+    no-ops. The final per-status rollup value-checks that maintenance
+    preserved every row."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import ddl as snapddl
+    from ..sources import snaptable as st
+    from ..sources.maintenance import run_maintenance
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_maint_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    t = os.path.join(wh, "hot")
+    try:
+        st.create_table(
+            orders.repartition(6), t, ["o_orderstatus"]
+        )  # 6 files per status dir: fragmented
+        st.create_table(
+            orders.limit(10).coalesce(1), os.path.join(wh, "cold"), []
+        )
+        snapddl.execute_sql(
+            spark,
+            "ALTER TABLE hot SET TBLPROPERTIES ("
+            "'maintenance.autoCompact'='true', "
+            "'maintenance.maxFilesPerPartition'='2', "
+            "'maintenance.vacuumRetainHours'='0', "
+            "'maintenance.analyze'='o_totalprice', "
+            "'vacuum.graceSeconds'='0')",
+            warehouse=wh,
+        )
+        dry = run_maintenance(spark, wh, dry_run=True)
+        head_after_dry = st.current_version(t)
+        real = run_maintenance(spark, wh)
+        man = st._read_manifest(t, st.current_version(t))
+        from collections import Counter
+
+        per_part = Counter(f.split("/")[1] for f in man["files"])
+        stats = man["table_stats"]
+        second = run_maintenance(spark, wh)
+        rows = (
+            st.read_snapshot(spark, t)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        total = sum(r.n for r in rows)
+        contract_ok = bool(
+            dry["hot"]["compaction_plan"]  # fragmentation flagged
+            and head_after_dry == 2  # dry run committed nothing
+            and dry["cold"] == {} == real["cold"]  # no policy, untouched
+            and real["hot"]["compacted_versions"]
+            and real["hot"]["vacuum"]["deleted_files"] > 0
+            and all(n <= 2 for n in per_part.values())
+            and stats["rows"] == total
+            and second["hot"]["compacted_versions"] == []
+            and second["hot"]["vacuum"]["deleted_files"] == 0
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, r.n, float(r.sum_price), contract_ok)
+            for r in rows
+        ],
+        "o_orderstatus string, n bigint, sum_price double, "
+        "contract_ok boolean",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_maintenance"] = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       TRUE AS contract_ok
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
