@@ -492,12 +492,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "maintenance":
             from .sources.maintenance import run_maintenance
 
-            print(
-                json.dumps(
-                    run_maintenance(spark, args.lake, dry_run=args.dry_run),
-                    default=str,
-                )
-            )
+            report = run_maintenance(spark, args.lake, dry_run=args.dry_run)
+            print(json.dumps(report, default=str))
+            # per-table failures are isolated in the report; exit
+            # nonzero only when the sweep achieved nothing at all
+            if report and all("error" in r for r in report.values()):
+                return 1
         elif args.cmd == "table":
             from .sources import snaptable as st
 

@@ -3271,18 +3271,24 @@ ORDER BY facilityType
 def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-table management driven ENTIRELY through SQL *text*
     (sources/ddl.execute_sql) — the reference's SQL-first table
-    surface (jobs/ev_sessions_gold_etl.py:127-150: CREATE/ALTER ...
-    TBLPROPERTIES against the Glue catalog). The lifecycle:
-    properties and a CHECK constraint via ALTER TABLE, an append the
-    constraint admits, RESTORE TO VERSION (dropping a bad batch),
-    a second append, RENAME COLUMN (metadata-only), OPTIMIZE,
-    ANALYZE, VACUUM — every step a text statement resolved against a
-    warehouse root by bare table name (ddl.register_all_tables, the
-    Glue-durability bootstrap). The final rollup replays the whole
-    chain against the oracle: which rows each statement left visible,
-    under which column name; contract columns pin the analyze row
-    count and the exact history operation sequence, so a silently
-    misrouted statement hash-mismatches."""
+    surface (jobs/ev_sessions_gold_etl.py:127-150: CREATE TABLE IF
+    NOT EXISTS (typed cols) USING iceberg PARTITIONED BY ...
+    TBLPROPERTIES against the Glue catalog). The lifecycle opens with
+    the reference's OWN DDL shape (r14): a plain COLUMN-LIST CREATE
+    TABLE — an EMPTY typed table, no AS SELECT — fed by INSERT INTO
+    ... SELECT; then properties and a CHECK constraint via ALTER
+    TABLE, an append the constraint admits, RESTORE TO VERSION
+    (dropping a bad batch), a second append, RENAME COLUMN
+    (metadata-only), OPTIMIZE, ANALYZE, DML (conjunctive AND
+    disjunctive WHERE — the OR statement lowers to DNF branches so
+    each disjunct still prunes files), whole-row MERGE, VACUUM —
+    every step a text statement resolved against a warehouse root by
+    bare table name (ddl.register_all_tables, the Glue-durability
+    bootstrap). The final rollup replays the whole chain against the
+    oracle: which rows each statement left visible, under which
+    column name; contract columns pin the empty-create row count,
+    the analyze row count, and the exact history operation sequence,
+    so a silently misrouted statement hash-mismatches."""
     import hashlib
     import os
     import shutil
@@ -3308,21 +3314,39 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         base = orders.filter(F.col("o_orderkey") % 7 == 0)
-        st.create_table(base, t, [])  # v1
-        run("ALTER TABLE facts SET TBLPROPERTIES ('owner'='sql')")  # v2
+        # the reference's exact DDL shape: empty typed table with an
+        # embedded -- comment, then INSERT INTO ... SELECT feeds it
+        run(
+            """
+            CREATE TABLE IF NOT EXISTS facts (
+              o_orderkey BIGINT,
+              o_orderstatus STRING,
+              -- measure column (renamed to price later in the chain)
+              o_totalprice DOUBLE
+            )
+            USING snapshot
+            """
+        )  # v1 — EMPTY
+        empty_create_rows = st.read_snapshot(spark, t, version=1).count()
+        base.createOrReplaceTempView("ddl_sql_base")
+        run(
+            "INSERT INTO facts SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice FROM ddl_sql_base"
+        )  # v2
+        run("ALTER TABLE facts SET TBLPROPERTIES ('owner'='sql')")  # v3
         run(
             "ALTER TABLE facts ADD CONSTRAINT price_nonneg "
             "CHECK (o_totalprice >= 0)"
-        )  # v3
+        )  # v4
         # bad batch lands (passes the constraint but is wrong data)...
         bad = base.select(
             (F.col("o_orderkey") + 5000000).alias("o_orderkey"),
             F.lit("X").alias("o_orderstatus"),
             F.col("o_totalprice"),
         )
-        st.append(bad.filter(F.col("o_orderkey") % 3 == 0), t)  # v4
+        st.append(bad.filter(F.col("o_orderkey") % 3 == 0), t)  # v5
         # ...and is rolled back through SQL text
-        run("RESTORE TABLE facts TO VERSION AS OF 3")  # v5
+        run("RESTORE TABLE facts TO VERSION AS OF 4")  # v6
         # a negative-price batch must be REFUSED by the SQL-added
         # constraint (nothing published)
         neg = spark.createDataFrame(
@@ -3339,7 +3363,7 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus"),
             (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
         )
-        st.append(good.filter(F.col("o_orderkey") % 2 == 0), t)  # v6
+        st.append(good.filter(F.col("o_orderkey") % 2 == 0), t)  # v7
         # rename refuses while a CHECK constraint references the
         # column (correctly — the expression would silently break),
         # so the lifecycle drops it through SQL first
@@ -3348,10 +3372,10 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             rename_guard_ok = False
         except ValueError:
             rename_guard_ok = True
-        run("ALTER TABLE facts DROP CONSTRAINT price_nonneg")  # v7
-        run("ALTER TABLE facts RENAME COLUMN o_totalprice TO price")  # v8
-        run("OPTIMIZE facts")  # v9
-        run("ANALYZE TABLE facts COMPUTE STATISTICS FOR COLUMNS price")  # v10
+        run("ALTER TABLE facts DROP CONSTRAINT price_nonneg")  # v8
+        run("ALTER TABLE facts RENAME COLUMN o_totalprice TO price")  # v9
+        run("OPTIMIZE facts")  # v10
+        run("ANALYZE TABLE facts COMPUTE STATISTICS FOR COLUMNS price")  # v11
         # SQL DML leg (r13): INSERT (subquery over the re-registered
         # head view), UPDATE/DELETE through the skipping-friendly
         # conjunctive WHERE grammar, and whole-row MERGE — each one a
@@ -3360,12 +3384,18 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         run(
             "INSERT INTO facts SELECT o_orderkey + 90000000, "
             "o_orderstatus, price FROM facts WHERE o_orderkey % 1000 = 0"
-        )  # v11
+        )  # v12
         run(
             "UPDATE facts SET price = price * 1.1 "
             "WHERE o_orderstatus = 'F' AND price < 50000"
-        )  # v12
-        run("DELETE FROM facts WHERE price > 500000")  # v13
+        )  # v13
+        run("DELETE FROM facts WHERE price > 500000")  # v14
+        # disjunctive DELETE (r14): top-level OR lowers to DNF
+        # branches — each disjunct prunes files independently
+        run(
+            "DELETE FROM facts WHERE (price < 950.0) "
+            "OR (o_orderstatus = 'P' AND price > 400000.0)"
+        )  # v15
         snapddl.register_all_tables(spark, wh)  # advance view to head
         run(
             "MERGE INTO facts USING (SELECT o_orderkey, o_orderstatus, "
@@ -3373,7 +3403,7 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS s ON t.o_orderkey = s.o_orderkey "
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
-        )  # v14
+        )  # v16
         # plain VACUUM (no RETAIN): sweeps orphans only — RETAIN n
         # HOURS now expires history by AGE (r13), which would delete
         # the very versions the contract below reads
@@ -3381,10 +3411,11 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops = [r.operation for r in run("DESCRIBE HISTORY facts").collect()]
         ops_expected = [
             "create",
+            "append",  # INSERT INTO ... SELECT into the EMPTY table
             "set_properties",
             "add_constraint",
             "append",
-            "rollback_to_v3",
+            "rollback_to_v4",
             "append",
             "drop_constraint",
             "rename_column",
@@ -3393,13 +3424,14 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append",  # INSERT INTO
             "update",
             "delete",
+            "delete",  # disjunctive DELETE (DNF)
             "overwrite",  # MERGE INTO
         ]
-        # stats were computed at the ANALYZE version (v10), BEFORE the
+        # stats were computed at the ANALYZE version (v11), BEFORE the
         # DML leg — pin them against that version's row count (stats
         # are a versioned artifact, not a live view)
-        stats = st._read_manifest(t, 10)["table_stats"]
-        v10_rows = st.read_snapshot(spark, t, version=10).count()
+        stats = st._read_manifest(t, 11)["table_stats"]
+        v11_rows = st.read_snapshot(spark, t, version=11).count()
         detail = run("DESCRIBE DETAIL facts").collect()[0]
         view = st.register_snapshot_view(spark, t, "ddl_sql_facts")
         rows = spark.sql(
@@ -3413,13 +3445,14 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             constraint_enforced
             and rename_guard_ok
             and ops == ops_expected
-            and stats["rows"] == v10_rows
+            and empty_create_rows == 0
+            and stats["rows"] == v11_rows
             and detail.properties == '{"owner": "sql"}'
             and detail.constraints == "{}"
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-        for vname in ("ddl_sql_facts", "facts"):
+        for vname in ("ddl_sql_facts", "ddl_sql_base", "facts"):
             try:
                 spark.catalog.dropTempView(vname)
             except Exception:
@@ -3458,12 +3491,16 @@ WITH base AS (
 ), s4 AS (
   -- DELETE FROM ... WHERE price > 500000
   SELECT * FROM s3 WHERE NOT (price > 500000)
+), s4b AS (
+  -- disjunctive DELETE (DNF): (price<950) OR (status='P' AND price>400k)
+  SELECT * FROM s4
+  WHERE NOT (price < 950.0 OR (o_orderstatus = 'P' AND price > 400000.0))
 ), s5 AS (
   -- MERGE matched-update: halve prices of keys % 5 = 0
   SELECT o_orderstatus,
          CASE WHEN o_orderkey % 5 = 0 THEN price * 0.5 ELSE price END
            AS price
-  FROM s4
+  FROM s4b
 )
 SELECT o_orderstatus, COUNT(*) AS n,
        {dsum_sql('price')} AS sum_price,
@@ -3538,6 +3575,209 @@ SELECT a.user_id, a.event_type,
        b.ts IS NULL AS is_current
 FROM changed a
 LEFT JOIN changed b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+ORDER BY a.user_id, valid_from
+"""
+
+
+def q_snapshot_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / column-level MERGE through SQL *text* (r14 —
+    VERDICT r13 #2): the full Delta clause grammar ``WHEN MATCHED
+    [AND c] THEN UPDATE SET col = expr`` / ``DELETE`` and ``WHEN NOT
+    MATCHED [AND c] THEN INSERT (cols) VALUES (exprs)``, lowered by
+    sources/ddl._lower_merge_clauses to a source rewrite over the
+    joined aliases feeding the one whole-row merge core
+    (snaptable.merge_into) — SQL text and the Python API share a
+    single committed semantics. The statement exercises every new
+    piece at once: two ordered MATCHED clauses (first-match-wins; the
+    first one's assignment references BOTH aliases), a conditional
+    column-list INSERT (unlisted columns land NULL), and source rows
+    matching no clause silently dropped. The oracle replays the
+    clause cascade as CASE logic; the NULL-status insert group keeps
+    the column-list semantics honest in the hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import ddl as snapddl
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_merge_cl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    t = os.path.join(wh, "facts")
+    try:
+        st.create_table(orders.filter(F.col("o_orderkey") % 6 == 0), t, [])
+        orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 1.5).alias("o_totalprice"),
+        ).createOrReplaceTempView("merge_cl_src")
+        snapddl.execute_sql(
+            spark,
+            "MERGE INTO facts USING merge_cl_src AS s "
+            "ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED AND s.o_totalprice > 200000.0 THEN UPDATE SET "
+            "o_totalprice = s.o_totalprice - t.o_totalprice, "
+            "o_orderstatus = 'H' "
+            "WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE "
+            "WHEN NOT MATCHED AND s.o_totalprice < 50000.0 THEN INSERT "
+            "(o_orderkey, o_totalprice) VALUES (s.o_orderkey, "
+            "s.o_totalprice * 2.0)",
+            warehouse=wh,
+        )
+        out = (
+            st.read_snapshot(spark, t)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice").alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView("merge_cl_src")
+        except Exception:
+            pass
+    return spark.createDataFrame(
+        [(r.o_orderstatus, r.n, float(r.sum_price)) for r in out],
+        "o_orderstatus string, n bigint, sum_price double",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_merge_clauses"] = f"""
+WITH tgt AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 0
+), src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5 AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0
+), matched AS (
+  -- first-match-wins cascade over the two MATCHED clauses
+  SELECT t.o_orderkey,
+         CASE WHEN s.o_totalprice > 200000.0 THEN 'H'
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_totalprice > 200000.0
+              THEN s.o_totalprice - t.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice,
+         CASE WHEN s.o_totalprice > 200000.0 THEN FALSE
+              WHEN t.o_orderstatus = 'F' THEN TRUE
+              ELSE FALSE END AS del
+  FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+), final AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM matched WHERE NOT del
+  UNION ALL
+  -- target rows the source never touched
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM tgt
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  -- conditional column-list INSERT: status lands NULL
+  SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+         o_totalprice * 2.0 AS o_totalprice
+  FROM src
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+    AND o_totalprice < 50000.0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch CDC replay through scd2_apply, hash-matched
+    against a single-shot oracle (VERDICT r13 #8 — the streaming SCD2
+    batch-equivalence argument made driver-checkable end-to-end): the
+    events feed splits into three epochs applied strictly one after
+    another — and deliberately OUT OF ORDER (epoch ``%3==0`` lands
+    LAST), so most of its changes are LATE: they must splice into the
+    middle of already-built history, move existing rows' valid_to
+    boundaries, and close/reopen intervals around tombstones. The
+    tombstones (every 51st event_id DELETEs its key) all ride the
+    late epoch: SCD2 state is STORED VERSIONS, so a delete applied
+    while its key has no live predecessor leaves no trace — it cannot
+    retroactively close an insert spliced in later (DLT's APPLY
+    CHANGES drops deletes of unseen keys the same way); putting
+    deletes where history is complete keeps replay == single-shot
+    while still exercising late tombstone splicing. The final
+    history must equal the single-shot SCD2-with-tombstones build
+    over the whole feed — the exactly-once replay contract the
+    streaming surface (cdc_scd2_stream) rides, epoch semantics and
+    all. Timestamps are the globally-unique event_id, so the replay
+    is order-deterministic without a tiebreak; payloads are made
+    unique per change point (``event_type#event_id``) because SCD2
+    history is STORED VERSIONS — a change that collapsed into its
+    predecessor's equal-payload run is gone from history, so a later
+    splice between the two cannot resurrect it (the documented
+    semantics, see :func:`q_scd2_incremental`); replay therefore
+    equals single-shot exactly on collapse-free feeds (consecutive
+    DELETE collapse, which IS replay-stable, still occurs here)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.concat_ws(
+            "#", "event_type", F.col("event_id").cast("string")
+        ).alias("payload"),
+        F.col("event_id").alias("vt"),
+        (F.col("event_id") % 51 == 0).alias("is_del"),
+        F.col("event_id"),
+    )
+    hist = spark.createDataFrame(
+        [],
+        "user_id bigint, payload string, valid_from bigint, "
+        "valid_to bigint, is_current boolean",
+    )
+    for epoch in (1, 2, 0):  # epoch 0 applied LAST -> late splices
+        batch = ev.filter(F.col("event_id") % 3 == epoch).drop("event_id")
+        hist = scd2_apply(
+            hist,
+            batch,
+            ["user_id"],
+            ["payload"],
+            "vt",
+            delete_col="is_del",
+        )
+        # each epoch's rebuild feeds the next: pin the frame so the
+        # lineage doesn't grow a 3-deep window-over-window plan
+        hist = hist.localCheckpoint(eager=True)
+    return hist.orderBy("user_id", "valid_from")
+
+
+ORACLE["scd2_replay"] = """
+WITH feed AS (
+  SELECT user_id,
+         CASE WHEN event_id % 51 = 0 THEN NULL
+              ELSE concat_ws('#', event_type, CAST(event_id AS VARCHAR))
+         END AS payload,
+         event_id AS vt,
+         (event_id % 51 = 0) AS is_del
+  FROM events
+), marked AS (
+  SELECT user_id, payload, vt, is_del,
+         LAG(payload) OVER w AS pp,
+         LAG(is_del) OVER w AS pd
+  FROM feed WINDOW w AS (PARTITION BY user_id ORDER BY vt)
+), changed AS (
+  SELECT user_id, payload, vt, is_del,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vt) AS rn
+  FROM marked
+  WHERE pp IS DISTINCT FROM payload OR pd IS DISTINCT FROM is_del
+)
+SELECT a.user_id, a.payload, a.vt AS valid_from,
+       b.vt AS valid_to, b.vt IS NULL AS is_current
+FROM changed a
+LEFT JOIN changed b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+WHERE NOT a.is_del
 ORDER BY a.user_id, valid_from
 """
 

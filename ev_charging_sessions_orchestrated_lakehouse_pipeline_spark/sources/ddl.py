@@ -134,6 +134,82 @@ def _unquote(s: str) -> str:
     return s
 
 
+def _scan_keyword(text: str, keyword: str) -> list[int]:
+    """Start offsets of standalone (word-bounded) ``keyword``
+    occurrences OUTSIDE string literals and parentheses — the one
+    honest way to split SQL text on a keyword: a regex split would
+    tear apart a literal like ``'... WHERE ...'`` or a parenthesized
+    subquery. Case-insensitive; SQL ``''`` escaping pairs up
+    naturally (close+reopen)."""
+    kw = keyword.upper()
+    up = text.upper()
+    out: list[int] = []
+    q: str | None = None
+    depth = 0
+    i, n, kl = 0, len(text), len(kw)
+    while i < n:
+        ch = text[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith(kw, i)
+            and (i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_"))
+            and (
+                i + kl >= n
+                or not (up[i + kl].isalnum() or up[i + kl] == "_")
+            )
+        ):
+            out.append(i)
+            i += kl
+            continue
+        i += 1
+    return out
+
+
+def _split_keyword_once(text: str, keyword: str) -> tuple[str, str | None]:
+    """Split ``text`` at the FIRST top-level ``keyword`` (outside
+    literals/parens): ``(before, after)``, ``after=None`` if absent."""
+    pos = _scan_keyword(text, keyword)
+    if not pos:
+        return text, None
+    i = pos[0]
+    return text[:i].rstrip(), text[i + len(keyword):].lstrip()
+
+
+def _strip_line_comments(body: str) -> str:
+    """Drop ``-- ...`` line comments outside string literals (the
+    reference's gold DDL carries them inside its column list —
+    jobs/ev_sessions_gold_etl.py:143)."""
+    out: list[str] = []
+    q: str | None = None
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if q:
+            if ch == q:
+                q = None
+            out.append(ch)
+        elif ch in "'\"":
+            q = ch
+            out.append(ch)
+        elif ch == "-" and body.startswith("--", i):
+            while i < n and body[i] != "\n":
+                i += 1
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _cols_list(body: str) -> list[str]:
     return [_unquote(c) for c in body.split(",") if c.strip()]
 
@@ -168,16 +244,62 @@ _CONJ = re.compile(
 )
 
 
-def parse_where(clause: str) -> list[tuple]:
-    """Parse a CONJUNCTIVE WHERE clause into the filter-tuple form
-    the snapshot DML takes (``[(col, op, val), ...]``) — deliberately
-    restricted to ``col OP literal [AND ...]`` / ``IS [NOT] NULL`` /
-    ``IN (...)`` because these tuples drive the format's FILE-LEVEL
-    DATA SKIPPING (snaptable._prune_files): an opaque predicate would
-    force reading every file, which at 100 TB defeats the point of
-    stats. Disjunctions or expressions raise with a pointer to the
-    Python API (which accepts arbitrary Column predicates via
-    DataFrame rewrite)."""
+def _strip_outer_parens(s: str) -> str:
+    """Strip balanced whole-string paren wrapping: ``(a AND b)`` ->
+    ``a AND b``; ``(a) OR (b)`` is left alone (the parens don't span
+    the string). Quote-aware."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        q: str | None = None
+        wrapped = True
+        for i, ch in enumerate(s):
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    wrapped = False
+                    break
+        if not wrapped:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def parse_where(clause: str) -> list:
+    """Parse a WHERE clause into the filter form the snapshot DML
+    takes: a conjunctive clause yields ``[(col, op, val), ...]``; a
+    top-level ``OR`` of conjunct groups yields DNF branches
+    ``[[...], [...]]`` — the :func:`snaptable.scan_any` shape, so
+    disjunctive DELETE/UPDATE still prune files PER BRANCH instead of
+    degrading to a full scan. The grammar is deliberately restricted
+    to ``col OP literal`` / ``IS [NOT] NULL`` / ``IN (...)`` combined
+    by AND (within a branch) and top-level OR (between branches)
+    because these drive FILE-LEVEL DATA SKIPPING
+    (snaptable._prune_files): an opaque predicate would force reading
+    every file, which at 100 TB defeats the point of stats. Anything
+    else raises with a pointer to the Python API (which accepts
+    arbitrary Column predicates via DataFrame rewrite)."""
+    text = clause.strip()
+    ors = _scan_keyword(text, "OR")
+    if not ors:
+        return _parse_conjunct(_strip_outer_parens(text))
+    parts: list[str] = []
+    prev = 0
+    for i in ors:
+        parts.append(text[prev:i])
+        prev = i + 2
+    parts.append(text[prev:])
+    return [_parse_conjunct(_strip_outer_parens(p)) for p in parts]
+
+
+def _parse_conjunct(clause: str) -> list[tuple]:
     out: list[tuple] = []
     rest = clause.strip()
     while rest:
@@ -211,11 +333,153 @@ def parse_where(clause: str) -> list[tuple]:
             am = re.match(r"AND\s+", rest, re.IGNORECASE)
             if not am:
                 raise ValueError(
-                    f"unsupported WHERE connective at {rest!r}: only AND "
-                    "is supported (disjunctions don't prune files)"
+                    f"unsupported WHERE connective at {rest!r}: within a "
+                    "conjunct group only AND is supported; OR must appear "
+                    "at the TOP level between [parenthesized] conjunct "
+                    "groups — '(a AND b) OR (c)' — so each disjunct can "
+                    "still prune files (DNF skipping)"
                 )
             rest = rest[am.end():]
     return out
+
+
+def _lower_merge_clauses(
+    spark: SparkSession,
+    table: str,
+    src: DataFrame,
+    keys: list[str],
+    src_alias: str,
+    tgt_alias: str,
+    mclauses: list[tuple],
+    nclauses: list[tuple],
+) -> tuple[DataFrame, str | None]:
+    """Lower conditional / column-level MERGE clauses to a whole-row
+    source rewrite (Delta grammar: ``WHEN MATCHED [AND c] THEN UPDATE
+    SET col = expr, ...`` / ``WHEN NOT MATCHED [AND c] THEN INSERT
+    (cols) VALUES (exprs)``): join the source to the target on the
+    merge keys, evaluate the first-match-wins clause cascade per row
+    with both statement aliases in scope, and emit one full
+    target-schema row per source row plus a delete marker —
+    exactly what :func:`snaptable.merge_into` consumes, so SQL text
+    and the Python merge core share one committed semantics.
+
+    Per-row outcomes: a matched pair takes its first satisfied
+    MATCHED clause (column-level assignments see BOTH aliases;
+    unassigned columns keep the target value; DELETE marks the row);
+    a matched pair satisfying NO clause re-emits the target row
+    unchanged (whole-row update to itself). An unmatched source row
+    takes its first satisfied NOT MATCHED clause (INSERT column list
+    fills unlisted columns with NULL; ``INSERT *`` copies same-named
+    source columns); satisfying none, it is dropped (marker). Every
+    expression value casts to the declared target column type.
+
+    Scale: the lowering join scans the target once and the merge core
+    scans it again — the same two-phase profile as Delta's MERGE
+    (find-touched + rewrite). The rewritten source stays
+    source-sized: one output row per source row, never target-sized.
+    """
+    from pyspark.sql import functions as F
+
+    head = st.current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    man = st._read_manifest(table, head)
+    ident = (man.get("identity") or {}).get("col")
+    tgt = st.read_snapshot(spark, table)
+    tgt_fields = [f for f in tgt.schema.fields if f.name != ident]
+    tgt_names = [f.name for f in tgt_fields]
+    for _, _, atype, payload in mclauses:
+        if atype == "update_cols":
+            bad = set(payload) - set(tgt_names)
+            if bad:
+                raise ValueError(
+                    f"MERGE assigns unknown target column(s) "
+                    f"{sorted(bad)}; target columns: {tgt_names}"
+                )
+            if ident and ident in payload:
+                raise ValueError(
+                    f"column {ident!r} is GENERATED ALWAYS AS "
+                    "IDENTITY; MERGE must not assign it"
+                )
+    for _, _, atype, payload in nclauses:
+        if atype == "insert_cols":
+            bad = set(payload) - set(tgt_names)
+            if bad:
+                raise ValueError(
+                    f"MERGE inserts unknown target column(s) "
+                    f"{sorted(bad)}; target columns: {tgt_names}"
+                )
+    if tgt_alias == src_alias:
+        raise ValueError(
+            f"MERGE target and source share the alias {src_alias!r}; "
+            "qualify them differently in the ON clause"
+        )
+    MCOL = "__merge_tgt_marker"
+    DELCOL = "__merge_sql_delete"
+    joined = src.alias(src_alias).join(
+        tgt.withColumn(MCOL, F.lit(True)).alias(tgt_alias),
+        on=[
+            F.col(f"{src_alias}.{k}") == F.col(f"{tgt_alias}.{k}")
+            for k in keys
+        ],
+        how="left",
+    )
+    matched = F.col(f"{tgt_alias}.{MCOL}").isNotNull()
+
+    def _cascade_idx(cls: list[tuple]):
+        """First-match-wins clause index (null = no clause applies);
+        a null condition value means the clause does not apply —
+        F.when's three-valued logic gives that for free."""
+        expr = None
+        for i, (_, cond, _, _) in enumerate(cls):
+            c = F.expr(cond) if cond else F.lit(True)
+            expr = F.when(c, F.lit(i)) if expr is None else expr.when(c, F.lit(i))
+        return expr if expr is not None else F.lit(None).cast("int")
+
+    midx = _cascade_idx(mclauses)
+    nidx = _cascade_idx(nclauses)
+    src_cols = set(src.columns)
+
+    def _matched_val(c: str):
+        keep = F.col(f"{tgt_alias}.{c}")
+        expr = None
+        for i, (_, _, atype, payload) in enumerate(mclauses):
+            if atype == "update_star":
+                v = F.col(f"{src_alias}.{c}") if c in src_cols else keep
+            elif atype == "update_cols":
+                v = F.expr(payload[c]) if c in payload else keep
+            else:  # delete: value irrelevant, row dropped via marker
+                v = keep
+            w = F.when(midx == i, v)
+            expr = w if expr is None else expr.when(midx == i, v)
+        return expr.otherwise(keep) if expr is not None else keep
+
+    def _unmatched_val(c: str, dtype):
+        null = F.lit(None).cast(dtype)
+        expr = None
+        for i, (_, _, atype, payload) in enumerate(nclauses):
+            if atype == "insert_star":
+                v = F.col(f"{src_alias}.{c}") if c in src_cols else null
+            else:  # insert_cols
+                v = F.expr(payload[c]) if c in payload else null
+            w = F.when(nidx == i, v)
+            expr = w if expr is None else expr.when(nidx == i, v)
+        return expr.otherwise(null) if expr is not None else null
+
+    out = [
+        F.when(matched, _matched_val(f.name))
+        .otherwise(_unmatched_val(f.name, f.dataType))
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in tgt_fields
+    ]
+    del_idx = [i for i, (_, _, a, _) in enumerate(mclauses) if a == "delete"]
+    m_del = midx.isin(del_idx) if del_idx else F.lit(False)
+    n_del = nidx.isNull()  # no insert clause applied: drop the row
+    marker = F.coalesce(
+        F.when(matched, m_del).otherwise(n_del), F.lit(False)
+    )
+    return joined.select(*out, marker.alias(DELCOL)), DELCOL
 
 
 # ---------------------------------------------------------------------------
@@ -242,26 +506,35 @@ def execute_sql(
 
     * ``CREATE TABLE [IF NOT EXISTS] t [USING snapshot] [PARTITIONED
       BY (c1, ...)] [CLUSTER BY (c1, ...)] [TBLPROPERTIES (...)]
-      AS SELECT ...`` — the reference's CTAS shape
-      (jobs/ev_sessions_gold_etl.py:127-150) + liquid declaration
+      AS SELECT ...`` — CTAS + liquid declaration
+    * ``CREATE TABLE [IF NOT EXISTS] t (col TYPE [, ...]) [USING x]
+      [PARTITIONED BY (...)] [CLUSTER BY (...)] [TBLPROPERTIES
+      (...)]`` — the reference's EXACT gold-table DDL shape
+      (jobs/ev_sessions_gold_etl.py:127-150): an empty typed table
+      (-- line comments inside the column list are stripped, like
+      the reference's), later fed by INSERT / COPY INTO / streaming
     * ``INSERT INTO t SELECT ... | VALUES ...``
     * ``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
       [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS
       ('force'='true')]`` — idempotent file ingest (loaded files skip
       on re-run)
-    * ``DELETE FROM t [WHERE <conjunctive predicate>]``
-    * ``UPDATE t SET c = expr [, ...] [WHERE <conjunctive predicate>]``
-      — WHERE grammar is the skipping-friendly conjunctive subset
-      (see :func:`parse_where`)
+    * ``DELETE FROM t [WHERE <predicate>]`` / ``UPDATE t SET c =
+      expr [, ...] [WHERE <predicate>]`` — WHERE grammar is the
+      skipping-friendly subset (see :func:`parse_where`): AND-combined
+      ``col OP literal`` conjunct groups, optionally OR-combined at
+      the top level (``(a AND b) OR (c)`` lowers to DNF branches, so
+      each disjunct still prunes files)
     * ``MERGE INTO t USING src|(<subquery>) [AS] s ON t.k = s.k [AND
-      ...] WHEN MATCHED THEN UPDATE SET * | [AND c] THEN DELETE, WHEN
-      NOT MATCHED THEN INSERT *, WHEN NOT MATCHED BY SOURCE [AND c]
-      THEN DELETE`` — whole-row semantics (Delta's ``SET *``/
-      ``INSERT *`` idiom). Conditions are allowed only on DELETE
-      clauses (matched-delete conditions evaluate on SOURCE rows,
-      by-source ones on TARGET rows; cross-alias references are
-      rejected); conditional UPDATE/INSERT and column-level clauses
-      need the Python API — filter the source subquery instead
+      ...]`` followed by any ordered mix of ``WHEN MATCHED [AND c]
+      THEN UPDATE SET * | UPDATE SET col = expr, ... | DELETE``,
+      ``WHEN NOT MATCHED [AND c] THEN INSERT * | INSERT (cols)
+      VALUES (exprs)``, ``WHEN NOT MATCHED BY SOURCE [AND c] THEN
+      DELETE`` — the full Delta clause grammar, first-match-wins.
+      Unconditional whole-row statements take the single-scan fast
+      path; conditional / column-level clauses lower to a source
+      rewrite over the joined aliases (see
+      :func:`_lower_merge_clauses`), where conditions and assignment
+      expressions may reference BOTH aliases
     * ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``
     * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name``
     * ``ALTER TABLE t DROP FEATURE feature-name`` (protocol downgrade)
@@ -287,7 +560,11 @@ def execute_sql(
     def tbl(ident: str) -> str:
         return resolve_table(ident, warehouse)
 
-    s = statement
+    # management statements match against comment-stripped text (the
+    # reference's gold DDL carries -- comments inside its column
+    # list); the fallthrough at the bottom hands Spark the ORIGINAL
+    # statement — its parser handles comments itself
+    s = _strip_line_comments(statement)
 
     m = _m(
         rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}"
@@ -326,6 +603,53 @@ def execute_sql(
             v = st.set_clustering(t, _cols_list(m.group(4)))
         if m.group(5):
             v = st.set_table_properties(t, _parse_tblproperties(m.group(5)))
+        return _row_df(spark, {"operation": "create_table", "version": v})
+
+    # plain column-list DDL — the reference's ACTUAL gold-table shape
+    # (jobs/ev_sessions_gold_etl.py:127-150: CREATE TABLE IF NOT
+    # EXISTS ... (typed cols) USING iceberg PARTITIONED BY
+    # (event_date) TBLPROPERTIES (...), no AS SELECT): an EMPTY typed
+    # table, later fed by INSERT / COPY INTO / streaming (e.g.
+    # cdc_scd2_stream's create-the-target-first contract,
+    # streaming/ingest.py). The column list is handed to Spark's own
+    # DDL schema parser, so every Spark type (incl. decimal/array/
+    # map/struct and NOT NULL marks) parses exactly as CREATE TABLE
+    # would parse it.
+    m = _m(
+        rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s*"
+        rf"\(((?:[^()']|\([^()]*\)|'[^']*')+)\)"
+        rf"(?:\s+USING\s+\w+)?"
+        rf"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))+)\))?"
+        rf"(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?"
+        rf"(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?",
+        s,
+    )
+    if m:
+        t = tbl(m.group(2))
+        if st.current_version(t) is not None:
+            if m.group(1):
+                return _row_df(
+                    spark,
+                    {
+                        "operation": "create_table",
+                        "version": st.current_version(t),
+                        "skipped": "exists",
+                    },
+                )
+            raise ValueError(f"{t} already exists (use IF NOT EXISTS)")
+        schema_ddl = re.sub(r"\s+", " ", m.group(3)).strip()
+        empty = spark.createDataFrame([], schema_ddl)
+        pcols = (
+            [p.replace(" ", "") if "(" in p else p
+             for p in _split_top_level(m.group(4))]
+            if m.group(4)
+            else []
+        )
+        v = st.create_table(empty, t, pcols)
+        if m.group(5):
+            v = st.set_clustering(t, _cols_list(m.group(5)))
+        if m.group(6):
+            v = st.set_table_properties(t, _parse_tblproperties(m.group(6)))
         return _row_df(spark, {"operation": "create_table", "version": v})
 
     m = _m(
@@ -383,15 +707,19 @@ def execute_sql(
         v = st.delete_where(spark, tbl(m.group(1)), filters)
         return _row_df(spark, {"operation": "delete", "version": v})
 
-    m = _m(rf"UPDATE\s+{_IDENT}\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?", s)
+    m = _m(rf"UPDATE\s+{_IDENT}\s+SET\s+(.+)", s)
     if m:
+        # the SET/WHERE boundary is found by the literal-aware
+        # scanner, not regex: a SET expression may legitimately carry
+        # the text ' WHERE ' inside a string literal
+        set_body, where_body = _split_keyword_once(m.group(2), "WHERE")
         set_exprs = {}
-        for part in _split_top_level(m.group(2)):
+        for part in _split_top_level(set_body):
             if "=" not in part:
                 raise ValueError(f"UPDATE SET expects col = expr, got {part!r}")
             c, e = part.split("=", 1)
             set_exprs[c.strip()] = e.strip()
-        filters = parse_where(m.group(3)) if m.group(3) else []
+        filters = parse_where(where_body) if where_body else []
         v = st.update_where(spark, tbl(m.group(1)), filters, set_exprs)
         return _row_df(spark, {"operation": "update", "version": v})
 
@@ -468,64 +796,158 @@ def execute_sql(
                 if keep
                 else cond
             )
-        delete_col = None
-        nmbs: bool | str | None = None
-        rest = clauses
-        saw_update = saw_insert = False
-        matched_closed = False  # an unconditional MATCHED clause seen
-        clause_re = re.compile(
-            r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
-            r"(?:\s+AND\s+(.+?))?\s+THEN\s+"
-            r"(UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)\s*",
-            _F,
-        )
-        while rest.strip():
-            cm = clause_re.match(rest.strip())
-            if not cm:
-                raise ValueError(
-                    f"unsupported MERGE clause at {rest.strip()[:60]!r}: "
-                    "supported forms are WHEN MATCHED [AND c] THEN "
-                    "UPDATE SET * | DELETE, WHEN NOT MATCHED THEN "
-                    "INSERT *, WHEN NOT MATCHED BY SOURCE [AND c] THEN "
-                    "DELETE (column-level clauses need the Python API)"
-                )
-            kind = re.sub(r"\s+", " ", cm.group(1).upper())
-            cond, action = cm.group(2), cm.group(3).upper()
-            action = re.sub(r"\s+", " ", action)
-            # SQL MERGE clauses evaluate in order, first match wins:
-            # a MATCHED clause after an UNCONDITIONAL matched clause
-            # is unreachable — refuse, like Spark/Delta's analyzer
-            if kind == "MATCHED":
-                if matched_closed:
+        # ---- parse clauses (literal-aware WHEN / THEN splitting) ----
+        starts = _scan_keyword(clauses, "WHEN")
+        if not starts or clauses[: starts[0]].strip():
+            raise ValueError(f"malformed MERGE clauses at {clauses[:60]!r}")
+        bounds = starts + [len(clauses)]
+        parsed: list[tuple] = []  # (kind, cond, atype, payload)
+        for a, b in zip(bounds, bounds[1:]):
+            chunk = clauses[a:b].strip()
+            head, action = _split_keyword_once(chunk, "THEN")
+            if action is None:
+                raise ValueError(f"MERGE clause missing THEN: {chunk[:60]!r}")
+            hm = re.fullmatch(
+                r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+                r"(?:\s+AND\s+(.+))?",
+                head.strip(),
+                _F,
+            )
+            if not hm:
+                raise ValueError(f"malformed MERGE clause head {head!r}")
+            kind = re.sub(r"\s+", " ", hm.group(1).upper())
+            cond = hm.group(2)
+            act = action.strip()
+            am_cols = re.fullmatch(r"UPDATE\s+SET\s+(.+)", act, _F)
+            am_ins = re.fullmatch(
+                r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)", act, _F
+            )
+            if re.fullmatch(r"UPDATE\s+SET\s+\*", act, _F):
+                atype, payload = "update_star", None
+            elif am_cols:
+                atype = "update_cols"
+                payload = {}
+                for part in _split_top_level(am_cols.group(1)):
+                    if "=" not in part:
+                        raise ValueError(
+                            f"MERGE UPDATE SET expects col = expr, got {part!r}"
+                        )
+                    lhs, rhs = part.split("=", 1)
+                    lhs = lhs.strip()
+                    qm = re.fullmatch(r"(?:(\w+)\.)?(\w+)", lhs)
+                    if not qm:
+                        raise ValueError(
+                            f"malformed MERGE assignment target {lhs!r}"
+                        )
+                    # an optional qualifier must be the TARGET alias —
+                    # 'SET s.col = ...' would silently assign the
+                    # wrong table in real SQL engines too
+                    if qm.group(1) and qm.group(1) == alias:
+                        raise ValueError(
+                            f"MERGE assignment target {lhs!r} is "
+                            f"qualified with the SOURCE alias "
+                            f"{alias!r}; assignments write target "
+                            "columns"
+                        )
+                    payload[qm.group(2)] = rhs.strip()
+            elif re.fullmatch(r"INSERT\s+\*", act, _F):
+                atype, payload = "insert_star", None
+            elif am_ins:
+                cols = [c.strip() for c in am_ins.group(1).split(",") if c.strip()]
+                exprs = _split_top_level(am_ins.group(2))
+                if len(cols) != len(exprs):
                     raise ValueError(
-                        f"unreachable MERGE clause 'WHEN MATCHED"
-                        f"{' AND ' + cond if cond else ''} THEN {action}': "
-                        "an earlier unconditional WHEN MATCHED clause "
-                        "already consumes every matched row (clauses "
+                        f"MERGE INSERT column/value arity mismatch: "
+                        f"{len(cols)} columns, {len(exprs)} values"
+                    )
+                atype = "insert_cols"
+                payload = dict(
+                    zip([re.sub(r"^\w+\.", "", c) for c in cols], exprs)
+                )
+            elif re.fullmatch(r"DELETE", act, _F):
+                atype, payload = "delete", None
+            else:
+                raise ValueError(
+                    f"unsupported MERGE action {act[:60]!r}: supported "
+                    "are UPDATE SET * | UPDATE SET col = expr, ... | "
+                    "DELETE | INSERT * | INSERT (cols) VALUES (exprs)"
+                )
+            allowed = {
+                "MATCHED": {"update_star", "update_cols", "delete"},
+                "NOT MATCHED": {"insert_star", "insert_cols"},
+                "NOT MATCHED BY SOURCE": {"delete"},
+            }[kind]
+            if atype not in allowed:
+                raise ValueError(
+                    f"unsupported MERGE combination: WHEN {kind} THEN "
+                    f"{act[:40]}"
+                )
+            parsed.append((kind, cond, atype, payload))
+        # SQL MERGE clauses evaluate in order, first match wins: any
+        # clause after an UNCONDITIONAL clause of the same kind is
+        # unreachable — refuse, like Spark/Delta's analyzer
+        for want in ("MATCHED", "NOT MATCHED", "NOT MATCHED BY SOURCE"):
+            closed = False
+            for kind, cond, atype, _ in parsed:
+                if kind != want:
+                    continue
+                if closed:
+                    raise ValueError(
+                        f"unreachable MERGE clause 'WHEN {kind} ... THEN "
+                        f"{atype}': an earlier unconditional WHEN {kind} "
+                        "clause already consumes every such row (clauses "
                         "evaluate in order, first match wins)"
                     )
                 if not cond:
-                    matched_closed = True
-            if kind == "MATCHED" and action == "UPDATE SET *":
-                if cond:
-                    # whole-row merge has no conditional-update form:
-                    # honoring it would need per-row clause dispatch —
-                    # refuse loudly instead of updating every match
-                    raise ValueError(
-                        "WHEN MATCHED AND <cond> THEN UPDATE SET * is "
-                        "not supported (whole-row merge updates every "
-                        "match); filter the SOURCE subquery instead"
-                    )
-                saw_update = True
-            elif kind == "NOT MATCHED" and action == "INSERT *":
-                if cond:
-                    raise ValueError(
-                        "WHEN NOT MATCHED AND <cond> THEN INSERT * is "
-                        "not supported; filter the SOURCE subquery "
-                        "instead"
-                    )
-                saw_insert = True
-            elif kind == "MATCHED" and action == "DELETE":
+                    closed = True
+        mclauses = [c for c in parsed if c[0] == "MATCHED"]
+        nclauses = [c for c in parsed if c[0] == "NOT MATCHED"]
+        # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE — evaluated
+        # on the TARGET rows the source did not match; several
+        # conditional clauses OR together (all share one action)
+        nmbs: bool | str | None = None
+        for _, cond, _, _ in (c for c in parsed if c[0] == "NOT MATCHED BY SOURCE"):
+            if cond is None:
+                nmbs = True
+                break
+            c2 = _unqualify(cond, "target")
+            nmbs = c2 if nmbs is None else f"({nmbs}) OR ({c2})"
+
+        def _mentions_target(cond: str | None) -> bool:
+            if cond is None or not target_alias:
+                return False
+            return bool(
+                re.search(
+                    rf"\b{re.escape(target_alias)}\.",
+                    re.sub(_LIT, "''", cond),
+                )
+            )
+
+        fast = (
+            all(
+                (cond is None and atype == "update_star")
+                # matched-delete may carry a cond, but the fast path
+                # evaluates it on SOURCE rows only — a target-alias
+                # reference needs the joined-frame general path
+                or (atype == "delete" and not _mentions_target(cond))
+                for _, cond, atype, _ in mclauses
+            )
+            and all(
+                cond is None and atype == "insert_star"
+                for _, cond, atype, _ in nclauses
+            )
+            and any(a == "update_star" for _, _, a, _ in mclauses)
+            and any(a == "insert_star" for _, _, a, _ in nclauses)
+        )
+        delete_col = None
+        if fast:
+            # whole-row fast path: matched rows replaced by source
+            # rows, unmatched source rows inserted — one target scan,
+            # partition-pruned in merge_into when the source carries
+            # the partition columns
+            for _, cond, atype, _ in mclauses:
+                if atype != "delete":
+                    continue
                 # a matched-delete condition rides the source as a
                 # marker column (merge_into's delete_col protocol) —
                 # it is evaluated on SOURCE rows
@@ -535,35 +957,34 @@ def execute_sql(
                     if cond
                     else F.lit(True)
                 )
-                src = src.withColumn(delete_col, F.coalesce(pred, F.lit(False)))
-            elif kind == "NOT MATCHED BY SOURCE" and action == "DELETE":
-                # evaluated on the TARGET rows the source did not match
-                nmbs = _unqualify(cond, "target") if cond else True
-            else:
-                raise ValueError(
-                    f"unsupported MERGE combination: WHEN {kind} THEN "
-                    f"{action}"
+                src = src.withColumn(
+                    delete_col, F.coalesce(pred, F.lit(False))
                 )
-            rest = rest.strip()[cm.end():]
-        if not (saw_update and saw_insert):
-            # merge_into is an upsert: matched rows update and
-            # unmatched source rows insert UNCONDITIONALLY, so a
-            # statement omitting either clause would still get both
-            # behaviors — refuse rather than silently exceed the text
-            raise ValueError(
-                "MERGE needs BOTH WHEN MATCHED THEN UPDATE SET * and "
-                "WHEN NOT MATCHED THEN INSERT * (whole-row upsert "
-                "semantics; delete clauses are optional additions)"
+            # source columns the target schema doesn't carry are
+            # batch plumbing (CDC flags, sequence numbers) — drop
+            # them before the whole-row merge, keeping the marker
+            target_cols = set(st.read_snapshot(spark, t).columns)
+            extra = [
+                c
+                for c in src.columns
+                if c not in target_cols and c != delete_col
+            ]
+            if extra:
+                src = src.drop(*extra)
+        else:
+            # general path: conditional / column-level clauses lower
+            # to a SOURCE REWRITE (join source<->target on the merge
+            # keys, evaluate the clause cascade per row, emit full
+            # target-schema rows + a delete marker) feeding the same
+            # whole-row merge core — one extra target scan, the same
+            # two-phase cost profile as Delta's own MERGE
+            # NMBS-only statements are legal (full-sync delete of
+            # unmatched target rows, Delta-style): the lowering then
+            # re-emits matched targets unchanged and drops unmatched
+            # source rows — the regex guarantees >=1 clause overall
+            src, delete_col = _lower_merge_clauses(
+                spark, t, src, keys, alias, target_alias, mclauses, nclauses
             )
-        # source columns the target schema doesn't carry are batch
-        # plumbing (CDC flags, sequence numbers) — drop them before
-        # the whole-row merge, keeping the delete marker
-        target_cols = set(st.read_snapshot(spark, t).columns)
-        extra = [
-            c for c in src.columns if c not in target_cols and c != delete_col
-        ]
-        if extra:
-            src = src.drop(*extra)
         v = st.merge_into(
             spark,
             t,

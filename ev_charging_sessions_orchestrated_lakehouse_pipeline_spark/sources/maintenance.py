@@ -96,12 +96,25 @@ def run_maintenance(
     """Sweep every snapshot table under ``warehouse_root`` and apply
     each one's declared maintenance. Returns {table_name: report};
     tables declaring nothing map to an empty report (listed so the
-    caller can tell "no policy" from "not a table")."""
+    caller can tell "no policy" from "not a table").
+
+    Per-table failure isolation: a cron-able sweep must not let one
+    table with, say, a corrupt ``maintenance.vacuumRetainHours``
+    value abort the whole warehouse — each table's failure is caught
+    and reported as ``{"error": "<ExcType>: <msg>"}`` in its slot,
+    and every other table is still processed. Callers that need to
+    fail hard can check for ``"error"`` keys (the CLI exits nonzero
+    only when EVERY swept table failed)."""
     if not os.path.isdir(warehouse_root):
         raise ValueError(f"warehouse root {warehouse_root!r} does not exist")
     out: dict[str, dict] = {}
     for entry in sorted(os.listdir(warehouse_root)):
         path = os.path.join(warehouse_root, entry)
         if _is_snapshot_table(path):
-            out[entry] = maintain_table(spark, path, dry_run=dry_run)
+            try:
+                out[entry] = maintain_table(spark, path, dry_run=dry_run)
+            except Exception as exc:  # noqa: BLE001 — isolate per table
+                out[entry] = {
+                    "error": f"{type(exc).__name__}: {exc}"
+                }
     return out

@@ -3334,13 +3334,7 @@ def scan_any(
         raise ValueError(f"version {v} of {table} does not exist (head={head})")
     manifest = _read_manifest(table, v)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    keep: list[str] = []
-    seen: set[str] = set()
-    for branch in branches:
-        for f in _prune_files(table, manifest, branch):
-            if f not in seen:
-                seen.add(f)
-                keep.append(f)
+    keep = _prune_files_any(table, manifest, branches)
     df = _read_union(
         spark,
         table,
@@ -3382,11 +3376,55 @@ def register_snapshot(
     read_snapshot(spark, table, version).createOrReplaceTempView(view_name)
 
 
-def _filters_to_column(filters: list[tuple]):
+def _as_branches(filters: list) -> list[list[tuple]]:
+    """Normalize a DML filter spec to DNF branches. A flat conjunct
+    list ``[(col, op, val), ...]`` is one branch; a list of LISTS is
+    OR-of-ANDs directly (the :func:`scan_any` form) — each inner list
+    a conjunction, the overall predicate their disjunction. DNF is
+    the widest shape file-level stats can still prune: a file is a
+    candidate iff AT LEAST ONE branch's stats check keeps it, so
+    disjunctive DELETE/UPDATE (TPC-H-Q19-shaped predicates) skip
+    files per branch instead of degrading to a full scan."""
+    if filters and all(isinstance(b, list) for b in filters):
+        if any(not b for b in filters):
+            raise ValueError(
+                "DNF filter branches must each be a non-empty conjunct "
+                "list (an empty branch would match everything)"
+            )
+        return [list(b) for b in filters]
+    return [list(filters)] if filters else []
+
+
+def _prune_files_any(
+    table: str, manifest: dict, branches: list[list[tuple]]
+) -> list[str]:
+    """Union of per-branch data skipping, preserving manifest file
+    order (the :func:`scan_any` candidate rule, shared with DML)."""
+    keep: list[str] = []
+    seen: set[str] = set()
+    for branch in branches:
+        for f in _prune_files(table, manifest, branch):
+            if f not in seen:
+                seen.add(f)
+                keep.append(f)
+    return [f for f in manifest["files"] if f in seen]
+
+
+def _filters_to_column(filters: list):
+    """Filter tuples -> one boolean Column. Accepts a conjunct list
+    or DNF branches (see :func:`_as_branches`); empty = match all."""
     from pyspark.sql import functions as F
 
+    branches = _as_branches(filters)
+    if not branches:
+        return F.lit(True)
+    if len(branches) > 1:
+        cond = F.lit(False)
+        for b in branches:
+            cond = cond | _filters_to_column(b)
+        return cond
     cond = F.lit(True)
-    for col, op, val in filters:
+    for col, op, val in branches[0]:
         c = F.col(col)
         if op == "isnull":
             cond = cond & c.isNull()
@@ -3420,9 +3458,10 @@ def _rewrite_matching_files(
         raise ValueError(f"{table} does not exist")
     prev = _read_manifest(table, head)
     pcols = prev["partition_cols"]
-    if not filters:
+    branches = _as_branches(filters)
+    if not branches:
         raise ValueError("refusing an unfiltered rewrite; pass filters")
-    candidates = _prune_files(table, prev, filters)
+    candidates = _prune_files_any(table, prev, branches)
     if not candidates:
         return head  # stats prove nothing matches: metadata no-op
     untouched = [f for f in prev["files"] if f not in set(candidates)]
@@ -3466,6 +3505,9 @@ def delete_where(
     """Row-level DELETE. Default (``use_dv=False``): rewrite only the
     files whose footer stats say they MAY hold matching rows,
     dropping those rows; all other files carry over untouched.
+    ``filters`` is a conjunct list ``[(col, op, val), ...]`` or DNF
+    branches ``[[...], [...]]`` (OR-of-ANDs, see :func:`_as_branches`)
+    — skipping prunes per branch either way.
 
     ``use_dv=True`` takes the MERGE-ON-READ path instead (Delta
     deletion vectors / Iceberg v3 position deletes): no data file is
@@ -3490,9 +3532,10 @@ def delete_where(
     if head is None:
         raise ValueError(f"{table} does not exist")
     prev = _read_manifest(table, head)
-    if not filters:
+    branches = _as_branches(filters)
+    if not branches:
         raise ValueError("refusing an unfiltered delete; pass filters")
-    candidates = _prune_files(table, prev, filters)
+    candidates = _prune_files_any(table, prev, branches)
     if not candidates:
         return head
     schema = StructType.fromJson(json.loads(prev["schema"]))
@@ -3542,7 +3585,8 @@ def update_where(
     """Row-level UPDATE: ``set_exprs`` maps column -> SQL expression
     applied to matching rows (non-matching rows in rewritten files
     pass through unchanged). CHECK constraints re-validate the
-    rewritten files before anything publishes.
+    rewritten files before anything publishes. ``filters`` accepts a
+    conjunct list or DNF branches, like :func:`delete_where`.
 
     ``use_dv=True`` is the deletion-vector UPDATE (how Delta runs
     UPDATE when DVs are enabled): the OLD matching rows are marked
@@ -3560,9 +3604,10 @@ def update_where(
         if head is None:
             raise ValueError(f"{table} does not exist")
         prev = _read_manifest(table, head)
-        if not filters:
+        branches = _as_branches(filters)
+        if not branches:
             raise ValueError("refusing an unfiltered update; pass filters")
-        candidates = _prune_files(table, prev, filters)
+        candidates = _prune_files_any(table, prev, branches)
         if not candidates:
             return head
         schema = StructType.fromJson(json.loads(prev["schema"]))

@@ -102,3 +102,44 @@ def test_cli_maintenance(spark, wh, capsys, monkeypatch):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "hot" in out and "compaction_plan" in out["hot"]
+
+
+def test_run_maintenance_isolates_per_table_failures(spark, wh):
+    """r14 (VERDICT r13 nit 1): one table with a corrupt maintenance
+    property must not abort the warehouse sweep — its failure is
+    reported in ITS slot and every other table still processes."""
+    bad = os.path.join(wh, "hot")
+    st.set_table_properties(
+        bad, {"maintenance.vacuumRetainHours": "not_a_number"}
+    )
+    rep = mx.run_maintenance(spark, wh)
+    assert set(rep) == {"hot", "cold"}
+    assert "error" in rep["hot"]
+    assert "ValueError" in rep["hot"]["error"]
+    assert "error" not in rep["cold"]  # policy-free, still swept
+
+
+def test_cli_maintenance_exit_codes(spark, wh, capsys, monkeypatch):
+    """CLI: partial failure exits 0 (report carries the error);
+    all-tables-failed exits nonzero."""
+    import json as _json
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli import (
+        main,
+    )
+
+    monkeypatch.setattr(spark.__class__, "stop", lambda self: None)
+    st.set_table_properties(
+        os.path.join(wh, "hot"),
+        {"maintenance.vacuumRetainHours": "not_a_number"},
+    )
+    rc = main(["maintenance", "--lake", wh])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in out["hot"] and "error" not in out["cold"]
+    # poison the remaining table too -> all failed -> nonzero
+    st.set_table_properties(
+        os.path.join(wh, "cold"),
+        {"maintenance.vacuumRetainHours": "also_bad"},
+    )
+    assert main(["maintenance", "--lake", wh]) == 1

@@ -260,9 +260,10 @@ def test_execute_sql_ctas_insert_delete_update(spark, wh):
     ops = [h["operation"] for h in st.history(t)]
     assert ops == ["create", "set_properties", "append", "append",
                    "update", "delete"]
-    # unsupported predicate shapes fail loudly, pointing at the API
-    with pytest.raises(ValueError, match="only AND"):
-        run("DELETE FROM gold_rollup WHERE g = 'a' OR g = 'b'")
+    # r14: top-level OR now lowers to DNF skipping instead of raising
+    run("DELETE FROM gold_rollup WHERE g = 'no_such' OR g = 'nope'")
+    assert st.read_snapshot(spark, t).count() == 6  # stats no-op
+    # unsupported predicate shapes still fail loudly
     with pytest.raises(ValueError, match="unsupported WHERE"):
         run("DELETE FROM gold_rollup WHERE length(g) = 2")
     for v in ("facts", "dims"):
@@ -315,11 +316,14 @@ def test_execute_sql_merge_into(spark, wh):
             "MERGE INTO dims USING dim_keep AS s ON t.g > s.g "
             "WHEN MATCHED THEN UPDATE SET *"
         )
-    with pytest.raises(ValueError, match="column-level"):
-        run(
-            "MERGE INTO dims USING dim_keep AS s ON t.g = s.g "
-            "WHEN MATCHED THEN UPDATE SET label = 'x'"
-        )
+    # r14: column-level SET no longer raises — it updates in place
+    # (update-only statement: unmatched source rows are NOT inserted)
+    run(
+        "MERGE INTO dims USING dim_keep AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET label = 'x'"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got == {"g0": "x"}
     spark.catalog.dropTempView("dim_updates")
     spark.catalog.dropTempView("dim_keep")
 
@@ -419,7 +423,11 @@ def test_parse_where_roundtrip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as hs
 
-    ident = hs.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+    ident = hs.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+        # reserved connectives can't be bare column names in the
+        # grammar (r14: OR became a real top-level connective)
+        lambda s: s.upper() not in {"OR", "AND", "IN", "IS", "NOT", "NULL"}
+    )
     lit = hs.one_of(
         hs.integers(-10**6, 10**6),
         hs.floats(
@@ -478,6 +486,26 @@ def test_parse_where_roundtrip_property():
                 assert gv == wv
 
     check()
+
+    @given(
+        branches=hs.lists(
+            hs.lists(conj, min_size=1, max_size=3), min_size=2, max_size=4
+        )
+    )
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check_dnf(branches):
+        # top-level OR of parenthesized conjunct groups -> DNF
+        clause = " OR ".join(
+            "(" + " AND ".join(render(c) for c in b) + ")" for b in branches
+        )
+        got = ddl.parse_where(clause)
+        assert len(got) == len(branches)
+        for gb, wb in zip(got, branches):
+            assert [(c, o) for c, o, _ in gb] == [(c, o) for c, o, _ in wb]
+            assert [v for _, _, v in gb] == [v for _, _, v in wb]
+
+    check_dnf()
 
 
 def test_cli_r13_actions(spark, wh, tmp_path, capsys, monkeypatch):
@@ -613,34 +641,44 @@ def test_register_all_tables_global_views(spark, wh):
 
 
 def test_merge_condition_semantics(spark, wh):
-    """Review fixes (r13): conditional UPDATE SET * / INSERT * are
-    REFUSED (whole-row merge can't honor them — silently updating
-    every match would be wrong data); delete conditions evaluate on
-    the correct side with cross-alias references rejected; a
-    target-qualified NOT MATCHED BY SOURCE condition works."""
+    """r14: conditional UPDATE SET * / INSERT * now lower to the
+    general clause path (r13 refused them) — a conditional whole-row
+    update touches ONLY the matches satisfying the condition, a
+    conditional INSERT * only the unmatched rows satisfying it; a
+    matched-delete condition referencing the TARGET alias routes to
+    the joined-frame path (the fast path evaluates it on source rows
+    only); target-qualified NOT MATCHED BY SOURCE still works."""
     run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
     spark.createDataFrame(
-        [("g0", "ALPHA")], "g string, label string"
+        [("g0", "ALPHA"), ("g9", "NEW")], "g string, label string"
     ).createOrReplaceTempView("m_src")
-    with pytest.raises(ValueError, match="UPDATE SET \\* is"):
-        run(
-            "MERGE INTO dims USING m_src AS s ON t.g = s.g "
-            "WHEN MATCHED AND s.label = 'x' THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
-    with pytest.raises(ValueError, match="INSERT \\* is"):
-        run(
-            "MERGE INTO dims USING m_src AS s ON t.g = s.g "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED AND s.label = 'x' THEN INSERT *"
-        )
-    # matched-delete cond referencing the TARGET alias: rejected
-    with pytest.raises(ValueError, match="evaluated on the source"):
-        run(
-            "MERGE INTO dims USING m_src AS s ON t.g = s.g "
-            "WHEN MATCHED AND t.label = 'beta' THEN DELETE "
-            "WHEN MATCHED THEN UPDATE SET *"
-        )
+    # conditional UPDATE SET *: only the g0 match satisfies the cond
+    run(
+        "MERGE INTO dims USING m_src AS s ON t.g = s.g "
+        "WHEN MATCHED AND s.label = 'ALPHA' THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.label = 'missing' THEN INSERT *"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    # g0 updated, g9 NOT inserted (its cond fails), others untouched
+    assert got == {"g0": "ALPHA", "g1": "beta", "g2": "gamma"}
+    # conditional INSERT *: now g9's cond holds
+    run(
+        "MERGE INTO dims USING m_src AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.label = 'NEW' THEN INSERT *"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got["g9"] == "NEW"
+    # matched-delete cond on the TARGET alias: joined-frame path
+    run(
+        "MERGE INTO dims USING m_src AS s ON t.g = s.g "
+        "WHEN MATCHED AND t.label = 'NEW' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert "g9" not in got and got["g0"] == "ALPHA"
     # by-source cond with the target alias: stripped and applied to
     # target rows — only non-matching rows satisfying it delete
     run(
@@ -649,9 +687,8 @@ def test_merge_condition_semantics(spark, wh):
         "WHEN NOT MATCHED THEN INSERT * "
         "WHEN NOT MATCHED BY SOURCE AND t.label = 'beta' THEN DELETE"
     )
-    got = {r.g: r.label for r in st.read_snapshot(
-        spark, os.path.join(wh, "dims")).collect()}
-    assert got == {"g0": "ALPHA", "g2": "gamma"}  # g1/beta deleted
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got == {"g0": "ALPHA", "g2": "gamma", "g9": "NEW"}  # g1 deleted
     spark.catalog.dropTempView("m_src")
 
 
@@ -700,3 +737,271 @@ def test_merge_review2_semantics(spark, wh):
     with pytest.raises(ValueError, match="empty IN"):
         ddl.parse_where("c IN ()")
     spark.catalog.dropTempView("m2_src")
+
+
+# ---------------------------------------------------------------------------
+# r14: plain column-list CREATE TABLE, DNF WHERE, literal-aware SET,
+# conditional / column-level MERGE
+# ---------------------------------------------------------------------------
+
+
+def test_create_table_column_list_reference_shape(spark, wh):
+    """The reference's EXACT gold DDL shape
+    (jobs/ev_sessions_gold_etl.py:127-150): IF NOT EXISTS, typed
+    column list WITH an embedded -- comment, USING iceberg,
+    PARTITIONED BY, TBLPROPERTIES, no AS SELECT — lands as an empty
+    typed snapshot table that INSERT then feeds."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    r = run(
+        """
+        CREATE TABLE IF NOT EXISTS ev_sessions (
+          sessionId STRING,
+          kwhTotal DOUBLE,
+          dollars DOUBLE,
+          created TIMESTAMP,
+          event_date DATE,
+          -- Derived fields
+          session_duration_minutes DOUBLE,
+          avg_cost_per_kwh DOUBLE
+        )
+        USING iceberg
+        PARTITIONED BY (event_date)
+        TBLPROPERTIES ('format-version'='2')
+        """
+    )
+    assert r.collect()[0].operation == "create_table"
+    t = os.path.join(wh, "ev_sessions")
+    df = st.read_snapshot(spark, t)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "sessionId", "kwhTotal", "dollars", "created", "event_date",
+        "session_duration_minutes", "avg_cost_per_kwh",
+    ]
+    assert dict(df.dtypes)["event_date"] == "date"
+    assert st._read_manifest(t, st.current_version(t))["partition_cols"] == [
+        "event_date"
+    ]
+    assert st.table_properties(t) == {"format-version": "2"}
+    # IF NOT EXISTS: second run skips, even with a DIFFERENT column list
+    r2 = run("CREATE TABLE IF NOT EXISTS ev_sessions (x INT)")
+    assert r2.collect()[0].skipped == "exists"
+    # without the guard: loud error
+    with pytest.raises(ValueError, match="already exists"):
+        run("CREATE TABLE ev_sessions (x INT)")
+    # INSERT feeds the empty table (positional bind + cast)
+    run(
+        "INSERT INTO ev_sessions VALUES "
+        "('s1', 7.5, 3.2, TIMESTAMP'2024-05-01 08:00:00', "
+        "DATE'2024-05-01', 45.0, 0.43)"
+    )
+    assert st.read_snapshot(spark, t).count() == 1
+
+
+def test_create_table_column_list_cluster_by(spark, wh):
+    """CLUSTER BY on an empty-DDL table declares liquid clustering."""
+    ddl.execute_sql(
+        spark,
+        "CREATE TABLE lc (id BIGINT, g STRING, v DOUBLE) CLUSTER BY (g, id)",
+        warehouse=wh,
+    )
+    t = os.path.join(wh, "lc")
+    assert st.table_properties(t) == {"clusterBy": "g,id"}
+
+
+def test_create_table_column_list_scd2_target_via_sql(spark, wh, tmp_path):
+    """cdc_scd2_stream's create-the-target-first contract is now
+    satisfiable from SQL text: CREATE TABLE (keys+attrs+validity)
+    through execute_sql, then the stream applies a CDC feed into it."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.streaming import (
+        cdc_scd2_stream,
+    )
+
+    ddl.execute_sql(
+        spark,
+        "CREATE TABLE scd2_tgt (k INT, v STRING, valid_from INT, "
+        "valid_to INT, is_current BOOLEAN)",
+        warehouse=wh,
+    )
+    table = os.path.join(wh, "scd2_tgt")
+    schema = "k int, v string, ts int, seq int"
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    rows = [(1, "a", 10, 0), (2, "x", 10, 1), (1, "b", 20, 0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q = cdc_scd2_stream(
+        spark,
+        spark.readStream.schema(schema).parquet(str(src)),
+        table,
+        str(tmp_path / "ck"),
+        ["k"],
+        "ts",
+        tiebreak="seq",
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in st.read_snapshot(spark, table).collect()
+    )
+    assert got == [
+        (1, "a", 10, 20, False),
+        (1, "b", 20, None, True),
+        (2, "x", 10, None, True),
+    ]
+
+
+def test_dnf_delete_update_semantics(spark, wh):
+    """Top-level OR lowers to DNF: DELETE and UPDATE apply the exact
+    OR-of-ANDs predicate."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "facts")  # id int, g string, v double; 0..39
+    run("DELETE FROM facts WHERE (g = 'g0' AND v < 6.0) OR v >= 36.0")
+    left = sorted(r.id for r in st.read_snapshot(spark, t).collect())
+    # g0 rows are ids % 3 == 0; deleted: {0,3} (v<6) and {36..39}
+    want = [i for i in range(40) if not ((i % 3 == 0 and i < 6) or i >= 36)]
+    assert left == want
+    run("UPDATE facts SET v = v + 1000.0 WHERE id = 7 OR id = 11")
+    got = {
+        r.id: r.v
+        for r in st.read_snapshot(spark, t).filter(F.col("v") > 900).collect()
+    }
+    assert got == {7: 1007.0, 11: 1011.0}
+
+
+def test_dnf_delete_prunes_per_disjunct(spark, tmp_path):
+    """Scale pin: a disjunctive DELETE rewrites ONLY the files at
+    least one branch's stats keep — files no branch can touch carry
+    over BY REFERENCE (same relative path in the new manifest)."""
+    t = str(tmp_path / "pruned")
+    # three one-file commits with disjoint id ranges -> tight stats
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 50)], "id int, v double"
+        ).coalesce(1)
+        if lo == 0:
+            st.create_table(df, t, [])
+        else:
+            st.append(df, t)
+    man0 = st._read_manifest(t, st.current_version(t))
+    assert len(man0["files"]) == 3
+    by_range = {}
+    for f, s in man0["file_stats"].items():
+        by_range[int(s["min"]["id"]) // 100] = f
+    ddl.execute_sql(
+        spark,
+        f"DELETE FROM `{t}` WHERE (id <= 10) OR (id >= 240)",
+    )
+    man1 = st._read_manifest(t, st.current_version(t))
+    # the middle file (ids 100-149) is untouched by either branch:
+    # it must carry over as the SAME file entry
+    assert by_range[1] in man1["files"]
+    # the outer two were rewritten (dropped + replaced)
+    assert by_range[0] not in man1["files"]
+    assert by_range[2] not in man1["files"]
+    df = st.read_snapshot(spark, t)
+    assert df.count() == 150 - 11 - 10
+
+
+def test_update_set_literal_with_keywords(spark, wh):
+    """A SET expression carrying ' WHERE ' (or ' OR ') inside a
+    string literal must not confuse the statement split — the
+    literal-aware scanner finds the real clause boundary."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    run("UPDATE dims SET label = ' WHERE OR AND ' WHERE g = 'g1'")
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got["g1"] == " WHERE OR AND "
+    assert got["g0"] == "alpha"  # untouched
+    # and in a WHERE comparison literal
+    run("DELETE FROM dims WHERE label = ' WHERE OR AND '")
+    assert {r.g for r in st.read_snapshot(spark, t).collect()} == {"g0", "g2"}
+
+
+def test_merge_insert_column_list_and_cascade(spark, wh):
+    """INSERT (cols) VALUES (exprs) fills unlisted columns with NULL;
+    the MATCHED cascade is first-match-wins across mixed
+    column-level clauses; expressions see both aliases."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "facts")  # id int, g string, v double
+    spark.createDataFrame(
+        [(1, "z", 500.0), (5, "z", 0.5), (999, "new", 77.0)],
+        "id int, g string, v double",
+    ).createOrReplaceTempView("m14_src")
+    run(
+        "MERGE INTO facts USING m14_src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > 100.0 THEN UPDATE SET v = s.v + t.v "
+        "WHEN MATCHED THEN UPDATE SET g = concat(t.g, '_touched') "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v * 2)"
+    )
+    rows = {r.id: (r.g, r.v) for r in st.read_snapshot(spark, t).collect()}
+    # id=1: first clause (500>100) -> v = 500+1, g unchanged
+    assert rows[1] == ("g1", 501.0)
+    # id=5: second clause -> g suffixed, v unchanged
+    assert rows[5] == ("g2_touched", 5.0)
+    # id=999: inserted with NULL g
+    assert rows[999] == (None, 154.0)
+    # untouched row intact
+    assert rows[2] == ("g2", 2.0)
+    spark.catalog.dropTempView("m14_src")
+
+
+def test_merge_update_only_and_delete_only(spark, wh):
+    """Delta allows any clause subset: an update-only MERGE never
+    inserts; a delete-only MERGE (matched delete with target-alias
+    cond) never updates."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    spark.createDataFrame(
+        [("g0", "seen"), ("g8", "ghost")], "g string, label string"
+    ).createOrReplaceTempView("m14b_src")
+    run(
+        "MERGE INTO dims USING m14b_src AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET label = s.label"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got == {"g0": "seen", "g1": "beta", "g2": "gamma"}
+    run(
+        "MERGE INTO dims USING m14b_src AS s ON t.g = s.g "
+        "WHEN MATCHED AND t.label = 'seen' THEN DELETE"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got == {"g1": "beta", "g2": "gamma"}
+    spark.catalog.dropTempView("m14b_src")
+
+
+def test_merge_rejects_unknown_assignment_column(spark, wh, dims_src):
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    with pytest.raises(ValueError, match="unknown target column"):
+        run(
+            "MERGE INTO dims USING dims_src AS s ON t.g = s.g "
+            "WHEN MATCHED THEN UPDATE SET nope = 1"
+        )
+
+
+@pytest.fixture
+def dims_src(spark):
+    spark.createDataFrame(
+        [("g0", "x")], "g string, label string"
+    ).createOrReplaceTempView("dims_src")
+    yield "dims_src"
+    spark.catalog.dropTempView("dims_src")
+
+
+def test_merge_nmbs_only_statement(spark, wh):
+    """A MERGE with only WHEN NOT MATCHED BY SOURCE THEN DELETE is a
+    full-sync prune (Delta allows the clause alone): matched rows
+    survive unchanged, unmatched target rows delete, unmatched source
+    rows are NOT inserted."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    spark.createDataFrame(
+        [("g0", "x"), ("g8", "ghost")], "g string, label string"
+    ).createOrReplaceTempView("nmbs_src")
+    run(
+        "MERGE INTO dims USING nmbs_src AS s ON t.g = s.g "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got == {"g0": "alpha"}  # g1/g2 pruned; g8 NOT inserted
+    spark.catalog.dropTempView("nmbs_src")
