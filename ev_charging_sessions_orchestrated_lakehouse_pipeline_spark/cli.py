@@ -109,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
             "rename-column",
             "drop-column",
             "widen-column",
+            "add-columns",
             "layout",
             "history",
             "create-tag",
@@ -269,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
         "rename-column",
         "drop-column",
         "widen-column",
+        "add-columns",
         "layout",
         "history",
         "create-tag",
@@ -342,6 +344,22 @@ def main(argv: list[str] | None = None) -> int:
             if not args.column or not args.type:
                 p.error("widen-column requires --column and --type")
             v = st.widen_column(args.table, args.column, args.type)
+            print(json.dumps({"version": v}))
+        elif args.action == "add-columns":
+            # JVM-free metadata action: --columns "name:type,name:type"
+            # (atomic types only; complex types go through `table sql`)
+            if not args.columns:
+                p.error("add-columns requires --columns name:type[,...]")
+            pairs = []
+            for part in args.columns.split(","):
+                if ":" not in part:
+                    p.error(
+                        f"malformed add-columns entry {part!r} "
+                        "(expected name:type)"
+                    )
+                name, type_str = part.split(":", 1)
+                pairs.append((name.strip(), type_str.strip()))
+            v = st.add_columns(args.table, pairs)
             print(json.dumps({"version": v}))
         elif args.action == "layout":
             print(json.dumps(st.table_layout(args.table)))

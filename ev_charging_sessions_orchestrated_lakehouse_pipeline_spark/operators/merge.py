@@ -55,6 +55,52 @@ def apply_not_matched_by_source(
     return kept
 
 
+def apply_not_matched_by_source_clauses(
+    kept: DataFrame, clauses: list[tuple] | None
+) -> DataFrame:
+    """Ordered WHEN NOT MATCHED BY SOURCE clause cascade over the
+    unmatched target rows — Delta's full grammar, first-match-wins:
+    ``clauses`` is ``[(cond | None, action, set_exprs | None), ...]``
+    with ``action`` in ``{"delete", "update"}``; conditions and
+    UPDATE expressions evaluate on TARGET columns only (there IS no
+    source row here). A row matching no clause survives unchanged; a
+    NULL condition value means that clause does not apply (tri-state,
+    F.when gives it for free). UPDATE expressions cast back to the
+    declared column type so a literal can't silently widen the
+    written schema. The bool/str delete-only form
+    (:func:`apply_not_matched_by_source`) is the degenerate case."""
+    if not clauses:
+        return kept
+    idx = None
+    for i, (cond, _a, _p) in enumerate(clauses):
+        c = F.expr(cond) if cond else F.lit(True)
+        idx = F.when(c, F.lit(i)) if idx is None else idx.when(c, F.lit(i))
+    del_idx = [i for i, (_c, a, _p) in enumerate(clauses) if a == "delete"]
+    out = kept
+    if del_idx:
+        out = out.filter(
+            ~F.coalesce(idx.isin(del_idx), F.lit(False))
+        )
+    upd = [(i, p) for i, (_c, a, p) in enumerate(clauses) if a == "update"]
+    if upd:
+        types = {f.name: f.dataType for f in kept.schema.fields}
+        cols = []
+        for name in kept.columns:
+            expr = None
+            for i, set_exprs in upd:
+                if name in set_exprs:
+                    v = F.expr(set_exprs[name]).cast(types[name])
+                    w = F.when(idx == i, v)
+                    expr = w if expr is None else expr.when(idx == i, v)
+            cols.append(
+                expr.otherwise(F.col(name)).alias(name)
+                if expr is not None
+                else F.col(name)
+            )
+        out = out.select(*cols)
+    return out
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -62,6 +108,7 @@ def merge_upsert(
     delete_col: str | None = None,
     broadcast_source: bool = False,
     not_matched_by_source_delete: bool | str | None = None,
+    not_matched_by_source: list[tuple] | None = None,
 ) -> DataFrame:
     """MERGE INTO semantics: source rows replace matched target rows
     (whole-row update), unmatched source rows are inserted, unmatched
@@ -77,13 +124,24 @@ def merge_upsert(
     clause examines EVERY unmatched target row, so it is a whole-
     table contract (no partition pruning — same as Delta).
 
+    ``not_matched_by_source`` is the ORDERED full-grammar form
+    (``[(cond, "delete"|"update", set_exprs), ...]`` — Delta's WHEN
+    NOT MATCHED BY SOURCE THEN UPDATE SET ... joins the delete
+    clause); when given it supersedes ``not_matched_by_source_delete``
+    (see :func:`apply_not_matched_by_source_clauses`).
+
     Idempotent by construction: applying the same source twice leaves
     the same table (pinned in tests/test_merge.py)."""
     src = F.broadcast(source) if broadcast_source else source
-    kept = apply_not_matched_by_source(
-        target.join(src.select(*keys), keys, "left_anti"),
-        not_matched_by_source_delete,
-    )
+    kept = target.join(src.select(*keys), keys, "left_anti")
+    if not_matched_by_source is not None:
+        kept = apply_not_matched_by_source_clauses(
+            kept, not_matched_by_source
+        )
+    else:
+        kept = apply_not_matched_by_source(
+            kept, not_matched_by_source_delete
+        )
     if delete_col is not None:
         incoming = source.filter(~F.col(delete_col)).drop(delete_col)
     else:
@@ -3281,7 +3339,9 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dropping a bad batch), a second append, RENAME COLUMN
     (metadata-only), OPTIMIZE, ANALYZE, DML (conjunctive AND
     disjunctive WHERE — the OR statement lowers to DNF branches so
-    each disjunct still prunes files), whole-row MERGE, VACUUM —
+    each disjunct still prunes files), whole-row MERGE, ADD COLUMNS
+    (metadata-only evolution: every pre-existing row null-fills the
+    new field, a following UPDATE populates it), VACUUM —
     every step a text statement resolved against a warehouse root by
     bare table name (ddl.register_all_tables, the Glue-durability
     bootstrap). The final rollup replays the whole chain against the
@@ -3404,6 +3464,11 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )  # v16
+        # ADD COLUMNS (r14): metadata-only schema evolution — every
+        # row committed so far null-fills `chan`; the UPDATE then
+        # populates it for one status through the same SQL surface
+        run("ALTER TABLE facts ADD COLUMNS (chan string)")  # v17
+        run("UPDATE facts SET chan = 'web' WHERE o_orderstatus = 'O'")  # v18
         # plain VACUUM (no RETAIN): sweeps orphans only — RETAIN n
         # HOURS now expires history by AGE (r13), which would delete
         # the very versions the contract below reads
@@ -3426,6 +3491,8 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delete",
             "delete",  # disjunctive DELETE (DNF)
             "overwrite",  # MERGE INTO
+            "add_columns",  # metadata-only evolution
+            "update",  # populates the added column
         ]
         # stats were computed at the ANALYZE version (v11), BEFORE the
         # DML leg — pin them against that version's row count (stats
@@ -3437,7 +3504,8 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.sql(
             f"""
             SELECT o_orderstatus, COUNT(*) AS n,
-                   {dsum_spark_sql('price')} AS sum_price
+                   {dsum_spark_sql('price')} AS sum_price,
+                   COUNT(chan) AS n_chan
             FROM {view} GROUP BY o_orderstatus
             """
         ).collect()
@@ -3459,10 +3527,11 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass
     return spark.createDataFrame(
         [
-            (r.o_orderstatus, r.n, float(r.sum_price), contract_ok)
+            (r.o_orderstatus, r.n, float(r.sum_price), r.n_chan, contract_ok)
             for r in rows
         ],
-        "o_orderstatus string, n bigint, sum_price double, contract_ok boolean",
+        "o_orderstatus string, n bigint, sum_price double, "
+        "n_chan bigint, contract_ok boolean",
     ).orderBy("o_orderstatus")
 
 
@@ -3504,6 +3573,10 @@ WITH base AS (
 )
 SELECT o_orderstatus, COUNT(*) AS n,
        {dsum_sql('price')} AS sum_price,
+       -- ADD COLUMNS (chan) null-fills every row, then
+       -- UPDATE ... WHERE o_orderstatus = 'O' populates that group
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_chan,
        TRUE AS contract_ok
 FROM s5
 GROUP BY o_orderstatus
@@ -3590,9 +3663,14 @@ def q_snapshot_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     single committed semantics. The statement exercises every new
     piece at once: two ordered MATCHED clauses (first-match-wins; the
     first one's assignment references BOTH aliases), a conditional
-    column-list INSERT (unlisted columns land NULL), and source rows
-    matching no clause silently dropped. The oracle replays the
-    clause cascade as CASE logic; the NULL-status insert group keeps
+    column-list INSERT (unlisted columns land NULL), source rows
+    matching no clause silently dropped, and two ordered WHEN NOT
+    MATCHED BY SOURCE clauses — a conditional UPDATE SET (evaluated
+    on target columns only; no source row exists) shadowing a
+    conditional DELETE, so a row both clauses claim takes the UPDATE
+    (first-match-wins across the BY SOURCE cascade too,
+    apply_not_matched_by_source_clauses). The oracle replays the
+    clause cascades as CASE logic; the NULL-status insert group keeps
     the column-list semantics honest in the hash."""
     import hashlib
     import os
@@ -3630,7 +3708,11 @@ def q_snapshot_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE "
             "WHEN NOT MATCHED AND s.o_totalprice < 50000.0 THEN INSERT "
             "(o_orderkey, o_totalprice) VALUES (s.o_orderkey, "
-            "s.o_totalprice * 2.0)",
+            "s.o_totalprice * 2.0) "
+            "WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 100000.0 "
+            "THEN UPDATE SET o_orderstatus = 'Z' "
+            "WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' "
+            "THEN DELETE",
             warehouse=wh,
         )
         out = (
@@ -3678,9 +3760,15 @@ WITH tgt AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice
   FROM matched WHERE NOT del
   UNION ALL
-  -- target rows the source never touched
-  SELECT o_orderkey, o_orderstatus, o_totalprice FROM tgt
+  -- target rows the source never touched: the BY SOURCE cascade —
+  -- UPDATE (first clause) wins over DELETE where both conditions hold
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice < 100000.0 THEN 'Z'
+              ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM tgt
   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    AND NOT (o_totalprice >= 100000.0 AND o_orderstatus = 'O')
   UNION ALL
   -- conditional column-list INSERT: status lands NULL
   SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,

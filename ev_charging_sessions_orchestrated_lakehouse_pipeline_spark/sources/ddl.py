@@ -504,16 +504,23 @@ def execute_sql(
     reference's SQL-first table management
     (jobs/ev_sessions_gold_etl.py:127-150):
 
-    * ``CREATE TABLE [IF NOT EXISTS] t [USING snapshot] [PARTITIONED
-      BY (c1, ...)] [CLUSTER BY (c1, ...)] [TBLPROPERTIES (...)]
-      AS SELECT ...`` — CTAS + liquid declaration
-    * ``CREATE TABLE [IF NOT EXISTS] t (col TYPE [, ...]) [USING x]
+    * ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [USING snapshot]
+      [PARTITIONED BY (c1, ...)] [CLUSTER BY (c1, ...)]
+      [TBLPROPERTIES (...)] AS SELECT ...`` — CTAS + liquid
+      declaration; OR REPLACE re-declares atomically with history
+      preserved (:func:`snaptable.replace_table`)
+    * ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t (col TYPE
+      [NOT NULL] [GENERATED ALWAYS AS (expr)] [, ...]) [USING x]
       [PARTITIONED BY (...)] [CLUSTER BY (...)] [TBLPROPERTIES
       (...)]`` — the reference's EXACT gold-table DDL shape
       (jobs/ev_sessions_gold_etl.py:127-150): an empty typed table
       (-- line comments inside the column list are stripped, like
-      the reference's), later fed by INSERT / COPY INTO / streaming
-    * ``INSERT INTO t SELECT ... | VALUES ...``
+      the reference's), later fed by INSERT / COPY INTO / streaming.
+      NOT NULL marks land as ENFORCED CHECK constraints; GENERATED
+      ALWAYS AS lifts into the manifest's generated-column map
+    * ``INSERT INTO t SELECT ... | VALUES ...`` /
+      ``INSERT OVERWRITE [TABLE] t SELECT ... | VALUES ...`` (static
+      full-table overwrite, one atomic commit, history preserved)
     * ``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
       [PATTERN = '<glob>'] [FORMAT_OPTIONS (...)] [COPY_OPTIONS
       ('force'='true')]`` — idempotent file ingest (loaded files skip
@@ -529,7 +536,8 @@ def execute_sql(
       THEN UPDATE SET * | UPDATE SET col = expr, ... | DELETE``,
       ``WHEN NOT MATCHED [AND c] THEN INSERT * | INSERT (cols)
       VALUES (exprs)``, ``WHEN NOT MATCHED BY SOURCE [AND c] THEN
-      DELETE`` — the full Delta clause grammar, first-match-wins.
+      DELETE | UPDATE SET col = expr, ...`` — the full Delta clause
+      grammar, first-match-wins.
       Unconditional whole-row statements take the single-scan fast
       path; conditional / column-level clauses lower to a source
       rewrite over the joined aliases (see
@@ -551,7 +559,11 @@ def execute_sql(
     * ``ANALYZE TABLE t COMPUTE STATISTICS FOR {ALL COLUMNS|COLUMNS c1, ...}``
     * ``DESCRIBE HISTORY t``
     * ``DESCRIBE DETAIL t``
-    * ``SHOW TABLES [IN '<root>']`` / ``SHOW TBLPROPERTIES t``
+    * ``SHOW TABLES [IN '<root>']`` / ``SHOW TBLPROPERTIES t`` /
+      ``SHOW PARTITIONS t`` (manifest-only layout report)
+    * ``DESCRIBE [TABLE] t`` (columns, types, partition flags)
+    * ``TRUNCATE TABLE t`` (metadata-only: zero files referenced, no
+      data file touched, history preserved)
     * ``DROP TABLE [IF EXISTS] t`` (refuses non-snapshot directories)
 
     ``t`` is a backquoted/quoted path or a bare name resolved against
@@ -567,7 +579,7 @@ def execute_sql(
     s = _strip_line_comments(statement)
 
     m = _m(
-        rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}"
+        rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}"
         rf"(?:\s+USING\s+snapshot)?"
         # one paren nesting level so hidden-partitioning transforms
         # (days(ts), bucket(4, id)) parse
@@ -578,9 +590,16 @@ def execute_sql(
         s,
     )
     if m:
-        t = tbl(m.group(2))
-        if st.current_version(t) is not None:
-            if m.group(1):
+        or_replace, if_not_exists = bool(m.group(1)), bool(m.group(2))
+        if or_replace and if_not_exists:
+            raise ValueError(
+                "CREATE OR REPLACE TABLE cannot carry IF NOT EXISTS "
+                "(Spark rejects the combination too)"
+            )
+        t = tbl(m.group(3))
+        exists = st.current_version(t) is not None
+        if exists and not or_replace:
+            if if_not_exists:
                 return _row_df(
                     spark,
                     {
@@ -594,16 +613,26 @@ def execute_sql(
         # comma inside its own parens
         pcols = (
             [p.replace(" ", "") if "(" in p else p
-             for p in _split_top_level(m.group(3))]
-            if m.group(3)
+             for p in _split_top_level(m.group(4))]
+            if m.group(4)
             else []
         )
-        v = st.create_table(spark.sql(m.group(6)), t, pcols)
-        if m.group(4):  # CLUSTER BY at creation (liquid tables)
-            v = st.set_clustering(t, _cols_list(m.group(4)))
-        if m.group(5):
-            v = st.set_table_properties(t, _parse_tblproperties(m.group(5)))
-        return _row_df(spark, {"operation": "create_table", "version": v})
+        df = spark.sql(m.group(7))
+        if exists:  # OR REPLACE: atomic re-declare, history preserved
+            v = st.replace_table(df, t, pcols)
+        else:
+            v = st.create_table(df, t, pcols)
+        if m.group(5):  # CLUSTER BY at creation (liquid tables)
+            v = st.set_clustering(t, _cols_list(m.group(5)))
+        if m.group(6):
+            v = st.set_table_properties(t, _parse_tblproperties(m.group(6)))
+        return _row_df(
+            spark,
+            {
+                "operation": "replace_table" if exists else "create_table",
+                "version": v,
+            },
+        )
 
     # plain column-list DDL — the reference's ACTUAL gold-table shape
     # (jobs/ev_sessions_gold_etl.py:127-150: CREATE TABLE IF NOT
@@ -616,7 +645,8 @@ def execute_sql(
     # map/struct and NOT NULL marks) parses exactly as CREATE TABLE
     # would parse it.
     m = _m(
-        rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s*"
+        rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        rf"{_IDENT}\s*"
         rf"\(((?:[^()']|\([^()]*\)|'[^']*')+)\)"
         rf"(?:\s+USING\s+\w+)?"
         rf"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))+)\))?"
@@ -625,9 +655,16 @@ def execute_sql(
         s,
     )
     if m:
-        t = tbl(m.group(2))
-        if st.current_version(t) is not None:
-            if m.group(1):
+        or_replace, if_not_exists = bool(m.group(1)), bool(m.group(2))
+        if or_replace and if_not_exists:
+            raise ValueError(
+                "CREATE OR REPLACE TABLE cannot carry IF NOT EXISTS "
+                "(Spark rejects the combination too)"
+            )
+        t = tbl(m.group(3))
+        exists = st.current_version(t) is not None
+        if exists and not or_replace:
+            if if_not_exists:
                 return _row_df(
                     spark,
                     {
@@ -637,20 +674,56 @@ def execute_sql(
                     },
                 )
             raise ValueError(f"{t} already exists (use IF NOT EXISTS)")
-        schema_ddl = re.sub(r"\s+", " ", m.group(3)).strip()
+        # per-column decorations the schema parser doesn't own:
+        # GENERATED ALWAYS AS (expr) lifts into the manifest's
+        # generated map; NOT NULL additionally lands as an ENFORCED
+        # CHECK constraint (Spark's parser only records the mark —
+        # the constraint machinery is what actually refuses nulls on
+        # every future commit, Delta's NOT NULL invariant)
+        entries, generated, constraints = [], {}, {}
+        for entry in _split_top_level(m.group(4)):
+            entry = re.sub(r"\s+", " ", entry).strip()
+            g = re.fullmatch(
+                r"(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)", entry, _F
+            )
+            if g:
+                entry, expr = g.group(1).strip(), g.group(2).strip()
+                generated[entry.split()[0].strip("`")] = expr
+            if re.search(r"\bNOT\s+NULL\b", entry, _F):
+                col = entry.split()[0].strip("`")
+                constraints[f"{col}_not_null"] = f"{col} IS NOT NULL"
+            entries.append(entry)
+        schema_ddl = ", ".join(entries)
         empty = spark.createDataFrame([], schema_ddl)
         pcols = (
             [p.replace(" ", "") if "(" in p else p
-             for p in _split_top_level(m.group(4))]
-            if m.group(4)
+             for p in _split_top_level(m.group(5))]
+            if m.group(5)
             else []
         )
-        v = st.create_table(empty, t, pcols)
-        if m.group(5):
-            v = st.set_clustering(t, _cols_list(m.group(5)))
+        if exists:  # OR REPLACE: empty re-declare, history preserved
+            if constraints or generated:
+                raise ValueError(
+                    "CREATE OR REPLACE with NOT NULL / GENERATED "
+                    "columns is not supported yet — declare them via "
+                    "ALTER TABLE ADD CONSTRAINT after the replace"
+                )
+            v = st.replace_table(empty, t, pcols)
+        else:
+            v = st.create_table(
+                empty, t, pcols, constraints=constraints, generated=generated
+            )
         if m.group(6):
-            v = st.set_table_properties(t, _parse_tblproperties(m.group(6)))
-        return _row_df(spark, {"operation": "create_table", "version": v})
+            v = st.set_clustering(t, _cols_list(m.group(6)))
+        if m.group(7):
+            v = st.set_table_properties(t, _parse_tblproperties(m.group(7)))
+        return _row_df(
+            spark,
+            {
+                "operation": "replace_table" if exists else "create_table",
+                "version": v,
+            },
+        )
 
     m = _m(
         rf"COPY\s+INTO\s+{_IDENT}\s+FROM\s+('[^']+'|\"[^\"]+\")"
@@ -675,10 +748,15 @@ def execute_sql(
             rep["version"] = st.current_version(tbl(m.group(1)))
         return _row_df(spark, {"operation": "copy_into", **rep})
 
-    m = _m(rf"INSERT\s+INTO\s+{_IDENT}\s+(SELECT\s+.+|VALUES\s*.+)", s)
+    m = _m(
+        rf"INSERT\s+(INTO|OVERWRITE)(?:\s+TABLE)?\s+{_IDENT}\s+"
+        rf"(SELECT\s+.+|VALUES\s*.+)",
+        s,
+    )
     if m:
-        t = tbl(m.group(1))
-        body = m.group(2)
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        t = tbl(m.group(2))
+        body = m.group(3)
         if re.match(r"VALUES", body, re.IGNORECASE):
             df = spark.sql(f"SELECT * FROM ({body})")
         else:
@@ -698,6 +776,15 @@ def execute_sql(
         aligned = df.toDF(*[f.name for f in target.fields]).select(
             *[F.col(f.name).cast(f.dataType) for f in target.fields]
         )
+        if overwrite:
+            # Spark's static INSERT OVERWRITE: full-table replace in
+            # one atomic commit, history preserved (the dynamic
+            # partition-overwrite path is overwrite_partitions /
+            # REPLACE WHERE — both reachable through the Python API)
+            v = st.overwrite_table(aligned, t)
+            return _row_df(
+                spark, {"operation": "insert_overwrite", "version": v}
+            )
         v = st.append(aligned, t)
         return _row_df(spark, {"operation": "insert", "version": v})
 
@@ -875,7 +962,10 @@ def execute_sql(
             allowed = {
                 "MATCHED": {"update_star", "update_cols", "delete"},
                 "NOT MATCHED": {"insert_star", "insert_cols"},
-                "NOT MATCHED BY SOURCE": {"delete"},
+                # BY SOURCE has no source row: whole-row SET * is
+                # meaningless there, column-level UPDATE and DELETE
+                # are the Delta grammar
+                "NOT MATCHED BY SOURCE": {"delete", "update_cols"},
             }[kind]
             if atype not in allowed:
                 raise ValueError(
@@ -902,16 +992,38 @@ def execute_sql(
                     closed = True
         mclauses = [c for c in parsed if c[0] == "MATCHED"]
         nclauses = [c for c in parsed if c[0] == "NOT MATCHED"]
-        # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE — evaluated
-        # on the TARGET rows the source did not match; several
-        # conditional clauses OR together (all share one action)
-        nmbs: bool | str | None = None
-        for _, cond, _, _ in (c for c in parsed if c[0] == "NOT MATCHED BY SOURCE"):
-            if cond is None:
-                nmbs = True
-                break
-            c2 = _unqualify(cond, "target")
-            nmbs = c2 if nmbs is None else f"({nmbs}) OR ({c2})"
+        # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET
+        # col = expr — evaluated on the TARGET rows the source did not
+        # match (there is no source row: conditions and expressions
+        # must resolve over target columns only, so the target alias
+        # strips and a source-alias reference rejects). Ordered,
+        # first-match-wins (apply_not_matched_by_source_clauses).
+        tcols = set(st.read_snapshot(spark, t).columns)
+        nmbs_clauses: list[tuple] = []
+        for _, cond, atype, payload in (
+            c for c in parsed if c[0] == "NOT MATCHED BY SOURCE"
+        ):
+            c2 = _unqualify(cond, "target") if cond else None
+            if atype == "update_cols":
+                bad = set(payload) - tcols
+                if bad:
+                    raise ValueError(
+                        f"MERGE BY SOURCE UPDATE assigns unknown target "
+                        f"column(s) {sorted(bad)}"
+                    )
+                nmbs_clauses.append(
+                    (
+                        c2,
+                        "update",
+                        {
+                            c: _unqualify(e, "target")
+                            for c, e in payload.items()
+                        },
+                    )
+                )
+            else:
+                nmbs_clauses.append((c2, "delete", None))
+        nmbs = nmbs_clauses or None
 
         def _mentions_target(cond: str | None) -> bool:
             if cond is None or not target_alias:
@@ -963,11 +1075,8 @@ def execute_sql(
             # source columns the target schema doesn't carry are
             # batch plumbing (CDC flags, sequence numbers) — drop
             # them before the whole-row merge, keeping the marker
-            target_cols = set(st.read_snapshot(spark, t).columns)
             extra = [
-                c
-                for c in src.columns
-                if c not in target_cols and c != delete_col
+                c for c in src.columns if c not in tcols and c != delete_col
             ]
             if extra:
                 src = src.drop(*extra)
@@ -991,7 +1100,7 @@ def execute_sql(
             src,
             keys,
             delete_col=delete_col,
-            not_matched_by_source_delete=nmbs,
+            not_matched_by_source=nmbs,
         )
         return _row_df(spark, {"operation": "merge", "version": v})
 
@@ -1055,6 +1164,19 @@ def execute_sql(
     if m:
         v = st.drop_feature(tbl(m.group(1)), m.group(2))
         return _row_df(spark, {"operation": "drop_feature", "version": v})
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+ADD\s+COLUMNS?\s*"
+        # one angle/paren nesting level so decimal(10,2) and
+        # array<struct<...>> column types parse
+        rf"\(((?:[^()]|\([^()]*\))+)\)",
+        s,
+    )
+    if m:
+        # hand the whole column list to Spark's DDL schema parser via
+        # add_columns — every type CREATE TABLE accepts works here
+        v = st.add_columns(tbl(m.group(1)), m.group(2).strip(), spark=spark)
+        return _row_df(spark, {"operation": "add_columns", "version": v})
 
     m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", s)
     if m:
@@ -1215,6 +1337,48 @@ def execute_sql(
                 "reader_features": sorted(man.get("reader_features") or []),
                 "writer_features": sorted(man.get("writer_features") or []),
             },
+        )
+
+    m = _m(rf"TRUNCATE\s+TABLE\s+{_IDENT}", s)
+    if m:
+        v = st.truncate_table(tbl(m.group(1)))
+        return _row_df(spark, {"operation": "truncate", "version": v})
+
+    m = _m(rf"SHOW\s+PARTITIONS\s+{_IDENT}", s)
+    if m:
+        layout = st.table_layout(tbl(m.group(1)))
+        return spark.createDataFrame(
+            [
+                (
+                    "/".join(f"{k}={v}" for k, v in e["partition"].items())
+                    or "<unpartitioned>",
+                    e["n_files"],
+                    e["rows"],
+                )
+                for e in layout
+            ],
+            "partition string, n_files int, rows long",
+        )
+
+    m = _m(rf"DESCRIBE\s+(?:TABLE\s+)?{_IDENT}", s)
+    if m:
+        t = tbl(m.group(1))
+        head = st.current_version(t)
+        if head is None:
+            raise ValueError(f"{t} does not exist")
+        man = st._read_manifest(t, head)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        pnames = {
+            st._parse_transform(e)[1] for e in man["partition_cols"]
+        }
+        return spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString(), f.name in pnames)
+                for f in schema.fields
+            ],
+            "col_name string, data_type string, is_partition boolean",
         )
 
     # not a management statement: ordinary Spark SQL over the session

@@ -580,6 +580,8 @@ _ROW_REMOVING_OPS = frozenset(
         "overwrite",
         "overwrite_partitions",
         "replace_where",
+        "truncate",
+        "replace",
     }
 )
 
@@ -1459,12 +1461,42 @@ def create_table(
     )
 
 
+def _erase_nullability(dt):
+    """A copy of ``dt`` with every nullability mark (field nullable,
+    array containsNull, map valueContainsNull) forced True, so type
+    comparison sees only the storage type (see
+    :func:`_evolve_schema`)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_erase_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _erase_nullability(dt.keyType),
+            _erase_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _erase_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _evolve_schema(prev_schema_json: str, df: DataFrame, merge_schema: bool) -> str:
     """The manifest owns the schema (schema-on-read, like the Delta
     log). New columns in ``df`` evolve the table schema when
     ``merge_schema`` is set (old files null-fill them on read);
     same-name type changes are always rejected — silent widening is
-    how lakehouse tables rot."""
+    how lakehouse tables rot. Types compare modulo NULLABILITY
+    (containsNull / valueContainsNull / struct-field nullable):
+    Spark's nullability marks are advisory analysis facts, not
+    storage types — ``F.array(lit('a'))`` infers containsNull=false
+    against a table declared array<string> containsNull=true, and
+    rejecting that would refuse a perfectly writable batch."""
     from pyspark.sql.types import StructType
 
     old = StructType.fromJson(json.loads(prev_schema_json))
@@ -1473,7 +1505,9 @@ def _evolve_schema(prev_schema_json: str, df: DataFrame, merge_schema: bool) -> 
     for f in df.schema.fields:
         if f.name not in old_by_name:
             extra.append(f)
-        elif f.dataType != old_by_name[f.name].dataType:
+        elif _erase_nullability(f.dataType) != _erase_nullability(
+            old_by_name[f.name].dataType
+        ):
             raise ValueError(
                 f"type conflict on column {f.name!r}: table has "
                 f"{old_by_name[f.name].dataType.simpleString()}, batch has "
@@ -1546,6 +1580,73 @@ def append(
         deletion_vectors=prev.get("deletion_vectors", {}),
         column_mapping=mapping,
         extra=_extra,
+    )
+
+
+def truncate_table(table: str, txn: tuple[str, int] | None = None) -> int:
+    """``TRUNCATE TABLE`` as a METADATA-ONLY commit: the new head
+    references zero files — no data file is touched or rewritten at
+    any table size (Delta's TRUNCATE commits RemoveFiles the same
+    way). Schema, partition spec, constraints, and properties all
+    survive; history is preserved, so time travel to a pre-truncate
+    version still reads every row, and VACUUM later reclaims the
+    bytes once retention allows. Refused on appendOnly tables (it is
+    the ultimate row-removing operation)."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    return _commit(
+        table,
+        "truncate",
+        [],
+        prev["partition_cols"],
+        prev["schema"],
+        head,
+        txn=txn,
+        file_stats={},
+        constraints=prev.get("constraints", {}),
+    )
+
+
+def replace_table(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """``CREATE OR REPLACE TABLE`` semantics: the table is re-declared
+    from scratch — new schema, new data, optionally a NEW partition
+    spec — in one atomic commit, with HISTORY PRESERVED (unlike DROP
+    + CREATE, time travel to pre-replace versions still works —
+    Delta's REPLACE contract). Declarative state the old table shape
+    carried (CHECK constraints, column mapping, retired physical
+    names, generated columns) is RESET: REPLACE declares a new table,
+    and the new file set cannot collide with physical names only old
+    files used. Table properties carry over (Delta keeps them too),
+    so an appendOnly declaration still refuses the replace."""
+    head = current_version(table)
+    if head is None:
+        return create_table(df, table, partition_cols, txn=txn)
+    prev = _read_manifest(table, head)
+    pcols = (
+        prev["partition_cols"] if partition_cols is None else partition_cols
+    )
+    _validate_spec(pcols, set(df.columns))
+    files = _write_data(df, table, pcols)
+    return _commit(
+        table,
+        "replace",
+        files,
+        pcols,
+        df.schema.json(),
+        head,
+        txn=txn,
+        file_stats=_collect_stats(table, files),
+        constraints={},
+        column_mapping={},
+        retired_columns=[],
+        generated={},
     )
 
 
@@ -2578,6 +2679,122 @@ def drop_column(table: str, col: str) -> int:
         column_mapping=mapping,
         retired_columns=retired,
     )
+
+
+def add_columns(
+    table: str,
+    columns,
+    spark: SparkSession | None = None,
+) -> int:
+    """Delta-style ``ALTER TABLE ADD COLUMNS`` as a METADATA-ONLY
+    commit: the new fields join the schema, no data file is touched
+    at any table size, and every existing file null-fills them on
+    read (schema-on-read in :func:`_read_union` — the scan plans the
+    declared schema over files that predate it). New columns are
+    forced NULLABLE: every already-committed row reads NULL, so a
+    NOT NULL mark would be false the instant it was declared (Delta
+    refuses the same way unless the table is empty — we normalize
+    rather than refuse, matching INSERT's coercion posture).
+
+    ``columns`` is a DDL fragment (``"a int, b array<string>"``) or a
+    list of ``(name, type_str)`` pairs. Complex types need ``spark``
+    (the full DDL type parser lives JVM-side); atomic types parse
+    driver-only so the CLI's metadata actions stay JVM-free.
+
+    Resurrection guard (same rule as :func:`append` /
+    :func:`overwrite_table`): a new logical name colliding with a
+    still-claimed or retired PHYSICAL name takes a fresh physical
+    alias in the column mapping — otherwise ``RENAME a->b`` followed
+    by ``ADD COLUMNS (a int)`` would read b's old data back out under
+    the new column."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    prev = _read_manifest(table, head)
+    from pyspark.sql.types import StructField, StructType
+
+    if isinstance(columns, str):
+        if spark is None:
+            raise ValueError(
+                "add_columns with a DDL string needs a SparkSession "
+                "(pass (name, type) pairs for JVM-free atomic adds)"
+            )
+        added = list(spark.createDataFrame([], columns).schema.fields)
+    else:
+        added = []
+        for name, type_str in columns:
+            if spark is not None:
+                dt = spark.createDataFrame(
+                    [], f"`{name}` {type_str}"
+                ).schema.fields[0].dataType
+            else:
+                dt = _parse_added_type(type_str)
+            added.append(StructField(name, dt, True))
+    if not added:
+        raise ValueError("ADD COLUMNS requires at least one column")
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    names = [f.name for f in schema.fields]
+    new_names = [f.name for f in added]
+    if len(set(new_names)) != len(new_names):
+        raise ValueError(f"duplicate column in ADD COLUMNS: {new_names}")
+    clash = set(new_names) & set(names)
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} already exist in {table}"
+        )
+    mapping = dict(prev.get("column_mapping") or {})
+    used_physical = (
+        {mapping.get(n, n) for n in names}
+        | set(mapping.values())
+        | set(prev.get("retired_columns") or [])
+    )
+    for f in added:
+        if f.name in used_physical:
+            mapping[f.name] = f"{f.name}__r{head + 1}"
+    new_schema = StructType(
+        list(schema.fields)
+        + [StructField(f.name, f.dataType, True) for f in added]
+    )
+    return _commit(
+        table,
+        "add_columns",
+        prev["files"],
+        prev["partition_cols"],
+        new_schema.json(),
+        head,
+        file_stats=prev.get("file_stats", {}),
+        constraints=prev.get("constraints", {}),
+        deletion_vectors=prev.get("deletion_vectors", {}),
+        column_mapping=mapping or None,
+    )
+
+
+def _parse_added_type(s: str):
+    """Driver-only (no JVM) type parser for :func:`add_columns`'s
+    pair form: the widening-eligible numerics plus the remaining
+    atomic Spark types. Complex types route through the session's
+    DDL parser instead."""
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DateType,
+        StringType,
+        TimestampType,
+    )
+
+    key = s.strip().lower()
+    atomic = {
+        "string": StringType(),
+        "varchar": StringType(),
+        "boolean": BooleanType(),
+        "bool": BooleanType(),
+        "date": DateType(),
+        "timestamp": TimestampType(),
+        "binary": BinaryType(),
+    }
+    if key in atomic:
+        return atomic[key]
+    return _parse_simple_type(s)
 
 
 def version_as_of(table: str, ts: float) -> int:
@@ -5289,6 +5506,7 @@ def merge_into(
     broadcast_source: bool = False,
     evolve_schema: bool = False,
     not_matched_by_source_delete: bool | str | None = None,
+    not_matched_by_source: list[tuple] | None = None,
     txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE INTO the snapshot table (upsert + optional delete,
@@ -5317,9 +5535,14 @@ def merge_into(
     ``not_matched_by_source_delete`` is Delta's WHEN NOT MATCHED BY
     SOURCE THEN DELETE (True = delete every unmatched target row; a
     SQL string = delete those satisfying it, null condition
-    survives). The clause examines every unmatched target row by
-    definition, so it disables partition pruning for the commit —
-    a full-sync mirror is inherently a whole-table statement."""
+    survives). ``not_matched_by_source`` is the ordered full-grammar
+    form (``[(cond, "delete"|"update", set_exprs), ...]`` — adds WHEN
+    NOT MATCHED BY SOURCE THEN UPDATE SET; supersedes the bool/str
+    param when given; see
+    operators/merge.apply_not_matched_by_source_clauses). Either
+    clause examines every unmatched target row by definition, so it
+    disables partition pruning for the commit — a full-sync mirror
+    is inherently a whole-table statement."""
     from ..operators.merge import merge_upsert
 
     head = current_version(table)
@@ -5365,8 +5588,10 @@ def merge_into(
         pcols
         and all(c in source.columns for c in pcols)
         # falsy (None/False) = clause off; True or a condition string
-        # = the global clause, which must see every partition
+        # (or an ordered clause list) = the global clause, which must
+        # see every partition
         and not not_matched_by_source_delete
+        and not not_matched_by_source
     )
     if evolved_cols:
         # a new logical name colliding with a still-claimed physical
@@ -5397,13 +5622,21 @@ def merge_into(
         from pyspark.sql import Window as _W
         from pyspark.sql import functions as F
 
-        from ..operators.merge import apply_not_matched_by_source
+        from ..operators.merge import (
+            apply_not_matched_by_source,
+            apply_not_matched_by_source_clauses,
+        )
 
         src = F.broadcast(source) if broadcast_source else source
-        kept = apply_not_matched_by_source(
-            target.join(src.select(*keys), keys, "left_anti"),
-            not_matched_by_source_delete,
-        )
+        kept = target.join(src.select(*keys), keys, "left_anti")
+        if not_matched_by_source is not None:
+            kept = apply_not_matched_by_source_clauses(
+                kept, not_matched_by_source
+            )
+        else:
+            kept = apply_not_matched_by_source(
+                kept, not_matched_by_source_delete
+            )
         incoming = (
             source.filter(~F.col(delete_col)).drop(delete_col)
             if delete_col is not None
@@ -5469,6 +5702,7 @@ def merge_into(
             delete_col,
             broadcast_source,
             not_matched_by_source_delete=not_matched_by_source_delete,
+            not_matched_by_source=not_matched_by_source,
         )
     if pruned:
         return overwrite_partitions(

@@ -401,16 +401,20 @@ def test_cli_table_actions_column_ddl_layout_dryrun(spark, orders, tmp_path):
     assert cli("rename-column", "--column", "o_totalprice",
                "--to", "total_price") == {"version": 2}
     assert cli("drop-column", "--column", "o_orderpriority") == {"version": 3}
+    assert cli("add-columns", "--columns", "note:string,score:double") == {
+        "version": 4
+    }
     layout = cli("layout")
     assert {tuple(e["partition"].items())[0][1] for e in layout} == {
         "F", "O", "P"
     }
     assert all(e["rows"] and e["n_files"] >= 1 for e in layout)
     dry = cli("vacuum", "--retain-last", "1", "--dry-run")
-    assert dry["dry_run"] is True and dry["expired_versions"] == 2
+    assert dry["dry_run"] is True and dry["expired_versions"] == 3
     # DDL landed: read back under the new schema
     cols = st.read_snapshot(spark, t).columns
     assert "total_price" in cols and "o_orderpriority" not in cols
+    assert cols[-2:] == ["note", "score"]
 
 
 def test_overwrite_after_rename_reconciles_mapping(spark, orders, tmp_path):
@@ -477,3 +481,80 @@ def test_ddl_guard_ignores_string_literals(spark, orders, tmp_path):
     st.add_constraint(spark, t, "prio_pos", "priority >= 0")
     with pytest.raises(ValueError, match="prio_pos"):
         st.rename_column(t, "priority", "p2")
+
+
+def test_add_columns_metadata_only_nullfill(spark, orders, tmp_path):
+    """ALTER TABLE ADD COLUMNS is a metadata-only commit: zero data
+    movement, every pre-existing row null-fills the new fields on
+    read, a later append may populate them, and time travel to the
+    pre-add version shows the old schema."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, ["o_orderstatus"])
+    files_v1 = list(st._read_manifest(t, 1)["files"])
+    n0 = orders.count()
+    # pair form, JVM-free types
+    v2 = st.add_columns(t, [("note", "string"), ("score", "double")])
+    m2 = st._read_manifest(t, v2)
+    assert m2["operation"] == "add_columns"
+    assert m2["files"] == files_v1  # zero data movement
+    snap = st.read_snapshot(spark, t)
+    assert snap.columns[-2:] == ["note", "score"]
+    assert snap.filter(
+        F.col("note").isNotNull() | F.col("score").isNotNull()
+    ).count() == 0
+    # DDL-string form with a complex type (needs the session parser)
+    st.add_columns(t, "tags array<string>", spark=spark)
+    snap = st.read_snapshot(spark, t)
+    assert dict(snap.dtypes)["tags"] == "array<string>"
+    # appends can now populate the evolved columns
+    extra = (
+        orders.limit(5)
+        .withColumn("note", F.lit("n"))
+        .withColumn("score", F.lit(1.5))
+        .withColumn("tags", F.array(F.lit("a")))
+    )
+    st.append(extra, t)
+    got = st.read_snapshot(spark, t)
+    assert got.count() == n0 + 5
+    assert got.filter(F.col("note") == "n").count() == 5
+    # time travel: pre-add version has the original schema
+    assert "note" not in st.read_snapshot(spark, t, version=1).columns
+
+
+def test_add_columns_resurrection_guard_and_rejections(
+    spark, orders, tmp_path
+):
+    """A new logical name colliding with a claimed or retired
+    PHYSICAL name gets a fresh physical alias — RENAME a->b then ADD
+    COLUMNS (a ...) must read NULL, never b's old data — and the
+    usual rejections hold."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t)
+    st.rename_column(t, "o_totalprice", "total_price")
+    v = st.add_columns(t, [("o_totalprice", "double")])
+    m = st._read_manifest(t, v)
+    assert m["column_mapping"]["o_totalprice"].startswith(
+        "o_totalprice__r"
+    )
+    snap = st.read_snapshot(spark, t)
+    assert snap.filter(F.col("o_totalprice").isNotNull()).count() == 0
+    assert snap.filter(F.col("total_price").isNotNull()).count() > 0
+    # dropped column re-added: retired physical stays quarantined
+    st.drop_column(t, "o_orderpriority")
+    v2 = st.add_columns(t, [("o_orderpriority", "string")])
+    m2 = st._read_manifest(t, v2)
+    assert m2["column_mapping"]["o_orderpriority"].startswith(
+        "o_orderpriority__r"
+    )
+    assert (
+        st.read_snapshot(spark, t)
+        .filter(F.col("o_orderpriority").isNotNull())
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        st.add_columns(t, [("o_orderkey", "long")])
+    with pytest.raises(ValueError, match="duplicate"):
+        st.add_columns(t, [("x", "int"), ("x", "long")])
+    with pytest.raises(ValueError, match="at least one"):
+        st.add_columns(t, [])

@@ -117,6 +117,59 @@ def test_snapshot_merge_not_matched_by_source(spark, tmp_path):
     assert rows[(2, "A", "B2")] == ids0[2]  # matched row kept its id
 
 
+def test_merge_nmbs_update_clauses_cascade(spark):
+    """Full-grammar WHEN NOT MATCHED BY SOURCE cascade (Delta adds
+    UPDATE SET to the clause): ordered first-match-wins over the
+    unmatched target rows; a NULL condition value skips the clause
+    (tri-state); rows matching no clause survive unchanged; matched
+    rows update from the source and new source rows insert exactly as
+    without the clause. k=1 satisfies BOTH clauses — the DELETE wins
+    because it is declared first."""
+    target = _df(
+        spark,
+        [(1, "stale", 40), (2, "b", 20), (3, "old", 30), (5, None, 5)],
+        ["k", "v", "n"],
+    )
+    source = _df(spark, [(2, "B", 21), (9, "I", 90)], ["k", "v", "n"])
+    res = merge_upsert(
+        target,
+        source,
+        ["k"],
+        not_matched_by_source=[
+            ("v = 'stale'", "delete", None),
+            ("n >= 30", "update", {"v": "'archived'"}),
+        ],
+    )
+    assert res.schema == target.schema  # UPDATE exprs cast back
+    got = {tuple(r) for r in res.collect()}
+    # k=1 deleted (first-match-wins); k=3 archived; k=5 NULL cond on
+    # clause 1 + false on clause 2 -> survives; k=2 updated; k=9 inserted
+    assert got == {
+        (2, "B", 21),
+        (3, "archived", 30),
+        (5, None, 5),
+        (9, "I", 90),
+    }
+
+
+def test_merge_nmbs_update_references_target_columns(spark):
+    """BY SOURCE UPDATE expressions evaluate over the TARGET row
+    (there is no source row): self-referencing arithmetic works and
+    the declared column type is preserved (a fractional expression on
+    an int column casts back instead of silently widening)."""
+    target = _df(spark, [(1, 10), (2, 20)], ["k", "n"])
+    source = _df(spark, [(2, 99)], ["k", "n"])
+    res = merge_upsert(
+        target,
+        source,
+        ["k"],
+        not_matched_by_source=[(None, "update", {"n": "n + 1.5"})],
+    )
+    assert dict(res.dtypes)["n"] == "bigint"
+    got = {tuple(r) for r in res.collect()}
+    assert got == {(1, 11), (2, 99)}  # 10 + 1.5 cast back to bigint
+
+
 def test_compaction_latest_wins_with_tiebreak(spark):
     log = _df(
         spark,

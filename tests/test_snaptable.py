@@ -4787,6 +4787,12 @@ def test_table_properties_append_only_and_vacuum_grace(spark, tmp_path):
         st.overwrite_table(
             spark.createDataFrame([(1, 1.0)], "id int, v double"), t
         )
+    with pytest.raises(ValueError, match="appendOnly"):
+        st.truncate_table(t)
+    with pytest.raises(ValueError, match="appendOnly"):
+        st.replace_table(
+            spark.createDataFrame([(1, 1.0)], "id int, v double"), t
+        )
     n = st.read_snapshot(spark, t).count()
     assert n == 21  # nothing was removed
     # unset: deletes work again

@@ -988,6 +988,53 @@ def dims_src(spark):
     spark.catalog.dropTempView("dims_src")
 
 
+def test_merge_nmbs_update_sql(spark, wh):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET through SQL text —
+    the soft-delete mirror: unmatched target rows get FLAGGED rather
+    than pruned, with conditions and expressions resolving over
+    target columns only. Ordered with a DELETE clause after it:
+    first-match-wins, so a row the UPDATE claims never reaches the
+    DELETE."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    spark.createDataFrame(
+        [("g0", "x")], "g string, label string"
+    ).createOrReplaceTempView("nmbs_upd_src")
+    run(
+        "MERGE INTO dims USING nmbs_upd_src AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND t.label = 'beta' "
+        "THEN UPDATE SET label = concat('retired:', label) "
+        "WHEN NOT MATCHED BY SOURCE AND t.g = 'g1' THEN DELETE"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    # g1 satisfied BOTH by-source clauses; UPDATE is first, so it wins
+    assert got == {"g0": "x", "g1": "retired:beta", "g2": "gamma"}
+    spark.catalog.dropTempView("nmbs_upd_src")
+
+
+def test_merge_nmbs_update_rejections(spark, wh, dims_src):
+    """BY SOURCE clauses have no source row: an expression or
+    condition referencing the source alias rejects loudly, as does an
+    assignment to a column the target doesn't carry."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    with pytest.raises(ValueError, match="source alias"):
+        run(
+            "MERGE INTO dims USING dims_src AS s ON t.g = s.g "
+            "WHEN NOT MATCHED BY SOURCE AND s.label = 'x' THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="source alias"):
+        run(
+            "MERGE INTO dims USING dims_src AS s ON t.g = s.g "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET label = s.label"
+        )
+    with pytest.raises(ValueError, match="unknown target"):
+        run(
+            "MERGE INTO dims USING dims_src AS s ON t.g = s.g "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET nope = 1"
+        )
+
+
 def test_merge_nmbs_only_statement(spark, wh):
     """A MERGE with only WHEN NOT MATCHED BY SOURCE THEN DELETE is a
     full-sync prune (Delta allows the clause alone): matched rows
@@ -1005,3 +1052,108 @@ def test_merge_nmbs_only_statement(spark, wh):
     got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
     assert got == {"g0": "alpha"}  # g1/g2 pruned; g8 NOT inserted
     spark.catalog.dropTempView("nmbs_src")
+
+
+def test_alter_table_add_columns_sql(spark, wh):
+    """ALTER TABLE ADD COLUMNS through SQL text: metadata-only
+    evolution (old rows null-fill), full Spark type vocabulary via
+    the session DDL parser (decimal + array), and the evolved table
+    accepts INSERTs at the new arity."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    r = run(
+        "ALTER TABLE dims ADD COLUMNS "
+        "(score decimal(10,2), tags array<string>)"
+    )
+    assert r.collect()[0].operation == "add_columns"
+    snap = st.read_snapshot(spark, t)
+    assert snap.columns == ["g", "label", "score", "tags"]
+    assert dict(snap.dtypes)["score"] == "decimal(10,2)"
+    assert snap.filter(F.col("score").isNotNull()).count() == 0
+    run(
+        "INSERT INTO dims VALUES "
+        "('g9', 'delta', 1.25, array('new', 'dim'))"
+    )
+    row = (
+        st.read_snapshot(spark, t).filter(F.col("g") == "g9").collect()[0]
+    )
+    assert float(row.score) == 1.25 and row.tags == ["new", "dim"]
+    # old rows still read with NULLs under the evolved schema
+    assert st.read_snapshot(spark, t).count() == 4
+
+
+def test_truncate_show_partitions_describe(spark, wh):
+    """TRUNCATE TABLE is metadata-only (zero files referenced, data
+    untouched, schema + history survive); SHOW PARTITIONS and
+    DESCRIBE TABLE are manifest-only reports."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    parts = {
+        r.partition: (r.n_files, r.rows)
+        for r in run("SHOW PARTITIONS facts").collect()
+    }
+    assert set(parts) == {"g=g0", "g=g1", "g=g2"}
+    assert all(nf >= 1 and rows > 0 for nf, rows in parts.values())
+    desc = {
+        r.col_name: (r.data_type, r.is_partition)
+        for r in run("DESCRIBE TABLE facts").collect()
+    }
+    assert desc == {
+        "id": ("int", False),
+        "g": ("string", True),
+        "v": ("double", False),
+    }
+    t = os.path.join(wh, "facts")
+    r = run("TRUNCATE TABLE facts").collect()[0]
+    assert r.operation == "truncate"
+    m = st._read_manifest(t, st.current_version(t))
+    assert m["files"] == []  # metadata-only: nothing rewritten
+    snap = st.read_snapshot(spark, t)
+    assert snap.count() == 0 and snap.columns == ["id", "g", "v"]
+    assert st.read_snapshot(spark, t, version=1).count() == 40
+
+
+def test_create_or_replace_and_insert_overwrite(spark, wh):
+    """CREATE OR REPLACE TABLE re-declares schema AND partitioning
+    atomically with history preserved; INSERT OVERWRITE is the static
+    full-table overwrite; the OR REPLACE + IF NOT EXISTS combination
+    rejects."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    run(
+        "CREATE OR REPLACE TABLE dims PARTITIONED BY (lab) "
+        "AS SELECT 'x' AS lab, 1 AS n"
+    )
+    snap = st.read_snapshot(spark, t)
+    assert set(snap.columns) == {"lab", "n"} and snap.count() == 1
+    m = st._read_manifest(t, st.current_version(t))
+    assert m["operation"] == "replace" and m["partition_cols"] == ["lab"]
+    # history preserved: v1 still reads the ORIGINAL dims shape
+    assert st.read_snapshot(spark, t, version=1).columns == ["g", "label"]
+    run("INSERT OVERWRITE dims VALUES ('y', 2), ('z', 3)")
+    got = {(r.lab, r.n) for r in st.read_snapshot(spark, t).collect()}
+    assert got == {("y", 2), ("z", 3)}
+    with pytest.raises(ValueError, match="IF NOT EXISTS"):
+        run("CREATE OR REPLACE TABLE IF NOT EXISTS dims AS SELECT 1 AS x")
+
+
+def test_create_table_not_null_and_generated(spark, wh):
+    """Column-list DDL decorations: NOT NULL lands as an ENFORCED
+    CHECK constraint; GENERATED ALWAYS AS (expr) lifts into the
+    manifest's generated map — computed when a batch omits the
+    column, validated when it provides it."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    run(
+        "CREATE TABLE typed (k bigint NOT NULL, v double, "
+        "v2 double GENERATED ALWAYS AS (v * 2.0))"
+    )
+    t = os.path.join(wh, "typed")
+    m = st._read_manifest(t, 1)
+    assert m["constraints"] == {"k_not_null": "k IS NOT NULL"}
+    assert m["generated"] == {"v2": "v * 2.0"}
+    st.append(spark.createDataFrame([(1, 3.0)], "k bigint, v double"), t)
+    row = st.read_snapshot(spark, t).collect()[0]
+    assert row.v2 == 6.0  # computed on the way in
+    with pytest.raises(st.ConstraintViolation):
+        st.append(
+            spark.createDataFrame([(None, 1.0)], "k bigint, v double"), t
+        )
