@@ -110,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
             "drop-column",
             "widen-column",
             "add-columns",
+            "count",
             "layout",
             "history",
             "create-tag",
@@ -271,6 +272,7 @@ def main(argv: list[str] | None = None) -> int:
         "drop-column",
         "widen-column",
         "add-columns",
+        "count",
         "layout",
         "history",
         "create-tag",
@@ -345,6 +347,17 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("widen-column requires --column and --type")
             v = st.widen_column(args.table, args.column, args.type)
             print(json.dumps({"version": v}))
+        elif args.action == "count":
+            # exact COUNT(*) from the manifest (stats minus DVs) —
+            # no SparkSession, no data I/O at any table size
+            print(
+                json.dumps(
+                    {
+                        "rows": st.metadata_count(args.table),
+                        "version": st.current_version(args.table),
+                    }
+                )
+            )
         elif args.action == "add-columns":
             # JVM-free metadata action: --columns "name:type,name:type"
             # (atomic types only; complex types go through `table sql`)

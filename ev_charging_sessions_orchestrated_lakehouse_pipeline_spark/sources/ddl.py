@@ -127,6 +127,36 @@ def _split_top_level(body: str) -> list[str]:
     return out
 
 
+def _split_columns(body: str) -> list[str]:
+    """Column-list split: like :func:`_split_top_level` but ALSO
+    angle-bracket aware — ``a map<string, int> NOT NULL`` is one
+    entry (complex Spark types carry top-level-looking commas inside
+    ``<>``, which TBLPROPERTIES values never do)."""
+    out, cur, q, depth = [], [], None, 0
+    for ch in body:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch in "(<":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")>":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 def _unquote(s: str) -> str:
     s = s.strip()
     if s[:1] in "'\"`" and s[-1:] == s[:1]:
@@ -552,7 +582,9 @@ def execute_sql(
     * ``ALTER TABLE t RENAME COLUMN old TO new``
     * ``ALTER TABLE t DROP COLUMN c``
     * ``ALTER TABLE t ALTER COLUMN c TYPE newtype`` (type widening)
-    * ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+    * ``OPTIMIZE t [WHERE <partition equalities>] [ZORDER BY (c1,
+      c2)]`` — WHERE scopes the compaction to matching partition
+      directories (Delta's grammar: partition predicates only)
     * ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
     * ``RESTORE TABLE t TO VERSION AS OF n``
     * ``RESTORE TABLE t TO TIMESTAMP AS OF <unix-seconds or 'ts'>``
@@ -681,7 +713,7 @@ def execute_sql(
         # the constraint machinery is what actually refuses nulls on
         # every future commit, Delta's NOT NULL invariant)
         entries, generated, constraints = [], {}, {}
-        for entry in _split_top_level(m.group(4)):
+        for entry in _split_columns(m.group(4)):
             entry = re.sub(r"\s+", " ", entry).strip()
             g = re.fullmatch(
                 r"(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)", entry, _F
@@ -1196,11 +1228,56 @@ def execute_sql(
         v = st.widen_column(tbl(m.group(1)), m.group(2), m.group(3).strip().lower())
         return _row_df(spark, {"operation": "widen_column", "version": v})
 
-    m = _m(rf"OPTIMIZE\s+{_IDENT}(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?", s)
+    m = _m(
+        rf"OPTIMIZE\s+{_IDENT}(?:\s+WHERE\s+(.+?))?"
+        rf"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?",
+        s,
+    )
     if m:
-        zcols = _cols_list(m.group(2)) if m.group(2) else None
+        t = tbl(m.group(1))
+        parts: dict | None = None
+        if m.group(2):
+            # Delta's OPTIMIZE ... WHERE: the predicate must name
+            # PARTITION columns with equality only — compaction is a
+            # file-layout operation, it can only scope by directory
+            # (at 100 TB you compact yesterday's partition, never the
+            # table). parse_where enforces the grammar; we enforce
+            # partitionhood.
+            branches = parse_where(m.group(2))
+            conj = (
+                branches
+                if branches and isinstance(branches[0], tuple)
+                else None
+            )
+            if conj is None:
+                raise ValueError(
+                    "OPTIMIZE WHERE takes one conjunction of partition "
+                    "equalities (no OR)"
+                )
+            head = st.current_version(t)
+            if head is None:
+                raise ValueError(f"{t} does not exist")
+            pcols = set(
+                st._spec_names(
+                    st._read_manifest(t, head)["partition_cols"]
+                )
+            )
+            parts = {}
+            for col, op, val in conj:
+                if op not in ("=", "==") or col not in pcols:
+                    raise ValueError(
+                        f"OPTIMIZE WHERE supports equality on partition "
+                        f"columns only; got {col} {op} {val!r} "
+                        f"(partitions: {sorted(pcols)})"
+                    )
+                parts[col] = val
+        zcols = _cols_list(m.group(3)) if m.group(3) else None
         v = st.optimize(
-            spark, tbl(m.group(1)), cluster_by=zcols, zorder=bool(zcols)
+            spark,
+            t,
+            cluster_by=zcols,
+            zorder=bool(zcols),
+            partitions=parts,
         )
         return _row_df(spark, {"operation": "optimize", "version": v})
 
@@ -1330,6 +1407,9 @@ def execute_sql(
             {
                 "location": t,
                 "version": head,
+                # manifest-only exact count (stats minus DVs) — the
+                # detail row stays metadata-bounded at any table size
+                "rows": st.metadata_count(t),
                 "n_files": len(man["files"]),
                 "partition_cols": man["partition_cols"],
                 "properties": man.get("properties") or {},

@@ -3427,6 +3427,58 @@ def _prune_files(table: str, manifest: dict, filters: list[tuple]) -> list[str]:
     return kept
 
 
+def metadata_count(
+    table: str,
+    filters: list[tuple] | None = None,
+    version: int | None = None,
+) -> int:
+    """EXACT row count answered entirely from the manifest — no Spark
+    job, no data I/O (Spark's ``optimizer.metadataOnly`` / Delta's
+    count-from-addStats fast path): per-file row counts from the
+    committed stats, minus each file's deletion-vector positions. At
+    100 TB this answers ``SELECT COUNT(*)`` in manifest-read time
+    instead of a cluster-wide scan.
+
+    ``filters`` may ONLY be equality conjuncts on PARTITION columns —
+    the one filter shape a file either wholly satisfies or wholly
+    fails (decided by its directory path), which is what keeps the
+    metadata answer EXACT. Anything else raises: a min/max-pruned
+    file may still hold non-matching rows, so a stats-only count
+    would be an upper bound, not a count — use :func:`scan` +
+    ``count()`` for those."""
+    head = current_version(table)
+    if head is None:
+        raise ValueError(f"{table} does not exist")
+    v = head if version is None else version
+    if v not in _list_versions(table):
+        raise ValueError(f"version {v} of {table} does not exist (head={head})")
+    manifest = _read_manifest(table, v)
+    hive = _spec_names(manifest["partition_cols"])
+    for col, op, _val in filters or []:
+        if op not in ("=", "==") or col not in hive:
+            raise ValueError(
+                f"metadata_count filters must be partition equalities "
+                f"(partitions: {hive}); got {col} {op!r} — use scan() "
+                "for data predicates"
+            )
+    want = {c: str(v2) for c, _o, v2 in (filters or [])}
+    stats = manifest.get("file_stats", {})
+    dvs = manifest.get("deletion_vectors", {})
+    total = 0
+    for f in manifest["files"]:
+        pv = _partition_values(f, hive)
+        if any(pv.get(c) != v2 for c, v2 in want.items()):
+            continue
+        e = stats.get(f) or {}
+        rows = e.get("rows")
+        if rows is None:
+            # stats predate row counting: one parquet FOOTER read
+            # (metadata, not data)
+            rows = _file_rows(table, f)
+        total += int(rows) - len(dvs.get(f) or [])
+    return total
+
+
 def scan(
     spark: SparkSession,
     table: str,

@@ -222,3 +222,80 @@ def test_scd2_single_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, f"SCD2 shuffles {n_exchange}x, expected 1"
+
+
+# --- property: NMBS clause cascade == a row-at-a-time replay -------------
+from hypothesis import HealthCheck, given, settings as hsettings
+from hypothesis import strategies as hs
+
+_COND = hs.sampled_from([None, "n >= 5", "v = 2", "v IS NULL", "n < 3"])
+_ACT = hs.sampled_from(
+    [("delete", None), ("update", {"v": "99"}), ("update", {"n": "n + 100"})]
+)
+_CLAUSES = hs.lists(hs.tuples(_COND, _ACT), min_size=0, max_size=3)
+_TROWS = hs.lists(
+    hs.tuples(
+        hs.integers(0, 5), hs.sampled_from([1, 2, 3, None]), hs.integers(0, 9)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _clause_applies(cond, v, n):
+    """Tri-state WHEN condition on one (target-only) row: None
+    condition always applies; a NULL comparison never does."""
+    if cond is None:
+        return True
+    if cond == "n >= 5":
+        return n >= 5
+    if cond == "v = 2":
+        return v is not None and v == 2
+    if cond == "v IS NULL":
+        return v is None
+    return n < 3  # "n < 3"
+
+
+@given(trows=_TROWS, clauses=_CLAUSES)
+@hsettings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_nmbs_cascade_matches_row_replay(spark, trows, clauses):
+    """apply_not_matched_by_source_clauses == a first-match-wins
+    row-at-a-time replay over every unmatched target row, for random
+    ordered DELETE/UPDATE cascades with tri-state conditions."""
+    seen, target = set(), []
+    for k, v, n in trows:
+        if k not in seen:
+            seen.add(k)
+            target.append((k, v, n))
+    source = [(0, 8, 8)]
+    spec = [
+        (c, a, p) for c, (a, p) in clauses
+    ]
+    got = {
+        tuple(r)
+        for r in merge_upsert(
+            spark.createDataFrame(target, "k int, v int, n int"),
+            spark.createDataFrame(source, "k int, v int, n int"),
+            ["k"],
+            not_matched_by_source=spec or None,
+        ).collect()
+    }
+    exp = set(source)  # matched rows update whole-row; k=0 inserts
+    for k, v0, n0 in target:
+        if k == 0:
+            continue  # matched by the source
+        first = next(
+            (cl for cl in spec if _clause_applies(cl[0], v0, n0)), None
+        )
+        if first is None:
+            exp.add((k, v0, n0))  # no clause claims the row
+        elif first[1] == "delete":
+            continue  # first-match-wins: deleted
+        elif "v" in first[2]:
+            exp.add((k, 99, n0))
+        else:
+            exp.add((k, v0, n0 + 100))
+    assert got == exp

@@ -5616,3 +5616,42 @@ def test_clustering_keys_follow_column_ddl(spark, tmp_path):
     st.set_clustering(t, None)
     st.drop_column(t, "val")  # allowed once undeclared
     assert "val" not in st.read_snapshot(spark, t).columns
+
+
+def test_metadata_count_exact_no_scan(spark, tmp_path):
+    """metadata_count answers COUNT(*) purely from the manifest:
+    exact against a real read at head and at a time-travel version,
+    per-partition via path-decided equality filters, DV-deleted rows
+    subtracted — and non-partition predicates refuse (a stats prune
+    would be an upper bound, not a count)."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "meta_count")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i)) for i in range(30)],
+            "id int, g string, v double",
+        ),
+        t,
+        ["g"],
+    )
+    st.append(
+        spark.createDataFrame(
+            [(100 + i, "g0", 1.0) for i in range(5)],
+            "id int, g string, v double",
+        ),
+        t,
+    )
+    assert st.metadata_count(t) == 35
+    assert st.metadata_count(t, version=1) == 30
+    assert st.metadata_count(t, [("g", "=", "g1")]) == 10
+    # merge-on-read delete: DV positions subtract from the file rows
+    st.delete_where(spark, t, [("id", ">=", 100)], use_dv=True)
+    assert st.metadata_count(t) == 30
+    assert st.metadata_count(t, [("g", "=", "g0")]) == 10
+    # every answer equals the real read
+    assert st.read_snapshot(spark, t).count() == 30
+    with _pytest.raises(ValueError, match="partition equalities"):
+        st.metadata_count(t, [("v", ">", 1.0)])
+    with _pytest.raises(ValueError, match="partition equalities"):
+        st.metadata_count(t, [("id", "=", 3)])

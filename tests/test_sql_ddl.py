@@ -1157,3 +1157,50 @@ def test_create_table_not_null_and_generated(spark, wh):
         st.append(
             spark.createDataFrame([(None, 1.0)], "k bigint, v double"), t
         )
+
+
+def test_optimize_where_partition_scoped(spark, wh):
+    """OPTIMIZE ... WHERE compacts ONLY the matching partition
+    directories; other partitions' files carry by reference, and
+    non-partition or non-equality predicates reject."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "facts")
+    # fragment partition g0 with two extra appends
+    for i in (200, 201):
+        st.append(
+            spark.createDataFrame(
+                [(i, "g0", float(i))], "id int, g string, v double"
+            ),
+            t,
+        )
+    before = st._read_manifest(t, st.current_version(t))["files"]
+    g1_before = sorted(f for f in before if "g=g1" in f)
+    assert len([f for f in before if "g=g0" in f]) == 3
+    r = run("OPTIMIZE facts WHERE g = 'g0'").collect()[0]
+    assert r.operation == "optimize"
+    after = st._read_manifest(t, st.current_version(t))["files"]
+    assert len([f for f in after if "g=g0" in f]) == 1  # compacted
+    assert sorted(f for f in after if "g=g1" in f) == g1_before  # untouched
+    assert st.read_snapshot(spark, t).count() == 42
+    with pytest.raises(ValueError, match="partition"):
+        run("OPTIMIZE facts WHERE v > 1.0")
+    with pytest.raises(ValueError, match="no OR"):
+        run("OPTIMIZE facts WHERE (g = 'g0') OR (g = 'g1')")
+
+
+def test_create_table_complex_type_not_null_split(spark, wh):
+    """The column-list split is angle-bracket aware: a map type's
+    internal comma must not tear the entry apart, and NOT NULL on a
+    complex-typed column derives the constraint from the COLUMN name,
+    not a type fragment."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    run(
+        "CREATE TABLE cplx (k bigint, attrs map<string, int> NOT NULL, "
+        "tags array<string>)"
+    )
+    t = os.path.join(wh, "cplx")
+    m = st._read_manifest(t, 1)
+    assert m["constraints"] == {"attrs_not_null": "attrs IS NOT NULL"}
+    snap = st.read_snapshot(spark, t)
+    assert dict(snap.dtypes)["attrs"] == "map<string,int>"
+    assert dict(snap.dtypes)["tags"] == "array<string>"
