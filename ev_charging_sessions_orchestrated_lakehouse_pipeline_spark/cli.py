@@ -363,8 +363,12 @@ def main(argv: list[str] | None = None) -> int:
             # (atomic types only; complex types go through `table sql`)
             if not args.columns:
                 p.error("add-columns requires --columns name:type[,...]")
+            # paren/angle-aware split so decimal(10,2) (atomic,
+            # JVM-free parseable) survives the comma inside its type
+            from .sources.ddl import _split_columns
+
             pairs = []
-            for part in args.columns.split(","):
+            for part in _split_columns(args.columns):
                 if ":" not in part:
                     p.error(
                         f"malformed add-columns entry {part!r} "

@@ -131,8 +131,12 @@ def _split_columns(body: str) -> list[str]:
     """Column-list split: like :func:`_split_top_level` but ALSO
     angle-bracket aware — ``a map<string, int> NOT NULL`` is one
     entry (complex Spark types carry top-level-looking commas inside
-    ``<>``, which TBLPROPERTIES values never do)."""
-    out, cur, q, depth = [], [], None, 0
+    ``<>``, which TBLPROPERTIES values never do). Angle brackets
+    count as brackets ONLY outside parentheses: inside a
+    parenthesized expression (``GENERATED ALWAYS AS (CASE WHEN a > 5
+    ...)``) ``<``/``>`` are comparison operators, and counting them
+    would corrupt the depth and merge the following entries."""
+    out, cur, q, paren, angle = [], [], None, 0, 0
     for ch in body:
         if q:
             cur.append(ch)
@@ -141,13 +145,19 @@ def _split_columns(body: str) -> list[str]:
         elif ch in "'\"":
             q = ch
             cur.append(ch)
-        elif ch in "(<":
-            depth += 1
+        elif ch == "(":
+            paren += 1
             cur.append(ch)
-        elif ch in ")>":
-            depth -= 1
+        elif ch == ")":
+            paren -= 1
             cur.append(ch)
-        elif ch == "," and depth == 0:
+        elif ch == "<" and paren == 0:
+            angle += 1
+            cur.append(ch)
+        elif ch == ">" and paren == 0:
+            angle -= 1
+            cur.append(ch)
+        elif ch == "," and paren == 0 and angle == 0:
             out.append("".join(cur).strip())
             cur = []
         else:
@@ -430,6 +440,19 @@ def _lower_merge_clauses(
                 raise ValueError(
                     f"column {ident!r} is GENERATED ALWAYS AS "
                     "IDENTITY; MERGE must not assign it"
+                )
+            bad_keys = set(payload) & set(keys)
+            if bad_keys:
+                # the merge core is KEY-based: rewriting a source row
+                # under a new key would leave the original target row
+                # untouched (its old key no longer appears in the
+                # source), silently duplicating instead of updating —
+                # refuse loudly (Databricks flags merge-key updates
+                # for the same reason)
+                raise ValueError(
+                    f"MERGE UPDATE must not assign merge key(s) "
+                    f"{sorted(bad_keys)}; rewrite the row via DELETE "
+                    "+ INSERT instead"
                 )
     for _, _, atype, payload in nclauses:
         if atype == "insert_cols":
@@ -916,7 +939,17 @@ def execute_sql(
                 else cond
             )
         # ---- parse clauses (literal-aware WHEN / THEN splitting) ----
-        starts = _scan_keyword(clauses, "WHEN")
+        # only a WHEN followed by [NOT] MATCHED opens a clause: an
+        # unparenthesized CASE WHEN inside a condition or assignment
+        # expression is also at paren-depth 0, and treating it as a
+        # boundary would reject legal Delta SQL
+        starts = [
+            i
+            for i in _scan_keyword(clauses, "WHEN")
+            if re.match(
+                r"\s+(NOT\s+MATCHED|MATCHED)\b", clauses[i + 4 :], _F
+            )
+        ]
         if not starts or clauses[: starts[0]].strip():
             raise ValueError(f"malformed MERGE clauses at {clauses[:60]!r}")
         bounds = starts + [len(clauses)]
@@ -1043,6 +1076,15 @@ def execute_sql(
                         f"MERGE BY SOURCE UPDATE assigns unknown target "
                         f"column(s) {sorted(bad)}"
                     )
+                bad_keys = set(payload) & set(keys)
+                if bad_keys:
+                    # rewriting a kept row's key can collide with an
+                    # incoming insert — same duplication hazard as the
+                    # MATCHED-side key assignment
+                    raise ValueError(
+                        f"MERGE UPDATE must not assign merge key(s) "
+                        f"{sorted(bad_keys)}"
+                    )
                 nmbs_clauses.append(
                     (
                         c2,
@@ -1089,21 +1131,27 @@ def execute_sql(
             # rows, unmatched source rows inserted — one target scan,
             # partition-pruned in merge_into when the source carries
             # the partition columns
+            # matched-delete conditions ride the source as ONE marker
+            # column (merge_into's delete_col protocol), evaluated on
+            # SOURCE rows. Several conditional DELETE clauses OR
+            # together — they all precede the unconditional UPDATE SET
+            # * (the unreachable-clause check enforces the order), and
+            # any of them claiming the row deletes it; a per-clause
+            # withColumn would silently overwrite earlier predicates.
+            del_pred = None
             for _, cond, atype, _ in mclauses:
                 if atype != "delete":
                     continue
-                # a matched-delete condition rides the source as a
-                # marker column (merge_into's delete_col protocol) —
-                # it is evaluated on SOURCE rows
-                delete_col = "__merge_sql_delete"
-                pred = (
+                pred = F.coalesce(
                     F.expr(_unqualify(cond, "source"))
                     if cond
-                    else F.lit(True)
+                    else F.lit(True),
+                    F.lit(False),
                 )
-                src = src.withColumn(
-                    delete_col, F.coalesce(pred, F.lit(False))
-                )
+                del_pred = pred if del_pred is None else (del_pred | pred)
+            if del_pred is not None:
+                delete_col = "__merge_sql_delete"
+                src = src.withColumn(delete_col, del_pred)
             # source columns the target schema doesn't carry are
             # batch plumbing (CDC flags, sequence numbers) — drop
             # them before the whole-row merge, keeping the marker

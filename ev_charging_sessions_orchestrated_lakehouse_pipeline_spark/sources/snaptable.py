@@ -1621,10 +1621,17 @@ def replace_table(
     + CREATE, time travel to pre-replace versions still works —
     Delta's REPLACE contract). Declarative state the old table shape
     carried (CHECK constraints, column mapping, retired physical
-    names, generated columns) is RESET: REPLACE declares a new table,
-    and the new file set cannot collide with physical names only old
-    files used. Table properties carry over (Delta keeps them too),
-    so an appendOnly declaration still refuses the replace."""
+    names, generated columns, the identity SPEC) is RESET: REPLACE
+    declares a new table, and the new file set cannot collide with
+    physical names only old files used. The identity reset pins
+    ``identity: None`` in the manifest so _commit's sticky carry
+    cannot resurrect the parent's spec (the protocol FEATURE flag
+    stays sticky, as with every feature — DROP FEATURE removes it);
+    without the reset a replace would either accept writer-supplied
+    values for an always-generated column or declare identity on a
+    column absent from the new schema. Table properties carry over
+    (Delta keeps them too), so an appendOnly declaration still
+    refuses the replace."""
     head = current_version(table)
     if head is None:
         return create_table(df, table, partition_cols, txn=txn)
@@ -1647,6 +1654,7 @@ def replace_table(
         column_mapping={},
         retired_columns=[],
         generated={},
+        extra={"identity": None},
     )
 
 
@@ -3461,13 +3469,16 @@ def metadata_count(
                 f"(partitions: {hive}); got {col} {op!r} — use scan() "
                 "for data predicates"
             )
-    want = {c: str(v2) for c, _o, v2 in (filters or [])}
+    # a LIST, not a dict: duplicate equalities on one column are an
+    # AND-conjunction — a contradictory pair must yield 0, not
+    # last-one-wins
+    want = [(c, str(v2)) for c, _o, v2 in (filters or [])]
     stats = manifest.get("file_stats", {})
     dvs = manifest.get("deletion_vectors", {})
     total = 0
     for f in manifest["files"]:
         pv = _partition_values(f, hive)
-        if any(pv.get(c) != v2 for c, v2 in want.items()):
+        if any(pv.get(c) != v2 for c, v2 in want):
             continue
         e = stats.get(f) or {}
         rows = e.get("rows")
@@ -3669,13 +3680,9 @@ def _prune_files_any(
 ) -> list[str]:
     """Union of per-branch data skipping, preserving manifest file
     order (the :func:`scan_any` candidate rule, shared with DML)."""
-    keep: list[str] = []
     seen: set[str] = set()
     for branch in branches:
-        for f in _prune_files(table, manifest, branch):
-            if f not in seen:
-                seen.add(f)
-                keep.append(f)
+        seen.update(_prune_files(table, manifest, branch))
     return [f for f in manifest["files"] if f in seen]
 
 

@@ -558,3 +558,25 @@ def test_add_columns_resurrection_guard_and_rejections(
         st.add_columns(t, [("x", "int"), ("x", "long")])
     with pytest.raises(ValueError, match="at least one"):
         st.add_columns(t, [])
+
+
+def test_cli_add_columns_decimal(spark, orders, tmp_path):
+    """Review r14: the CLI add-columns split is paren-aware, so the
+    JVM-free-parseable decimal(p,s) type survives its internal
+    comma."""
+    import json as _json
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "cli_dec")
+    st.create_table(orders.limit(10).coalesce(1), t)
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.cli",
+         "table", "--table", t, "add-columns",
+         "--columns", "price:decimal(10,2),note:string"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-300:]
+    assert _json.loads(r.stdout) == {"version": 2}
+    assert dict(st.read_snapshot(spark, t).dtypes)["price"] == "decimal(10,2)"

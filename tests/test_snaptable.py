@@ -5655,3 +5655,21 @@ def test_metadata_count_exact_no_scan(spark, tmp_path):
         st.metadata_count(t, [("v", ">", 1.0)])
     with _pytest.raises(ValueError, match="partition equalities"):
         st.metadata_count(t, [("id", "=", 3)])
+
+
+def test_metadata_count_contradictory_filters_zero(spark, tmp_path):
+    """Review r14: duplicate equalities on one partition column are an
+    AND-conjunction — a contradictory pair must count 0 rows, not
+    last-one-wins."""
+    t = str(tmp_path / "mc_and")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 2)) for i in range(10)], "id int, g string"
+        ),
+        t,
+        ["g"],
+    )
+    assert (
+        st.metadata_count(t, [("g", "=", "g0"), ("g", "=", "g1")]) == 0
+    )
+    assert st.metadata_count(t, [("g", "=", "g0"), ("g", "=", "g0")]) == 5

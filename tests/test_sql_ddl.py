@@ -1204,3 +1204,93 @@ def test_create_table_complex_type_not_null_split(spark, wh):
     snap = st.read_snapshot(spark, t)
     assert dict(snap.dtypes)["attrs"] == "map<string,int>"
     assert dict(snap.dtypes)["tags"] == "array<string>"
+
+
+def test_merge_multiple_conditional_deletes_or_together(spark, wh):
+    """Review r14: several conditional WHEN MATCHED ... THEN DELETE
+    clauses on the fast path must OR together — a per-clause marker
+    overwrite silently turned earlier deletes into updates."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    spark.createDataFrame(
+        [("g0", "x"), ("g1", "y"), ("g2", "z"), ("g9", "w")],
+        "g string, label string",
+    ).createOrReplaceTempView("mdel_src")
+    run(
+        "MERGE INTO dims USING mdel_src AS s ON t.g = s.g "
+        "WHEN MATCHED AND s.label = 'x' THEN DELETE "
+        "WHEN MATCHED AND s.label = 'y' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    # g0 deleted by clause 1, g1 by clause 2 (previously overwritten
+    # to an update), g2 updated, g9 inserted
+    assert got == {"g2": "z", "g9": "w"}
+    spark.catalog.dropTempView("mdel_src")
+
+
+def test_merge_rejects_key_assignment(spark, wh, dims_src):
+    """Review r14: UPDATE SET on a merge-key column would silently
+    duplicate rows in a key-based merge core — refuse loudly."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    with pytest.raises(ValueError, match="merge key"):
+        run(
+            "MERGE INTO dims USING dims_src AS s ON t.g = s.g "
+            "WHEN MATCHED THEN UPDATE SET g = concat(t.g, '_new')"
+        )
+
+
+def test_merge_case_when_in_assignment(spark, wh):
+    """Review r14: an unparenthesized CASE WHEN inside an assignment
+    is not a clause boundary — only WHEN [NOT] MATCHED opens one."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    spark.createDataFrame(
+        [("g0", "long-label"), ("g1", "s")], "g string, label string"
+    ).createOrReplaceTempView("case_src")
+    run(
+        "MERGE INTO dims USING case_src AS s ON t.g = s.g "
+        "WHEN MATCHED THEN UPDATE SET label = "
+        "CASE WHEN length(s.label) > 4 THEN s.label ELSE t.label END "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    assert got == {"g0": "long-label", "g1": "beta", "g2": "gamma"}
+    spark.catalog.dropTempView("case_src")
+
+
+def test_create_table_generated_with_comparison(spark, wh):
+    """Review r14: a GENERATED ALWAYS AS expression containing a
+    comparison operator must not corrupt the angle-bracket depth of
+    the column-list split."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    run(
+        "CREATE TABLE gencmp (a int, flag int GENERATED ALWAYS AS "
+        "(CASE WHEN a > 5 THEN 1 ELSE 0 END), b int)"
+    )
+    t = os.path.join(wh, "gencmp")
+    m = st._read_manifest(t, 1)
+    assert m["generated"] == {"flag": "CASE WHEN a > 5 THEN 1 ELSE 0 END"}
+    st.append(spark.createDataFrame([(9, 0)], "a int, b int"), t)
+    row = st.read_snapshot(spark, t).collect()[0]
+    assert (row.a, row.flag, row.b) == (9, 1, 0)
+
+
+def test_replace_table_resets_identity(spark, wh):
+    """Review r14: CREATE OR REPLACE must clear the parent's identity
+    SPEC — a sticky carry would either refuse the new frame's column
+    or declare identity on a column absent from the new schema."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    st.enable_row_tracking(t)
+    st.enable_identity(t, "row_sk")
+    assert st._read_manifest(t, st.current_version(t))["identity"]
+    run(
+        "CREATE OR REPLACE TABLE dims AS "
+        "SELECT 'a' AS g, 7 AS row_sk"  # writer-supplied, now legal
+    )
+    m = st._read_manifest(t, st.current_version(t))
+    assert m.get("identity") is None
+    got = st.read_snapshot(spark, t).collect()
+    assert [(r.g, r.row_sk) for r in got] == [("a", 7)]
