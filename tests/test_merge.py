@@ -299,3 +299,62 @@ def test_nmbs_cascade_matches_row_replay(spark, trows, clauses):
         else:
             exp.add((k, v0, n0 + 100))
     assert got == exp
+
+
+_EPOCH = hs.lists(
+    hs.tuples(hs.integers(0, 2), hs.integers(0, 2)),  # (key, epoch)
+    min_size=1,
+    max_size=9,
+)
+
+
+@given(assign=_EPOCH)
+@hsettings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_scd2_replay_equals_single_shot(spark, assign):
+    """Epoch-by-epoch scd2_apply replay == single-shot scd2 over the
+    whole feed, for random epoch assignments — epochs applied in
+    ORDER 0,1,2 but points land in arbitrary epochs, so later epochs
+    routinely splice into the middle of built history. Timestamps are
+    globally unique and payloads unique per change point (stored-
+    versions semantics: an equal-payload collapse cannot be
+    resurrected by a later splice — the documented contract), so the
+    equality is exact."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    points = [
+        (k, f"p{ts}", ts) for ts, (k, _e) in enumerate(assign)
+    ]
+    epochs = [
+        [
+            (k, f"p{ts}", ts)
+            for ts, (k, e) in enumerate(assign)
+            if e == which
+        ]
+        for which in (0, 1, 2)
+    ]
+    schema = "k int, attr string, ts long"
+    single = scd2(
+        spark.createDataFrame(points, schema), "k", "attr", "ts", "ts"
+    )
+    hist = scd2(
+        spark.createDataFrame(epochs[0], schema), "k", "attr", "ts", "ts"
+    )
+    for ep in epochs[1:]:
+        if not ep:
+            continue
+        hist = scd2_apply(
+            hist,
+            spark.createDataFrame(ep, schema),
+            ["k"],
+            ["attr"],
+            "ts",
+            tiebreak="ts",
+        )
+    assert {tuple(r) for r in hist.collect()} == {
+        tuple(r) for r in single.collect()
+    }

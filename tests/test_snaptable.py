@@ -5673,3 +5673,21 @@ def test_metadata_count_contradictory_filters_zero(spark, tmp_path):
         st.metadata_count(t, [("g", "=", "g0"), ("g", "=", "g1")]) == 0
     )
     assert st.metadata_count(t, [("g", "=", "g0"), ("g", "=", "g0")]) == 5
+
+
+def test_changes_surface_truncate_as_deletes(spark, tmp_path):
+    """TRUNCATE is metadata-only but its CDF effect is exact: every
+    previously-live row surfaces as a delete (file-diff CDF sees the
+    whole file set removed), so downstream mirrors converge."""
+    t = str(tmp_path / "cdf_trunc")
+    st.create_table(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(12)], "id int, v double"
+        ),
+        t,
+    )
+    st.truncate_table(t)
+    feed = st.changes(spark, t, from_version=1).collect()
+    assert len(feed) == 12
+    assert {r._change_type for r in feed} == {"delete"}
+    assert {r.id for r in feed} == set(range(12))
