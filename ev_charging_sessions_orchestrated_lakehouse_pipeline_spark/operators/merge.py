@@ -3783,6 +3783,141 @@ FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_snapshot_replace_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 statement-vocabulary lifecycle, SQL text end-to-end
+    (sources/ddl.execute_sql): CTAS CREATE -> INSERT OVERWRITE
+    (static full-table overwrite, Spark's semantics) -> TRUNCATE
+    (metadata-only: the head references ZERO files, nothing
+    rewritten) -> INSERT INTO repopulates -> CREATE OR REPLACE
+    re-declares schema AND content atomically with history preserved.
+    Every row count along the chain is taken from
+    ``snaptable.metadata_count`` — the manifest-only exact count
+    (per-file stats minus deletion vectors, no Spark job) — so the
+    driver hash also proves the metadata counts equal the real state
+    at each step. Contract columns pin the exact history operation
+    sequence, the truncate's zero-file commit, the SHOW PARTITIONS
+    partition set, and DESCRIBE TABLE's partition flag after the
+    replace; ``tt_sum`` hashes the TIME-TRAVELED pre-replace state
+    (truncate + re-insert survived the replace in history)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import ddl as snapddl
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_rtl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    t = os.path.join(wh, "facts")
+
+    def run(stmt: str):
+        return snapddl.execute_sql(spark, stmt, warehouse=wh)
+
+    try:
+        base = orders.filter(F.col("o_orderkey") % 9 == 0)
+        n_base = base.count()
+        base.createOrReplaceTempView("rtl_base")
+        run(
+            "CREATE TABLE facts PARTITIONED BY (o_orderstatus) "
+            "AS SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM rtl_base"
+        )  # v1
+        c1 = st.metadata_count(t)
+        snapddl.register_all_tables(spark, wh)
+        run(
+            "INSERT OVERWRITE facts SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice * 2.0 FROM facts WHERE o_orderkey % 2 = 0"
+        )  # v2 — static full-table overwrite
+        c2 = st.metadata_count(t)
+        n_even = base.filter(F.col("o_orderkey") % 2 == 0).count()
+        run("TRUNCATE TABLE facts")  # v3 — metadata-only
+        c3 = st.metadata_count(t)
+        zero_files = st._read_manifest(t, 3)["files"] == []
+        run(
+            "INSERT INTO facts SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice FROM rtl_base WHERE o_orderkey % 2 = 0"
+        )  # v4 — repopulate after truncate
+        c4 = st.metadata_count(t)
+        # time-traveled pre-replace state rides the hash as a scalar
+        tt_sum = float(
+            st.read_snapshot(spark, t, version=4)
+            .agg(dsum("o_totalprice").alias("s"))
+            .collect()[0]
+            .s
+        )
+        run(
+            "CREATE OR REPLACE TABLE facts "
+            "PARTITIONED BY (o_orderstatus) AS "
+            "SELECT o_orderstatus, COUNT(*) AS n FROM rtl_base "
+            "GROUP BY o_orderstatus"
+        )  # v5 — new schema + content, history preserved
+        parts = {
+            r.partition for r in run("SHOW PARTITIONS facts").collect()
+        }
+        desc = {
+            r.col_name: r.is_partition
+            for r in run("DESCRIBE TABLE facts").collect()
+        }
+        ops = [r.operation for r in run("DESCRIBE HISTORY facts").collect()]
+        rows = (
+            st.read_snapshot(spark, t)
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        statuses = {r.o_orderstatus for r in rows}
+        contract_ok = bool(
+            c1 == n_base
+            and c2 == n_even
+            and c3 == 0
+            and zero_files
+            and c4 == n_even
+            and ops == ["create", "overwrite", "truncate",
+                        "append", "replace"]
+            and parts == {f"o_orderstatus={s}" for s in statuses}
+            and desc == {"o_orderstatus": True, "n": False}
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        for vname in ("rtl_base", "facts"):
+            try:
+                spark.catalog.dropTempView(vname)
+            except Exception:
+                pass
+    return spark.createDataFrame(
+        [
+            (r.o_orderstatus, r.n, tt_sum, contract_ok)
+            for r in rows
+        ],
+        "o_orderstatus string, n bigint, tt_sum double, contract_ok boolean",
+    ).orderBy("o_orderstatus")
+
+
+ORACLE["snapshot_replace_truncate"] = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 9 = 0
+), tt AS (
+  -- the time-traveled v4 state: truncate wiped v2, INSERT INTO
+  -- repopulated from the base at ORIGINAL prices
+  SELECT {dsum_sql('o_totalprice')} AS s FROM base
+  WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       (SELECT s FROM tt) AS tt_sum,
+       TRUE AS contract_ok
+FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch CDC replay through scd2_apply, hash-matched
     against a single-shot oracle (VERDICT r13 #8 — the streaming SCD2
