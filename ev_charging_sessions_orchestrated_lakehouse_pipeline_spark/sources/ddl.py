@@ -609,7 +609,12 @@ def execute_sql(
       c2)]`` — WHERE scopes the compaction to matching partition
       directories (Delta's grammar: partition predicates only)
     * ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
-    * ``RESTORE TABLE t TO VERSION AS OF n``
+    * ``ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION n]`` /
+      ``ALTER TABLE t DROP TAG|BRANCH name`` /
+      ``ALTER TABLE t FAST FORWARD branch`` / ``SHOW REFS t`` — the
+      WAP surface (Iceberg tag/branch DDL shapes)
+    * ``RESTORE TABLE t TO VERSION AS OF n`` /
+      ``RESTORE TABLE t TO TAG name``
     * ``RESTORE TABLE t TO TIMESTAMP AS OF <unix-seconds or 'ts'>``
     * ``ANALYZE TABLE t COMPUTE STATISTICS FOR {ALL COLUMNS|COLUMNS c1, ...}``
     * ``DESCRIBE HISTORY t``
@@ -1346,6 +1351,68 @@ def execute_sql(
             retain_hours=hours,
         )
         return _row_df(spark, {"operation": "vacuum", **rep})
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+CREATE\s+(TAG|BRANCH)\s+([\w.-]+)"
+        rf"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+        s,
+    )
+    if m:
+        t = tbl(m.group(1))
+        ver = int(m.group(4)) if m.group(4) else None
+        if m.group(2).upper() == "TAG":
+            v = st.create_tag(t, m.group(3), version=ver)
+            return _row_df(
+                spark,
+                {"operation": "create_tag", "tag": m.group(3), "version": v},
+            )
+        st.create_branch(t, m.group(3), version=ver)
+        return _row_df(
+            spark, {"operation": "create_branch", "branch": m.group(3)}
+        )
+
+    m = _m(rf"ALTER\s+TABLE\s+{_IDENT}\s+DROP\s+(TAG|BRANCH)\s+([\w.-]+)", s)
+    if m:
+        t = tbl(m.group(1))
+        if m.group(2).upper() == "TAG":
+            st.drop_tag(t, m.group(3))
+            return _row_df(
+                spark, {"operation": "drop_tag", "tag": m.group(3)}
+            )
+        st.drop_branch(t, m.group(3))
+        return _row_df(
+            spark, {"operation": "drop_branch", "branch": m.group(3)}
+        )
+
+    m = _m(
+        rf"ALTER\s+TABLE\s+{_IDENT}\s+FAST\s+FORWARD\s+([\w.-]+)", s
+    )
+    if m:
+        v = st.fast_forward(tbl(m.group(1)), m.group(2))
+        return _row_df(
+            spark,
+            {"operation": "fast_forward", "branch": m.group(2), "version": v},
+        )
+
+    m = _m(rf"SHOW\s+REFS\s+{_IDENT}", s)
+    if m:
+        refs = st.list_refs(tbl(m.group(1)))
+        rows = [
+            ("tag", name, v, None)
+            for name, v in sorted(refs["tags"].items())
+        ] + [
+            ("branch", name, b["head"], b["fork_version"])
+            for name, b in sorted(refs["branches"].items())
+        ]
+        return spark.createDataFrame(
+            rows, "ref_type string, name string, version int, fork_version int"
+        )
+
+    m = _m(rf"RESTORE\s+TABLE\s+{_IDENT}\s+TO\s+TAG\s+([\w.-]+)", s)
+    if m:
+        t = tbl(m.group(1))
+        v = st.rollback(t, st.read_tag(t, m.group(2)))
+        return _row_df(spark, {"operation": "restore", "version": v})
 
     m = _m(rf"RESTORE\s+TABLE\s+{_IDENT}\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)", s)
     if m:

@@ -1294,3 +1294,37 @@ def test_replace_table_resets_identity(spark, wh):
     assert m.get("identity") is None
     got = st.read_snapshot(spark, t).collect()
     assert [(r.g, r.row_sk) for r in got] == [("a", 7)]
+
+
+def test_refs_sql_surface(spark, wh):
+    """The WAP surface through SQL text: CREATE TAG / CREATE BRANCH /
+    SHOW REFS / FAST FORWARD / RESTORE TO TAG / DROP TAG — each
+    routed to the existing ref machinery."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "facts")
+    r = run("ALTER TABLE facts CREATE TAG v1-audit AS OF VERSION 1")
+    assert r.collect()[0].operation == "create_tag"
+    run("ALTER TABLE facts CREATE BRANCH wap")
+    refs = {
+        (r.ref_type, r.name): r.version
+        for r in run("SHOW REFS facts").collect()
+    }
+    assert refs[("tag", "v1-audit")] == 1
+    assert ("branch", "wap") in refs
+    # write to the branch, then publish it via FAST FORWARD
+    bp = os.path.join(t, st.BRANCH_DIR, "wap")
+    st.append(
+        spark.createDataFrame([(900, "g0", 9.0)], "id int, g string, v double"),
+        bp,
+    )
+    head_before = st.current_version(t)
+    r = run("ALTER TABLE facts FAST FORWARD wap")
+    assert r.collect()[0].operation == "fast_forward"
+    assert st.current_version(t) == head_before + 1
+    assert st.read_snapshot(spark, t).count() == 41
+    # tag-based restore drops the published rows again
+    run("RESTORE TABLE facts TO TAG v1-audit")
+    assert st.read_snapshot(spark, t).count() == 40
+    run("ALTER TABLE facts DROP TAG v1-audit")
+    with pytest.raises(ValueError, match="does not exist"):
+        run("RESTORE TABLE facts TO TAG v1-audit")
