@@ -3853,6 +3853,7 @@ def q_snapshot_replace_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(dsum("o_totalprice").alias("s"))
             .collect()[0]
             .s
+            or 0.0  # empty lake: SUM over zero rows is NULL
         )
         run(
             "CREATE OR REPLACE TABLE facts "
