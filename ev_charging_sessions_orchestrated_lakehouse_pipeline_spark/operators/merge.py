@@ -3847,7 +3847,16 @@ def q_snapshot_replace_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice FROM rtl_base WHERE o_orderkey % 2 = 0"
         )  # v4 — repopulate after truncate
         c4 = st.metadata_count(t)
-        # time-traveled pre-replace state rides the hash as a scalar
+        run(
+            "CREATE OR REPLACE TABLE facts "
+            "PARTITIONED BY (o_orderstatus) AS "
+            "SELECT o_orderstatus, COUNT(*) AS n FROM rtl_base "
+            "GROUP BY o_orderstatus"
+        )  # v5 — new schema + content, history preserved
+        # time-traveled pre-replace state rides the hash as a scalar —
+        # read AFTER the replace committed, so the query actually
+        # proves REPLACE preserved history (a replace that dropped old
+        # manifests or data files would break this read)
         tt_sum = float(
             st.read_snapshot(spark, t, version=4)
             .agg(dsum("o_totalprice").alias("s"))
@@ -3855,12 +3864,6 @@ def q_snapshot_replace_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .s
             or 0.0  # empty lake: SUM over zero rows is NULL
         )
-        run(
-            "CREATE OR REPLACE TABLE facts "
-            "PARTITIONED BY (o_orderstatus) AS "
-            "SELECT o_orderstatus, COUNT(*) AS n FROM rtl_base "
-            "GROUP BY o_orderstatus"
-        )  # v5 — new schema + content, history preserved
         parts = {
             r.partition for r in run("SHOW PARTITIONS facts").collect()
         }
@@ -3909,7 +3912,9 @@ WITH base AS (
 ), tt AS (
   -- the time-traveled v4 state: truncate wiped v2, INSERT INTO
   -- repopulated from the base at ORIGINAL prices
-  SELECT {dsum_sql('o_totalprice')} AS s FROM base
+  -- COALESCE mirrors the driver's empty-sum coercion, so both
+  -- sides agree when no key satisfies the %2 filter
+  SELECT COALESCE({dsum_sql('o_totalprice')}, 0.0) AS s FROM base
   WHERE o_orderkey % 2 = 0
 )
 SELECT o_orderstatus, COUNT(*) AS n,

@@ -1396,7 +1396,12 @@ def execute_sql(
 
     m = _m(rf"SHOW\s+REFS\s+{_IDENT}", s)
     if m:
-        refs = st.list_refs(tbl(m.group(1)))
+        t = tbl(m.group(1))
+        if st.current_version(t) is None:
+            # an empty listing would be indistinguishable from "table
+            # exists with no refs", masking a typo'd name
+            raise ValueError(f"{t} does not exist")
+        refs = st.list_refs(t)
         rows = [
             ("tag", name, v, None)
             for name, v in sorted(refs["tags"].items())

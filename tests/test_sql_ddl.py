@@ -1328,3 +1328,6 @@ def test_refs_sql_surface(spark, wh):
     run("ALTER TABLE facts DROP TAG v1-audit")
     with pytest.raises(ValueError, match="does not exist"):
         run("RESTORE TABLE facts TO TAG v1-audit")
+    # typo'd table: an empty listing would mask the mistake
+    with pytest.raises(ValueError, match="does not exist"):
+        run("SHOW REFS factz")
