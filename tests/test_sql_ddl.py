@@ -1331,3 +1331,107 @@ def test_refs_sql_surface(spark, wh):
     # typo'd table: an empty listing would mask the mistake
     with pytest.raises(ValueError, match="does not exist"):
         run("SHOW REFS factz")
+
+
+# --- property: SQL MERGE clause cascade == row-at-a-time replay ----------
+from hypothesis import HealthCheck, given, settings as hsettings
+from hypothesis import strategies as hs
+
+_MCL = hs.lists(
+    hs.tuples(
+        hs.sampled_from([None, "s.v >= 5", "t.v < 3", "s.v = t.v"]),
+        hs.sampled_from(["upd", "del"]),
+    ),
+    min_size=0,
+    max_size=2,
+)
+_NCL = hs.sampled_from([None, "s.v >= 5"])
+
+
+def _cond_ok(cond, sv, tv):
+    if cond is None:
+        return True
+    if cond == "s.v >= 5":
+        return sv >= 5
+    if cond == "t.v < 3":
+        return tv < 3
+    return sv == tv  # "s.v = t.v"
+
+
+@given(
+    tvals=hs.lists(hs.integers(0, 9), min_size=1, max_size=5),
+    svals=hs.lists(hs.integers(0, 9), min_size=0, max_size=5),
+    mcl=_MCL,
+    ncond=_NCL,
+)
+@hsettings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_sql_merge_cascade_matches_replay(
+    spark, tmp_path_factory, tvals, svals, mcl, ncond
+):
+    """The conditional / column-level SQL MERGE lowering
+    (_lower_merge_clauses) equals a first-match-wins row-at-a-time
+    replay, for random MATCHED cascades (conditions over EITHER
+    alias; UPDATE references both sides) + a conditional column-list
+    INSERT. Unconditional clauses must come last (the
+    unreachable-clause check), so the generator appends them."""
+    import os as _os
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.sources import (
+        ddl as _ddl,
+    )
+
+    wh = str(tmp_path_factory.mktemp("merge_prop"))
+    t = _os.path.join(wh, "mp")
+    target = [(k, v) for k, v in enumerate(tvals)]
+    source = [(k * 2, v) for k, v in enumerate(svals)]  # overlap evens
+    st.create_table(
+        spark.createDataFrame(target, "k int, v int").coalesce(1), t
+    )
+    spark.createDataFrame(
+        source or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull()).createOrReplaceTempView("mp_src")
+    # conditional clauses first; everything after the first
+    # UNCONDITIONAL clause is unreachable (the analyzer refuses it),
+    # so the cascade truncates there
+    spec = []
+    for c, a in sorted(mcl, key=lambda x: x[0] is None):
+        spec.append((c, a))
+        if c is None:
+            break
+    clauses = "".join(
+        f"WHEN MATCHED{' AND ' + c if c else ''} THEN "
+        + ("UPDATE SET v = s.v + t.v " if a == "upd" else "DELETE ")
+        for c, a in spec
+    )
+    stmt = (
+        f"MERGE INTO `{t}` USING mp_src AS s ON t.k = s.k "
+        + clauses
+        + f"WHEN NOT MATCHED{' AND ' + ncond if ncond else ''} "
+        "THEN INSERT (k, v) VALUES (s.k, s.v * 10)"
+    )
+    _ddl.execute_sql(spark, stmt, warehouse=wh)
+    got = {tuple(r) for r in st.read_snapshot(spark, t).collect()}
+    # replay
+    srcd = dict(source)
+    exp = set()
+    for k, tv in target:
+        if k in srcd:
+            sv = srcd[k]
+            first = next(
+                (a for c, a in spec if _cond_ok(c, sv, tv)), None
+            )
+            if first == "del":
+                continue
+            exp.add((k, sv + tv) if first == "upd" else (k, tv))
+        else:
+            exp.add((k, tv))
+    for k, sv in source:
+        if k not in dict(target) and _cond_ok(ncond, sv, None):
+            exp.add((k, sv * 10))
+    assert got == exp
+    spark.catalog.dropTempView("mp_src")
