@@ -609,6 +609,12 @@ def execute_sql(
       c2)]`` — WHERE scopes the compaction to matching partition
       directories (Delta's grammar: partition predicates only)
     * ``VACUUM t [RETAIN n HOURS] [DRY RUN]``
+    * ``APPLY CHANGES INTO t FROM src|(<subquery>) KEYS (k, ...)
+      SEQUENCE BY seq [APPLY AS DELETE WHEN cond] [STORED AS SCD
+      TYPE 1|2]`` — DLT's CDC apply, batch form: type 1 compacts per
+      key by the sequence column and MERGEs (latest wins, deletes
+      drop their match); type 2 splices into the stored SCD2 history
+      via the same core the streaming surface rides
     * ``ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION n]`` /
       ``ALTER TABLE t DROP TAG|BRANCH name`` /
       ``ALTER TABLE t FAST FORWARD branch`` / ``SHOW REFS t`` — the
@@ -1537,6 +1543,88 @@ def execute_sql(
                 "reader_features": sorted(man.get("reader_features") or []),
                 "writer_features": sorted(man.get("writer_features") or []),
             },
+        )
+
+    m = _m(
+        rf"APPLY\s+CHANGES\s+INTO\s+{_IDENT}\s+FROM\s+"
+        rf"(\w+|\((?:[^()]|\([^()]*\))+\))\s+"
+        rf"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)"
+        rf"(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(.+?))?"
+        rf"(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?",
+        s,
+    )
+    if m:
+        # DLT's APPLY CHANGES INTO, batch form: type 1 (default)
+        # compacts the feed per key by the sequence column and MERGEs
+        # (latest wins, delete rows drop their match); type 2 splices
+        # the batch into the stored SCD2 history via the SAME core
+        # the streaming surface rides (scd2_apply_to_table), so SQL
+        # text, batch Python, and the stream share one semantics.
+        t = tbl(m.group(1))
+        if st.current_version(t) is None:
+            raise ValueError(
+                f"{t} does not exist; create it first (APPLY CHANGES "
+                "cannot infer the target's partitioning)"
+            )
+        src_ref = m.group(2)
+        src = (
+            spark.sql(f"SELECT * FROM {src_ref}")
+            if not src_ref.startswith("(")
+            else spark.sql(src_ref[1:-1])
+        )
+        keys = _cols_list(m.group(3))
+        seq = m.group(4)
+        missing = [c for c in [*keys, seq] if c not in src.columns]
+        if missing:
+            raise ValueError(
+                f"APPLY CHANGES source lacks column(s) {missing}; "
+                f"source columns: {src.columns}"
+            )
+        delete_when = m.group(5)
+        scd_type = int(m.group(6) or 1)
+        DEL = "__cdc_delete"
+        if delete_when:
+            src = src.withColumn(
+                DEL, F.coalesce(F.expr(delete_when), F.lit(False))
+            )
+        if scd_type == 2:
+            from ..streaming.ingest import scd2_apply_to_table
+
+            skip = {*keys, seq, DEL}
+            attrs = [c for c in src.columns if c not in skip]
+            v = scd2_apply_to_table(
+                spark,
+                t,
+                src,
+                keys,
+                seq,
+                attrs,
+                delete_col=DEL if delete_when else None,
+            )
+            return _row_df(
+                spark,
+                {"operation": "apply_changes_scd2", "version": v},
+            )
+        from ..operators.merge import compact_changelog
+
+        compact = compact_changelog(src, keys, [seq])
+        tcols2 = set(st.read_snapshot(spark, t).columns)
+        extra = [
+            c
+            for c in compact.columns
+            if c not in tcols2 and c != (DEL if delete_when else None)
+        ]
+        if extra:  # sequence/meta columns are feed plumbing
+            compact = compact.drop(*extra)
+        v = st.merge_into(
+            spark,
+            t,
+            compact,
+            keys,
+            delete_col=DEL if delete_when else None,
+        )
+        return _row_df(
+            spark, {"operation": "apply_changes", "version": v}
         )
 
     m = _m(rf"TRUNCATE\s+TABLE\s+{_IDENT}", s)

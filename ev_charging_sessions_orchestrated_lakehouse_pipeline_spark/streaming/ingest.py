@@ -420,6 +420,79 @@ def cdc_merge_stream(
     return w.start()
 
 
+#: epochs whose distinct key set fits under this bound push the keys
+#: into the stats-skipping scan as IN filters — at 100 TB a CDC epoch
+#: touching a few thousand keys then reads a handful of files instead
+#: of the whole table (a plain semi join cannot prune files; this is
+#: the same move Delta's MERGE makes with min/max file skipping on
+#: the merge keys)
+KEY_PUSHDOWN_MAX = 10_000
+
+
+def scd2_apply_to_table(
+    spark: SparkSession,
+    table: str,
+    batch_df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    tiebreak: str | None = None,
+    delete_col: str | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Apply ONE change batch to an SCD Type-2 snapshot table — the
+    shared epoch body of :func:`cdc_scd2_stream` AND the batch
+    ``APPLY CHANGES INTO ... STORED AS SCD TYPE 2`` SQL statement
+    (sources/ddl.execute_sql), so stream and SQL text can never
+    diverge. Bounded to the batch's keys: affected keys' history
+    reads via key-pushdown file skipping when the key set is small,
+    the rebuild splices late data / tombstones via
+    :func:`..operators.merge.scd2_apply`, and the diff lands as ONE
+    merge commit on ``(keys, valid_from)`` (rows the rebuild dropped
+    delete via marker)."""
+    from ..operators.merge import scd2_apply
+    from ..sources import snaptable
+
+    DEL = "__scd2_delete"
+    affected = batch_df.select(*keys).distinct()
+    # bounded collect BY CONSTRUCTION: capped at the pushdown
+    # limit + 1, never the full key set
+    sample = affected.limit(KEY_PUSHDOWN_MAX + 1).collect()
+    if len(sample) <= KEY_PUSHDOWN_MAX and not any(
+        r[k] is None for r in sample for k in keys
+    ):
+        flt = [
+            (k, "in", sorted({r[k] for r in sample})) for k in keys
+        ]
+        # per-column INs prune files; the semi join restores
+        # exactness for multi-key tuples (conjunction of INs is
+        # a superset of the tuple set)
+        base = snaptable.scan(spark, table, flt)
+    else:
+        base = snaptable.read_snapshot(spark, table)
+    existing = base.join(affected, keys, "left_semi")
+    rebuilt = scd2_apply(
+        existing, batch_df, keys, attrs, ts_col, tiebreak, delete_col
+    )
+    out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+    gone = existing.select(*out_cols).join(
+        rebuilt.select(*keys, "valid_from"),
+        [*keys, "valid_from"],
+        "left_anti",
+    )
+    src = rebuilt.select(*out_cols).withColumn(
+        DEL, F.lit(False)
+    ).unionByName(gone.withColumn(DEL, F.lit(True)))
+    return snaptable.merge_into(
+        spark,
+        table,
+        src,
+        [*keys, "valid_from"],
+        delete_col=DEL,
+        txn=txn,
+    )
+
+
 def cdc_scd2_stream(
     spark: SparkSession,
     source_stream: DataFrame,
@@ -466,7 +539,6 @@ def cdc_scd2_stream(
     same-sorted windows over the affected keys + one merge; state
     lives in the TABLE, not stream state — no unbounded
     applyInPandasWithState store."""
-    from ..operators.merge import scd2_apply
     from ..sources import snaptable
 
     if snaptable.current_version(table) is None:
@@ -480,57 +552,21 @@ def cdc_scd2_stream(
         skip = set(keys) | {ts_col} | {c for c in (tiebreak, delete_col) if c}
         attrs = [c for c in source_stream.columns if c not in skip]
 
-    DEL = "__scd2_delete"
-
-    #: epochs whose distinct key set fits under this bound push the
-    #: keys into the stats-skipping scan as IN filters — at 100 TB a
-    #: CDC epoch touching a few thousand keys then reads a handful of
-    #: files instead of the whole table (a plain semi join cannot
-    #: prune files; this is the same move Delta's MERGE makes with
-    #: min/max file skipping on the merge keys)
-    KEY_PUSHDOWN_MAX = 10_000
-
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         done = snaptable.txn_epoch(table, app_id)
         if done is not None and epoch_id <= done:
             return  # replay of an already-committed epoch
         if batch_df.isEmpty():
             return
-        affected = batch_df.select(*keys).distinct()
-        # bounded collect BY CONSTRUCTION: capped at the pushdown
-        # limit + 1, never the full key set
-        sample = affected.limit(KEY_PUSHDOWN_MAX + 1).collect()
-        if len(sample) <= KEY_PUSHDOWN_MAX and not any(
-            r[k] is None for r in sample for k in keys
-        ):
-            flt = [
-                (k, "in", sorted({r[k] for r in sample})) for k in keys
-            ]
-            # per-column INs prune files; the semi join restores
-            # exactness for multi-key tuples (conjunction of INs is
-            # a superset of the tuple set)
-            base = snaptable.scan(spark, table, flt)
-        else:
-            base = snaptable.read_snapshot(spark, table)
-        existing = base.join(affected, keys, "left_semi")
-        rebuilt = scd2_apply(
-            existing, batch_df, keys, attrs, ts_col, tiebreak, delete_col
-        )
-        out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
-        gone = existing.select(*out_cols).join(
-            rebuilt.select(*keys, "valid_from"),
-            [*keys, "valid_from"],
-            "left_anti",
-        )
-        src = rebuilt.select(*out_cols).withColumn(
-            DEL, F.lit(False)
-        ).unionByName(gone.withColumn(DEL, F.lit(True)))
-        snaptable.merge_into(
+        scd2_apply_to_table(
             spark,
             table,
-            src,
-            [*keys, "valid_from"],
-            delete_col=DEL,
+            batch_df,
+            keys,
+            ts_col,
+            attrs,
+            tiebreak=tiebreak,
+            delete_col=delete_col,
             txn=(app_id, int(epoch_id)),
         )
         if fault_injector is not None:

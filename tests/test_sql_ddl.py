@@ -1435,3 +1435,81 @@ def test_sql_merge_cascade_matches_replay(
             exp.add((k, sv * 10))
     assert got == exp
     spark.catalog.dropTempView("mp_src")
+
+
+def test_apply_changes_sql_type1(spark, wh):
+    """APPLY CHANGES INTO (batch DLT surface), default SCD TYPE 1:
+    per-key latest-by-sequence wins, delete rows drop their match,
+    sequence/meta columns the target doesn't carry are feed plumbing."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    spark.createDataFrame(
+        [
+            ("g0", "old", 1, "U"),
+            ("g0", "newest", 3, "U"),
+            ("g0", "mid", 2, "U"),
+            ("g1", "x", 1, "U"),
+            ("g1", "gone", 2, "D"),  # latest for g1 is a delete
+            ("g7", "fresh", 1, "U"),
+        ],
+        "g string, label string, seq int, op string",
+    ).createOrReplaceTempView("cdc_feed")
+    r = run(
+        "APPLY CHANGES INTO dims FROM cdc_feed KEYS (g) "
+        "SEQUENCE BY seq APPLY AS DELETE WHEN op = 'D'"
+    ).collect()[0]
+    assert r.operation == "apply_changes"
+    got = {r.g: r.label for r in st.read_snapshot(spark, t).collect()}
+    # g0 updated to its latest, g1 deleted, g2 untouched, g7 inserted
+    assert got == {"g0": "newest", "g2": "gamma", "g7": "fresh"}
+    spark.catalog.dropTempView("cdc_feed")
+
+
+def test_apply_changes_sql_scd2(spark, wh):
+    """APPLY CHANGES ... STORED AS SCD TYPE 2 through SQL text: two
+    batches applied in sequence — the second carries LATE rows that
+    splice into the middle of the first's history — must equal the
+    single-shot scd2 build over the whole feed (the shared
+    scd2_apply_to_table core, same as the streaming surface)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.merge import (
+        scd2,
+    )
+
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "hist")
+    run(
+        "CREATE TABLE hist (k int, attr string, valid_from bigint, "
+        "valid_to bigint, is_current boolean)"
+    )
+    feed = [
+        (0, "a", 10), (0, "b", 20), (0, "c", 30),
+        (1, "x", 15), (1, "y", 25),
+    ]
+    first = [p for p in feed if p[2] != 20 and p[2] != 15]
+    late = [p for p in feed if p[2] in (20, 15)]
+    schema = "k int, attr string, ts long"
+    spark.createDataFrame(first, schema).createOrReplaceTempView("scd_b1")
+    spark.createDataFrame(late, schema).createOrReplaceTempView("scd_b2")
+    for view in ("scd_b1", "scd_b2"):
+        r = run(
+            f"APPLY CHANGES INTO hist FROM {view} KEYS (k) "
+            "SEQUENCE BY ts STORED AS SCD TYPE 2"
+        ).collect()[0]
+        assert r.operation == "apply_changes_scd2"
+    got = {
+        tuple(r)
+        for r in st.read_snapshot(spark, t)
+        .select("k", "attr", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    exp = {
+        tuple(r)
+        for r in scd2(
+            spark.createDataFrame(feed, schema), "k", "attr", "ts", "ts"
+        )
+        .select("k", "attr", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert got == exp
+    for view in ("scd_b1", "scd_b2"):
+        spark.catalog.dropTempView(view)
