@@ -3924,6 +3924,100 @@ FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_snapshot_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT's batch ``APPLY CHANGES INTO`` through SQL text (r14,
+    sources/ddl.execute_sql): the feed derives keys by residue
+    (``o_orderkey % 1000`` — every key carries MANY changes), the
+    statement compacts per key by the sequence column (latest wins),
+    rows whose LATEST change is a delete (``APPLY AS DELETE WHEN op =
+    'D'``, op derived from the status) drop their match, sequence /
+    op columns the target doesn't carry are dropped as feed plumbing,
+    and pre-seeded keys outside the feed's residue range survive
+    untouched — the full type-1 CDC apply contract in one statement.
+    The oracle replays it as ROW_NUMBER latest-per-key."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import ddl as snapddl
+    from ..sources import snaptable as st
+    from ..sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        "evlake_ac_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    t = os.path.join(wh, "facts")
+    try:
+        seeded = spark.range(1000, 1010).select(
+            F.col("id").cast("long").alias("k"),
+            F.lit("Z").alias("label"),
+            F.lit(1.0).alias("price"),
+        )
+        st.create_table(seeded, t, [])
+        orders.select(
+            (F.col("o_orderkey") % 1000).alias("k"),
+            F.col("o_orderstatus").alias("label"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderstatus") == "F", "D")
+            .otherwise("U")
+            .alias("op"),
+        ).createOrReplaceTempView("ac_feed")
+        r = snapddl.execute_sql(
+            spark,
+            "APPLY CHANGES INTO facts FROM ac_feed KEYS (k) "
+            "SEQUENCE BY seq APPLY AS DELETE WHEN op = 'D'",
+            warehouse=wh,
+        ).collect()[0]
+        ok = r.operation == "apply_changes"
+        out = (
+            st.read_snapshot(spark, t)
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("price").alias("sum_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView("ac_feed")
+        except Exception:
+            pass
+    return spark.createDataFrame(
+        [(r.label, r.n, float(r.sum_price), ok) for r in out],
+        "label string, n bigint, sum_price double, contract_ok boolean",
+    ).orderBy("label")
+
+
+ORACLE["snapshot_apply_changes"] = f"""
+WITH feed AS (
+  SELECT o_orderkey % 1000 AS k, o_orderstatus AS label,
+         o_totalprice AS price, o_orderkey AS seq
+  FROM orders
+), latest AS (
+  SELECT k, label, price,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM feed
+), applied AS (
+  SELECT label, price FROM latest WHERE rn = 1 AND label <> 'F'
+  UNION ALL
+  -- pre-seeded keys outside the feed's residue range survive
+  SELECT 'Z' AS label, 1.0 AS price
+  FROM range(1000, 1010)
+)
+SELECT label, COUNT(*) AS n, {dsum_sql('price')} AS sum_price,
+       TRUE AS contract_ok
+FROM applied GROUP BY label ORDER BY label
+"""
+
+
 def q_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch CDC replay through scd2_apply, hash-matched
     against a single-shot oracle (VERDICT r13 #8 — the streaming SCD2
