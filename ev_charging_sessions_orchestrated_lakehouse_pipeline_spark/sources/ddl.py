@@ -1582,6 +1582,37 @@ def execute_sql(
             )
         delete_when = m.group(5)
         scd_type = int(m.group(6) or 1)
+        head_v = st.current_version(t)
+        # an empty feed must be a no-op, not a full-table rewrite —
+        # the streaming twin guards identically (ingest.process_batch)
+        if src.isEmpty():
+            return _row_df(
+                spark,
+                {
+                    "operation": "apply_changes"
+                    + ("_scd2" if scd_type == 2 else ""),
+                    "version": head_v,
+                    "skipped": "empty feed",
+                },
+            )
+        # duplicate (keys, seq) pairs make the winner (and hence the
+        # merged row, or whether a tied delete fires) run-to-run
+        # nondeterministic — DLT raises on non-unique sequencing, so
+        # do we (use a monotonic id, or disambiguate upstream)
+        dup = (
+            src.groupBy(*keys, seq)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r0 = dup[0]
+            raise ValueError(
+                "APPLY CHANGES requires a UNIQUE (keys, sequence) per "
+                f"change; duplicate at {[(k, r0[k]) for k in keys]}, "
+                f"{seq}={r0[seq]!r}"
+            )
         DEL = "__cdc_delete"
         if delete_when:
             src = src.withColumn(
@@ -1590,8 +1621,28 @@ def execute_sql(
         if scd_type == 2:
             from ..streaming.ingest import scd2_apply_to_table
 
-            skip = {*keys, seq, DEL}
-            attrs = [c for c in src.columns if c not in skip]
+            # attrs come from the TARGET schema (everything that is
+            # not a key or a validity column) — deriving them from
+            # the source would drag feed plumbing (the op column the
+            # delete predicate reads, sequence metadata) into the
+            # history scan and break on UNRESOLVED_COLUMN
+            tcols = st.read_snapshot(spark, t).columns
+            validity = ["valid_from", "valid_to", "is_current"]
+            if not all(c in tcols for c in validity):
+                raise ValueError(
+                    f"SCD TYPE 2 target {t} must carry "
+                    f"{validity} (plus keys + attributes); "
+                    f"target columns: {tcols}"
+                )
+            attrs = [
+                c for c in tcols if c not in {*keys, *validity}
+            ]
+            lack = [c for c in attrs if c not in src.columns]
+            if lack:
+                raise ValueError(
+                    f"APPLY CHANGES source lacks target attribute "
+                    f"column(s) {lack}; source columns: {src.columns}"
+                )
             v = scd2_apply_to_table(
                 spark,
                 t,

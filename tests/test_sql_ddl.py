@@ -1513,3 +1513,64 @@ def test_apply_changes_sql_scd2(spark, wh):
     assert got == exp
     for view in ("scd_b1", "scd_b2"):
         spark.catalog.dropTempView(view)
+
+
+def test_apply_changes_scd2_with_delete_and_plumbing(spark, wh):
+    """Review r14c: SCD TYPE 2 attrs derive from the TARGET schema,
+    so a feed carrying plumbing columns (the op column the delete
+    predicate reads) splices cleanly — tombstones close intervals."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "hist2")
+    run(
+        "CREATE TABLE hist2 (k int, attr string, valid_from bigint, "
+        "valid_to bigint, is_current boolean)"
+    )
+    spark.createDataFrame(
+        [(0, "a", 10, "U"), (0, "b", 20, "U"), (0, None, 30, "D"),
+         (1, "x", 15, "U")],
+        "k int, attr string, ts long, op string",
+    ).createOrReplaceTempView("scd_del_feed")
+    r = run(
+        "APPLY CHANGES INTO hist2 FROM scd_del_feed KEYS (k) "
+        "SEQUENCE BY ts APPLY AS DELETE WHEN op = 'D' "
+        "STORED AS SCD TYPE 2"
+    ).collect()[0]
+    assert r.operation == "apply_changes_scd2"
+    got = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in st.read_snapshot(spark, t).collect()
+    }
+    # k=0: a@[10,20), b@[20,30) closed by the tombstone; k=1 current
+    assert got == {
+        (0, "a", 10, 20, False),
+        (0, "b", 20, 30, False),
+        (1, "x", 15, None, True),
+    }
+    spark.catalog.dropTempView("scd_del_feed")
+
+
+def test_apply_changes_empty_feed_and_duplicate_seq(spark, wh):
+    """Review r14c: an empty feed is a no-op (no version churn, no
+    full-table rewrite); duplicate (keys, sequence) pairs raise —
+    the winner would be run-to-run nondeterministic (DLT raises on
+    non-unique sequencing too)."""
+    run = lambda s: ddl.execute_sql(spark, s, warehouse=wh)
+    t = os.path.join(wh, "dims")
+    head = st.current_version(t)
+    spark.createDataFrame([], "g string, label string, seq int")\
+        .createOrReplaceTempView("empty_feed")
+    r = run(
+        "APPLY CHANGES INTO dims FROM empty_feed KEYS (g) "
+        "SEQUENCE BY seq"
+    ).collect()[0]
+    assert r.skipped == "empty feed" and st.current_version(t) == head
+    spark.createDataFrame(
+        [("g0", "a", 1), ("g0", "b", 1)], "g string, label string, seq int"
+    ).createOrReplaceTempView("dup_feed")
+    with pytest.raises(ValueError, match="UNIQUE"):
+        run(
+            "APPLY CHANGES INTO dims FROM dup_feed KEYS (g) "
+            "SEQUENCE BY seq"
+        )
+    for v in ("empty_feed", "dup_feed"):
+        spark.catalog.dropTempView(v)
