@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_df
 from ..functions.oracle import DEC, davg, davg_sql, dsum, dsum_spark_sql, dsum_sql
 
 
@@ -926,7 +927,7 @@ PRICE_BANDS = [
 
 def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    bands = local_df(spark, PRICE_BANDS, "band string, lo double, hi double")
     return (
         li.join(
             F.broadcast(bands),
@@ -4260,7 +4261,7 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = op.select("l_orderkey").distinct().count()
     if n_orders == 0:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [],
             "antecedent bigint, consequent bigint, n_together bigint, "
             "support double, confidence double, lift double",
@@ -4747,7 +4748,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, r.n_lines, float(r.revenue))
             for r in rows

@@ -33,6 +33,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_df
 from ..functions.oracle import dsum, dsum_spark_sql, dsum_sql
 
 ORACLE: dict[str, str] = {}
@@ -452,7 +453,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = None if r.sum_totalprice is None else float(r.sum_totalprice)
         rows.append((v, r.n_orders, total))
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "version int, n_orders bigint, sum_totalprice double"
     ).orderBy("version")
 
@@ -516,7 +517,7 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.c_mktsegment, r.n_customers, float(r.total_acctbal)) for r in audit],
         "c_mktsegment string, n_customers bigint, total_acctbal double",
     ).orderBy("c_mktsegment")
@@ -586,7 +587,7 @@ def q_snapshot_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 len(planned) < len(manifest["files"]),
@@ -648,7 +649,7 @@ def q_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     ).collect()[0].n
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(pruned_price, pruned_cust, a, b)],
         "pruned_on_price boolean, pruned_on_custkey boolean, "
         "n_high_price bigint, n_high_cust bigint",
@@ -710,7 +711,7 @@ def q_snapshot_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, r.n_orders, float(r.sum_totalprice), carried)
             for r in audit
@@ -777,7 +778,7 @@ def q_snapshot_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_refused = True
     n_rows = st.read_snapshot(spark, table).count()
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(rejected, head_unchanged, valid_landed, add_refused, n_rows)],
         "violating_append_rejected boolean, head_unchanged boolean, "
         "valid_append_landed boolean, bad_add_constraint_refused boolean, "
@@ -834,7 +835,7 @@ def q_snapshot_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         head.filter(F.col("priority_score") == 2.5).count(),
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [out],
         "rejected_without_flag boolean, head_has_column boolean, "
         "v1_lacks_column boolean, n_null_old_rows bigint, n_new_rows bigint",
@@ -905,7 +906,7 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r._commit_version, r._change_type, r.n_rows, float(r.sum_totalprice))
             for r in audit
@@ -991,7 +992,7 @@ def q_snapshot_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.o_orderstatus, r.n_orders, float(r.sum_totalprice)) for r in rows],
         "o_orderstatus string, n_orders bigint, sum_totalprice double",
     ).orderBy("o_orderstatus")
@@ -1069,7 +1070,7 @@ def q_snapshot_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "version int, n_rows bigint, min_totalprice double, "
         "max_totalprice double, min_orderkey bigint, max_orderkey bigint",
@@ -1209,7 +1210,7 @@ def q_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_key = orders.agg(F.min("o_custkey")).collect()[0][0]
     if min_key is None:  # empty partition: no key to look up
         shutil.rmtree(table, ignore_errors=True)
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     key = int(min_key)
     hit = st.scan(spark, table, [("o_custkey", "=", key)])
     out = hit.groupBy("o_custkey").agg(
@@ -1220,7 +1221,7 @@ def q_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("o_custkey", "custkey")
     rows = [tuple(r) for r in out.collect()]  # bounded: one group
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(rows, out_schema).orderBy("custkey")
+    return local_df(spark, rows, out_schema).orderBy("custkey")
 
 
 ORACLE["snapshot_bloom_lookup"] = f"""
@@ -1276,7 +1277,7 @@ def q_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     )
     rows = [tuple(r) for r in out.collect()]  # bounded: |priorities|
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "priority string, n_orders bigint, sum_totalprice double"
     ).orderBy("priority")
 
@@ -1333,7 +1334,7 @@ def q_snapshot_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFram
     )
     rows = [tuple(r) for r in out.collect()]  # bounded: |event types|
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "event_type string, n_events bigint, total_value double"
     ).orderBy("event_type")
 
@@ -1391,7 +1392,7 @@ def q_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [tuple(r) for r in out.collect()]  # bounded: |statuses|
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "status string, n_orders bigint, sum_totalprice double"
     ).orderBy("status")
 
@@ -1462,7 +1463,7 @@ def q_snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("v1:all", r1.n, None if r1.s is None else float(r1.s)))
     rows.append(("v1:priorities", r1.p, None))
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "slice string, n bigint, sum_price double"
     ).orderBy("slice")
 
@@ -1542,7 +1543,7 @@ def q_snapshot_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.price_band, r.n, float(r.sum_price)) for r in out],
         "price_band string, n bigint, sum_price double",
     ).orderBy("price_band")
@@ -1607,7 +1608,7 @@ def q_snapshot_dnf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("sum_price"),
     ).collect()
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, r.n, None if r.sum_price is None else float(r.sum_price))
             for r in out
@@ -1688,7 +1689,7 @@ def q_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = None if r.sum_totalprice is None else float(r.sum_totalprice)
         rows.append((v, r.n_orders, total))
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "version int, n_orders bigint, sum_totalprice double"
     ).orderBy("version")
 
@@ -1769,7 +1770,7 @@ def q_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 r.o_orderpriority,
@@ -1845,7 +1846,7 @@ def q_snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id": "int",
         "value": "float",
     }
-    sentinel = spark.createDataFrame(
+    sentinel = local_df(spark, 
         [(2_000_000_000, 2**35, 0.5)], "event_id int, user_id long, value double"
     )
     st.append(sentinel, table)
@@ -1859,7 +1860,7 @@ def q_snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
     ).collect()[0]
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 audit.n_rows,
@@ -2033,7 +2034,7 @@ def q_snapshot_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(forged, ignore_errors=True)
     shutil.rmtree(forged_w, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 r.o_orderstatus,
@@ -2139,7 +2140,7 @@ def q_snapshot_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: one row per order priority (5)
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderpriority, r.n_rows, r.min_rid, r.max_rid, r.sum_rid)
             for r in out
@@ -2245,7 +2246,7 @@ def q_snapshot_checkpoint_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "version int, stored_forms_ok boolean, n_orders bigint, "
         "sum_totalprice double",
@@ -2333,7 +2334,7 @@ def q_snapshot_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "snapshot string, retention_ok boolean, n_orders bigint, "
         "sum_totalprice double",
@@ -2432,7 +2433,7 @@ def q_snapshot_cdf_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: one row per change type (<= 4)
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 r._change_type,
@@ -2548,7 +2549,7 @@ def q_snapshot_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: one row per order status
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 r.o_orderstatus,
@@ -2653,7 +2654,7 @@ def q_snapshot_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f"sk_{i}", r.order_sk, r.o_orderkey, None, None, None)
         for i, r in enumerate(head)
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "row string, a bigint, b bigint, c bigint, d bigint, e double",
     ).orderBy("row")
@@ -2762,7 +2763,7 @@ def q_snapshot_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_channel, r.n, None if r.sum_price is None else float(r.sum_price))
             for r in out
@@ -2850,7 +2851,7 @@ def q_snapshot_restore_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, contract_ok, r.n, float(r.sum_price))
             for r in out
@@ -2976,7 +2977,7 @@ def q_snapshot_concurrent_writers(
     ] + [("head", int(head) if head else 0, None)] + [
         (f"cdf_{r._change_type}", r.n, None) for r in cdf
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "row string, n bigint, sum_price double"
     ).orderBy("row")
 
@@ -3071,7 +3072,7 @@ def q_snapshot_incremental_minmax(
         )
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.g, r.n, float(r.mn), float(r.mx)) for r in rows],
         "g bigint, n_orders bigint, min_price double, max_price double",
     ).orderBy("g")
@@ -3152,7 +3153,7 @@ def q_snapshot_sql_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(table, ignore_errors=True)
         spark.catalog.dropTempView("snap_sql_head")
         spark.catalog.dropTempView("snap_sql_v1")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.snapshot, r.o_orderstatus, r.n_orders, float(r.sum_totalprice))
             for r in rows
@@ -3217,7 +3218,7 @@ def q_ev_lineage_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: 200 keys
     ]
     if not keys:
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     plats = ["android", "ios", "web"]
     wdays = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
     header = (
@@ -3294,7 +3295,7 @@ def q_ev_lineage_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in agg
     ] + [("_contract", 1 if contract_ok else 0, None, None, None)]
-    return spark.createDataFrame(rows, out_schema).orderBy("facilityType")
+    return local_df(spark, rows, out_schema).orderBy("facilityType")
 
 
 ORACLE["ev_lineage_snapshot"] = f"""
@@ -3409,7 +3410,7 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         run("RESTORE TABLE facts TO VERSION AS OF 4")  # v6
         # a negative-price batch must be REFUSED by the SQL-added
         # constraint (nothing published)
-        neg = spark.createDataFrame(
+        neg = local_df(spark, 
             [(9000001, "X", -5.0)],
             "o_orderkey bigint, o_orderstatus string, o_totalprice double",
         )
@@ -3525,7 +3526,7 @@ def q_snapshot_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.catalog.dropTempView(vname)
             except Exception:
                 pass
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, r.n, float(r.sum_price), r.n_chan, contract_ok)
             for r in rows
@@ -3731,7 +3732,7 @@ def q_snapshot_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView("merge_cl_src")
         except Exception:
             pass
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.o_orderstatus, r.n, float(r.sum_price)) for r in out],
         "o_orderstatus string, n bigint, sum_price double",
     ).orderBy("o_orderstatus")
@@ -3896,7 +3897,7 @@ def q_snapshot_replace_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.catalog.dropTempView(vname)
             except Exception:
                 pass
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, r.n, tt_sum, contract_ok)
             for r in rows
@@ -3990,7 +3991,7 @@ def q_snapshot_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView("ac_feed")
         except Exception:
             pass
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.label, r.n, float(r.sum_price), ok) for r in out],
         "label string, n bigint, sum_price double, contract_ok boolean",
     ).orderBy("label")
@@ -4055,7 +4056,7 @@ def q_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 51 == 0).alias("is_del"),
         F.col("event_id"),
     )
-    hist = spark.createDataFrame(
+    hist = local_df(spark, 
         [],
         "user_id bigint, payload string, valid_from bigint, "
         "valid_to bigint, is_current boolean",
@@ -4180,7 +4181,7 @@ def q_snapshot_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.band, r.n, float(r.sum_price), contract_ok) for r in rows],
         "band int, n bigint, sum_price double, contract_ok boolean",
     ).orderBy("band")
@@ -4270,7 +4271,7 @@ def q_snapshot_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pattern = st.read_snapshot(spark, t2).count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, r.n, float(r.sum_price), n_pattern, contract_ok)
             for r in rows
@@ -4374,7 +4375,7 @@ def q_snapshot_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (r.o_orderstatus, r.n, float(r.sum_price), contract_ok)
             for r in rows

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_df
 from .quality import RowRule, annotate_rows
 
 ORACLE: dict[str, str] = {}
@@ -322,7 +323,7 @@ def q_snapshot_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = None if h["total_price"] is None else float(h["total_price"])
         rows.append((h["version"], h["n_rows"], total, drift))
         prev = h
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "version int, n_rows bigint, total_price double, size_anomaly boolean",
     ).orderBy("version")

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_df
+
 ORACLE: dict[str, str] = {}
 
 TOP_K = 10
@@ -831,11 +833,11 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not pool:
         # empty partition: no query vector, no pool — no audit row
-        return spark.createDataFrame([], audit_schema)
+        return local_df(spark, [], audit_schema)
     sel = mmr_rerank(pool)
     pool_ids = {vid for vid, _, _ in pool}
     top1 = pool[0][0]  # pool is relevance-ordered
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 len(sel),

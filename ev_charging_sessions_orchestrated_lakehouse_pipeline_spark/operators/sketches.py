@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_df
 from ..functions.hashing import hash60, hash60_sql
 
 ORACLE: dict[str, str] = {}
@@ -486,7 +487,7 @@ def q_snapshot_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r.g, r.n_exact, float(r.hll_est), contract_ok) for r in rows],
         "g int, n_exact bigint, hll_est double, contract_ok boolean",
     ).orderBy("g")

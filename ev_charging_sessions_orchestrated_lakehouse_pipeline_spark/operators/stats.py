@@ -61,6 +61,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_sql
+from ..functions.localframe import local_df
 from ..functions.oracle import DEC
 
 ORACLE: dict[str, str] = {}
@@ -1350,7 +1351,7 @@ def q_autocorr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("r")
     )
-    lags = spark.createDataFrame(
+    lags = local_df(spark, 
         [(k,) for k in AUTOCORR_LAGS], "lag int"
     )
     a = daily.select(F.col("o_orderdate").alias("d"), F.col("r").alias("x"))
@@ -2271,7 +2272,7 @@ def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub = _cusum_argmax(frame)
             if sub is not None:
                 out.append((2, seg, sub.o_orderdate, sub.n_days, sub.peak))
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "level int, segment string, changepoint_date date, n_days bigint, "
         "peak double",

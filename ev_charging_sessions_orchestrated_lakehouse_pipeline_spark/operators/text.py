@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_df
 from ..functions.hashing import hash60, hash60_sql, tokens, word_shingles_sql
 
 ORACLE: dict[str, str] = {}
@@ -1427,7 +1428,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
 def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf, _cur, merges = _bpe_train(spark, sf_dir)
     wf.unpersist()
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges,
         "iteration int, lhs string, rhs string, merged string, n bigint",
     ).orderBy("iteration")
@@ -1516,13 +1517,13 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = stats.crossJoin(nsym).collect()  # bounded: 1x1 rows
     wf.unpersist()
     if not row or row[0].n_words == 0:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [],
             "n_words bigint, total_words bigint, total_tokens bigint, "
             "total_chars bigint, n_symbols bigint, tokens_per_char double",
         )
     r = row[0]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 r.n_words,

@@ -45,6 +45,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_df
 from . import snaptable as st
 
 __all__ = ["execute_sql", "register_all_tables", "resolve_table"]
@@ -84,7 +85,7 @@ def _row_df(spark: SparkSession, d: dict) -> DataFrame:
         json.dumps(d[c], default=str) if isinstance(d[c], (dict, list)) else d[c]
         for c in cols
     )
-    return spark.createDataFrame([vals], cols)
+    return local_df(spark, [vals], cols)
 
 
 def _parse_tblproperties(body: str) -> dict[str, str]:
@@ -760,7 +761,7 @@ def execute_sql(
                 constraints[f"{col}_not_null"] = f"{col} IS NOT NULL"
             entries.append(entry)
         schema_ddl = ", ".join(entries)
-        empty = spark.createDataFrame([], schema_ddl)
+        empty = local_df(spark, [], schema_ddl)
         pcols = (
             [p.replace(" ", "") if "(" in p else p
              for p in _split_top_level(m.group(5))]
@@ -1415,7 +1416,7 @@ def execute_sql(
             ("branch", name, b["head"], b["fork_version"])
             for name, b in sorted(refs["branches"].items())
         ]
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "ref_type string, name string, version int, fork_version int"
         )
 
@@ -1472,14 +1473,14 @@ def execute_sql(
             path = os.path.join(root, entry)
             if _is_snapshot_table(path):
                 rows.append((entry, path, st.current_version(path)))
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "tableName string, location string, version int"
         )
 
     m = _m(rf"SHOW\s+TBLPROPERTIES\s+{_IDENT}", s)
     if m:
         props = st.table_properties(tbl(m.group(1)))
-        return spark.createDataFrame(
+        return local_df(spark, 
             sorted(props.items()) or [], "key string, value string"
         )
 
@@ -1502,7 +1503,7 @@ def execute_sql(
     m = _m(rf"DESCRIBE\s+HISTORY\s+{_IDENT}", s)
     if m:
         hist = st.history(tbl(m.group(1)))
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     h["version"],
@@ -1686,7 +1687,7 @@ def execute_sql(
     m = _m(rf"SHOW\s+PARTITIONS\s+{_IDENT}", s)
     if m:
         layout = st.table_layout(tbl(m.group(1)))
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     "/".join(f"{k}={v}" for k, v in e["partition"].items())
@@ -1712,7 +1713,7 @@ def execute_sql(
         pnames = {
             st._parse_transform(e)[1] for e in man["partition_cols"]
         }
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (f.name, f.dataType.simpleString(), f.name in pnames)
                 for f in schema.fields

@@ -61,6 +61,7 @@ import re
 import shutil
 import time
 import uuid
+from ..functions.localframe import local_df
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -2727,12 +2728,12 @@ def add_columns(
                 "add_columns with a DDL string needs a SparkSession "
                 "(pass (name, type) pairs for JVM-free atomic adds)"
             )
-        added = list(spark.createDataFrame([], columns).schema.fields)
+        added = list(local_df(spark, [], columns).schema.fields)
     else:
         added = []
         for name, type_str in columns:
             if spark is not None:
-                dt = spark.createDataFrame(
+                dt = local_df(spark, 
                     [], f"`{name}` {type_str}"
                 ).schema.fields[0].dataType
             else:
@@ -3127,7 +3128,7 @@ def _with_row_ids(
         mapping=manifest.get("column_mapping"),
     )
     stats = manifest.get("file_stats", {})
-    base_df = spark.createDataFrame(
+    base_df = local_df(spark, 
         [
             (_abs_uri(table, f), stats.get(f, {}).get("base_row_id"))
             for f in files
@@ -3213,7 +3214,7 @@ def _apply_dvs(spark, df, table: str, dvs: dict):
     ]
     if not rows:
         return df
-    dv_df = spark.createDataFrame(rows, "___dvf string, ___dvp long")
+    dv_df = local_df(spark, rows, "___dvf string, ___dvp long")
     return df.join(
         F.broadcast(dv_df),
         (df["___f"] == dv_df["___dvf"]) & (df["___ri"] == dv_df["___dvp"]),
@@ -3246,7 +3247,7 @@ def _read_union(
     renames back to the manifest's logical names — which is what
     makes :func:`rename_column` a metadata-only commit."""
     if not files:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     mapping = mapping or {}
     if mapping:
         from pyspark.sql.types import StructField, StructType
@@ -3910,7 +3911,7 @@ def update_where(
             # UPDATE): the rewritten rows carry their OLD stable ids,
             # materialized into the new files like OPTIMIZE does
             stats0 = prev.get("file_stats", {})
-            base_df = spark.createDataFrame(
+            base_df = local_df(spark, 
                 [
                     (_abs_uri(table, f), stats0.get(f, {}).get("base_row_id"))
                     for f in candidates
@@ -4280,7 +4281,7 @@ def changes(
                     for f, ps in delta.items()
                     for p in ps
                 ]
-                pos_df = spark.createDataFrame(
+                pos_df = local_df(spark, 
                     pos_rows, "___dvf string, ___dvp long"
                 )
                 dv_batch = keyed.join(
@@ -4291,7 +4292,7 @@ def changes(
                 )
                 if with_row_ids:
                     stats_c = cur.get("file_stats", {})
-                    base_df = spark.createDataFrame(
+                    base_df = local_df(spark, 
                         [
                             (
                                 _abs_uri(table, f),
@@ -4325,7 +4326,7 @@ def changes(
         prev = cur
     if not parts:
         schema = StructType.fromJson(json.loads(prev["schema"]))
-        empty = spark.createDataFrame([], schema)
+        empty = local_df(spark, [], schema)
         if with_row_ids:
             empty = empty.withColumn("_row_id", F.lit(0).cast("bigint"))
         return empty.withColumn("_change_type", F.lit("")).withColumn(

@@ -59,6 +59,8 @@ import json
 import os
 from dataclasses import dataclass
 
+from ..functions.localframe import local_df
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
@@ -1020,7 +1022,7 @@ def write_snapshot_stream(
 
     if st.current_version(table) is None:
         st.create_table(
-            spark.createDataFrame([], df.schema), table, partition_cols or []
+            local_df(spark, [], df.schema), table, partition_cols or []
         )
     w = (
         df.writeStream.format(SOURCE_NAME)
