@@ -157,22 +157,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Property-tested in tests/test_llm_ops.py (adversarial corpus,
     DF 226 > cap: oracle parity still hash-matches, recall 20/23
     vs uncapped exact, floor asserted at 0.85)."""
-    # persisted: referenced by the inverted index AND (via sizes) both
-    # sides of the union-size join — unpersisted, the tokenize+shingle
-    # projection runs three times. Caller-clears-cache discipline as
-    # in the LSH queries (bench.py / oracle_compare clearCache).
-    shingled = _shingled(spark, sf_dir).persist()
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
-    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     # ONE shuffle (groupBy shingle), then pairs generate map-side from
     # each posting list via higher-order functions — strictly better
     # than the self-join formulation, which shuffles the inverted
     # index twice and hash-joins 1M+ string keys. The frequency cap
     # drops posting lists longer than MAX_SHINGLE_DF right where
-    # they're built; sort_array gives doc_a < doc_b for free.
+    # they're built; sort_array (doc_id leads the struct) gives
+    # doc_a < doc_b for free. Each doc's shingle-set SIZE rides the
+    # posting list (4 bytes per posting), so the union-size
+    # denominator falls out of the pair aggregate itself — no join
+    # back to a sizes table (r14: the two size joins this replaced
+    # were two extra exchanges per run, and dropping them also drops
+    # the only second consumer of the shingle projection, so the
+    # .persist() went too).
+    shingled = _shingled(spark, sf_dir)
+    inv = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
     buckets = (
         inv.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
     )
     pairs = buckets.select(
@@ -180,21 +186,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.n AS na, y.n AS nb))))"
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ).select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+    # na/nb are functionally determined by doc_a/doc_b — max() is just
+    # the order-insensitive way to surface the constant per group
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             (
                 F.col("n_common").cast("double")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -257,12 +267,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a < doc_b, containment, contained_doc) where
     contained_doc is the smaller-shingle-set side (ties -> doc_a).
     """
-    shingled = _shingled(spark, sf_dir).persist()
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
-    inv = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # shingle-set sizes ride the posting lists exactly as in
+    # q_dedup_ngram_jaccard (r14): the min-size denominator and the
+    # contained-doc pick fall out of the pair aggregate, removing
+    # both size joins and the persist
+    shingled = _shingled(spark, sf_dir)
+    inv = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
     buckets = (
         inv.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
     )
     pairs = buckets.select(
@@ -270,25 +287,25 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.n AS na, y.n AS nb))))"
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ).select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             (
                 F.col("n_common").cast("double")
-                / F.least(F.col("sa.n_shingles"), F.col("sb.n_shingles"))
+                / F.least(F.col("na"), F.col("nb"))
             ).alias("containment"),
-            F.when(
-                F.col("sa.n_shingles") <= F.col("sb.n_shingles"), F.col("doc_a")
-            )
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
             .otherwise(F.col("doc_b"))
             .alias("contained_doc"),
         )
@@ -553,15 +570,30 @@ def connected_components(
     """(id, cluster_id) for every vertex of the undirected edge list;
     cluster_id = min vertex id reachable. Raises if the fixpoint is
     not reached within ``max_iter`` rounds (diameter bound)."""
-    sym = edges.select(
+    # materialize the edge list ONCE before symmetrizing: both union
+    # branches then read the same checkpointed partitions instead of
+    # re-deriving the (expensive) candidate-pair pipeline per branch
+    base = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    ).localCheckpoint(eager=False)
+    sym = base.union(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     sym = sym.repartition("u").localCheckpoint()
 
+    # round-1 FUSED into init: the first propagation round's result
+    # min(id, min(neighbors)) falls out of the same groupBy that
+    # enumerates the vertices, so the loop starts one round closer to
+    # the fixpoint for the same init cost (for the diameter-1
+    # near-clique components that dominate dedup graphs, the loop
+    # then runs exactly one confirming round). _label_sum both
+    # materializes the lazy checkpoint and records the convergence
+    # probe's baseline in the same single job.
     labels = (
-        sym.select(F.col("u").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+        .select(F.col("u").alias("id"), "label")
+        .localCheckpoint(eager=False)
     )
     # Convergence probe: min-propagation only ever DECREASES labels,
     # so the (exact, decimal — no int64 overflow at any vertex count)
@@ -575,7 +607,7 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
 
-    prev_sum = None
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.u == labels.id).select(
             F.col("v").alias("id"), "label"
