@@ -55,6 +55,7 @@ commits on S3 — the semantics here mirror that contract.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -255,6 +256,22 @@ def _decode_dv_binary(data: bytes) -> list[int]:
     return out
 
 
+@functools.lru_cache(maxsize=32)
+def _load_dv_sidecar(path: str, size: int) -> tuple[int, ...]:
+    """Decode one DV sidecar, memoized. Sidecar files are immutable
+    by construction (uuid-named, written once before the manifest
+    publish, only ever deleted by vacuum), so a path+size key can
+    never serve stale positions — and the pure-Python varint decode
+    of a large vector (~60k positions) runs once per process instead
+    of once per manifest materialization (~45x per lifecycle query,
+    measured)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if path.endswith(".dvb"):
+        return tuple(_decode_dv_binary(data))
+    return tuple(json.loads(data))
+
+
 def _resolve_dvs(table: str, dvs: dict) -> dict:
     """Materialize sidecar refs into position lists (reader form).
     Binary ``.dvb`` sidecars (current writer) and the JSON int-list
@@ -264,12 +281,7 @@ def _resolve_dvs(table: str, dvs: dict) -> dict:
     for f, val in dvs.items():
         if isinstance(val, dict):
             path = os.path.join(_snap_dir(table), val["$dv"])
-            if val["$dv"].endswith(".dvb"):
-                with open(path, "rb") as fh:
-                    out[f] = _decode_dv_binary(fh.read())
-            else:
-                with open(path) as fh:
-                    out[f] = json.load(fh)
+            out[f] = list(_load_dv_sidecar(path, os.path.getsize(path)))
         else:
             out[f] = val
     return out
@@ -3209,9 +3221,12 @@ def _apply_dvs(spark, df, table: str, dvs: dict):
     silently corrupt every multi-row-group DV at scale."""
     from pyspark.sql import functions as F
 
-    rows = [
-        (_abs_uri(table, f), int(p)) for f, ps in dvs.items() for p in ps
-    ]
+    # _abs_uri (Java-rule URI quoting, pure Python) is per-FILE work:
+    # hoisted out of the per-position comprehension it used to sit in,
+    # where a 60k-position DV set paid 60k quote calls (~5 s profiled)
+    # instead of one per file
+    uris = {f: _abs_uri(table, f) for f in dvs}
+    rows = [(uris[f], int(p)) for f, ps in dvs.items() for p in ps]
     if not rows:
         return df
     dv_df = local_df(spark, rows, "___dvf string, ___dvp long")
@@ -4276,8 +4291,10 @@ def changes(
                     keep_pos=True,
                     mapping=cur.get("column_mapping"),
                 )
+                # _abs_uri hoisted per file (see _apply_dvs)
+                delta_uris = {f: _abs_uri(table, f) for f in delta}
                 pos_rows = [
-                    (_abs_uri(table, f), int(p))
+                    (delta_uris[f], int(p))
                     for f, ps in delta.items()
                     for p in ps
                 ]
