@@ -1126,26 +1126,32 @@ def _md5_bands_expr() -> str:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _shingled(spark, sf_dir).persist()
-    banded = (
-        shingled.select(
-            "doc_id", F.explode(F.expr(_md5_bands_expr())).alias("bk")
-        )
-        .select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
-        # both sides of the bucket self-join read this frame; without
-        # the persist the whole hash+band expression runs twice
-        # (4 long columns x bands-per-doc rows — kilobytes cached)
-        .persist()
+    banded = shingled.select(
+        "doc_id", F.explode(F.expr(_md5_bands_expr())).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
+    # candidate pairs via the posting-list shape (one groupBy on the
+    # band key, pairs emitted MAP-SIDE from each sorted bucket — the
+    # same triangular HOF as q_dedup_ngram_jaccard) instead of the
+    # band self-join, which shuffled `banded` twice and needed it
+    # persisted; one exchange and no cache do the same work, and a
+    # doc appears once per band so bucket ids are distinct with
+    # doc_a < doc_b free from the sort (r14)
+    buckets = (
+        banded.groupBy("band_id", "k1", "k2")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    a, b = banded.alias("a"), banded.alias("b")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.k1") == F.col("b.k1"))
-            & (F.col("a.k2") == F.col("b.k2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sh_a = shingled.select(
