@@ -43,7 +43,13 @@ import datetime
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, Row, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 __all__ = ["local_df"]
 
@@ -59,10 +65,36 @@ __all__ = ["local_df"]
 _SAFE_INFER = (bool, int, float, str, bytes)
 
 
+def _contains_timestamp(dt) -> bool:
+    """True if ``dt`` nests a TimestampType anywhere below a
+    container type we do not normalize (arrays/maps)."""
+    if isinstance(dt, TimestampType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_timestamp(dt.elementType)
+    if isinstance(dt, MapType):
+        return _contains_timestamp(dt.keyType) or _contains_timestamp(dt.valueType)
+    if isinstance(dt, StructType):
+        return any(_contains_timestamp(f.dataType) for f in dt.fields)
+    return False
+
+
 def _rows_as_dicts(data: Iterable[Any], names: list[str], fields=None):
     """Positionally zip tuples/Rows (or pass dicts through) into the
     name-keyed form ``pyarrow.Table.from_pylist`` wants, recursing
-    into struct-typed fields so nested tuples become nested dicts."""
+    into struct-typed fields so nested tuples become nested dicts.
+
+    Also normalizes TimestampType values to UTC instants: classic
+    ``createDataFrame`` converts an aware datetime via
+    ``utctimetuple()`` and a naive one via OS-local ``mktime``, while
+    ``pyarrow.Table.from_pylist`` against ``timestamp[us, tz=UTC]``
+    keeps the WALL-CLOCK fields (verified on pyarrow 16.1.0) — a
+    12:00+05:00 literal would silently become 12:00Z instead of
+    07:00Z. ``v.astimezone(timezone.utc)`` reproduces classic for
+    both cases (astimezone on a naive datetime assumes OS-local time,
+    exactly like mktime). Aware datetimes in TimestampNTZ fields and
+    timestamps nested in arrays/maps raise so the caller's classic
+    fallback handles them instead."""
     out = []
     for r in data:
         if isinstance(r, dict):
@@ -76,14 +108,25 @@ def _rows_as_dicts(data: Iterable[Any], names: list[str], fields=None):
         if fields is not None:
             for f in fields:
                 v = d.get(f.name)
-                if (
-                    v is not None
-                    and isinstance(f.dataType, StructType)
-                    and not isinstance(v, dict)
-                ):
+                if v is None:
+                    continue
+                if isinstance(f.dataType, StructType):
                     d[f.name] = _rows_as_dicts(
-                        [v], f.dataType.names, f.dataType.fields
+                        [v] if isinstance(v, dict) else [tuple(v)],
+                        f.dataType.names,
+                        f.dataType.fields,
                     )[0]
+                elif isinstance(f.dataType, TimestampType):
+                    if isinstance(v, datetime.datetime):
+                        d[f.name] = v.astimezone(datetime.timezone.utc)
+                elif isinstance(f.dataType, TimestampNTZType):
+                    if (
+                        isinstance(v, datetime.datetime)
+                        and v.tzinfo is not None
+                    ):
+                        raise ValueError("aware datetime in NTZ field")
+                elif _contains_timestamp(f.dataType):
+                    raise ValueError("timestamp nested in array/map")
         out.append(d)
     return out
 

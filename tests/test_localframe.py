@@ -99,6 +99,53 @@ def test_names_list_datetime_falls_back_to_classic(spark):
     assert got.collect() == want.collect()
 
 
+def test_tz_aware_timestamps_keep_their_instant(spark):
+    # pyarrow's from_pylist against timestamp[us, tz=UTC] keeps the
+    # WALL-CLOCK of an aware datetime (12:00+05:00 -> 12:00Z instead
+    # of 07:00Z); classic converts via utctimetuple(). local_df must
+    # normalize to the UTC instant so both paths agree.
+    tz5 = datetime.timezone(datetime.timedelta(hours=5))
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts", TimestampType())]
+    )
+    rows = [
+        (1, datetime.datetime(2024, 6, 1, 12, 0, 0, tzinfo=tz5)),
+        (2, datetime.datetime(2024, 6, 1, 7, 30, 0)),  # naive, mixed in
+        (3, None),
+    ]
+    got = _assert_same(spark, rows, schema)
+    assert _plan_name(got) == "LocalRelation"
+    vals = {r.k: r.ts for r in got.collect()}
+    # session/OS tz is UTC on this box: the aware row must read back
+    # as the 07:00 UTC instant, not the 12:00 wall clock.
+    assert vals[1] == datetime.datetime(2024, 6, 1, 7, 0, 0)
+
+
+def test_tz_aware_timestamp_nested_in_struct(spark):
+    tz_m3 = datetime.timezone(datetime.timedelta(hours=-3))
+    schema = StructType(
+        [
+            StructField(
+                "st",
+                StructType([StructField("ts", TimestampType())]),
+            )
+        ]
+    )
+    rows = [((datetime.datetime(2024, 6, 1, 9, 0, 0, tzinfo=tz_m3),),)]
+    got = _assert_same(spark, rows, schema)
+    assert got.collect()[0].st.ts == datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def test_timestamp_in_array_falls_back_to_classic(spark):
+    # arrays of timestamps are not normalized — must take the classic
+    # path and still produce classic-identical values.
+    schema = StructType([StructField("a", ArrayType(TimestampType()))])
+    tz2 = datetime.timezone(datetime.timedelta(hours=2))
+    rows = [([datetime.datetime(2024, 6, 1, 10, 0, 0, tzinfo=tz2)],)]
+    got = _assert_same(spark, rows, schema)
+    assert got.collect()[0].a[0] == datetime.datetime(2024, 6, 1, 8, 0, 0)
+
+
 def test_empty_frame_with_schema(spark):
     schema = StructType([StructField("k", IntegerType())])
     got = _assert_same(spark, [], schema)
