@@ -181,16 +181,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
     )
+    # CHUNKED pair emission (r15): posexplode the posting list, then
+    # explode each member's tail slice — the same triangular pair
+    # multiset as the flatten(transform(...)) HOF it replaces, but
+    # fully WholeStageCodegen'd (Catalyst higher-order lambdas are
+    # interpreted per element; the generate/slice/generate chain
+    # measured ~3x faster on the ~9M-pair co-supply build, see
+    # OPTIMIZATION_r15.md) and with no O(df^2) single-array pair blow
+    # up per bucket (guide §5).
     pairs = buckets.select(
+        "ids", F.posexplode("ids").alias("i", "x")
+    ).select(
+        "x",
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "x.n AS na, y.n AS nb))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+            F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+        ).alias("y"),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.n").alias("na"),
+        F.col("y.n").alias("nb"),
+    )
     # na/nb are functionally determined by doc_a/doc_b — max() is just
     # the order-insensitive way to surface the constant per group
     inter = pairs.groupBy("doc_a", "doc_b").agg(
@@ -282,16 +293,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_SHINGLE_DF))
     )
+    # CHUNKED pair emission (r15): posexplode the posting list, then
+    # explode each member's tail slice — the same triangular pair
+    # multiset as the flatten(transform(...)) HOF it replaces, but
+    # fully WholeStageCodegen'd (Catalyst higher-order lambdas are
+    # interpreted per element; the generate/slice/generate chain
+    # measured ~3x faster on the ~9M-pair co-supply build, see
+    # OPTIMIZATION_r15.md) and with no O(df^2) single-array pair blow
+    # up per bucket (guide §5).
     pairs = buckets.select(
+        "ids", F.posexplode("ids").alias("i", "x")
+    ).select(
+        "x",
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "x.n AS na, y.n AS nb))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+            F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+        ).alias("y"),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.n").alias("na"),
+        F.col("y.n").alias("nb"),
+    )
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_common"),
         F.max("na").alias("na"),
@@ -709,7 +731,9 @@ def connected_components_star(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the first fingerprint below materializes it in the
+        # same job instead of a separate blocking one (r15)
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(df: DataFrame):
@@ -725,9 +749,16 @@ def connected_components_star(
 
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _star_round(e, large=True)
+        # the LARGE round's output is lazily checkpointed too (r15):
+        # the small round references it FOUR times (two symmetrize
+        # union branches, each feeding both the mins groupBy and the
+        # join's probe side), so without the checkpoint every
+        # fingerprint job re-ran the large star 4x. The lazy
+        # checkpoint materializes it once inside the same job and the
+        # other three references read the persisted partitions.
+        e = _star_round(e, large=True).localCheckpoint(eager=False)
         e = _star_round(e, large=False).localCheckpoint(eager=False)
-        cur = _fingerprint(e)  # materializes the lazy checkpoint
+        cur = _fingerprint(e)  # materializes the lazy checkpoints
         if cur == prev:
             labels = e.select(F.col("a").alias("id"), F.col("b").alias("label"))
             roots = e.select(F.col("b").alias("id"), F.col("b").alias("label"))
@@ -1130,28 +1161,35 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(_md5_bands_expr())).alias("bk")
     ).select("doc_id", "bk.band_id", "bk.k1", "bk.k2")
     # candidate pairs via the posting-list shape (one groupBy on the
-    # band key, pairs emitted MAP-SIDE from each sorted bucket — the
-    # same triangular HOF as q_dedup_ngram_jaccard) instead of the
-    # band self-join, which shuffled `banded` twice and needed it
-    # persisted; one exchange and no cache do the same work, and a
+    # band key, pairs emitted MAP-SIDE from each sorted bucket) instead
+    # of the band self-join, which shuffled `banded` twice and needed
+    # it persisted; one exchange and no cache do the same work, and a
     # doc appears once per band so bucket ids are distinct with
-    # doc_a < doc_b free from the sort (r14)
+    # doc_a < doc_b free from the sort (r14). Unlike the shingle
+    # queries there is NO df cap here (the oracle has none), so a
+    # degenerate band bucket of B near-identical docs is possible at
+    # scale — pair emission is therefore CHUNKED (r15): posexplode
+    # each bucket to one row per member, then explode that member's
+    # tail slice. No expression ever materializes the B*(B-1)/2 pair
+    # structs as one array the way flatten(transform(...)) did; peak
+    # per-row memory is O(B), and the generated pairs stream through
+    # the pipeline exactly like the old self-join's output did
+    # (guide §5 — no single aggregation buffer holds the quadratic
+    # blowup; the O(B) collect_list itself is the posting-list
+    # design's floor).
     buckets = (
         banded.groupBy("band_id", "k1", "k2")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     candidates = (
-        buckets.select(
+        buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+                F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+            ).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sh_a = shingled.select(
@@ -1525,6 +1563,19 @@ SIMHASH_MAX_HAMMING = 1
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Posting-list candidate generation (r15), replacing the band
+    # SELF-JOIN: the join evaluated the md5-heavy simhash expression
+    # over the corpus on BOTH sides — and on each side twice more,
+    # because the band join key's isnotnull pushdown wraps the whole
+    # expression in a Filter that CollapseProject won't share with the
+    # Project (4 full corpus hashings, see
+    # plans/r15/dedup_simhash_pairs_before.txt nodes 2/3/8/9). One
+    # groupBy on the band key hashes the corpus ONCE and emits pairs
+    # map-side. Emission is CHUNKED (posexplode member + explode tail
+    # slice) rather than one flatten(transform(...)) array: 8-bit
+    # bands mean bucket sizes are ~corpus/512, so at scale the
+    # quadratic pair set must stream as rows, never materialize as a
+    # single per-bucket array (guide §5).
     sh = q_dedup_simhash(spark, sf_dir)
     bands = sh.select(
         "doc_id",
@@ -1543,23 +1594,31 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_id", "b.band_val")
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sh_a"),
-        "band_id",
-        "band_val",
+    # sort_array on struct(doc_id, simhash) orders by doc_id (unique),
+    # so doc_a < doc_b falls out of each bucket's sort as before
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "ids"
+            )
+        )
+        .filter(F.size("ids") >= 2)
     )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sh_b"),
-        "band_id",
-        "band_val",
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        left.join(right, ["band_id", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        buckets.select("ids", F.posexplode("ids").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
         .orderBy("doc_a", "doc_b")

@@ -675,6 +675,94 @@ def test_ngram_jaccard_df_cap_parity_and_recall_floor(spark, sf_dir, tmp_path):
     assert recall < 1.0  # (d) the cap must actually bite here
 
 
+def test_lsh_giant_band_bucket_streams_chunked_pairs(spark, sf_dir, tmp_path):
+    """Adversarial giant-band corpus for the LSH posting-list bucket
+    path (r15, VERDICT r14 item 4): B identical documents put all B
+    doc ids into ONE bucket per band. The r14 flatten(transform(...))
+    emission materialized all B*(B-1)/2 pair structs as a single
+    array inside one aggregation row; the chunked emission
+    (posexplode member + explode tail slice) streams them as rows
+    with O(B) peak per-row memory. Asserts:
+
+    (a) DuckDB oracle parity still hash-matches on this corpus;
+    (b) the candidate pipeline finds the FULL clique (identical docs
+        have Jaccard 1.0, so every pair must survive exact-verify);
+    (c) plan pin: no flatten(...) pair blow-up expression remains in
+        the query's physical plan.
+    """
+    import os
+
+    import pandas as pd
+
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        ORACLE,
+        q_dedup_minhash_lsh,
+    )
+    from .oracle_compare import duckdb_conn, run_and_compare
+
+    B = 80
+    body = " ".join(f"tok{i}" for i in range(12))
+    docs = [body] * B + [
+        " ".join(f"solo{j}w{i}" for i in range(8)) for j in range(10)
+    ]
+    fixture = tmp_path / "giantband"
+    fixture.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(t) for t in docs],
+        }
+    ).to_parquet(fixture / "documents.parquet", index=False)
+    for t in os.listdir(sf_dir):
+        if t.endswith(".parquet") and t != "documents.parquet":
+            os.symlink(os.path.join(sf_dir, t), fixture / t)
+
+    con = duckdb_conn(str(fixture))
+    run_and_compare(
+        spark,
+        con,
+        q_dedup_minhash_lsh,
+        ORACLE["dedup_minhash_lsh"],
+        "dedup_minhash_lsh[giant-band]",
+        str(fixture),
+    )
+
+    df = q_dedup_minhash_lsh(spark, str(fixture))
+    got = {(r.doc_a, r.doc_b) for r in df.collect()}
+    want = {(a, b) for a in range(B) for b in range(a + 1, B)}
+    assert got == want  # (b) full clique of the B identical docs
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "flatten(" not in plan  # (c) no single-array pair blow-up
+    spark.catalog.clearCache()
+
+
+def test_simhash_pairs_hash_corpus_once(spark, sf_dir):
+    """Plan pin for the r15 posting-list rewrite of
+    q_dedup_simhash_pairs: the md5-heavy simhash expression must
+    appear at exactly ONE evaluation site in the physical plan — the
+    replaced band self-join evaluated it at four (Filter + Project on
+    each join side, see plans/r15/dedup_simhash_pairs_before.txt)."""
+    from ev_charging_sessions_orchestrated_lakehouse_pipeline_spark.operators.dedup import (
+        q_dedup_simhash_pairs,
+    )
+
+    df = q_dedup_simhash_pairs(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the tokenize-and-hash prefix uniquely identifies the simhash
+    # expression; one occurrence == one evaluation site
+    assert plan.count("array_distinct(split(") == 1, plan.count(
+        "array_distinct(split("
+    )
+
+
 def test_mmr_greedy_optimality_and_diversity_gain(spark, sf_dir):
     """Independent numpy recomputation of the MMR recurrence: every
     pick must maximize lam*rel - (1-lam)*max-sim-to-selected among
