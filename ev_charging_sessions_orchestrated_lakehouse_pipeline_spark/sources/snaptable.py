@@ -257,14 +257,17 @@ def _decode_dv_binary(data: bytes) -> list[int]:
 
 
 @functools.lru_cache(maxsize=32)
-def _load_dv_sidecar(path: str, size: int) -> tuple[int, ...]:
+def _load_dv_sidecar(path: str, size: int, mtime_ns: int) -> tuple[int, ...]:
     """Decode one DV sidecar, memoized. Sidecar files are immutable
     by construction (uuid-named, written once before the manifest
-    publish, only ever deleted by vacuum), so a path+size key can
-    never serve stale positions — and the pure-Python varint decode
-    of a large vector (~60k positions) runs once per process instead
-    of once per manifest materialization (~45x per lifecycle query,
-    measured)."""
+    publish, only ever deleted by vacuum), so the key can never serve
+    stale positions — and the pure-Python varint decode of a large
+    vector (~60k positions) runs once per process instead of once per
+    manifest materialization (~45x per lifecycle query, measured).
+    ``mtime_ns`` guards the one hole a (path, size) key leaves: a
+    table directory deleted and re-created/copied in place with a
+    same-named same-size sidecar of DIFFERENT content (the
+    protocol/forged-table tests do copy table dirs)."""
     with open(path, "rb") as fh:
         data = fh.read()
     if path.endswith(".dvb"):
@@ -272,16 +275,94 @@ def _load_dv_sidecar(path: str, size: int) -> tuple[int, ...]:
     return tuple(json.loads(data))
 
 
+def _dv_sidecar_count(path: str) -> int:
+    """Position count of a ``.dvb`` sidecar from its header alone —
+    magic + one varint, no decode of the (possibly huge) body."""
+    with open(path, "rb") as fh:
+        head = fh.read(len(DV_BINARY_MAGIC) + 10)  # varint <= 10 bytes
+    if head[: len(DV_BINARY_MAGIC)] != DV_BINARY_MAGIC:
+        raise ValueError("not a DVB1 deletion-vector sidecar")
+    count, _pos = _get_varint(head, len(DV_BINARY_MAGIC))
+    return count
+
+
+#: A sidecar whose position count exceeds this stays a LAZY ref after
+#: manifest resolution: the read path (_apply_dvs) decodes it in
+#: EXECUTORS and anti-joins without a broadcast, so the driver never
+#: holds O(deleted rows) Python ints for tables whose DVs grew to
+#: scale (guide §5 — the driver should do almost no data work). Reads
+#: below the threshold keep the measured-fast LocalRelation broadcast
+#: path. Driver-side consumers that genuinely need the positions
+#: (commit carry-forward, CDF set diffs) decode lazily on first use —
+#: exactly what they paid before, via the same memoized loader.
+DV_DRIVER_DECODE_MAX = 1_000_000
+
+
+class _LazyDVPositions:
+    """Sequence view over a large ``.dvb`` sidecar that defers the
+    decode until positions are actually iterated/indexed. ``len()``
+    (and truthiness) come from the header count, so manifest-level
+    bookkeeping (``if ps``, ``len(ps)``) never triggers a decode."""
+
+    __slots__ = ("path", "size", "mtime_ns", "count")
+
+    def __init__(self, path: str, size: int, mtime_ns: int, count: int):
+        self.path = path
+        self.size = size
+        self.mtime_ns = mtime_ns
+        self.count = count
+
+    def _positions(self) -> tuple[int, ...]:
+        return _load_dv_sidecar(self.path, self.size, self.mtime_ns)
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __iter__(self):
+        return iter(self._positions())
+
+    def __getitem__(self, i):
+        return self._positions()[i]
+
+    def __eq__(self, other):
+        if isinstance(other, _LazyDVPositions):
+            if (self.path, self.size, self.mtime_ns) == (
+                other.path,
+                other.size,
+                other.mtime_ns,
+            ):
+                return True
+            return self._positions() == other._positions()
+        if isinstance(other, (list, tuple)):
+            return list(self._positions()) == list(other)
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        return f"_LazyDVPositions({self.path!r}, n={self.count})"
+
+
 def _resolve_dvs(table: str, dvs: dict) -> dict:
     """Materialize sidecar refs into position lists (reader form).
     Binary ``.dvb`` sidecars (current writer) and the JSON int-list
     form older commits wrote both resolve — tables never need a
-    rewrite to stay readable."""
+    rewrite to stay readable. Sidecars above DV_DRIVER_DECODE_MAX
+    positions resolve to a lazy ref (see :class:`_LazyDVPositions`)
+    instead of a driver-side list."""
     out = {}
     for f, val in dvs.items():
         if isinstance(val, dict):
             path = os.path.join(_snap_dir(table), val["$dv"])
-            out[f] = list(_load_dv_sidecar(path, os.path.getsize(path)))
+            st = os.stat(path)
+            if path.endswith(".dvb"):
+                count = _dv_sidecar_count(path)
+                if count > DV_DRIVER_DECODE_MAX:
+                    out[f] = _LazyDVPositions(
+                        path, st.st_size, st.st_mtime_ns, count
+                    )
+                    continue
+            out[f] = list(
+                _load_dv_sidecar(path, st.st_size, st.st_mtime_ns)
+            )
         else:
             out[f] = val
     return out
@@ -3209,6 +3290,34 @@ def _java_uri_quote(path: str) -> str:
     return "".join(out)
 
 
+def _decode_dv_refs_arrow(batches):
+    """mapInArrow body for the executor-side DV decode: each input row
+    is (file uri, sidecar path); each output row is (file uri, deleted
+    position). Runs the same varint decode as the driver loader but
+    WITHOUT the lru_cache — a reused executor worker must not pin
+    O(positions) tuples across tasks — and yields bounded record
+    batches so one huge vector never materializes as a single Arrow
+    allocation."""
+    import pyarrow as pa
+
+    CHUNK = 1 << 18
+    for batch in batches:
+        uris = batch.column(0).to_pylist()
+        paths = batch.column(1).to_pylist()
+        for uri, path in zip(uris, paths):
+            with open(path, "rb") as fh:
+                ps = _decode_dv_binary(fh.read())
+            for i in range(0, len(ps), CHUNK):
+                part = ps[i : i + CHUNK]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([uri] * len(part), type=pa.string()),
+                        pa.array(part, type=pa.int64()),
+                    ],
+                    names=["___dvf", "___dvp"],
+                )
+
+
 def _apply_dvs(spark, df, table: str, dvs: dict):
     """Merge-on-read: anti-join the per-file deleted row positions
     (deletion vectors) out of a position-keyed frame (must carry the
@@ -3218,7 +3327,13 @@ def _apply_dvs(spark, df, table: str, dvs: dict):
     take the rewrite path. ``_metadata.row_index`` is the row's
     position within the FILE — verified across many-row-group files
     (tests/test_snaptable.py), since a row-group-scoped index would
-    silently corrupt every multi-row-group DV at scale."""
+    silently corrupt every multi-row-group DV at scale.
+
+    Vectors that resolved lazily (> DV_DRIVER_DECODE_MAX positions)
+    never touch the driver at all: their sidecars decode in EXECUTORS
+    (one file per task via mapInArrow over the ref list) and
+    anti-join WITHOUT a broadcast — at that cardinality the planner's
+    shuffled join is the memory-safe shape (guide §5)."""
     from pyspark.sql import functions as F
 
     # _abs_uri (Java-rule URI quoting, pure Python) is per-FILE work:
@@ -3226,15 +3341,37 @@ def _apply_dvs(spark, df, table: str, dvs: dict):
     # where a 60k-position DV set paid 60k quote calls (~5 s profiled)
     # instead of one per file
     uris = {f: _abs_uri(table, f) for f in dvs}
-    rows = [(uris[f], int(p)) for f, ps in dvs.items() for p in ps]
-    if not rows:
-        return df
-    dv_df = local_df(spark, rows, "___dvf string, ___dvp long")
-    return df.join(
-        F.broadcast(dv_df),
-        (df["___f"] == dv_df["___dvf"]) & (df["___ri"] == dv_df["___dvp"]),
-        "left_anti",
-    )
+    lazy = {
+        f: ps for f, ps in dvs.items() if isinstance(ps, _LazyDVPositions)
+    }
+    rows = [
+        (uris[f], int(p))
+        for f, ps in dvs.items()
+        if f not in lazy
+        for p in ps
+    ]
+    if rows:
+        dv_df = local_df(spark, rows, "___dvf string, ___dvp long")
+        df = df.join(
+            F.broadcast(dv_df),
+            (df["___f"] == dv_df["___dvf"]) & (df["___ri"] == dv_df["___dvp"]),
+            "left_anti",
+        )
+    if lazy:
+        refs = local_df(
+            spark,
+            [(uris[f], ps.path) for f, ps in sorted(lazy.items())],
+            "___dvf string, ___dvpath string",
+        ).repartition(len(lazy))  # one sidecar decode per task
+        big = refs.mapInArrow(
+            _decode_dv_refs_arrow, "___dvf string, ___dvp long"
+        )
+        df = df.join(
+            big,
+            (df["___f"] == big["___dvf"]) & (df["___ri"] == big["___dvp"]),
+            "left_anti",
+        )
+    return df
 
 
 def _read_union(

@@ -1554,6 +1554,60 @@ def test_full_lifecycle_composition(spark, orders, tmp_path):
         st.read_snapshot(spark, clone).count()
 
 
+def test_deletion_vector_executor_decode_above_threshold(
+    spark, orders, tmp_path, monkeypatch
+):
+    """Inflated-DV regime (r15, VERDICT r14 item 6): a sidecar whose
+    position count exceeds DV_DRIVER_DECODE_MAX must resolve to a
+    LAZY ref, decode in EXECUTORS (mapInArrow over the ref list,
+    no broadcast), and produce exactly the same snapshot as the
+    driver-side LocalRelation path. The threshold is monkeypatched
+    low so the fixture-scale delete exercises the scale path."""
+    t = _tbl(tmp_path)
+    st.create_table(orders, t, [])
+    n0 = orders.count()
+    med = orders.approxQuantile("o_totalprice", [0.5], 0.0)[0]
+    n_del = orders.filter(F.col("o_totalprice") > med).count()
+    assert n_del > st.DV_INLINE_MAX  # must land in a .dvb sidecar
+
+    st.delete_where(spark, t, [("o_totalprice", ">", float(med))], use_dv=True)
+    expect = {
+        r.o_orderkey
+        for r in orders.filter(F.col("o_totalprice") <= med)
+        .select("o_orderkey")
+        .collect()
+    }
+
+    # baseline: driver-side decode (threshold far above the vector)
+    base = {
+        r.o_orderkey
+        for r in st.read_snapshot(spark, t).select("o_orderkey").collect()
+    }
+    assert base == expect
+
+    monkeypatch.setattr(st, "DV_DRIVER_DECODE_MAX", 16)
+    m = st._read_manifest(t, st.current_version(t))
+    lazies = [
+        ps
+        for ps in m["deletion_vectors"].values()
+        if isinstance(ps, st._LazyDVPositions)
+    ]
+    assert lazies and sum(len(ps) for ps in lazies) >= n_del - st.DV_INLINE_MAX
+
+    snap = st.read_snapshot(spark, t)
+    plan = snap._sc._jvm.PythonSQLUtils.explainString(
+        snap._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInArrow" in plan  # executor decode is actually planned
+    got = {r.o_orderkey for r in snap.select("o_orderkey").collect()}
+    assert got == expect
+
+    # metadata COUNT and CDF set-diffs decode the lazy ref on demand
+    assert st.table_stats(t)["rows"] == n0 - n_del
+    feed = st.changes(spark, t, from_version=1)
+    assert feed.filter(F.col("_change_type") == "delete").count() == n_del
+
+
 def test_deletion_vectors_merge_on_read(spark, orders, tmp_path):
     """use_dv=True deletes touch NO data file: the commit records row
     positions, readers anti-join them out via the parquet row index,
