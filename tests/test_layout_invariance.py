@@ -75,18 +75,21 @@ def _rows(spark, name, sf_dir):
 
 
 def test_every_query_is_layout_invariant(spark, sf_dir, resharded_sf_dir):
-    failures = []
-    for name in sorted(QUERIES):
+    from .conftest import sweep_queries
+
+    def probe(name):
         try:
             base = _rows(spark, name, sf_dir)
             alt = _rows(spark, name, resharded_sf_dir)
         except Exception as e:  # noqa: BLE001 — collecting the sweep
-            failures.append(f"{name}: CRASH {str(e).splitlines()[0][:120]}")
-            continue
+            return f"{name}: CRASH {str(e).splitlines()[0][:120]}"
         if base != alt:
             diff = next(
                 (f"{b!r} != {a!r}" for b, a in zip(base, alt) if b != a),
                 f"row counts {len(base)} != {len(alt)}",
             )
-            failures.append(f"{name}: first diff {diff[:160]}")
+            return f"{name}: first diff {diff[:160]}"
+        return None
+
+    failures = sweep_queries(sorted(QUERIES), probe)
     assert not failures, "layout-sensitive queries:\n" + "\n".join(failures)

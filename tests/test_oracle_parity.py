@@ -58,7 +58,20 @@ def test_approx_distinct_error_contract(spark, sf_dir):
 
 
 def test_all_queries_return_rows(spark, sf_dir):
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
-        assert len(df.columns) > 0, name
+    from .conftest import sweep_queries
+
+    def probe(name):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            assert df.count() >= 0, name
+            assert len(df.columns) > 0, name
+        except Exception as e:  # noqa: BLE001 — collecting the sweep
+            return f"{name}: {str(e).splitlines()[0][:140]}"
+        finally:
+            spark.catalog.clearCache()
+        return None
+
+    failures = sweep_queries(sorted(QUERIES), probe)
+    assert not failures, "queries failed rows-return probe:\n" + "\n".join(
+        failures
+    )

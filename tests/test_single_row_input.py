@@ -42,11 +42,16 @@ def single_row_sf_dir(tmp_path_factory) -> str:
 
 
 def test_every_query_survives_a_single_row_lake(spark, single_row_sf_dir):
-    failures = []
-    for name in sorted(QUERIES):
+    from .conftest import sweep_queries
+
+    def probe(name):
         try:
             QUERIES[name](spark, single_row_sf_dir).count()
         except Exception as e:  # noqa: BLE001 — collecting the sweep
-            failures.append(f"{name}: {str(e).splitlines()[0][:140]}")
-        spark.catalog.clearCache()
+            return f"{name}: {str(e).splitlines()[0][:140]}"
+        finally:
+            spark.catalog.clearCache()
+        return None
+
+    failures = sweep_queries(sorted(QUERIES), probe)
     assert not failures, "queries crashed on single-row input:\n" + "\n".join(failures)
